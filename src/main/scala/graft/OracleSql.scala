@@ -1,0 +1,453 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per SQL-expressible query in
+  * [[SparkEntry.queries]], with column names/aliases matching the Spark
+  * output exactly (the driver sorts columns by name before hashing).
+  *
+  * Determinism rules mirrored from SparkEntry:
+  *  - `events.ts` is nanosecond-precision in parquet; every use goes
+  *    through `CAST(ts AS TIMESTAMP)` (µs truncation = Spark's reader).
+  *  - double aggregates rounded identically; similarity math uses the
+  *    same fixed-point (·10⁶ floor) quantization as the Spark side, so
+  *    sums are exact integers and order-independent.
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  *
+  * q22/q23/q27 are omitted (xxhash64 signature families have no DuckDB
+  * equivalent) → driver records the weaker rows-only check.
+  */
+object OracleSql {
+
+  private val q01 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  private val q02 = """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30
+    ORDER BY l_orderkey, l_linenumber"""
+
+  private val q03 = """
+    SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name"""
+
+  private val q04 = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    ORDER BY o_orderkey"""
+
+  private val q05 = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ORDER BY c_custkey"""
+
+  private val q06 = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           round(sum(value), 2) AS sum_value,
+           max(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  private val q07 = """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  private val q08 = """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    ORDER BY o_custkey"""
+
+  private val q09 = """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 5"""
+
+  private val q10 = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice
+          FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'))
+    ORDER BY o_orderkey"""
+
+  private val q11 = """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, DATE '9999-12-31' AS expired
+      FROM customer),
+    inc AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_X'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'NEWSEG' AS c_mktsegment, 0.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0),
+    changed AS (
+      SELECT cur.c_custkey FROM cur JOIN inc ON cur.c_custkey = inc.c_custkey
+      WHERE cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment
+         OR cur.c_acctbal IS DISTINCT FROM inc.c_acctbal),
+    expired AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, DATE '2026-01-01' AS expired
+      FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)),
+    surviving AS (
+      SELECT * FROM cur
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+    ins AS (
+      SELECT i.c_custkey, i.c_mktsegment, i.c_acctbal, DATE '9999-12-31' AS expired
+      FROM inc i
+      WHERE i.c_custkey NOT IN (SELECT c_custkey FROM surviving))
+    SELECT * FROM surviving
+    UNION ALL SELECT * FROM expired
+    UNION ALL SELECT * FROM ins
+    ORDER BY c_custkey, expired"""
+
+  private val q12 = """
+    WITH e AS (
+      SELECT event_id, event_type, user_id, value FROM events WHERE event_id % 2 = 0),
+    i AS (
+      SELECT event_id, 'upd_' || event_type AS event_type, user_id,
+             round(value + 1000, 2) AS value
+      FROM events WHERE event_id % 3 = 0)
+    SELECT coalesce(e.event_id, i.event_id) AS event_id,
+           CASE WHEN e.event_id IS NULL THEN i.event_type ELSE e.event_type END AS event_type,
+           CASE WHEN e.event_id IS NULL THEN i.user_id ELSE e.user_id END AS user_id,
+           CASE WHEN i.event_id IS NOT NULL THEN i.value ELSE e.value END AS value
+    FROM e FULL OUTER JOIN i ON e.event_id = i.event_id
+    ORDER BY event_id"""
+
+  private val q13 = """
+    SELECT n_name,
+           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS cust_cnt,
+           (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS supp_cnt
+    FROM nation
+    ORDER BY n_name"""
+
+  private val q14 = """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day"""
+
+  private val q15 = """
+    WITH src AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 6 = 0 THEN 'Thỏa thuận'
+                  WHEN p_partkey % 6 = 1 THEN 'Tới ' || CAST(p_size AS VARCHAR) || ' triệu'
+                  WHEN p_partkey % 6 = 2 THEN 'Trên ' || CAST(p_size AS VARCHAR) || ' triệu'
+                  WHEN p_partkey % 6 = 3 THEN CAST(p_size AS VARCHAR) || ' - ' || CAST(p_size + 5 AS VARCHAR) || ' triệu'
+                  WHEN p_partkey % 6 = 4 THEN '1,200 - 1,800 USD'
+                  ELSE 'lương hấp dẫn' END AS salary_raw
+      FROM part),
+    t AS (
+      SELECT p_partkey, salary_raw,
+             lower(regexp_replace(salary_raw, '[,.]', '', 'g')) AS tl
+      FROM src),
+    n AS (
+      SELECT p_partkey, salary_raw, tl,
+             regexp_extract(tl, '(\d+)', 1) AS n1,
+             regexp_extract(tl, '\d+\D+?(\d+)', 1) AS n2
+      FROM t)
+    SELECT p_partkey, salary_raw,
+           CASE WHEN contains(tl, 'thỏa thuận') THEN 0
+                WHEN contains(tl, 'tới') AND n1 <> '' THEN 0
+                WHEN contains(tl, 'trên') AND n1 <> '' THEN TRY_CAST(n1 AS BIGINT) * 1000000
+                WHEN n2 <> '' THEN TRY_CAST(n1 AS BIGINT) * 1000000
+                ELSE 0 END AS min_salary_vnd,
+           CASE WHEN contains(tl, 'thỏa thuận') THEN 0
+                WHEN contains(tl, 'tới') AND n1 <> '' THEN TRY_CAST(n1 AS BIGINT) * 1000000
+                WHEN contains(tl, 'trên') AND n1 <> '' THEN 0
+                WHEN n2 <> '' THEN TRY_CAST(n2 AS BIGINT) * 1000000
+                ELSE 0 END AS max_salary_vnd
+    FROM n
+    ORDER BY p_partkey"""
+
+  private val q16 = """
+    WITH src AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'hôm qua'
+                  WHEN o_orderkey % 4 = 1 THEN CAST(o_orderkey % 7 AS VARCHAR) || ' ngày trước'
+                  WHEN o_orderkey % 4 = 2 THEN '2 tuần trước'
+                  ELSE 'vừa xong' END AS posted_raw
+      FROM orders),
+    p AS (
+      SELECT o_orderkey, posted_raw, lower(posted_raw) AS sl,
+             TRY_CAST(regexp_extract(lower(posted_raw), '(\d+)', 1) AS INTEGER) AS n,
+             CAST(o_orderdate AS DATE) AS base
+      FROM src)
+    SELECT o_orderkey, posted_raw,
+           CASE WHEN contains(sl, 'hôm qua') THEN base - 1
+                WHEN contains(sl, 'ngày trước') THEN base - n
+                WHEN contains(sl, 'tuần trước') THEN base - (n * 7)
+                ELSE base END AS posted_date
+    FROM p
+    ORDER BY o_orderkey"""
+
+  private val normFp =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  private val q17 = s"""
+    SELECT doc_id, md5(text) AS content_md5, $normFp AS content_fp
+    FROM documents
+    ORDER BY doc_id"""
+
+  private val q18 = """
+    SELECT event_id, CAST(ts AS DATE) AS day,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+           round(value / 1000, 6) AS value_k
+    FROM events
+    ORDER BY event_id"""
+
+  private val q19 = """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    ORDER BY hour_start"""
+
+  private val q20 = """
+    SELECT doc_id, md5(text) AS content_md5,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    ORDER BY doc_id"""
+
+  private val q21 = s"""
+    SELECT doc_id, $normFp AS content_fp,
+           min(doc_id) OVER (PARTITION BY $normFp) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY $normFp) AS is_duplicate
+    FROM documents
+    ORDER BY doc_id"""
+
+  private val q24 = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' ')) END) AS shingles
+      FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    ORDER BY id_a, id_b"""
+
+  private val quantize =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  private val q25 = s"""
+    WITH base AS (
+      SELECT vec_id, label, $quantize AS qe FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qe AS qa, b.qe AS qb
+      FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id),
+    sc AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qb[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qa[i])) AS BIGINT) AS n2a,
+             CAST(list_sum(list_transform(range(1, 65), i -> qb[i] * qb[i])) AS BIGINT) AS n2b
+      FROM pairs)
+    SELECT id_a, id_b,
+           round(CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+                      ELSE CAST(dot AS DOUBLE) /
+                           (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END, 6) AS cosine
+    FROM sc
+    WHERE round(CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+                     ELSE CAST(dot AS DOUBLE) /
+                          (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END, 6) >= 0.2
+    ORDER BY id_a, id_b"""
+
+  private val q26 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS qq FROM base WHERE vec_id < 10),
+    c AS (SELECT vec_id AS id, qe AS qc FROM base),
+    sc AS (
+      SELECT q.query_id, c.id,
+             CAST(list_sum(list_transform(range(1, 65), i -> qc[i] * qq[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i -> qc[i] * qc[i])) AS BIGINT) AS n2c,
+             CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * qq[i])) AS BIGINT) AS n2q
+      FROM c JOIN q ON c.id <> q.query_id),
+    scored AS (
+      SELECT query_id, id,
+             round(CASE WHEN n2c = 0 OR n2q = 0 THEN 0.0
+                        ELSE CAST(dot AS DOUBLE) /
+                             (sqrt(CAST(n2c AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) END, 6) AS cosine
+      FROM sc),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
+  private val q28 = """
+    SELECT o_orderpriority, count(*) AS total_jobs,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  private val q29 = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+      FROM documents),
+    cnt AS (
+      SELECT doc_id,
+             len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS c_en,
+             len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+             len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS c_fr,
+             len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS c_es,
+             len(list_filter(tk, x -> x IN ('của','và','là','không','người'))) AS c_vi
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_vi) <= 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'es'
+                WHEN c_vi = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'vi'
+                ELSE 'und' END AS lang_pred
+    FROM cnt
+    ORDER BY doc_id"""
+
+  private val q30 = """
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, tk, tl,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')), 0) AS BIGINT) AS n_subwords,
+             CASE WHEN len(tl) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(tl, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / CAST(len(tl) AS DOUBLE) END AS sw_ratio,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS p_ratio,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                       / CAST(len(tk) AS DOUBLE) END AS m_len
+      FROM t)
+    SELECT doc_id, n_tokens, n_subwords,
+           round(sw_ratio, 6) AS stopword_ratio,
+           round(p_ratio, 6) AS punct_ratio,
+           round(m_len, 6) AS mean_token_len,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(sw_ratio * 4.0, 1.0) * 0.3
+                 + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3, 6) AS quality
+    FROM f
+    ORDER BY doc_id"""
+
+  private val q31 = """
+    WITH t AS (
+      SELECT lang, n_chars,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS tc
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS total_tokens,
+           round(CAST(sum(tc) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t
+    GROUP BY lang
+    ORDER BY lang"""
+
+  private val q32 = """
+    SELECT event_id, user_id, substr(props, 1, 80) AS msg, value
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+    LIMIT 5"""
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_star" -> q03,
+    "q04_semi_join" -> q04,
+    "q05_anti_join" -> q05,
+    "q06_conditional_agg" -> q06,
+    "q07_count_distinct" -> q07,
+    "q08_window_latest" -> q08,
+    "q09_topk" -> q09,
+    "q10_union_dedup" -> q10,
+    "q11_scd2_merge" -> q11,
+    "q12_upsert" -> q12,
+    "q13_decorrelated_agg" -> q13,
+    "q14_events_by_day" -> q14,
+    "q15_salary_parse" -> q15,
+    "q16_posted_date" -> q16,
+    "q17_fingerprint" -> q17,
+    "q18_date_functions" -> q18,
+    "q19_tumbling_window" -> q19,
+    "q20_dedup_exact" -> q20,
+    "q21_dedup_canonical" -> q21,
+    "q24_ngram_jaccard" -> q24,
+    "q25_embedding_neardup" -> q25,
+    "q26_ann_topk" -> q26,
+    "q28_mart_agg" -> q28,
+    "q29_langid" -> q29,
+    "q30_quality" -> q30,
+    "q31_corpus_stats" -> q31,
+    "q32_recent_errors" -> q32,
+  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
+}

@@ -1,13 +1,474 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{CleaningFunctions => C, TextFunctions => T, VectorFunctions => V}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * plus the training-data-pipeline extensions (dedup / similarity / text
+  * analysis), each with a DuckDB oracle where SQL-expressible.
+  *
+  * Conventions that keep the DuckDB hash-compare exact:
+  *  - every computed column is aliased identically here and in the SQL;
+  *  - double aggregates are rounded (sum→2dp, ratios/avg→4-6dp) so
+  *    accumulation-order noise can't flip a bit;
+  *  - similarity scores are rounded *before* ranking and ties break on
+  *    ids, so top-k sets are engine-independent;
+  *  - integer-family outputs are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: star-schema revenue rollup on sf0.001 (driver smoke test). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03_join_star(spark, "/root/testdata/sf0.001")
+
+  // ---- §2.4 aggregations -------------------------------------------------
+
+  /** Money columns are fixed 2-decimal; `floor(x·100 + 0.5)` recovers the
+    * exact cent count per row, so sums accumulate in exact integer
+    * arithmetic — immune to float summation order (partial aggregation
+    * on 32 threads vs DuckDB's sequential scan would otherwise diverge
+    * in the last ulp and flip a rounded digit).
+    */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** A1/A2/O1 — TPC-H Q1-shaped pricing summary (exact-cents math). */
+  def q01_pricing_summary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(cents(col("l_extendedprice"))).cast("double") / 100.0, 2).as("sum_base_price"),
+        // price·(1-disc) in integer cents×percent: exact at 4 decimals
+        round(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0, 4).as("sum_disc_price"),
+        round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(sum(cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2/F18 — conditional aggregation (the v_extract_stats shape). */
+  def q06_conditional_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") > 50, 1).otherwise(0)).cast("long").as("n_big"),
+        round(sum(col("value")), 2).as("sum_value"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("event_type"))
+
+  /** A3 — exact distinct counts per group. */
+  def q07_count_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** A4 — correlated scalar-subquery aggregates, decorrelated to
+    * pre-aggregate + left join (SURVEY.md §2.4 A4).
+    */
+  def q13_decorrelated_agg(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+    val custCnt = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cust_cnt"))
+    val suppCnt = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("supp_cnt"))
+    nation
+      .join(custCnt, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .join(suppCnt, col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .select(
+        col("n_name"),
+        coalesce(col("cust_cnt"), lit(0L)).as("cust_cnt"),
+        coalesce(col("supp_cnt"), lit(0L)).as("supp_cnt"))
+      .orderBy(col("n_name"))
+  }
+
+  /** A2/A3/F9 — per-day audit rollup over the event stream. */
+  def q14_events_by_day(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).cast("long").as("n_clicks"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"))
+
+  /** A1 — config-driven data-mart aggregate (`config.xml:86-123`). */
+  def q28_mart_agg(s: SparkSession, dir: String): DataFrame =
+    AggSpec("agg_orders_by_priority", Seq("o_orderpriority"),
+      Seq("COUNT(*) AS total_jobs", "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_price"))
+      .run(Tables.orders(s, dir))
+      .orderBy(col("o_orderpriority"))
+
+  // ---- §2.2 projections / filters ---------------------------------------
+
+  /** P1-P8/F-group — filter + projection + computed column; pushdown-able. */
+  def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // money×(1-disc) has exactly 4 decimals (2dp each side), so
+        // rounding at 4dp is unambiguous across engines; 2dp would sit
+        // on the representability boundary and flip ulps
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---- §2.3 joins --------------------------------------------------------
+
+  /** J4/J5 — star-schema join: broadcast dimension chain + fact rollup. */
+  def q03_join_star(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J3 — left-semi join (EXISTS readiness-gate shape). */
+  def q04_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J2 — left-anti join (SCD2-insert / NOT EXISTS shape): customers
+    * with no large order (threshold chosen non-empty at every SF).
+    */
+  def q05_anti_join(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  // ---- §2.5/§2.6 windows, sort, top-k ------------------------------------
+
+  /** §2.5 — latest row per key (the ORDER BY … LIMIT 1 idiom, all keys). */
+  def q08_window_latest(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey(Tables.orders(s, dir), Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+
+  /** O2 — top-k with deterministic tie-break (TakeOrderedAndProject). */
+  def q09_topk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(5)
+
+  /** O1/O2/F4 — recent-failures monitor view (sort desc + limit + substring). */
+  def q32_recent_errors(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(5)
+      .select(col("event_id"), col("user_id"),
+        substring(col("props"), 1, 80).as("msg"), col("value"))
+
+  // ---- §2.7 set ops / dedup / upsert ------------------------------------
+
+  /** U1/U4 — union of overlapping slices + key dedup. */
+  def q10_union_dedup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val early = o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val late  = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    early.unionByName(late)
+      .dropDuplicates("o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** U3 — column-selective upsert (ON DUPLICATE KEY UPDATE, only `value`
+    * refreshes on conflict).
+    */
+  def q12_upsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val existing = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    val incoming = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"),
+        concat(lit("upd_"), col("event_type")).as("event_type"),
+        col("user_id"),
+        round(col("value") + 1000, 2).as("value"))
+    Upsert(existing, incoming, "event_id", Seq("value"), Seq(col("event_id")))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- §2.10 SCD Type-2 --------------------------------------------------
+
+  /** The crown jewel: SCD2 merge over a deterministic change scenario
+    * (1/3 of keys change segment, 1/5 change balance, only even keys
+    * arrive, keys ≡0 mod 7 appear as brand-new).
+    */
+  def q11_scd2_merge(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val cur = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("expired", to_date(lit("9999-12-31")))
+    val changedExisting = cust.filter(col("c_custkey") % 2 === 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_mktsegment"), lit("_X")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 5 === 0, round(col("c_acctbal") + 100.0, 2))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    val brandNew = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    val incoming = changedExisting.unionByName(brandNew)
+    Scd2Merge(cur, incoming,
+      keys = Seq("c_custkey"),
+      tracked = Seq("c_mktsegment", "c_acctbal"),
+      expiredCol = "expired",
+      effectiveDate = lit("2026-01-01"))
+      .orderBy(col("c_custkey"), col("expired"))
+  }
+
+  // ---- §2.8 scalar functions --------------------------------------------
+
+  /** F1 — Vietnamese salary grammar over a deterministic corpus built
+    * from `part` (all grammar branches + garbage).
+    */
+  def q15_salary_parse(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val salary = when(col("p_partkey") % 6 === 0, lit("Thỏa thuận"))
+      .when(col("p_partkey") % 6 === 1, concat(lit("Tới "), col("p_size").cast("string"), lit(" triệu")))
+      .when(col("p_partkey") % 6 === 2, concat(lit("Trên "), col("p_size").cast("string"), lit(" triệu")))
+      .when(col("p_partkey") % 6 === 3,
+        concat(col("p_size").cast("string"), lit(" - "), (col("p_size") + 5).cast("string"), lit(" triệu")))
+      .when(col("p_partkey") % 6 === 4, lit("1,200 - 1,800 USD"))
+      .otherwise(lit("lương hấp dẫn"))
+    val parsed = C.parseSalary(salary)
+    p.select(
+      col("p_partkey"),
+      salary.as("salary_raw"),
+      parsed.getField("min_salary_vnd").as("min_salary_vnd"),
+      parsed.getField("max_salary_vnd").as("max_salary_vnd"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** F2/F13/F14 — relative posted-date grammar over `orders`. */
+  def q16_posted_date(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val posted = when(col("o_orderkey") % 4 === 0, lit("hôm qua"))
+      .when(col("o_orderkey") % 4 === 1,
+        concat((col("o_orderkey") % 7).cast("string"), lit(" ngày trước")))
+      .when(col("o_orderkey") % 4 === 2, lit("2 tuần trước"))
+      .otherwise(lit("vừa xong"))
+    o.select(
+      col("o_orderkey"),
+      posted.as("posted_raw"),
+      C.postedDate(posted, to_date(col("o_orderdate"))).as("posted_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** F21 — MD5 + canonical-form fingerprints. */
+  def q17_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        C.md5Fingerprint(col("text")).as("content_md5"),
+        T.contentFingerprint(col("text")).as("content_fp"))
+      .orderBy(col("doc_id"))
+
+  /** F9-F12/F16 — date/time scalar surface over the event stream. */
+  def q18_date_functions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        to_date(col("ts")).as("day"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        // /1000 (not /1024): keeps the true value at 5 decimals, so
+        // round-6 can never land on a representability midpoint
+        round(col("value") / 1000, 6).as("value_k"))
+      .orderBy(col("event_id"))
+
+  // ---- §2.9 streaming-equivalent (tumbling window) -----------------------
+
+  /** Tumbling 1-hour window aggregate — the batch-equivalent of the
+    * Structured Streaming pipeline in graft.streaming (same plan shape
+    * as `groupBy(window($"ts", "1 hour"))`).
+    */
+  def q19_tumbling_window(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_start"))
+
+  // ---- training-data pipeline: dedup -------------------------------------
+
+  /** Exact dedup via content digest (every row keeps identity + group). */
+  def q20_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("content_md5"), col("canonical_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical-form (case/punct/ws-insensitive) dedup. */
+  def q21_dedup_canonical(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonical(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("content_fp"), col("canonical_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash+LSH near-dup summary per document (rows-only check — the
+    * xxhash64 signature family has no DuckDB equivalent).
+    */
+  def q22_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2)
+    val perDoc = pairs.select(col("id_a").as("doc_id"), col("est_jaccard"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("est_jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("est_jaccard")).as("max_est_jaccard"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash signature + near-dup candidate count per document
+    * (rows-only check).
+    */
+  def q23_simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 8)
+    val perDoc = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    docs.select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact word-3-gram Jaccard pairs within a `source` block — integer
+    * set arithmetic end-to-end, so the DuckDB oracle is exact.
+    */
+  def q24_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "text", "doc_id",
+        blockCol = "source", n = 3, minJaccard = 0.0)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs blocked by label. */
+  def q25_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "embedding", "vec_id",
+        blockCol = "label", minCosine = 0.2, score = V.cosineQuantized)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- training-data pipeline: similarity search --------------------------
+
+  /** Brute-force cosine top-k (exact ANN baseline): queries = vec_id<10. */
+  def q26_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 10, score = V.cosineQuantized)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (the 100 TB scale path; rows-only check, recall
+    * asserted against the exact baseline in ScalaTest).
+    */
+  def q27_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 10, dim = 64, bits = 8, tables = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- training-data pipeline: text analysis ------------------------------
+
+  /** Stopword-profile language ID. */
+  def q29_langid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Quality-scoring feature vector per document. */
+  def q30_quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.subwordCount(col("text")).cast("long").as("n_subwords"),
+        round(T.stopwordRatio(col("text"), T.EnglishStopwords), 6).as("stopword_ratio"),
+        round(T.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(T.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        T.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus rollup by declared language (exact int sums → exact avgs). */
+  def q31_corpus_stats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"), T.tokenCount(col("text")).cast("long").as("tc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("total_tokens"),
+        round(sum(col("tc")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  // ------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01_pricing_summary _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_join_star" -> (q03_join_star _),
+    "q04_semi_join" -> (q04_semi_join _),
+    "q05_anti_join" -> (q05_anti_join _),
+    "q06_conditional_agg" -> (q06_conditional_agg _),
+    "q07_count_distinct" -> (q07_count_distinct _),
+    "q08_window_latest" -> (q08_window_latest _),
+    "q09_topk" -> (q09_topk _),
+    "q10_union_dedup" -> (q10_union_dedup _),
+    "q11_scd2_merge" -> (q11_scd2_merge _),
+    "q12_upsert" -> (q12_upsert _),
+    "q13_decorrelated_agg" -> (q13_decorrelated_agg _),
+    "q14_events_by_day" -> (q14_events_by_day _),
+    "q15_salary_parse" -> (q15_salary_parse _),
+    "q16_posted_date" -> (q16_posted_date _),
+    "q17_fingerprint" -> (q17_fingerprint _),
+    "q18_date_functions" -> (q18_date_functions _),
+    "q19_tumbling_window" -> (q19_tumbling_window _),
+    "q20_dedup_exact" -> (q20_dedup_exact _),
+    "q21_dedup_canonical" -> (q21_dedup_canonical _),
+    "q22_minhash_lsh" -> (q22_minhash_lsh _),
+    "q23_simhash" -> (q23_simhash _),
+    "q24_ngram_jaccard" -> (q24_ngram_jaccard _),
+    "q25_embedding_neardup" -> (q25_embedding_neardup _),
+    "q26_ann_topk" -> (q26_ann_topk _),
+    "q27_ann_lsh" -> (q27_ann_lsh _),
+    "q28_mart_agg" -> (q28_mart_agg _),
+    "q29_langid" -> (q29_langid _),
+    "q30_quality" -> (q30_quality _),
+    "q31_corpus_stats" -> (q31_corpus_stats _),
+    "q32_recent_errors" -> (q32_recent_errors _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

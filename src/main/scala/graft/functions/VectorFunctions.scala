@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as native
+  * expression trees (`zip_with`/`aggregate` — codegen, no UDF, no
+  * serialization off the JVM). Elements are cast to double *before*
+  * multiplying so results match engines that compute in double (and so
+  * accumulation order is the array order — deterministic per row).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero for zero-norm vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Fixed-point cosine: elements are quantized to `floor(x·10⁶)` longs,
+    * dot products and norms accumulate in exact integer arithmetic, and
+    * only the final divide/sqrt touch floating point. Quantization error
+    * is ~1e-6 (irrelevant for near-dup/top-k), but the result is
+    * *bit-identical across engines and summation orders* — this is what
+    * oracle-checked similarity queries use.
+    */
+  def cosineQuantized(a: Column, b: Column): Column = {
+    def quant(c: Column): Column = transform(d(c), x => floor(x * 1e6).cast("long"))
+    val qa = quant(a)
+    val qb = quant(b)
+    def isum(arr: Column): Column = aggregate(arr, lit(0L), (acc, v) => acc + v)
+    val dotQ = isum(zip_with(qa, qb, (x, y) => x * y))
+    val n2a  = isum(zip_with(qa, qa, (x, y) => x * y))
+    val n2b  = isum(zip_with(qb, qb, (x, y) => x * y))
+    when(n2a === 0L || n2b === 0L, lit(0.0))
+      .otherwise(dotQ.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
+  }
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bit of `v·plane` for one LSH hyperplane given as a literal
+    * Seq[Double] — the building block for hyperplane bucket signatures.
+    */
+  def hyperplaneBit(v: Column, plane: Seq[Double]): Column = {
+    val p = array(plane.map(lit): _*)
+    when(aggregate(zip_with(d(v), p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) >= 0, 1)
+      .otherwise(0)
+  }
+
+  /** Pack `nBits` hyperplane sign bits into an int bucket id. Planes are
+    * generated from a fixed seed so signatures are stable across runs and
+    * across executors (driver-side constant folded into the plan).
+    */
+  def lshBucket(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex
+      .map { case (p, i) => hyperplaneBit(v, p) * (1 << i) }
+      .reduce(_ + _)
+  }
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines, designed
+  * shuffle-light for 100 TB:
+  *
+  *  - exact / canonical-form dedup: one hash-partition shuffle on a
+  *    16-byte digest — the only all-to-all exchange, on tiny keys.
+  *  - MinHash + LSH: signatures are per-row narrow maps; only the
+  *    (band, bandHash) pairs shuffle, and candidate verification joins
+  *    band buckets, never the cross product.
+  *  - SimHash: per-row 64-bit signature; candidates via chunk buckets.
+  *  - n-gram Jaccard / embedding cosine: exact verification within
+  *    blocked candidate groups only.
+  *
+  * All hashing uses xxhash64 with literal per-function salts — stable
+  * across runs, executors, and Spark versions (no RNG at runtime).
+  */
+object Dedup {
+
+  /** Exact duplicate marking: every row keeps its identity, gains its
+    * content digest, the canonical (minimum) id of its duplicate group,
+    * and an `is_duplicate` flag. One shuffle on the digest.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = md5(col(textCol).cast("binary"))
+    val w  = Window.partitionBy(col("content_md5"))
+    df.withColumn("content_md5", fp)
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Canonical-form dedup: same, keyed on the normalized-text
+    * fingerprint (case/punctuation/whitespace-insensitive).
+    */
+  def canonical(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_fp"))
+    df.withColumn("content_fp", T.contentFingerprint(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated as
+    * `min(xxhash64(salt_i, shingle))` over the document's word-shingle
+    * set. Pure per-row expression — no shuffle, no UDF.
+    */
+  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val shingles = array_distinct(T.wordShingles(text, shingleSize))
+    val sig = (0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Banding: `numHashes` values → `bands` bands of `numHashes/bands`
+    * rows; documents sharing any band hash become candidates; candidates
+    * are verified by the fraction of agreeing minhashes (the unbiased
+    * Jaccard estimate). Only (bandIdx, bandHash, id, sig) tuples are
+    * shuffled — the join key space is band buckets, so the cross product
+    * never materializes. Returns pairs `id_a < id_b` with `est_jaccard
+    * >= threshold`.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val signed = df.select(
+      col(idCol).as("id"),
+      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+
+    val banded = signed.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: each token hashes to 64
+    * bits; bit b of the signature is 1 iff Σ_tokens (±1 for bit b) > 0.
+    * Pure per-row expression tree (fold over the token array).
+    */
+  def simHash(text: Column): Column = {
+    val toks = T.tokens(lower(text))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(lit(7L), t)
+        // static per-bit shifts (no Column-Column shift exists); unrolled
+        // once at plan build, still one codegen'd expression per row
+        array((0 until 64).map { bit =>
+          element_at(acc, bit + 1) +
+            when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        }: _*)
+      })
+    (0 until 64).map { bit =>
+      when(element_at(counts, bit + 1) > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-duplicate pairs: candidates share one of four 16-bit
+    * signature chunks (any pair within hamming distance <= maxHamming <=
+    * ~3 shares a chunk by pigeonhole when distance < 4); verified by
+    * exact popcount of the XOR. Shuffle key = (chunkIdx, chunkValue).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity between all pairs within a blocking
+    * group (e.g. same source/topic). Shingle sets are exploded and
+    * joined on the shingle — the intersection is computed distributed,
+    * never via a cross product; `blockCol` bounds the candidate space.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine within a blocking
+    * group. At 100 TB the block comes from LSH buckets
+    * ([[graft.functions.VectorFunctions.lshBucket]]); here any coarse
+    * label works.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: String,
+      minCosine: Double,
+      score: (Column, Column) => Column = V.cosine): DataFrame = {
+    val slim = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    slim.as("a").join(slim.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(score(col("a.v"), col("b.v")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type-2 merge — the reference's crown jewel
+  * (`loadtowh/load_to_wh.sh:62-87`, SURVEY.md §2.10), re-expressed as a
+  * pure DataFrame transformation:
+  *
+  *  1. *Expire*: active rows (`expiredCol` = [[Sentinel]]) whose incoming
+  *     counterpart differs in any tracked attribute get
+  *     `expiredCol = effectiveDate`.
+  *  2. *Insert*: incoming rows with no *surviving* active counterpart
+  *     (new keys + just-expired keys) are appended active.
+  *
+  * NULL semantics (SURVEY.md §7.4-1): MySQL `<>` is NULL-propagating, so
+  * a row whose tracked attribute changes to/from NULL never expires in
+  * the reference. Default here is the *corrected* `!(a <=> b)`;
+  * `legacyNullChange = true` reproduces the reference bug-for-bug.
+  *
+  * Scale shape: two shuffles on the natural key (change-detect join +
+  * anti join); history rows never shuffle (they pass through on a
+  * metadata filter). The natural key `(job_title, company_name)` is
+  * skew-prone at 100 TB (SURVEY.md §7.4-7) — AQE skew-join handles the
+  * hot keys; the joins broadcast automatically when a day's increment is
+  * small.
+  */
+object Scd2Merge {
+  val Sentinel = "9999-12-31"
+
+  /** @param current    full SCD2 table (history + active versions)
+    * @param incoming   today's snapshot, same schema minus `expiredCol`
+    * @param keys       natural key columns
+    * @param tracked    attributes whose change triggers a new version
+    * @param expiredCol name of the version-end date column
+    * @param effectiveDate logical date of this load (injectable clock,
+    *                   SURVEY.md §7.4-5 — never wall-clock)
+    */
+  def apply(
+      current: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      tracked: Seq[String],
+      expiredCol: String,
+      effectiveDate: Column,
+      legacyNullChange: Boolean = false): DataFrame = {
+
+    val sentinel = to_date(lit(Sentinel))
+    val active  = current.filter(col(expiredCol) === sentinel)
+    val history = current.filter(col(expiredCol) =!= sentinel || col(expiredCol).isNull)
+
+    def differs(a: String, i: String): Column = {
+      val cols = tracked.map(t => (col(s"$a.$t"), col(s"$i.$t")))
+      val per =
+        if (legacyNullChange) cols.map { case (x, y) => x =!= y } // NULL → not changed
+        else cols.map { case (x, y) => !(x <=> y) }
+      per.reduce(_ || _)
+    }
+
+    val keyEq = keys.map(k => col(s"a.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val changedKeys = active.as("a")
+      .join(incoming.as("i"), keyEq, "inner")
+      .filter(differs("a", "i"))
+      .select(keys.map(k => col(s"a.$k")): _*)
+      .distinct()
+
+    val expired = active.join(changedKeys, keys, "left_semi")
+      .withColumn(expiredCol, to_date(effectiveDate))
+    val survivingActive = active.join(changedKeys, keys, "left_anti")
+
+    val inserts = incoming
+      .join(survivingActive, keys, "left_anti")
+      .withColumn(expiredCol, sentinel)
+      .select(current.columns.map(col).toIndexedSeq: _*) // align column order
+
+    history
+      .unionByName(survivingActive)
+      .unionByName(expired)
+      .unionByName(inserts)
+  }
+
+  /** Continue a dense surrogate key: rows with a NULL `skCol` get
+    * `max(existing sk) + row_number()` ordered by the natural key —
+    * deterministic and insertion-order-free (SURVEY.md §7.4-6).
+    *
+    * Only the *new* rows (a day's increment) pass through the global
+    * row_number window; existing rows keep their key untouched, so the
+    * single-partition sort is bounded by increment size, not table size.
+    * (Density is a reference contract — AUTO_INCREMENT — otherwise
+    * `monotonically_increasing_id()` would avoid the global sort.)
+    */
+  def assignSurrogateKeys(df: DataFrame, skCol: String, orderKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.filter(col(skCol).isNotNull)
+    val fresh = df.filter(col(skCol).isNull)
+    val maxSk: Long = Option(keyed.agg(max(col(skCol))).first().get(0))
+      .map(_.toString.toLong).getOrElse(0L)
+    val rn = row_number().over(Window.orderBy(orderKeys.map(col): _*))
+    keyed.unionByName(
+      fresh.withColumn(skCol, (lit(maxSk) + rn).cast("long")))
+  }
+}
