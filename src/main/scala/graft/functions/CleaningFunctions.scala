@@ -53,12 +53,16 @@ object CleaningFunctions {
     */
   def postedDate(postedTime: Column, extractedDate: Column): Column = {
     val s = lower(postedTime)
-    val n = regexp_extract(s, "(\\d+)", 1).cast("int")
+    val digits = regexp_extract(s, "(\\d+)", 1)
+    // ANSI mode is on (Spark 4 default): cast('') throws, so gate the
+    // cast on digit presence; no digits → NULL delta → NULL date
+    val n = when(digits =!= "", digits).otherwise(lit(null)).cast("int")
     val delta = when(s.contains("hôm qua"), lit(1))
       .when(s.contains("ngày trước"), n)
       .when(s.contains("tuần trước"), n * 7)
       .otherwise(lit(0))
-    date_sub(to_date(extractedDate), delta)
+    // try_to_date: unparsable base (reference: strptime except → None)
+    date_sub(call_function("try_to_date", extractedDate), delta)
   }
 
   /** Scrape-field cleaning (F6, `topcv_scraper_v5.py:111-119`): trim +

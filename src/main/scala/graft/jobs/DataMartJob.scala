@@ -1,0 +1,41 @@
+package graft.jobs
+
+import graft.control.Audit
+import graft.operators.AggSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-mart build (`datamart/load_to_dm.py:104-168`): for each
+  * config-driven spec, aggregate the *active* fact rows and overwrite
+  * the mart table (the reference drops/recreates). Per-mart audit rows
+  * mirror `load_to_dm_log`.
+  */
+object DataMartJob {
+
+  /** The reference's four marts (`config.xml:86-123`), mapped onto our
+    * staging/warehouse job schema.
+    */
+  val ReferenceSpecs: Seq[AggSpec] = Seq(
+    AggSpec("agg_jobs_by_company", Seq("company_name"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_jobs_by_location", Seq("location"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_jobs_by_salary", Seq("salary"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_jobs_by_experience", Seq("experience_required"), Seq("COUNT(*) AS total_jobs")),
+  )
+
+  def run(spark: SparkSession, warehouseDir: String, martDir: String,
+      audit: Audit, date: String,
+      specs: Seq[AggSpec] = ReferenceSpecs): Map[String, Long] = {
+    val day = java.sql.Date.valueOf(date)
+    val fact = spark.read.parquet(warehouseDir)
+      // marts aggregate current versions only (P7 sentinel filter)
+      .filter(col("expired") === to_date(lit("9999-12-31")))
+    specs.map { spec =>
+      val n = audit.bracket(s"load_to_dm_${spec.name}", day) {
+        val agg = spec.run(fact)
+        agg.write.mode("overwrite").parquet(s"$martDir/${spec.name}")
+        agg.count()
+      }
+      spec.name -> n
+    }.toMap
+  }
+}

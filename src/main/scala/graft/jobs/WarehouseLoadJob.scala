@@ -1,0 +1,55 @@
+package graft.jobs
+
+import graft.control.Audit
+import graft.operators.Scd2Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse load (SURVEY.md §3.3): readiness gate → "dump" (a filter,
+  * S10) → SCD2 merge (§2.10) → overwrite, audited. The reference's
+  * mysqldump | sed | scp | ssh chain collapses into a filtered read —
+  * predicate pushdown *is* the dump — and Spark's exchange replaces the
+  * node-to-node copy.
+  */
+object WarehouseLoadJob {
+
+  val Keys: Seq[String]    = Seq("job_title", "company_name")
+  /** Attributes whose change expires a version (`load_to_wh.sh:70-74`). */
+  val Tracked: Seq[String] =
+    Seq("salary", "location", "experience_required", "posted_time", "job_url")
+
+  def run(spark: SparkSession, stagingDir: String, warehouseDir: String,
+      audit: Audit, upstreamProcess: String, date: String,
+      legacyNullChange: Boolean = false): Long = {
+    val day = java.sql.Date.valueOf(date)
+    // J3: is_process_done gate (`create_config_loadtowh.sql:56-64`)
+    require(audit.isProcessDone(upstreamProcess, day),
+      s"upstream $upstreamProcess not Success for $date — aborting (readiness gate)")
+    audit.bracket("load_to_wh", day) {
+      val staging = spark.read.parquet(stagingDir)
+      // S10: the "dump" is a pushed-down predicate — on last_seen_date,
+      // so conflict-refreshed rows re-ship (see StagingJob.RefreshCols)
+      val incoming = staging
+        .filter(col("last_seen_date") === lit(day))
+        .select((Keys ++ Tracked).map(col) :+ col("extracted_date"): _*)
+      val current =
+        try spark.read.parquet(warehouseDir)
+        catch {
+          case _: Throwable => incoming
+            .withColumn("expired", to_date(lit(Scd2Merge.Sentinel)))
+            .withColumn("is_deleted", lit(false))
+            .limit(0)
+        }
+      val merged = Scd2Merge(
+        current,
+        incoming.withColumn("is_deleted", lit(false)),
+        keys = Keys, tracked = Tracked,
+        expiredCol = "expired", effectiveDate = lit(date),
+        legacyNullChange = legacyNullChange)
+      val tmp = warehouseDir + "_new"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(warehouseDir)
+      spark.read.parquet(warehouseDir).count()
+    }
+  }
+}

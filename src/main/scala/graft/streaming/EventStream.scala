@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface — the reference's cron micro-batch +
+  * manual watermark columns (`extract/create_control_db_v5.sql:43-44`,
+  * SURVEY.md §2.9) re-expressed natively:
+  *
+  *  - file-source → transforms → sink with `Trigger.AvailableNow`
+  *    (process-everything-then-stop = the daily batch);
+  *  - `withWatermark` replaces the hand-rolled watermark bookkeeping;
+  *  - tumbling/sliding windowed aggregates (same plan as
+  *    SparkEntry.q19's batch twin);
+  *  - sessionization via `flatMapGroupsWithState` — the custom-state
+  *    escape hatch for semantics windows can't express.
+  */
+object EventStream {
+
+  /** Schema matching `events.parquet` after ts normalization. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Per-user accumulator (public: Spark's state encoder codegen needs
+    * constructor access).
+    */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Read a parquet directory as a stream (file source discovers new
+    * files per micro-batch — the raw-zone partition feed at scale).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(dir)
+
+  /** Tumbling 1-hour aggregate with a 2-hour watermark: late events
+    * inside the watermark still merge; state for closed windows is
+    * dropped — bounded memory at any scale.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session windows (30-minute inactivity gap) via
+    * `flatMapGroupsWithState` — emits a row when a session closes.
+    * State is one small struct per active user: O(active users), not
+    * O(events).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.as[Event]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode twin of [[sessionize]] for oracle-style testing: the
+    * classic gaps-and-islands window rewrite (no state API).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .drop("session_no")
+  }
+
+  /** Run a streaming query to completion over existing files
+    * (Trigger.AvailableNow = the daily cron batch, exactly-once on the
+    * checkpoint).
+    */
+  def runAvailableNow(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

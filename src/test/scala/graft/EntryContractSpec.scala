@@ -1,0 +1,22 @@
+package graft
+
+/** Driver-contract invariants: every oracle key has a query, flagship
+  * entry returns rows, query names are stable.
+  */
+class EntryContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("oracle coverage: only xxhash-based ops lack an oracle") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

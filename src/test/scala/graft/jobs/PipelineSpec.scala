@@ -1,0 +1,149 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.control.Audit
+import graft.sources.RawZone
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** End-to-end golden pipeline (SURVEY.md §5.2-3): fixture scrape rows
+  * (Vietnamese, dup job_ids, invalid rows) → raw zone → StagingJob →
+  * WarehouseLoadJob (gated SCD2) → DataMartJob, with audit-trail
+  * assertions and an idempotent re-run. Clock and logical dates are
+  * injected — no wall-clock anywhere (§7.4-5).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDay1 = Seq(
+    // source_id, job_id, title, company, salary, location, exp, posted, tags, url, logo, date, ts
+    ("topcv_jobs", "j1", "Kỹ sư dữ liệu", "Công ty A", "15 - 20 triệu", "Hà Nội",
+      "2 năm", "hôm qua", "spark, scala", "http://a/1", "", "2025-11-24", "2025-11-24 07:00:00"),
+    ("topcv_jobs", "j2", "Lập trình viên Java", "Công ty B", "Thỏa thuận", "Đà Nẵng",
+      null, "3 ngày trước", "java", "http://a/2", "", "2025-11-24", "2025-11-24 07:00:00"),
+    ("topcv_jobs", "", "thiếu id — bị loại", "X", "1 triệu", "HCM",
+      "", "hôm qua", "", "http://a/3", "", "2025-11-24", "2025-11-24 07:00:00"),
+    ("topcv_jobs", "j3", null, "Y", "Tới 30 triệu", "HCM",
+      "", "hôm qua", "", "http://a/4", "", "2025-11-24", "2025-11-24 07:00:00"),
+    // duplicate job_id in one batch — upsert keeps one
+    ("topcv_jobs", "j1", "Kỹ sư dữ liệu (cập nhật)", "Công ty A", "16 - 21 triệu", "Hà Nội",
+      "2 năm", "hôm qua", "spark", "http://a/1", "", "2025-11-24", "2025-11-24 07:30:00"),
+  ).toDF("source_id", "job_id", "job_title", "company_name", "salary", "location",
+    "experience_required", "posted_time", "tags", "job_url", "company_logo",
+    "extracted_date", "extracted_timestamp")
+
+  private def fixtureDay2 = Seq(
+    // j1 salary changes → SCD2 expires day-1 version
+    ("topcv_jobs", "j1", "Kỹ sư dữ liệu (cập nhật)", "Công ty A", "20 - 25 triệu", "Hà Nội",
+      "2 năm", "hôm qua", "spark", "http://a/1", "", "2025-11-25", "2025-11-25 07:00:00"),
+    // j2 unchanged attributes
+    ("topcv_jobs", "j2", "Lập trình viên Java", "Công ty B", "Thỏa thuận", "Đà Nẵng",
+      null, "4 ngày trước", "java", "http://a/2", "", "2025-11-25", "2025-11-25 07:00:00"),
+    // brand-new job
+    ("topcv_jobs", "j9", "DevOps", "Công ty C", "Trên 40 triệu", "Hà Nội",
+      "3 năm", "vừa xong", "k8s", "http://a/9", "", "2025-11-25", "2025-11-25 07:00:00"),
+  ).toDF("source_id", "job_id", "job_title", "company_name", "salary", "location",
+    "experience_required", "posted_time", "tags", "job_url", "company_logo",
+    "extracted_date", "extracted_timestamp")
+
+  test("full pipeline: raw → staging → warehouse (SCD2) → marts, audited + idempotent") {
+    val base = tmpDir("pipeline")
+    val (rawDir, stagingDir, whDir, martDir, auditDir) =
+      (s"$base/raw", s"$base/staging", s"$base/wh", s"$base/mart", s"$base/audit")
+    var now = 1000000000L
+    val audit = new Audit(spark, auditDir, () => { now += 1000; new Timestamp(now) })
+    val dateDim = DateDim.generate(spark, "2025-01-02", "2026-12-31").cache()
+
+    // ---- day 1: extract → raw zone (S3), partitioned ----
+    RawZone.write(fixtureDay1, rawDir)
+    val rawBack = RawZone.readPartition(spark, rawDir, "topcv_jobs", "2025-11-24")
+    assert(rawBack.count() == 5)
+
+    // ---- staging day 1 ----
+    val n1 = StagingJob.run(spark, rawDir, stagingDir, dateDim, audit,
+      "topcv_jobs", "2025-11-24")
+    assert(n1 == 2, "row without job_id and row without title dropped; dup j1 collapsed")
+    val staged = spark.read.parquet(stagingDir)
+    val j1 = staged.filter($"job_id" === "j1").head()
+    assert(j1.getAs[String]("job_title").contains("cập nhật"), "within-batch last writer wins")
+    assert(j1.getAs[Long]("min_salary_vnd") == 16000000L)
+    assert(j1.getAs[java.sql.Date]("posted_date") == java.sql.Date.valueOf("2025-11-23"))
+    assert(j1.getAs[Long]("date_id") ==
+      dateDim.filter($"full_date" === "2025-11-24").head().getAs[Long]("date_sk"),
+      "broadcast date-dim join resolves date_id")
+
+    // idempotence: re-running the same logical date is a no-op (A5 skip)
+    assert(StagingJob.run(spark, rawDir, stagingDir, dateDim, audit,
+      "topcv_jobs", "2025-11-24") == 0L)
+
+    // ---- warehouse day 1 (gate satisfied by staging Success) ----
+    val w1 = WarehouseLoadJob.run(spark, stagingDir, whDir, audit,
+      "staging_topcv_jobs", "2025-11-24")
+    assert(w1 == 2)
+
+    // gate rejects a date staging never ran
+    intercept[IllegalArgumentException] {
+      WarehouseLoadJob.run(spark, stagingDir, whDir, audit,
+        "staging_topcv_jobs", "2025-12-31")
+    }
+
+    // ---- day 2: changed salary expires j1's version ----
+    RawZone.write(fixtureDay2, rawDir)
+    StagingJob.run(spark, rawDir, stagingDir, dateDim, audit, "topcv_jobs", "2025-11-25")
+    WarehouseLoadJob.run(spark, stagingDir, whDir, audit,
+      "staging_topcv_jobs", "2025-11-25")
+    val wh = spark.read.parquet(whDir)
+    val sentinel = java.sql.Date.valueOf("9999-12-31")
+    val j1Versions = wh.filter($"job_title" === "Kỹ sư dữ liệu (cập nhật)")
+      .orderBy("expired").collect()
+    assert(j1Versions.length == 2, "old version kept + new active version")
+    assert(j1Versions(0).getAs[java.sql.Date]("expired") == java.sql.Date.valueOf("2025-11-25"))
+    assert(j1Versions(1).getAs[java.sql.Date]("expired") == sentinel)
+    assert(wh.filter($"expired" === sentinel).count() == 3, "j1', j2, j9 active")
+    val perKey = wh.filter($"expired" === sentinel)
+      .groupBy("job_title", "company_name").count().filter($"count" > 1)
+    assert(perKey.isEmpty, "exactly one active version per natural key")
+
+    // ---- marts ----
+    val marts = DataMartJob.run(spark, whDir, martDir, audit, "2025-11-25")
+    assert(marts("agg_jobs_by_company") == 3)
+    val byCompany = spark.read.parquet(s"$martDir/agg_jobs_by_company")
+    assert(byCompany.filter($"company_name" === "Công ty A")
+      .head().getAs[Long]("total_jobs") == 1)
+
+    // ---- audit trail (§5.2-5): Running→Success transitions + counts ----
+    val log = audit.log()
+    assert(log.filter(lower($"status") === "success" &&
+      $"process_name" === "staging_topcv_jobs").count() == 2) // two days
+    assert(log.filter($"status" === "Running").count() >= 8)
+    assert(log.filter($"duration_seconds" < 0).isEmpty)
+    val stats = audit.processStats().collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Long]("failed_runs") == 0L))
+  }
+
+  test("audit bracket records Failed with error snippet; recentFailures surfaces it") {
+    val audit = new Audit(spark, tmpDir("audit"), () => new Timestamp(42000L))
+    intercept[RuntimeException] {
+      audit.bracket("boom", java.sql.Date.valueOf("2025-01-01")) {
+        throw new RuntimeException("kaboom: detail " + "x" * 200)
+      }
+    }
+    val failures = audit.recentFailures().collect()
+    assert(failures.length == 1)
+    assert(failures(0).getAs[String]("error_snippet").startsWith("kaboom"))
+    assert(failures(0).getAs[String]("error_snippet").length <= 80) // F4 substring
+    assert(!audit.isProcessDone("boom", java.sql.Date.valueOf("2025-01-01")))
+  }
+
+  test("date dim: reference-equivalent range and derived columns") {
+    val dim = DateDim.generate(spark)
+    assert(dim.count() == 7670L) // matches date_dim_without_quarter.csv
+    val row = dim.filter($"full_date" === "2025-11-24").head()
+    assert(row.getAs[String]("day_of_week") == "Monday")
+    assert(row.getAs[Int]("calendar_year") == 2025)
+    assert(row.getAs[String]("calendar_year_month") == "2025-11")
+    // sk dense + deterministic
+    assert(dim.agg(max($"date_sk")).head().getLong(0) == 7670L)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"),   // exact dup of 1
+    (3L, "The quick BROWN fox, jumps over the lazy dog!", "s1"), // canonical dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog", "s1"), // near dup (1 word)
+    (5L, "completely different content about spark engines", "s2"),
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups byte-identical docs; canonical also catches case/punct") {
+    val ex = Dedup.exact(docs, "text", "doc_id")
+    assert(ex.filter($"is_duplicate").select("doc_id").as[Long].collect().toSet == Set(2L))
+    val canon = Dedup.canonical(docs, "text", "doc_id")
+    assert(canon.filter($"is_duplicate").select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(canon.filter($"doc_id" === 3L).head().getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash LSH: identical docs est_jaccard 1.0; near-dups found; distinct not paired") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L))) // near-dup surfaces
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L }) // 5 is unrelated
+  }
+
+  test("simhash: identical → distance 0; near-dup within small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simHash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(5L)) > 16)
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
+    assert(pairs.filter($"id_a" === 1L && $"id_b" === 2L).head().getAs[Long]("hamming") == 0L)
+  }
+
+  test("ngram jaccard: exact set arithmetic within block") {
+    val out = Dedup.ngramJaccard(docs, "text", "doc_id", "source", n = 2, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // doc4 differs in 1 of 9 words → shares 6 of 8 2-shingles: J = 6/10
+    assert(math.abs(out((1L, 4L)) - 0.6) < 1e-9)
+    assert(!out.contains((1L, 5L))) // different block
+  }
+
+  test("embedding near-dup finds same-direction vectors only") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1), // same dir as 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // 1-3 orthogonal, 1-4 blocked apart
+  }
+}

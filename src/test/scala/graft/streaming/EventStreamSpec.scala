@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val eventRows = Seq(
+    // user 1: two sessions separated by > 30 min
+    (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0),
+    (3L, ts("2024-01-01 11:30:00"), 1L, "view", 3.0),
+    // user 2: one session
+    (4L, ts("2024-01-01 10:05:00"), 2L, "view", 4.0),
+    (5L, ts("2024-01-01 10:20:00"), 2L, "purchase", 5.0),
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("batch sessionization: gaps-and-islands matches hand-computed sessions") {
+    val out = EventStream.sessionizeBatch(eventRows, gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    val s1 = out(0) // user 1 first session
+    assert(s1.getAs[Long]("n_events") == 2 && s1.getAs[Double]("total_value") == 3.0)
+    assert(s1.getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") == 1 &&
+      s2.getAs[Timestamp]("session_start") == ts("2024-01-01 11:30:00"))
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streaming: hourly windowed agg with watermark over file source (AvailableNow)") {
+    val base = tmpDir("stream")
+    val inDir = s"$base/in"
+    eventRows.write.parquet(inDir)
+    // a far-future row pushes the watermark so all real windows emit
+    Seq((99L, ts("2024-01-03 00:00:00"), 9L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(inDir)
+
+    val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, inDir))
+    val q = EventStream.runAvailableNow(agg, s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$base/out")
+    val tenToEleven = out.filter($"hour_start" === ts("2024-01-01 10:00:00"))
+      .agg(sum($"n_events")).head().getLong(0)
+    assert(tenToEleven == 4L)
+
+    // streaming result == batch twin (same plan shape) for emitted windows
+    val batch = eventRows
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"sum_value")
+    assert(out
+      .join(batch, Seq("hour_start", "event_type", "n_events", "sum_value"), "left_anti")
+      .filter($"hour_start" < ts("2024-01-02 00:00:00")).isEmpty)
+  }
+
+  test("streaming sessionization via flatMapGroupsWithState emits closed sessions") {
+    val base = tmpDir("sessions")
+    val inDir = s"$base/in"
+    eventRows.write.parquet(inDir)
+    Seq((99L, ts("2024-01-03 00:00:00"), 9L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(inDir)
+
+    val sessions = EventStream.sessionize(spark, EventStream.readEvents(spark, inDir))
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sess")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT * FROM sess WHERE user_id < 9")
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == 3, s"expected 3 closed sessions, got ${got.length}")
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(2).getAs[Long]("user_id") == 2L &&
+      got(2).getAs[Double]("total_value") == 9.0)
+  }
+}
