@@ -358,7 +358,7 @@ object SparkEntry {
     val perDoc = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
-    docs.select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    Dedup.simHashDf(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
@@ -376,8 +376,8 @@ object SparkEntry {
 
   /** Embedding-cosine near-dup pairs blocked by label. */
   def q25_embedding_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "embedding", "vec_id",
-        blockCol = "label", minCosine = 0.2, score = V.cosineQuantized)
+    Dedup.embeddingNearDupQuantized(Tables.embeddings(s, dir), "embedding", "vec_id",
+        blockCol = "label", minCosine = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- training-data pipeline: similarity search --------------------------
@@ -385,8 +385,8 @@ object SparkEntry {
   /** Brute-force cosine top-k (exact ANN baseline): queries = vec_id<10. */
   def q26_ann_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
-        "embedding", "vec_id", k = 10, score = V.cosineQuantized)
+    Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 

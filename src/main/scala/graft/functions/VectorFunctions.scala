@@ -45,6 +45,27 @@ object VectorFunctions {
       .otherwise(dotQ.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
   }
 
+  /** Quantize to `floor(x·10⁶)` longs — the fixed-point domain of
+    * [[cosineQuantized]], exposed so joins can precompute it per row
+    * instead of per pair.
+    */
+  def quantize(c: Column): Column = transform(d(c), x => floor(x * 1e6).cast("long"))
+
+  /** Exact integer Σ aᵢ·bᵢ over pre-quantized vectors. */
+  def dotQ(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from pre-quantized vectors + precomputed squared norms —
+    * identical value to [[cosineQuantized]] (same expression shape),
+    * but the per-pair work is one dot product instead of one dot, two
+    * norms, and two quantizations. This is the form the O(pairs)
+    * near-dup/top-k joins use.
+    */
+  def cosineFromQuantized(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0L || n2b === 0L, lit(0.0))
+      .otherwise(dotQ(qa, qb).cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
+
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)

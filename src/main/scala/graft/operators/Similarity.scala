@@ -41,6 +41,71 @@ object Similarity {
       .select("query_id", "id", "cosine", "rank")
   }
 
+  /** [[bruteForceTopK]] with fixed-point cosine and per-row
+    * precomputation: corpus + queries quantize and norm once; each of
+    * the N·Q scored pairs costs one integer dot product. Values
+    * identical to `score = cosineQuantized`.
+    */
+  def bruteForceTopKQuantized(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    def pre(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), V.quantize(col(vecCol)).as(s"${id}_qv"))
+        .withColumn(s"${id}_n2", V.dotQ(col(s"${id}_qv"), col(s"${id}_qv")))
+    val c = pre(corpus, "id")
+    val q = pre(queries, "query_id")
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine", round(V.cosineFromQuantized(
+        col("id_qv"), col("query_id_qv"), col("id_n2"), col("query_id_n2")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
+  /** Hyperplane-LSH bucket assignment as a relational matrix multiply:
+    * explode the vector to (id, dim, x) rows, broadcast-join the
+    * (table, bit, dim, coef) plane matrix, aggregate sign bits, pack
+    * buckets. Everything stays in whole-stage codegen — the
+    * array-expression form ([[graft.functions.VectorFunctions.lshBucket]])
+    * evaluates its lambdas interpreted, which dominates runtime.
+    * Returns (id, vec, table, bucket).
+    */
+  def lshBucketsDf(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bits: Int,
+      tables: Int,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val planes = (for {
+      t <- 0 until tables
+      b <- 0 until bits
+      d <- 0 until dim
+    } yield (t, b, d, rnd.nextGaussian())).toDF("t", "b", "d", "coef")
+
+    val exploded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    exploded.join(broadcast(planes), "d")
+      .groupBy(col("id"), col("t"), col("b"))
+      .agg(sum(col("x") * col("coef")).as("dot"))
+      .withColumn("bit", when(col("dot") >= 0, 1).otherwise(0))
+      .groupBy(col("id"), col("t"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("b")).cast("int")).cast("int").as("bucket"))
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumnRenamed("t", "table")
+  }
+
   /** LSH-bucketed ANN: `tables` independent hash tables of `bits`
     * hyperplane bits each. A corpus row is scored for a query iff they
     * collide in at least one table. Returns the same schema as
@@ -55,13 +120,11 @@ object Similarity {
       dim: Int,
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(
-        col(id), col(vec),
-        posexplode(array((0 until tables).map(t =>
-          V.lshBucket(col(vec), dim, bits, seed = 1000L + t)): _*)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "bucket")
+      lshBucketsDf(spark,
+        df.select(col(id), col(vec)), id, vec, dim, bits, tables)
+        .select(col("id").as(id), col("v").as(vec), col("table"), col("bucket"))
 
     val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id", "cv")
       .as("c")

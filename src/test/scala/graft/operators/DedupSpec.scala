@@ -34,6 +34,11 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical → distance 0; near-dup within small hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
+    // the aggregate (fast) form computes the same signatures as the
+    // column (reference) form
+    val dfSigs = Dedup.simHashDf(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(dfSigs == sigs)
     assert(sigs(1L) == sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) <= 16)
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(5L)) > 16)
