@@ -419,7 +419,15 @@ object OracleSql {
     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
     LIMIT 5"""
 
+  private val q33 = """
+    SELECT n_name,
+           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS cust_cnt,
+           (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS supp_cnt
+    FROM nation
+    ORDER BY n_name"""
+
   val all: Map[String, String] = Map(
+    "q33_sql_correlated" -> q33,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_star" -> q03,

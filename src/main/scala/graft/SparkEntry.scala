@@ -433,6 +433,32 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
 
+  /** A4 via the SQL entry point: the *correlated* scalar-subquery form,
+    * run through `spark.sql` — Catalyst decorrelates it into the same
+    * join+agg plan as q13's hand-decorrelated DataFrame version.
+    */
+  def q33_sql_correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql("""
+      SELECT n_name,
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS cust_cnt,
+             (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS supp_cnt
+      FROM nation ORDER BY n_name""")
+  }
+
+  /** A3 scale option: HLL approx distinct beside the exact count
+    * (rows-only check — sketch values are engine-specific).
+    */
+  def q34_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -468,6 +494,8 @@ object SparkEntry {
     "q30_quality" -> (q30_quality _),
     "q31_corpus_stats" -> (q31_corpus_stats _),
     "q32_recent_errors" -> (q32_recent_errors _),
+    "q33_sql_correlated" -> (q33_sql_correlated _),
+    "q34_approx_distinct" -> (q34_approx_distinct _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,8 +51,22 @@ object VectorFunctions {
     */
   def quantize(c: Column): Column = transform(d(c), x => floor(x * 1e6).cast("long"))
 
-  /** Exact integer Σ aᵢ·bᵢ over pre-quantized vectors. */
-  def dotQ(qa: Column, qb: Column): Column =
+  /** Exact integer Σ aᵢ·bᵢ over pre-quantized vectors — backed by the
+    * native codegen'd [[graft.plans.LongArrayDot]] expression (the
+    * built-in `aggregate(zip_with(...))` form is interpreted; this is
+    * the innermost loop of every pair join). Bit-equivalent to the
+    * interpreted form ([[dotQSlow]], asserted in tests).
+    */
+  def dotQ(qa: Column, qb: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.LongArrayDot(
+      ColumnBridge.expression(qa), ColumnBridge.expression(qb)))
+  }
+
+  /** Reference implementation of [[dotQ]] via built-in higher-order
+    * functions (interpreted) — kept for differential testing.
+    */
+  def dotQSlow(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Cosine from pre-quantized vectors + precomputed squared norms —

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation (SURVEY.md §7.4-7). AQE's skew-join handles
+  * most cases at runtime; these are the explicit fallbacks for when it
+  * can't — a first-stage aggregation on a pathological key (one
+  * employer = 30% of rows at 100 TB), or a shuffled join whose hot keys
+  * overflow a single task even after AQE splitting.
+  */
+object Salting {
+
+  /** Two-phase (salted) aggregation: rows scatter over `salts`
+    * sub-keys, partially aggregate, then combine per real key. Results
+    * identical to a direct groupBy for algebraic aggregates (count /
+    * sum / min / max — everything decomposable); the hot key's work
+    * spreads over `salts` tasks instead of one.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val partialAggs = count(lit(1)).as("__cnt") +:
+      sumCols.map(c => sum(col(c)).as(s"__sum_$c"))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sum(col("__cnt")).as("n") +:
+      sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c"))
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted inner equi-join for a skewed left side: left rows get a
+    * random-but-deterministic salt in [0, salts); the (small but not
+    * broadcastable) right side replicates `salts` times. The join key
+    * space becomes (keys, salt) — hot keys split across `salts` tasks.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val left = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val right = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    left.join(right, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -12,7 +12,8 @@ class EntryContractSpec extends SparkSpec {
 
   test("oracle coverage: only xxhash-based ops lack an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh"),
+    assert(rowsOnly == Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
+      "q34_approx_distinct"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

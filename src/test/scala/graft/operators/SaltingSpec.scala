@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation == direct aggregation (skewed key)") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_l_quantity"))
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"), Seq("l_quantity"), 8)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join == plain join (row multiset)") {
+    val dir = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = o.join(c, Seq("o_custkey"))
+    val salted = Salting.saltedJoin(o, c, Seq("o_custkey"), 8)
+      .select(plain.columns.map(col).toIndexedSeq: _*)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.functions._
+
+class LongArrayDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot == interpreted dot on real embeddings (bit-exact)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+      .select($"vec_id", V.quantize($"embedding").as("q"))
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        V.dotQ(col("a.q"), col("b.q")).as("fast"),
+        V.dotQSlow(col("a.q"), col("b.q")).as("slow"))
+    assert(pairs.filter($"fast" =!= $"slow").isEmpty)
+    assert(pairs.count() > 1000)
+  }
+
+  test("null array → null; empty arrays → 0; mismatched lengths use min") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))), // 4+10+18=32
+      (None, Some(Seq(1L))),
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])),
+      (Some(Seq(2L, 3L)), Some(Seq(10L))), // min length → 20
+    ).toDF("a", "b")
+    val out = df.select(V.dotQ($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(32L), None, Some(0L), Some(20L)))
+  }
+
+  test("SQL surface via extension registration: graft_dotq") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_dotq(array(1L,2L), array(3L,4L)) AS d").head()
+    assert(r.getLong(0) == 11L)
+  }
+
+  test("expression participates in whole-stage codegen (not fallback)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(10)
+      .select(V.quantize($"embedding").as("q"))
+    val plan = emb.select(V.dotQ($"q", $"q").as("d"))
+      .queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators print with a "*(stageId)" prefix
+    assert("""\*\(\d+\) Project \[graft_dotq""".r.findFirstIn(plan).isDefined, plan)
+  }
+}
