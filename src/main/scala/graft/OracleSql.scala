@@ -237,6 +237,7 @@ object OracleSql {
     SELECT event_id, CAST(ts AS DATE) AS day,
            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+           make_timestamp((1700000000 + event_id) * 1000000) AS synth_ts,
            round(value / 1000, 6) AS value_k
     FROM events
     ORDER BY event_id"""
@@ -426,8 +427,18 @@ object OracleSql {
     FROM nation
     ORDER BY n_name"""
 
+  private val q35 = """
+    SELECT p_partkey,
+           p_type LIKE 'S%' AS is_s_type,
+           lower(p_name) AS name_lower,
+           trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS name_clean,
+           p_brand || '|' || p_type AS brand_type
+    FROM part
+    ORDER BY p_partkey"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
+    "q35_string_functions" -> q35,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_star" -> q03,

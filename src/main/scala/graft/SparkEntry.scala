@@ -298,6 +298,8 @@ object SparkEntry {
         to_date(col("ts")).as("day"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
         unix_timestamp(col("ts")).as("epoch_s"),
+        // F12: epoch-seconds → timestamp
+        timestamp_seconds(lit(1700000000L) + col("event_id")).as("synth_ts"),
         // /1000 (not /1024): keeps the true value at 5 decimals, so
         // round-6 can never land on a representability midpoint
         round(col("value") / 1000, 6).as("value_k"))
@@ -448,6 +450,20 @@ object SparkEntry {
       FROM nation ORDER BY n_name""")
   }
 
+  /** F3/F5/F6 — string scalar surface: prefix LIKE (the reference's
+    * `src_id LIKE 'topcv_%'`), lower, whitespace normalization,
+    * delimiter concat.
+    */
+  def q35_string_functions(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        col("p_type").startsWith("S").as("is_s_type"),
+        lower(col("p_name")).as("name_lower"),
+        trim(regexp_replace(col("p_name"), "\\s+", " ")).as("name_clean"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
   /** A3 scale option: HLL approx distinct beside the exact count
     * (rows-only check — sketch values are engine-specific).
     */
@@ -496,6 +512,7 @@ object SparkEntry {
     "q32_recent_errors" -> (q32_recent_errors _),
     "q33_sql_correlated" -> (q33_sql_correlated _),
     "q34_approx_distinct" -> (q34_approx_distinct _),
+    "q35_string_functions" -> (q35_string_functions _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
