@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{CleaningFunctions => C, TextFunctions => T, VectorFunctions => V}
+import graft.jobs.CorpusJob
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -475,6 +476,23 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** IVF ANN (the second scale path beside LSH; rows-only check). */
+  def q36_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Training-corpus annotation pipeline: dedup flags + near-dup +
+    * quality + language per document (rows-only — MinHash component).
+    */
+  def q37_corpus_annotate(s: SparkSession, dir: String): DataFrame =
+    CorpusJob.annotate(Tables.documents(s, dir))
+      .select(col("doc_id"), col("is_duplicate"), col("is_near_duplicate"),
+        col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -513,6 +531,8 @@ object SparkEntry {
     "q33_sql_correlated" -> (q33_sql_correlated _),
     "q34_approx_distinct" -> (q34_approx_distinct _),
     "q35_string_functions" -> (q35_string_functions _),
+    "q36_ann_ivf" -> (q36_ann_ivf _),
+    "q37_corpus_annotate" -> (q37_corpus_annotate _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,76 @@
+package graft.jobs
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data pipeline end-to-end: raw document corpus →
+  * exact + canonical dedup → near-dup (MinHash LSH) pruning → quality
+  * + language annotation → filter → training-ready corpus + stats.
+  *
+  * Shuffle budget at 100 TB: one hash exchange on the 16-byte content
+  * fingerprint (dedup), one on (band, bandHash) for LSH, one for the
+  * final stats rollup. Annotation is entirely narrow. Near-dup pruning
+  * keeps the *lowest doc_id* of each candidate pair's cluster — a
+  * deterministic, order-free survivor rule.
+  */
+object CorpusJob {
+
+  final case class Config(
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nearDupThreshold: Double = 0.8,
+      minQuality: Double = 0.3,
+      minTokens: Int = 5)
+
+  /** Annotate every document with dedup + quality + language columns
+    * (no filtering — callers decide policy).
+    */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val canonical = Dedup.canonical(docs, "text", "doc_id")
+    val nearDupIds = Dedup.minHashLsh(docs, "text", "doc_id",
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      .distinct()
+      .withColumn("is_near_duplicate", lit(true))
+    canonical
+      .join(nearDupIds, Seq("doc_id"), "left_outer")
+      .withColumn("is_near_duplicate",
+        coalesce(col("is_near_duplicate"), lit(false)))
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", T.qualityScore(col("text")))
+      .withColumn("lang_pred", T.langId(col("text")))
+  }
+
+  /** Apply the keep-policy: first occurrence of each canonical group,
+    * not a near-dup loser, above the quality/length floors.
+    */
+  def filter(annotated: DataFrame, cfg: Config = Config()): DataFrame =
+    annotated
+      .filter(!col("is_duplicate") && !col("is_near_duplicate") &&
+        col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens)
+
+  /** Run annotate → filter → write corpus + per-language stats. Returns
+    * (kept, dropped) counts.
+    */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      cfg: Config = Config()): (Long, Long) = {
+    val annotated = annotate(docs, cfg).cache()
+    val kept = filter(annotated, cfg)
+    kept.write.mode("overwrite").parquet(s"$outDir/corpus")
+    annotated.groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_duplicate") || col("is_near_duplicate"), 1).otherwise(0))
+          .as("n_dropped_dup"),
+        sum(when(col("quality") < cfg.minQuality, 1).otherwise(0)).as("n_low_quality"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+    val keptN = spark.read.parquet(s"$outDir/corpus").count()
+    val total = annotated.count()
+    annotated.unpersist()
+    (keptN, total - keptN)
+  }
+}

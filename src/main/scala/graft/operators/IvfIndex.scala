@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside hyperplane LSH ([[Similarity.lshTopK]]).
+  *
+  * Index: `nCentroids` coarse centroids (a deterministic hash-sample of
+  * the corpus — no k-means iterations, no RNG at runtime); every vector
+  * is assigned to its nearest centroid (one broadcast join; centroid
+  * count is small by construction). At 100 TB the assignment is a
+  * narrow map over the corpus and the index is just a partitioning
+  * column — write `partitionBy("centroid_id")` and probes prune files.
+  *
+  * Query: score the query against all centroids (tiny), keep `nProbe`
+  * best cells, then scan only those cells' vectors. Work drops from
+  * O(N·Q) to O(N·Q·nProbe/nCentroids) at the cost of recall near cell
+  * borders — the classic IVF trade.
+  */
+object IvfIndex {
+
+  /** Deterministic centroid pick: the `nCentroids` corpus vectors with
+    * the smallest xxhash64(id) — stable across runs/executors, no
+    * collect of vector data beyond the centroid set itself.
+    */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
+    df.select(col(idCol).as("centroid_pick_id"), col(vecCol).as("centroid_vec"))
+      .withColumn("__h", xxhash64(col("centroid_pick_id")))
+      .orderBy(col("__h"))
+      .limit(nCentroids)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("__h"))) - 1)
+      .drop("__h", "centroid_pick_id")
+
+  /** Assign every vector to its nearest centroid (max quantized cosine,
+    * ties to the lower centroid id). Broadcast join + per-row argmax —
+    * no shuffle of the corpus.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val scored = df.join(broadcast(cents))
+      .withColumn("__sim", V.cosineQuantized(col(vecCol), col("centroid_vec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "centroid_vec")
+  }
+
+  /** Probe: per query keep the `nProbe` closest centroids, scan only
+    * vectors assigned to those cells, return per-query top-k with the
+    * same deterministic ranking contract as the exact baseline.
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = assign(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("id"), col(vecCol).as("cv"), col("centroid_id"))
+
+    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("__sim", V.cosineQuantized(col("qv"), col("centroid_vec")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+
+    val cand = assigned.join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    cand
+      .withColumn("cosine", round(V.cosineQuantized(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+}

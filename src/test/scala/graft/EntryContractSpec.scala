@@ -13,7 +13,7 @@ class EntryContractSpec extends SparkSpec {
   test("oracle coverage: only xxhash-based ops lack an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
-      "q34_approx_distinct"),
+      "q34_approx_distinct", "q36_ann_ivf", "q37_corpus_annotate"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

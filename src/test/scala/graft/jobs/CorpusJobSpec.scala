@@ -1,0 +1,56 @@
+package graft.jobs
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"), // exact dup
+    (3L, "The QUICK brown fox jumps over the lazy dog and runs away fast!", "en"), // canonical dup
+    (4L, "the quick brown fox jumps over the lazy dog and runs away quickly", "en"), // near dup
+    (5L, "tiny", "en"), // too short
+    (6L, "a completely different document about the spark engine and its catalyst optimizer internals", "en"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("annotate marks exact/canonical/near dups, quality, language") {
+    val ann = CorpusJob.annotate(corpus,
+      CorpusJob.Config(shingleSize = 2, nearDupThreshold = 0.5))
+    val byId = ann.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId(1L).getAs[Boolean]("is_duplicate"))
+    assert(byId(2L).getAs[Boolean]("is_duplicate"))
+    assert(byId(3L).getAs[Boolean]("is_duplicate"), "canonical dedup catches case/punct")
+    assert(byId(4L).getAs[Boolean]("is_near_duplicate"), "minhash catches 1-word edit")
+    assert(!byId(6L).getAs[Boolean]("is_near_duplicate"))
+    assert(byId(6L).getAs[String]("lang_pred") == "en")
+  }
+
+  test("run keeps survivors only and writes corpus + stats") {
+    val out = tmpDir("corpus")
+    val (kept, dropped) = CorpusJob.run(spark, corpus,
+      out, CorpusJob.Config(shingleSize = 2, nearDupThreshold = 0.5, minTokens = 5))
+    assert(kept == 2L, s"expect docs 1 and 6 to survive, kept=$kept")
+    assert(dropped == 4L)
+    val ids = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 6L))
+    val stats = spark.read.parquet(s"$out/stats")
+    assert(stats.agg(sum($"n_docs")).head().getLong(0) == 6L)
+  }
+
+  test("IVF ANN: recall vs exact baseline on real embeddings, fewer scans") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopKQuantized(emb, queries, "embedding", "vec_id", 10)
+    val ivf = graft.operators.IvfIndex
+      .topK(emb, queries, "embedding", "vec_id", 10, nCentroids = 8, nProbe = 4)
+    val recall = graft.operators.Similarity.recallAgainstExact(exact, ivf)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall > 0.3, s"IVF mean recall $recall")
+    // probing half the cells scans roughly half the corpus per query
+    assert(ivf.count() <= 50)
+  }
+}
