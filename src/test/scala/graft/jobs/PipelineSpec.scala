@@ -55,8 +55,11 @@ class PipelineSpec extends SparkSpec {
     val audit = new Audit(spark, auditDir, () => { now += 1000; new Timestamp(now) })
     val dateDim = DateDim.generate(spark, "2025-01-02", "2026-12-31").cache()
 
-    // ---- day 1: extract → raw zone (S3), partitioned ----
-    RawZone.write(fixtureDay1, rawDir)
+    // ---- day 1: extract → raw zone (S3), partitioned, audited ----
+    val e1 = ExtractJob.run(spark, fixtureDay1, rawDir, audit, "topcv_jobs", "2025-11-24")
+    assert(e1 == 5)
+    // idempotence: extract re-run is a no-op
+    assert(ExtractJob.run(spark, fixtureDay1, rawDir, audit, "topcv_jobs", "2025-11-24") == 0L)
     val rawBack = RawZone.readPartition(spark, rawDir, "topcv_jobs", "2025-11-24")
     assert(rawBack.count() == 5)
 
