@@ -35,18 +35,25 @@ object IvfIndex {
         row_number().over(Window.orderBy(col("__h"))) - 1)
       .drop("__h", "centroid_pick_id")
 
+  private def withQuant(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    df.withColumn(s"${prefix}qv", V.quantize(col(vecCol)))
+      .withColumn(s"${prefix}n2", V.dotQ(col(s"${prefix}qv"), col(s"${prefix}qv")))
+
   /** Assign every vector to its nearest centroid (max quantized cosine,
     * ties to the lower centroid id). Broadcast join + per-row argmax —
-    * no shuffle of the corpus.
+    * no shuffle of the corpus; vectors quantize once, each
+    * (row, centroid) pair costs one native integer dot.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
-    val scored = df.join(broadcast(cents))
-      .withColumn("__sim", V.cosineQuantized(col(vecCol), col("centroid_vec")))
+    val scored = withQuant(df, vecCol, "__v")
+      .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
+      .withColumn("__sim", V.cosineFromQuantized(
+        col("__vqv"), col("__cqv"), col("__vn2"), col("__cn2")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("centroid_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid_vec")
+      .drop("__rn", "__sim", "centroid_vec", "__vqv", "__vn2", "__cqv", "__cn2")
   }
 
   /** Probe: per query keep the `nProbe` closest centroids, scan only
@@ -63,23 +70,29 @@ object IvfIndex {
       nProbe: Int = 4): DataFrame = {
     val cents = centroids(corpus, idCol, vecCol, nCentroids)
     val assigned = assign(corpus, idCol, vecCol, cents)
-      .select(col(idCol).as("id"), col(vecCol).as("cv"), col("centroid_id"))
+      .select(col(idCol).as("id"), col("centroid_id"),
+        V.quantize(col(vecCol)).as("cqv"))
+      .withColumn("cn2", V.dotQ(col("cqv"), col("cqv")))
 
-    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(cents))
-      .withColumn("__sim", V.cosineQuantized(col("qv"), col("centroid_vec")))
+    val qCells = withQuant(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "__q")
+      .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
+      .withColumn("__sim", V.cosineFromQuantized(
+        col("__qqv"), col("__cqv"), col("__qn2"), col("__cn2")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("__sim").desc, col("centroid_id").asc)))
       .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .select(col("query_id"), col("__qqv").as("qqv"), col("__qn2").as("qn2"),
+        col("centroid_id"))
 
     val cand = assigned.join(broadcast(qCells), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     cand
-      .withColumn("cosine", round(V.cosineQuantized(col("cv"), col("qv")), 6))
+      .withColumn("cosine", round(
+        V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")
