@@ -97,4 +97,29 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
       .limit(limit)
       .select(col("process_name"), col("execution_date"),
         substring(col("error_message"), 1, 80).as("error_snippet"))
+
+  /** Daily pipeline summary — the `v_daily_summary` shape
+    * (`create_control_db_v5.sql:151-161`): per execution date, distinct
+    * processes plus success/fail counts. The reference writes this with
+    * correlated scalar subqueries; pre-aggregation is the decorrelated
+    * plan Catalyst would produce anyway (SURVEY.md §2.4 A4).
+    */
+  def dailySummary(): DataFrame =
+    log().groupBy(col("execution_date"))
+      .agg(
+        countDistinct(col("process_name")).as("n_processes"),
+        sum(when(lower(col("status")) === "success", 1).otherwise(0)).as("n_success"),
+        sum(when(lower(col("status")) === "failed", 1).otherwise(0)).as("n_failed"),
+        max(col("end_time")).as("last_activity"))
+      .orderBy(col("execution_date").desc)
+
+  /** Latest run per process — the per-key Top-1 the reference does with
+    * `ORDER BY log_id DESC LIMIT 1` scoped by key (SURVEY.md §2.5).
+    */
+  def latestRuns(): DataFrame =
+    graft.operators.LatestPerKey(log(), Seq("process_name"),
+      Seq(col("end_time").desc, col("log_id").desc))
+      .select(col("process_name"), col("execution_date"), col("status"),
+        col("rows_processed"), col("duration_seconds"))
+      .orderBy(col("process_name"))
 }

@@ -69,6 +69,16 @@ object StagingJob {
       .drop("full_date")
   }
 
+  /** Typed view of the cleaned batch — same plan as [[clean]] (the
+    * `.as[]` is a schema cast, not a conversion); use when downstream
+    * logic wants compile-time fields instead of column strings.
+    */
+  def cleanTyped(spark: SparkSession, raw: DataFrame,
+      dateDim: DataFrame): org.apache.spark.sql.Dataset[graft.model.JobPosting] = {
+    import spark.implicits._
+    clean(raw, dateDim).as[graft.model.JobPosting]
+  }
+
   /** Run the slice for one (source, logical date): idempotent — skipped
     * if already succeeded, dynamic-overwrite otherwise.
     */

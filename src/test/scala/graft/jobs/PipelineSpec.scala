@@ -123,6 +123,18 @@ class PipelineSpec extends SparkSpec {
     assert(log.filter($"duration_seconds" < 0).isEmpty)
     val stats = audit.processStats().collect()
     assert(stats.nonEmpty && stats.forall(_.getAs[Long]("failed_runs") == 0L))
+    val daily = audit.dailySummary().collect()
+    assert(daily.forall(_.getAs[Long]("n_failed") == 0L) && daily.length >= 2)
+    val latest = audit.latestRuns()
+    assert(latest.count() == latest.select("process_name").distinct().count(),
+      "one latest row per process")
+
+    // typed cleaning layer: same plan, compile-time fields
+    val typed = StagingJob.cleanTyped(spark,
+      RawZone.readPartition(spark, rawDir, "topcv_jobs", "2025-11-25"), dateDim)
+    assert(typed.collect().forall(_.job_id.nonEmpty))
+    assert(typed.filter((j: graft.model.JobPosting) => j.job_id == "j9")
+      .head().min_salary_vnd.contains(40000000L))
   }
 
   test("audit bracket records Failed with error snippet; recentFailures surfaces it") {
