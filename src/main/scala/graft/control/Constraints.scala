@@ -1,0 +1,44 @@
+package graft.control
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative integrity checks — the Spark stand-ins for the
+  * reference's MySQL-enforced constraints (SURVEY.md §1.2): ENUM
+  * domains (`status ENUM('Success','Failed','Running')`), VARCHAR
+  * length caps, UNIQUE keys, NOT NULL. Parquet enforces none of these,
+  * so pipelines assert them explicitly (one aggregate scan per call —
+  * run them in tests and at zone boundaries, not per row).
+  *
+  * Each check returns the violation count (0 = constraint holds).
+  */
+object Constraints {
+
+  /** ENUM-style domain check. */
+  def domainViolations(df: DataFrame, column: String, allowed: Seq[String]): Long =
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*)).count()
+
+  /** VARCHAR(n)-style length cap. */
+  def lengthViolations(df: DataFrame, column: String, maxLen: Int): Long =
+    df.filter(length(col(column)) > maxLen).count()
+
+  /** UNIQUE key check (one aggregate, not a self-join). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): Long =
+    df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).count()
+
+  /** NOT NULL check. */
+  def nullViolations(df: DataFrame, column: String): Long =
+    df.filter(col(column).isNull).count()
+
+  /** FK containment: child keys not present in the parent (the
+    * reference's `job.date_id REFERENCES date_dim.date_sk`, checked
+    * rather than enforced — SURVEY.md §2.3 J6).
+    */
+  def fkViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): Long =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .count()
+}

@@ -84,24 +84,4 @@ object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Sign bit of `v·plane` for one LSH hyperplane given as a literal
-    * Seq[Double] — the building block for hyperplane bucket signatures.
-    */
-  def hyperplaneBit(v: Column, plane: Seq[Double]): Column = {
-    val p = array(plane.map(lit): _*)
-    when(aggregate(zip_with(d(v), p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) >= 0, 1)
-      .otherwise(0)
-  }
-
-  /** Pack `nBits` hyperplane sign bits into an int bucket id. Planes are
-    * generated from a fixed seed so signatures are stable across runs and
-    * across executors (driver-side constant folded into the plan).
-    */
-  def lshBucket(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex
-      .map { case (p, i) => hyperplaneBit(v, p) * (1 << i) }
-      .reduce(_ + _)
-  }
 }

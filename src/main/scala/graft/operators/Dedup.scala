@@ -266,7 +266,7 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * group. At 100 TB the block comes from LSH buckets
-    * ([[graft.functions.VectorFunctions.lshBucket]]); here any coarse
+    * ([[graft.operators.Similarity.lshBucketsDf]]); here any coarse
     * label works.
     */
   def embeddingNearDup(

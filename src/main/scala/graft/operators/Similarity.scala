@@ -71,9 +71,9 @@ object Similarity {
   /** Hyperplane-LSH bucket assignment as a relational matrix multiply:
     * explode the vector to (id, dim, x) rows, broadcast-join the
     * (table, bit, dim, coef) plane matrix, aggregate sign bits, pack
-    * buckets. Everything stays in whole-stage codegen — the
-    * array-expression form ([[graft.functions.VectorFunctions.lshBucket]])
-    * evaluates its lambdas interpreted, which dominates runtime.
+    * buckets. Everything stays in whole-stage codegen (a literal
+    * plane-array expression form would evaluate its lambdas
+    * interpreted, which dominates runtime).
     * Returns (id, vec, table, bucket).
     */
   def lshBucketsDf(

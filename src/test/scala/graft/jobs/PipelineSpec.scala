@@ -115,6 +115,24 @@ class PipelineSpec extends SparkSpec {
     assert(byCompany.filter($"company_name" === "Công ty A")
       .head().getAs[Long]("total_jobs") == 1)
 
+    // ---- dashboard layer (S15): chart frames from the marts ----
+    val charts = Dashboard.chartData(spark, martDir, topN = 10)
+    assert(charts.keySet == Dashboard.Charts.map(_._1).toSet)
+    val companyChart = charts("agg_jobs_by_company").collect()
+    assert(companyChart.length == 3 &&
+      companyChart.forall(_.getAs[Long]("total_jobs") == 1L))
+
+    // ---- integrity constraints (§1.2): domains, keys, FK containment ----
+    import graft.control.Constraints
+    assert(Constraints.domainViolations(audit.log(), "status",
+      Seq("Running", "Success", "Failed")) == 0)
+    assert(Constraints.duplicateKeys(spark.read.parquet(stagingDir), Seq("job_id")) == 0)
+    assert(Constraints.nullViolations(spark.read.parquet(stagingDir), "job_id") == 0)
+    assert(Constraints.fkViolations(
+      spark.read.parquet(stagingDir), "date_id", dateDim, "date_sk") == 0)
+    assert(Constraints.lengthViolations(spark.read.parquet(stagingDir),
+      "job_title", 500) == 0)
+
     // ---- audit trail (§5.2-5): Running→Success transitions + counts ----
     val log = audit.log()
     assert(log.filter(lower($"status") === "success" &&
