@@ -29,8 +29,14 @@ object WarehouseLoadJob {
       val staging = spark.read.parquet(stagingDir)
       // S10: the "dump" is a pushed-down predicate — on last_seen_date,
       // so conflict-refreshed rows re-ship (see StagingJob.RefreshCols)
-      val incoming = staging
-        .filter(col("last_seen_date") === lit(day))
+      // Collapse to one row per natural key: distinct job_ids can share
+      // (job_title, company_name); feeding duplicates to the merge would
+      // create two active versions (the reference's INSERT does exactly
+      // that — a bug we correct; Scd2Merge stays generic/faithful).
+      val incoming = graft.operators.LatestPerKey(
+        staging.filter(col("last_seen_date") === lit(day)),
+        Keys,
+        Seq(col("extracted_ts").desc, col("job_id").desc))
         .select((Keys ++ Tracked).map(col) :+ col("extracted_date"): _*)
       val current =
         try spark.read.parquet(warehouseDir)

@@ -29,7 +29,12 @@ object Scd2Merge {
   val Sentinel = "9999-12-31"
 
   /** @param current    full SCD2 table (history + active versions)
-    * @param incoming   today's snapshot, same schema minus `expiredCol`
+    * @param incoming   today's snapshot, same schema minus `expiredCol`.
+    *                   Must be unique per natural key — duplicate keys
+    *                   insert duplicate active versions (exactly what
+    *                   the reference's INSERT does; callers that want
+    *                   the invariant collapse first, see
+    *                   WarehouseLoadJob)
     * @param keys       natural key columns
     * @param tracked    attributes whose change triggers a new version
     * @param expiredCol name of the version-end date column

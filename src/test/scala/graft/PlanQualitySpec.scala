@@ -50,6 +50,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("blocked pair joins hash on the block key — never a nested-loop product") {
+    // q24/q25 join candidates within blocks; a BroadcastNestedLoopJoin
+    // here would be the O(N²) cross product the blocking exists to avoid
+    assert(!plan(SparkEntry.q24_ngram_jaccard(spark, dir))
+      .contains("BroadcastNestedLoopJoin"))
+    assert(!plan(SparkEntry.q25_embedding_neardup(spark, dir))
+      .contains("BroadcastNestedLoopJoin"))
+    // q26 brute force IS the deliberate product (exact baseline) — the
+    // query side must be the broadcast side
+    assert(plan(SparkEntry.q26_ann_topk(spark, dir))
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._
