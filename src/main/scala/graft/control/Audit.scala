@@ -113,6 +113,18 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
         max(col("end_time")).as("last_activity"))
       .orderBy(col("execution_date").desc)
 
+  /** Retention GC (`extract/cleanup_old_logs.sh:11` — 30-day window):
+    * drop audit rows older than `retentionDays` before `asOf`. Rewrite
+    * via a temp dir (parquet can't overwrite in place from itself).
+    */
+  def expireOldLogs(retentionDays: Int, asOf: Date): Unit = {
+    val cutoff = new Date(asOf.getTime - retentionDays * 86400000L)
+    val kept = log().filter(col("execution_date") >= lit(cutoff))
+    val tmp = auditDir + "_gc"
+    kept.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(auditDir)
+  }
+
   /** Latest run per process — the per-key Top-1 the reference does with
     * `ORDER BY log_id DESC LIMIT 1` scoped by key (SURVEY.md §2.5).
     */

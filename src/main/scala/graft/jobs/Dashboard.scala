@@ -13,10 +13,10 @@ object Dashboard {
 
   /** The four reference charts (`config.xml:86-123`). */
   val Charts: Seq[(String, String, String)] = Seq(
-    ("agg_jobs_by_company", "company_name", "total_jobs"),
-    ("agg_jobs_by_location", "location", "total_jobs"),
-    ("agg_jobs_by_salary", "salary", "total_jobs"),
-    ("agg_jobs_by_experience", "experience_required", "total_jobs"),
+    ("agg_job_by_company", "company_name", "total_jobs"),
+    ("agg_job_by_location", "location", "total_jobs"),
+    ("agg_job_by_salary", "salary", "total_jobs"),
+    ("agg_job_by_experience", "experience_required", "total_jobs"),
   )
 
   /** Chart frames keyed by mart name; `topN` keeps the payload

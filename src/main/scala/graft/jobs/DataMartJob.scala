@@ -12,14 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object DataMartJob {
 
-  /** The reference's four marts (`config.xml:86-123`), mapped onto our
-    * staging/warehouse job schema.
-    */
+  /** The reference's four marts (`config.xml:86-123`), names verbatim. */
   val ReferenceSpecs: Seq[AggSpec] = Seq(
-    AggSpec("agg_jobs_by_company", Seq("company_name"), Seq("COUNT(*) AS total_jobs")),
-    AggSpec("agg_jobs_by_location", Seq("location"), Seq("COUNT(*) AS total_jobs")),
-    AggSpec("agg_jobs_by_salary", Seq("salary"), Seq("COUNT(*) AS total_jobs")),
-    AggSpec("agg_jobs_by_experience", Seq("experience_required"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_job_by_company", Seq("company_name"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_job_by_location", Seq("location"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_job_by_salary", Seq("salary"), Seq("COUNT(*) AS total_jobs")),
+    AggSpec("agg_job_by_experience", Seq("experience_required"), Seq("COUNT(*) AS total_jobs")),
   )
 
   def run(spark: SparkSession, warehouseDir: String, martDir: String,

@@ -108,17 +108,38 @@ class PipelineSpec extends SparkSpec {
       .groupBy("job_title", "company_name").count().filter($"count" > 1)
     assert(perKey.isEmpty, "exactly one active version per natural key")
 
-    // ---- marts ----
-    val marts = DataMartJob.run(spark, whDir, martDir, audit, "2025-11-25")
-    assert(marts("agg_jobs_by_company") == 3)
-    val byCompany = spark.read.parquet(s"$martDir/agg_jobs_by_company")
+    // ---- marts (specs loaded from reference-shaped XML config) ----
+    val cfgXml = s"$base/config.xml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgXml),
+      """<configuration><aggregates>
+        |<table><name>agg_job_by_company</name><source>job</source>
+        |  <groupBy>company_name</groupBy>
+        |  <metrics><metric>COUNT(*) AS total_jobs</metric></metrics></table>
+        |<table><name>agg_job_by_location</name><source>job</source>
+        |  <groupBy>location</groupBy>
+        |  <metrics><metric>COUNT(*) AS total_jobs</metric></metrics></table>
+        |<table><name>agg_job_by_salary</name><source>job</source>
+        |  <groupBy>salary</groupBy>
+        |  <metrics><metric>COUNT(*) AS total_jobs</metric></metrics></table>
+        |<table><name>agg_job_by_experience</name><source>job</source>
+        |  <groupBy>experience_required</groupBy>
+        |  <metrics><metric>COUNT(*) AS total_jobs</metric></metrics></table>
+        |</aggregates></configuration>""".stripMargin)
+    val martCfg = graft.control.AppConfig.loadMartSpecs(cfgXml)
+    assert(martCfg.map(_.source).toSet == Set("job"))
+    assert(martCfg.map(_.spec) == DataMartJob.ReferenceSpecs,
+      "XML config parses to the built-in reference specs")
+    val marts = DataMartJob.run(spark, whDir, martDir, audit, "2025-11-25",
+      specs = martCfg.map(_.spec))
+    assert(marts("agg_job_by_company") == 3)
+    val byCompany = spark.read.parquet(s"$martDir/agg_job_by_company")
     assert(byCompany.filter($"company_name" === "Công ty A")
       .head().getAs[Long]("total_jobs") == 1)
 
     // ---- dashboard layer (S15): chart frames from the marts ----
     val charts = Dashboard.chartData(spark, martDir, topN = 10)
     assert(charts.keySet == Dashboard.Charts.map(_._1).toSet)
-    val companyChart = charts("agg_jobs_by_company").collect()
+    val companyChart = charts("agg_job_by_company").collect()
     assert(companyChart.length == 3 &&
       companyChart.forall(_.getAs[Long]("total_jobs") == 1L))
 
@@ -153,6 +174,15 @@ class PipelineSpec extends SparkSpec {
     assert(typed.collect().forall(_.job_id.nonEmpty))
     assert(typed.filter((j: graft.model.JobPosting) => j.job_id == "j9")
       .head().min_salary_vnd.contains(40000000L))
+
+    // ---- retention GC (30-day window in the reference; 1-day here) ----
+    val before = audit.log().count()
+    audit.expireOldLogs(retentionDays = 1,
+      asOf = java.sql.Date.valueOf("2025-11-26"))
+    val after = audit.log().count()
+    assert(after < before && after > 0)
+    assert(audit.log()
+      .filter($"execution_date" < java.sql.Date.valueOf("2025-11-25")).isEmpty)
   }
 
   test("audit bracket records Failed with error snippet; recentFailures surfaces it") {
