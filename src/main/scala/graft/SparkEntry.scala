@@ -357,7 +357,7 @@ object SparkEntry {
     */
   def q23_simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 8)
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
     val perDoc = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))

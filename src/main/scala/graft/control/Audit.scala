@@ -22,15 +22,22 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.auditLog)
 
   def log(): DataFrame =
-    try spark.read.schema(Schemas.auditLog).parquet(auditDir)
-    catch { case _: Throwable => emptyLog }
+    if (graft.sources.Zone.exists(spark, auditDir))
+      spark.read.schema(Schemas.auditLog).parquet(auditDir)
+    else emptyLog
+
+  // log_id = ms clock ⊕ in-process sequence: two appends in the same
+  // millisecond (bracket's Running→Success with a fast or frozen
+  // injected clock) must still order deterministically
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def append(processName: String, executionDate: Date, status: String,
       rowsProcessed: Option[Long], startTime: Timestamp,
       errorMessage: Option[String] = None): Unit = {
     val end = clock()
     val row = Row(
-      end.getTime, processName, executionDate, status,
+      end.getTime * 1000L + (seq.getAndIncrement() % 1000L),
+      processName, executionDate, status,
       rowsProcessed.map(Long.box).orNull, startTime, end,
       // generated column duration_seconds (F11,
       // `create_control_db_v5.sql:47`): computed at write
@@ -119,10 +126,8 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
     */
   def expireOldLogs(retentionDays: Int, asOf: Date): Unit = {
     val cutoff = new Date(asOf.getTime - retentionDays * 86400000L)
-    val kept = log().filter(col("execution_date") >= lit(cutoff))
-    val tmp = auditDir + "_gc"
-    kept.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(auditDir)
+    graft.sources.Zone.overwriteInPlace(spark,
+      log().filter(col("execution_date") >= lit(cutoff)), auditDir)
   }
 
   /** Latest run per process — the per-key Top-1 the reference does with

@@ -92,17 +92,15 @@ object StagingJob {
       val cleaned = clean(raw, dateDim)
       // U3: within-batch last-writer-wins, then column-selective upsert
       val latest = LatestPerKey(cleaned, Seq("job_id"),
-        Seq(col("extracted_ts").desc, col("job_id").desc))
-      val existing =
-        try spark.read.parquet(stagingDir)
-        catch { case _: Throwable => latest.limit(0) }
+        Seq(col("extracted_ts").desc, col("job_id").desc)).cache()
+      val batchRows = latest.count() // rows processed THIS run (audit metric)
+      val existing = graft.sources.Zone.readIfExists(spark, stagingDir)
+        .getOrElse(latest.limit(0))
       val merged = Upsert(existing, latest, "job_id", RefreshCols,
         Seq(col("extracted_ts").desc))
-      val tmp = stagingDir + "_new"
-      merged.write.mode("overwrite").parquet(tmp)
-      val out = spark.read.parquet(tmp)
-      out.write.mode("overwrite").parquet(stagingDir)
-      spark.read.parquet(stagingDir).count()
+      graft.sources.Zone.overwriteInPlace(spark, merged, stagingDir)
+      latest.unpersist()
+      batchRows
     }
   }
 }

@@ -38,24 +38,19 @@ object WarehouseLoadJob {
         Keys,
         Seq(col("extracted_ts").desc, col("job_id").desc))
         .select((Keys ++ Tracked).map(col) :+ col("extracted_date"): _*)
-      val current =
-        try spark.read.parquet(warehouseDir)
-        catch {
-          case _: Throwable => incoming
-            .withColumn("expired", to_date(lit(Scd2Merge.Sentinel)))
-            .withColumn("is_deleted", lit(false))
-            .limit(0)
-        }
+      val current = graft.sources.Zone.readIfExists(spark, warehouseDir)
+        .getOrElse(incoming
+          .withColumn("expired", to_date(lit(Scd2Merge.Sentinel)))
+          .withColumn("is_deleted", lit(false))
+          .limit(0))
       val merged = Scd2Merge(
         current,
         incoming.withColumn("is_deleted", lit(false)),
         keys = Keys, tracked = Tracked,
         expiredCol = "expired", effectiveDate = lit(date),
         legacyNullChange = legacyNullChange)
-      val tmp = warehouseDir + "_new"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(warehouseDir)
-      spark.read.parquet(warehouseDir).count()
+      graft.sources.Zone.overwriteInPlace(spark, merged, warehouseDir)
+      incoming.count() // rows shipped this run (audit metric)
     }
   }
 }

@@ -18,13 +18,3 @@ final case class AggSpec(name: String, groupBy: Seq[String], metrics: Seq[String
   }
 }
 
-object AggSpec {
-  /** The reference's four mart tables (`config.xml:86-123`) keyed by
-    * target table name, re-targeted at whatever job-shaped DataFrame is
-    * passed in.
-    */
-  def referenceMarts(groupCols: Map[String, String]): Seq[AggSpec] =
-    groupCols.map { case (table, g) =>
-      AggSpec(table, Seq(g), Seq("COUNT(*) AS total_jobs"))
-    }.toSeq
-}

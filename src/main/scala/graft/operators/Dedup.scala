@@ -44,18 +44,6 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
-  /** MinHash signature: `numHashes` permutations simulated as
-    * `min(xxhash64(salt_i, shingle))` over the document's word-shingle
-    * set. Pure per-row expression — no shuffle, no UDF.
-    */
-  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val shingles = array_distinct(T.wordShingles(text, shingleSize))
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }
-    array(sig: _*)
-  }
-
   /** Word n-gram shingle rows: (id, keepCols…, shingle), one row per
     * *distinct* shingle per document.
     *
@@ -111,10 +99,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    // signature via shingle rows + numHashes min-aggregates (codegen'd
-    // hash agg; the column-expression form interprets its lambdas).
-    // min over the distinct-shingle set == min over the multiset, so
-    // values equal minHashSignature's exactly.
+    // signature = numHashes simulated permutations, each the min of
+    // xxhash64(salt_i, shingle) over the document's shingle set —
+    // computed as shingle rows + min-aggregates (codegen'd hash agg;
+    // a per-row array-expression form would interpret its lambdas)
     val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
@@ -208,6 +196,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 chunks of 16 bits guarantee a shared chunk only for distance
+    // < 4 (pigeonhole); a larger threshold would silently miss pairs
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (<= 3)")
     val sigs = simHashDf(df, textCol, idCol).withColumnRenamed("simhash", "sim")
     val chunked = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>

@@ -62,19 +62,26 @@ object Scd2Merge {
       per.reduce(_ || _)
     }
 
-    val keyEq = keys.map(k => col(s"a.$k") <=> col(s"i.$k")).reduce(_ && _)
+    // every key comparison is null-safe (<=>): the natural key
+    // (job_title, company_name) can carry NULLs, and a plain-equality
+    // usingColumns join would neither expire nor match NULL-key rows —
+    // re-inserting them active on every load
+    def keyEq(l: String, r: String) =
+      keys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
     val changedKeys = active.as("a")
-      .join(incoming.as("i"), keyEq, "inner")
+      .join(incoming.as("i"), keyEq("a", "i"), "inner")
       .filter(differs("a", "i"))
       .select(keys.map(k => col(s"a.$k")): _*)
       .distinct()
 
-    val expired = active.join(changedKeys, keys, "left_semi")
+    val expired = active.as("a")
+      .join(changedKeys.as("c"), keyEq("a", "c"), "left_semi")
       .withColumn(expiredCol, to_date(effectiveDate))
-    val survivingActive = active.join(changedKeys, keys, "left_anti")
+    val survivingActive = active.as("a")
+      .join(changedKeys.as("c"), keyEq("a", "c"), "left_anti")
 
-    val inserts = incoming
-      .join(survivingActive, keys, "left_anti")
+    val inserts = incoming.as("i")
+      .join(survivingActive.as("s"), keyEq("i", "s"), "left_anti")
       .withColumn(expiredCol, sentinel)
       .select(current.columns.map(col).toIndexedSeq: _*) // align column order
 

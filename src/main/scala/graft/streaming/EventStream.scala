@@ -84,7 +84,15 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                  // min/max, not overwrite: a late-but-within-watermark
+                  // event from a later micro-batch can sort BEFORE the
+                  // stored state; regressing `last` would shrink the
+                  // session end and pull the timeout earlier (diverging
+                  // from the batch twin's min/max aggregation)
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionUpdate(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)

@@ -61,6 +61,22 @@ class Scd2MergeSpec extends SparkSpec {
     assert(legacy.length == 1 && legacy(0).getAs[String]("attr") == null) // invisible
   }
 
+  test("NULL natural key: expires/matches like any other value (no re-insert loop)") {
+    // a usingColumns (plain-equality) join would neither expire nor
+    // match NULL keys — every load would add another active row
+    val c = cur((null, "v1", "9999-12-31"))
+    val unchanged = merge(c, inc((null, "v1"))).collect()
+    assert(unchanged.length == 1 &&
+      unchanged(0).getAs[java.sql.Date]("expired") == sentinel,
+      "unchanged NULL-key row must pass through once, not duplicate")
+    val changed = merge(c, inc((null, "v2"))).orderBy("expired").collect()
+    assert(changed.length == 2)
+    assert(changed(0).getAs[String]("attr") == "v1" &&
+      changed(0).getAs[java.sql.Date]("expired") != sentinel)
+    assert(changed(1).getAs[String]("attr") == "v2" &&
+      changed(1).getAs[java.sql.Date]("expired") == sentinel)
+  }
+
   test("invariant: at most one active version per key after arbitrary merge") {
     val c = cur(("a", "v1", "9999-12-31"), ("a", "v0", "2024-01-01"),
       ("b", "x", "9999-12-31"), ("c", "y", "9999-12-31"))
