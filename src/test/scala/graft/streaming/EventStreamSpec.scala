@@ -61,6 +61,40 @@ class EventStreamSpec extends SparkSpec {
       .filter($"hour_start" < ts("2024-01-02 00:00:00")).isEmpty)
   }
 
+  test("late event within watermark merges into the session, never regresses its end") {
+    val base = tmpDir("late")
+    val inDir = s"$base/in"
+    // round 1: a session 10:00–10:20 for user 1
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "view", 2.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value").write.parquet(inDir)
+    def runOnce(): Unit = {
+      // file sink (not memory): recovery across the two rounds needs a
+      // checkpoint-compatible sink
+      val q = EventStream.runAvailableNow(
+        EventStream.sessionize(spark, EventStream.readEvents(spark, inDir)).toDF(),
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+    }
+    runOnce()
+    // round 2: a LATE event inside the session (10:05) arrives in a
+    // later micro-batch, plus a sentinel that closes everything
+    Seq(
+      (3L, ts("2024-01-01 10:05:00"), 1L, "view", 4.0),
+      (99L, ts("2024-01-03 00:00:00"), 9L, "view", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val sess = spark.read.parquet(s"$base/out").filter($"user_id" === 1L).collect()
+    assert(sess.length == 1, s"one session expected, got ${sess.length}")
+    assert(sess(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(sess(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:20:00"),
+      "late event must not regress session_end")
+    assert(sess(0).getAs[Long]("n_events") == 3 &&
+      sess(0).getAs[Double]("total_value") == 7.0)
+  }
+
   test("streaming sessionization via flatMapGroupsWithState emits closed sessions") {
     val base = tmpDir("sessions")
     val inDir = s"$base/in"
