@@ -31,14 +31,26 @@ object AppConfig {
     val tables = doc.getElementsByTagName("table")
     (0 until tables.getLength).map { i =>
       val el = tables.item(i).asInstanceOf[org.w3c.dom.Element]
-      def text(tag: String): String =
-        el.getElementsByTagName(tag).item(0).getTextContent.trim
-      val metricNodes = el.getElementsByTagName("metric")
-      val metrics = (0 until metricNodes.getLength)
-        .map(j => metricNodes.item(j).getTextContent.trim)
-      val name = text("name")
-      MartTable(name, text("source"),
-        AggSpec(name, Seq(text("groupBy")), metrics))
+      def texts(tag: String): Seq[String] = {
+        val nodes = el.getElementsByTagName(tag)
+        (0 until nodes.getLength).map(j => nodes.item(j).getTextContent.trim)
+      }
+      def required(tag: String): String = {
+        val vs = texts(tag)
+        require(vs.nonEmpty && vs.head.nonEmpty,
+          s"mart config: <table> #${i + 1} is missing <$tag> ($xmlPath)")
+        vs.head
+      }
+      val metrics = texts("metric")
+      require(metrics.nonEmpty,
+        s"mart config: <table> #${i + 1} has no <metric> entries ($xmlPath)")
+      val name = required("name")
+      // multiple <groupBy> elements → composite grouping (AggSpec
+      // supports it; silently using only the first would collapse rows)
+      val groupBys = texts("groupBy").filter(_.nonEmpty)
+      require(groupBys.nonEmpty,
+        s"mart config: <table> #${i + 1} is missing <groupBy> ($xmlPath)")
+      MartTable(name, required("source"), AggSpec(name, groupBys, metrics))
     }
   }
 }

@@ -26,9 +26,13 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
       spark.read.schema(Schemas.auditLog).parquet(auditDir)
     else emptyLog
 
-  // log_id = ms clock ⊕ in-process sequence: two appends in the same
-  // millisecond (bracket's Running→Success with a fast or frozen
-  // injected clock) must still order deterministically
+  // log_id = ms clock · 10⁵ + unbounded in-process sequence: appends in
+  // the same millisecond (bracket's Running→Success with a fast or
+  // frozen injected clock) still order deterministically and never wrap.
+  // Uniqueness contract: within one Audit writer (the per-pipeline
+  // driver); cross-writer rows disambiguate by (process_name, log_id) —
+  // latestRuns/recentFailures tie-break per process, so that's the
+  // granularity that matters.
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def append(processName: String, executionDate: Date, status: String,
@@ -36,7 +40,7 @@ final class Audit(spark: SparkSession, auditDir: String, clock: () => Timestamp)
       errorMessage: Option[String] = None): Unit = {
     val end = clock()
     val row = Row(
-      end.getTime * 1000L + (seq.getAndIncrement() % 1000L),
+      end.getTime * 100000L + seq.getAndIncrement(),
       processName, executionDate, status,
       rowsProcessed.map(Long.box).orNull, startTime, end,
       // generated column duration_seconds (F11,

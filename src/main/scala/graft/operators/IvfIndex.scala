@@ -44,7 +44,14 @@ object IvfIndex {
     * no shuffle of the corpus; vectors quantize once, each
     * (row, centroid) pair costs one native integer dot.
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+  def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    assignQ(df, idCol, vecCol, cents).drop("__vqv", "__vn2")
+
+  /** [[assign]] keeping the quantized vector + squared norm columns
+    * (`__vqv`, `__vn2`) so [[topK]] doesn't quantize the corpus twice.
+    */
+  private def assignQ(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
     val scored = withQuant(df, vecCol, "__v")
       .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
       .withColumn("__sim", V.cosineFromQuantized(
@@ -53,7 +60,7 @@ object IvfIndex {
       .orderBy(col("__sim").desc, col("centroid_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid_vec", "__vqv", "__vn2", "__cqv", "__cn2")
+      .drop("__rn", "__sim", "centroid_vec", "__cqv", "__cn2")
   }
 
   /** Probe: per query keep the `nProbe` closest centroids, scan only
@@ -69,10 +76,9 @@ object IvfIndex {
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val cents = centroids(corpus, idCol, vecCol, nCentroids)
-    val assigned = assign(corpus, idCol, vecCol, cents)
+    val assigned = assignQ(corpus, idCol, vecCol, cents)
       .select(col(idCol).as("id"), col("centroid_id"),
-        V.quantize(col(vecCol)).as("cqv"))
-      .withColumn("cn2", V.dotQ(col("cqv"), col("cqv")))
+        col("__vqv").as("cqv"), col("__vn2").as("cn2"))
 
     val qCells = withQuant(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "__q")

@@ -17,10 +17,19 @@ object Salting {
     * sum / min / max — everything decomposable); the hot key's work
     * spreads over `salts` tasks instead of one.
     */
+  /** Salt from full row content, not `monotonically_increasing_id()`:
+    * the id depends on partition layout and within-partition order, so
+    * a retried task after a fetch failure could re-salt rows differently
+    * and double-count/drop partials (the SPARK-23207 failure class).
+    * Content hashing is retry-stable; byte-identical rows sharing a
+    * salt is harmless for algebraic aggregates.
+    */
+  private def contentSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val partialAggs = count(lit(1)).as("__cnt") +:
       sumCols.map(c => sum(col(c)).as(s"__sum_$c"))
     val partial = salted
@@ -38,8 +47,7 @@ object Salting {
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       salts: Int = 16): DataFrame = {
-    val left = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val left = skewed.withColumn("__salt", contentSalt(skewed, salts))
     val right = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     left.join(right, keys :+ "__salt").drop("__salt")

@@ -96,13 +96,20 @@ object Similarity {
     val exploded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         posexplode(col(vecCol).cast("array<double>")))
       .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    exploded.join(broadcast(planes), "d")
+    val computed = exploded.join(broadcast(planes), "d")
       .groupBy(col("id"), col("t"), col("b"))
       .agg(sum(col("x") * col("coef")).as("dot"))
       .withColumn("bit", when(col("dot") >= 0, 1).otherwise(0))
       .groupBy(col("id"), col("t"))
       .agg(sum(col("bit") * pow(lit(2.0), col("b")).cast("int")).cast("int").as("bucket"))
-      .join(df.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+    // null/empty vectors explode to zero rows and would vanish from the
+    // index entirely (a query row would silently get no candidates);
+    // give every (id, table) a bucket — the all-ones bucket is what a
+    // zero vector's sign bits (dot 0 >= 0) produce anyway
+    val allTables = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("t", explode(array((0 until tables).map(t => lit(t)): _*)))
+    allTables.join(computed, Seq("id", "t"), "left_outer")
+      .withColumn("bucket", coalesce(col("bucket"), lit((1 << bits) - 1)))
       .withColumnRenamed("t", "table")
   }
 

@@ -23,17 +23,23 @@ object Upsert {
       refreshCols: Seq[String],
       incomingOrder: Seq[Column]): DataFrame = {
 
+    // side-presence markers, NOT key-null checks: the key itself can be
+    // NULL (matched null-safely by <=>), so `e.key.isNull` would
+    // misclassify a present-but-null-keyed row as "missing" and
+    // `i.key.isNotNull` would skip refreshing it
     val latest = LatestPerKey(incoming, Seq(key), incomingOrder)
-    val e = existing.as("e")
+      .withColumn("__i_present", lit(true))
+    val e = existing.withColumn("__e_present", lit(true)).as("e")
     val i = latest.as("i")
     val joined = e.join(i, col(s"e.$key") <=> col(s"i.$key"), "full_outer")
-    val isNew = col(s"e.$key").isNull
+    val isNew      = col("e.__e_present").isNull
+    val hasUpdate  = col("i.__i_present").isNotNull
 
     val outCols = existing.columns.map { c =>
       if (c == key)
-        coalesce(col(s"e.$key"), col(s"i.$key")).as(key)
+        when(isNew, col(s"i.$key")).otherwise(col(s"e.$key")).as(key)
       else if (refreshCols.contains(c))
-        when(col(s"i.$key").isNotNull, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)
+        when(hasUpdate, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)
       else
         when(isNew, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)
     }

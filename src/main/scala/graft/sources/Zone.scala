@@ -14,24 +14,45 @@ object Zone {
     * overwrite would silently wipe the accumulated table. Real read
     * errors must propagate.
     */
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rewriteTmp(dir: String) = dir + "__rewrite"
+
+  /** Crash recovery for [[overwriteInPlace]]: if the target vanished
+    * mid-swap but the completed rewrite temp survives, promote it.
+    * Called from every existence probe so readers self-heal.
+    */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(dir)
+    val tmp = new Path(rewriteTmp(dir))
+    val f = fs(spark, target)
+    if (!f.exists(target) && f.exists(tmp)) f.rename(tmp, target)
+  }
+
   def exists(spark: SparkSession, dir: String): Boolean = {
+    recover(spark, dir)
     val path = new Path(dir)
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    fs(spark, path).exists(path)
   }
 
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     if (exists(spark, dir)) Some(spark.read.parquet(dir)) else None
 
   /** Overwrite `dir` with `df` when `df`'s plan reads from `dir`
-    * itself (parquet can't overwrite its own input): materialize to a
-    * temp sibling, rewrite the target from it, drop the temp.
+    * itself (parquet can't overwrite its own input): materialize fully
+    * to a temp sibling, then swap via delete+rename. The swap is two
+    * metadata ops, not a re-write — a crash between them leaves the
+    * completed temp on disk, and [[recover]] promotes it on the next
+    * read (the old read-back-and-rewrite approach could crash mid-write
+    * and leave only a truncated target).
     */
   def overwriteInPlace(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "__rewrite"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(dir)
-    val tmpPath = new Path(tmp)
-    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tmpPath, true)
+    val tmp = new Path(rewriteTmp(dir))
+    val target = new Path(dir)
+    val f = fs(spark, target)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(target)) f.delete(target, true)
+    require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
 }

@@ -78,27 +78,31 @@ object EventStream {
             Iterator(SessionUpdate(userId, new Timestamp(s.start),
               new Timestamp(s.last), s.n, s.total))
           } else {
+            // Classic interval merge over (stored session ∪ new events),
+            // sorted by start: an interval merges into the current one
+            // iff it starts within `gap` of the current end. This gives
+            // batch (gaps-and-islands) semantics for any arrival order —
+            // a late event BEFORE the stored session's reach becomes its
+            // own (immediately closed) session instead of being glued on
+            // (the stored interval itself can no longer be split; that's
+            // the inherent incremental-vs-batch approximation).
+            val intervals =
+              (state.getOption.toList ++
+                rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+                .sortBy(s => (s.start, s.last))
             var closed = List.empty[SessionUpdate]
-            var cur = state.getOption
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            var cur: Option[SessionState] = None
+            intervals.foreach { iv =>
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // min/max, not overwrite: a late-but-within-watermark
-                  // event from a later micro-batch can sort BEFORE the
-                  // stored state; regressing `last` would shrink the
-                  // session end and pull the timeout earlier (diverging
-                  // from the batch twin's min/max aggregation)
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    last = math.max(s.last, t),
-                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) if iv.start - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, iv.last),
+                    s.n + iv.n, s.total + iv.total))
                 case Some(s) =>
                   closed ::= SessionUpdate(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>

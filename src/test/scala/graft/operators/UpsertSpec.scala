@@ -28,6 +28,24 @@ class UpsertSpec extends SparkSpec {
     assert(out(1).getAs[String]("title") == "t2" && out(1).getAs[Int]("v") == 2)
   }
 
+  test("NULL key rows: matched null-safely, refreshed and preserved correctly") {
+    // presence must come from side markers, not key-null checks — a
+    // stored NULL key is a real row, not a missed join
+    val existing = Seq((Option.empty[String], "old-t", 1), (Some("k1"), "t1", 1))
+      .toDF("id", "title", "v")
+    val incoming = Seq((Option.empty[String], "new-t", 2))
+      .toDF("id", "title", "v")
+    val out = Upsert(existing, incoming, "id", Seq("title"), Seq(col("v")))
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[String]("title") == "new-t", "refresh col takes incoming")
+    assert(nullRow.getAs[Int]("v") == 1, "non-refresh col keeps existing")
+    val k1 = out.find(!_.isNullAt(0)).get
+    assert(k1.getAs[String]("title") == "t1" && k1.getAs[Int]("v") == 1,
+      "unmatched existing row untouched")
+  }
+
   test("duplicate keys in one batch: last writer (by order) wins") {
     val existing = Seq(("j1", "t0", 0)).toDF("id", "title", "seq")
     val incoming = Seq(("j1", "first", 1), ("j1", "second", 2)).toDF("id", "title", "seq")
