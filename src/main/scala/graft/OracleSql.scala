@@ -436,9 +436,43 @@ object OracleSql {
     FROM part
     ORDER BY p_partkey"""
 
+  private val q38 = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  private val q39 = """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
+    "q38_salted_agg" -> q38,
+    "q39_sessionize" -> q39,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_star" -> q03,

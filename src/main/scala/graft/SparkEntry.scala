@@ -493,6 +493,27 @@ object SparkEntry {
         col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Skew-safe two-phase aggregation — must equal the direct GROUP BY
+    * (the oracle IS the direct form, so the equivalence is
+    * driver-checked, not just unit-tested).
+    */
+  def q38_salted_agg(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedSumCount(
+        Tables.lineitem(s, dir).select(
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity")),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_quantity"), salts = 16)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("sum_l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Gaps-and-islands sessionization (the batch twin of the streaming
+    * `flatMapGroupsWithState` path), 30-minute inactivity gap.
+    */
+  def q39_sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -533,6 +554,8 @@ object SparkEntry {
     "q35_string_functions" -> (q35_string_functions _),
     "q36_ann_ivf" -> (q36_ann_ivf _),
     "q37_corpus_annotate" -> (q37_corpus_annotate _),
+    "q38_salted_agg" -> (q38_salted_agg _),
+    "q39_sessionize" -> (q39_sessionize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
