@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark) // graft_dotq SQL surface
     // Warmup: pay one-time costs (executor spin-up, memory manager,
     // parquet footer caches, codegen JIT of the common operators) on a
     // tiny SF so per-query timings measure the queries, not the JVM.

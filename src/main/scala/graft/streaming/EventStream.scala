@@ -138,6 +138,16 @@ object EventStream {
       .drop("session_no")
   }
 
+  /** Stream–static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — the streaming counterpart
+    * of J4's replicated lookup). Static side re-reads per batch, so a
+    * slowly-changing dimension refreshes without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
+      .drop(dimKey)
+
   /** Run a streaming query to completion over existing files
     * (Trigger.AvailableNow = the daily cron batch, exactly-once on the
     * checkpoint).

@@ -95,6 +95,24 @@ class EventStreamSpec extends SparkSpec {
       sess(0).getAs[Double]("total_value") == 7.0)
   }
 
+  test("stream-static enrichment joins a broadcast dimension per micro-batch") {
+    val base = tmpDir("enrich")
+    val inDir = s"$base/in"
+    eventRows.write.parquet(inDir)
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user_id", "tier")
+    val enriched = EventStream.enrich(
+      EventStream.readEvents(spark, inDir), userDim, "user_id", "dim_user_id")
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName("enriched")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.sql("SELECT user_id, tier, count(*) n FROM enriched GROUP BY 1,2")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((1L, "gold")) == 3L && out((2L, "silver")) == 2L)
+  }
+
   test("streaming sessionization via flatMapGroupsWithState emits closed sessions") {
     val base = tmpDir("sessions")
     val inDir = s"$base/in"
