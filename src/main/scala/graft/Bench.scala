@@ -20,18 +20,27 @@ object Bench {
     // best-of-2: the first run of each query pays its whole-stage
     // codegen JIT; the second measures steady-state execution. Report
     // the min (standard bench practice; ±20% single-run variance).
+    // A query that throws is reported in "errors" (not timed as
+    // near-zero — a swallowed failure would silently improve the total).
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable =>
+          err = Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val ok = results.collect { case (k, v, None) => (k, v) }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

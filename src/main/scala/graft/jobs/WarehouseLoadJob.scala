@@ -26,7 +26,12 @@ object WarehouseLoadJob {
     require(audit.isProcessDone(upstreamProcess, day),
       s"upstream $upstreamProcess not Success for $date — aborting (readiness gate)")
     audit.bracket("load_to_wh", day) {
-      val staging = spark.read.parquet(stagingDir)
+      // Read through Zone so its crash-recovery probe runs first: after a
+      // crash between StagingJob's delete and rename, the completed
+      // __rewrite temp needs promoting before this read (ADVICE r01).
+      val staging = graft.sources.Zone.readIfExists(spark, stagingDir)
+        .getOrElse(sys.error(
+          s"staging table missing at $stagingDir — run StagingJob first"))
       // S10: the "dump" is a pushed-down predicate — on last_seen_date,
       // so conflict-refreshed rows re-ship (see StagingJob.RefreshCols)
       // Collapse to one row per natural key: distinct job_ids can share

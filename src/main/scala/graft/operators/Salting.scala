@@ -11,27 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Salt from full row content, not `monotonically_increasing_id()`:
+    * the id depends on partition layout and within-partition order, so
+    * a retried task after a fetch failure could re-salt rows differently
+    * and double-count/drop partials (the SPARK-23207 failure class).
+    * Content hashing is retry-stable.
+    *
+    * Limitation (ADVICE r01): byte-identical rows all hash to the same
+    * salt, so a hot key dominated by *duplicate* rows would still land
+    * in one task. [[saltedSumCount]] closes this by collapsing exact
+    * duplicates (with a weight) in a pre-phase whose shuffle key is the
+    * full row content — uniformly distributed by construction — before
+    * salting; [[saltedJoin]] documents it (join outputs can't be
+    * weight-collapsed without changing cardinality).
+    */
+  private def contentSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+
   /** Two-phase (salted) aggregation: rows scatter over `salts`
     * sub-keys, partially aggregate, then combine per real key. Results
     * identical to a direct groupBy for algebraic aggregates (count /
     * sum / min / max — everything decomposable); the hot key's work
     * spreads over `salts` tasks instead of one.
+    *
+    * Phase 0 collapses byte-identical rows to (row, weight): its
+    * group-by key is the entire row content, so even a single
+    * million-duplicate row spreads evenly across the cluster (hash of
+    * content ≈ uniform), and the later salted phases see at most one
+    * row per distinct content. count/sum then aggregate weighted.
     */
-  /** Salt from full row content, not `monotonically_increasing_id()`:
-    * the id depends on partition layout and within-partition order, so
-    * a retried task after a fetch failure could re-salt rows differently
-    * and double-count/drop partials (the SPARK-23207 failure class).
-    * Content hashing is retry-stable; byte-identical rows sharing a
-    * salt is harmless for algebraic aggregates.
-    */
-  private def contentSalt(df: DataFrame, salts: Int) =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
-
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", contentSalt(df, salts))
-    val partialAggs = count(lit(1)).as("__cnt") +:
-      sumCols.map(c => sum(col(c)).as(s"__sum_$c"))
+    val distinctRows = df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__w"))
+    val salted = distinctRows.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+    val partialAggs = sum(col("__w")).as("__cnt") +:
+      sumCols.map(c => sum(col(c) * col("__w")).as(s"__sum_$c"))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -44,6 +60,14 @@ object Salting {
     * random-but-deterministic salt in [0, salts); the (small but not
     * broadcastable) right side replicates `salts` times. The join key
     * space becomes (keys, salt) — hot keys split across `salts` tasks.
+    *
+    * Known limitation: the salt is a content hash (retry-stable — see
+    * [[contentSalt]]), so byte-identical left rows share a salt and a
+    * duplicate-dominated hot key stays in one task. If your skew is
+    * duplicate rows rather than distinct rows sharing a key, collapse
+    * them first (`groupBy(all columns).count()` → join → re-expand by
+    * the weight), or rely on AQE skew-join splitting, which splits by
+    * partition size and has no such blind spot.
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       salts: Int = 16): DataFrame = {

@@ -36,13 +36,28 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dotq"
 
+  // NULL result on length mismatch / null elements (not just null inputs),
+  // so nullable even over non-null children.
+  override def nullable: Boolean = true
+
+  /** Mirrors the interpreted `aggregate(zip_with(a,b,_*_),0L,_+_)` form
+    * exactly: `zip_with` pads the shorter array with NULLs and a NULL
+    * element NULL-propagates through the running sum, so mismatched
+    * lengths or any NULL element yield a NULL dot product (not a
+    * silently-truncated one — ADVICE r01).
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -52,12 +67,17 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -15,6 +15,16 @@ class SaltingSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("salted aggregation correct with duplicate-dominated hot key") {
+    // a hot key made of byte-identical rows (the ADVICE r01 blind spot):
+    // phase 0 collapses them to (row, weight), so counts/sums stay exact
+    val dup = Seq.fill(5000)(("HOT", 2.0)) ++ Seq(("a", 1.0), ("b", 3.0), ("b", 4.0))
+    val df = dup.toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+    val salted = Salting.saltedSumCount(df, Seq("k"), Seq("v"), 8)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
   test("salted join == plain join (row multiset)") {
     val dir = "/root/testdata/sf0.001"
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -18,16 +18,33 @@ class LongArrayDotSpec extends SparkSpec {
     assert(pairs.count() > 1000)
   }
 
-  test("null array → null; empty arrays → 0; mismatched lengths use min") {
+  test("null array → null; empty arrays → 0; mismatched lengths → null") {
     val df = Seq(
       (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))), // 4+10+18=32
       (None, Some(Seq(1L))),
       (Some(Seq.empty[Long]), Some(Seq.empty[Long])),
-      (Some(Seq(2L, 3L)), Some(Seq(10L))), // min length → 20
+      (Some(Seq(2L, 3L)), Some(Seq(10L))), // ragged → null (as zip_with+aggregate)
     ).toDF("a", "b")
     val out = df.select(V.dotQ($"a", $"b")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(out.toSeq == Seq(Some(32L), None, Some(0L), Some(20L)))
+    assert(out.toSeq == Seq(Some(32L), None, Some(0L), None))
+  }
+
+  test("ragged / null-element arrays: native matches interpreted bit-for-bit") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](2L, 3L), Seq[java.lang.Long](10L)),          // ragged
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)), // null elem
+      (Seq[java.lang.Long](), Seq[java.lang.Long]()),
+    ).toDF("a", "b")
+    val rows = df.select(
+      V.dotQ($"a", $"b").as("fast"), V.dotQSlow($"a", $"b").as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    // and specifically: ragged + null-element rows are NULL, not truncated
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
   test("SQL surface via extension registration: graft_dotq") {
