@@ -13,8 +13,19 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ */
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Σ aᵢ·bᵢ — native codegen ([[graft.plans.DoubleArrayDot]]); the
+    * interpreted `aggregate(zip_with(...))` form is [[dotSlow]], kept
+    * for differential testing. Bit-identical (same left-to-right
+    * accumulation order and NULL semantics).
+    */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.DoubleArrayDot(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
+
+  /** Reference interpreted form of [[dot]] (differential testing). */
+  def dotSlow(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** ‖a‖₂ */
@@ -34,9 +45,8 @@ object VectorFunctions {
     * oracle-checked similarity queries use.
     */
   def cosineQuantized(a: Column, b: Column): Column = {
-    def quant(c: Column): Column = transform(d(c), x => floor(x * 1e6).cast("long"))
-    val qa = quant(a)
-    val qb = quant(b)
+    val qa = quantize(a)
+    val qb = quantize(b)
     def isum(arr: Column): Column = aggregate(arr, lit(0L), (acc, v) => acc + v)
     val dotQ = isum(zip_with(qa, qb, (x, y) => x * y))
     val n2a  = isum(zip_with(qa, qa, (x, y) => x * y))
@@ -47,9 +57,16 @@ object VectorFunctions {
 
   /** Quantize to `floor(x·10⁶)` longs — the fixed-point domain of
     * [[cosineQuantized]], exposed so joins can precompute it per row
-    * instead of per pair.
+    * instead of per pair. Native codegen ([[graft.plans.QuantizeVec]]);
+    * the `transform` lambda form is [[quantizeSlow]] (interpreted,
+    * kept for differential testing — element values identical).
     */
-  def quantize(c: Column): Column = transform(d(c), x => floor(x * 1e6).cast("long"))
+  def quantize(c: Column): Column =
+    ColumnBridge.column(graft.plans.QuantizeVec(ColumnBridge.expression(d(c))))
+
+  /** Reference interpreted form of [[quantize]] (differential testing). */
+  def quantizeSlow(c: Column): Column =
+    transform(d(c), x => floor(x * 1e6).cast("long"))
 
   /** Exact integer Σ aᵢ·bᵢ over pre-quantized vectors — backed by the
     * native codegen'd [[graft.plans.LongArrayDot]] expression (the
@@ -57,11 +74,9 @@ object VectorFunctions {
     * the innermost loop of every pair join). Bit-equivalent to the
     * interpreted form ([[dotQSlow]], asserted in tests).
     */
-  def dotQ(qa: Column, qb: Column): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
+  def dotQ(qa: Column, qb: Column): Column =
     ColumnBridge.column(graft.plans.LongArrayDot(
       ColumnBridge.expression(qa), ColumnBridge.expression(qb)))
-  }
 
   /** Reference implementation of [[dotQ]] via built-in higher-order
     * functions (interpreted) — kept for differential testing.

@@ -60,22 +60,30 @@ object Dedup {
       keepCols: Seq[String], n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keep = keepCols.map(col)
-    val toks = df.select(col(idCol).as("id") +: keep :+
-      posexplode(T.tokens(lower(col(textCol)))): _*)
+    val toksRaw = T.tokens(lower(col(textCol)))
+    // empty docs emit one "" token so they keep their (single, empty)
+    // shingle row — no row vanishes from dedup (wordShingles contract)
+    val toksAll = when(size(toksRaw) === 0, array(lit(""))).otherwise(toksRaw)
+    val toks = df.select(col(idCol).as("id") +: keep :+ posexplode(toksAll): _*)
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
     val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val grams = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
-    val full = toks
+    // Documents shorter than n tokens contribute one whole-text shingle:
+    // on their p=0 row every token is within the first n-1 leads and
+    // concat_ws skips the null tail, so the same expression yields the
+    // joined text. Keeping this in ONE branch (vs. the old union of a
+    // separate short-doc scan) preserves the id-partitioning end-to-end:
+    // the n-gram window, the token count, dropDuplicates, and every
+    // downstream per-id aggregate all reuse the single exchange the
+    // explode introduced — a union would erase the partitioning and
+    // force a second full shuffle of the shingle set.
+    val cnt = count(lit(1)).over(wAll)
+    toks
       .select(col("id") +: keep :+ concat_ws(" ", grams: _*).as("shingle")
-        :+ grams.last.isNotNull.as("__complete"): _*)
-      .filter(col("__complete")).drop("__complete")
-    // documents shorter than n tokens contribute one whole-text shingle
-    // (wordShingles contract — no row vanishes from dedup)
-    val short = df
-      .filter(size(T.tokens(lower(col(textCol)))) < n)
-      .select(col(idCol).as("id") +: keep :+
-        array_join(T.tokens(lower(col(textCol))), " ").as("shingle"): _*)
-    full.unionByName(short).dropDuplicates("id", "shingle")
+        :+ (grams.last.isNotNull || (col("p") === 0 && cnt < n)).as("__keep"): _*)
+      .filter(col("__keep")).drop("__keep")
+      .dropDuplicates("id", "shingle")
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -235,21 +243,25 @@ object Dedup {
     // shingles join as 8-byte xxhash64 keys, not ~20-char strings:
     // less shuffle volume, cheaper equality in the hot join (a 64-bit
     // collision across ~10⁶ distinct shingles is ~1e-7 — below the
-    // float-rounding noise floor the oracle already tolerates)
+    // float-rounding noise floor the oracle already tolerates).
+    // set_size rides along on every shingle row (a window count over the
+    // id partition the shingle pipeline already produced) instead of a
+    // separate groupBy branch: the self-join's two sides are then
+    // byte-identical plans — Catalyst's ReuseExchange computes the
+    // pipeline ONCE — and the two post-hoc size joins vanish entirely
+    // (the pair aggregate just carries the sizes through with first()).
     val sh = shingleRows(df, textCol, idCol, Seq(blockCol), n)
       .select(col("id"), col(blockCol).as("blk"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+      .withColumn("set_size", count(lit(1)).over(Window.partitionBy(col("id"))))
 
-    val inter = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") &&
         col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.set_size")).as("size_a"),
+        first(col("b.set_size")).as("size_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

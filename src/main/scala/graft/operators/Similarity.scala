@@ -68,12 +68,21 @@ object Similarity {
       .select("query_id", "id", "cosine", "rank")
   }
 
-  /** Hyperplane-LSH bucket assignment as a relational matrix multiply:
-    * explode the vector to (id, dim, x) rows, broadcast-join the
-    * (table, bit, dim, coef) plane matrix, aggregate sign bits, pack
-    * buckets. Everything stays in whole-stage codegen (a literal
-    * plane-array expression form would evaluate its lambdas
-    * interpreted, which dominates runtime).
+  /** Hyperplane-LSH bucket assignment as a pure narrow map: one native
+    * codegen'd expression ([[graft.plans.LshBuckets]]) computes all
+    * `tables` buckets per vector in a single triple loop over the plane
+    * matrix. No explode-join matrix multiply (which shuffled
+    * N·dim·tables·bits intermediate rows through two hash aggregates),
+    * and no per-plane expression forest (whose 64 inlined dot loops
+    * overflow the JIT's method budget) — at 100 TB the bucket
+    * assignment rides the scan, embarrassingly parallel.
+    *
+    * Null / wrong-dimension / null-element vectors (which a dot product
+    * can't score) get the all-ones fallback bucket in every table, so
+    * no row ever vanishes from the index — same contract as before; the
+    * one behavior change is that a *ragged* vector no longer gets a
+    * partial-dot bucket, it gets the fallback (strictly safer: its old
+    * bucket was a truncated projection).
     * Returns (id, vec, table, bucket).
     */
   def lshBucketsDf(
@@ -85,32 +94,21 @@ object Similarity {
       bits: Int,
       tables: Int,
       seed: Long = 42L): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // same plane sequence as always: Gaussian draws in (t, b, d) order
     val rnd = new scala.util.Random(seed)
-    val planes = (for {
-      t <- 0 until tables
-      b <- 0 until bits
-      d <- 0 until dim
-    } yield (t, b, d, rnd.nextGaussian())).toDF("t", "b", "d", "coef")
+    val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      IndexedSeq.tabulate(tables)(_ =>
+        IndexedSeq.tabulate(bits)(_ => IndexedSeq.fill(dim)(rnd.nextGaussian())))
 
-    val exploded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(col(vecCol).cast("array<double>")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    val computed = exploded.join(broadcast(planes), "d")
-      .groupBy(col("id"), col("t"), col("b"))
-      .agg(sum(col("x") * col("coef")).as("dot"))
-      .withColumn("bit", when(col("dot") >= 0, 1).otherwise(0))
-      .groupBy(col("id"), col("t"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("b")).cast("int")).cast("int").as("bucket"))
-    // null/empty vectors explode to zero rows and would vanish from the
-    // index entirely (a query row would silently get no candidates);
-    // give every (id, table) a bucket — the all-ones bucket is what a
-    // zero vector's sign bits (dot 0 >= 0) produce anyway
-    val allTables = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("t", explode(array((0 until tables).map(t => lit(t)): _*)))
-    allTables.join(computed, Seq("id", "t"), "left_outer")
-      .withColumn("bucket", coalesce(col("bucket"), lit((1 << bits) - 1)))
-      .withColumnRenamed("t", "table")
+    val allBuckets = coalesce(
+      ColumnBridge.column(graft.plans.LshBuckets(
+        ColumnBridge.expression(col(vecCol).cast("array<double>")), planes)),
+      typedlit(Seq.fill(tables)((1 << bits) - 1))) // null vector → fallback everywhere
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(allBuckets))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** LSH-bucketed ANN: `tables` independent hash tables of `bits`

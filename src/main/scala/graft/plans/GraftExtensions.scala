@@ -12,22 +12,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotqDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  val dotqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dotq"),
-    new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dotq"),
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(name: String, clazz: Class[_],
+      make: (Expression, Expression) => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.length == 2, "graft_dotq takes exactly 2 arguments")
-      LongArrayDot(children.head, children(1))
+      require(children.length == 2, s"$name takes exactly 2 arguments")
+      make(children.head, children(1))
     })
+
+  val descriptors: Seq[Descriptor] = Seq(
+    binary("graft_dotq", classOf[LongArrayDot], LongArrayDot.apply),
+    binary("graft_dotd", classOf[DoubleArrayDot], DoubleArrayDot.apply),
+    (FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_quantize takes exactly 1 argument")
+        QuantizeVec(children.head)
+      }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotqDescriptor._1, dotqDescriptor._2, dotqDescriptor._3)
+    descriptors.foreach(d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3))
 }

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** All hyperplane-LSH bucket assignments for one vector in one pass:
+  * `array<double>[dim] → array<int>[tables]`, where bucket bit `b` of
+  * table `t` is the sign of `Σ_d v(d) · planes(t)(b)(d)`.
+  *
+  * Why a custom Expression: the composed form — `tables × bits`
+  * separate literal-plane dot products OR an explode + broadcast-join
+  * matrix multiply — either blows past the JIT's method-size budget
+  * (64 inlined loops in one projection) or shuffles `N·dim·tables·bits`
+  * intermediate rows through two hash aggregates. This is one tight
+  * triple loop over a `double[][][]` reference object, well inside
+  * whole-stage codegen, making bucket assignment a pure narrow map at
+  * any scale.
+  *
+  * Contract: vectors that can't be scored — wrong length or a NULL
+  * element — get the all-ones fallback bucket in every table (rows must
+  * never vanish from the index); NULL input → NULL (callers coalesce).
+  * Plane values are embedded in the plan (deterministic seed upstream,
+  * [[graft.operators.Similarity.lshBucketsDf]]), so the expression is
+  * retry-stable and canonicalizable (`planes` is a Seq, value equality).
+  */
+case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.head.nonEmpty && planes.head.head.nonEmpty,
+    "planes must be (tables × bits × dim), all non-empty")
+  require(planes.head.length <= 30, "bits must fit an int bucket")
+
+  private val tables = planes.length
+  private val bits = planes.head.length
+  private val dim = planes.head.head.length
+  private val fallbackBucket = (1 << bits) - 1
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_buckets requires array<double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](tables)
+    var bad = v.numElements() != dim
+    var i = 0
+    while (!bad && i < dim) { if (v.isNullAt(i)) bad = true; i += 1 }
+    if (bad) {
+      java.util.Arrays.fill(out, fallbackBucket)
+    } else {
+      val x = v.toDoubleArray()
+      var t = 0
+      while (t < tables) {
+        var bucket = 0
+        var b = 0
+        while (b < bits) {
+          val p = mat(t)(b)
+          var s = 0.0
+          var d = 0
+          while (d < dim) { s += x(d) * p(d); d += 1 }
+          if (s >= 0) bucket |= (1 << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("lshPlanes", mat, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int[] $out = new int[$tables];
+         |boolean $bad = $a.numElements() != $dim;
+         |for (int $i = 0; !$bad && $i < $dim; $i++) {
+         |  if ($a.isNullAt($i)) $bad = true;
+         |}
+         |if ($bad) {
+         |  java.util.Arrays.fill($out, $fallbackBucket);
+         |} else {
+         |  double[] $x = $a.toDoubleArray();
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    int $bucket = 0;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      double[] $p = $matRef[$t][$b];
+         |      double $s = 0.0;
+         |      for (int $d = 0; $d < $dim; $d++) { $s += $x[$d] * $p[$d]; }
+         |      if ($s >= 0) $bucket |= (1 << $b);
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}

@@ -63,6 +63,37 @@ class PlanQualitySpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q24: self-join sides share one exchange (shingle pipeline runs once)") {
+    // the set_size window rides the same id-partitioning the shingle
+    // pipeline produces, so both self-join inputs are byte-identical
+    // plans — ReuseExchange must collapse them (a regression here
+    // doubles the most expensive pipeline in the corpus suite). At test
+    // SF the right side would broadcast (hiding the reuse), so pin the
+    // at-scale shape by disabling auto-broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.q24_ngram_jaccard(spark, dir)
+      df.collect() // finalize THIS QueryExecution's adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p.take(4000))
+      // the short-doc branch no longer unions (a union would erase the
+      // id-partitioning and force the dedup + set_size stages to
+      // re-shuffle the whole shingle set)
+      assert(!p.contains("Union"), p.take(4000))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
+    // one native LshBuckets expression + posexplode — the plan between
+    // scan and join must contain no Exchange on the corpus side other
+    // than the join's own (broadcast of queries + final top-k window)
+    val p = plan(SparkEntry.q27_ann_lsh(spark, dir))
+    assert(p.contains("graft_lsh_buckets"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to a product")
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._

@@ -47,10 +47,44 @@ class LongArrayDotSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
-  test("SQL surface via extension registration: graft_dotq") {
+  test("SQL surface via extension registration: graft_dotq/_dotd/_quantize") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT graft_dotq(array(1L,2L), array(3L,4L)) AS d").head()
     assert(r.getLong(0) == 11L)
+    val rd = spark.sql("SELECT graft_dotd(array(0.5D,2.0D), array(4.0D,3.0D)) AS d").head()
+    assert(rd.getDouble(0) == 8.0)
+    val rq = spark.sql("SELECT graft_quantize(array(1.5D, -0.25D)) AS q").head()
+    assert(rq.getSeq[Long](0) == Seq(1500000L, -250000L))
+  }
+
+  test("native double dot == interpreted dot, bit-for-bit (incl. ragged/null)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+      .select($"vec_id", $"embedding")
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        V.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        V.dotSlow(col("a.embedding"), col("b.embedding")).as("slow"))
+    // bit-exact equality (same accumulation order), not approximate
+    assert(pairs.filter(!($"fast" <=> $"slow")).isEmpty)
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),       // ragged
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null elem
+    ).toDF("a", "b")
+    assert(edge.select(V.dot($"a", $"b")).collect().forall(_.isNullAt(0)))
+  }
+
+  test("native quantize == transform-lambda quantize on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val q = emb.select(
+      V.quantize($"embedding").as("fast"), V.quantizeSlow($"embedding").as("slow"))
+    assert(q.filter(!($"fast" <=> $"slow")).isEmpty)
+    // null input and null elements survive identically
+    val edge = Seq(
+      (1, Option(Seq[java.lang.Double](1.5, null, -0.25))),
+      (2, None),
+    ).toDF("id", "v")
+    val e = edge.select(V.quantize($"v").as("fast"), V.quantizeSlow($"v").as("slow"))
+    assert(e.filter(!($"fast" <=> $"slow")).isEmpty)
   }
 
   test("expression participates in whole-stage codegen (not fallback)") {
