@@ -23,17 +23,31 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Deterministic centroid pick: the `nCentroids` corpus vectors with
-    * the smallest xxhash64(id) — stable across runs/executors, no
-    * collect of vector data beyond the centroid set itself.
+    * the smallest xxhash64(id) — stable across runs/executors. The
+    * top-k runs distributed (TakeOrdered: per-partition heaps, no
+    * global sort); only the winning `nCentroids` vectors — the coarse
+    * codebook, which every consumer broadcasts anyway — come to the
+    * driver, where the dense `centroid_id` is a local array index
+    * rather than a single-partition global window.
     */
-  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
-    df.select(col(idCol).as("centroid_pick_id"), col(vecCol).as("centroid_vec"))
+  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    val spark = df.sparkSession
+    val picked = df
+      .select(col(idCol).as("centroid_pick_id"), col(vecCol).as("centroid_vec"))
       .withColumn("__h", xxhash64(col("centroid_pick_id")))
       .orderBy(col("__h"))
       .limit(nCentroids)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("__h"))) - 1)
-      .drop("__h", "centroid_pick_id")
+    val vecType = picked.schema("centroid_vec").dataType
+    val rows = picked.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(r.fieldIndex("centroid_vec")), i)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_vec", vecType),
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 
   private def withQuant(df: DataFrame, vecCol: String, prefix: String): DataFrame =
     df.withColumn(s"${prefix}qv", V.quantize(col(vecCol)))

@@ -92,14 +92,26 @@ object Scd2Merge {
   }
 
   /** Continue a dense surrogate key: rows with a NULL `skCol` get
-    * `max(existing sk) + row_number()` ordered by the natural key —
+    * `max(existing sk) + rank` ordered by the natural key —
     * deterministic and insertion-order-free (SURVEY.md §7.4-6).
-    *
-    * Only the *new* rows (a day's increment) pass through the global
-    * row_number window; existing rows keep their key untouched, so the
-    * single-partition sort is bounded by increment size, not table size.
     * (Density is a reference contract — AUTO_INCREMENT — otherwise
-    * `monotonically_increasing_id()` would avoid the global sort.)
+    * `monotonically_increasing_id()` would do with no ordering work.)
+    *
+    * Distributed dense numbering (no global window — a
+    * `Window.orderBy` with no partitionBy moves every new row to ONE
+    * task): range-partition the new rows by the order keys (equal keys
+    * land together, partition i's keys all sort before partition
+    * i+1's), count rows per partition (one tiny job — this is exactly
+    * RDD.zipWithIndex's scheme, kept in DataFrame-land so the rows
+    * never leave Tungsten), then `global rank = partition offset +
+    * local row_number` with a *partitioned* window. Each partition
+    * sorts only its own slice; a billion-row increment spreads over
+    * the cluster.
+    *
+    * Both passes re-execute the range exchange, so the input lineage
+    * must be deterministic (parquet scan + filters — true for every
+    * caller here); Spark's RangePartitioner samples with fixed
+    * per-partition seeds, so the bounds agree across the two passes.
     */
   def assignSurrogateKeys(df: DataFrame, skCol: String, orderKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -107,8 +119,24 @@ object Scd2Merge {
     val fresh = df.filter(col(skCol).isNull)
     val maxSk: Long = Option(keyed.agg(max(col(skCol))).first().get(0))
       .map(_.toString.toLong).getOrElse(0L)
-    val rn = row_number().over(Window.orderBy(orderKeys.map(col): _*))
+    // explicit partition count: a by-num repartition is exempt from AQE
+    // partition coalescing, so __pid can't shift between the count pass
+    // and the assignment pass
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = fresh
+      .repartitionByRange(nParts, orderKeys.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = // exclusive prefix sums, one entry per non-empty partition
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+        .zip(counts).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val localRank = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(orderKeys.map(col): _*))
     keyed.unionByName(
-      fresh.withColumn(skCol, (lit(maxSk) + rn).cast("long")))
+      ranged
+        .withColumn(skCol,
+          lit(maxSk) + element_at(typedlit(offsets), col("__pid")) + localRank)
+        .drop("__pid"))
   }
 }
