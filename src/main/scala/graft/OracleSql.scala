@@ -13,8 +13,17 @@ package graft
   *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
   *    replace-all semantics.
   *
-  * q22/q23/q27 are omitted (xxhash64 signature families have no DuckDB
-  * equivalent) → driver records the weaker rows-only check.
+  * Sketch queries (q22 MinHash, q23 SimHash, q36 IVF, q37 corpus
+  * annotate) are exactly reproducible here because their hashing is the
+  * md5-derived [[graft.functions.AuditableHash]] family — `h60(s)` =
+  * first 15 hex chars of md5 as a BIGINT, with MinHash permutation
+  * constants regenerated in SQL from `md5('minhash:a:i')`. MinHash
+  * `est_jaccard` values are dyadic rationals (k/64), so the doubles
+  * compare exactly unrounded.
+  *
+  * Only q27 (Gaussian hyperplanes from a seeded JVM RNG) and q34 (HLL
+  * sketch internals) are omitted → driver records the weaker rows-only
+  * check; both have ScalaTest recall/accuracy assertions instead.
   */
 object OracleSql {
 
@@ -284,6 +293,108 @@ object OracleSql {
     WHERE len(list_intersect(a.shingles, b.shingles)) > 0
     ORDER BY id_a, id_b"""
 
+  /** h60 — must stay in lock-step with AuditableHash.duckH60. */
+  private def h60(expr: String) =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Tokens CTE body (lowercased) — the SQL mirror of TextFunctions.tokens. */
+  private val lowerToks = """
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+      FROM documents"""
+
+  /** Distinct 3-shingle rows per doc (short docs collapse to whole text;
+    * empty docs keep one '' shingle) — mirror of Dedup.shingleRows.
+    */
+  private val shingleRows = s"""
+    toks AS ($lowerToks),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' ')) END)) AS shingle
+      FROM toks)"""
+
+  /** MinHash signature CTEs (64 permutations of the auditable universal
+    * family) — produces `sig(doc_id, i, m)` and `sigfull(doc_id, sig)`.
+    */
+  private val minhashSig = s"""
+    hx AS (
+      SELECT doc_id, ${h60("shingle")} % 1073741824 AS h FROM sh),
+    perm AS (
+      SELECT i,
+             ${h60("'minhash:a:' || CAST(i AS VARCHAR)")} % 1073741823 + 1 AS a,
+             ${h60("'minhash:b:' || CAST(i AS VARCHAR)")} % 2147483647 AS b
+      FROM range(64) t(i)),
+    sig AS (
+      SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+      FROM hx CROSS JOIN perm
+      GROUP BY doc_id, i),
+    sigfull AS (
+      SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65), i -> siga[i] = sigb[i])) AS DOUBLE) / 64 AS est_jaccard
+      FROM (SELECT c.id_a, c.id_b, sa.sig AS siga, sb.sig AS sigb
+            FROM cand c
+            JOIN sigfull sa ON sa.doc_id = c.id_a
+            JOIN sigfull sb ON sb.doc_id = c.id_b))"""
+
+  private val q22 = s"""
+    WITH $shingleRows, $minhashSig,
+    pairs AS (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_candidates, max(est_jaccard) AS max_est_jaccard
+      FROM (SELECT id_a AS doc_id, est_jaccard FROM pairs
+            UNION ALL SELECT id_b AS doc_id, est_jaccard FROM pairs)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_candidates, 0) AS n_candidates,
+           coalesce(p.max_est_jaccard, 0.0) AS max_est_jaccard
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id"""
+
+  private val q23 = s"""
+    WITH toks AS ($lowerToks),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    th AS (SELECT doc_id, ${h60("'simhash:' || t")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT CAST(x AS INTEGER) AS b FROM range(60) t(x))
+      GROUP BY doc_id, b),
+    sig0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    sigs AS (
+      SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+    chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+      FROM sigs CROSS JOIN (SELECT CAST(x AS INTEGER) AS c FROM range(4) t(x))),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_near
+      FROM (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs)
+      GROUP BY doc_id)
+    SELECT s.doc_id, s.simhash, coalesce(p.n_near, 0) AS n_near
+    FROM sigs s LEFT JOIN perdoc p ON s.doc_id = p.doc_id
+    ORDER BY s.doc_id"""
+
   private val quantize =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
@@ -334,6 +445,107 @@ object OracleSql {
     SELECT query_id, id, cosine, rank
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
+
+  /** Quantized-cosine SQL over pre-aliased list columns `xq`,`yq` with
+    * norms `xn`,`yn` — mirror of VectorFunctions.cosineFromQuantized.
+    */
+  private def qcos(xq: String, yq: String, xn: String, yn: String) = s"""
+    CASE WHEN $xn = 0 OR $yn = 0 THEN 0.0
+         ELSE CAST(CAST(list_sum(list_transform(range(1, 65), i -> $xq[i] * $yq[i])) AS BIGINT) AS DOUBLE)
+              / (sqrt(CAST($xn AS DOUBLE)) * sqrt(CAST($yn AS DOUBLE))) END"""
+
+  private val q36 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qcell AS (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2 WHERE vec_id < 10) q CROSS JOIN cents),
+    probes AS (SELECT query_id, qq, qn2, centroid_id FROM qcell WHERE rn <= 4),
+    cand AS (
+      SELECT query_id, id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
+  private val q37 = s"""
+    WITH $shingleRows, $minhashSig,
+    neardup AS (
+      SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.8),
+    fp AS (
+      SELECT doc_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY $normFp) AS is_duplicate
+      FROM documents),
+    rawtoks AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tl
+      FROM documents),
+    feats AS (
+      SELECT doc_id, tl,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tl) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(tl, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / CAST(len(tl) AS DOUBLE) END AS sw_ratio,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS p_ratio
+      FROM rawtoks),
+    qual AS (
+      SELECT doc_id, n_tokens,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(sw_ratio * 4.0, 1.0) * 0.3
+                   + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3, 6) AS quality,
+             len(list_filter(tl, x -> x IN ('the','a','of','and','is'))) AS c_en,
+             len(list_filter(tl, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+             len(list_filter(tl, x -> x IN ('le','la','les','et','est'))) AS c_fr,
+             len(list_filter(tl, x -> x IN ('el','los','las','y','es'))) AS c_es,
+             len(list_filter(tl, x -> x IN ('của','và','là','không','người'))) AS c_vi
+      FROM feats)
+    SELECT q.doc_id,
+           f.is_duplicate,
+           n.doc_id IS NOT NULL AS is_near_duplicate,
+           q.n_tokens,
+           q.quality,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_vi) <= 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'es'
+                WHEN c_vi = greatest(c_en, c_de, c_fr, c_es, c_vi) THEN 'vi'
+                ELSE 'und' END AS lang_pred
+    FROM qual q
+    JOIN fp f ON f.doc_id = q.doc_id
+    LEFT JOIN neardup n ON n.doc_id = q.doc_id
+    ORDER BY q.doc_id"""
 
   private val q28 = """
     SELECT o_orderpriority, count(*) AS total_jobs,
@@ -494,6 +706,8 @@ object OracleSql {
     "q19_tumbling_window" -> q19,
     "q20_dedup_exact" -> q20,
     "q21_dedup_canonical" -> q21,
+    "q22_minhash_lsh" -> q22,
+    "q23_simhash" -> q23,
     "q24_ngram_jaccard" -> q24,
     "q25_embedding_neardup" -> q25,
     "q26_ann_topk" -> q26,
@@ -502,5 +716,7 @@ object OracleSql {
     "q30_quality" -> q30,
     "q31_corpus_stats" -> q31,
     "q32_recent_errors" -> q32,
+    "q36_ann_ivf" -> q36,
+    "q37_corpus_annotate" -> q37,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

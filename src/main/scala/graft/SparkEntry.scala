@@ -333,8 +333,10 @@ object SparkEntry {
       .select(col("doc_id"), col("content_fp"), col("canonical_id"), col("is_duplicate"))
       .orderBy(col("doc_id"))
 
-  /** MinHash+LSH near-dup summary per document (rows-only check — the
-    * xxhash64 signature family has no DuckDB equivalent).
+  /** MinHash+LSH near-dup summary per document — hash-match checked:
+    * the signature family is the md5-derived
+    * [[graft.functions.AuditableHash]], regenerated by the oracle in
+    * SQL, and est_jaccard values are exact dyadic rationals (k/64).
     */
   def q22_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -352,8 +354,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash signature + near-dup candidate count per document
-    * (rows-only check).
+  /** SimHash signature + near-dup candidate count per document —
+    * hash-match checked (60-bit auditable token hashes).
     */
   def q23_simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -476,7 +478,10 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
-  /** IVF ANN (the second scale path beside LSH; rows-only check). */
+  /** IVF ANN (the second scale path beside LSH) — hash-match checked:
+    * the centroid pick orders by the auditable hash, and assignment /
+    * probe / rank are exact fixed-point arithmetic the oracle mirrors.
+    */
   def q36_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
@@ -485,7 +490,8 @@ object SparkEntry {
   }
 
   /** Training-corpus annotation pipeline: dedup flags + near-dup +
-    * quality + language per document (rows-only — MinHash component).
+    * quality + language per document — hash-match checked end-to-end
+    * (the MinHash component rides the auditable family).
     */
   def q37_corpus_annotate(s: SparkSession, dir: String): DataFrame =
     CorpusJob.annotate(Tables.documents(s, dir))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{AuditableHash => H, TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard / embedding cosine: exact verification within
   *    blocked candidate groups only.
   *
-  * All hashing uses xxhash64 with literal per-function salts — stable
-  * across runs, executors, and Spark versions (no RNG at runtime).
+  * Sketch hashing (MinHash, SimHash) uses the md5-derived
+  * [[graft.functions.AuditableHash]] family — stable across runs,
+  * executors, and engines (no RNG at runtime), so signatures are
+  * reproducible by the SQL oracle bit-for-bit. Interior join keys that
+  * never surface in results (n-gram shingle ids) stay on xxhash64.
   */
 object Dedup {
 
@@ -89,12 +92,14 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs.
     *
     * Banding: `numHashes` values → `bands` bands of `numHashes/bands`
-    * rows; documents sharing any band hash become candidates; candidates
+    * rows; documents sharing any band key become candidates; candidates
     * are verified by the fraction of agreeing minhashes (the unbiased
-    * Jaccard estimate). Only (bandIdx, bandHash, id, sig) tuples are
+    * Jaccard estimate). Only (bandIdx, bandKey, id, sig) tuples are
     * shuffled — the join key space is band buckets, so the cross product
     * never materializes. Returns pairs `id_a < id_b` with `est_jaccard
-    * >= threshold`.
+    * >= threshold` (exact k/numHashes rationals — with numHashes a
+    * power of two they are dyadic, so the doubles are exact and
+    * oracle-comparable unrounded).
     */
   def minHashLsh(
       df: DataFrame,
@@ -107,31 +112,37 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    // signature = numHashes simulated permutations, each the min of
-    // xxhash64(salt_i, shingle) over the document's shingle set —
-    // computed as shingle rows + min-aggregates (codegen'd hash agg;
-    // a per-row array-expression form would interpret its lambdas)
+    // signature = numHashes simulated permutations of the auditable
+    // universal family: ONE md5 per shingle reduced to 30 bits, then
+    // numHashes integer multiply-adds, min-aggregated per doc
+    // (codegen'd hash agg; a per-row array-expression form would
+    // interpret its lambdas). Cheaper than numHashes independent
+    // hashes AND reproducible by the SQL oracle.
     val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
+      .withColumn("hx", H.base30(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      min(H.minhashPerm(i, col("hx"))).as(s"m$i"))
     val signed = sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
 
+    // band key = the raw `rows`-value slice (literal offsets — stays in
+    // codegen; no lambda). Joining on the value tuple instead of a hash
+    // of it costs rows*8 bytes of shuffle key and buys exactness: no
+    // band-hash collision can manufacture a candidate pair.
     val banded = signed.select(
       col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*))))
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rows + 1, rows)): _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
 
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
+        col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -145,33 +156,42 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: each token hashes to 64
-    * bits; bit b of the signature is 1 iff Σ_tokens (±1 for bit b) > 0.
-    * Pure per-row expression tree (fold over the token array).
+  /** SimHash signature width: 60 bits — the width of
+    * [[graft.functions.AuditableHash.h60]], so every bit of the token
+    * hash is oracle-reproducible. (4 more bits would need a second md5
+    * parse and buy ~nothing: near-dup discrimination saturates well
+    * below 60 bits.)
+    */
+  val SimHashBits = 60
+
+  /** SimHash over whitespace tokens: each token hashes to
+    * [[SimHashBits]] bits; bit b of the signature is 1 iff
+    * Σ_tokens (±1 for bit b) > 0. Pure per-row expression tree (fold
+    * over the token array).
     */
   def simHash(text: Column): Column = {
     val toks = T.tokens(lower(text))
     val counts = aggregate(
       toks,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimHashBits),
       (acc, t) => {
-        val h = xxhash64(lit(7L), t)
+        val h = H.h60(concat(lit("simhash:"), t))
         // static per-bit shifts (no Column-Column shift exists); unrolled
         // once at plan build, still one codegen'd expression per row
-        array((0 until 64).map { bit =>
+        array((0 until SimHashBits).map { bit =>
           element_at(acc, bit + 1) +
             when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
         }: _*)
       })
-    (0 until 64).map { bit =>
+    (0 until SimHashBits).map { bit =>
       when(element_at(counts, bit + 1) > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** [[simHash]] as a DataFrame op: explode tokens → 64 conditional-sum
-    * aggregates → pack sign bits. Same signature values as the column
-    * form, but the plan is a plain hash aggregate — the column form's
-    * per-token 64-slot array rebuild generates a huge codegen unit
+  /** [[simHash]] as a DataFrame op: explode tokens → conditional-sum
+    * aggregates per bit → pack sign bits. Same signature values as the
+    * column form, but the plan is a plain hash aggregate — the column
+    * form's per-token array rebuild generates a huge codegen unit
     * whose JIT compile time (~10s) dwarfs the actual work at test
     * scale, and whose per-token allocation hurts at every scale.
     * One shuffle on `idCol`.
@@ -179,13 +199,13 @@ object Dedup {
   def simHashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(T.tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(lit(7L), col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", H.h60(concat(lit("simhash:"), col("tok"))))
+    val bitSums = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"c$b")
     }
     val counts = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { b =>
+    val packed = (0 until SimHashBits).map { b =>
       when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     // empty/whitespace-only docs have no tokens → rejoin with simhash 0
@@ -194,7 +214,7 @@ object Dedup {
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
-  /** SimHash near-duplicate pairs: candidates share one of four 16-bit
+  /** SimHash near-duplicate pairs: candidates share one of four 15-bit
     * signature chunks (any pair within hamming distance <= maxHamming <=
     * ~3 shares a chunk by pigeonhole when distance < 4); verified by
     * exact popcount of the XOR. Shuffle key = (chunkIdx, chunkValue).
@@ -204,14 +224,14 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // 4 chunks of 16 bits guarantee a shared chunk only for distance
+    // 4 chunks of 15 bits guarantee a shared chunk only for distance
     // < 4 (pigeonhole); a larger threshold would silently miss pairs
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (<= 3)")
     val sigs = simHashDf(df, textCol, idCol).withColumnRenamed("simhash", "sim")
     val chunked = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("sim"), i * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     val a = chunked.as("a")

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Deterministic centroid pick: the `nCentroids` corpus vectors with
-    * the smallest xxhash64(id) — stable across runs/executors. The
+    * the smallest auditable hash of `"ivf:" + id`
+    * ([[graft.functions.AuditableHash.h60]] — md5-derived, so the SQL
+    * oracle reproduces the same pick). Stable across runs/executors. The
     * top-k runs distributed (TakeOrdered: per-partition heaps, no
     * global sort); only the winning `nCentroids` vectors — the coarse
     * codebook, which every consumer broadcasts anyway — come to the
@@ -34,7 +36,9 @@ object IvfIndex {
     val spark = df.sparkSession
     val picked = df
       .select(col(idCol).as("centroid_pick_id"), col(vecCol).as("centroid_vec"))
-      .withColumn("__h", xxhash64(col("centroid_pick_id")))
+      .withColumn("__h",
+        graft.functions.AuditableHash.h60(
+          concat(lit("ivf:"), col("centroid_pick_id").cast("string"))))
       .orderBy(col("__h"))
       .limit(nCentroids)
     val vecType = picked.schema("centroid_vec").dataType

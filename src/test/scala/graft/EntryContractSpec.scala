@@ -10,10 +10,9 @@ class EntryContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("oracle coverage: only xxhash-based ops lack an oracle") {
+  test("oracle coverage: only RNG-planes and HLL-sketch ops lack an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
-      "q34_approx_distinct", "q36_ann_ivf", "q37_corpus_annotate"),
+    assert(rowsOnly == Set("q27_ann_lsh", "q34_approx_distinct"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
