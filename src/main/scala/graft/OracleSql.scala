@@ -680,6 +680,24 @@ object OracleSql {
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start"""
 
+  private val q40 = s"""
+    WITH sampled AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE ${h60("'stratified:' || CAST(doc_id AS VARCHAR)")}
+            < CASE WHEN lang = 'en' THEN 576460752303423488
+                   WHEN lang = 'de' THEN 288230376151711744
+                   ELSE 1152921504606846976 END),
+    drawn AS (
+      SELECT doc_id, lang, source,
+             CAST(${h60("'split:' || source")} AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM sampled)
+    SELECT doc_id, lang, source,
+           CASE WHEN u < 0.1 THEN 'test'
+                WHEN u < 0.2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM drawn
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -718,5 +736,6 @@ object OracleSql {
     "q32_recent_errors" -> q32,
     "q36_ann_ivf" -> q36,
     "q37_corpus_annotate" -> q37,
+    "q40_sample_split" -> q40,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -520,6 +520,21 @@ object SparkEntry {
     graft.streaming.EventStream.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Deterministic corpus sampling + leakage-free splitting: stratified
+    * per-language keep rates keyed on doc_id, then a group-stable
+    * train/val/test split keyed on `source` (all docs of one source land
+    * in one fold). Pure narrow maps over the auditable hash — no RNG,
+    * no shuffle; the oracle reproduces membership exactly.
+    */
+  def q40_sample_split(s: SparkSession, dir: String): DataFrame = {
+    val sampled = Sampling.stratified(Tables.documents(s, dir),
+      keyCol = "doc_id", stratumCol = "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 1.0)
+    Sampling.split(sampled, groupCol = "source", valFrac = 0.1, testFrac = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,6 +577,7 @@ object SparkEntry {
     "q37_corpus_annotate" -> (q37_corpus_annotate _),
     "q38_salted_agg" -> (q38_salted_agg _),
     "q39_sessionize" -> (q39_sessionize _),
+    "q40_sample_split" -> (q40_sample_split _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

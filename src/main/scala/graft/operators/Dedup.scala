@@ -308,6 +308,49 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Embedding near-dup at 100 TB: blocking comes from hyperplane-LSH
+    * buckets ([[Similarity.lshBucketsDf]]) instead of a pre-existing
+    * label — the corpus needs no blocking column at all. A pair is
+    * considered iff it collides in at least one of `tables` hash
+    * tables, then verified with the exact fixed-point cosine; false
+    * positives cost one integer dot, false negatives are the recall
+    * trade `bits`/`tables` tunes (recall asserted vs the exact path in
+    * DedupSpec).
+    *
+    * Shuffle shape: bucket rows carry the quantized vector, so the
+    * self-join's two sides are the *identical* plan — one exchange,
+    * computed once (ReuseExchange) — and no post-hoc vector-fetch
+    * joins. Bucket skew (dense regions of embedding space) is the
+    * pathological case: `spark.sql.adaptive.skewJoin` splits hot
+    * buckets at runtime.
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val bk = Similarity.lshBucketsDf(df.sparkSession,
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, dim, bits, tables, seed)
+      .select(col("id"), col("table"), col("bucket"), V.quantize(col("v")).as("qv"))
+      .withColumn("n2", V.dotQ(col("qv"), col("qv")))
+    bk.as("a").join(bk.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.qv").as("qa"), col("b.qv").as("qb"),
+        col("a.n2").as("n2a"), col("b.n2").as("n2b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(
+        V.cosineFromQuantized(col("qa"), col("qb"), col("n2a"), col("n2b")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** [[embeddingNearDup]] with the fixed-point cosine, restructured for
     * the O(pairs) join: vectors quantize and norm ONCE per row before
     * the join; each pair costs a single integer dot product. Same

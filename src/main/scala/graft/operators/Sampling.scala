@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{AuditableHash => H}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-stable sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: resampling the same
+  * row set after a repartition, a retry, or on another engine yields a
+  * *different* subset — unacceptable for reproducible corpus builds
+  * and train/test hygiene. Everything here instead derives the draw
+  * from [[graft.functions.AuditableHash.h60]] of a key column, so:
+  *
+  *  - membership is a pure function of the key — stable across runs,
+  *    partitionings, engines (the DuckDB oracle reproduces it exactly);
+  *  - it is a narrow map: no shuffle, no RNG state, embarrassingly
+  *    parallel at any scale;
+  *  - correlated rows (all chunks of one document, all examples of one
+  *    user) stay together by hashing the *group* key — the standard
+  *    guard against train/test leakage.
+  *
+  * The unit interval is modeled as h60's domain [0, 2^60): a rate r
+  * maps to the threshold floor(r·2^60).
+  */
+object Sampling {
+
+  private val Domain = 1L << 60
+
+  /** `u01(c) ∈ [0,1)` — the key's deterministic uniform draw. */
+  def u01(c: Column, salt: String): Column =
+    H.h60(concat(lit(salt + ":"), c.cast("string"))).cast("double") / lit(Domain.toDouble)
+
+  private def below(c: Column, salt: String, rate: Double): Column =
+    H.h60(concat(lit(salt + ":"), c.cast("string"))) < lit(math.floor(rate * Domain).toLong)
+
+  /** Bernoulli sample at `rate` keyed on `keyCol`: a row is kept iff
+    * h60(salt:key) < rate·2^60. Same key ⇒ same verdict, always.
+    */
+  def bernoulli(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = "sample"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
+    df.filter(below(col(keyCol), salt, rate))
+  }
+
+  /** Stratified sample: per-stratum rates (e.g. downsample English,
+    * keep all Vietnamese). Strata absent from `rates` fall back to
+    * `defaultRate`. One narrow map — the rate lookup is a literal
+    * map, not a join.
+    */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "stratified"): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val thresh = rates.foldLeft(lit(math.floor(defaultRate * Domain).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === lit(stratum),
+          lit(math.floor(r * Domain).toLong)).otherwise(acc)
+    }
+    df.filter(
+      H.h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) < thresh)
+  }
+
+  /** Leakage-free split: every row gains a `split` column in
+    * {train, val, test} decided by the *group* key's draw, so all rows
+    * of a group land in the same fold. `valFrac`/`testFrac` are carved
+    * off the top of the unit interval; the rest is train.
+    */
+  def split(df: DataFrame, groupCol: String,
+      valFrac: Double, testFrac: Double,
+      salt: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      s"invalid fractions val=$valFrac test=$testFrac")
+    val u = u01(col(groupCol), salt)
+    df.withColumn("split",
+      when(u < lit(testFrac), lit("test"))
+        .when(u < lit(testFrac + valFrac), lit("val"))
+        .otherwise(lit("train")))
+  }
+}

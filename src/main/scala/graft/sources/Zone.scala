@@ -55,4 +55,25 @@ object Zone {
     if (f.exists(target)) f.delete(target, true)
     require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
+
+  /** Bucketed catalog table: pre-partition on `keys` at write time so
+    * every later equi-join or aggregation on those keys runs with ZERO
+    * exchange — the answer to "this daily fact↔fact join shuffles 100 TB
+    * every run". Both join sides bucketed `buckets`-ways on the same
+    * keys ⇒ Catalyst plans a sort-merge join over the existing file
+    * buckets (PlanQualitySpec asserts the shuffle-free plan). `sortBy`
+    * additionally pre-orders within buckets, shaving the SMJ sort.
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable` — a
+    * bare parquet path has nowhere to record it). Choose `buckets` ≈
+    * cluster cores × small integer; it is fixed at write time, so size
+    * for the table's target scale, not today's.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -94,6 +94,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to a product")
   }
 
+  test("bucketed tables: co-bucketed equi-join plans with zero exchange") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the at-scale (non-broadcast) shape
+      graft.sources.Zone.writeBucketed(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "bk_orders", Seq("o_custkey"), buckets = 8)
+      graft.sources.Zone.writeBucketed(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        "bk_customer", Seq("c_custkey"), buckets = 8)
+      val joined = spark.table("bk_orders").join(spark.table("bk_customer"),
+        col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join should not shuffle either side: ${p.take(3000)}")
+      assert(p.contains("SelectedBucketsCount"), "scan is not bucket-aware")
+    } finally {
+      spark.conf.set(key, old)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_customer")
+    }
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._

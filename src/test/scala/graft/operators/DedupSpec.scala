@@ -66,4 +66,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L))) // 1-3 orthogonal, 1-4 blocked apart
   }
+
+  test("LSH-blocked near-dup: high recall vs exact on real embeddings, no spurious pairs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("all", lit(0))
+    val exact = Dedup.embeddingNearDupQuantized(emb, "embedding", "vec_id", "all", 0.5)
+      .select("id_a", "id_b", "cosine")
+    val lsh = Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.5,
+      dim = 64, bits = 6, tables = 12)
+    val exactPairs = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = lsh.collect()
+    val lshPairs = lshRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair is a true pair (exact verification) with the same cosine
+    assert(lshPairs.subsetOf(exactPairs))
+    val exactCos = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lshRows.foreach(r => assert(exactCos((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+    // and recall is usable at these (bits, tables)
+    if (exactPairs.nonEmpty) {
+      val recall = lshPairs.size.toDouble / exactPairs.size
+      assert(recall >= 0.6, s"recall $recall over ${exactPairs.size} true pairs")
+    }
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, dir)
+
+  test("bernoulli: deterministic under repartition and re-evaluation") {
+    val a = Sampling.bernoulli(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.bernoulli(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("bernoulli: samples are nested as rate grows (same salt)") {
+    val small = Sampling.bernoulli(docs, "doc_id", 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val big   = Sampling.bernoulli(docs, "doc_id", 0.6).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("bernoulli: rate is approximately honored") {
+    val n = docs.count().toDouble
+    val kept = Sampling.bernoulli(docs, "doc_id", 0.5).count().toDouble
+    assert(math.abs(kept / n - 0.5) < 0.1, s"kept ${kept / n}")
+  }
+
+  test("stratified: per-stratum rates; absent strata use default") {
+    val out = Sampling.stratified(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.0), defaultRate = 1.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("en"))
+    // default 1.0 keeps every non-en row
+    assert(out.count() == docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
+  }
+
+  test("split: exhaustive, deterministic, and group-cohesive") {
+    val out = Sampling.split(docs, "source", valFrac = 0.25, testFrac = 0.25)
+    assert(out.count() == docs.count())
+    val perGroup = out.groupBy("source").agg(countDistinct("split").as("n"))
+    assert(perGroup.filter(col("n") > 1).isEmpty, "a source spans folds")
+    val folds = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(folds.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("split: changing the salt reshuffles membership") {
+    val a = Sampling.split(docs, "source", 0.3, 0.3, salt = "s1")
+    val b = Sampling.split(docs, "source", 0.3, 0.3, salt = "s2")
+    val moved = a.select(col("doc_id"), col("split").as("sa"))
+      .join(b.select(col("doc_id"), col("split").as("sb")), "doc_id")
+      .filter(col("sa") =!= col("sb"))
+    assert(moved.count() > 0)
+  }
+}
