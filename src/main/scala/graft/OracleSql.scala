@@ -21,9 +21,13 @@ package graft
   * `est_jaccard` values are dyadic rationals (k/64), so the doubles
   * compare exactly unrounded.
   *
-  * Only q27 (Gaussian hyperplanes from a seeded JVM RNG) and q34 (HLL
-  * sketch internals) are omitted → driver records the weaker rows-only
-  * check; both have ScalaTest recall/accuracy assertions instead.
+  * q27's hyperplane buckets are exact integer facts (fixed-point
+  * LshBuckets), so its oracle embeds the quantized plane matrix as
+  * literals and recomputes the buckets in SQL.
+  *
+  * Only q34 (HLL sketch internals are engine-specific by nature) is
+  * omitted → driver records the weaker rows-only check; its accuracy
+  * is asserted against the exact count in ScalaTest instead.
   */
 object OracleSql {
 
@@ -680,6 +684,61 @@ object OracleSql {
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start"""
 
+  /** The q27 hyperplanes, quantized exactly as the LshBuckets
+    * expression quantizes them (floor(coef·2^20)) and embedded as
+    * literals — one definition of bucket identity shared with the
+    * engine (Similarity.planeMatrix is the single source of the
+    * Gaussian draws).
+    */
+  private val q27Planes: String = {
+    val planes = graft.operators.Similarity.planeMatrix(
+      dim = 64, bits = 8, tables = 8, seed = 42L)
+    (for { t <- planes.indices; b <- planes(t).indices } yield {
+      val qcs = planes(t)(b).map(graft.plans.LshBuckets.quant)
+        .mkString("[", ",", "]")
+      s"($t, $b, $qcs)"
+    }).mkString(", ")
+  }
+
+  private val q27 = s"""
+    WITH planes(t, b, qc) AS (VALUES $q27Planes),
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS lx,
+             $quantize AS qe
+      FROM embeddings),
+    n2 AS (
+      SELECT vec_id, lx, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM emb),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> lx[i] * qc[i])) AS BIGINT) >= 0
+                      THEN (1 << b) ELSE 0 END) AS INTEGER) AS bucket
+      FROM n2 CROSS JOIN planes
+      GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+      FROM buckets c JOIN buckets q ON c.t = q.t AND c.bucket = q.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    paired AS (
+      SELECT cand.query_id, cand.id,
+             cv.qe AS aq, cv.n2v AS an2, qv.qe AS qq, qv.n2v AS qn2
+      FROM cand
+      JOIN n2 cv ON cv.vec_id = cand.id
+      JOIN n2 qv ON qv.vec_id = cand.query_id),
+    sc AS (
+      SELECT query_id, id, round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM paired),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM sc)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   private val q40 = s"""
     WITH sampled AS (
       SELECT doc_id, lang, source FROM documents
@@ -729,6 +788,7 @@ object OracleSql {
     "q24_ngram_jaccard" -> q24,
     "q25_embedding_neardup" -> q25,
     "q26_ann_topk" -> q26,
+    "q27_ann_lsh" -> q27,
     "q28_mart_agg" -> q28,
     "q29_langid" -> q29,
     "q30_quality" -> q30,

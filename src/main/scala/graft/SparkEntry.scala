@@ -395,8 +395,11 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN (the 100 TB scale path; rows-only check, recall
-    * asserted against the exact baseline in ScalaTest).
+  /** LSH-bucketed ANN (the 100 TB scale path) — hash-match checked:
+    * buckets are fixed-point integer facts, the oracle recomputes them
+    * from the embedded quantized plane literals, and candidate scores
+    * use the exact quantized cosine. Recall vs the exact baseline is
+    * additionally asserted in ScalaTest.
     */
   def q27_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -95,11 +95,7 @@ object Similarity {
       tables: Int,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // same plane sequence as always: Gaussian draws in (t, b, d) order
-    val rnd = new scala.util.Random(seed)
-    val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-      IndexedSeq.tabulate(tables)(_ =>
-        IndexedSeq.tabulate(bits)(_ => IndexedSeq.fill(dim)(rnd.nextGaussian())))
+    val planes = planeMatrix(dim, bits, tables, seed)
 
     val allBuckets = coalesce(
       ColumnBridge.column(graft.plans.LshBuckets(
@@ -111,9 +107,24 @@ object Similarity {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** The deterministic hyperplane matrix: Gaussian draws from
+    * `Random(seed)` in (table, bit, dim) order. Shared by
+    * [[lshBucketsDf]] and the SQL oracle (which embeds the quantized
+    * coefficients as literals), so bucket identity is one definition.
+    */
+  def planeMatrix(dim: Int, bits: Int, tables: Int,
+      seed: Long): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.tabulate(tables)(_ =>
+      IndexedSeq.tabulate(bits)(_ => IndexedSeq.fill(dim)(rnd.nextGaussian())))
+  }
+
   /** LSH-bucketed ANN: `tables` independent hash tables of `bits`
     * hyperplane bits each. A corpus row is scored for a query iff they
-    * collide in at least one table. Returns the same schema as
+    * collide in at least one table; candidates are verified with the
+    * exact fixed-point cosine (quantize once per row, one integer dot
+    * per pair — same arithmetic as [[bruteForceTopKQuantized]], so the
+    * scores are engine-exact). Returns the same schema as
     * [[bruteForceTopK]] (per-query top-k among candidates).
     */
   def lshTopK(
@@ -126,27 +137,30 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      lshBucketsDf(spark,
-        df.select(col(id), col(vec)), id, vec, dim, bits, tables)
-        .select(col("id").as(id), col("v").as(vec), col("table"), col("bucket"))
+    def bucketed(df: DataFrame, outId: String, qv: String, n2: String): DataFrame =
+      lshBucketsDf(spark, df, "id", vecCol, dim, bits, tables)
+        .select(col("id").as(outId), col("table"), col("bucket"),
+          V.quantize(col("v")).as(qv))
+        .withColumn(n2, V.dotQ(col(qv), col(qv)))
 
-    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id", "cv")
-      .as("c")
-    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv").as("q")
+    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol)),
+      "id", "cqv", "cn2").as("c")
+    val q = bucketed(queries.select(col(idCol).as("id"), col(vecCol)),
+      "query_id", "qqv", "qn2").as("q")
 
     val cand = c.join(broadcast(q),
         col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket") &&
         col("c.id") =!= col("q.query_id"))
-      .select(col("c.id").as("id"), col("c.cv").as("cv"),
-        col("q.query_id").as("query_id"), col("q.qv").as("qv"))
+      .select(col("c.id").as("id"), col("q.query_id").as("query_id"),
+        col("c.cqv").as("cqv"), col("c.cn2").as("cn2"),
+        col("q.qqv").as("qqv"), col("q.qn2").as("qn2"))
       .dropDuplicates("id", "query_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     cand
-      .withColumn("cosine", round(V.cosine(col("cv"), col("qv")), 6))
+      .withColumn("cosine", round(
+        V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")

@@ -8,16 +8,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** All hyperplane-LSH bucket assignments for one vector in one pass:
   * `array<double>[dim] → array<int>[tables]`, where bucket bit `b` of
-  * table `t` is the sign of `Σ_d v(d) · planes(t)(b)(d)`.
+  * table `t` is the sign of the *fixed-point* dot
+  * `Σ_d floor(v(d)·2^20) · floor(planes(t)(b)(d)·2^20)`.
   *
   * Why a custom Expression: the composed form — `tables × bits`
   * separate literal-plane dot products OR an explode + broadcast-join
   * matrix multiply — either blows past the JIT's method-size budget
   * (64 inlined loops in one projection) or shuffles `N·dim·tables·bits`
   * intermediate rows through two hash aggregates. This is one tight
-  * triple loop over a `double[][][]` reference object, well inside
+  * triple loop over a `long[][][]` reference object, well inside
   * whole-stage codegen, making bucket assignment a pure narrow map at
   * any scale.
+  *
+  * Why fixed-point: a double accumulation's sign can depend on summation
+  * order near zero, so bucket identity would be engine- and
+  * fusion-order-dependent. Quantizing both operands to 2^20 (|v|,|coef|
+  * ≲ 8 ⇒ products < 2^46, 4096-dim sums < 2^58 — no overflow) makes
+  * every bucket an exact integer fact any engine reproduces — the
+  * DuckDB oracle recomputes q27's buckets from the same quantized plane
+  * literals. The hashing quality is untouched (hyperplanes are random;
+  * perturbing them by 2^-20 is another random hyperplane).
   *
   * Contract: vectors that can't be scored — wrong length or a NULL
   * element — get the all-ones fallback bucket in every table (rows must
@@ -38,8 +48,8 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
   private val dim = planes.head.head.length
   private val fallbackBucket = (1 << bits) - 1
 
-  @transient private lazy val mat: Array[Array[Array[Double]]] =
-    planes.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val mat: Array[Array[Array[Long]]] =
+    planes.map(_.map(_.map(LshBuckets.quant).toArray).toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -59,17 +69,22 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     if (bad) {
       java.util.Arrays.fill(out, fallbackBucket)
     } else {
-      val x = v.toDoubleArray()
+      val x = new Array[Long](dim)
+      var d0 = 0
+      while (d0 < dim) {
+        x(d0) = math.floor(v.getDouble(d0) * LshBuckets.Scale).toLong
+        d0 += 1
+      }
       var t = 0
       while (t < tables) {
         var bucket = 0
         var b = 0
         while (b < bits) {
           val p = mat(t)(b)
-          var s = 0.0
+          var s = 0L
           var d = 0
           while (d < dim) { s += x(d) * p(d); d += 1 }
-          if (s >= 0) bucket |= (1 << b)
+          if (s >= 0L) bucket |= (1 << b)
           b += 1
         }
         out(t) = bucket
@@ -80,7 +95,7 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("lshPlanes", mat, "double[][][]")
+    val matRef = ctx.addReferenceObj("lshPlanes", mat, "long[][][]")
     nullSafeCodeGen(ctx, ev, a => {
       val out = ctx.freshName("out")
       val bad = ctx.freshName("bad")
@@ -101,14 +116,17 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
          |if ($bad) {
          |  java.util.Arrays.fill($out, $fallbackBucket);
          |} else {
-         |  double[] $x = $a.toDoubleArray();
+         |  long[] $x = new long[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $x[$i] = (long) java.lang.Math.floor($a.getDouble($i) * ${LshBuckets.Scale}.0);
+         |  }
          |  for (int $t = 0; $t < $tables; $t++) {
          |    int $bucket = 0;
          |    for (int $b = 0; $b < $bits; $b++) {
-         |      double[] $p = $matRef[$t][$b];
-         |      double $s = 0.0;
+         |      long[] $p = $matRef[$t][$b];
+         |      long $s = 0L;
          |      for (int $d = 0; $d < $dim; $d++) { $s += $x[$d] * $p[$d]; }
-         |      if ($s >= 0) $bucket |= (1 << $b);
+         |      if ($s >= 0L) $bucket |= (1 << $b);
          |    }
          |    $out[$t] = $bucket;
          |  }
@@ -120,4 +138,16 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
+}
+
+object LshBuckets {
+  /** Fixed-point scale 2^20 for both the vector and the plane
+    * coefficients — shared with the SQL oracle's quantization.
+    */
+  val Scale: Long = 1L << 20
+
+  /** Quantize one plane coefficient — the oracle embeds exactly these
+    * longs as literals.
+    */
+  def quant(c: Double): Long = math.floor(c * Scale).toLong
 }

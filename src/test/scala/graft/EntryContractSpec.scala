@@ -10,9 +10,9 @@ class EntryContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("oracle coverage: only RNG-planes and HLL-sketch ops lack an oracle") {
+  test("oracle coverage: only the HLL sketch op lacks an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q27_ann_lsh", "q34_approx_distinct"),
+    assert(rowsOnly == Set("q34_approx_distinct"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
