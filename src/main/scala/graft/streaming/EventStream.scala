@@ -148,6 +148,27 @@ object EventStream {
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
       .drop(dimKey)
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]] for a continuously-arriving
+    * corpus: keep the first occurrence of each key (e.g. a content
+    * digest `md5(text)`), drop every later one that arrives within the
+    * watermark of the first. `dropDuplicatesWithinWatermark` keys the
+    * state store on `keys` only (not the event time), so two
+    * byte-identical documents with different arrival timestamps still
+    * collapse; state for keys older than the watermark is evicted —
+    * bounded memory at any scale. Semantic trades vs the batch
+    * [[graft.operators.Dedup.exact]]: a duplicate arriving later than
+    * the watermark horizon re-admits, and *which* row represents a key
+    * is first-seen order (within one micro-batch that is partition
+    * arrival order, not necessarily the earliest event time — batch
+    * dedup's deterministic min-id canonical pick needs the whole group
+    * in hand, which is exactly what a stream never has).
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Run a streaming query to completion over existing files
     * (Trigger.AvailableNow = the daily cron batch, exactly-once on the
     * checkpoint).

@@ -95,6 +95,37 @@ class EventStreamSpec extends SparkSpec {
       sess(0).getAs[Double]("total_value") == 7.0)
   }
 
+  test("streaming dedup: first occurrence survives, later duplicates drop, state bounded by watermark") {
+    val base = tmpDir("dedupstream")
+    val inDir = s"$base/in"
+    // documents arriving as a stream: doc digest = dedup key
+    val docs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "alpha content"),
+      (2L, ts("2024-01-01 10:05:00"), "beta content"),
+      (3L, ts("2024-01-01 10:07:00"), "alpha content"), // dup of 1, within watermark
+      (4L, ts("2024-01-01 12:00:00"), "gamma content"),
+    ).toDF("doc_id", "ts", "text")
+    docs.write.parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(inDir)
+      .withColumn("digest", md5($"text"))
+    val deduped = EventStream.dedupStream(stream, Seq("digest"), "ts", "1 hour")
+    val q = EventStream.runAvailableNow(deduped, s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$base/out")
+    // exactly one survivor per distinct digest (which of 1/3 represents
+    // the 'alpha' group is arrival order within the micro-batch — the
+    // operator's contract is one representative, not a canonical pick)
+    assert(out.count() == 3)
+    assert(out.select("digest").distinct().count() == 3)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(2L) && ids.contains(4L))
+    assert(ids.contains(1L) ^ ids.contains(3L))
+  }
+
   test("stream-static enrichment joins a broadcast dimension per micro-batch") {
     val base = tmpDir("enrich")
     val inDir = s"$base/in"
