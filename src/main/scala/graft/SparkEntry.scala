@@ -342,8 +342,13 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2)
-    val perDoc = pairs.select(col("id_a").as("doc_id"), col("est_jaccard"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col("est_jaccard")))
+    // both pair endpoints in ONE pass over the pair set — a union of two
+    // projections would recompute the whole MinHash pipeline per branch
+    // (shared subtrees re-execute; only exchanges get reused)
+    val perDoc = pairs.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("est_jaccard")),
+        struct(col("id_b").as("doc_id"), col("est_jaccard")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.est_jaccard").as("est_jaccard"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"), max(col("est_jaccard")).as("max_est_jaccard"))
     docs.select(col("doc_id"))
@@ -360,8 +365,9 @@ object SparkEntry {
   def q23_simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
-    val perDoc = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id")))
+    // single pass over the pair set (see q22's endpoint explode note)
+    val perDoc = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
     Dedup.simHashDf(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")

@@ -138,22 +138,21 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
+    // est_jaccard is computed on the collision row (before the pair
+    // dedup) so the dedup aggregates three scalars — carrying the two
+    // signature arrays through dropDuplicates would force a
+    // SortAggregate with first(array) on every pair
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
-
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** SimHash signature width: 60 bits — the width of
@@ -241,11 +240,9 @@ object Dedup {
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Exact n-gram Jaccard similarity between all pairs within a blocking
