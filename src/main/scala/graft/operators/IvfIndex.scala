@@ -59,14 +59,23 @@ object IvfIndex {
 
   /** Assign every vector to its nearest centroid (max quantized cosine,
     * ties to the lower centroid id). Broadcast join + per-row argmax —
-    * no shuffle of the corpus; vectors quantize once, each
-    * (row, centroid) pair costs one native integer dot.
+    * vectors quantize once, each (row, centroid) pair costs one native
+    * integer dot.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
     assignQ(df, idCol, vecCol, cents).drop("__vqv", "__vn2")
 
   /** [[assign]] keeping the quantized vector + squared norm columns
     * (`__vqv`, `__vn2`) so [[topK]] doesn't quantize the corpus twice.
+    *
+    * The argmax is `groupBy(max_by)` rather than a row_number window:
+    * the broadcast join amplifies the corpus ×nCentroids, and a window
+    * would shuffle+sort ALL of it — the hash aggregate's partial phase
+    * collapses each vector's centroid rows to one on the map side (they
+    * were generated colocated from one input row), so the exchange
+    * carries N rows, not N×nCentroids. Tie-break: max of
+    * (sim, -centroid_id) struct ⇒ lowest centroid id wins equal sims,
+    * matching the oracle's `ORDER BY sim DESC, centroid_id ASC`.
     */
   private def assignQ(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
@@ -74,11 +83,14 @@ object IvfIndex {
       .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
       .withColumn("__sim", V.cosineFromQuantized(
         col("__vqv"), col("__cqv"), col("__vn2"), col("__cn2")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid_vec", "__cqv", "__cn2")
+    val keep = scored.columns.filter(c =>
+      c != idCol && c != "__sim" && c != "centroid_vec" &&
+      c != "__cqv" && c != "__cn2")
+    scored
+      .groupBy(col(idCol))
+      .agg(max_by(struct(keep.map(col).toIndexedSeq: _*),
+        struct(col("__sim"), (-col("centroid_id")).as("neg_cid"))).as("__best"))
+      .select(col(idCol) +: keep.map(c => col(s"__best.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Probe: per query keep the `nProbe` closest centroids, scan only
