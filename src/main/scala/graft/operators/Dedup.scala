@@ -101,6 +101,65 @@ object Dedup {
     * power of two they are dyadic, so the doubles are exact and
     * oracle-comparable unrounded).
     */
+  /** Banded MinHash signature rows `(id, sig, band, band_key)` — the
+    * persistable LSH *index* form: write it once per corpus (partition
+    * by `band` at scale), and incremental batches join against it
+    * ([[minHashLshIncremental]]) instead of recomputing the corpus.
+    *
+    * signature = numHashes simulated permutations of the auditable
+    * universal family: ONE md5 per shingle reduced to 30 bits, then
+    * numHashes integer multiply-adds, min-aggregated per doc
+    * (codegen'd hash agg; a per-row array-expression form would
+    * interpret its lambdas). Cheaper than numHashes independent
+    * hashes AND reproducible by the SQL oracle.
+    *
+    * band key = the raw `rows`-value slice (literal offsets — stays in
+    * codegen; no lambda). Joining on the value tuple instead of a hash
+    * of it costs rows*8 bytes of shuffle key and buys exactness: no
+    * band-hash collision can manufacture a candidate pair.
+    */
+  def bandedSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
+      .withColumn("hx", H.base30(col("shingle")))
+    val mins = (0 until numHashes).map(i =>
+      min(H.minhashPerm(i, col("hx"))).as(s"m$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(
+        col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** est_jaccard on the collision row (before the pair dedup) so the
+    * dedup aggregates three scalars — carrying the two signature arrays
+    * through dropDuplicates would force a SortAggregate with
+    * first(array) on every pair.
+    */
+  private def verifiedPairs(a: DataFrame, b: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame =
+    a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("est_jaccard") >= threshold)
+
   def minHashLsh(
       df: DataFrame,
       textCol: String,
@@ -109,46 +168,36 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    val banded = bandedSignatures(df, textCol, idCol, shingleSize, numHashes, bands)
+    verifiedPairs(banded, banded, numHashes, threshold)
+  }
 
-    // signature = numHashes simulated permutations of the auditable
-    // universal family: ONE md5 per shingle reduced to 30 bits, then
-    // numHashes integer multiply-adds, min-aggregated per doc
-    // (codegen'd hash agg; a per-row array-expression form would
-    // interpret its lambdas). Cheaper than numHashes independent
-    // hashes AND reproducible by the SQL oracle.
-    val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
-      .withColumn("hx", H.base30(col("shingle")))
-    val mins = (0 until numHashes).map(i =>
-      min(H.minhashPerm(i, col("hx"))).as(s"m$i"))
-    val signed = sh.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-
-    // band key = the raw `rows`-value slice (literal offsets — stays in
-    // codegen; no lambda). Joining on the value tuple instead of a hash
-    // of it costs rows*8 bytes of shuffle key and buys exactness: no
-    // band-hash collision can manufacture a candidate pair.
-    val banded = signed.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        slice(col("sig"), b * rows + 1, rows)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-
-    // est_jaccard is computed on the collision row (before the pair
-    // dedup) so the dedup aggregates three scalars — carrying the two
-    // signature arrays through dropDuplicates would force a
-    // SortAggregate with first(array) on every pair
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+  /** Incremental near-dup: pairs *involving a new document* — new×index
+    * and new×new — against a pre-built [[bandedSignatures]] index. The
+    * daily 1% increment costs a join of its own bands against the
+    * band-partitioned index, not a recompute of the corpus self-join;
+    * old×old pairs were already emitted when their documents arrived.
+    * `batch == oldPairs ∪ incremental` exactly (DedupSpec property).
+    * Callers then append `newBanded` to the index (same schema).
+    */
+  def minHashLshIncremental(
+      indexBanded: DataFrame,
+      newBanded: DataFrame,
+      numHashes: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    val all = indexBanded.unionByName(newBanded)
+    // ONE join with the new side driving (a new id can be either end of
+    // a pair, so the condition is ≠ and least/greatest normalizes the
+    // orientation — running two <-joins instead would re-execute both
+    // pipelines per orientation). new×new collisions appear once per
+    // orientation; dropDuplicates collapses them.
+    newBanded.as("a").join(all.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
           .cast("double") / numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")

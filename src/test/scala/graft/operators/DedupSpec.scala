@@ -67,6 +67,28 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L))) // 1-3 orthogonal, 1-4 blocked apart
   }
 
+  test("incremental minhash == batch: old pairs ∪ new-involving pairs, exactly") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = corpus.filter($"doc_id" % 5 =!= 0)
+    val fresh = corpus.filter($"doc_id" % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val batch = key(Dedup.minHashLsh(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2))
+    val oldPairs = key(Dedup.minHashLsh(old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2))
+    val idx = Dedup.bandedSignatures(old, "text", "doc_id", 3, 64, 16)
+    val inc = key(Dedup.minHashLshIncremental(idx,
+      Dedup.bandedSignatures(fresh, "text", "doc_id", 3, 64, 16),
+      numHashes = 64, threshold = 0.2))
+
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty,
+      "incremental must only emit pairs involving a new doc")
+    assert(oldPairs ++ inc == batch,
+      s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
+  }
+
   test("LSH-blocked near-dup: high recall vs exact on real embeddings, no spurious pairs") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("all", lit(0))
