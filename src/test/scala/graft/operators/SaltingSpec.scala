@@ -25,6 +25,30 @@ class SaltingSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime (the zero-code skew path)") {
+    // Salting is the explicit mitigation; AQE skew-join is the ambient
+    // one — this locks in that it actually engages. One hot key
+    // dominates the left side; with the skew thresholds forced low, the
+    // final adaptive plan must mark the sort-merge join skew=true (hot
+    // partition split into parallel tasks).
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (Seq.tabulate(20000)(i => (1L, s"payload_left_$i")) ++
+        Seq.tabulate(200)(i => (i.toLong + 2, s"cold_$i"))).toDF("k", "l")
+      val right = Seq.tabulate(300)(i => (i.toLong, s"r_$i")).toDF("k", "r")
+      val joined = left.join(right, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted join == plain join (row multiset)") {
     val dir = "/root/testdata/sf0.001"
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
