@@ -236,7 +236,9 @@ object SparkEntry {
       .select((col("c_custkey") + 1000000).as("c_custkey"),
         lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
     val incoming = changedExisting.unionByName(brandNew)
-    Scd2Merge(cur, incoming,
+    // both sides are unique per key → the one-shuffle-join form applies
+    // (equivalence to the composed merge asserted in Scd2MergeSpec)
+    Scd2Merge.singlePass(cur, incoming,
       keys = Seq("c_custkey"),
       tracked = Seq("c_mktsegment", "c_acctbal"),
       expiredCol = "expired",

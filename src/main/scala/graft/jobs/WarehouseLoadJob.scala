@@ -48,7 +48,10 @@ object WarehouseLoadJob {
           .withColumn("expired", to_date(lit(Scd2Merge.Sentinel)))
           .withColumn("is_deleted", lit(false))
           .limit(0))
-      val merged = Scd2Merge(
+      // incoming is collapsed to one row per natural key above and the
+      // warehouse invariant is one active version per key → the
+      // single-shuffle-join merge form applies
+      val merged = Scd2Merge.singlePass(
         current,
         incoming.withColumn("is_deleted", lit(false)),
         keys = Keys, tracked = Tracked,

@@ -77,6 +77,32 @@ class Scd2MergeSpec extends SparkSpec {
       changed(1).getAs[java.sql.Date]("expired") == sentinel)
   }
 
+  test("singlePass == composed apply on every state-machine case (incl. NULL keys, legacy mode)") {
+    val c = cur(
+      ("a", "v1", "9999-12-31"),       // changed → expire + insert
+      ("b", "v1", "9999-12-31"),       // unchanged
+      ("c", "v1", "9999-12-31"),       // active only
+      ("a", "v0", "2025-06-01"),       // history
+      (null, "v1", "9999-12-31"))      // NULL key, changed
+    val i = inc(("a", "v2"), ("b", "v1"), ("d", "w1"), (null, "v9"))
+    for (legacy <- Seq(false, true)) {
+      val composed = merge(c, i, legacy)
+      val single = Scd2Merge.singlePass(c, i, Seq("k"), Seq("attr"), "expired",
+        lit("2026-01-01"), legacyNullChange = legacy)
+      assert(single.exceptAll(composed).isEmpty && composed.exceptAll(single).isEmpty,
+        s"legacy=$legacy mismatch")
+    }
+    // NULL-attr change under both semantics
+    val cn = cur(("x", null, "9999-12-31"))
+    val in = inc(("x", "now-set"))
+    for (legacy <- Seq(false, true)) {
+      val composed = merge(cn, in, legacy)
+      val single = Scd2Merge.singlePass(cn, in, Seq("k"), Seq("attr"), "expired",
+        lit("2026-01-01"), legacyNullChange = legacy)
+      assert(single.exceptAll(composed).isEmpty && composed.exceptAll(single).isEmpty)
+    }
+  }
+
   test("invariant: at most one active version per key after arbitrary merge") {
     val c = cur(("a", "v1", "9999-12-31"), ("a", "v0", "2024-01-01"),
       ("b", "x", "9999-12-31"), ("c", "y", "9999-12-31"))
