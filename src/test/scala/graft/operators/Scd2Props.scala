@@ -76,4 +76,14 @@ object Scd2Props extends Properties("Scd2Merge") {
     once.unpersist()
     same
   }
+
+  property("singlePass == composed merge on unique-key scenarios") = forAll(scenarioGen) { sc =>
+    // scenarioGen keys are distinct per side — exactly singlePass's precondition
+    val cur = toCur(sc.current)
+    val inc = toInc(sc.incoming)
+    val composed = merge(cur, inc)
+    val single = Scd2Merge.singlePass(cur, inc, Seq("k"), Seq("attr"),
+      "expired", lit("2026-02-02"))
+    single.exceptAll(composed).isEmpty && composed.exceptAll(single).isEmpty
+  }
 }
