@@ -126,6 +126,34 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.contains(1L) ^ ids.contains(3L))
   }
 
+  test("foreachBatch upsert sink: stream merges into the table column-selectively") {
+    val base = tmpDir("upsertsink")
+    val tableDir = s"$base/table"
+    // existing table: key 1 with attrs (a=old, b=keep)
+    Seq((1L, ts("2024-01-01 09:00:00"), "old_a", "keep_b"))
+      .toDF("k", "ts", "a", "b").write.parquet(tableDir)
+    // stream: refresh of key 1 (a only) + new key 2 + same-batch dup of 2
+    val inDir = s"$base/in"
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), "new_a", "ignored_b"),
+      (2L, ts("2024-01-01 10:01:00"), "first_a", "first_b"),
+      (2L, ts("2024-01-01 10:02:00"), "last_a", "last_b"),
+    ).toDF("k", "ts", "a", "b").write.parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val q = EventStream.runUpsert(spark, stream, tableDir, s"$base/ckpt",
+      key = "k", refreshCols = Seq("a"), orderCol = "ts")
+    q.awaitTermination()
+
+    val out = spark.read.parquet(tableDir).orderBy("k").collect()
+    assert(out.length == 2)
+    // key 1: a refreshed, b kept (column-selective)
+    assert(out(0).getAs[String]("a") == "new_a" && out(0).getAs[String]("b") == "keep_b")
+    // key 2: inserted whole, last writer in the batch wins
+    assert(out(1).getAs[String]("a") == "last_a" && out(1).getAs[String]("b") == "last_b")
+  }
+
   test("stream-static enrichment joins a broadcast dimension per micro-batch") {
     val base = tmpDir("enrich")
     val inDir = s"$base/in"
