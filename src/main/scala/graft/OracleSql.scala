@@ -757,6 +757,29 @@ object OracleSql {
     FROM drawn
     ORDER BY doc_id"""
 
+  private val q41 = """
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(t) - 6), i ->
+        (CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT) * 27512614111
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) * 887503681
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 2, 1)) AS BIGINT) * 28629151
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 3, 1)) AS BIGINT) * 923521
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 4, 1)) AS BIGINT) * 29791
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 5, 1)) AS BIGINT) * 961
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 6, 1)) AS BIGINT) * 31
+         + CAST(ascii(substr(t, CAST(i AS INTEGER) + 7, 1)) AS BIGINT)) % 1073741824))) AS rh
+      FROM canon),
+    agg AS (
+      SELECT doc_id, count(*) AS n_fp, min(rh) AS min_rh, max(rh) AS max_rh
+      FROM fp GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.min_rh, a.max_rh
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -797,5 +820,6 @@ object OracleSql {
     "q36_ann_ivf" -> q36,
     "q37_corpus_annotate" -> q37,
     "q40_sample_split" -> q40,
+    "q41_rolling_fingerprint" -> q41,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

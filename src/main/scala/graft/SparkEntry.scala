@@ -546,6 +546,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Karp–Rabin rolling-hash fingerprint summary per document: the
+    * substring-level fingerprint surface (chunk/partial-copy
+    * detection) beside the whole-document digests of q17/q20/q21.
+    * Exact integer polynomial — hash-match checked.
+    */
+  def q41_rolling_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val agg = Dedup.rollingFingerprints(docs, "text", "doc_id", w = 8)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        col("min_rh"), col("max_rh"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -589,6 +606,7 @@ object SparkEntry {
     "q38_salted_agg" -> (q38_salted_agg _),
     "q39_sessionize" -> (q39_sessionize _),
     "q40_sample_split" -> (q40_sample_split _),
+    "q41_rolling_fingerprint" -> (q41_rolling_fingerprint _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -89,6 +89,44 @@ object Dedup {
       .dropDuplicates("id", "shingle")
   }
 
+  /** Karp–Rabin rolling-hash fingerprints: one 30-bit hash per
+    * `w`-character window of the *canonical* text (lowercased,
+    * non-alphanumerics collapsed to single spaces — keeps every code
+    * point in ASCII so the char→int map is identical in every engine).
+    * `h(pos) = (Σ_{j<w} code(c_{pos+j})·31^(w-1-j)) mod 2^30` — the
+    * full polynomial is ≤ 122·31^(w-1)·w < 2^63 for w ≤ 10, so both
+    * engines compute the exact integer and mod once; no simulated
+    * modular arithmetic to keep in sync.
+    *
+    * Returns one row per distinct window hash per document
+    * `(id, rh)` — the substring-level fingerprint set (chunk-level
+    * containment/overlap detection, where the document-level
+    * [[exact]]/[[canonical]] digests can't see partial copies). Same
+    * relational shape as [[shingleRows]]: posexplode chars + window
+    * leads, codegen end-to-end, one exchange on `id`.
+    */
+  def rollingFingerprints(
+      df: DataFrame, textCol: String, idCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2 && w <= 10, s"window $w outside [2,10] (2^63 overflow bound)")
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    val chars = df
+      .select(col(idCol).as("id"), posexplode(split(canon, "")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "ch")
+    val win = Window.partitionBy(col("id")).orderBy(col("p"))
+    val codes = ascii(col("ch")).cast("long") +:
+      (1 until w).map(j => ascii(lead(col("ch"), j).over(win)).cast("long"))
+    val poly = codes.zipWithIndex.map { case (c, j) =>
+      c * math.pow(31, w - 1 - j).toLong
+    }.reduce(_ + _)
+    chars
+      .select(col("id"), col("p"), lead(col("ch"), w - 1).over(win).isNotNull.as("__full"),
+        (poly % lit(1073741824L)).as("rh"))
+      .filter(col("__full"))
+      .select("id", "rh")
+      .dropDuplicates("id", "rh")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Banding: `numHashes` values → `bands` bands of `numHashes/bands`

@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
       s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
   }
 
+  test("rolling fingerprints: shared substrings overlap, short/empty docs yield none") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a different start but the quick brown fox appears here"),
+      (3L, "zzzz"),             // shorter than the window after canon
+      (4L, ""),
+      (5L, "!!! ???"),          // canonicalizes to empty
+    ).toDF("doc_id", "text")
+    val fp = Dedup.rollingFingerprints(d, "text", "doc_id", w = 8)
+    val byDoc = fp.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L) && !byDoc.contains(5L))
+    // the shared phrase "the quick brown fox" gives shared window hashes
+    val shared = fp.filter($"id" === 1L).select("rh")
+      .intersect(fp.filter($"id" === 2L).select("rh"))
+    assert(shared.count() >= 10)
+    // a doc never shares all fingerprints with a different doc
+    assert(shared.count() < byDoc(1L))
+  }
+
   test("LSH-blocked near-dup: high recall vs exact on real embeddings, no spurious pairs") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("all", lit(0))
