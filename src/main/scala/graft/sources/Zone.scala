@@ -56,6 +56,31 @@ object Zone {
     require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
 
+  /** Compact a parquet zone's small files — the daily-micro-batch
+    * pathology at scale: a year of small appends turns every scan into
+    * a file-listing + task-scheduling storm. Rewrites the directory to
+    * `ceil(bytes / targetBytes)` files via `coalesce` (merges read
+    * partitions — no shuffle; row order within files changes, content
+    * doesn't) behind the crash-safe [[overwriteInPlace]] swap. No-op
+    * when the zone is already at or below the target file count.
+    * Returns the resulting data-file count.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val target = new Path(dir)
+    val f = fs(spark, target)
+    val dataFiles = f.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= want) dataFiles.length
+    else {
+      overwriteInPlace(spark, spark.read.parquet(dir).coalesce(want), dir)
+      f.listStatus(target)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
   /** Bucketed catalog table: pre-partition on `keys` at write time so
     * every later equi-join or aggregation on those keys runs with ZERO
     * exchange — the answer to "this daily fact↔fact join shuffles 100 TB
