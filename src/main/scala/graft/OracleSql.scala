@@ -780,6 +780,37 @@ object OracleSql {
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id"""
 
+  private val q42 = """
+    SELECT l_returnflag,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  private val q43 = """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+
+  private val q44 = """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, round(max(value), 2) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP))
+    SELECT c.event_id, c.user_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    ORDER BY c.event_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -821,5 +852,8 @@ object OracleSql {
     "q37_corpus_annotate" -> q37,
     "q40_sample_split" -> q40,
     "q41_rolling_fingerprint" -> q41,
+    "q42_percentiles" -> q42,
+    "q43_rollup" -> q43,
+    "q44_asof_join" -> q44,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

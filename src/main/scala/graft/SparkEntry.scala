@@ -563,6 +563,54 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact discrete percentiles per group (SQL-standard
+    * `percentile_disc` — picks actual data values, so results are
+    * bit-exact across engines with no interpolation arithmetic).
+    */
+  def q42_percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q42")
+    s.sql("""
+      SELECT l_returnflag,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+             percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price,
+             count(*) AS n
+      FROM lineitem_q42
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  /** ROLLUP subtotals — the data-mart hierarchy the reference builds as
+    * four separate GROUP BY tables, expressed as one pass with grouping
+    * sets (priority × status → priority → grand total).
+    */
+  def q43_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** As-of join: every click event enriched with the value of the same
+    * user's latest view event at-or-before the click ([[AsOfJoin]] —
+    * one shuffle, not an inequality nested loop). Right side is
+    * pre-collapsed to one row per (user, ts) so the match is
+    * deterministic; oracle = DuckDB's native ASOF LEFT JOIN.
+    */
+  def q44_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    AsOfJoin(clicks, views, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts", payload = Seq("view_value"))
+      .select(col("event_id"), col("user_id"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -607,6 +655,9 @@ object SparkEntry {
     "q39_sessionize" -> (q39_sessionize _),
     "q40_sample_split" -> (q40_sample_split _),
     "q41_rolling_fingerprint" -> (q41_rolling_fingerprint _),
+    "q42_percentiles" -> (q42_percentiles _),
+    "q43_rollup" -> (q43_rollup _),
+    "q44_asof_join" -> (q44_asof_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
