@@ -811,6 +811,37 @@ object OracleSql {
       ON c.user_id = v.user_id AND c.ts >= v.view_ts
     ORDER BY c.event_id"""
 
+  private val q45 = """
+    SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  private val q46 = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           lag(o_totalprice, 1) OVER w AS prev_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  private val q47 = """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 8) AS blk FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    ORDER BY key_a, key_b"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -855,5 +886,8 @@ object OracleSql {
     "q42_percentiles" -> q42,
     "q43_rollup" -> q43,
     "q44_asof_join" -> q44,
+    "q45_json_extract" -> q45,
+    "q46_window_suite" -> q46,
+    "q47_fuzzy_match" -> q47,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -611,6 +611,59 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** JSON field extraction + aggregation over the `props` payload —
+    * semi-structured columns without a schema migration (the modern
+    * replacement for the reference's TEXT columns).
+    */
+  def q45_json_extract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Analytic window suite: rank / dense_rank / ntile / lag in one
+    * pass over a single (customer) partitioning — the full ranking
+    * surface beyond q08's row_number, deterministic via the unique
+    * (o_orderdate, o_orderkey) order.
+    */
+  def q46_window_suite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Fuzzy entity matching: Levenshtein distance between part names
+    * within a (brand, name-prefix) block — the edit-distance surface
+    * for near-identical record linkage, blocked so the pair space stays
+    * linear-ish.
+    */
+  def q47_fuzzy_match(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        substring(col("p_name"), 1, 8).as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.blk") === col("b.blk") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -658,6 +711,9 @@ object SparkEntry {
     "q42_percentiles" -> (q42_percentiles _),
     "q43_rollup" -> (q43_rollup _),
     "q44_asof_join" -> (q44_asof_join _),
+    "q45_json_extract" -> (q45_json_extract _),
+    "q46_window_suite" -> (q46_window_suite _),
+    "q47_fuzzy_match" -> (q47_fuzzy_match _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
