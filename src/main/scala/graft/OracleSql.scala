@@ -842,6 +842,43 @@ object OracleSql {
     WHERE levenshtein(a.p_name, b.p_name) <= 10
     ORDER BY key_a, key_b"""
 
+  private val q48 = """
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    chars AS (
+      SELECT doc_id, t, CAST(unnest(range(1, length(t) + 1)) AS INTEGER) AS p
+      FROM canon),
+    marked AS (
+      SELECT doc_id, p, substr(t, p, 1) AS ch,
+             CASE WHEN p <= length(t) - 7 AND
+               ((CAST(ascii(substr(t, p, 1)) AS BIGINT) * 27512614111
+                 + CAST(ascii(substr(t, p + 1, 1)) AS BIGINT) * 887503681
+                 + CAST(ascii(substr(t, p + 2, 1)) AS BIGINT) * 28629151
+                 + CAST(ascii(substr(t, p + 3, 1)) AS BIGINT) * 923521
+                 + CAST(ascii(substr(t, p + 4, 1)) AS BIGINT) * 29791
+                 + CAST(ascii(substr(t, p + 5, 1)) AS BIGINT) * 961
+                 + CAST(ascii(substr(t, p + 6, 1)) AS BIGINT) * 31
+                 + CAST(ascii(substr(t, p + 7, 1)) AS BIGINT)) % 1073741824) % 64 = 63
+             THEN 1 ELSE 0 END AS m
+      FROM chars),
+    numbered AS (
+      SELECT doc_id, p, ch,
+             coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0) AS chunk_no
+      FROM marked),
+    chunks AS (
+      SELECT doc_id, chunk_no,
+             md5(string_agg(ch, '' ORDER BY p)) AS chunk_md5,
+             count(*) AS chunk_len
+      FROM numbered
+      GROUP BY doc_id, chunk_no)
+    SELECT doc_id, chunk_no, chunk_md5, chunk_len,
+           count(*) OVER (PARTITION BY chunk_md5) > 1 AS is_shared
+    FROM chunks
+    ORDER BY doc_id, chunk_no"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -889,5 +926,6 @@ object OracleSql {
     "q45_json_extract" -> q45,
     "q46_window_suite" -> q46,
     "q47_fuzzy_match" -> q47,
+    "q48_cdc_chunks" -> q48,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

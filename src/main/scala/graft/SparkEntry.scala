@@ -664,6 +664,21 @@ object SparkEntry {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Content-defined chunking + chunk-level dedup: boundaries from the
+    * rolling hash (content-anchored, insert-stable), chunk digests
+    * shared across documents flagged — the partial-overlap dedup
+    * primitive. Exact integer/window logic — hash-match checked.
+    */
+  def q48_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.cdcChunks(Tables.documents(s, dir), "text", "doc_id", w = 8, avgSize = 64)
+      .withColumn("is_shared",
+        count(lit(1)).over(Window.partitionBy(col("chunk_md5"))) > 1)
+      .select(col("id").as("doc_id"), col("chunk_no"), col("chunk_md5"),
+        col("chunk_len"), col("is_shared"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,6 +729,7 @@ object SparkEntry {
     "q45_json_extract" -> (q45_json_extract _),
     "q46_window_suite" -> (q46_window_suite _),
     "q47_fuzzy_match" -> (q47_fuzzy_match _),
+    "q48_cdc_chunks" -> (q48_cdc_chunks _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

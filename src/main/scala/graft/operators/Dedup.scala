@@ -127,6 +127,72 @@ object Dedup {
       .dropDuplicates("id", "rh")
   }
 
+  /** Content-defined chunking over the canonical text: a chunk
+    * boundary falls after character `q+w-1` wherever the rolling hash
+    * of the window starting at `q` satisfies `rh % avgSize == avgSize-1`
+    * — so chunk borders move WITH the content (insert one word and
+    * only the containing chunk's digest changes; fixed-size blocks
+    * would shift every subsequent block). The chunk-digest set is the
+    * storage/dataset dedup primitive for partially-overlapping
+    * documents.
+    *
+    * Returns `(id, chunk_no, chunk_md5, chunk_len)`, one row per chunk
+    * in document order. All integer/window logic over the same char
+    * explode as [[rollingFingerprints]] — engine-exact, so the SQL
+    * oracle reproduces chunk identity bit-for-bit.
+    */
+  def cdcChunks(
+      df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, avgSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    val chunks = ColumnBridge.column(graft.plans.CdcChunks(
+      ColumnBridge.expression(canon), w, avgSize))
+    df.select(col(idCol).as("id"), posexplode(chunks))
+      .select(col("id"), col("pos").cast("long").as("chunk_no"),
+        col("col.chunk_md5").as("chunk_md5"), col("col.chunk_len").as("chunk_len"))
+  }
+
+  /** Reference relational form of [[cdcChunks]] — char explode + two
+    * windows + sort-aggregate. Kept for differential testing (the
+    * native expression must reproduce it row-for-row); at corpus scale
+    * the narrow-map expression replaces ~1500 intermediate rows per
+    * document with one.
+    */
+  def cdcChunksRelational(
+      df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, avgSize: Int = 64): DataFrame = {
+    require(w >= 2 && w <= 10, s"window $w outside [2,10]")
+    require(avgSize >= 2 && (avgSize & (avgSize - 1)) == 0, "avgSize must be a power of two")
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    val chars = df
+      .select(col(idCol).as("id"), posexplode(split(canon, "")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "ch")
+      .filter(col("ch") =!= "") // empty canon explodes to one "" row
+    val win = Window.partitionBy(col("id")).orderBy(col("p"))
+    val codes = ascii(col("ch")).cast("long") +:
+      (1 until w).map(j => ascii(lead(col("ch"), j).over(win)).cast("long"))
+    val poly = codes.zipWithIndex.map { case (c, j) =>
+      c * math.pow(31, w - 1 - j).toLong
+    }.reduce(_ + _)
+    // marker at window-START positions; the boundary it defines closes
+    // after char p+w-1, so a char's chunk counts markers ≤ its p-w
+    val marked = chars.withColumn("m",
+      when((poly % lit(1073741824L)) % avgSize === (avgSize - 1), 1L).otherwise(0L))
+    val chunkNo = sum(col("m")).over(
+      win.rowsBetween(Window.unboundedPreceding, -w))
+    marked
+      .withColumn("chunk_no", coalesce(chunkNo, lit(0L)))
+      .groupBy(col("id"), col("chunk_no"))
+      .agg(count(lit(1)).as("chunk_len"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("ch")))),
+            x => x.getField("ch")), "")).as("chunk_md5"))
+      .select("id", "chunk_no", "chunk_md5", "chunk_len")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Banding: `numHashes` values → `bands` bands of `numHashes/bands`

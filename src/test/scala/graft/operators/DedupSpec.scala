@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(shared.count() < byDoc(1L))
   }
 
+  test("CDC chunks: native expression == relational form on real documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val native = Dedup.cdcChunks(docs, "text", "doc_id", w = 8, avgSize = 64)
+    val rel = Dedup.cdcChunksRelational(docs, "text", "doc_id", w = 8, avgSize = 64)
+    assert(native.exceptAll(rel).isEmpty && rel.exceptAll(native).isEmpty)
+  }
+
+  test("CDC chunks: content-anchored boundaries survive an insertion; chars partition exactly") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val edited = "INSERTED TOKEN " + base // prepend — fixed-size blocks would shift everything
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d, "text", "doc_id", w = 8, avgSize = 32).cache()
+    // chunks partition the text: lengths sum to the canonical char count
+    val canonLen = d.select(sum(length(
+      trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))))
+      .head().getLong(0)
+    assert(ch.agg(sum($"chunk_len")).head().getLong(0) == canonLen)
+    // the tail chunks (past the insertion point) realign: most digests shared
+    val a = ch.filter($"id" === 1L).select("chunk_md5").collect().map(_.getString(0)).toSet
+    val b = ch.filter($"id" === 2L).select("chunk_md5").collect().map(_.getString(0)).toSet
+    val shared = a.intersect(b).size
+    assert(shared >= a.size / 2, s"only $shared of ${a.size} chunks survived the edit")
+    assert(a != b) // but the edited chunk did change
+    ch.unpersist()
+  }
+
   test("LSH-blocked near-dup: high recall vs exact on real embeddings, no spurious pairs") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("all", lit(0))
