@@ -46,6 +46,8 @@ object AsOfJoin {
     require(payload.nonEmpty, "payload columns required")
     require(payload.forall(p => !left.columns.contains(p)),
       "payload names must not collide with left columns")
+    require(payload.forall(p => !keys.contains(p) && p != rightTs),
+      "payload must be value columns, not keys or the right timestamp")
 
     val carryLeft = left.columns.toIndexedSeq.filterNot(c => keys.contains(c) || c == leftTs)
 

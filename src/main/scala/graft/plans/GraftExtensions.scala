@@ -37,6 +37,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_quantize takes exactly 1 argument")
         QuantizeVec(children.head)
+      }),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_cdc_chunks takes (text, w, avgSize)")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(s"$name must be an int literal")
+        }
+        CdcChunks(children.head, intLit(children(1), "w"), intLit(children(2), "avgSize"))
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */

@@ -64,6 +64,10 @@ object Zone {
     * doesn't) behind the crash-safe [[overwriteInPlace]] swap. No-op
     * when the zone is already at or below the target file count.
     * Returns the resulting data-file count.
+    *
+    * Flat (unpartitioned) zone directories only: partition
+    * subdirectories are not listed, so a partitioned zone no-ops —
+    * compact those per partition (the unit of overwrite anyway).
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {

@@ -55,6 +55,9 @@ class LongArrayDotSpec extends SparkSpec {
     assert(rd.getDouble(0) == 8.0)
     val rq = spark.sql("SELECT graft_quantize(array(1.5D, -0.25D)) AS q").head()
     assert(rq.getSeq[Long](0) == Seq(1500000L, -250000L))
+    val rc = spark.sql(
+      "SELECT size(graft_cdc_chunks('abcdefgh abcdefgh abcdefgh', 8, 4)) AS n").head()
+    assert(rc.getInt(0) >= 1)
   }
 
   test("native double dot == interpreted dot, bit-for-bit (incl. ragged/null)") {
