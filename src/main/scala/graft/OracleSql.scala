@@ -879,6 +879,24 @@ object OracleSql {
     FROM chunks
     ORDER BY doc_id, chunk_no"""
 
+  private val q49 = """
+    WITH h AS (
+      SELECT doc_id, text, substr(hex(encode(text)), 1, 16) AS hp FROM documents)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN starts_with(hp, '89504E47') THEN 'png'
+                WHEN starts_with(hp, 'FFD8FF') THEN 'jpeg'
+                WHEN starts_with(hp, '47494638') THEN 'gif'
+                WHEN starts_with(hp, '52494646') THEN 'riff'
+                WHEN starts_with(hp, '494433') THEN 'mp3'
+                WHEN substr(hp, 9, 8) = '66747970' THEN 'mp4'
+                ELSE 'unknown' END AS format,
+           CASE WHEN text IS NULL THEN 0
+                ELSE octet_length(encode(text)) END AS n_bytes,
+           (text IS NULL OR octet_length(encode(text)) < 8) AS is_corrupt
+    FROM h
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -927,5 +945,6 @@ object OracleSql {
     "q46_window_suite" -> q46,
     "q47_fuzzy_match" -> q47,
     "q48_cdc_chunks" -> q48,
+    "q49_multimodal_meta" -> q49,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -679,6 +679,23 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_no"))
   }
 
+  /** Multimodal ingest surface: text bytes stand in for media blobs
+    * (no binary column in the harness tables); the format sniff, byte
+    * accounting, and corrupt flag are real and oracle-checked — the
+    * decode stub's synthetic dimensions are deliberately excluded
+    * (stub internals, not engine surface).
+    */
+  def q49_multimodal_meta(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    Multimodal.withMediaMeta(s, blobs, "blob", "image")
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.is_corrupt").as("is_corrupt"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -730,6 +747,7 @@ object SparkEntry {
     "q46_window_suite" -> (q46_window_suite _),
     "q47_fuzzy_match" -> (q47_fuzzy_match _),
     "q48_cdc_chunks" -> (q48_cdc_chunks _),
+    "q49_multimodal_meta" -> (q49_multimodal_meta _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
