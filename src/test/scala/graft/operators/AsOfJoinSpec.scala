@@ -39,6 +39,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("sym", "t", "trade_id", "px"))
   }
 
+  test("differential: window form == quadratic reference on dense random-ish data") {
+    // deterministic pseudo-random scenario with heavy ts collisions
+    val ls = (1 to 300).map { i =>
+      (i.toLong, s"k${i % 7}", (i * 31 % 50).toLong)
+    }.toDF("lid", "k", "t")
+    val rs = (1 to 120).map { i =>
+      (s"k${i % 9}", (i * 17 % 50).toLong, i.toDouble)
+    }.toDF("k", "qt", "v")
+      // reference right side unique per (k, ts) — the operator's precondition
+      .groupBy("k", "qt").agg(max($"v").as("v"))
+
+    val fast = AsOfJoin(ls, rs, Seq("k"), "t", "qt", Seq("v"))
+      .select("lid", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // quadratic oracle: per left row, max-qt right row with qt <= t
+    val slow = ls.as("l").join(rs.as("r"),
+        $"l.k" === $"r.k" && $"r.qt" <= $"l.t", "left_outer")
+      .groupBy($"l.lid".as("lid"), $"l.k", $"l.t")
+      .agg(max_by($"r.v", $"r.qt").as("v"))
+      .select("lid", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast == slow)
+  }
+
   test("plan: one exchange on the key, no nested-loop product") {
     val out = AsOfJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
     val p = out.queryExecution.executedPlan.toString
