@@ -498,7 +498,8 @@ object OracleSql {
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
 
-  private val q37 = s"""
+  /** Shared body of q37/q50 (annotate pipeline), without ORDER BY. */
+  private val q37Body = s"""
     WITH $shingleRows, $minhashSig,
     neardup AS (
       SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.8),
@@ -548,8 +549,16 @@ object OracleSql {
                 ELSE 'und' END AS lang_pred
     FROM qual q
     JOIN fp f ON f.doc_id = q.doc_id
-    LEFT JOIN neardup n ON n.doc_id = q.doc_id
-    ORDER BY q.doc_id"""
+    LEFT JOIN neardup n ON n.doc_id = q.doc_id"""
+
+  private val q37 = s"$q37Body ORDER BY q.doc_id"
+
+  private val q50 = s"""
+    SELECT doc_id, n_tokens, quality, lang_pred
+    FROM ($q37Body)
+    WHERE NOT is_duplicate AND NOT is_near_duplicate
+      AND quality >= 0.3 AND n_tokens >= 5
+    ORDER BY doc_id"""
 
   private val q28 = """
     SELECT o_orderpriority, count(*) AS total_jobs,
@@ -946,5 +955,6 @@ object OracleSql {
     "q47_fuzzy_match" -> q47,
     "q48_cdc_chunks" -> q48,
     "q49_multimodal_meta" -> q49,
+    "q50_corpus_filter" -> q50,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

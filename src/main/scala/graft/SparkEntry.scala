@@ -696,6 +696,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The training-corpus keep-policy end-to-end: annotate → filter
+    * (drop duplicates, near-dups, low quality, too-short) — the rows a
+    * trainer would actually consume. Oracle = q37's pipeline + the
+    * policy predicate.
+    */
+  def q50_corpus_filter(s: SparkSession, dir: String): DataFrame =
+    CorpusJob.filter(CorpusJob.annotate(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -748,6 +758,7 @@ object SparkEntry {
     "q47_fuzzy_match" -> (q47_fuzzy_match _),
     "q48_cdc_chunks" -> (q48_cdc_chunks _),
     "q49_multimodal_meta" -> (q49_multimodal_meta _),
+    "q50_corpus_filter" -> (q50_corpus_filter _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
