@@ -906,6 +906,22 @@ object OracleSql {
     FROM h
     ORDER BY doc_id"""
 
+  private val q51 = """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS bin
+    FROM c
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -956,5 +972,6 @@ object OracleSql {
     "q48_cdc_chunks" -> q48,
     "q49_multimodal_meta" -> q49,
     "q50_corpus_filter" -> q50,
+    "q51_pack_sequences" -> q51,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -706,6 +706,27 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * bins — the contiguous cumulative-fill form (bin = how many full
+    * budgets precede the doc's first token in stream order), which is
+    * the scalable packing large pipelines use (a doc may straddle a
+    * boundary and truncate/continue; true greedy first-fit is a
+    * sequential recurrence no window can express). Pure window
+    * arithmetic per language stream — exact integers, hash-checked.
+    */
+  def q51_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "bin")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,6 +780,7 @@ object SparkEntry {
     "q48_cdc_chunks" -> (q48_cdc_chunks _),
     "q49_multimodal_meta" -> (q49_multimodal_meta _),
     "q50_corpus_filter" -> (q50_corpus_filter _),
+    "q51_pack_sequences" -> (q51_pack_sequences _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
