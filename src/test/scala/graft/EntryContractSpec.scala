@@ -16,6 +16,17 @@ class EntryContractSpec extends SparkSpec {
       s"unexpected rows-only set: $rowsOnly")
   }
 
+  test("q34: HLL approx distinct within tolerance of the exact count (the rows-only gap is covered here)") {
+    val out = SparkEntry.q34_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts")
+      val approx = r.getAs[Long]("approx_parts")
+      assert(exact > 0 && math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
