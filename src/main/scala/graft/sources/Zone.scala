@@ -85,6 +85,30 @@ object Zone {
     }
   }
 
+  /** [[compact]] for a Hive-partitioned zone (`source=/date=` layout):
+    * walks to the leaf partition directories (the unit of dynamic
+    * overwrite anyway) and compacts each independently. Returns
+    * (partitionsTouched, partitionsRewritten).
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    def leaves(p: Path): Seq[Path] = {
+      val children = f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      if (children.isEmpty) Seq(p) else children.toIndexedSeq.flatMap(leaves)
+    }
+    val parts = leaves(rootPath).filter(p =>
+      f.listStatus(p).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    var rewritten = 0
+    parts.foreach { p =>
+      val before = f.listStatus(p)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (compact(spark, p.toString, targetBytes) < before) rewritten += 1
+    }
+    (parts.size, rewritten)
+  }
+
   /** Bucketed catalog table: pre-partition on `keys` at write time so
     * every later equi-join or aggregation on those keys runs with ZERO
     * exchange — the answer to "this daily fact↔fact join shuffles 100 TB

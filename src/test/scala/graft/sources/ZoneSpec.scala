@@ -22,4 +22,22 @@ class ZoneSpec extends SparkSpec {
     // idempotent: already compact → no-op, same count
     assert(Zone.compact(spark, dir, targetBytes = 512L * 1024) == n)
   }
+
+  test("compactPartitioned: leaf partitions compact independently, partition values survive") {
+    val dir = tmpDir("compactpart")
+    val df = (1 to 6000).map(i => (i.toLong, s"s${i % 2}", s"d${i % 3}", s"row_$i"))
+      .toDF("id", "source", "date", "v")
+    df.repartition(10).write.mode("overwrite")
+      .partitionBy("source", "date").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+
+    val (touched, rewritten) = Zone.compactPartitioned(spark, dir, targetBytes = 10L * 1024 * 1024)
+    assert(touched == 6)       // 2 sources × 3 dates
+    assert(rewritten == 6)     // every leaf had 10 small files
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toString).sorted.sameElements(before))
+    // partition columns still come from the directory layout
+    assert(after.select("source").distinct().count() == 2)
+    assert(after.select("date").distinct().count() == 3)
+  }
 }
