@@ -24,14 +24,19 @@ object DataMartJob {
       audit: Audit, date: String,
       specs: Seq[AggSpec] = ReferenceSpecs): Map[String, Long] = {
     val day = java.sql.Date.valueOf(date)
-    val fact = spark.read.parquet(warehouseDir)
+    // read through Zone so its crash-recovery probe runs first (same
+    // self-heal contract WarehouseLoadJob relies on — ADVICE r01)
+    val fact = graft.sources.Zone.readIfExists(spark, warehouseDir)
+      .getOrElse(sys.error(
+        s"warehouse table missing at $warehouseDir — run WarehouseLoadJob first"))
       // marts aggregate current versions only (P7 sentinel filter)
       .filter(col("expired") === to_date(lit("9999-12-31")))
     specs.map { spec =>
       val n = audit.bracket(s"load_to_dm_${spec.name}", day) {
-        val agg = spec.run(fact)
-        agg.write.mode("overwrite").parquet(s"$martDir/${spec.name}")
-        agg.count()
+        val out = s"$martDir/${spec.name}"
+        spec.run(fact).write.mode("overwrite").parquet(out)
+        // count what was written, not a second run of the aggregate
+        spark.read.parquet(out).count()
       }
       spec.name -> n
     }.toMap
