@@ -124,13 +124,7 @@ object IvfIndex {
 
     val cand = assigned.join(broadcast(qCells), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    cand
-      .withColumn("cosine", round(
-        V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    Similarity.rankTopK(cand.withColumn("cosine", round(
+      V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
   }
 }

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k over scored (query_id, id, cosine) rows via the
+    * bounded-heap aggregator — row-identical to the `row_number` window
+    * form (same score-desc/id-asc contract, TopKPerGroupSpec), but
+    * partial-aggregating: map-side state caps at k per query per task
+    * and parallelism follows the INPUT partitions, not the handful of
+    * query keys a window would hash everything onto.
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopKPerGroup(scored.select(col("query_id"), col("cosine"), col("id")),
+        Seq("query_id"), "cosine", "id", k)
+      .select("query_id", "id", "cosine", "rank")
+
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -33,12 +45,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cosine", round(score(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** [[bruteForceTopK]] with fixed-point cosine and per-row
@@ -60,12 +67,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cosine", round(V.cosineFromQuantized(
         col("id_qv"), col("query_id_qv"), col("id_n2"), col("query_id_n2")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Hyperplane-LSH bucket assignment as a pure narrow map: one native
@@ -156,14 +158,8 @@ object Similarity {
         col("q.qqv").as("qqv"), col("q.qn2").as("qn2"))
       .dropDuplicates("id", "query_id")
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    cand
-      .withColumn("cosine", round(
-        V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(cand.withColumn("cosine", round(
+      V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
   }
 
   /** Exact-recall harness for the approximate path: fraction of
