@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
