@@ -5,13 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Regenerates the plan dumps in PLANS.md: prints the executed plan of
   * each named query (all of `SparkEntry.queries` if no names given) on
   * sf0.001. Usage:
-  * `sbt "runMain graft.PlanDump [sfDir] [q01_... q22_...]"`.
+  * `sbt "runMain graft.PlanDump [sfDir] [--execute] [q01_... q22_...]"`;
+  * `--execute` collects each query first so the printed plan is the
+  * AQE-finalized one (with runtime stage sizes), plus wall time.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
-                else SparkEntry.queries.keys.toSeq.sorted
+    val execute = args.contains("--execute")
+    val rest = args.drop(1).filterNot(_ == "--execute").toSeq
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -25,6 +28,11 @@ object PlanDump {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n## $name\n")
+      if (execute) {
+        val t0 = System.nanoTime()
+        df.collect()
+        println(f"(executed in ${(System.nanoTime() - t0) / 1e9}%.2f s)%n")
+      }
       println("```")
       println(df.queryExecution.executedPlan.toString.trim)
       println("```")

@@ -700,6 +700,13 @@ object SparkEntry {
     * (drop duplicates, near-dups, low quality, too-short) — the rows a
     * trainer would actually consume. Oracle = q37's pipeline + the
     * policy predicate.
+    *
+    * Bench note: this measures the UNcached composition (every stage
+    * re-derives; measured overhead concentrates in adaptive-stage
+    * coordination of the deep pushed-predicate plan, not in any data
+    * pipeline — per-operator times stay <0.2 s). The production path,
+    * [[graft.jobs.CorpusJob.run]], caches `annotated` once and filters
+    * from it, paying the pipeline once for both outputs.
     */
   def q50_corpus_filter(s: SparkSession, dir: String): DataFrame =
     CorpusJob.filter(CorpusJob.annotate(Tables.documents(s, dir)))

@@ -11,6 +11,63 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** All counters in one native pass ([[graft.plans.TextStats]]): the
+    * HOF forms (`size(filter(...))`, `aggregate(...)`) evaluate one
+    * interpreted closure per token per function — and re-evaluate the
+    * whole forest per reference when Catalyst inlines them into a
+    * pushed-down predicate (the q50 keep-policy filter measured 6× the
+    * projection form before this).
+    */
+  private def stats(c: Column): Column =
+    ColumnBridge.column(graft.plans.TextStats(
+      ColumnBridge.expression(c.cast("string")), withSubwords = false))
+  private def stat(c: Column, field: String): Column =
+    coalesce(stats(c).getField(field), lit(0L))
+  private def statOf(s: Column, field: String): Column =
+    coalesce(s.getField(field), lit(0L))
+
+  /** The raw counter struct, for pipelines deriving several features
+    * from one text column: materialize this ONCE as its own column
+    * (Catalyst never collapses a multi-referenced non-trivial alias),
+    * then derive with the `...From` variants — a pushed-down policy
+    * predicate then reads struct fields instead of re-running the text
+    * scan per inlined reference (filter codegen has no common-
+    * subexpression elimination; q50 measured 6× before this).
+    */
+  def textStats(c: Column): Column = stats(c)
+
+  /** [[tokenCount]] over a pre-computed [[textStats]] struct. */
+  def tokenCountFrom(s: Column): Column = statOf(s, "n_tokens").cast("int")
+
+  /** [[qualityScore]] over a pre-computed [[textStats]] struct — same
+    * arithmetic, bit-identical result.
+    */
+  def qualityFrom(s: Column, targetTokens: Int = 100): Column = {
+    val n = statOf(s, "n_tokens")
+    val lenScore = least(n.cast("int").cast("double") / targetTokens.toDouble, lit(1.0))
+    val swRatio = when(n === 0L, lit(0.0))
+      .otherwise(statOf(s, "stop_quality").cast("double") / n.cast("double"))
+    val swScore = least(swRatio * 4.0, lit(1.0))
+    val nc = statOf(s, "n_chars")
+    val pr = when(nc === 0L, lit(0.0))
+      .otherwise(statOf(s, "punct_chars").cast("double") / nc.cast("double"))
+    val punctPen = lit(1.0) - least(pr * 10.0, lit(1.0))
+    round(lenScore * 0.4 + swScore * 0.3 + punctPen * 0.3, 6)
+  }
+
+  /** [[langId]] over a pre-computed [[textStats]] struct. */
+  def langIdFrom(s: Column): Column = {
+    val hits = LangMarkers.map { case (lang, _) =>
+      lang -> statOf(s, s"hits_$lang").cast("int")
+    }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, cnt)) =>
+      acc.when(cnt === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
   /** Whitespace tokens of trimmed text; empty/null text → empty array
     * (Spark's `split("", ...)` would yield `[""]`, which poisons counts).
     */
@@ -19,40 +76,48 @@ object TextFunctions {
       .otherwise(split(trim(c), "\\s+"))
 
   /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCount(c: Column): Column = stat(c, "n_tokens").cast("int")
 
   /** BPE-ish subword count estimate: word-piece regex split — words,
     * numbers, and individual punctuation each count as a token (the
     * common `\w+|[^\w\s]` tokenizer).
     */
   def subwordCount(c: Column): Column =
-    when(c.isNull, lit(0))
-      .otherwise(size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))))
+    coalesce(
+      ColumnBridge.column(graft.plans.TextStats(
+        ColumnBridge.expression(c.cast("string")), withSubwords = true))
+        .getField("n_subwords"),
+      lit(0L)).cast("int")
 
-  /** Ratio of tokens that appear in `stopwords` (0.0 when no tokens). */
-  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(lower(c))
-    val sw   = array(stopwords.map(lit): _*)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        size(filter(toks, t => array_contains(sw, t))).cast("double") /
-          size(toks).cast("double"))
-  }
+  /** Ratio of tokens that appear in `stopwords` (0.0 when no tokens).
+    * The [[EnglishStopwords]] set rides the native counter; arbitrary
+    * sets take the generic (interpreted-HOF) path.
+    */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    if (stopwords == EnglishStopwords) {
+      val n = stat(c, "n_tokens")
+      when(n === 0L, lit(0.0))
+        .otherwise(stat(c, "stop_quality").cast("double") / n.cast("double"))
+    } else {
+      val toks = tokens(lower(c))
+      val sw   = array(stopwords.map(lit): _*)
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(
+          size(filter(toks, t => array_contains(sw, t))).cast("double") /
+            size(toks).cast("double"))
+    }
 
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(c: Column): Column =
     when(c.isNull || length(c) === 0, lit(0.0))
       .otherwise(
-        length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") /
-          length(c).cast("double"))
+        stat(c, "punct_chars").cast("double") / stat(c, "n_chars").cast("double"))
 
   /** Mean token length in characters (0.0 when no tokens). */
   def meanTokenLen(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-          size(toks).cast("double"))
+    val n = stat(c, "n_tokens")
+    when(n === 0L, lit(0.0))
+      .otherwise(stat(c, "sum_token_len").cast("double") / n.cast("double"))
   }
 
   val EnglishStopwords: Seq[String] =
@@ -85,10 +150,8 @@ object TextFunctions {
     * [[LangMarkers]]; ties break in lexicon order; zero hits → "und".
     */
   def langId(c: Column): Column = {
-    val toks = tokens(lower(c))
-    val hits = LangMarkers.map { case (lang, markers) =>
-      val mk = array(markers.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(mk, t)))
+    val hits = LangMarkers.map { case (lang, _) =>
+      lang -> stat(c, s"hits_$lang").cast("int")
     }
     val best = greatest(hits.map(_._2): _*)
     // first language reaching the max wins (stable tie-break)

@@ -35,13 +35,19 @@ object CorpusJob {
       .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
       .distinct()
       .withColumn("is_near_duplicate", lit(true))
+    // one TextStats pass per row, materialized as its own column: the
+    // multi-referenced alias blocks projection collapse, so when
+    // CorpusJob.filter's policy predicate pushes down it reads struct
+    // fields instead of re-inlining the full text scan per reference
     canonical
       .join(nearDupIds, Seq("doc_id"), "left_outer")
       .withColumn("is_near_duplicate",
         coalesce(col("is_near_duplicate"), lit(false)))
-      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
-      .withColumn("quality", T.qualityScore(col("text")))
-      .withColumn("lang_pred", T.langId(col("text")))
+      .withColumn("__tstats", T.textStats(col("text")))
+      .withColumn("n_tokens", T.tokenCountFrom(col("__tstats")).cast("long"))
+      .withColumn("quality", T.qualityFrom(col("__tstats")))
+      .withColumn("lang_pred", T.langIdFrom(col("__tstats")))
+      .drop("__tstats")
   }
 
   /** Apply the keep-policy: first occurrence of each canonical group,

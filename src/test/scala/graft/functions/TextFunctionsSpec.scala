@@ -40,6 +40,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.langId(col("t")), "xyz qqq") == "und")
   }
 
+  test("native TextStats == original HOF forms on real documents + edge strings") {
+    import org.apache.spark.sql.functions._
+    val T = TextFunctions
+    // the original composed forms, inlined here as the reference
+    def toksOf(c: org.apache.spark.sql.Column) = T.tokens(c)
+    def refTokenCount(c: org.apache.spark.sql.Column) = size(toksOf(c))
+    def refSubword(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(0))
+        .otherwise(size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))))
+    def refStopRatio(c: org.apache.spark.sql.Column) = {
+      val toks = toksOf(lower(c))
+      val sw = array(T.EnglishStopwords.map(lit): _*)
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks).cast("double"))
+    }
+    def refPunct(c: org.apache.spark.sql.Column) =
+      when(c.isNull || length(c) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") /
+          length(c).cast("double"))
+    def refMeanLen(c: org.apache.spark.sql.Column) = {
+      val toks = toksOf(c)
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).limit(300)
+      .unionByName(Seq("", "   ", "thỏa thuận CỦA người!", "a\tb\nc", "...,;;").toDF("text"))
+    val cmp = docs.select(
+      (T.tokenCount(col("text")) <=> refTokenCount(col("text"))).as("a"),
+      (T.subwordCount(col("text")) <=> refSubword(col("text"))).as("b"),
+      (T.stopwordRatio(col("text"), T.EnglishStopwords) <=> refStopRatio(col("text"))).as("c"),
+      (T.punctRatio(col("text")) <=> refPunct(col("text"))).as("d"),
+      (T.meanTokenLen(col("text")) <=> refMeanLen(col("text"))).as("e"))
+    assert(cmp.filter(!col("a") || !col("b") || !col("c") || !col("d") || !col("e")).isEmpty)
+  }
+
   test("content fingerprint invariant to case/punct/spacing, sensitive to words") {
     val f = (s: String) => one[String](TextFunctions.contentFingerprint(col("t")), s)
     assert(f("Hello,   World!") == f("hello world"))
