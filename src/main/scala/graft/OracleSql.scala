@@ -922,6 +922,32 @@ object OracleSql {
     FROM c
     ORDER BY doc_id"""
 
+  /** q48's chunk CTEs re-usable tail (everything up to `chunks`). */
+  private val q48Chunks = q48.substring(0, q48.lastIndexOf("SELECT doc_id, chunk_no"))
+
+  private val q52 = s"""
+    $q48Chunks
+    , cset AS (
+      SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+    sized AS (
+      SELECT doc_id, chunk_md5,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM cset)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared,
+           round(CAST(count(*) AS DOUBLE) / least(min(a.n_chunks), min(b.n_chunks)), 6) AS containment
+    FROM sized a JOIN sized b
+      ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 1
+    ORDER BY id_a, id_b"""
+
+  private val q53 = s"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(${h60("'weighted:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0
+          < least(CAST(n_chars AS DOUBLE) / 3000.0, 1.0)
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -973,5 +999,7 @@ object OracleSql {
     "q49_multimodal_meta" -> q49,
     "q50_corpus_filter" -> q50,
     "q51_pack_sequences" -> q51,
+    "q52_chunk_overlap" -> q52,
+    "q53_weighted_sample" -> q53,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -734,6 +734,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Partial-copy detection via shared CDC chunks: containment = 1.0
+    * flags excerpts/quotes that whole-document digests and resemblance
+    * measures underweight. Exact chunk identity — hash-match checked.
+    */
+  def q52_chunk_overlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkOverlapPairs(Tables.documents(s, dir), "text", "doc_id",
+        w = 8, avgSize = 64, minShared = 1)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Weighted keep: per-document survival probability derived from its
+    * length (longer docs keep with higher probability, saturating at
+    * 3000 chars) — deterministic hash draw, no RNG.
+    */
+  def q53_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", least(col("n_chars").cast("double") / 3000.0, lit(1.0)))
+    Sampling.weighted(docs, "doc_id", "w")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -788,6 +809,8 @@ object SparkEntry {
     "q49_multimodal_meta" -> (q49_multimodal_meta _),
     "q50_corpus_filter" -> (q50_corpus_filter _),
     "q51_pack_sequences" -> (q51_pack_sequences _),
+    "q52_chunk_overlap" -> (q52_chunk_overlap _),
+    "q53_weighted_sample" -> (q53_weighted_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

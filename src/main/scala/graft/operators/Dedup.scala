@@ -193,6 +193,38 @@ object Dedup {
       .select("id", "chunk_no", "chunk_md5", "chunk_len")
   }
 
+  /** Partial-copy candidate pairs from shared CDC chunks: two documents
+    * pair iff they share ≥ `minShared` chunk digests; `containment` =
+    * shared / min(chunks_a, chunks_b) — 1.0 when one document's chunk
+    * set is inside the other's (the quote/excerpt case document-level
+    * digests and even MinHash resemblance underweight). Same join shape
+    * as [[ngramJaccard]] (chunk_md5 keys instead of shingle hashes —
+    * far fewer rows per doc, so the candidate space shrinks with
+    * `avgSize`); set sizes ride the chunk rows as a window count so the
+    * self-join's sides stay identical plans (one exchange, reused).
+    */
+  def chunkOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      avgSize: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    val ch = cdcChunks(df, textCol, idCol, w, avgSize)
+      .select(col("id"), col("chunk_md5"))
+      .dropDuplicates("id", "chunk_md5")
+      .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy(col("id"))))
+    ch.as("a").join(ch.as("b"),
+        col("a.chunk_md5") === col("b.chunk_md5") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("a.n_chunks")).as("ca"), first(col("b.n_chunks")).as("cb"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("ca"), col("cb")), 6))
+      .select("id_a", "id_b", "n_shared", "containment")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Banding: `numHashes` values → `bands` bands of `numHashes/bands`

@@ -62,6 +62,15 @@ object Sampling {
       H.h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) < thresh)
   }
 
+  /** Per-row weighted keep: a row survives iff its key's deterministic
+    * draw falls under `weightCol` (a probability in [0,1] — e.g. a
+    * per-document quality-derived keep rate). Same stability contract
+    * as [[bernoulli]]; rows with NULL weight drop.
+    */
+  def weighted(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = "weighted"): DataFrame =
+    df.filter(u01(col(keyCol), salt) < col(weightCol))
+
   /** Leakage-free split: every row gains a `split` column in
     * {train, val, test} decided by the *group* key's draw, so all rows
     * of a group land in the same fold. `valFrac`/`testFrac` are carved
