@@ -37,6 +37,18 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
   }
 
+  test("weighted: boundary weights behave; deterministic under repartition") {
+    val df = docs.withColumn("w0", lit(0.0)).withColumn("w1", lit(1.0))
+    assert(Sampling.weighted(df, "doc_id", "w0").isEmpty)
+    assert(Sampling.weighted(df, "doc_id", "w1").count() == docs.count())
+    val half = docs.withColumn("w", lit(0.5))
+    val a = Sampling.weighted(half, "doc_id", "w").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.weighted(half.repartition(7), "doc_id", "w").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("split: exhaustive, deterministic, and group-cohesive") {
     val out = Sampling.split(docs, "source", valFrac = 0.25, testFrac = 0.25)
     assert(out.count() == docs.count())
