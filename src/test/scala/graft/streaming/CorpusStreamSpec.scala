@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed increments produce exactly the batch pair set; index accumulates") {
+    val base = tmpDir("corpusstream")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+
+    // arrival order: three slices land as separate parquet files
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" % 3 === 0).write.parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 1).write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(inDir)
+    val q = CorpusStream.runIncrementalNearDup(spark, stream,
+      "text", "doc_id", s"$base/index", s"$base/pairs", s"$base/ckpt",
+      threshold = 0.2)
+    q.awaitTermination()
+
+    // union of per-batch increments == one-shot batch pairs, exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("id_a", "id_b").agg(max("est_jaccard").as("est"))
+    val streamed = canon(spark.read.parquet(s"$base/pairs"))
+    val batch = canon(Dedup.minHashLsh(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+
+    // the index now holds every document's banded signatures
+    val idx = spark.read.parquet(s"$base/index")
+    assert(idx.select("id").distinct().count() == corpus.count())
+  }
+}
