@@ -37,6 +37,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
   }
 
+  test("stratified == per-stratum bernoulli under the same salt (API coherence)") {
+    val rates = Map("en" -> 0.3, "de" -> 0.7)
+    val strat = Sampling.stratified(docs, "doc_id", "lang", rates, defaultRate = 0.5)
+    val langs = docs.select("lang").distinct().collect().map(r => Option(r.getString(0)))
+    langs.foreach { lang =>
+      val rate = lang.flatMap(rates.get).getOrElse(0.5)
+      val slice = docs.filter(col("lang") <=> lang.map(lit).getOrElse(lit(null)))
+      val viaBern = Sampling.bernoulli(slice, "doc_id", rate, salt = "stratified")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaStrat = strat.filter(col("lang") <=> lang.map(lit).getOrElse(lit(null)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaBern == viaStrat, s"stratum $lang")
+    }
+  }
+
   test("weighted: boundary weights behave; deterministic under repartition") {
     val df = docs.withColumn("w0", lit(0.0)).withColumn("w1", lit(1.0))
     assert(Sampling.weighted(df, "doc_id", "w0").isEmpty)
