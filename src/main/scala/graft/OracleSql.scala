@@ -948,6 +948,16 @@ object OracleSql {
           < least(CAST(n_chars AS DOUBLE) / 3000.0, 1.0)
     ORDER BY doc_id"""
 
+  private val q54 = {
+    val bands = graft.SparkEntry.RangeBands
+      .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+    s"""
+    WITH bands(band_id, lo, hi) AS (VALUES $bands)
+    SELECT event_id, band_id, value
+    FROM events JOIN bands ON lo <= value AND value < hi
+    ORDER BY event_id"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1001,5 +1011,6 @@ object OracleSql {
     "q51_pack_sequences" -> q51,
     "q52_chunk_overlap" -> q52,
     "q53_weighted_sample" -> q53,
+    "q54_range_join" -> q54,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

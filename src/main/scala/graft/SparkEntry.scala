@@ -755,6 +755,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Irregular value bands for the range-join query — single source for
+    * the Spark side and the oracle's VALUES literal (quadratic spacing
+    * so intervals straddle chunk boundaries unevenly).
+    */
+  val RangeBands: Seq[(Int, Double, Double)] =
+    (0 to 9).map(i => (i, (i * i).toDouble, ((i + 1) * (i + 1)).toDouble))
+
+  /** Point-in-interval range join ([[RangeJoin]] — chunk-bucketed
+    * equi-join, not the nested-loop product Catalyst would plan for
+    * `lo <= v < hi`). Exact double comparisons — hash-match checked
+    * against DuckDB's native inequality join.
+    */
+  def q54_range_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = RangeBands.toDF("band_id", "lo", "hi")
+    RangeJoin.pointInInterval(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        "value", bands, "lo", "hi", chunkWidth = 7.0)
+      .select(col("event_id"), col("band_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -811,6 +833,7 @@ object SparkEntry {
     "q51_pack_sequences" -> (q51_pack_sequences _),
     "q52_chunk_overlap" -> (q52_chunk_overlap _),
     "q53_weighted_sample" -> (q53_weighted_sample _),
+    "q54_range_join" -> (q54_range_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
