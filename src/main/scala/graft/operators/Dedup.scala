@@ -48,17 +48,33 @@ object Dedup {
   }
 
   /** Word n-gram shingle rows: (id, keepCols…, shingle), one row per
-    * *distinct* shingle per document.
-    *
-    * Computed relationally — posexplode + window leads — instead of the
-    * [[graft.functions.TextFunctions.wordShingles]] array expression:
-    * higher-order lambdas (`transform`/`slice`) fall out of whole-stage
-    * codegen and run interpreted (~20µs/shingle — 6s for 5000 docs,
-    * measured), while explode + lead + dropDuplicates is codegen'd
-    * end-to-end. Same shingle sets, >5× faster, and the exploded form
-    * is exactly what the downstream joins/aggregates consume anyway.
+    * *distinct* shingle per document — now a pure narrow map: the
+    * native one-pass [[graft.plans.WordShingles]] emits each document's
+    * finished shingle set, so shingling rides the scan and the first
+    * exchange of every consumer (q22 signatures, q24 pair join, q37/q50
+    * annotate) is the join/aggregate itself. Output strings are
+    * byte-identical to the relational window form below
+    * (differential-tested), so downstream hashes and oracles are
+    * unchanged. NULL text coalesces to "" first (the relational form
+    * kept one "" shingle for null docs — no row may vanish).
     */
   private[operators] def shingleRows(
+      df: DataFrame, textCol: String, idCol: String,
+      keepCols: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sh = ColumnBridge.column(graft.plans.WordShingles(
+      ColumnBridge.expression(lower(coalesce(col(textCol), lit("")))), n))
+    df.select(col(idCol).as("id") +: keepCols.map(col) :+ explode(sh).as("shingle"): _*)
+  }
+
+  /** Reference relational form of [[shingleRows]] (posexplode + window
+    * leads + dropDuplicates) — kept for the differential test; the
+    * round-1 measurement that motivated it (HOF `transform`/`slice`
+    * lambdas interpret at ~20µs/shingle) still holds, the native
+    * expression just removes this form's id-exchange and two window
+    * passes as well.
+    */
+  private[operators] def shingleRowsRelational(
       df: DataFrame, textCol: String, idCol: String,
       keepCols: Seq[String], n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -446,15 +462,20 @@ object Dedup {
     // less shuffle volume, cheaper equality in the hot join (a 64-bit
     // collision across ~10⁶ distinct shingles is ~1e-7 — below the
     // float-rounding noise floor the oracle already tolerates).
-    // set_size rides along on every shingle row (a window count over the
-    // id partition the shingle pipeline already produced) instead of a
-    // separate groupBy branch: the self-join's two sides are then
-    // byte-identical plans — Catalyst's ReuseExchange computes the
-    // pipeline ONCE — and the two post-hoc size joins vanish entirely
-    // (the pair aggregate just carries the sizes through with first()).
-    val sh = shingleRows(df, textCol, idCol, Seq(blockCol), n)
-      .select(col("id"), col(blockCol).as("blk"), xxhash64(col("shingle")).as("shingle"))
-      .withColumn("set_size", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // set_size is the native shingle array's length, stamped on every
+    // exploded row — no window, no groupBy branch, no exchange before
+    // the join; the self-join's two sides are byte-identical narrow
+    // plans (ReuseExchange computes the join exchange once) and the
+    // pair aggregate carries the sizes through with first().
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val shArr = ColumnBridge.column(graft.plans.WordShingles(
+      ColumnBridge.expression(lower(coalesce(col(textCol), lit("")))), n))
+    val sh = df
+      .withColumn("__sh", shArr)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        size(col("__sh")).cast("long").as("set_size"),
+        explode(col("__sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
 
     sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") &&

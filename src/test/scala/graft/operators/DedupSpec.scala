@@ -109,6 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(shared.count() < byDoc(1L))
   }
 
+  test("native shingles == relational window form on real documents + edges") {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200)
+    val edges = Seq(
+      (9001L, null.asInstanceOf[String]),
+      (9002L, ""), (9003L, "   "),
+      (9004L, "one two"),            // shorter than n
+      (9005L, "a a a a a"),          // repeated shingles collapse
+      (9006L, "Thỏa  THUẬN\tcủa người dùng"),
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(edges)
+    for (n <- Seq(2, 3)) {
+      val native = Dedup.shingleRows(docs, "text", "doc_id", Nil, n)
+      val rel = Dedup.shingleRowsRelational(docs, "text", "doc_id", Nil, n)
+      assert(native.exceptAll(rel).isEmpty && rel.exceptAll(native).isEmpty, s"n=$n")
+    }
+  }
+
   test("CDC chunks: native expression == relational form on real documents") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val native = Dedup.cdcChunks(docs, "text", "doc_id", w = 8, avgSize = 64)
