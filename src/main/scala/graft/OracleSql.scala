@@ -823,7 +823,7 @@ object OracleSql {
   private val q45 = """
     SELECT event_type,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -874,8 +874,8 @@ object OracleSql {
       FROM chars),
     numbered AS (
       SELECT doc_id, p, ch,
-             coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0) AS chunk_no
+             CAST(coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0) AS BIGINT) AS chunk_no
       FROM marked),
     chunks AS (
       SELECT doc_id, chunk_no,

@@ -58,6 +58,16 @@ for name in sorted(os.listdir(out_dir)):
                 k[c] = k[c].apply(lambda v: None if pd.isna(v) else str(v)[:10])
         elif s[c].dtype == object and k[c].dtype != object:
             k[c] = k[c].astype(object)
+    # The driver's hash stringifies values, so an int64-vs-float64 column
+    # (e.g. DuckDB HUGEINT sum -> pandas float64) hash-mismatches even when
+    # numerically equal ("5" vs "5.0"). Flag it as a hard problem.
+    dtype_bad = [c for c in s.columns
+                 if (pd.api.types.is_integer_dtype(s[c]) and pd.api.types.is_float_dtype(k[c]))
+                 or (pd.api.types.is_float_dtype(s[c]) and pd.api.types.is_integer_dtype(k[c]))]
+    if dtype_bad:
+        results[name] = ("INT_FLOAT_DTYPE_MISMATCH (driver hash will fail): "
+                         + ", ".join(f"{c} spark={s[c].dtype} duck={k[c].dtype}" for c in dtype_bad))
+        continue
     try:
         pd.testing.assert_frame_equal(s, k, check_dtype=False, check_exact=True)
         results[name] = f"MATCH rows={len(s)}"
