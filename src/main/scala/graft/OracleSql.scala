@@ -958,6 +958,183 @@ object OracleSql {
     ORDER BY event_id"""
   }
 
+  /** q55: connected components by recursive min-label walk — the walk
+    * CTE holds (node, reachable-node) pairs, so min per node is the
+    * component minimum exactly (edges are symmetric). Edge set = q52's
+    * chunk-overlap pairs at containment >= 0.5 (identical rounding on
+    * both sides, so the graphs agree bit-for-bit).
+    */
+  private val q55 = s"""
+    ${q48Chunks.replaceFirst("WITH canon", "WITH RECURSIVE canon")}
+    , cset AS (
+      SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+    sized AS (
+      SELECT doc_id, chunk_md5,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM cset),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(CAST(count(*) AS DOUBLE) / least(min(a.n_chunks), min(b.n_chunks)), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+    cc AS (
+      SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN cc c ON d.doc_id = c.id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_canonical
+    FROM lab
+    ORDER BY doc_id"""
+
+  private val q56 = """
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t_view
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_click
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + CASE WHEN s2.t_click IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id"""
+
+  private val q57 = """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset"""
+
+  private val q58 = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+      FROM documents),
+    t AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    d AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM t GROUP BY term),
+    r AS (
+      SELECT t.doc_id, t.term, t.tf, d.df_docs,
+             CAST(row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df_docs ASC, t.term ASC) AS INTEGER) AS rnk
+      FROM t JOIN d ON t.term = d.term)
+    SELECT doc_id, term, tf, df_docs, rnk
+    FROM r WHERE rnk <= 3
+    ORDER BY doc_id, rnk"""
+
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  private val q59 = s"""
+    WITH c AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+             '@example.com or 555-' ||
+             lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' host 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1' AS contact
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '$PiiEmail')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(contact, '$PiiPhone')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(contact, '$PiiIp')) AS INTEGER) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '$PiiEmail', '<EMAIL>', 'g'),
+             '$PiiIp', '<IP>', 'g'),
+             '$PiiPhone', '<PHONE>', 'g') AS redacted
+    FROM c
+    ORDER BY c_custkey"""
+
+  /** q60's oracle is the PLAIN join: the bloom prefilter must be
+    * invisible in the result (false positives die in the join).
+    */
+  private val q60 = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  private val q61 = """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'),
+    v AS (
+      SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id, c.user_id,
+           epoch_us(c.click_ts) - epoch_us(v.view_ts) AS micros_between
+    FROM c JOIN v ON c.user_id = v.user_id
+      AND v.view_ts <= c.click_ts
+      AND c.click_ts < v.view_ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, view_id"""
+
+  /** q62: the full portable-HLL estimator recomputed in SQL — register
+    * index / rank are exact integer facts of the auditable hash (bit
+    * length via `bin`, no float log2), the harmonic sum is fixed-point
+    * BIGINT (order-free), and the single double constant is embedded
+    * from the same driver-side value the Spark plan uses
+    * ([[graft.operators.HllSketch.rawNumerator]] — `Double.toString`
+    * round-trips through DuckDB's correctly-rounded parse).
+    */
+  private val q62 = {
+    val n = graft.operators.HllSketch.rawNumerator(256)
+    val h60 = "CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""
+    WITH h AS (
+      SELECT l_returnflag, $h60 AS h60
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    r AS (
+      SELECT l_returnflag, CAST(h60 % 256 AS INTEGER) AS register,
+             CAST(max(53 - (CASE WHEN h60 // 256 = 0 THEN 0
+                            ELSE length(bin(h60 // 256)) END)) AS INTEGER) AS rank
+      FROM h GROUP BY l_returnflag, register),
+    e AS (
+      SELECT l_returnflag, CAST(count(*) AS INTEGER) AS n_registers_hit,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - rank)) +
+                  (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS fp_sum
+      FROM r GROUP BY l_returnflag)
+    SELECT l_returnflag, n_registers_hit, fp_sum,
+           CAST(floor(CASE WHEN n_registers_hit < 256 AND ($n / fp_sum) <= 640.0
+                  THEN 256.0 * ln(256.0 / CAST(256 - n_registers_hit AS DOUBLE))
+                  ELSE $n / fp_sum END + 0.5) AS BIGINT) AS estimate
+    FROM e
+    ORDER BY l_returnflag"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1012,5 +1189,13 @@ object OracleSql {
     "q52_chunk_overlap" -> q52,
     "q53_weighted_sample" -> q53,
     "q54_range_join" -> q54,
+    "q55_dedup_clusters" -> q55,
+    "q56_funnel" -> q56,
+    "q57_retention" -> q57,
+    "q58_tfidf_terms" -> q58,
+    "q59_pii_redact" -> q59,
+    "q60_bloom_join" -> q60,
+    "q61_interval_join" -> q61,
+    "q62_hll_distinct" -> q62,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Debug surface: run ONE SparkEntry query by name against an SF dir —
+  * count, time, optionally dump the formatted physical plan. Saves a
+  * full Verify/Bench cycle when iterating on a single operator.
+  *
+  * sbt "runMain graft.RunOne q55_dedup_clusters /root/testdata/sf0.1 explain"
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val explain = args.contains("explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    val fn = SparkEntry.queries(name)
+    val df = fn(spark, sfDir)
+    if (explain) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[runone] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

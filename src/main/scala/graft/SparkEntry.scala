@@ -777,6 +777,132 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Near-dup *cluster* resolution ([[DedupCluster]]): chunk-overlap
+    * pairs (containment ≥ 0.5) → connected components (transitive
+    * closure — a ~ b ~ c is one group even when (a,c) never paired) →
+    * deterministic canonical survivor per cluster (longest text, ties
+    * to min id). The stage that turns pair lists into an actual dedup
+    * decision.
+    */
+  def q55_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
+        w = 8, avgSize = 64, minShared = 1)
+      .filter(col("containment") >= 0.5)
+    DedupCluster.clusters(docs, pairs, "doc_id", "id_a", "id_b", "n_chars")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Strictly-ordered view→click→purchase funnel ([[Funnel.funnel]]):
+    * earliest completion time per step, each step strictly after the
+    * previous one; depth = steps completed.
+    */
+  def q56_funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("depth"))
+      .orderBy(col("user_id"))
+
+  /** Cohort retention triangle ([[Funnel.retention]]): distinct active
+    * users per (first-event cohort day, day offset).
+    */
+  def q57_retention(s: SparkSession, dir: String): DataFrame =
+    Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  /** Top-3 distinctive terms per document ([[TermStats.topTerms]]):
+    * TF-IDF surface ranked by pure integer facts (tf desc, corpus df
+    * asc, term) so ranks are exact and engine-portable.
+    */
+  def q58_tfidf_terms(s: SparkSession, dir: String): DataFrame =
+    TermStats.topTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** PII scrub surface ([[graft.functions.TextFunctions.redactPii]]):
+    * per-kind occurrence counts + redacted text. The contact strings
+    * are synthesized deterministically from customer keys (the harness
+    * tables carry no real PII — by design), so the regex machinery is
+    * exercised on matching data and hash-checked end-to-end.
+    */
+  def q59_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      lit("reach "), col("c_name"),
+      lit(" at user"), col("c_custkey"), lit("@example.com or 555-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" host 10."), (col("c_custkey") % 256).cast("string"), lit(".0.1"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey"),
+        T.piiCount(col("contact"), "email").as("n_email"),
+        T.piiCount(col("contact"), "phone").as("n_phone"),
+        T.piiCount(col("contact"), "ip").as("n_ip"),
+        T.redactPii(col("contact")).as("redacted"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Bloom-pruned fact⋈dim join ([[BloomJoin]]): high-value orders'
+    * keys become a bloom that drops doomed lineitem rows before the
+    * shuffle; the join then dedups false positives, so the result is
+    * exactly the plain join (the oracle IS the plain join). Exact-cents
+    * money math as q01.
+    */
+  def q60_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    BloomJoin.prefilteredJoin(items, orders, "o_orderkey",
+        expectedItems = 100000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(cents(col("l_extendedprice"))).cast("double") / 100.0, 2)
+          .as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Time-interval join: each click matched to the same user's views in
+    * the preceding 10 minutes — the batch twin of the stream-stream
+    * interval join ([[graft.streaming.EventStream]]). Equi on user +
+    * range on time: the user key bounds the pair space, so this is a
+    * sort-merge join with a residual range predicate, not a product.
+    */
+  def q61_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("view_ts") <= col("click_ts") &&
+        col("click_ts") < col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("micros_between"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** Portable HyperLogLog ([[HllSketch]]): approximate distinct parts
+    * per returnflag where the sketch is rows of integer register maxima
+    * on the auditable hash — mergeable across jobs (the rollup-able
+    * COUNT DISTINCT the mart layer needs) and recomputed bit-for-bit by
+    * the DuckDB oracle, estimate included (fixed-point harmonic sum; one
+    * embedded double constant). The built-in `approx_count_distinct`
+    * surface stays q34.
+    */
+  def q62_hll_distinct(s: SparkSession, dir: String): DataFrame =
+    HllSketch.approxCountDistinct(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_partkey", p = 8)
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -834,6 +960,14 @@ object SparkEntry {
     "q52_chunk_overlap" -> (q52_chunk_overlap _),
     "q53_weighted_sample" -> (q53_weighted_sample _),
     "q54_range_join" -> (q54_range_join _),
+    "q55_dedup_clusters" -> (q55_dedup_clusters _),
+    "q56_funnel" -> (q56_funnel _),
+    "q57_retention" -> (q57_retention _),
+    "q58_tfidf_terms" -> (q58_tfidf_terms _),
+    "q59_pii_redact" -> (q59_pii_redact _),
+    "q60_bloom_join" -> (q60_bloom_join _),
+    "q61_interval_join" -> (q61_interval_join _),
+    "q62_hll_distinct" -> (q62_hll_distinct _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

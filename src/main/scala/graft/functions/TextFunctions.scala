@@ -179,4 +179,31 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** PII patterns, deliberately conservative regex subset (no lookaround,
+    * no backrefs) so the same pattern strings run identically under
+    * Java's engine here and RE2-family engines elsewhere — a corpus
+    * scrubbed on Spark must report the same counts when audited by
+    * another engine. Ordered: emails first (they contain dots that the
+    * ip pattern could otherwise nibble at), then ips, then phones.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip"    -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** Redact all [[PiiPatterns]] occurrences to `<KIND>` placeholders.
+    * Pure narrow map (chained codegen'd regexp_replace) — PII scrubbing
+    * of a 100 TB corpus rides the scan, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
+  /** Occurrence count of one PII kind (key into [[PiiPatterns]]). */
+  def piiCount(c: Column, kind: String): Column = {
+    val pat = PiiPatterns.toMap.apply(kind)
+    regexp_count(c, lit(pat)).cast("int")
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning: drop probe-side rows that cannot join
+  * *before* they reach the shuffle. On a 100 TB fact ⋈ selective
+  * dimension join, the shuffle write of doomed fact rows dominates the
+  * job; a bloom built from the build side's keys filters them at the
+  * scan (false positives are removed by the join itself, so the result
+  * is exact — the bloom only trims work, never changes semantics).
+  *
+  * Spark's own runtime row-level filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, injected by
+  * `InjectRuntimeFilter`) does this automatically *within* one query.
+  * The operator form exists for what the optimizer can't see: building
+  * the filter ONCE and reusing it across jobs/stages of a pipeline
+  * (e.g. one daily dimension delta pruning many fact scans), or
+  * pruning before an expensive non-join operator (dedup, ANN) that
+  * consumes the filtered scan.
+  *
+  * The probe is a deserialized `util.sketch.BloomFilter` behind a scala
+  * UDF — a deliberate exception to the functions-not-UDFs rule:
+  * `BloomFilterMightContain` is `private[sql]` with no public SQL
+  * registration, and the UDF sits in a `Filter` *under* the exchange,
+  * so it trims far more work than its boxing costs. The filter object
+  * ships to executors via the UDF closure (one broadcast-sized blob).
+  */
+object BloomJoin {
+
+  /** Build a bloom of `small`'s join keys (one pass over the build
+    * side, tree-aggregated — `DataFrameStatFunctions.bloomFilter`),
+    * pre-filter `big` with it, then run the exact equi-join. Long and
+    * string keys supported (the sketch hashes both natively).
+    */
+  def prefilteredJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    big.filter(mightContain(small, key, expectedItems, fpp)(col(key)))
+      .join(small, key)
+
+  /** The reusable half: a `Column => Column` probe you can apply to any
+    * number of scans (persist the underlying bloom across a pipeline by
+    * holding this function). NULL keys never match (they cannot join).
+    */
+  def mightContain(small: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): Column => Column = {
+    val isLong = small.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.LongType.type] ||
+      small.schema(key).dataType == org.apache.spark.sql.types.IntegerType
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    if (isLong) {
+      val probe = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
+      c => probe(c.cast("long"))
+    } else {
+      val probe = udf((k: String) => k != null && bf.mightContainString(k))
+      c => probe(c.cast("string"))
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics: per-document term frequency, corpus
+  * document frequency, TF-IDF, and top-k distinctive terms per
+  * document — the keyword/topic surface of a training-data pipeline
+  * (used for topic balancing and quality filtering over web corpora).
+  *
+  * Scale shape: tokenize is a narrow map; `(doc, term)` TF is one
+  * shuffle keyed on (doc, term); document frequency aggregates the TF
+  * rows (already distinct per doc) keyed on term. The TF⋈DF join
+  * shuffles on term — at web scale the DF side is the vocabulary
+  * (millions of rows, not billions), so AQE turns it into a broadcast.
+  * Ranking windows partition per document (bounded groups, no global
+  * sort).
+  */
+object TermStats {
+
+  /** One row per (document, term): `tf` (occurrences in the doc),
+    * `df_docs` (documents containing the term), and `tfidf`
+    * (tf · ln(N/df), the classic smoothed-free form). NULL/empty text
+    * contributes no rows.
+    */
+  def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = docs.select(col(idCol)).distinct().count()
+    val tokens = docs.select(col(idCol),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    tf.join(df, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df_docs")))
+      .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
+  }
+
+  /** Top-k most distinctive terms per document, ranked by pure integer
+    * facts — tf descending (most frequent), then df ascending (most
+    * distinctive), then term — so the ranking is exact and
+    * engine-portable (the double `tfidf` orders identically when tf
+    * ties break by df, but floats never decide a rank here).
+    */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
+    tfIdf(docs, textCol, idCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -182,6 +182,31 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream time-interval join: each click matched to the same
+    * user's views in the preceding `windowMinutes` — the streaming twin
+    * of SparkEntry.q61 (bit-identical output columns; equivalence
+    * spec-asserted). Both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, so Spark can expire
+    * buffered state for rows that can no longer match — without the
+    * two-sided bound the state store grows forever (the classic
+    * stream-stream join trap at production scale).
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "30 minutes", windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", watermark)
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("micros_between"))
+  }
+
   /** Streaming upsert sink: each micro-batch merges into the parquet
     * table via the column-selective [[graft.operators.Upsert]] — the
     * streaming twin of the staging layer's `ON DUPLICATE KEY UPDATE`

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: transitive closure across chained pairs") {
+    // 1-2, 2-3 chain one component; 10-11 another; 20 never paired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges (diameter rounds)") {
+    val n = 12 // diameter 12 path: 0-1-2-...-12
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val comp = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(0L))
+    assert(comp.size == n + 1)
+  }
+
+  test("connected components: edge direction is irrelevant") {
+    val a = Seq((5L, 1L), (1L, 9L)).toDF("id_a", "id_b") // min in the middle
+    val comp = DedupCluster.connectedComponents(a, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("maxIter bound throws instead of returning a partial clustering") {
+    val pairs = (0 until 10).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      DedupCluster.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
+  test("clusters: exactly one canonical per cluster, longest text wins") {
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "the longest text here", 21L), (3L, "mid one", 7L),
+      (4L, "unpaired", 8L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = DedupCluster.clusters(docs, pairs, "doc_id", "id_a", "id_b", "n_chars")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true)))
+    // invariant: one canonical per cluster over the harness documents too
+    val hd = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hp = Dedup.chunkOverlapPairs(hd, "text", "doc_id", minShared = 1)
+      .filter(col("containment") >= 0.5)
+    val hc = DedupCluster.clusters(hd, hp, "doc_id", "id_a", "id_b", "n_chars")
+    val perCluster = hc.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"))
+      .filter(col("n_canon") =!= 1).count()
+    assert(perCluster == 0)
+  }
+}

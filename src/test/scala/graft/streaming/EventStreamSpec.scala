@@ -195,4 +195,35 @@ class EventStreamSpec extends SparkSpec {
     assert(got(2).getAs[Long]("user_id") == 2L &&
       got(2).getAs[Double]("total_value") == 9.0)
   }
+
+  test("stream-stream interval join matches the q61 batch twin exactly") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0), // joins view 1 (300s)
+      (3L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0), // 20 min after → no view
+      (4L, ts("2024-01-01 09:59:00"), 2L, "view", 0.0),
+      (5L, ts("2024-01-01 10:03:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-01 10:06:00"), 2L, "click", 0.0) // joins BOTH views of user 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val base = tmpDir("ssjoin")
+    val inDir = s"$base/in"
+    rows.write.parquet(inDir)
+
+    val ev = EventStream.readEvents(spark, inDir)
+    val joined = EventStream.clickViewJoin(
+      ev.filter($"event_type" === "click"), ev.filter($"event_type" === "view"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ssj")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("SELECT click_id, view_id, micros_between FROM ssj")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == Set(
+      (2L, 1L, 300L * 1000000),
+      (6L, 4L, 420L * 1000000),
+      (6L, 5L, 180L * 1000000)))
+  }
 }
