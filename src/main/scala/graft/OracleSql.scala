@@ -1135,6 +1135,74 @@ object OracleSql {
     ORDER BY l_returnflag"""
   }
 
+  /** q63: the Count-Min sketch rebuilt in SQL — the 4 universal-hash
+    * rows come in as a VALUES list of (row, a, b) constants derived by
+    * [[graft.operators.CountMin.cmA]]/[[graft.operators.CountMin.cmB]]
+    * (same literal-string derivation the Spark plan uses), cells are
+    * exact integer counts, estimates are min over rows.
+    */
+  private val q63 = {
+    val perms = (0 until 4).map(i =>
+      s"(${i}, ${graft.operators.CountMin.cmA(i)}, ${graft.operators.CountMin.cmB(i)})").mkString(", ")
+    val h60 = "CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""
+    WITH perm(row, a, b) AS (VALUES $perms),
+    h AS (
+      SELECT l_suppkey, $h60 % 1073741824 AS h30
+      FROM lineitem WHERE l_suppkey IS NOT NULL),
+    cells AS (
+      SELECT p.row, ((p.a * h.h30 + p.b) % 2147483647) % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS cell_count
+      FROM h CROSS JOIN perm p
+      GROUP BY p.row, bucket),
+    probe AS (
+      SELECT DISTINCT l_suppkey, p.row,
+             ((p.a * h30 + p.b) % 2147483647) % 1024 AS bucket
+      FROM h CROSS JOIN perm p),
+    est AS (
+      SELECT pr.l_suppkey, CAST(min(c.cell_count) AS BIGINT) AS est_count
+      FROM probe pr JOIN cells c ON pr.row = c.row AND pr.bucket = c.bucket
+      GROUP BY pr.l_suppkey)
+    SELECT e.l_suppkey, e.est_count, x.exact_count
+    FROM est e JOIN (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS exact_count
+      FROM lineitem GROUP BY l_suppkey) x ON e.l_suppkey = x.l_suppkey
+    ORDER BY e.l_suppkey"""
+  }
+
+  private val q64 = """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** q65: the float-free z-score membership test in HUGEINT (mirrors
+    * Spark's decimal(38,0) — both exact at these magnitudes).
+    */
+  private val q65 = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) AS x
+      FROM lineitem),
+    st AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS q
+      FROM li GROUP BY l_returnflag)
+    SELECT li.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN (st.n * li.x - st.s) * (st.n * li.x - st.s)
+                            > 4 * (st.n * st.q - st.s * st.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(st.s) AS BIGINT) AS sum_cents
+    FROM li JOIN st ON li.l_returnflag = st.l_returnflag
+    GROUP BY li.l_returnflag
+    ORDER BY li.l_returnflag"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1197,5 +1265,8 @@ object OracleSql {
     "q60_bloom_join" -> q60,
     "q61_interval_join" -> q61,
     "q62_hll_distinct" -> q62,
+    "q63_countmin" -> q63,
+    "q64_pivot" -> q64,
+    "q65_zscore_outliers" -> q65,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -903,6 +903,68 @@ object SparkEntry {
         Seq("l_returnflag"), "l_partkey", p = 8)
       .orderBy(col("l_returnflag"))
 
+  /** Portable Count-Min sketch ([[CountMin]]): per-key frequency upper
+    * bounds from a fixed 4×1024 integer cell table — mergeable across
+    * partitions/days, size-independent of key cardinality. Probed for
+    * every distinct supplier and laid beside the exact counts
+    * (est ≥ exact always; equality wherever no bucket collision). The
+    * oracle rebuilds the identical sketch from embedded universal-hash
+    * constants.
+    */
+  def q63_countmin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_suppkey"))
+    val sk = CountMin.sketch(li, Seq.empty, "l_suppkey")
+    val est = CountMin.estimate(sk, li.distinct(), Seq.empty, "l_suppkey")
+    val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, "l_suppkey")
+      .select(col("l_suppkey"), col("est_count"), col("exact_count"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Pivot / crosstab (the datamart chart matrix as ONE query):
+    * order counts by priority × status. Explicit value list — at scale
+    * an unlisted pivot needs a distinct-scan planning pass AND risks
+    * unbounded column explosion; a declared domain keeps the plan
+    * static. Absent cells coalesce to 0 (count semantics).
+    */
+  def q64_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Per-group outlier counts by z-score, in EXACT arithmetic: with
+    * n, S=Σx, Q=Σx² (cents), |z|>2 ⇔ (n·x−S)² > 4·(n·Q−S²) — the
+    * float-free form (multiply both sides by n²·σ²). Internal math in
+    * decimal(38,0) (the squares pass 2^63 at sf≥0.1); the oracle uses
+    * HUGEINT. No float ever decides membership, so the count is
+    * engine-exact.
+    */
+  def q65_zscore_outliers(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = cents(col("l_extendedprice")).cast(dec)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), c.as("x"))
+    val stats = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("s"),
+      sum(col("x") * col("x")).cast(dec).as("q"))
+    val lhs = (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+    val rhs = lit(4).cast(dec) * (col("n") * col("q") - col("s") * col("s"))
+    li.join(broadcast(stats), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("s")).cast("long").as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -968,6 +1030,9 @@ object SparkEntry {
     "q60_bloom_join" -> (q60_bloom_join _),
     "q61_interval_join" -> (q61_interval_join _),
     "q62_hll_distinct" -> (q62_hll_distinct _),
+    "q63_countmin" -> (q63_countmin _),
+    "q64_pivot" -> (q64_pivot _),
+    "q65_zscore_outliers" -> (q65_zscore_outliers _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
