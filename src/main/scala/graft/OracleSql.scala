@@ -1170,14 +1170,15 @@ object OracleSql {
     ORDER BY e.l_suppkey"""
   }
 
-  private val q64 = """
+  private val q64noOrder = """
     SELECT o_orderpriority,
            CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
            CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
            CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
     FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority"""
+    GROUP BY o_orderpriority"""
+
+  private val q64 = s"$q64noOrder ORDER BY o_orderpriority"
 
   /** q65: the float-free z-score membership test in HUGEINT (mirrors
     * Spark's decimal(38,0) — both exact at these magnitudes).
@@ -1202,6 +1203,24 @@ object OracleSql {
     FROM li JOIN st ON li.l_returnflag = st.l_returnflag
     GROUP BY li.l_returnflag
     ORDER BY li.l_returnflag"""
+
+  /** q66: melt of q64's crosstab — UNION ALL per status column. */
+  private val q66 = s"""
+    WITH p AS ($q64noOrder)
+    SELECT o_orderpriority, o_orderstatus, n FROM (
+      SELECT o_orderpriority, 'F' AS o_orderstatus, n_f AS n FROM p
+      UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+      UNION ALL SELECT o_orderpriority, 'P', n_p FROM p)
+    WHERE n > 0
+    ORDER BY o_orderpriority, o_orderstatus"""
+
+  private val q67 = """
+    SELECT CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 5000000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 5000000) * 50000 AS BIGINT) AS bucket_lo
+    FROM orders
+    GROUP BY bucket, bucket_lo
+    ORDER BY bucket"""
 
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
@@ -1268,5 +1287,7 @@ object OracleSql {
     "q63_countmin" -> q63,
     "q64_pivot" -> q64,
     "q65_zscore_outliers" -> q65,
+    "q66_unpivot" -> q66,
+    "q67_histogram" -> q67,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -23,11 +23,15 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     val fn = SparkEntry.queries(name)
-    val df = fn(spark, sfDir)
-    if (explain) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[runone] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    if (explain) fn(spark, sfDir).explain("formatted")
+    // time construction + count per run, as Bench does — operators with
+    // eager driver-side stages (iterative loops, collected codebooks)
+    // spend real time BEFORE the final plan exists
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[runone] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

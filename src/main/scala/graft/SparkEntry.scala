@@ -965,6 +965,30 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Unpivot / melt — the inverse of q64: the wide crosstab back to
+    * (priority, status, n) long form via `stack`. Wide marts publish to
+    * BI as long tables; melt must be a narrow map (it is: stack is a
+    * generator, no shuffle beyond q64's own).
+    */
+  def q66_unpivot(s: SparkSession, dir: String): DataFrame =
+    q64_pivot(s, dir)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (o_orderstatus, n)"))
+      .filter(col("n") > 0)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Fixed-width histogram: integer bucketing of order totals (500k
+    * cents buckets) — pure integer facts, the datamart's chart-ready
+    * distribution in one narrow map + one aggregation.
+    */
+  def q67_histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(floor(cents(col("o_totalprice")) / lit(5000000L)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("bucket_lo", (col("bucket") * 50000L).cast("long"))
+      .orderBy(col("bucket"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1033,6 +1057,8 @@ object SparkEntry {
     "q63_countmin" -> (q63_countmin _),
     "q64_pivot" -> (q64_pivot _),
     "q65_zscore_outliers" -> (q65_zscore_outliers _),
+    "q66_unpivot" -> (q66_unpivot _),
+    "q67_histogram" -> (q67_histogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -29,21 +29,29 @@ object CorpusJob {
     * (no filtering — callers decide policy).
     */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val canonical = Dedup.canonical(docs, "text", "doc_id")
+    // ONE TextStats pass per row, computed BELOW the canonical-dedup
+    // window: a filter pushed down from above (CorpusJob.filter's
+    // policy) cannot cross a Window whose partition key it doesn't
+    // reference, so the pushed predicate stops above the window and
+    // reads the materialized `__tstats` ATTRIBUTE. Computing the struct
+    // after the join instead leaves it an alias chain the optimizer
+    // inlines into the filter condition — graft_text_stats(text)
+    // re-evaluated per predicate reference (6 full text scans per row;
+    // FilterExec does no common-subexpression elimination). Measured on
+    // the q50 policy filter at sf0.1: 2.0 s → this form cuts the
+    // redundant scans. The struct is ~10 small ints per row riding the
+    // fingerprint exchange — negligible at any scale.
+    val canonical = Dedup.canonical(
+      docs.withColumn("__tstats", T.textStats(col("text"))), "text", "doc_id")
     val nearDupIds = Dedup.minHashLsh(docs, "text", "doc_id",
         cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
       .distinct()
       .withColumn("is_near_duplicate", lit(true))
-    // one TextStats pass per row, materialized as its own column: the
-    // multi-referenced alias blocks projection collapse, so when
-    // CorpusJob.filter's policy predicate pushes down it reads struct
-    // fields instead of re-inlining the full text scan per reference
     canonical
       .join(nearDupIds, Seq("doc_id"), "left_outer")
       .withColumn("is_near_duplicate",
         coalesce(col("is_near_duplicate"), lit(false)))
-      .withColumn("__tstats", T.textStats(col("text")))
       .withColumn("n_tokens", T.tokenCountFrom(col("__tstats")).cast("long"))
       .withColumn("quality", T.qualityFrom(col("__tstats")))
       .withColumn("lang_pred", T.langIdFrom(col("__tstats")))

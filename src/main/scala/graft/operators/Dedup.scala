@@ -64,7 +64,12 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sh = ColumnBridge.column(graft.plans.WordShingles(
       ColumnBridge.expression(lower(coalesce(col(textCol), lit("")))), n))
-    df.select(col(idCol).as("id") +: keepCols.map(col) :+ explode(sh).as("shingle"): _*)
+    // Spread BEFORE the explosion: shingling multiplies both row count
+    // and per-row CPU, so an under-partitioned scan (one row group =
+    // one task) serializes the whole pipeline; keying by id lets the
+    // consumers' groupBy(id) reuse the partitioning (no-op at real scale)
+    Spread.auto(df, col(idCol))
+      .select(col(idCol).as("id") +: keepCols.map(col) :+ explode(sh).as("shingle"): _*)
   }
 
   /** Reference relational form of [[shingleRows]] (posexplode + window
@@ -126,7 +131,7 @@ object Dedup {
     require(w >= 2 && w <= 10, s"window $w outside [2,10] (2^63 overflow bound)")
     val canon = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
-    val chars = df
+    val chars = Spread.auto(df, col(idCol))
       .select(col(idCol).as("id"), posexplode(split(canon, "")))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ch")
     val win = Window.partitionBy(col("id")).orderBy(col("p"))
@@ -165,7 +170,8 @@ object Dedup {
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
     val chunks = ColumnBridge.column(graft.plans.CdcChunks(
       ColumnBridge.expression(canon), w, avgSize))
-    df.select(col(idCol).as("id"), posexplode(chunks))
+    Spread.auto(df, col(idCol))
+      .select(col(idCol).as("id"), posexplode(chunks))
       .select(col("id"), col("pos").cast("long").as("chunk_no"),
         col("col.chunk_md5").as("chunk_md5"), col("col.chunk_len").as("chunk_len"))
   }
@@ -397,7 +403,7 @@ object Dedup {
     * One shuffle on `idCol`.
     */
   def simHashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Spread.auto(df, col(idCol)).select(col(idCol).as("id"),
         explode(T.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", H.h60(concat(lit("simhash:"), col("tok"))))
     val bitSums = (0 until SimHashBits).map { b =>

@@ -13,21 +13,26 @@ import org.apache.spark.storage.StorageLevel
   * reference's exact `INSERT IGNORE` dedup cannot express at all
   * (`loadtowh/load_to_wh.sh:64-78` dedups on exact key equality only).
   *
-  * Scale design: iterative min-label propagation over the edge list.
-  * Each round is one join (labels ⋈ edges) + one hash aggregation
-  * (min per node) — both shuffle on the node id, so AQE coalesces and
-  * co-partitions them; nothing is ever collected to the driver. Round
-  * count = graph diameter, and near-dup graphs are dense low-diameter
-  * clusters of mutually-similar documents (a transitively-chained
-  * corpus-length path would mean the similarity threshold is
-  * meaningless), so propagation converges in a handful of rounds; the
-  * O(log n)-round alternating large-star/small-star scheme (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond", SoCC'14) buys
-  * its asymptotics with 2× the per-round shuffles and only wins on
-  * adversarial high-diameter graphs. Convergence is detected with a
-  * driver-side scalar (sum of labels, monotonically decreasing, as
-  * DECIMAL(38,0) so 10^12 rows × 10^12 ids cannot overflow), not a
-  * row-level diff join.
+  * Scale design — two regimes, picked by the measured edge count (the
+  * same decision shape as Spark's broadcast-join threshold):
+  *
+  *  - **Driver union-find** when the deduped edge list fits comfortably
+  *    on the driver (default ≤ 4M edges ≈ 64 MB). A near-dup edge list
+  *    is a tiny fraction of the corpus — pairs above a similarity
+  *    threshold are rare by construction — so even multi-TB corpora
+  *    usually land here. One collect + path-compressed union-find +
+  *    one createDataFrame: no iterative jobs, no per-round codegen.
+  *  - **Iterative min-label propagation** otherwise. Each round: labels
+  *    flow along edges (join + min-aggregate, both keyed on node id so
+  *    AQE co-partitions), then a pointer-jump (comp := comp(comp),
+  *    Shiloach–Vishkin-style shortcutting) so long chains collapse in
+  *    O(log diameter) rounds. Convergence is detected with a
+  *    driver-side scalar (sum of labels, monotonically decreasing, as
+  *    DECIMAL(38,0) so 10^12 rows × 10^12 ids cannot overflow), not a
+  *    row-level diff join.
+  *
+  * Both regimes produce identical output (comp = component min;
+  * differential-tested), so the cutover is invisible to callers.
   */
 object DedupCluster {
 
@@ -41,12 +46,55 @@ object DedupCluster {
     * still converging — a silently-partial clustering would under-dedup.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      maxIter: Int = 30, collectThreshold: Long = 4000000L): DataFrame = {
+    // both directions in ONE pass over the pair source: a union of two
+    // projections would execute the (possibly expensive) pair-producing
+    // pipeline once per branch — only exchanges get reused, not arbitrary
+    // subtrees
+    val edges = pairs.select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .dropDuplicates("a", "b")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val edgeCount = edges.count() // materializes the persist either way
+    if (edgeCount <= collectThreshold) {
+      val result = driverUnionFind(edges)
+      edges.unpersist()
+      return result
+    }
+    iterative(edges, maxIter)
+  }
+
+  /** Small-graph regime: collect the (deduped, symmetric) edge list and
+    * run path-compressed union-find on the driver. 16 bytes/edge; the
+    * default threshold collects ≤ 64 MB.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val arr = edges.filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    arr.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min: the smaller id becomes the root, so the root IS
+      // the component minimum (the public contract)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    rows.toDF("id", "comp")
+  }
+
+  private def iterative(edges: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): each round's plan embeds the previous
     // round's TWICE (once under the join, once under the union), so lineage
     // grows 2^rounds — Catalyst optimization and plan stringification OOM
@@ -54,25 +102,45 @@ object DedupCluster {
     // to the materialized RDD each round; on a real cluster swap in
     // reliable `checkpoint()` (HDFS-backed) if executor loss during the
     // loop must be recoverable.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    //
+    // Round structure (each round ≈ fixed scheduling cost, so fewer
+    // rounds beat cheaper rounds):
+    //  - seed: comp = min(id, min neighbor) — one aggregation, worth a
+    //    full propagation round;
+    //  - propagate: neighbor labels flow along every edge, min per node;
+    //  - pointer-jump: comp := comp(comp) — label paths halve each
+    //    round (Shiloach–Vishkin-style shortcutting), so convergence is
+    //    O(log diameter) rounds instead of O(diameter); the jump join is
+    //    labels⋈labels (node-count rows, much smaller than the edge join).
+    var labels = edges.groupBy("a").agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
       .localCheckpoint(true)
     var checksum = labelSum(labels)
+    var lastCkpt = labels // the checkpointed frame each round builds on
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbor's label flows along every edge; min with own label
       // (explicit aliases: labels derives from edges, so attribute-based
       // join conditions would be ambiguous self-join references)
       val prop = labels.as("l").join(edges.as("e"), col("l.id") === col("e.a"))
         .select(col("e.b").as("id"), col("l.comp").as("comp"))
+      // checkpoint BEFORE the jump self-join: self-joining the raw
+      // union+aggregate plan trips Union constraint rewriting on shared
+      // attribute ids (Catalyst NoSuchElementException); over the
+      // checkpointed LogicalRDD the self-join dedups cleanly, and the
+      // jump's own lineage stays one join deep
       val next = labels.select("id", "comp").union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
+      // comp(x) is a node (min over a neighborhood including real ids),
+      // so the jump target row always exists — inner join is total
+      val jumped = next.as("x").join(next.as("y"), col("x.comp") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.comp").as("comp"))
+      val nextSum = labelSum(jumped)
+      lastCkpt.unpersist()
+      lastCkpt = next
+      labels = jumped
       converged = nextSum == checksum // min-prop only ever decreases the sum
       checksum = nextSum
       iter += 1

@@ -26,7 +26,9 @@ object TermStats {
     */
   def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val n = docs.select(col(idCol)).distinct().count()
-    val tokens = docs.select(col(idCol),
+    // spread before the token explosion: one-row-group corpora would
+    // otherwise tokenize single-threaded (see Spread)
+    val tokens = Spread.auto(docs, col(idCol)).select(col(idCol),
         explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = tokens.groupBy(col(idCol), col("term"))

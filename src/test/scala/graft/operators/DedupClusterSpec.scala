@@ -23,6 +23,21 @@ class DedupClusterSpec extends SparkSpec {
     assert(comp.size == n + 1)
   }
 
+  test("iterative regime == driver union-find regime, exactly") {
+    // chains + a dense clique + singleton pairs; force the iterative
+    // path with collectThreshold = 0 and compare to the collect path
+    val pairs = ((0 until 20).map(i => (i.toLong, i + 1L)) ++
+      Seq((100L, 103L), (101L, 103L), (102L, 103L), (100L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val viaCollect = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaIter = DedupCluster.connectedComponents(pairs, "id_a", "id_b",
+        collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCollect == viaIter)
+    assert(viaCollect(20L) == 0L && viaCollect(103L) == 100L && viaCollect(201L) == 200L)
+  }
+
   test("connected components: edge direction is irrelevant") {
     val a = Seq((5L, 1L), (1L, 9L)).toDF("id_a", "id_b") // min in the middle
     val comp = DedupCluster.connectedComponents(a, "id_a", "id_b")
@@ -31,9 +46,10 @@ class DedupClusterSpec extends SparkSpec {
   }
 
   test("maxIter bound throws instead of returning a partial clustering") {
-    val pairs = (0 until 10).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val pairs = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      DedupCluster.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+      DedupCluster.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        collectThreshold = 0L)
     }
   }
 
