@@ -1222,6 +1222,43 @@ object OracleSql {
     GROUP BY bucket, bucket_lo
     ORDER BY bucket"""
 
+  /** q68: decontamination recomputed from the shared shingle fragment —
+    * benchmark = every 50th doc, LEFT JOIN membership probe.
+    */
+  private val q68 = s"""
+    WITH $shingleRows,
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS contamination
+    FROM c LEFT JOIN b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id"""
+
+  /** q69: raw (non-distinct) 3-gram counts per doc; NULL ratio for
+    * sub-3-token docs.
+    */
+  private val q69 = s"""
+    WITH toks AS ($lowerToks),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(tk[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(tk) >= 3),
+    a AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+             CAST(count(DISTINCT gram) AS BIGINT) AS dist
+      FROM g GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.total, 0) AS n_grams,
+           coalesce(a.dist, 0) AS n_distinct,
+           round(CAST(a.total - a.dist AS DOUBLE) / a.total, 6) AS rep_ratio
+    FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1289,5 +1326,7 @@ object OracleSql {
     "q65_zscore_outliers" -> q65,
     "q66_unpivot" -> q66,
     "q67_histogram" -> q67,
+    "q68_decontaminate" -> q68,
+    "q69_repetition" -> q69,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

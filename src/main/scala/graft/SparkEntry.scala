@@ -989,6 +989,29 @@ object SparkEntry {
       .withColumn("bucket_lo", (col("bucket") * 50000L).cast("long"))
       .orderBy(col("bucket"))
 
+  /** Eval-set decontamination ([[Decontaminate.overlap]]): every 50th
+    * document plays the benchmark; each remaining document reports what
+    * fraction of its distinct 3-shingles the benchmark contains.
+    * Broadcast probe — no corpus-side shuffle beyond the per-doc
+    * aggregate.
+    */
+  def q68_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    Decontaminate.overlap(corpus, bench, "text", "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-doc n-gram repetition ([[TermStats.nGramRepetition]]): the
+    * duplicated-3-gram quality rule; NULL ratio for sub-3-token docs.
+    */
+  def q69_repetition(s: SparkSession, dir: String): DataFrame =
+    TermStats.nGramRepetition(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1059,6 +1082,8 @@ object SparkEntry {
     "q65_zscore_outliers" -> (q65_zscore_outliers _),
     "q66_unpivot" -> (q66_unpivot _),
     "q67_histogram" -> (q67_histogram _),
+    "q68_decontaminate" -> (q68_decontaminate _),
+    "q69_repetition" -> (q69_repetition _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -39,6 +39,39 @@ object TermStats {
       .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
 
+  /** Intra-document n-gram repetition — the Gopher/RefinedWeb-family
+    * quality rule that single-token stats can't see: templated or
+    * looping text has many *repeated* n-grams. Per document: total
+    * n-gram occurrences, distinct n-grams, and
+    * `rep_ratio = round((total − distinct) / total, 6)` (NULL when the
+    * document has fewer than `n` tokens — no n-grams to judge).
+    * Shape: token explode (`Spread`-parallelized) → window leads keyed
+    * on the doc id → one aggregate on the same key. Duplicates matter
+    * here, so this counts raw grams, not [[Dedup.shingleRows]]'s sets.
+    */
+  def nGramRepetition(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val toks = Spread.auto(docs, col(idCol))
+      .select(col(idCol), posexplode(T.tokens(lower(col(textCol)))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
+    val grams = toks
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .withColumn("__full", lead(col("tok"), n - 1).over(w).isNotNull)
+      .filter(col("__full"))
+    val agg = grams.groupBy(col(idCol)).agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("gram")).as("dist"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total"), lit(0L)).as("n_grams"),
+        coalesce(col("dist"), lit(0L)).as("n_distinct"),
+        round((col("total") - col("dist")).cast("double") / col("total"), 6)
+          .as("rep_ratio"))
+  }
+
   /** Top-k most distinctive terms per document, ranked by pure integer
     * facts — tf descending (most frequent), then df ascending (most
     * distinctive), then term — so the ranking is exact and
