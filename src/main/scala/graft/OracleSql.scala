@@ -1259,6 +1259,15 @@ object OracleSql {
     FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id"""
 
+  private val q70 = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1328,5 +1337,6 @@ object OracleSql {
     "q67_histogram" -> q67,
     "q68_decontaminate" -> q68,
     "q69_repetition" -> q69,
+    "q70_cube" -> q70,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

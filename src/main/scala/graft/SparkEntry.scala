@@ -1012,6 +1012,21 @@ object SparkEntry {
     TermStats.nGramRepetition(Tables.documents(s, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** CUBE grouping sets (q43's rollup completed to the full lattice)
+    * with `grouping_id` disambiguating which dimensions each subtotal
+    * aggregates over — NULL-as-subtotal vs NULL-as-value is ambiguous
+    * without it. Exact-cents revenue.
+    */
+  def q70_cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(cents(col("o_totalprice"))).cast("double") / 100.0, 2).as("revenue"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1084,6 +1099,7 @@ object SparkEntry {
     "q67_histogram" -> (q67_histogram _),
     "q68_decontaminate" -> (q68_decontaminate _),
     "q69_repetition" -> (q69_repetition _),
+    "q70_cube" -> (q70_cube _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

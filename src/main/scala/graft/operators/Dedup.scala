@@ -476,7 +476,7 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val shArr = ColumnBridge.column(graft.plans.WordShingles(
       ColumnBridge.expression(lower(coalesce(col(textCol), lit("")))), n))
-    val sh = df
+    val sh = Spread.auto(df, col(idCol))
       .withColumn("__sh", shArr)
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         size(col("__sh")).cast("long").as("set_size"),
