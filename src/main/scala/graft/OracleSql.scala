@@ -1268,6 +1268,15 @@ object OracleSql {
     GROUP BY CUBE(o_orderpriority, o_orderstatus)
     ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
 
+  private val q71 = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS domain_o_orderstatus,
+           CAST(sum(CASE WHEN length(o_orderpriority) > 20 THEN 1 ELSE 0 END) AS BIGINT) AS len_o_orderpriority,
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_o_totalprice,
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 450000.0) THEN 1 ELSE 0 END) AS BIGINT) AS range_o_totalprice
+    FROM orders"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1338,5 +1347,6 @@ object OracleSql {
     "q68_decontaminate" -> q68,
     "q69_repetition" -> q69,
     "q70_cube" -> q70,
+    "q71_quality_report" -> q71,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1027,6 +1027,21 @@ object SparkEntry {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Single-pass data-quality gate ([[graft.control.Constraints.report]]):
+    * all row-level expectations over orders in ONE aggregate scan — the
+    * nightly zone-boundary check that must not cost one scan per rule
+    * at 100 TB.
+    */
+  def q71_quality_report(s: SparkSession, dir: String): DataFrame = {
+    import graft.control.Constraints._
+    report(Tables.orders(s, dir), Seq(
+      notNull("o_custkey"),
+      inDomain("o_orderstatus", Seq("F", "O", "P")),
+      maxLength("o_orderpriority", 20),
+      nonNegative("o_totalprice"),
+      inRange("o_totalprice", 0.0, 450000.0)))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1100,6 +1115,7 @@ object SparkEntry {
     "q68_decontaminate" -> (q68_decontaminate _),
     "q69_repetition" -> (q69_repetition _),
     "q70_cube" -> (q70_cube _),
+    "q71_quality_report" -> (q71_quality_report _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,6 @@
 package graft.control
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative integrity checks — the Spark stand-ins for the
@@ -41,4 +41,34 @@ object Constraints {
       .join(parent.select(col(parentKey)),
         col(childKey) === col(parentKey), "left_anti")
       .count()
+
+  // ---- single-pass expectations ------------------------------------------
+
+  /** A named violation predicate (true ⇒ the row violates the rule). */
+  final case class Rule(name: String, violated: Column)
+
+  def notNull(column: String): Rule =
+    Rule(s"null_$column", col(column).isNull)
+  def inDomain(column: String, allowed: Seq[String]): Rule =
+    Rule(s"domain_$column", col(column).isNotNull && !col(column).isin(allowed: _*))
+  def maxLength(column: String, n: Int): Rule =
+    Rule(s"len_$column", length(col(column)) > n)
+  def nonNegative(column: String): Rule =
+    Rule(s"neg_$column", col(column) < 0)
+  def inRange(column: String, lo: Double, hi: Double): Rule =
+    Rule(s"range_$column", col(column).isNotNull && (col(column) < lo || col(column) > hi))
+
+  /** All row-level rules in ONE aggregate scan: a row with `n_rows`
+    * plus one violation-count column per rule. The per-check methods
+    * above cost one scan each — fine in tests, wrong at a 100 TB zone
+    * boundary, where the nightly quality gate should be a single pass
+    * (key-level checks — unique/FK — need their own shuffles and stay
+    * separate).
+    */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "report needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    val aggs = rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }
