@@ -1277,6 +1277,19 @@ object OracleSql {
            CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 450000.0) THEN 1 ELSE 0 END) AS BIGINT) AS range_o_totalprice
     FROM orders"""
 
+  private val q72 = """
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars * 37 % 9000 + 1000 AS BIGINT) AS duration_ms
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(duration_ms - 1, 0) + 1, 750)) AS off
+      FROM d)
+    SELECT doc_id, CAST(off AS BIGINT) AS frame_offset_ms,
+           CAST(off // 750 AS INTEGER) AS frame_idx
+    FROM f
+    ORDER BY doc_id, frame_idx"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1348,5 +1361,6 @@ object OracleSql {
     "q69_repetition" -> q69,
     "q70_cube" -> q70,
     "q71_quality_report" -> q71,
+    "q72_frame_sample" -> q72,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

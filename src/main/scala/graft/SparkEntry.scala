@@ -1042,6 +1042,22 @@ object SparkEntry {
       inRange("o_totalprice", 0.0, 450000.0)))
   }
 
+  /** Frame-sampling plan ([[Multimodal.sampleFramePlan]]): the
+    * shuffle-free explode emitting (frame_idx, offset_ms) rows for a
+    * downstream per-frame decoder. Durations here are declared from
+    * n_chars (SQL-expressible) so the PLAN is oracle-checked — the
+    * decode stub's synthetic durations are stub internals (q49 note).
+    */
+  def q72_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    val vids = Tables.documents(s, dir)
+      .select(col("doc_id"), struct(
+        (col("n_chars") * 37 % 9000 + 1000).cast("long").as("duration_ms"))
+        .as("media_meta"))
+    Multimodal.sampleFramePlan(vids, "media_meta", everyMs = 750L)
+      .select(col("doc_id"), col("frame_offset_ms"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1116,6 +1132,7 @@ object SparkEntry {
     "q69_repetition" -> (q69_repetition _),
     "q70_cube" -> (q70_cube _),
     "q71_quality_report" -> (q71_quality_report _),
+    "q72_frame_sample" -> (q72_frame_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
