@@ -1290,6 +1290,38 @@ object OracleSql {
     FROM f
     ORDER BY doc_id, frame_idx"""
 
+  private val q73 = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY day)
+    SELECT day,
+           round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(sum(rev_c) OVER w AS DOUBLE) / 100.0, 2) AS revenue_7d,
+           CAST(count(*) OVER w AS BIGINT) AS days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY day"""
+
+  private val q74 = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+      FROM orders GROUP BY day),
+    b AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders),
+    s AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b)
+    SELECT s.day,
+           coalesce(d.n_orders, 0) AS n_orders,
+           coalesce(d.revenue, 0.0) AS revenue
+    FROM s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1362,5 +1394,7 @@ object OracleSql {
     "q70_cube" -> q70,
     "q71_quality_report" -> q71,
     "q72_frame_sample" -> q72,
+    "q73_moving_avg" -> q73,
+    "q74_date_spine" -> q74,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

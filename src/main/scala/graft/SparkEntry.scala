@@ -1058,6 +1058,50 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** 7-day rolling revenue per order day — a RANGE window (value-based
+    * frame: calendar days, not row counts — days with no orders still
+    * shrink the frame correctly). Exact-cents sums; one exchange on the
+    * empty partition key... none: single global ordered window over the
+    * per-day pre-aggregate (≤ distinct days rows — the pre-aggregation
+    * is what makes a global window safe at any scale).
+    */
+  def q73_moving_avg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily.withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("rev7_c", sum(col("rev_c")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .select(col("day"),
+        round(col("rev_c").cast("double") / 100.0, 2).as("revenue"),
+        round(col("rev7_c").cast("double") / 100.0, 2).as("revenue_7d"),
+        col("n7").cast("long").as("days_in_window"))
+      .orderBy(col("day"))
+  }
+
+  /** Date-spine gap fill: every calendar day in the orders range gets a
+    * row, zero revenue where no orders exist — the mart-layer densify
+    * that chart layers need. The spine generates from the data's own
+    * min/max (one tiny pre-aggregate), then left-joins the per-day
+    * rollup.
+    */
+  def q74_date_spine(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(cents(col("o_totalprice"))).cast("double") / 100.0, 2).as("revenue"))
+    val bounds = Tables.orders(s, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1133,6 +1177,8 @@ object SparkEntry {
     "q70_cube" -> (q70_cube _),
     "q71_quality_report" -> (q71_quality_report _),
     "q72_frame_sample" -> (q72_frame_sample _),
+    "q73_moving_avg" -> (q73_moving_avg _),
+    "q74_date_spine" -> (q74_date_spine _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
