@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, sum}
 
 /** Config-driven aggregate builder — the reference's data-mart layer
   * (`datamart/load_to_dm.py:104-157` driven by `config.xml:86-123`,
@@ -16,5 +16,39 @@ final case class AggSpec(name: String, groupBy: Seq[String], metrics: Seq[String
     val aggs = metrics.map(expr)
     df.groupBy(groupBy.map(df.col): _*).agg(aggs.head, aggs.tail: _*)
   }
-}
 
+  /** Output column name of each metric (the `AS` alias — the same
+    * `" AS "` split the reference does at `load_to_dm.py:130,142`).
+    */
+  def metricNames: Seq[String] = metrics.map { m =>
+    val i = m.toUpperCase.lastIndexOf(" AS ")
+    require(i >= 0, s"metric '$m' needs an AS alias for incremental merge")
+    m.substring(i + 4).trim
+  }
+
+  /** True when every metric is decomposable by addition (COUNT/SUM) —
+    * the precondition for [[incrementalUpdate]].
+    */
+  def isAdditive: Boolean = metrics.forall { m =>
+    val u = m.trim.toUpperCase
+    u.startsWith("COUNT(") || u.startsWith("SUM(")
+  }
+
+  /** Incremental mart maintenance: fold a day's delta into the existing
+    * aggregate WITHOUT rescanning the fact — `old ⊎ agg(delta)`, summing
+    * each metric per group. Valid only for additive metrics (COUNT/SUM
+    * — a COUNT is a SUM of partial counts); AVG/MIN/MAX/DISTINCT need
+    * either stored auxiliary sums or a sketch ([[HllSketch]] for
+    * distinct). At 100 TB this is the difference between a nightly
+    * full-fact scan and a delta-sized job: `incremental(incremental(
+    * init, d1), d2) == run(all)` exactly (spec + property).
+    */
+  def incrementalUpdate(oldAgg: DataFrame, delta: DataFrame): DataFrame = {
+    require(isAdditive,
+      s"spec '$name' has non-additive metrics ${metrics.mkString(", ")} — " +
+        "incremental merge would be wrong; recompute or use a sketch")
+    val merged = oldAgg.unionByName(run(delta))
+    val sums = metricNames.map(n => sum(col(n)).as(n))
+    merged.groupBy(groupBy.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+}
