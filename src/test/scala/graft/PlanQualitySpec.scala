@@ -121,6 +121,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q62: sketch aggregation is partial+final; no window anywhere") {
+    // both stages (register maxima, estimate) must map-side combine —
+    // the exchange carries ≤ groups×256 register rows, never data rows
+    val p = plan(SparkEntry.q62_hll_distinct(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two partial+final aggregate pairs: ${p.take(2000)}")
+    assert(!p.contains("WindowExec"), "sketch path must not sort-window")
+  }
+
+  test("q60: bloom probe filters the scan side BELOW the join") {
+    // text plans print top-down (join above its inputs), so the probe
+    // filter must appear AFTER the join node — i.e. under the exchange,
+    // where it trims shuffle write
+    val p = plan(SparkEntry.q60_bloom_join(spark, dir))
+    val joinAt = p.indexOf("Join")
+    val udfAt = p.indexOf("UDF")
+    assert(joinAt >= 0 && udfAt > joinAt,
+      s"bloom UDF filter not below the join: join@$joinAt udf@$udfAt\n${p.take(2000)}")
+  }
+
+  test("q68: the benchmark shingle set broadcasts (eval sets are tiny)") {
+    val p = plan(SparkEntry.q68_decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q73: the RANGE window runs over the per-day pre-aggregate") {
+    // aggregating first bounds the (legitimately global) window's input
+    // at distinct-days rows; the window must sit ABOVE the aggregate
+    val p = plan(SparkEntry.q73_moving_avg(spark, dir))
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("HashAggregate", winAt)
+    assert(winAt >= 0 && aggAt > winAt,
+      s"window must consume the aggregate, not raw orders\n${p.take(2000)}")
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._
