@@ -56,6 +56,65 @@ object Zone {
     require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
 
+  // ---- versioned snapshots -----------------------------------------------
+
+  private def versionDir(root: String, v: Long) = s"$root/v=$v"
+
+  /** Published snapshot versions under `root`, ascending. */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+  }
+
+  /** Append-only snapshot publish: write `df` as version
+    * `max(existing)+1` and return the version. Old versions stay
+    * readable forever (until [[expireSnapshots]]) — the training-data
+    * reproducibility contract: a run that records its snapshot version
+    * can be re-executed bit-identically months later, while daily
+    * pipelines keep publishing. Writing never mutates published data,
+    * and the new version only becomes visible through
+    * [[readSnapshot]]/[[snapshotVersions]] once its parquet commit
+    * completes (readers list versions, and an in-flight write is a
+    * half-written directory only until Spark's output committer
+    * finalizes it — crash debris is overwritten by the retry of the
+    * SAME version number... which is why failed writes must be retried
+    * before the next publish).
+    */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val v = snapshotVersions(spark, root).lastOption.getOrElse(0L) + 1
+    df.write.mode("overwrite").parquet(versionDir(root, v))
+    v
+  }
+
+  /** Read a pinned snapshot version, or the latest when `version` is
+    * None. Throws on an empty store or a missing pinned version.
+    */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v=$v not found under $root (have ${vs.mkString(",")})")
+    spark.read.parquet(versionDir(root, v))
+  }
+
+  /** Retention GC: drop all but the newest `keep` versions. */
+  def expireSnapshots(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val vs = snapshotVersions(spark, root)
+    val drop = vs.dropRight(keep)
+    drop.foreach { v =>
+      val p = new Path(versionDir(root, v))
+      fs(spark, p).delete(p, true)
+    }
+    drop
+  }
+
   /** Compact a parquet zone's small files — the daily-micro-batch
     * pathology at scale: a year of small appends turns every scan into
     * a file-listing + task-scheduling storm. Rewrites the directory to

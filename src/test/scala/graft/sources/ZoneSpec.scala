@@ -40,4 +40,31 @@ class ZoneSpec extends SparkSpec {
     assert(after.select("source").distinct().count() == 2)
     assert(after.select("date").distinct().count() == 3)
   }
+
+  test("snapshots: pinned versions stay bit-identical while publishing continues") {
+    val root = tmpDir("snaps")
+    val v1 = Zone.writeSnapshot(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val v2 = Zone.writeSnapshot(spark, Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(Zone.snapshotVersions(spark, root) == Seq(1L, 2L))
+    // latest = v2; pinned v1 unchanged by the later publish
+    assert(Zone.readSnapshot(spark, root).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a2", "c"))
+    assert(Zone.readSnapshot(spark, root, Some(1L)).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("snapshots: retention drops oldest, keeps newest; missing pin throws") {
+    val root = tmpDir("snapgc")
+    (1 to 4).foreach(i => Zone.writeSnapshot(spark,
+      Seq((i.toLong, s"d$i")).toDF("id", "v"), root))
+    val dropped = Zone.expireSnapshots(spark, root, keep = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(Zone.snapshotVersions(spark, root) == Seq(3L, 4L))
+    intercept[IllegalArgumentException] {
+      Zone.readSnapshot(spark, root, Some(1L))
+    }
+    // new publishes continue the version line (no id reuse after GC)
+    assert(Zone.writeSnapshot(spark, Seq((9L, "z")).toDF("id", "v"), root) == 5L)
+  }
 }
