@@ -1322,6 +1322,15 @@ object OracleSql {
     FROM s LEFT JOIN daily d ON s.day = d.day
     ORDER BY s.day"""
 
+  /** q75's oracle is the PLAIN join — the salt must be invisible. */
+  private val q75 = """
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1396,5 +1405,6 @@ object OracleSql {
     "q72_frame_sample" -> q72,
     "q73_moving_avg" -> q73,
     "q74_date_spine" -> q74,
+    "q75_salted_join" -> q75,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1102,6 +1102,24 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Salted skew join ([[Salting.saltedJoin]]) — results must equal the
+    * plain join exactly (the oracle IS the plain join, so the salt
+    * round-trip is driver-checked invisible, like q38's salted agg and
+    * q60's bloom). Lineitem (skewed fact) ⋈ supplier, aggregated per
+    * nation afterwards to keep the output compact.
+    */
+  def q75_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Salting.saltedJoin(li, supp, Seq("s_suppkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1179,6 +1197,7 @@ object SparkEntry {
     "q72_frame_sample" -> (q72_frame_sample _),
     "q73_moving_avg" -> (q73_moving_avg _),
     "q74_date_spine" -> (q74_date_spine _),
+    "q75_salted_join" -> (q75_salted_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
