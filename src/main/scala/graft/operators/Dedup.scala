@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Signature-agreement count via the native codegen'd
+    * [[graft.plans.LongArrayEqCount]] — the per-candidate-pair kernel
+    * of MinHash verification (the HOF form
+    * `size(filter(zip_with(a,b,_===_),p=>p))` interprets per pair).
+    */
+  private def eqCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.LongArrayEqCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Exact duplicate marking: every row keeps its identity, gains its
     * content digest, the canonical (minimum) id of its duplicate group,
     * and an `is_duplicate` flag. One shuffle on the digest.
@@ -313,7 +324,7 @@ object Dedup {
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+        (eqCount(col("a.sig"), col("b.sig"))
           .cast("double") / numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("est_jaccard") >= threshold)
@@ -356,7 +367,7 @@ object Dedup {
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+        (eqCount(col("a.sig"), col("b.sig"))
           .cast("double") / numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("est_jaccard") >= threshold)

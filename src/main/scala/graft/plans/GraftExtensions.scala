@@ -32,6 +32,7 @@ object GraftExtensions {
   val descriptors: Seq[Descriptor] = Seq(
     binary("graft_dotq", classOf[LongArrayDot], LongArrayDot.apply),
     binary("graft_dotd", classOf[DoubleArrayDot], DoubleArrayDot.apply),
+    binary("graft_eq_count", classOf[LongArrayEqCount], LongArrayEqCount.apply),
     (FunctionIdentifier("graft_quantize"),
       new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
       (children: Seq[Expression]) => {
