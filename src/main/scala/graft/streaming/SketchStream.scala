@@ -50,4 +50,38 @@ object SketchStream {
     HllSketch.estimate(Zone.readIfExists(spark, sketchDir)
       .getOrElse(sys.error(s"no sketch store at $sketchDir — run maintenance first")),
       groupCols, p)
+
+  // ---- Count-Min maintenance ---------------------------------------------
+
+  /** Streaming [[graft.operators.CountMin]] maintenance. Unlike HLL's
+    * max-merge, cell ADDITION is not idempotent — a replayed
+    * micro-batch would double-count. Exactly-once comes from the
+    * storage layout instead: each micro-batch's cell table writes to
+    * its own `batch=<id>` partition with `overwrite` — replaying batch
+    * N rewrites partition N with identical content (same input, same
+    * deterministic hashes), never adds. The read side sums cells
+    * across partitions ([[countMinCells]]) — the merge is deferred to
+    * read/compaction, the two standard places a log-structured store
+    * folds.
+    */
+  def runCountMinMaintenance(spark: SparkSession, df: DataFrame,
+      groupCols: Seq[String], valueCol: String, sketchRoot: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 1024): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CountMin.sketch(batch, groupCols, valueCol, depth, width)
+          .write.mode("overwrite").parquet(s"$sketchRoot/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Current folded cell table of a Count-Min store (sum across batch
+    * partitions); feed to [[graft.operators.CountMin.estimate]].
+    */
+  def countMinCells(spark: SparkSession, sketchRoot: String,
+      groupCols: Seq[String]): DataFrame =
+    graft.operators.CountMin.merge(
+      spark.read.parquet(s"$sketchRoot/batch=*"))(groupCols)
 }

@@ -38,4 +38,37 @@ class SketchStreamSpec extends SparkSpec {
     val after = HllSketch.estimate(replayed, Seq("g")).orderBy("g").collect().toSeq
     assert(after == direct)
   }
+
+  test("count-min maintenance: batch-partitioned cells; replay rewrites, never adds") {
+    import graft.operators.CountMin
+    val base = tmpDir("cmstream")
+    val in = s"$base/in"
+    val day1 = (1 to 2000).map(i => ("g", (i % 300).toLong))
+    val day2 = (1 to 2000).map(i => ("g", (i % 500).toLong))
+    day1.toDF("g", "k").repartition(1).write.parquet(in)
+    day2.toDF("g", "k").repartition(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema("g STRING, k BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = SketchStream.runCountMinMaintenance(spark, stream, Seq("g"), "k",
+      s"$base/cm", s"$base/ckpt")
+    q.awaitTermination()
+
+    val all = (day1 ++ day2).toDF("g", "k")
+    val folded = SketchStream.countMinCells(spark, s"$base/cm", Seq("g"))
+    val direct = CountMin.sketch(all, Seq("g"), "k")
+    assert(folded.orderBy("row", "bucket").collect().toSeq ==
+      direct.orderBy("row", "bucket").collect().toSeq)
+
+    // replay of a batch = overwrite of its partition → store unchanged
+    // (rebuild batch 0's cell table from collected rows — a replayed
+    // micro-batch produces identical deterministic content)
+    val b0 = spark.read.parquet(s"$base/cm/batch=0")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    b0.toDF("g", "row", "bucket", "cell_count")
+      .write.mode("overwrite").parquet(s"$base/cm/batch=0")
+    val after = SketchStream.countMinCells(spark, s"$base/cm", Seq("g"))
+    assert(after.orderBy("row", "bucket").collect().toSeq ==
+      direct.orderBy("row", "bucket").collect().toSeq)
+  }
 }
