@@ -1331,6 +1331,20 @@ object OracleSql {
     GROUP BY s.s_nationkey
     ORDER BY s.s_nationkey"""
 
+  /** q76: the per-group cap's survivor set recomputed from the same
+    * auditable hash rank.
+    */
+  private val q76 = s"""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${h60("concat('cap:', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM r WHERE rn <= 60
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1406,5 +1420,6 @@ object OracleSql {
     "q73_moving_avg" -> q73,
     "q74_date_spine" -> q74,
     "q75_salted_join" -> q75,
+    "q76_group_cap" -> q76,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

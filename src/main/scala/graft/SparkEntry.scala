@@ -1120,6 +1120,16 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Corpus balancing ([[Sampling.capPerGroup]]): at most 60 documents
+    * per language, survivors picked by auditable-hash rank —
+    * deterministic, engine-reproducible down-sampling of
+    * over-represented groups.
+    */
+  def q76_group_cap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(Tables.documents(s, dir), "lang", "doc_id", cap = 60)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1198,6 +1208,7 @@ object SparkEntry {
     "q73_moving_avg" -> (q73_moving_avg _),
     "q74_date_spine" -> (q74_date_spine _),
     "q75_salted_join" -> (q75_salted_join _),
+    "q76_group_cap" -> (q76_group_cap _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

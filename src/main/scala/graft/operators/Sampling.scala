@@ -71,6 +71,29 @@ object Sampling {
       salt: String = "weighted"): DataFrame =
     df.filter(u01(col(keyCol), salt) < col(weightCol))
 
+  /** Deterministic per-group cap — corpus balancing: keep at most
+    * `cap` rows of each group (language/source/domain), chosen by the
+    * key's auditable-hash rank (ties to the key itself), so an
+    * over-represented web domain stops drowning the mixture. Stable
+    * across runs/partitionings/engines — the SQL oracle reproduces the
+    * exact survivor set, and growing the corpus only ever *replaces*
+    * survivors whose hash outranks the newcomers (no rank drift from
+    * unrelated rows). One shuffle on the group key; for very hot
+    * groups the bounded-heap [[TopKPerGroup]] aggregator is the
+    * O(cap·tasks) alternative to this window form.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int, salt: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(H.h60(concat(lit(salt + ":"), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Leakage-free split: every row gains a `split` column in
     * {train, val, test} decided by the *group* key's draw, so all rows
     * of a group land in the same fold. `valFrac`/`testFrac` are carved

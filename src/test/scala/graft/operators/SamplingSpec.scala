@@ -81,4 +81,18 @@ class SamplingSpec extends SparkSpec {
       .filter(col("sa") =!= col("sb"))
     assert(moved.count() > 0)
   }
+
+  test("capPerGroup: cap enforced, small groups untouched, deterministic") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "big")).toList ++
+      List((200L, "small"), (201L, "small"))).toDF("id", "g")
+    val a = Sampling.capPerGroup(df, "g", "id", cap = 10)
+    val b = Sampling.capPerGroup(df, "g", "id", cap = 10)
+    val byGroup = a.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("big" -> 10L, "small" -> 2L))
+    // deterministic survivor SET (not dependent on partitioning/run)
+    assert(a.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.repartition(7).select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
