@@ -1345,6 +1345,21 @@ object OracleSql {
     FROM r WHERE rn <= 60
     ORDER BY doc_id"""
 
+  private val q77 = """
+    WITH early AS (
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01'),
+    late AS (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT 'both' AS segment,
+           CAST((SELECT count(*) FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)) AS BIGINT) AS n_customers
+    UNION ALL
+    SELECT 'early_only',
+           CAST((SELECT count(*) FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)) AS BIGINT)
+    UNION ALL
+    SELECT 'late_only',
+           CAST((SELECT count(*) FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)) AS BIGINT)
+    ORDER BY segment"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1421,5 +1436,6 @@ object OracleSql {
     "q74_date_spine" -> q74,
     "q75_salted_join" -> q75,
     "q76_group_cap" -> q76,
+    "q77_set_ops" -> q77,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

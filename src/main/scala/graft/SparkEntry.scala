@@ -1130,6 +1130,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Set operations (the §2.7 family the reference never used but a
+    * complete engine must serve): customers active in both an early
+    * and a late order window (INTERSECT), only the early (EXCEPT),
+    * and the symmetric difference — as one labeled union of the three
+    * counts. Spark plans INTERSECT/EXCEPT as left-semi/anti aggregates
+    * — no full materialization of either operand set.
+    */
+  def q77_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val early = orders.filter(col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val both = early.intersect(late).count()
+    val earlyOnly = early.except(late).count()
+    val lateOnly = late.except(early).count()
+    import s.implicits._
+    Seq(("both", both), ("early_only", earlyOnly), ("late_only", lateOnly))
+      .toDF("segment", "n_customers")
+      .orderBy(col("segment"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1209,6 +1231,7 @@ object SparkEntry {
     "q74_date_spine" -> (q74_date_spine _),
     "q75_salted_join" -> (q75_salted_join _),
     "q76_group_cap" -> (q76_group_cap _),
+    "q77_set_ops" -> (q77_set_ops _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
