@@ -1360,6 +1360,28 @@ object OracleSql {
            CAST((SELECT count(*) FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)) AS BIGINT)
     ORDER BY segment"""
 
+  /** q78: histogram quantiles recomputed — all-integer ranks/targets. */
+  private val q78 = """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(floor(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) / 10000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag, bucket),
+    c AS (
+      SELECT l_returnflag, bucket, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM h)
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bucket * 10000 END) AS BIGINT) AS p50_lo,
+           CAST(min(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bucket * 10000 END) AS BIGINT) AS p95_lo,
+           CAST(min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bucket * 10000 END) AS BIGINT) AS p99_lo,
+           CAST(max(total) AS BIGINT) AS n_rows
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1437,5 +1459,6 @@ object OracleSql {
     "q75_salted_join" -> q75,
     "q76_group_cap" -> q76,
     "q77_set_ops" -> q77,
+    "q78_quantile_hist" -> q78,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

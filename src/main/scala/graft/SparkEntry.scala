@@ -1152,6 +1152,19 @@ object SparkEntry {
       .orderBy(col("segment"))
   }
 
+  /** Mergeable quantile sketch ([[QuantileHistogram]]): p50/p95/p99
+    * lower bounds of extended price per returnflag from a $100-wide
+    * integer histogram — the additive summary that rolls up across
+    * partitions where exact percentile_disc (q42) cannot.
+    */
+  def q78_quantile_hist(s: SparkSession, dir: String): DataFrame = {
+    val hist = QuantileHistogram.histogram(Tables.lineitem(s, dir),
+      Seq("l_returnflag"), cents(col("l_extendedprice")), width = 10000L)
+    QuantileHistogram.quantiles(hist, Seq("l_returnflag"), width = 10000L,
+        qsPercent = Seq(50, 95, 99))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1232,6 +1245,7 @@ object SparkEntry {
     "q75_salted_join" -> (q75_salted_join _),
     "q76_group_cap" -> (q76_group_cap _),
     "q77_set_ops" -> (q77_set_ops _),
+    "q78_quantile_hist" -> (q78_quantile_hist _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
