@@ -53,35 +53,50 @@ object SketchStream {
 
   // ---- Count-Min maintenance ---------------------------------------------
 
-  /** Streaming [[graft.operators.CountMin]] maintenance. Unlike HLL's
-    * max-merge, cell ADDITION is not idempotent — a replayed
-    * micro-batch would double-count. Exactly-once comes from the
-    * storage layout instead: each micro-batch's cell table writes to
-    * its own `batch=<id>` partition with `overwrite` — replaying batch
-    * N rewrites partition N with identical content (same input, same
-    * deterministic hashes), never adds. The read side sums cells
-    * across partitions ([[countMinCells]]) — the merge is deferred to
-    * read/compaction, the two standard places a log-structured store
-    * folds.
+  /** Maintenance for ADDITIVE sketches ([[graft.operators.CountMin]]
+    * cells, [[graft.operators.QuantileHistogram]] buckets — any
+    * cell-wise-summable table). Unlike HLL's max-merge, addition is
+    * not idempotent — a replayed micro-batch would double-count.
+    * Exactly-once comes from the storage layout instead: each
+    * micro-batch's cell table writes to its own `batch=<id>` partition
+    * with `overwrite` — replaying batch N rewrites partition N with
+    * identical content (same input, same deterministic hashes), never
+    * adds. The read side sums cells across partitions
+    * ([[foldAdditive]]) — the merge is deferred to read/compaction,
+    * the two standard places a log-structured store folds.
     */
-  def runCountMinMaintenance(spark: SparkSession, df: DataFrame,
-      groupCols: Seq[String], valueCol: String, sketchRoot: String,
-      checkpointDir: String, depth: Int = 4, width: Int = 1024): StreamingQuery =
+  def runAdditiveMaintenance(df: DataFrame, sketchRoot: String,
+      checkpointDir: String)(build: DataFrame => DataFrame): StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.CountMin.sketch(batch, groupCols, valueCol, depth, width)
-          .write.mode("overwrite").parquet(s"$sketchRoot/batch=$batchId")
+        build(batch).write.mode("overwrite").parquet(s"$sketchRoot/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Current folded cell table of a Count-Min store (sum across batch
-    * partitions); feed to [[graft.operators.CountMin.estimate]].
+  /** Current folded cell table of an additive store: sum `sumCol` per
+    * key across batch partitions. Feed to `CountMin.estimate` /
+    * `QuantileHistogram.quantiles`.
     */
+  def foldAdditive(spark: SparkSession, sketchRoot: String,
+      keyCols: Seq[String], sumCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    spark.read.parquet(s"$sketchRoot/batch=*")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCol)).as(sumCol))
+  }
+
+  /** [[runAdditiveMaintenance]] specialized to Count-Min cells. */
+  def runCountMinMaintenance(spark: SparkSession, df: DataFrame,
+      groupCols: Seq[String], valueCol: String, sketchRoot: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 1024): StreamingQuery =
+    runAdditiveMaintenance(df, sketchRoot, checkpointDir)(
+      graft.operators.CountMin.sketch(_, groupCols, valueCol, depth, width))
+
+  /** Current folded cell table of a Count-Min store. */
   def countMinCells(spark: SparkSession, sketchRoot: String,
       groupCols: Seq[String]): DataFrame =
-    graft.operators.CountMin.merge(
-      spark.read.parquet(s"$sketchRoot/batch=*"))(groupCols)
+    foldAdditive(spark, sketchRoot, groupCols ++ Seq("row", "bucket"), "cell_count")
 }

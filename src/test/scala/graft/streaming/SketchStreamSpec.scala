@@ -71,4 +71,30 @@ class SketchStreamSpec extends SparkSpec {
     assert(after.orderBy("row", "bucket").collect().toSeq ==
       direct.orderBy("row", "bucket").collect().toSeq)
   }
+
+  test("generic additive maintenance: streaming quantile histogram == batch") {
+    import graft.operators.QuantileHistogram
+    val base = tmpDir("qhstream")
+    val in = s"$base/in"
+    (1 to 4000).map(i => ("g", (i % 1000).toLong)).toDF("g", "v")
+      .repartition(1).write.parquet(in)
+    (1 to 4000).map(i => ("g", (i % 700 + 300).toLong)).toDF("g", "v")
+      .repartition(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema("g STRING, v BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = SketchStream.runAdditiveMaintenance(stream, s"$base/qh", s"$base/ckpt")(
+      QuantileHistogram.histogram(_, Seq("g"), col("v"), width = 10L))
+    q.awaitTermination()
+
+    val folded = SketchStream.foldAdditive(spark, s"$base/qh", Seq("g", "bucket"), "n")
+    val all = ((1 to 4000).map(i => ("g", (i % 1000).toLong)) ++
+      (1 to 4000).map(i => ("g", (i % 700 + 300).toLong))).toDF("g", "v")
+    val direct = QuantileHistogram.histogram(all, Seq("g"), col("v"), 10L)
+    assert(folded.orderBy("bucket").collect().toSeq ==
+      direct.orderBy("bucket").collect().toSeq)
+    val sq = QuantileHistogram.quantiles(folded, Seq("g"), 10L, Seq(50, 99)).head
+    val dq = QuantileHistogram.quantiles(direct, Seq("g"), 10L, Seq(50, 99)).head
+    assert(sq == dq)
+  }
 }
