@@ -51,4 +51,30 @@ final case class AggSpec(name: String, groupBy: Seq[String], metrics: Seq[String
     val sums = metricNames.map(n => sum(col(n)).as(n))
     merged.groupBy(groupBy.map(col): _*).agg(sums.head, sums.tail: _*)
   }
+
+  /** Incremental maintenance WITH retractions — the SCD2-mart case:
+    * a day both adds active rows and expires old ones, so the delta is
+    * (added, removed), applied as `old ⊎ agg(added) ⊖ agg(removed)`
+    * (removed metrics negated — classic incremental view maintenance).
+    * Groups whose row count reaches zero DROP from the mart, matching
+    * a full recompute (which requires a `COUNT(...)` metric to define
+    * existence — enforced).
+    */
+  def incrementalUpdateWithRetractions(oldAgg: DataFrame, added: DataFrame,
+      removed: DataFrame): DataFrame = {
+    require(isAdditive,
+      s"spec '$name' has non-additive metrics — cannot maintain incrementally")
+    val countIdx = metrics.indexWhere(_.trim.toUpperCase.startsWith("COUNT("))
+    require(countIdx >= 0,
+      s"spec '$name' needs a COUNT metric to decide group existence under retraction")
+    val countName = metricNames(countIdx)
+    val negatedRemovals = {
+      val r = run(removed)
+      r.select(groupBy.map(col) ++ metricNames.map(n => (-col(n)).as(n)): _*)
+    }
+    val sums = metricNames.map(n => sum(col(n)).as(n))
+    oldAgg.unionByName(run(added)).unionByName(negatedRemovals)
+      .groupBy(groupBy.map(col): _*).agg(sums.head, sums.tail: _*)
+      .filter(col(countName) > 0)
+  }
 }

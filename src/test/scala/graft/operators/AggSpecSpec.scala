@@ -29,6 +29,30 @@ class AggSpecSpec extends SparkSpec {
     assert(out == Map("a" -> ((1L, 1L)), "z" -> ((1L, 9L))))
   }
 
+  test("retractions: expired rows subtract; emptied groups vanish — == full recompute") {
+    val day0 = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+    // day 1: add one 'a' and one new 'c'; expire BOTH original 'b' and one 'a'
+    val added = Seq(("a", 7L), ("c", 9L)).toDF("g", "v")
+    val removed = Seq(("b", 5L), ("a", 1L)).toDF("g", "v")
+    val incremental = spec.incrementalUpdateWithRetractions(
+      spec.run(day0), added, removed)
+    val survivors = Seq(("a", 2L), ("a", 7L), ("c", 9L)).toDF("g", "v")
+    val full = spec.run(survivors)
+    assert(incremental.orderBy("g").collect().toSeq ==
+      full.orderBy("g").collect().toSeq)
+    // 'b' is GONE, not a zero row
+    assert(incremental.filter($"g" === "b").count() == 0)
+  }
+
+  test("retractions require a COUNT metric for existence") {
+    val sumOnly = AggSpec("t", Seq("g"), Seq("SUM(v) AS s"))
+    intercept[IllegalArgumentException] {
+      sumOnly.incrementalUpdateWithRetractions(
+        sumOnly.run(Seq(("a", 1L)).toDF("g", "v")),
+        Seq(("a", 2L)).toDF("g", "v"), Seq(("a", 1L)).toDF("g", "v"))
+    }
+  }
+
   test("non-additive metrics refused") {
     val bad = AggSpec("t", Seq("g"), Seq("AVG(v) AS avg_v"))
     intercept[IllegalArgumentException] {
