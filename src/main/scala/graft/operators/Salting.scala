@@ -76,4 +76,27 @@ object Salting {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     left.join(right, keys :+ "__salt").drop("__salt")
   }
+
+  /** Measure before mitigating: per-key-space skew facts that decide
+    * between doing nothing, AQE skew splitting, [[saltedSumCount]], or
+    * pre-aggregation. One aggregate + a bounded top-k — safe to run on
+    * the full fact. Returns a single row:
+    * `n_rows, n_keys, max_key_rows, top<k>_rows, skew_ratio`
+    * (max key count ÷ mean key count; ≳ 10–100 ⇒ one task owns the
+    * hot key's whole shuffle partition without intervention).
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 5): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val top = perKey.orderBy(col("__n").desc).limit(topK)
+      .agg(sum(col("__n")).as("__top"))
+    perKey.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_key_rows"))
+      .crossJoin(top)
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("__top").as(s"top${topK}_rows"),
+        round(col("max_key_rows") * col("n_keys").cast("double") / col("n_rows"), 2)
+          .as("skew_ratio"))
+  }
 }

@@ -59,4 +59,20 @@ class SaltingSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("skewReport quantifies a planted hot key") {
+    import spark.implicits._
+    // 1000 rows on key 'hot', 10 each on 100 cold keys
+    val df = (Seq.fill(1000)("hot") ++ (1 to 100).flatMap(k => Seq.fill(10)(s"k$k")))
+      .toDF("k")
+    val r = Salting.skewReport(df, Seq("k")).head
+    assert(r.getAs[Long]("n_rows") == 2000L)
+    assert(r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("max_key_rows") == 1000L)
+    // max=1000 vs mean≈19.8 → ratio ≈ 50.5
+    assert(r.getAs[Double]("skew_ratio") > 40.0)
+    // uniform data reports ratio ≈ 1
+    val uni = (1 to 100).flatMap(k => Seq.fill(10)(s"k$k")).toDF("k")
+    assert(Salting.skewReport(uni, Seq("k")).head.getAs[Double]("skew_ratio") == 1.0)
+  }
 }
