@@ -44,10 +44,20 @@ object BloomJoin {
     */
   def mightContain(small: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.01): Column => Column = {
-    val isLong = small.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.LongType.type] ||
-      small.schema(key).dataType == org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.types._
+    // the sketch inserts EVERY integral type as a long (ByteType through
+    // LongType) — classifying any of them as strings would probe
+    // mightContainString against long-hashed insertions and silently
+    // reject almost every row (an exact join degenerating to empty)
+    val dt = small.schema(key).dataType
+    val isIntegral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloom join key '$key' has unsupported type $other — integral or string only")
+    }
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    if (isLong) {
+    if (isIntegral) {
       val probe = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
       c => probe(c.cast("long"))
     } else {

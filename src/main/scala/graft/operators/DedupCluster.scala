@@ -73,7 +73,9 @@ object DedupCluster {
     */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val arr = edges.filter(col("a") < col("b"))
+    // <= not <: a self-loop pair (x, x) still registers node x (the
+    // iterative regime emits it too — "one row per node in any pair")
+    val arr = edges.filter(col("a") <= col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = new scala.collection.mutable.HashMap[Long, Long]()
     def find(x: Long): Long = {

@@ -70,7 +70,12 @@ object HllSketch {
       .otherwise(length(bin(col("w")))).cast("int")
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ (h % m).cast("int").as("register") :+ w: _*)
-      .withColumn("rho", lit(60 - p) - bitlen + 1)
+      // rank capped at FpBits: for p < 8 a rho of up to (60-p)+1 > 53 is
+      // (astronomically rarely, ~2^-53) reachable, and 53 - rank would go
+      // negative — Java's shiftleft wraps the amount mod 64, poisoning
+      // fp_sum. The cap costs < 1 ulp of the estimate and keeps every
+      // fixed-point term exact.
+      .withColumn("rho", least(lit(60 - p) - bitlen + 1, lit(FpBits)))
       .groupBy((groupCols :+ "register").map(col): _*)
       .agg(max(col("rho")).cast("int").as("rank"))
   }
@@ -121,6 +126,7 @@ object HllSketch {
   def duckRho(expr: String, p: Int): String = {
     val m = 1 << p
     val w = s"(${AuditableHash.duckH60(expr)} // $m)"
-    s"(${60 - p} - (CASE WHEN $w = 0 THEN 0 ELSE length(bin($w)) END) + 1)"
+    // least(..., FpBits) mirrors registers()'s rank cap (no-op at p=8)
+    s"least(${60 - p} - (CASE WHEN $w = 0 THEN 0 ELSE length(bin($w)) END) + 1, $FpBits)"
   }
 }

@@ -81,6 +81,12 @@ object Sampling {
     * unrelated rows). One shuffle on the group key; for very hot
     * groups the bounded-heap [[TopKPerGroup]] aggregator is the
     * O(cap·tasks) alternative to this window form.
+    *
+    * CONTRACT: `keyCol` must uniquely identify rows within a group (a
+    * row id, not an attribute) — duplicate keys share an ordering
+    * tuple, and when `cap` falls between them row_number breaks the
+    * tie by partition-arrival order, surrendering the determinism this
+    * operator exists for.
     */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {

@@ -25,7 +25,11 @@ object TermStats {
     * contributes no rows.
     */
   def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val n = docs.select(col(idCol)).distinct().count()
+    // corpus size as a LAZY broadcast scalar (1-row cross join), not an
+    // eager .count() — a construction-time job would run the full scan
+    // even for callers that drop the tfidf column entirely (q58's
+    // topTerms ranks on integer facts alone)
+    val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n_docs"))
     // spread before the token explosion: one-row-group corpora would
     // otherwise tokenize single-threaded (see Spread)
     val tokens = Spread.auto(docs, col(idCol)).select(col(idCol),
@@ -35,7 +39,8 @@ object TermStats {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     tf.join(df, "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df_docs")))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("__n_docs") / col("df_docs")))
       .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
 

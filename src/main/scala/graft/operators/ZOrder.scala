@@ -50,13 +50,14 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], dir: String,
       nFiles: Int): Unit = {
-    val bounds = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).tail: _*).head
-    val withBounds = cols.map(c =>
-      (col(c), bounds.getAs[Double](s"lo_$c"), bounds.getAs[Double](s"hi_$c")))
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    val withBounds = cols.map { c =>
+      require(!bounds.isNullAt(bounds.fieldIndex(s"lo_$c")),
+        s"cannot z-order on '$c': no non-null rows to derive bounds from")
+      (col(c), bounds.getAs[Double](s"lo_$c"), bounds.getAs[Double](s"hi_$c"))
+    }
     df.withColumn("__z", zValue(withBounds))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -76,18 +76,24 @@ object Zone {
     * readable forever (until [[expireSnapshots]]) — the training-data
     * reproducibility contract: a run that records its snapshot version
     * can be re-executed bit-identically months later, while daily
-    * pipelines keep publishing. Writing never mutates published data,
-    * and the new version only becomes visible through
-    * [[readSnapshot]]/[[snapshotVersions]] once its parquet commit
-    * completes (readers list versions, and an in-flight write is a
-    * half-written directory only until Spark's output committer
-    * finalizes it — crash debris is overwritten by the retry of the
-    * SAME version number... which is why failed writes must be retried
-    * before the next publish).
+    * pipelines keep publishing.
+    *
+    * Publication is ATOMIC via the same temp-then-rename swap as
+    * [[overwriteInPlace]]: the parquet write lands in a staging dir
+    * whose name [[snapshotVersions]] never matches, and only the final
+    * rename makes `v=N` listable — so a concurrent reader can never
+    * observe a half-committed version, and a crashed write leaves only
+    * ignorable staging debris (cleared by the next publish), never a
+    * corrupt *published* version.
     */
   def writeSnapshot(spark: SparkSession, df: DataFrame, root: String): Long = {
     val v = snapshotVersions(spark, root).lastOption.getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(versionDir(root, v))
+    val staging = new Path(s"$root/__staging_v$v")
+    val target = new Path(versionDir(root, v))
+    val f = fs(spark, staging)
+    if (f.exists(staging)) f.delete(staging, true) // debris from a crashed publish
+    df.write.mode("overwrite").parquet(staging.toString)
+    require(f.rename(staging, target), s"atomic snapshot publish failed: $staging -> $target")
     v
   }
 

@@ -43,4 +43,15 @@ class BloomJoinSpec extends SparkSpec {
     val probe = BloomJoin.mightContain(small, "k", expectedItems = 10)
     assert(big.filter(probe(col("k"))).count() == 1)
   }
+
+  test("integral key types all take the long probe (short keys would silently empty the join)") {
+    import spark.implicits._
+    val big = Seq(1, 2, 3, 4, 5).toDF("k").select($"k".cast("smallint").as("k"))
+    val small = Seq(2, 4).toDF("k").select($"k".cast("smallint").as("k"))
+    val out = BloomJoin.prefilteredJoin(big, small, "k", expectedItems = 10)
+    assert(out.count() == 2L)
+    intercept[IllegalArgumentException] {
+      BloomJoin.mightContain(Seq(1.5).toDF("k"), "k", 10)
+    }
+  }
 }

@@ -75,4 +75,15 @@ class DedupClusterSpec extends SparkSpec {
       .filter(col("n_canon") =!= 1).count()
     assert(perCluster == 0)
   }
+
+  test("self-loop pairs register their node in BOTH regimes") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val viaCollect = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaIter = DedupCluster.connectedComponents(pairs, "id_a", "id_b",
+        collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCollect == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(viaIter == viaCollect)
+  }
 }
