@@ -29,8 +29,9 @@ object DataMartJob {
     val fact = graft.sources.Zone.readIfExists(spark, warehouseDir)
       .getOrElse(sys.error(
         s"warehouse table missing at $warehouseDir — run WarehouseLoadJob first"))
-      // marts aggregate current versions only (P7 sentinel filter)
-      .filter(col("expired") === to_date(lit("9999-12-31")))
+      // marts aggregate current versions only (P7 sentinel filter —
+      // the shared constant, not a re-hardcoded literal that could drift)
+      .filter(col("expired") === to_date(lit(graft.operators.Scd2Merge.Sentinel)))
     specs.map { spec =>
       val n = audit.bracket(s"load_to_dm_${spec.name}", day) {
         val out = s"$martDir/${spec.name}"

@@ -90,9 +90,14 @@ object StagingJob {
     else audit.bracket(processName, day) {
       val raw = RawZone.readPartition(spark, rawDir, sourceId, date)
       val cleaned = clean(raw, dateDim)
-      // U3: within-batch last-writer-wins, then column-selective upsert
+      // U3: within-batch last-writer-wins, then column-selective upsert.
+      // Final tie-breaker = content hash, NOT the partition key (job_id
+      // is constant within its own window group, so ties on extracted_ts
+      // would otherwise resolve by partition-arrival order — a retried
+      // batch could upsert a different survivor)
       val latest = LatestPerKey(cleaned, Seq("job_id"),
-        Seq(col("extracted_ts").desc, col("job_id").desc)).cache()
+        Seq(col("extracted_ts").desc,
+          xxhash64(cleaned.columns.map(col).toIndexedSeq: _*).desc)).cache()
       val batchRows = latest.count() // rows processed THIS run (audit metric)
       val existing = graft.sources.Zone.readIfExists(spark, stagingDir)
         .getOrElse(latest.limit(0))

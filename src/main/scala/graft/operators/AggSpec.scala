@@ -64,9 +64,16 @@ final case class AggSpec(name: String, groupBy: Seq[String], metrics: Seq[String
       removed: DataFrame): DataFrame = {
     require(isAdditive,
       s"spec '$name' has non-additive metrics — cannot maintain incrementally")
-    val countIdx = metrics.indexWhere(_.trim.toUpperCase.startsWith("COUNT("))
+    // existence proxy must be a true ROW count: COUNT(col) skips NULLs,
+    // so a group whose rows are all NULL in that column would be
+    // wrongly dropped as empty
+    val countIdx = metrics.indexWhere { m =>
+      val u = m.trim.toUpperCase.replaceAll("\\s", "")
+      u.startsWith("COUNT(*)") || u.startsWith("COUNT(1)")
+    }
     require(countIdx >= 0,
-      s"spec '$name' needs a COUNT metric to decide group existence under retraction")
+      s"spec '$name' needs a COUNT(*) (or COUNT(1)) metric to decide group " +
+        "existence under retraction — COUNT(col) skips NULLs and is not a row count")
     val countName = metricNames(countIdx)
     val negatedRemovals = {
       val r = run(removed)

@@ -167,13 +167,17 @@ object DedupCluster {
     */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       srcCol: String, dstCol: String, lengthCol: String): DataFrame = {
+    // internal names that can't collide with caller columns: a docs
+    // table whose id column is literally "id" (or that owns a "comp")
+    // would otherwise hit AMBIGUOUS_REFERENCE / get silently dropped
     val comp = connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
     val w = Window.partitionBy(col("cluster_id"))
     val rank = Window.partitionBy(col("cluster_id"))
       .orderBy(col(lengthCol).desc, col(idCol).asc)
-    docs.join(comp, docs(idCol) === comp("id"), "left")
-      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
-      .drop("id", "comp")
+    docs.join(comp, docs(idCol) === comp("__cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_id", "__cc_comp")
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", row_number().over(rank) === 1)
   }

@@ -33,13 +33,19 @@ object RangeJoin {
       hiCol: String,
       chunkWidth: Double): DataFrame = {
     require(chunkWidth > 0, "chunkWidth must be positive")
+    // hi is exclusive: the last covered chunk is the one containing the
+    // largest value strictly below hi — exactly floor(hi/w), EXCEPT when
+    // hi sits on a chunk boundary, where it's the previous chunk. The
+    // boundary test is exact float equality against the recomputed
+    // boundary (an absolute epsilon would silently drop matches for
+    // intervals ending within epsilon·w above a boundary).
+    val hiChunkRaw = floor(col(hiCol) / chunkWidth).cast("long")
+    val hiChunk = when(col(hiCol) === hiChunkRaw * chunkWidth, hiChunkRaw - 1)
+      .otherwise(hiChunkRaw)
     val iv = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
       .withColumn("__chunk", explode(sequence(
-        floor(col(loCol) / chunkWidth).cast("long"),
-        // hi is exclusive: the last covered chunk is the one containing
-        // the largest value strictly below hi
-        floor((col(hiCol) / chunkWidth) - lit(1e-9)).cast("long"))))
+        floor(col(loCol) / chunkWidth).cast("long"), hiChunk)))
     val pt = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__chunk", floor(col(pointCol) / chunkWidth).cast("long"))

@@ -44,8 +44,7 @@ object Salting {
       salts: Int = 16): DataFrame = {
     val distinctRows = df.groupBy(df.columns.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__w"))
-    val salted = distinctRows.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+    val salted = distinctRows.withColumn("__salt", contentSalt(df, salts))
     val partialAggs = sum(col("__w")).as("__cnt") +:
       sumCols.map(c => sum(col(c) * col("__w")).as(s"__sum_$c"))
     val partial = salted

@@ -170,10 +170,15 @@ object Scd2Merge {
     * sorts only its own slice; a billion-row increment spreads over
     * the cluster.
     *
-    * Both passes re-execute the range exchange, so the input lineage
-    * must be deterministic (parquet scan + filters — true for every
-    * caller here); Spark's RangePartitioner samples with fixed
-    * per-partition seeds, so the bounds agree across the two passes.
+    * The range-partitioned frame is MATERIALIZED once (localCheckpoint)
+    * before the two consumers: RangePartitioner's reservoir sample is
+    * seeded from the rdd id, which differs per action — re-executing
+    * the exchange for the count pass and the assignment pass could
+    * draw different range bounds, shifting boundary rows between
+    * partitions and colliding surrogate keys. Materializing pins both
+    * passes (and the stored `__pid` values) to ONE partitioning; on a
+    * real cluster swap in reliable `checkpoint()` if executor loss
+    * between the passes must be recoverable.
     */
   def assignSurrogateKeys(df: DataFrame, skCol: String, orderKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -188,6 +193,7 @@ object Scd2Merge {
     val ranged = fresh
       .repartitionByRange(nParts, orderKeys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = // exclusive prefix sums, one entry per non-empty partition

@@ -29,7 +29,12 @@ object Similarity {
     * query keys a window would hash everything onto.
     */
   private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    TopKPerGroup(scored.select(col("query_id"), col("cosine"), col("id")),
+    // unscorable pairs (NULL cosine — a null/ragged vector that survived
+    // into a candidate bucket) are dropped, not ranked: the aggregator's
+    // primitive (score, id) encoder would otherwise crash the whole job
+    // on the first such pair
+    TopKPerGroup(scored.filter(col("cosine").isNotNull)
+        .select(col("query_id"), col("cosine"), col("id")),
         Seq("query_id"), "cosine", "id", k)
       .select("query_id", "id", "cosine", "rank")
 

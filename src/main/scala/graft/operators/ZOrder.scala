@@ -56,7 +56,11 @@ object ZOrder {
     val withBounds = cols.map { c =>
       require(!bounds.isNullAt(bounds.fieldIndex(s"lo_$c")),
         s"cannot z-order on '$c': no non-null rows to derive bounds from")
-      (col(c), bounds.getAs[Double](s"lo_$c"), bounds.getAs[Double](s"hi_$c"))
+      val (lo, hi) = (bounds.getAs[Double](s"lo_$c"), bounds.getAs[Double](s"hi_$c"))
+      // a single NaN poisons min/max; failing here beats an ANSI cast
+      // error on every row deep inside the write job
+      require(!lo.isNaN && !hi.isNaN, s"cannot z-order on '$c': NaN values present")
+      (col(c), lo, hi)
     }
     df.withColumn("__z", zValue(withBounds))
       .repartitionByRange(nFiles, col("__z"))
