@@ -35,12 +35,22 @@ object Bench {
       (name, times.min, err)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    // 0.1 ms resolution: full-precision doubles made the summary line
+    // ~4 KB and a log-tail capture truncated it (BENCH_r03 lost 16
+    // queries); rounded, 78 queries fit in ~1.5 KB
+    def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val ok = results.collect { case (k, v, None) => (k, v) }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // durable copy: the full JSON survives even if stdout capture clips
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }
