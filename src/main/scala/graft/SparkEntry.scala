@@ -1133,22 +1133,35 @@ object SparkEntry {
   /** Set operations (the §2.7 family the reference never used but a
     * complete engine must serve): customers active in both an early
     * and a late order window (INTERSECT), only the early (EXCEPT),
-    * and the symmetric difference — as one labeled union of the three
-    * counts. Spark plans INTERSECT/EXCEPT as left-semi/anti aggregates
-    * — no full materialization of either operand set.
+    * and the symmetric difference — computed as ONE job: distinct each
+    * window, FULL OUTER join on the customer key with presence flags,
+    * label each key's segment, then a single `groupBy(segment).count`.
+    * One scan family + one key shuffle replaces the three
+    * driver-blocking `intersect`/`except` actions the naive form runs
+    * (each a full re-scan + re-shuffle of orders — fatal at 100 TB).
+    * A tiny literal segment spine is left-joined so empty segments
+    * still report 0 (matching the INTERSECT/EXCEPT oracle's shape).
     */
   def q77_set_ops(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
     val early = orders.filter(col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
-      .select(col("o_custkey"))
+      .select(col("o_custkey")).distinct()
+      .withColumn("in_early", lit(true))
     val late = orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-      .select(col("o_custkey"))
-    val both = early.intersect(late).count()
-    val earlyOnly = early.except(late).count()
-    val lateOnly = late.except(early).count()
+      .select(col("o_custkey")).distinct()
+      .withColumn("in_late", lit(true))
+    val counts = early.join(late, Seq("o_custkey"), "full_outer")
+      .select(
+        when(col("in_early").isNotNull && col("in_late").isNotNull, lit("both"))
+          .when(col("in_early").isNotNull, lit("early_only"))
+          .otherwise(lit("late_only")).as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
     import s.implicits._
-    Seq(("both", both), ("early_only", earlyOnly), ("late_only", lateOnly))
-      .toDF("segment", "n_customers")
+    val spine = Seq("both", "early_only", "late_only").toDF("segment")
+    spine.join(counts, Seq("segment"), "left")
+      .select(col("segment"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
       .orderBy(col("segment"))
   }
 

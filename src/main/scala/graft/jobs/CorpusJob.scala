@@ -43,10 +43,13 @@ object CorpusJob {
     // fingerprint exchange — negligible at any scale.
     val canonical = Dedup.canonical(
       docs.withColumn("__tstats", T.textStats(col("text"))), "text", "doc_id")
-    val nearDupIds = Dedup.minHashLsh(docs, "text", "doc_id",
+    // Loser ids via the collision-row form: one exchange cheaper than
+    // pairs→greatest→distinct (see Dedup.minHashLshLosers), and the LSH
+    // branch reads ONLY (doc_id, text) — at 100 TB the second pass over
+    // the corpus prunes to the two columns it needs at the parquet scan.
+    val nearDupIds = Dedup.minHashLshLosers(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id",
         cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
-      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
-      .distinct()
       .withColumn("is_near_duplicate", lit(true))
     canonical
       .join(nearDupIds, Seq("doc_id"), "left_outer")

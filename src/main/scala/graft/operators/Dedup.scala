@@ -312,17 +312,31 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /** Self-join a banded-signature set on its band key with both sides
+    * exchanged identically. The SHUFFLE_HASH hint matters: left to
+    * itself Spark broadcasts one side at small scale, which (a) plans
+    * the two sides as *different* subtrees, so ReuseExchange cannot fire
+    * and the whole shingle→minhash signature pipeline executes twice,
+    * and (b) is never the plan you'd get at corpus scale anyway. With
+    * both sides hash-exchanged on (band, band_key) the signature
+    * pipeline is computed once and read twice (measured on q50: the
+    * duplicated pipeline was the query's dominant cost).
+    */
+  private def selfJoinBands(banded: DataFrame): DataFrame =
+    banded.hint("shuffle_hash").as("a")
+      .join(banded.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+
   /** est_jaccard on the collision row (before the pair dedup) so the
     * dedup aggregates three scalars — carrying the two signature arrays
     * through dropDuplicates would force a SortAggregate with
     * first(array) on every pair.
     */
-  private def verifiedPairs(a: DataFrame, b: DataFrame, numHashes: Int,
+  private def verifiedPairs(banded: DataFrame, numHashes: Int,
       threshold: Double): DataFrame =
-    a.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.id") < col("b.id"))
+    selfJoinBands(banded)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (eqCount(col("a.sig"), col("b.sig"))
           .cast("double") / numHashes).as("est_jaccard"))
@@ -338,7 +352,34 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val banded = bandedSignatures(df, textCol, idCol, shingleSize, numHashes, bands)
-    verifiedPairs(banded, banded, numHashes, threshold)
+    verifiedPairs(banded, numHashes, threshold)
+  }
+
+  /** Distinct near-dup *loser* ids (the non-minimum end of every
+    * verified pair) — the consumer form [[graft.jobs.CorpusJob.annotate]]
+    * wants. Same loser set as
+    * `minHashLsh(...).select(greatest(id_a, id_b)).distinct()` but one
+    * exchange cheaper: a pair's `est_jaccard` is identical on every band
+    * collision row (it compares the two full signatures, not the band),
+    * so collision rows can be threshold-filtered and the loser id
+    * deduped directly — the pair-level `dropDuplicates(id_a, id_b)`
+    * shuffle of [[verifiedPairs]] adds nothing for this consumer.
+    * Equality with the pair-derived set is property-tested (DedupSpec).
+    */
+  def minHashLshLosers(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = bandedSignatures(df, textCol, idCol, shingleSize, numHashes, bands)
+    selfJoinBands(banded)
+      .filter((eqCount(col("a.sig"), col("b.sig"))
+        .cast("double") / numHashes) >= threshold)
+      .select(greatest(col("a.id"), col("b.id")).as(idCol))
+      .distinct()
   }
 
   /** Incremental near-dup: pairs *involving a new document* — new×index

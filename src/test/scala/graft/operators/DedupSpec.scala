@@ -31,6 +31,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L }) // 5 is unrelated
   }
 
+  test("minhash losers form == pairs-derived loser set on real documents") {
+    // the collision-row shortcut (no pair-level dropDuplicates) must
+    // yield exactly the ids the pair form marks as non-minimum ends
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val fromPairs = Dedup.minHashLsh(real, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(greatest($"id_a", $"id_b").as("doc_id")).distinct()
+      .as[Long].collect().toSet
+    val losers = Dedup.minHashLshLosers(real, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .as[Long].collect().toSet
+    assert(losers == fromPairs)
+    assert(losers.nonEmpty) // sf0.001 documents contain seeded near-dups
+  }
+
   test("simhash: identical → distance 0; near-dup within small hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
