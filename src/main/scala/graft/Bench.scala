@@ -22,6 +22,21 @@ object Bench {
     // the min (standard bench practice; ±20% single-run variance).
     // A query that throws is reported in "errors" (not timed as
     // near-zero — a swallowed failure would silently improve the total).
+    // host-contention telemetry: the sandbox is shared, and cross-round
+    // comparisons need to know whether a delta is the engine or the host
+    // (BENCH_r03 vs r04 differed ~2× on zero engine change). loadavg
+    // brackets the run; wall-vs-process-CPU says how much of the run WE
+    // were (a loaded host inflates wall, not our CPU).
+    def loadAvg(): Double = scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    }.getOrElse(-1.0)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val (loadStart, cpuStart, wallStart) = (loadAvg(), procCpuSec(), System.nanoTime())
     val results = SparkEntry.queries.map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
@@ -34,6 +49,8 @@ object Bench {
       }
       (name, times.min, err)
     }
+    val (loadEnd, cpuEnd, wallSec) =
+      (loadAvg(), procCpuSec(), (System.nanoTime() - wallStart) / 1e9)
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     // 0.1 ms resolution: full-precision doubles made the summary line
     // ~4 KB and a log-tail capture truncated it (BENCH_r03 lost 16
@@ -44,13 +61,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // durable copy: the full JSON survives even if stdout capture clips
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
-    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    val load = s"""{"avg_start":${jnum(loadStart)},"avg_end":${jnum(loadEnd)},""" +
+      s""""wall_sec":${jnum(wallSec)},"proc_cpu_sec":${jnum(cpuEnd - cpuStart)},""" +
+      s""""cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
+    // stdout FIRST: if the durable-copy write throws (read-only dir, bad
+    // SPARK_GRAFT_BENCH_OUT), the results must not die with it
     println(line)
+    scala.util.Try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    }.failed.foreach(t => System.err.println(s"bench: durable copy failed: $t"))
     spark.stop()
   }
 }

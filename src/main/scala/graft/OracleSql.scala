@@ -1382,6 +1382,27 @@ object OracleSql {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** q79: the date_dim regenerated in SQL — same `%U` Sunday-week formula
+    * (DuckDB `dayofweek` is already Sunday=0) and Weekend/Weekday split as
+    * [[graft.jobs.DateDim]], joined to events on calendar date.
+    */
+  private val q79 = """
+    WITH dim AS (
+      SELECT CAST(d AS DATE) AS full_date,
+             CASE WHEN dayofweek(CAST(d AS DATE)) IN (0, 6)
+                  THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+             monthname(CAST(d AS DATE)) AS calendar_month_name,
+             CAST((dayofyear(CAST(d AS DATE)) + 6 - dayofweek(CAST(d AS DATE))) // 7
+                  AS VARCHAR) AS week_of_year
+      FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d))
+    SELECT day_type, calendar_month_name, week_of_year,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.event_date) AS BIGINT) AS n_days
+    FROM (SELECT CAST(ts AS DATE) AS event_date FROM events) e
+    JOIN dim ON e.event_date = dim.full_date
+    GROUP BY day_type, calendar_month_name, week_of_year
+    ORDER BY day_type, calendar_month_name, week_of_year"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1460,5 +1481,6 @@ object OracleSql {
     "q76_group_cap" -> q76,
     "q77_set_ops" -> q77,
     "q78_quantile_hist" -> q78,
+    "q79_date_dim_rollup" -> q79,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

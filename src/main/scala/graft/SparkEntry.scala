@@ -1178,6 +1178,23 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S14 — warehouse rollup through the regenerated reference date
+    * dimension ([[graft.jobs.DateDim]], full `create_warehouse_db.sql:31-43`
+    * column set): events joined to the dim on calendar date, rolled up by
+    * `day_type` × `calendar_month_name` × `week_of_year`. The dim is a
+    * generated spine (≤ ~8k rows at any horizon), so the join is a
+    * broadcast — zero shuffle on the fact side beyond the final rollup.
+    */
+  def q79_date_dim_rollup(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.jobs.DateDim.generate(s, "2024-01-01", "2024-12-31")
+    val ev = Tables.events(s, dir).select(to_date(col("ts")).as("event_date"))
+    ev.join(broadcast(dim), ev("event_date") === dim("full_date"))
+      .groupBy(col("day_type"), col("calendar_month_name"), col("week_of_year"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_date")).as("n_days"))
+      .orderBy(col("day_type"), col("calendar_month_name"), col("week_of_year"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1259,6 +1276,7 @@ object SparkEntry {
     "q76_group_cap" -> (q76_group_cap _),
     "q77_set_ops" -> (q77_set_ops _),
     "q78_quantile_hist" -> (q78_quantile_hist _),
+    "q79_date_dim_rollup" -> (q79_date_dim_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

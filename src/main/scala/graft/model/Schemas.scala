@@ -29,18 +29,20 @@ object Schemas {
     StructField("extracted_timestamp", StringType),
   ))
 
-  /** `date_dim` (10 columns, `loadtowh/create_warehouse_db.sql:31-43`). */
+  /** `date_dim` (10 columns, `loadtowh/create_warehouse_db.sql:31-43`;
+    * `week_of_year`/`is_holiday` are varchar in the reference DDL).
+    */
   val dateDim: StructType = StructType(Seq(
     StructField("date_sk", LongType, nullable = false),
     StructField("full_date", DateType, nullable = false),
-    StructField("day_since_2005", IntegerType),
-    StructField("month_since_2005", IntegerType),
-    StructField("day_of_week", StringType),
-    StructField("calendar_month", StringType),
-    StructField("calendar_year", IntegerType),
-    StructField("calendar_year_month", StringType),
+    StructField("day_since_month_start", IntegerType),
+    StructField("day_of_week_calendar", StringType),
+    StructField("calendar_month_name", StringType),
     StructField("day_of_month", IntegerType),
-    StructField("week_of_year", IntegerType),
+    StructField("day_of_year", IntegerType),
+    StructField("week_of_year", StringType),
+    StructField("is_holiday", StringType),
+    StructField("day_type", StringType),
   ))
 
   /** Cleaned staging row (`staging/init_staging_db_v2.sql:55-70` +

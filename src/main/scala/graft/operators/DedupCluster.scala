@@ -44,9 +44,17 @@ object DedupCluster {
     * `maxIter` is a safety bound, not a tuning knob: iteration stops as
     * soon as a round changes nothing. Throws if the bound is hit while
     * still converging — a silently-partial clustering would under-dedup.
+    *
+    * `checkpointDir`: when set, the iterative regime truncates lineage
+    * with RELIABLE checkpoints into this directory (HDFS/object store on
+    * a real cluster) instead of `localCheckpoint`, so mid-loop executor
+    * loss replays from durable storage rather than failing the job —
+    * localCheckpoint blocks are gone with the executor that held them.
+    * Leave unset for single-node / latency-sensitive runs.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30, collectThreshold: Long = 4000000L): DataFrame = {
+      maxIter: Int = 30, collectThreshold: Long = 4000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     // both directions in ONE pass over the pair source: a union of two
     // projections would execute the (possibly expensive) pair-producing
     // pipeline once per branch — only exchanges get reused, not arbitrary
@@ -64,7 +72,7 @@ object DedupCluster {
       edges.unpersist()
       return result
     }
-    iterative(edges, maxIter)
+    iterative(edges, maxIter, checkpointDir)
   }
 
   /** Small-graph regime: collect the (deduped, symmetric) edge list and
@@ -96,14 +104,21 @@ object DedupCluster {
     rows.toDF("id", "comp")
   }
 
-  private def iterative(edges: DataFrame, maxIter: Int): DataFrame = {
-    // localCheckpoint (not persist): each round's plan embeds the previous
+  private def iterative(edges: DataFrame, maxIter: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    // checkpoint (not persist): each round's plan embeds the previous
     // round's TWICE (once under the join, once under the union), so lineage
     // grows 2^rounds — Catalyst optimization and plan stringification OOM
     // long before the data does. Checkpointing truncates the logical plan
-    // to the materialized RDD each round; on a real cluster swap in
-    // reliable `checkpoint()` (HDFS-backed) if executor loss during the
-    // loop must be recoverable.
+    // to the materialized RDD each round. Default is localCheckpoint
+    // (executor-memory blocks, no extra IO); pass `checkpointDir` to make
+    // each round durable instead (see connectedComponents scaladoc).
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     //
     // Round structure (each round ≈ fixed scheduling cost, so fewer
     // rounds beat cheaper rounds):
@@ -114,9 +129,8 @@ object DedupCluster {
     //    round (Shiloach–Vishkin-style shortcutting), so convergence is
     //    O(log diameter) rounds instead of O(diameter); the jump join is
     //    labels⋈labels (node-count rows, much smaller than the edge join).
-    var labels = edges.groupBy("a").agg(min(col("b")).as("mb"))
-      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
-      .localCheckpoint(true)
+    var labels = ckpt(edges.groupBy("a").agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
     var checksum = labelSum(labels)
     var lastCkpt = labels // the checkpointed frame each round builds on
 
@@ -132,9 +146,8 @@ object DedupCluster {
       // attribute ids (Catalyst NoSuchElementException); over the
       // checkpointed LogicalRDD the self-join dedups cleanly, and the
       // jump's own lineage stays one join deep
-      val next = labels.select("id", "comp").union(prop)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val next = ckpt(labels.select("id", "comp").union(prop)
+        .groupBy("id").agg(min("comp").as("comp")))
       // comp(x) is a node (min over a neighborhood including real ids),
       // so the jump target row always exists — inner join is total
       val jumped = next.as("x").join(next.as("y"), col("x.comp") === col("y.id"))

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism repair for compute-heavy narrow pipelines over
   * few-partition inputs ("small file, heavy map").
@@ -20,14 +22,57 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the later groupBy reuses this partitioning instead of adding its own
   * exchange — the shuffle is MOVED, not added.
   *
+  * Scan parallelism is ESTIMATED from the analyzed plan's leaves (file
+  * source size ÷ split size, the same packing arithmetic Spark's file
+  * scan uses) — never from `df.rdd`, which would force full physical
+  * planning outside AQE once per invocation: a driver stall on deep
+  * 100 TB plans, and it pins a non-adaptive plan Spark then can't
+  * re-optimize. Reading the file index's size is O(plan), not O(data).
+  *
   * Streaming inputs are returned untouched (partition introspection
   * needs a materializable plan; micro-batches parallelize by source).
   */
 object Spread {
 
+  /** Estimated split count of one file-source leaf — mirrors
+    * `FilePartition.maxSplitBytes`: splitSize = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism)). Ignoring
+    * per-file boundaries errs toward FEWER estimated splits, i.e.
+    * toward repairing parallelism — the safe direction.
+    */
+  private def estimatedFileSplits(bytes: Long, target: Int,
+      maxPartitionBytes: Long, openCost: Long): Long = {
+    val perCore = bytes / math.max(1, target)
+    val split = math.min(maxPartitionBytes, math.max(openCost, math.max(1L, perCore)))
+    (bytes + split - 1) / split
+  }
+
+  /** Leaf-derived parallelism of the plan: the max across leaves (the
+    * narrow pipeline runs at its driving scan's width). Unknown leaf
+    * types (v2 relations, catalog tables) are assumed source-parallel —
+    * `auto` must never add an exchange it can't justify.
+    */
+  private def estimatedLeafParallelism(df: DataFrame, target: Int): Long = {
+    val conf = df.sparkSession.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val perLeaf = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          estimatedFileSplits(fs.location.sizeInBytes, target,
+            conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
+        case _ => target.toLong
+      }
+      case r: Range => r.numSlices.getOrElse(target).toLong
+      case _: LocalRelation => 1L // driver-local rows: one task's worth
+      case _ => target.toLong
+    }
+    if (perLeaf.isEmpty) target.toLong else perLeaf.max
+  }
+
   def auto(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    if (estimatedLeafParallelism(df, target) < target) df.repartition(target, key)
+    else df
   }
 }

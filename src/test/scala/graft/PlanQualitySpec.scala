@@ -156,6 +156,28 @@ class PlanQualitySpec extends SparkSpec {
       s"window must consume the aggregate, not raw orders\n${p.take(2000)}")
   }
 
+  test("Spread.auto: repairs few-split scans via the leaf estimate; exact no-op when parallel") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir) // one small file → one scan split
+    val spread = graft.operators.Spread.auto(docs, col("doc_id"))
+    // fires: the plan gains a hash repartition on the key (logical
+    // RepartitionByExpression → physical hash exchange)
+    assert(spread.queryExecution.analyzed.toString.contains("RepartitionByExpression"),
+      spread.queryExecution.analyzed.toString.take(1000))
+    assert(plan(spread).contains("hashpartitioning(doc_id"), plan(spread).take(2000))
+    // no-op at scale: shrink the split size so the SAME file estimates
+    // as a many-split scan (65 KB / 1 KB splits ≥ 4-core parallelism) —
+    // auto must return the input untouched (same object, no exchange)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val docs2 = Tables.documents(spark, dir)
+      val noop = graft.operators.Spread.auto(docs2, col("doc_id"))
+      assert(noop eq docs2, "auto added an exchange to an already-parallel scan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._

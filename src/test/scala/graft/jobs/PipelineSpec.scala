@@ -200,13 +200,35 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("date dim: reference-equivalent range and derived columns") {
-    val dim = DateDim.generate(spark)
+    val dim = DateDim.generate(spark).cache()
     assert(dim.count() == 7670L) // matches date_dim_without_quarter.csv
-    val row = dim.filter($"full_date" === "2025-11-24").head()
-    assert(row.getAs[String]("day_of_week") == "Monday")
-    assert(row.getAs[Int]("calendar_year") == 2025)
-    assert(row.getAs[String]("calendar_year_month") == "2025-11")
+    assert(dim.columns.toSeq == Seq("date_sk", "full_date",
+      "day_since_month_start", "day_of_week_calendar", "calendar_month_name",
+      "day_of_month", "day_of_year", "week_of_year", "is_holiday", "day_type"),
+      "column set == warehouse DDL create_warehouse_db.sql:31-43")
     // sk dense + deterministic
     assert(dim.agg(max($"date_sk")).head().getLong(0) == 7670L)
+    // value parity with literal seed rows from create_warehouse_db.sql:
+    //   (sk, date, day_since_month_start, dow, month, dom, doy, week, holiday, type)
+    val seed = Seq(
+      (1L, "2025-01-02", 2, "Thursday", "January", 2, 2, "0", "0", "Weekday"),
+      (4L, "2025-01-05", 5, "Sunday", "January", 5, 5, "1", "0", "Weekend"),
+      (31L, "2025-02-01", 1, "Saturday", "February", 1, 32, "4", "0", "Weekend"),
+      (364L, "2025-12-31", 31, "Wednesday", "December", 31, 365, "52", "0", "Weekday"),
+      (365L, "2026-01-01", 1, "Thursday", "January", 1, 1, "0", "0", "Weekday"),
+      (1154L, "2028-02-29", 29, "Tuesday", "February", 29, 60, "9", "0", "Weekday"))
+    seed.foreach { case (sk, d, dsm, dow, mon, dom, doy, wk, hol, typ) =>
+      val row = dim.filter($"full_date" === d).head()
+      assert(row.getAs[Long]("date_sk") == sk, s"date_sk of $d")
+      assert(row.getAs[Int]("day_since_month_start") == dsm, s"dsm of $d")
+      assert(row.getAs[String]("day_of_week_calendar") == dow, s"dow of $d")
+      assert(row.getAs[String]("calendar_month_name") == mon, s"month of $d")
+      assert(row.getAs[Int]("day_of_month") == dom, s"dom of $d")
+      assert(row.getAs[Int]("day_of_year") == doy, s"doy of $d")
+      assert(row.getAs[String]("week_of_year") == wk, s"week of $d")
+      assert(row.getAs[String]("is_holiday") == hol, s"holiday of $d")
+      assert(row.getAs[String]("day_type") == typ, s"day_type of $d")
+    }
+    dim.unpersist()
   }
 }

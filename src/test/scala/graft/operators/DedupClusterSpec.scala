@@ -38,6 +38,27 @@ class DedupClusterSpec extends SparkSpec {
     assert(viaCollect(20L) == 0L && viaCollect(103L) == 100L && viaCollect(201L) == 200L)
   }
 
+  test("reliable-checkpoint regime == localCheckpoint regime, exactly") {
+    // same graph as the iterative differential; checkpointDir switches
+    // per-round lineage truncation to durable checkpoint() files — the
+    // result (and convergence behavior) must be identical
+    val pairs = ((0 until 20).map(i => (i.toLong, i + 1L)) ++
+      Seq((100L, 103L), (101L, 103L), (102L, 103L), (100L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val ckptDir = tmpDir("cc-ckpt")
+    val viaLocal = DedupCluster.connectedComponents(pairs, "id_a", "id_b",
+        collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val viaReliable = DedupCluster.connectedComponents(pairs, "id_a", "id_b",
+        collectThreshold = 0L, checkpointDir = Some(ckptDir))
+      .as[(Long, Long)].collect().toMap
+    assert(viaReliable == viaLocal)
+    // the flag actually wrote durable checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
   test("connected components: edge direction is irrelevant") {
     val a = Seq((5L, 1L), (1L, 9L)).toDF("id_a", "id_b") // min in the middle
     val comp = DedupCluster.connectedComponents(a, "id_a", "id_b")
