@@ -37,9 +37,12 @@ object Bench {
       case _ => -1.0
     }
     val (loadStart, cpuStart, wallStart) = (loadAvg(), procCpuSec(), System.nanoTime())
+    // best-of-n, n=2 by default (run 1 pays codegen JIT; run 2 is steady
+    // state); SPARK_GRAFT_BENCH_RUNS=3+ tightens the min on noisy hosts
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case t: Throwable =>

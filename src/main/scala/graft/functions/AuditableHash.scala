@@ -37,9 +37,16 @@ object AuditableHash {
   /** Domain of the reduced base hash (2^30). */
   val M30: Long = 1073741824L
 
-  /** 60-bit md5-derived hash of a column (non-negative). */
+  /** 60-bit md5-derived hash of a column (non-negative). Computed by
+    * the native [[graft.plans.Md5Prefix60]] expression — bit-identical
+    * to `conv(substring(md5(c),1,15),16,10)` (differential-tested in
+    * AuditableHashSpec) without the hex-string round-trip, because h60
+    * runs once per shingle/token in the sketch kernels.
+    */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5Prefix60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("string"))))
 
   /** [[h60]] reduced to the 30-bit universal-hash domain. */
   def base30(c: Column): Column = h60(c) % lit(M30)

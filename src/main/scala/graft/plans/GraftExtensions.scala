@@ -33,6 +33,12 @@ object GraftExtensions {
     binary("graft_dotq", classOf[LongArrayDot], LongArrayDot.apply),
     binary("graft_dotd", classOf[DoubleArrayDot], DoubleArrayDot.apply),
     binary("graft_eq_count", classOf[LongArrayEqCount], LongArrayEqCount.apply),
+    (FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_h60 takes exactly 1 argument")
+        Md5Prefix60(children.head)
+      }),
     (FunctionIdentifier("graft_quantize"),
       new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
       (children: Seq[Expression]) => {

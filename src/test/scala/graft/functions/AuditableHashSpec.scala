@@ -41,4 +41,25 @@ class AuditableHashSpec extends SparkSpec {
     // CAST(concat('0x', substr(md5('abc'),1,15)) AS BIGINT) in DuckDB
     assert(H.h60("abc") == 648541476951500027L)
   }
+
+  test("native graft_h60 == conv(substring(md5(...))) composition, incl. NULL") {
+    val samples = Seq("abc", "", "xyzzy", "thỏa thuận", "a\nb\tc", null)
+    val legacy = conv(substring(md5($"s".cast("string")), 1, 15), 16, 10)
+      .cast("long").as("legacy")
+    def check(): Unit =
+      samples.toDF("s").select(H.h60($"s").as("native"), legacy).collect()
+        .foreach { r =>
+          assert(r.isNullAt(0) == r.isNullAt(1))
+          if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+        }
+    check() // codegen path
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key)
+    try { spark.conf.set(key, "NO_CODEGEN"); check() } // interpreted path
+    finally spark.conf.set(key, old)
+    // SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_h60('abc') AS h").as[Long].head() ==
+      648541476951500027L)
+  }
 }
