@@ -71,15 +71,20 @@ object Dedup {
     */
   private[operators] def shingleRows(
       df: DataFrame, textCol: String, idCol: String,
-      keepCols: Seq[String], n: Int): DataFrame = {
+      keepCols: Seq[String], n: Int, spreadByKey: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sh = ColumnBridge.column(graft.plans.WordShingles(
       ColumnBridge.expression(lower(coalesce(col(textCol), lit("")))), n))
     // Spread BEFORE the explosion: shingling multiplies both row count
     // and per-row CPU, so an under-partitioned scan (one row group =
     // one task) serializes the whole pipeline; keying by id lets the
-    // consumers' groupBy(id) reuse the partitioning (no-op at real scale)
-    Spread.auto(df, col(idCol))
+    // consumers' groupBy(id) reuse the partitioning (no-op at real
+    // scale). spreadByKey=false round-robins instead, for the one
+    // consumer (signatureExchange) that WANTS its aggregate to insert
+    // an exchange as a multi-consumer stage-reuse point.
+    val spread = if (spreadByKey) Spread.auto(df, col(idCol))
+                 else Spread.autoRoundRobin(df)
+    spread
       .select(col(idCol).as("id") +: keepCols.map(col) :+ explode(sh).as("shingle"): _*)
   }
 
@@ -287,16 +292,26 @@ object Dedup {
     * of it costs rows*8 bytes of shuffle key and buys exactness: no
     * band-hash collision can manufacture a candidate pair.
     */
-  def bandedSignatures(
+  /** MinHash signatures `(id, sig)` with the min-aggregate's OWN
+    * id-exchange as the stage-sharing point: the shingle explode runs
+    * over a round-robin spread (NOT id-keyed — a key-compatible input
+    * would let the aggregate skip its exchange, leaving no reusable
+    * stage boundary), the partial 64-min aggregate combines map-side
+    * (each doc's shingles live in one task, so partial state is one
+    * compact row per doc), and everything above `Exchange(id)` — the
+    * final aggregate is a cheap docs-row pass — re-executes per
+    * consumer while the expensive shingle→md5→minhash pipeline
+    * materializes exactly once. Consumers: the band explode and both
+    * per-pair signature fetches of [[withSignatures]]. At real scale
+    * the spread no-ops and this is the plan a raw scan produces anyway.
+    */
+  private def signatureExchange(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int,
-      numHashes: Int,
-      bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sh = shingleRows(df, textCol, idCol, Nil, shingleSize)
+      numHashes: Int): DataFrame = {
+    val sh = shingleRows(df, textCol, idCol, Nil, shingleSize, spreadByKey = false)
       .withColumn("hx", H.base30(col("shingle")))
     val mins = (0 until numHashes).map(i =>
       min(H.minhashPerm(i, col("hx"))).as(s"m$i"))
@@ -304,7 +319,13 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .select(
+  }
+
+  /** Banded slices of a signature set: `(id, sig, band, band_key)`. */
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
         col("id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           slice(col("sig"), b * rows + 1, rows)): _*)))
@@ -312,36 +333,69 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
-  /** Self-join a banded-signature set on its band key with both sides
-    * exchanged identically. The SHUFFLE_HASH hint matters: left to
-    * itself Spark broadcasts one side at small scale, which (a) plans
-    * the two sides as *different* subtrees, so ReuseExchange cannot fire
-    * and the whole shingle→minhash signature pipeline executes twice,
-    * and (b) is never the plan you'd get at corpus scale anyway. With
-    * both sides hash-exchanged on (band, band_key) the signature
-    * pipeline is computed once and read twice (measured on q50: the
-    * duplicated pipeline was the query's dominant cost).
+  /** Banded MinHash signature rows `(id, sig, band, band_key)` — the
+    * persistable LSH *index* form: write it once per corpus (partition
+    * by `band` at scale), and incremental batches join against it
+    * ([[minHashLshIncremental]]) instead of recomputing the corpus.
+    *
+    * signature = numHashes simulated permutations of the auditable
+    * universal family: ONE md5 per shingle reduced to 30 bits, then
+    * numHashes integer multiply-adds, min-aggregated per doc
+    * (codegen'd hash agg; a per-row array-expression form would
+    * interpret its lambdas). Cheaper than numHashes independent
+    * hashes AND reproducible by the SQL oracle.
+    *
+    * band key = the raw `rows`-value slice (literal offsets — stays in
+    * codegen; no lambda). Joining on the value tuple instead of a hash
+    * of it costs rows*8 bytes of shuffle key and buys exactness: no
+    * band-hash collision can manufacture a candidate pair.
     */
-  private def selfJoinBands(banded: DataFrame): DataFrame =
+  def bandedSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): DataFrame =
+    bandRows(signatureExchange(df, textCol, idCol, shingleSize, numHashes),
+      numHashes, bands)
+
+  /** Distinct candidate pairs `(id_a < id_b)` from a NARROW band
+    * self-join: only `(id, band, band_key)` rides the band exchange —
+    * never the signature. The batch self-join form used to shuffle the
+    * full numHashes-long signature embedded in every one of its `bands`
+    * band rows (~9 KB/doc at the 64/16 defaults); candidates are rare
+    * by construction, so fetching signatures per DEDUPED pair
+    * ([[withSignatures]]) moves that payload off the dominant exchange
+    * (~7× fewer shuffled bytes/doc) and runs the signature comparison
+    * once per pair instead of once per collision row.
+    *
+    * The SHUFFLE_HASH hint matters: left to itself Spark broadcasts one
+    * side at small scale, which plans the two sides as *different*
+    * subtrees (no stage reuse — the band pipeline would execute twice),
+    * and is never the plan you'd get at corpus scale anyway.
+    */
+  private def candidatePairs(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val banded = bandRows(sigs, numHashes, bands).drop("sig")
     banded.hint("shuffle_hash").as("a")
       .join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
-
-  /** est_jaccard on the collision row (before the pair dedup) so the
-    * dedup aggregates three scalars — carrying the two signature arrays
-    * through dropDuplicates would force a SortAggregate with
-    * first(array) on every pair.
-    */
-  private def verifiedPairs(banded: DataFrame, numHashes: Int,
-      threshold: Double): DataFrame =
-    selfJoinBands(banded)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (eqCount(col("a.sig"), col("b.sig"))
-          .cast("double") / numHashes).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Attach both endpoints' signatures to a pair list — two equi-joins
+    * against the one materialized [[signatureExchange]] stage. Pair
+    * rows are few (near-dups above a threshold are rare), so these
+    * joins move signatures per PAIR, not per band row.
+    */
+  private def withSignatures(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
 
   def minHashLsh(
       df: DataFrame,
@@ -351,20 +405,20 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(df, textCol, idCol, shingleSize, numHashes, bands)
-    verifiedPairs(banded, numHashes, threshold)
+    val sigs = signatureExchange(df, textCol, idCol, shingleSize, numHashes)
+    withSignatures(candidatePairs(sigs, numHashes, bands), sigs)
+      .select(col("id_a"), col("id_b"),
+        (eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Distinct near-dup *loser* ids (the non-minimum end of every
     * verified pair) — the consumer form [[graft.jobs.CorpusJob.annotate]]
     * wants. Same loser set as
-    * `minHashLsh(...).select(greatest(id_a, id_b)).distinct()` but one
-    * exchange cheaper: a pair's `est_jaccard` is identical on every band
-    * collision row (it compares the two full signatures, not the band),
-    * so collision rows can be threshold-filtered and the loser id
-    * deduped directly — the pair-level `dropDuplicates(id_a, id_b)`
-    * shuffle of [[verifiedPairs]] adds nothing for this consumer.
-    * Equality with the pair-derived set is property-tested (DedupSpec).
+    * `minHashLsh(...).select(greatest(id_a, id_b)).distinct()`, skipping
+    * the pair-level artifacts that consumer discards. Equality with the
+    * pair-derived set is property-tested (DedupSpec).
     */
   def minHashLshLosers(
       df: DataFrame,
@@ -374,11 +428,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(df, textCol, idCol, shingleSize, numHashes, bands)
-    selfJoinBands(banded)
-      .filter((eqCount(col("a.sig"), col("b.sig"))
+    val sigs = signatureExchange(df, textCol, idCol, shingleSize, numHashes)
+    withSignatures(candidatePairs(sigs, numHashes, bands), sigs)
+      .filter((eqCount(col("sig_a"), col("sig_b"))
         .cast("double") / numHashes) >= threshold)
-      .select(greatest(col("a.id"), col("b.id")).as(idCol))
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
       .distinct()
   }
 

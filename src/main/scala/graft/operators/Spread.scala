@@ -69,10 +69,34 @@ object Spread {
     if (perLeaf.isEmpty) target.toLong else perLeaf.max
   }
 
+  /** True when the plan already contains an explicit repartition —
+    * the leaf estimate can't see one (it only reads scans), so without
+    * this check a pre-spread input would be exchanged twice.
+    */
+  private def alreadySpread(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+
   def auto(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (estimatedLeafParallelism(df, target) < target) df.repartition(target, key)
+    if (!alreadySpread(df) && estimatedLeafParallelism(df, target) < target)
+      df.repartition(target, key)
+    else df
+  }
+
+  /** Keyless (round-robin) variant: same firing rule, but the exchange
+    * does NOT pre-satisfy any downstream aggregate's requirement — for
+    * pipelines that WANT their aggregate to insert its own exchange as
+    * a stage-reuse point (see `Dedup.signatureExchange`).
+    */
+  def autoRoundRobin(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!alreadySpread(df) && estimatedLeafParallelism(df, target) < target)
+      df.repartition(target)
     else df
   }
 }

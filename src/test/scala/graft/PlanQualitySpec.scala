@@ -85,6 +85,25 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("q22: signatures never ride the band exchange (narrow LSH shuffle)") {
+    // the dominant LSH exchange shuffles (id, band, band_key) only —
+    // embedding the 64-long signature in every band row would multiply
+    // the shuffled bytes per document ~7× (signatures are fetched per
+    // deduped candidate pair instead, off the reused aggregate stage).
+    // Inspect the printed plan: the band exchange's direct child row
+    // must not carry a sig column (sparkPlan has no exchanges yet —
+    // EnsureRequirements inserts them during prepareForExecution).
+    val lines = plan(SparkEntry.q22_minhash_lsh(spark, dir)).linesIterator.toVector
+    val exIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning(band") => i
+    }
+    assert(exIdx.nonEmpty, "no band-keyed exchange found — LSH shape changed?")
+    exIdx.foreach { i =>
+      assert(!lines(i + 1).contains("sig#"),
+        s"signature array rides the band exchange:\n${lines(i)}\n${lines(i + 1)}")
+    }
+  }
+
   test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
     // one native LshBuckets expression + posexplode — the plan between
     // scan and join must contain no Exchange on the corpus side other
