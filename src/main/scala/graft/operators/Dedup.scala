@@ -80,7 +80,7 @@ object Dedup {
     // one task) serializes the whole pipeline; keying by id lets the
     // consumers' groupBy(id) reuse the partitioning (no-op at real
     // scale). spreadByKey=false round-robins instead, for the one
-    // consumer (signatureExchange) that WANTS its aggregate to insert
+    // consumer (Dedup.signatures) that WANTS its aggregate to insert
     // an exchange as a multi-consumer stage-reuse point.
     val spread = if (spreadByKey) Spread.auto(df, col(idCol))
                  else Spread.autoRoundRobin(df)
@@ -292,25 +292,36 @@ object Dedup {
     * of it costs rows*8 bytes of shuffle key and buys exactness: no
     * band-hash collision can manufacture a candidate pair.
     */
-  /** MinHash signatures `(id, sig)` with the min-aggregate's OWN
-    * id-exchange as the stage-sharing point: the shingle explode runs
-    * over a round-robin spread (NOT id-keyed — a key-compatible input
-    * would let the aggregate skip its exchange, leaving no reusable
-    * stage boundary), the partial 64-min aggregate combines map-side
-    * (each doc's shingles live in one task, so partial state is one
-    * compact row per doc), and everything above `Exchange(id)` — the
-    * final aggregate is a cheap docs-row pass — re-executes per
-    * consumer while the expensive shingle→md5→minhash pipeline
-    * materializes exactly once. Consumers: the band explode and both
-    * per-pair signature fetches of [[withSignatures]]. At real scale
-    * the spread no-ops and this is the plan a raw scan produces anyway.
+  /** MinHash signatures `(id, sig)` — one half of the two-table LSH
+    * index ([[signatureBands]] is the other), and the shared stage of
+    * every batch LSH consumer.
+    *
+    * signature = numHashes simulated permutations of the auditable
+    * universal family: ONE md5 per shingle reduced to 30 bits, then
+    * numHashes integer multiply-adds, min-aggregated per doc
+    * (codegen'd hash agg; a per-row array-expression form would
+    * interpret its lambdas). Cheaper than numHashes independent
+    * hashes AND reproducible by the SQL oracle.
+    *
+    * Plan shape: the min-aggregate's OWN id-exchange is the
+    * stage-sharing point — the shingle explode runs over a round-robin
+    * spread (NOT id-keyed: a key-compatible input would let the
+    * aggregate skip its exchange, leaving no reusable stage boundary),
+    * the partial 64-min aggregate combines map-side (each doc's
+    * shingles live in one task, so partial state is one compact row
+    * per doc), and everything above `Exchange(id)` — the final
+    * aggregate is a cheap docs-row pass — re-executes per consumer
+    * while the expensive shingle→md5→minhash pipeline materializes
+    * exactly once. Consumers: the band explode and both per-pair
+    * signature fetches of [[withSignatures]]. At real scale the spread
+    * no-ops and this is the plan a raw scan produces anyway.
     */
-  private def signatureExchange(
+  def signatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      shingleSize: Int,
-      numHashes: Int): DataFrame = {
+      shingleSize: Int = 3,
+      numHashes: Int = 64): DataFrame = {
     val sh = shingleRows(df, textCol, idCol, Nil, shingleSize, spreadByKey = false)
       .withColumn("hx", H.base30(col("shingle")))
     val mins = (0 until numHashes).map(i =>
@@ -321,44 +332,30 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Banded slices of a signature set: `(id, sig, band, band_key)`. */
-  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    sigs.select(
-        col("id"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
-          slice(col("sig"), b * rows + 1, rows)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-  }
-
-  /** Banded MinHash signature rows `(id, sig, band, band_key)` — the
-    * persistable LSH *index* form: write it once per corpus (partition
-    * by `band` at scale), and incremental batches join against it
-    * ([[minHashLshIncremental]]) instead of recomputing the corpus.
-    *
-    * signature = numHashes simulated permutations of the auditable
-    * universal family: ONE md5 per shingle reduced to 30 bits, then
-    * numHashes integer multiply-adds, min-aggregated per doc
-    * (codegen'd hash agg; a per-row array-expression form would
-    * interpret its lambdas). Cheaper than numHashes independent
-    * hashes AND reproducible by the SQL oracle.
+  /** NARROW banded rows `(id, band, band_key)` of a [[signatures]] set
+    * — the other half of the two-table LSH index: persist both (bands
+    * partitioned by `band` at scale, sigs by id bucket) and incremental
+    * batches join against them ([[minHashLshIncremental]]) instead of
+    * recomputing the corpus. The signature array deliberately does NOT
+    * ride the band rows — embedded per band row it multiplies both the
+    * index's storage and every band join's shuffle by ~bands× for
+    * payload that is only needed per (rare) candidate pair.
     *
     * band key = the raw `rows`-value slice (literal offsets — stays in
     * codegen; no lambda). Joining on the value tuple instead of a hash
     * of it costs rows*8 bytes of shuffle key and buys exactness: no
     * band-hash collision can manufacture a candidate pair.
     */
-  def bandedSignatures(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      shingleSize: Int,
-      numHashes: Int,
-      bands: Int): DataFrame =
-    bandRows(signatureExchange(df, textCol, idCol, shingleSize, numHashes),
-      numHashes, bands)
+  def signatureBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
+        col("id"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
 
   /** Distinct candidate pairs `(id_a < id_b)` from a NARROW band
     * self-join: only `(id, band, band_key)` rides the band exchange —
@@ -377,7 +374,7 @@ object Dedup {
     */
   private def candidatePairs(sigs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
-    val banded = bandRows(sigs, numHashes, bands).drop("sig")
+    val banded = signatureBands(sigs, numHashes, bands)
     banded.hint("shuffle_hash").as("a")
       .join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") &&
@@ -388,7 +385,7 @@ object Dedup {
   }
 
   /** Attach both endpoints' signatures to a pair list — two equi-joins
-    * against the one materialized [[signatureExchange]] stage. Pair
+    * against the one materialized [[signatures]] stage. Pair
     * rows are few (near-dups above a threshold are rare), so these
     * joins move signatures per PAIR, not per band row.
     */
@@ -405,7 +402,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = signatureExchange(df, textCol, idCol, shingleSize, numHashes)
+    val sigs = signatures(df, textCol, idCol, shingleSize, numHashes)
     withSignatures(candidatePairs(sigs, numHashes, bands), sigs)
       .select(col("id_a"), col("id_b"),
         (eqCount(col("sig_a"), col("sig_b"))
@@ -428,7 +425,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = signatureExchange(df, textCol, idCol, shingleSize, numHashes)
+    val sigs = signatures(df, textCol, idCol, shingleSize, numHashes)
     withSignatures(candidatePairs(sigs, numHashes, bands), sigs)
       .filter((eqCount(col("sig_a"), col("sig_b"))
         .cast("double") / numHashes) >= threshold)
@@ -437,34 +434,41 @@ object Dedup {
   }
 
   /** Incremental near-dup: pairs *involving a new document* — new×index
-    * and new×new — against a pre-built [[bandedSignatures]] index. The
-    * daily 1% increment costs a join of its own bands against the
-    * band-partitioned index, not a recompute of the corpus self-join;
-    * old×old pairs were already emitted when their documents arrived.
+    * and new×new — against the pre-built two-table index
+    * ([[signatures]] + [[signatureBands]]). The daily 1% increment
+    * costs a join of its own NARROW bands against the band-partitioned
+    * index bands (signature payload moves only per candidate pair, via
+    * the sigs table), not a recompute of the corpus self-join; old×old
+    * pairs were already emitted when their documents arrived.
     * `batch == oldPairs ∪ incremental` exactly (DedupSpec property).
-    * Callers then append `newBanded` to the index (same schema).
+    * Callers then append `newSigs`/`newBands` to the index tables.
     */
   def minHashLshIncremental(
-      indexBanded: DataFrame,
-      newBanded: DataFrame,
+      indexBands: DataFrame,
+      indexSigs: DataFrame,
+      newBands: DataFrame,
+      newSigs: DataFrame,
       numHashes: Int = 64,
       threshold: Double = 0.5): DataFrame = {
-    val all = indexBanded.unionByName(newBanded)
+    val allBands = indexBands.unionByName(newBands)
+    val allSigs = indexSigs.unionByName(newSigs)
     // ONE join with the new side driving (a new id can be either end of
     // a pair, so the condition is ≠ and least/greatest normalizes the
     // orientation — running two <-joins instead would re-execute both
     // pipelines per orientation). new×new collisions appear once per
     // orientation; dropDuplicates collapses them.
-    newBanded.as("a").join(all.as("b"),
+    val cand = newBands.as("a").join(allBands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") =!= col("b.id"))
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        (eqCount(col("a.sig"), col("b.sig"))
-          .cast("double") / numHashes).as("est_jaccard"))
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    withSignatures(cand, allSigs)
+      .select(col("id_a"), col("id_b"),
+        (eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

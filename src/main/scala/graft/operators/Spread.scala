@@ -90,7 +90,7 @@ object Spread {
   /** Keyless (round-robin) variant: same firing rule, but the exchange
     * does NOT pre-satisfy any downstream aggregate's requirement — for
     * pipelines that WANT their aggregate to insert its own exchange as
-    * a stage-reuse point (see `Dedup.signatureExchange`).
+    * a stage-reuse point (see `Dedup.signatures`).
     */
   def autoRoundRobin(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df

@@ -6,22 +6,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** Streaming incremental near-duplicate detection: documents arrive as
-  * a stream; each micro-batch computes its banded MinHash signatures,
-  * joins them against the PERSISTED signature index
-  * ([[Dedup.bandedSignatures]] / [[Dedup.minHashLshIncremental]] — only
-  * new×index and new×new pairs, never a corpus recompute), appends the
-  * pairs to the pair log, and extends the index. At 100 TB this is the
-  * shape that keeps daily dedup cost proportional to the increment:
-  * the index is band-partitioned parquet, the join prunes to colliding
-  * bands, and the stream checkpoint makes each batch effectively-once
-  * (an index append replayed for the same batch re-emits the same
-  * pairs; downstream consumers dedupe on (id_a, id_b) exactly like the
-  * operator does).
+  * a stream; each micro-batch computes its MinHash signatures, joins
+  * its NARROW band rows against the PERSISTED two-table index
+  * ([[Dedup.signatures]] + [[Dedup.signatureBands]] via
+  * [[Dedup.minHashLshIncremental]] — only new×index and new×new pairs,
+  * never a corpus recompute), appends the pairs to the pair log, and
+  * extends both index tables. At 100 TB this is the shape that keeps
+  * daily dedup cost proportional to the increment: the bands table is
+  * band-partitioned parquet carrying no signature payload, signatures
+  * move only per candidate pair, and the stream checkpoint makes each
+  * batch effectively-once (an index append replayed for the same batch
+  * re-emits the same pairs; downstream consumers dedupe on
+  * (id_a, id_b) exactly like the operator does).
   */
 object CorpusStream {
 
   /** @param docs        streaming DataFrame with `idCol` + `textCol`
-    * @param indexDir    banded-signature index (created on first batch)
+    * @param indexDir    two-table signature index — `sigs/` (id, sig)
+    *                    and `bands/` (id, band, band_key), created on
+    *                    the first batch
     * @param pairsDir    append-only near-dup pair log
     */
   def runIncrementalNearDup(
@@ -39,19 +42,28 @@ object CorpusStream {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val newBanded = Dedup.bandedSignatures(
-          batch, textCol, idCol, shingleSize, numHashes, bands).cache()
+        val newSigs = Dedup.signatures(
+          batch, textCol, idCol, shingleSize, numHashes).cache()
+        val newBands = Dedup.signatureBands(newSigs, numHashes, bands)
         try {
-          val pairs = Zone.readIfExists(spark, indexDir) match {
-            case Some(index) =>
-              Dedup.minHashLshIncremental(index, newBanded, numHashes, threshold)
-            case None => // first batch: the increment IS the corpus
-              Dedup.minHashLshIncremental(newBanded.limit(0), newBanded,
-                numHashes, threshold)
+          val pairs = (Zone.readIfExists(spark, s"$indexDir/bands"),
+              Zone.readIfExists(spark, s"$indexDir/sigs")) match {
+            case (Some(idxBands), Some(idxSigs)) =>
+              Dedup.minHashLshIncremental(idxBands, idxSigs,
+                newBands, newSigs, numHashes, threshold)
+            case _ => // first batch: the increment IS the corpus
+              Dedup.minHashLshIncremental(newBands.limit(0), newSigs.limit(0),
+                newBands, newSigs, numHashes, threshold)
           }
           pairs.write.mode("append").parquet(pairsDir)
-          newBanded.write.mode("append").parquet(indexDir)
-        } finally newBanded.unpersist()
+          // sigs BEFORE bands: a sig row without band rows is inert
+          // (generates no candidates), while a band row whose sig is
+          // missing would make later batches' pair verification drop
+          // the pair silently — so a crash between the two writes must
+          // leave the harmless orphan, not the dangerous one
+          newSigs.write.mode("append").parquet(s"$indexDir/sigs")
+          newBands.write.mode("append").parquet(s"$indexDir/bands")
+        } finally newSigs.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

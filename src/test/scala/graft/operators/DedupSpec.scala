@@ -94,9 +94,11 @@ class DedupSpec extends SparkSpec {
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2))
     val oldPairs = key(Dedup.minHashLsh(old, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.2))
-    val idx = Dedup.bandedSignatures(old, "text", "doc_id", 3, 64, 16)
-    val inc = key(Dedup.minHashLshIncremental(idx,
-      Dedup.bandedSignatures(fresh, "text", "doc_id", 3, 64, 16),
+    val idxSigs = Dedup.signatures(old, "text", "doc_id", 3, 64)
+    val freshSigs = Dedup.signatures(fresh, "text", "doc_id", 3, 64)
+    val inc = key(Dedup.minHashLshIncremental(
+      Dedup.signatureBands(idxSigs, 64, 16), idxSigs,
+      Dedup.signatureBands(freshSigs, 64, 16), freshSigs,
       numHashes = 64, threshold = 0.2))
 
     assert(inc.keySet.intersect(oldPairs.keySet).isEmpty,

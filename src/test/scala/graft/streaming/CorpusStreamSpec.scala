@@ -36,8 +36,11 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       s"streamed=${streamed.count()} batch=${batch.count()}")
 
-    // the index now holds every document's banded signatures
-    val idx = spark.read.parquet(s"$base/index")
-    assert(idx.select("id").distinct().count() == corpus.count())
+    // both index tables now hold every document
+    val sigs = spark.read.parquet(s"$base/index/sigs")
+    assert(sigs.select("id").distinct().count() == corpus.count())
+    val bands = spark.read.parquet(s"$base/index/bands")
+    assert(bands.select("id").distinct().count() == corpus.count())
+    assert(!bands.columns.contains("sig"), "band index must stay narrow")
   }
 }
