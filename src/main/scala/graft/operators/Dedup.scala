@@ -252,7 +252,13 @@ object Dedup {
       .select(col("id"), col("chunk_md5"))
       .dropDuplicates("id", "chunk_md5")
       .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy(col("id"))))
-    ch.as("a").join(ch.as("b"),
+    // SHUFFLE_HASH on both sides: left alone Spark broadcasts one side
+    // at small scale, planning the two sides as different subtrees — the
+    // whole chunk pipeline (native CDC expression + dedup + window)
+    // executes twice, and a corpus-sized chunk table can never broadcast
+    // at real scale anyway. Hash-exchanged identically, the pipeline
+    // materializes once and both join sides read the reused stage.
+    ch.hint("shuffle_hash").as("a").join(ch.hint("shuffle_hash").as("b"),
         col("a.chunk_md5") === col("b.chunk_md5") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
@@ -550,8 +556,10 @@ object Dedup {
         shiftright(col("sim"), i * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    // shuffle_hash: one computation of the simhash pipeline, read by
+    // both join sides via stage reuse (see chunkOverlapPairs note)
+    val a = chunked.hint("shuffle_hash").as("a")
+    val b = chunked.hint("shuffle_hash").as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -593,7 +601,9 @@ object Dedup {
         explode(col("__sh")).as("shingle"))
       .withColumn("shingle", xxhash64(col("shingle")))
 
-    sh.as("a").join(sh.as("b"),
+    // shuffle_hash: one computation of the shingle pipeline, read by
+    // both join sides via stage reuse (see chunkOverlapPairs note)
+    sh.hint("shuffle_hash").as("a").join(sh.hint("shuffle_hash").as("b"),
         col("a.blk") === col("b.blk") &&
         col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
@@ -620,7 +630,9 @@ object Dedup {
       minCosine: Double,
       score: (Column, Column) => Column = V.cosine): DataFrame = {
     val slim = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
-    slim.as("a").join(slim.as("b"),
+    // shuffle_hash: a corpus-sized vector table must never plan as the
+    // broadcast side (see chunkOverlapPairs note)
+    slim.hint("shuffle_hash").as("a").join(slim.hint("shuffle_hash").as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine", round(score(col("a.v"), col("b.v")), 6))
       .filter(col("cosine") >= minCosine)
@@ -656,7 +668,10 @@ object Dedup {
         df.select(col(idCol), col(vecCol)), idCol, vecCol, dim, bits, tables, seed)
       .select(col("id"), col("table"), col("bucket"), V.quantize(col("v")).as("qv"))
       .withColumn("n2", V.dotQ(col("qv"), col("qv")))
-    bk.as("a").join(bk.as("b"),
+    // shuffle_hash pins the documented one-exchange shape at EVERY
+    // scale (a small-scale broadcast would plan the two sides as
+    // different subtrees and run the bucket pipeline twice)
+    bk.hint("shuffle_hash").as("a").join(bk.hint("shuffle_hash").as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -684,7 +699,9 @@ object Dedup {
     val pre = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         V.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", V.dotQ(col("qv"), col("qv")))
-    pre.as("a").join(pre.as("b"),
+    // shuffle_hash: the per-row quantize+norm precompute must run once,
+    // not once per join side (see chunkOverlapPairs note)
+    pre.hint("shuffle_hash").as("a").join(pre.hint("shuffle_hash").as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine", round(
         V.cosineFromQuantized(col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2")), 6))

@@ -104,6 +104,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q52/q23: pair self-joins hash-exchange both sides (pipeline runs once, no corpus broadcast)") {
+    // a broadcast side would (a) re-execute the expensive per-side
+    // pipeline (chunk/simhash derivation) as a second subtree and
+    // (b) be impossible at corpus scale anyway — the hint pins the
+    // one-exchange ReusedExchange shape at every scale
+    for (q <- Seq(SparkEntry.q52_chunk_overlap _, SparkEntry.q23_simhash _)) {
+      val df = q(spark, dir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p.take(2000))
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p.take(4000))
+    }
+  }
+
   test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
     // one native LshBuckets expression + posexplode — the plan between
     // scan and join must contain no Exchange on the corpus side other
