@@ -32,25 +32,42 @@ object IvfIndex {
     * driver, where the dense `centroid_id` is a local array index
     * rather than a single-partition global window.
     */
-  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+  def centroids(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
+    centroidsWithCodebook(df, idCol, vecCol, nCentroids)._1
+
+  /** [[centroids]] plus the driver-side quantized codebook
+    * `(centroid_id, qv, n2)` from the SAME single collect — the
+    * assignment path embeds the codebook as literals ([[assignQ]]), and
+    * collecting it separately would cost a second driver-blocking job
+    * per query construction. Quantization happens through the real
+    * [[graft.plans.QuantizeVec]] expression before the collect, so
+    * driver and executors can't disagree on it.
+    */
+  private def centroidsWithCodebook(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): (DataFrame, Array[(Int, Seq[Long], Long)]) = {
     val spark = df.sparkSession
-    val picked = df
+    val picked = withQuant(df
       .select(col(idCol).as("centroid_pick_id"), col(vecCol).as("centroid_vec"))
       .withColumn("__h",
         graft.functions.AuditableHash.h60(
           concat(lit("ivf:"), col("centroid_pick_id").cast("string"))))
       .orderBy(col("__h"))
-      .limit(nCentroids)
+      .limit(nCentroids), "centroid_vec", "__c")
     val vecType = picked.schema("centroid_vec").dataType
-    val rows = picked.collect().zipWithIndex.map { case (r, i) =>
+    val collected = picked.collect()
+    val rows = collected.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(r.get(r.fieldIndex("centroid_vec")), i)
     }
-    spark.createDataFrame(
+    val codebook = collected.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Long](r.fieldIndex("__cqv")), r.getLong(r.fieldIndex("__cn2")))
+    }
+    val cents = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("centroid_vec", vecType),
         org.apache.spark.sql.types.StructField("centroid_id",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
+    (cents, codebook)
   }
 
   private def withQuant(df: DataFrame, vecCol: String, prefix: String): DataFrame =
@@ -63,34 +80,50 @@ object IvfIndex {
     * integer dot.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
-    assignQ(df, idCol, vecCol, cents).drop("__vqv", "__vn2")
+    assignQ(df, idCol, vecCol, collectCodebook(cents)).drop("__vqv", "__vn2")
+
+  /** Quantized codebook of an existing centroid table (one tiny
+    * collect). [[topK]] avoids this via [[centroidsWithCodebook]].
+    */
+  private def collectCodebook(cents: DataFrame): Array[(Int, Seq[Long], Long)] =
+    withQuant(cents, "centroid_vec", "__c")
+      .select(col("centroid_id"), col("__cqv"), col("__cn2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
 
   /** [[assign]] keeping the quantized vector + squared norm columns
     * (`__vqv`, `__vn2`) so [[topK]] doesn't quantize the corpus twice.
     *
-    * The argmax is `groupBy(max_by)` rather than a row_number window:
-    * the broadcast join amplifies the corpus ×nCentroids, and a window
-    * would shuffle+sort ALL of it — the hash aggregate's partial phase
-    * collapses each vector's centroid rows to one on the map side (they
-    * were generated colocated from one input row), so the exchange
-    * carries N rows, not N×nCentroids. Tie-break: max of
-    * (sim, -centroid_id) struct ⇒ lowest centroid id wins equal sims,
-    * matching the oracle's `ORDER BY sim DESC, centroid_id ASC`.
+    * The argmax is a PURE NARROW MAP: the codebook is tiny and already
+    * driver-resident ([[centroids]] collects it), so its quantized
+    * vectors embed as literals and each corpus row computes its
+    * nCentroids similarities into one array — `array_position(sims,
+    * array_max(sims))` picks the winner, and first-match-wins gives the
+    * lowest centroid id on equal sims, matching the oracle's
+    * `ORDER BY sim DESC, centroid_id ASC`. No join, no row
+    * amplification, no aggregate. (The previous broadcast-join +
+    * `max_by` form amplified the corpus ×nCentroids and — because
+    * max_by over an array-bearing struct can't hash-aggregate —
+    * planned a per-partition SORT of the amplified rows with the full
+    * embedding payload: exactly the shape that dies at 100 TB.)
+    *
+    * The codebook literals are read back through the real
+    * [[graft.plans.QuantizeVec]] expression, so driver and executors
+    * can't disagree on quantization.
     */
   private def assignQ(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame = {
-    val scored = withQuant(df, vecCol, "__v")
-      .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
-      .withColumn("__sim", V.cosineFromQuantized(
-        col("__vqv"), col("__cqv"), col("__vn2"), col("__cn2")))
-    val keep = scored.columns.filter(c =>
-      c != idCol && c != "__sim" && c != "centroid_vec" &&
-      c != "__cqv" && c != "__cn2")
-    scored
-      .groupBy(col(idCol))
-      .agg(max_by(struct(keep.map(col).toIndexedSeq: _*),
-        struct(col("__sim"), (-col("centroid_id")).as("neg_cid"))).as("__best"))
-      .select(col(idCol) +: keep.map(c => col(s"__best.$c").as(c)).toIndexedSeq: _*)
+      code: Array[(Int, Seq[Long], Long)]): DataFrame = {
+    require(code.zipWithIndex.forall { case ((cid, _, _), i) => cid == i },
+      "centroid ids must be dense 0..k-1 (array_position maps position → id)")
+    val sims = array(code.map { case (_, qv, n2) =>
+      V.cosineFromQuantized(col("__vqv"), typedlit(qv.toSeq), col("__vn2"), lit(n2))
+    }.toIndexedSeq: _*)
+    withQuant(df, vecCol, "__v")
+      .withColumn("__sims", sims)
+      .withColumn("centroid_id",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
   }
 
   /** Probe: per query keep the `nProbe` closest centroids, scan only
@@ -105,8 +138,8 @@ object IvfIndex {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nCentroids)
-    val assigned = assignQ(corpus, idCol, vecCol, cents)
+    val (cents, codebook) = centroidsWithCodebook(corpus, idCol, vecCol, nCentroids)
+    val assigned = assignQ(corpus, idCol, vecCol, codebook)
       .select(col(idCol).as("id"), col("centroid_id"),
         col("__vqv").as("cqv"), col("__vn2").as("cn2"))
 

@@ -118,6 +118,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q36: IVF cell assignment is a narrow map (no sort-agg over the amplified corpus)") {
+    // the codebook embeds as literals (array_position over a sims
+    // array), so the corpus side has NO join, NO row amplification and
+    // NO aggregate for assignment — a SortAggregate here means the
+    // max_by-over-struct shape regressed (it sorts corpus×nCentroids
+    // rows carrying the full embedding payload)
+    val p = plan(SparkEntry.q36_ann_ivf(spark, dir))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+  }
+
   test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
     // one native LshBuckets expression + posexplode — the plan between
     // scan and join must contain no Exchange on the corpus side other
