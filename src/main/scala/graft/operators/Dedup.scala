@@ -670,17 +670,20 @@ object Dedup {
       .withColumn("n2", V.dotQ(col("qv"), col("qv")))
     // shuffle_hash pins the documented one-exchange shape at EVERY
     // scale (a small-scale broadcast would plan the two sides as
-    // different subtrees and run the bucket pipeline twice)
+    // different subtrees and run the bucket pipeline twice). Cosine on
+    // the COLLISION ROW, scalar max per pair: the score is
+    // table-independent, and deduping the quantized arrays through
+    // dropDuplicates would sort candidates × vector payload
+    // (first(array) can't hash-aggregate) — same move as lshTopK.
     bk.hint("shuffle_hash").as("a").join(bk.hint("shuffle_hash").as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.qv").as("qa"), col("b.qv").as("qb"),
-        col("a.n2").as("n2a"), col("b.n2").as("n2b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", round(
-        V.cosineFromQuantized(col("qa"), col("qb"), col("n2a"), col("n2b")), 6))
+        round(V.cosineFromQuantized(
+          col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2")), 6).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -96,17 +96,18 @@ object IvfIndex {
     * (`__vqv`, `__vn2`) so [[topK]] doesn't quantize the corpus twice.
     *
     * The argmax is a PURE NARROW MAP: the codebook is tiny and already
-    * driver-resident ([[centroids]] collects it), so its quantized
-    * vectors embed as literals and each corpus row computes its
-    * nCentroids similarities into one array — `array_position(sims,
-    * array_max(sims))` picks the winner, and first-match-wins gives the
-    * lowest centroid id on equal sims, matching the oracle's
-    * `ORDER BY sim DESC, centroid_id ASC`. No join, no row
-    * amplification, no aggregate. (The previous broadcast-join +
-    * `max_by` form amplified the corpus ×nCentroids and — because
-    * max_by over an array-bearing struct can't hash-aggregate —
-    * planned a per-partition SORT of the amplified rows with the full
-    * embedding payload: exactly the shape that dies at 100 TB.)
+    * driver-resident ([[centroids]] collects it), so it embeds in the
+    * native [[graft.plans.IvfAssign]] expression — one tight loop per
+    * row computing every centroid's fixed-point cosine and keeping the
+    * first maximum (lowest centroid id on ties, the oracle's
+    * `ORDER BY sim DESC, centroid_id ASC`). No join, no row
+    * amplification, no aggregate. (The broadcast-join + `max_by` form
+    * amplified the corpus ×nCentroids and — max_by over an
+    * array-bearing struct can't hash-aggregate — planned a
+    * per-partition SORT of the amplified rows with the full embedding
+    * payload; a composed argmax over nCentroids separate dot
+    * expressions instead inlines that many loops into one generated
+    * method and blows the JIT budget. The expression form dodges both.)
     *
     * The codebook literals are read back through the real
     * [[graft.plans.QuantizeVec]] expression, so driver and executors
@@ -115,15 +116,13 @@ object IvfIndex {
   private def assignQ(df: DataFrame, idCol: String, vecCol: String,
       code: Array[(Int, Seq[Long], Long)]): DataFrame = {
     require(code.zipWithIndex.forall { case ((cid, _, _), i) => cid == i },
-      "centroid ids must be dense 0..k-1 (array_position maps position → id)")
-    val sims = array(code.map { case (_, qv, n2) =>
-      V.cosineFromQuantized(col("__vqv"), typedlit(qv.toSeq), col("__vn2"), lit(n2))
-    }.toIndexedSeq: _*)
+      "centroid ids must be dense 0..k-1 (IvfAssign returns the codebook position)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val assignCol = ColumnBridge.column(graft.plans.IvfAssign(
+      ColumnBridge.expression(col("__vqv")),
+      code.map(_._2).toSeq, code.map(_._3).toSeq))
     withQuant(df, vecCol, "__v")
-      .withColumn("__sims", sims)
-      .withColumn("centroid_id",
-        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
-      .drop("__sims")
+      .withColumn("centroid_id", assignCol)
   }
 
   /** Probe: per query keep the `nProbe` closest centroids, scan only

@@ -154,16 +154,24 @@ object Similarity {
     val q = bucketed(queries.select(col(idCol).as("id"), col(vecCol)),
       "query_id", "qqv", "qn2").as("q")
 
+    // cosine on the COLLISION ROW, then a scalar max per pair: the
+    // score is identical in every table a pair collides in (it compares
+    // the full vectors, not the bucket), so deduping (id, query_id)
+    // aggregates one double — carrying the quantized arrays through
+    // dropDuplicates would force a SortAggregate with first(array) on
+    // every candidate row (sorting candidates × vector payload).
+    // A pair colliding in t tables pays t integer dots instead of 1 —
+    // t is small and a dot is ~dim multiply-adds; the sort isn't.
     val cand = c.join(broadcast(q),
         col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket") &&
         col("c.id") =!= col("q.query_id"))
       .select(col("c.id").as("id"), col("q.query_id").as("query_id"),
-        col("c.cqv").as("cqv"), col("c.cn2").as("cn2"),
-        col("q.qqv").as("qqv"), col("q.qn2").as("qn2"))
-      .dropDuplicates("id", "query_id")
+        round(V.cosineFromQuantized(
+          col("c.cqv"), col("q.qqv"), col("c.cn2"), col("q.qn2")), 6).as("cosine"))
+      .groupBy(col("id"), col("query_id"))
+      .agg(max(col("cosine")).as("cosine"))
 
-    rankTopK(cand.withColumn("cosine", round(
-      V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
+    rankTopK(cand, k)
   }
 
   /** Exact-recall harness for the approximate path: fraction of

@@ -135,6 +135,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(SparkEntry.q27_ann_lsh(spark, dir))
     assert(p.contains("graft_lsh_buckets"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to a product")
+    // pair dedup aggregates one scalar cosine — carrying the quantized
+    // vectors through it would plan a SortAggregate over all candidates
+    assert(!p.contains("SortAggregate"), p.take(3000))
   }
 
   test("bucketed tables: co-bucketed equi-join plans with zero exchange") {
