@@ -1403,6 +1403,16 @@ object OracleSql {
     GROUP BY day_type, calendar_month_name, week_of_year
     ORDER BY day_type, calendar_month_name, week_of_year"""
 
+  /** q80: incremental pairs == full-batch pairs that touch a new doc
+    * (doc_id % 5 = 0) — reuses q22's signature/banding CTEs verbatim.
+    */
+  private val q80 = s"""
+    WITH $shingleRows, $minhashSig
+    SELECT id_a, id_b, est_jaccard
+    FROM est
+    WHERE est_jaccard >= 0.2 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1482,5 +1492,6 @@ object OracleSql {
     "q77_set_ops" -> q77,
     "q78_quantile_hist" -> q78,
     "q79_date_dim_rollup" -> q79,
+    "q80_incremental_neardup" -> q80,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1195,6 +1195,29 @@ object SparkEntry {
       .orderBy(col("day_type"), col("calendar_month_name"), col("week_of_year"))
   }
 
+  /** Incremental near-dup ([[Dedup.minHashLshIncremental]]): the corpus
+    * split into an "index" (80%) and a "daily increment" (20%); the
+    * increment's NARROW bands join the two-table index and emit exactly
+    * the verified pairs that involve a new document — the daily-cost
+    * path that never recomputes the corpus self-join. Oracle: the
+    * full-batch pair set restricted to pairs touching a new doc (the
+    * set equality `incremental == batch pairs involving a new doc` is
+    * also property-tested in DedupSpec). est_jaccard is k/64 — dyadic,
+    * so the doubles compare exactly.
+    */
+  def q80_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val oldSigs = Dedup.signatures(old, "text", "doc_id", 3, 64)
+    val freshSigs = Dedup.signatures(fresh, "text", "doc_id", 3, 64)
+    Dedup.minHashLshIncremental(
+        Dedup.signatureBands(oldSigs, 64, 16), oldSigs,
+        Dedup.signatureBands(freshSigs, 64, 16), freshSigs,
+        numHashes = 64, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1277,6 +1300,7 @@ object SparkEntry {
     "q77_set_ops" -> (q77_set_ops _),
     "q78_quantile_hist" -> (q78_quantile_hist _),
     "q79_date_dim_rollup" -> (q79_date_dim_rollup _),
+    "q80_incremental_neardup" -> (q80_incremental_neardup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
