@@ -17,16 +17,15 @@ object Bench {
     // parquet footer caches, codegen JIT of the common operators) on a
     // tiny SF so per-query timings measure the queries, not the JVM.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // best-of-2: the first run of each query pays its whole-stage
-    // codegen JIT; the second measures steady-state execution. Report
-    // the min (standard bench practice; ±20% single-run variance).
-    // A query that throws is reported in "errors" (not timed as
-    // near-zero — a swallowed failure would silently improve the total).
     // host-contention telemetry: the sandbox is shared, and cross-round
     // comparisons need to know whether a delta is the engine or the host
     // (BENCH_r03 vs r04 differed ~2× on zero engine change). loadavg
     // brackets the run; wall-vs-process-CPU says how much of the run WE
-    // were (a loaded host inflates wall, not our CPU).
+    // were (a loaded host inflates wall, not our CPU) — captured
+    // PER QUERY so a contended reading is diagnosable row by row, not
+    // just run-wide (BENCH_r05's positions-5-18 burst needed a judge
+    // re-run to adjudicate; cpu≪wall on a single row settles it at
+    // write time).
     def loadAvg(): Double = scala.util.Try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split(" ")(0).toDouble finally src.close()
@@ -37,37 +36,58 @@ object Bench {
       case _ => -1.0
     }
     val (loadStart, cpuStart, wallStart) = (loadAvg(), procCpuSec(), System.nanoTime())
-    // best-of-n, n=2 by default (run 1 pays codegen JIT; run 2 is steady
-    // state); SPARK_GRAFT_BENCH_RUNS=3+ tightens the min on noisy hosts
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case t: Throwable =>
-          err = Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(200))
-        }
-        (System.nanoTime() - t0) / 1e9
+    // best-of-n, n=3 by default (run 1 pays codegen JIT; later runs are
+    // steady state). Rounds are INTERLEAVED — the whole suite runs n
+    // times and each query reports its min across rounds — so one
+    // multi-second co-tenant burst can inflate at most one of a query's
+    // n samples; back-to-back per-query runs let a single burst own
+    // every sample of the queries inside its window (the r3/r4/r5
+    // artifact). Guarded parse: a malformed env value falls back to the
+    // default instead of killing the bench before any results print.
+    val runs = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_RUNS").trim.toInt)
+      .getOrElse(3).max(1)
+    val qmap = SparkEntry.queries
+    val names = qmap.keys.toSeq
+    val wall = scala.collection.mutable.Map[String, Double]()
+    val cpu = scala.collection.mutable.Map[String, Double]()
+    val errs = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to runs; name <- names) {
+      val fn = qmap(name)
+      val c0 = procCpuSec()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable =>
+        errs(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
       }
-      (name, times.min, err)
+      val w = (System.nanoTime() - t0) / 1e9
+      if (w < wall.getOrElse(name, Double.MaxValue)) {
+        wall(name) = w
+        cpu(name) = procCpuSec() - c0 // CPU of the round that won on wall
+      }
     }
     val (loadEnd, cpuEnd, wallSec) =
       (loadAvg(), procCpuSec(), (System.nanoTime() - wallStart) / 1e9)
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     // 0.1 ms resolution: full-precision doubles made the summary line
     // ~4 KB and a log-tail capture truncated it (BENCH_r03 lost 16
-    // queries); rounded, 78 queries fit in ~1.5 KB
+    // queries); rounded, the wall+cpu maps for 80+ queries fit in ~3 KB
     def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val ok = results.collect { case (k, v, None) => (k, v) }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    // cpu at 10 ms resolution: it exists to flag contention (cpu ≪ wall),
+    // not to rank queries — and the coarser scale keeps the two per-query
+    // maps near the ~4 KB line length that survived every capture path so
+    // far (the durable SPARK_GRAFT_BENCH_OUT copy is the backstop if a
+    // log tail still truncates).
+    def jnum2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val ok = names.filterNot(errs.contains)
+    val qs = ok.map(k => jstr(k) + ":" + jnum(wall(k))).mkString("{", ",", "}")
+    val cpuQs = ok.map(k => jstr(k) + ":" + jnum2(cpu(k))).mkString("{", ",", "}")
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    val total = ok.map(wall).sum
     val load = s"""{"avg_start":${jnum(loadStart)},"avg_end":${jnum(loadEnd)},""" +
       s""""wall_sec":${jnum(wallSec)},"proc_cpu_sec":${jnum(cpuEnd - cpuStart)},""" +
-      s""""cpus":$cpus}"""
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
+      s""""cpus":$cpus,"runs":$runs}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"errors":$errJson,"load":$load,"sf":"$sfDir"}"""
     // stdout FIRST: if the durable-copy write throws (read-only dir, bad
     // SPARK_GRAFT_BENCH_OUT), the results must not die with it
     println(line)

@@ -1413,6 +1413,52 @@ object OracleSql {
     WHERE est_jaccard >= 0.2 AND (id_a % 5 = 0 OR id_b % 5 = 0)
     ORDER BY id_a, id_b"""
 
+  /** q81: incremental IVF == q36's frozen-codebook probe with centroids
+    * picked from the index subset (vec_id % 5 <> 0) only, every vector
+    * (index ∪ increment) assigned against that codebook, and the new
+    * vectors (vec_id % 5 = 0, < 50) as the probe queries.
+    */
+  private val q81 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 WHERE vec_id % 5 <> 0 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qcell AS (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2
+            WHERE vec_id % 5 = 0 AND vec_id < 50) q CROSS JOIN cents),
+    probes AS (SELECT query_id, qq, qn2, centroid_id FROM qcell WHERE rn <= 4),
+    cand AS (
+      SELECT query_id, id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1493,5 +1539,6 @@ object OracleSql {
     "q78_quantile_hist" -> q78,
     "q79_date_dim_rollup" -> q79,
     "q80_incremental_neardup" -> q80,
+    "q81_incremental_ivf" -> q81,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1218,6 +1218,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental ANN ([[IvfIndex.buildIndex]] / [[IvfIndex.assignIncrement]] /
+    * [[IvfIndex.probe]]): the embedding corpus split into an "index"
+    * (80%, vec_id % 5 ≠ 0) and a "daily increment" (20%); the index's
+    * two tables (centroids + cells) are built once, the increment is
+    * assigned against the PERSISTED codebook (a pure narrow map — daily
+    * cost ∝ increment), and the new vectors themselves are the probe
+    * queries against index ∪ increment. Batch == incremental is
+    * structural ([[IvfIndex.probe]] is the one probe operator) and
+    * property-tested in SimilaritySpec. Oracle: the same frozen-codebook
+    * assignment + probe spelled in SQL.
+    */
+  def q81_incremental_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val index = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val (cents, cells) = IvfIndex.buildIndex(index, "vec_id", "embedding", nCentroids = 16)
+    val newCells = IvfIndex.assignIncrement(fresh, "vec_id", "embedding", cents)
+    val queries = fresh.filter(col("vec_id") < 50)
+    IvfIndex.probe(cells.unionByName(newCells), cents, queries,
+        "embedding", "vec_id", k = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1301,6 +1324,7 @@ object SparkEntry {
     "q78_quantile_hist" -> (q78_quantile_hist _),
     "q79_date_dim_rollup" -> (q79_date_dim_rollup _),
     "q80_incremental_neardup" -> (q80_incremental_neardup _),
+    "q81_incremental_ivf" -> (q81_incremental_ivf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

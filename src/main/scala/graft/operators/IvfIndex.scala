@@ -115,33 +115,86 @@ object IvfIndex {
     */
   private def assignQ(df: DataFrame, idCol: String, vecCol: String,
       code: Array[(Int, Seq[Long], Long)]): DataFrame = {
-    require(code.zipWithIndex.forall { case ((cid, _, _), i) => cid == i },
-      "centroid ids must be dense 0..k-1 (IvfAssign returns the codebook position)")
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val assignCol = ColumnBridge.column(graft.plans.IvfAssign(
+    val assignPos = ColumnBridge.column(graft.plans.IvfAssign(
       ColumnBridge.expression(col("__vqv")),
       code.map(_._2).toSeq, code.map(_._3).toSeq))
+    // IvfAssign returns the codebook POSITION. The codebook arrives
+    // sorted by centroid id ([[collectCodebook]]), so when ids are not
+    // dense 0..k-1 (a filtered or re-keyed centroid table) a literal
+    // position→id lookup restores the caller's ids — and because sorted
+    // position order IS id order, IvfAssign's first-maximum tie still
+    // lands on the lowest centroid id. Dense ids skip the lookup.
+    val assignCol =
+      if (code.zipWithIndex.forall { case ((cid, _, _), i) => cid == i }) assignPos
+      else get(typedLit(code.map(_._1).toSeq), assignPos)
     withQuant(df, vecCol, "__v")
       .withColumn("centroid_id", assignCol)
   }
 
-  /** Probe: per query keep the `nProbe` closest centroids, scan only
-    * vectors assigned to those cells, return per-query top-k with the
-    * same deterministic ranking contract as the exact baseline.
+  /** The cell-assignment half of the two-table IVF index:
+    * `(id, centroid_id, cqv, cn2)` — every corpus vector quantized once
+    * and tagged with its cell. At scale this table persists
+    * `partitionBy("centroid_id")` so probes prune files; the quantized
+    * vector + norm ride along so probing never re-reads or re-quantizes
+    * the raw embedding column.
     */
-  def topK(
-      corpus: DataFrame,
+  private def cellsQ(df: DataFrame, idCol: String, vecCol: String,
+      code: Array[(Int, Seq[Long], Long)]): DataFrame =
+    assignQ(df, idCol, vecCol, code)
+      .select(col(idCol).as("id"), col("centroid_id"),
+        col("__vqv").as("cqv"), col("__vn2").as("cn2"))
+
+  /** Build the persistable two-table IVF index over a corpus:
+    * `(centroids, cells)` — mirror of the two-table LSH index
+    * ([[Dedup.signatures]] + [[Dedup.signatureBands]]). Persist both
+    * (cells partitioned by `centroid_id`); daily increments then cost
+    * [[assignIncrement]] (a narrow map over the increment only) +
+    * [[probe]], never a corpus recompute.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16): (DataFrame, DataFrame) = {
+    val (cents, codebook) = centroidsWithCodebook(corpus, idCol, vecCol, nCentroids)
+    (cents, cellsQ(corpus, idCol, vecCol, codebook))
+  }
+
+  /** Incremental cell assignment: new vectors → index-shaped cell rows
+    * against the PERSISTED centroid table (one tiny codebook collect; the
+    * assignment itself is the [[graft.plans.IvfAssign]] narrow map —
+    * daily cost ∝ increment size, zero corpus work). Callers append the
+    * result to the persisted cells table. Centroid drift under a
+    * changing distribution is handled by the explicit [[rebuild]] — the
+    * classic IVF operating discipline (FAISS does the same).
+    */
+  def assignIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    cellsQ(newVecs, idCol, vecCol, collectCodebook(cents))
+
+  /** Full-index rebuild: re-pick centroids and re-assign every cell.
+    * Run when [[assignIncrement]]'s frozen codebook has drifted from the
+    * corpus distribution (recall decay at cell borders) — an explicit,
+    * scheduled operator, not something probes pay for implicitly.
+    */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16): (DataFrame, DataFrame) =
+    buildIndex(corpus, idCol, vecCol, nCentroids)
+
+  /** Probe a persisted index: per query keep the `nProbe` closest
+    * centroids (broadcast join against the tiny centroid table), scan
+    * only cell rows in those cells, return per-query top-k with the same
+    * deterministic ranking contract as the exact baseline. Batch
+    * [[topK]] and the incremental path are THIS SAME operator over
+    * different cell tables — `probe(indexCells ∪ newCells, …)` — so the
+    * incremental==batch property is structural.
+    */
+  def probe(
+      cells: DataFrame,
+      cents: DataFrame,
       queries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int,
-      nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val (cents, codebook) = centroidsWithCodebook(corpus, idCol, vecCol, nCentroids)
-    val assigned = assignQ(corpus, idCol, vecCol, codebook)
-      .select(col(idCol).as("id"), col("centroid_id"),
-        col("__vqv").as("cqv"), col("__vn2").as("cn2"))
-
     val qCells = withQuant(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "__q")
       .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
@@ -154,9 +207,24 @@ object IvfIndex {
       .select(col("query_id"), col("__qqv").as("qqv"), col("__qn2").as("qn2"),
         col("centroid_id"))
 
-    val cand = assigned.join(broadcast(qCells), Seq("centroid_id"))
+    val cand = cells.join(broadcast(qCells), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
     Similarity.rankTopK(cand.withColumn("cosine", round(
       V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
+  }
+
+  /** One-shot batch form: build the index and probe it in a single plan
+    * (one codebook collect — [[centroidsWithCodebook]]).
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (cents, codebook) = centroidsWithCodebook(corpus, idCol, vecCol, nCentroids)
+    probe(cellsQ(corpus, idCol, vecCol, codebook), cents, queries, vecCol, idCol, k, nProbe)
   }
 }

@@ -119,11 +119,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q36: IVF cell assignment is a narrow map (no sort-agg over the amplified corpus)") {
-    // the codebook embeds as literals (array_position over a sims
-    // array), so the corpus side has NO join, NO row amplification and
-    // NO aggregate for assignment — a SortAggregate here means the
-    // max_by-over-struct shape regressed (it sorts corpus×nCentroids
-    // rows carrying the full embedding payload)
+    // the codebook embeds inside the native graft_ivf_assign expression
+    // (one tight codegen loop per row), so the corpus side has NO join,
+    // NO row amplification and NO aggregate for assignment — a
+    // SortAggregate here means the max_by-over-struct shape regressed
+    // (it sorts corpus×nCentroids rows carrying the full embedding
+    // payload)
     val p = plan(SparkEntry.q36_ann_ivf(spark, dir))
     assert(!p.contains("SortAggregate"), p.take(3000))
   }

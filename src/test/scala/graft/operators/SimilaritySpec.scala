@@ -32,6 +32,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"mean recall $recall too low")
   }
 
+  test("incremental IVF: index ∪ increment cells == one-shot assignment; probe identical") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val index = emb.filter($"vec_id" % 5 =!= 0)
+    val fresh = emb.filter($"vec_id" % 5 === 0)
+    val (cents, idxCells) = IvfIndex.buildIndex(index, "vec_id", "embedding", 8)
+    val newCells = IvfIndex.assignIncrement(fresh, "vec_id", "embedding", cents)
+    // batch form: the WHOLE corpus assigned against the same frozen codebook
+    val oneShot = IvfIndex.assignIncrement(emb, "vec_id", "embedding", cents)
+    val incCells = idxCells.unionByName(newCells)
+    assert(incCells.count() == oneShot.count())
+    assert(incCells.select("id", "centroid_id")
+      .except(oneShot.select("id", "centroid_id")).isEmpty)
+    // and the probe operator over either cell table returns the same top-k
+    val queries = fresh.filter($"vec_id" < 50)
+    val inc = IvfIndex.probe(incCells, cents, queries, "embedding", "vec_id", 5)
+    val batch = IvfIndex.probe(oneShot, cents, queries, "embedding", "vec_id", 5)
+    assert(inc.count() == batch.count())
+    assert(inc.except(batch).isEmpty)
+  }
+
+  test("IvfIndex.assign accepts non-dense centroid ids (filtered/re-keyed table)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").limit(100)
+    val cents = IvfIndex.centroids(emb, "vec_id", "embedding", 4)
+    val dense = IvfIndex.assign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"centroid_id".as("dense_id"))
+    // re-key 0..3 → 2,5,8,11: order-preserving, so ties must land on the
+    // same centroid and every assignment is the dense one remapped
+    val rekeyed = cents.withColumn("centroid_id", $"centroid_id" * 3 + 2)
+    val sparse = IvfIndex.assign(emb, "vec_id", "embedding", rekeyed)
+      .select($"vec_id", $"centroid_id".as("sparse_id"))
+    val mismatches = dense.join(sparse, "vec_id")
+      .filter($"sparse_id" =!= $"dense_id" * 3 + 2).count()
+    assert(mismatches == 0)
+  }
+
   test("quantized cosine ≈ float cosine (1e-4) and is exactly reproducible") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir).limit(50)
