@@ -1459,6 +1459,40 @@ object OracleSql {
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  /** q82: incremental SimHash pairs == q23's batch pair set restricted
+    * to pairs that touch a new doc (doc_id % 5 = 0), keeping the exact
+    * integer hamming distance.
+    */
+  private val q82 = s"""
+    WITH toks AS ($lowerToks),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    th AS (SELECT doc_id, ${h60("'simhash:' || t")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT CAST(x AS INTEGER) AS b FROM range(60) t(x))
+      GROUP BY doc_id, b),
+    sig0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    sigs AS (
+      SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+    chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+      FROM sigs CROSS JOIN (SELECT CAST(x AS INTEGER) AS c FROM range(4) t(x))),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1540,5 +1574,6 @@ object OracleSql {
     "q79_date_dim_rollup" -> q79,
     "q80_incremental_neardup" -> q80,
     "q81_incremental_ivf" -> q81,
+    "q82_incremental_simhash" -> q82,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

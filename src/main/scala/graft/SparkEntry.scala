@@ -1241,6 +1241,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental SimHash near-dup ([[Dedup.simHashIncremental]]): same
+    * 80/20 index-vs-increment split as q80/q81, on the SimHash two-table
+    * index ([[Dedup.simHashDf]] signatures + [[Dedup.simHashChunks]]).
+    * The increment's chunk rows join the index; signatures fetch per
+    * candidate pair; output = verified pairs touching a new doc, with
+    * exact integer hamming distance. Oracle: the batch pair set
+    * restricted to pairs involving a new doc (set equality also
+    * property-tested in DedupSpec).
+    */
+  def q82_incremental_simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val oldSigs = Dedup.simHashDf(old, "text", "doc_id")
+    val freshSigs = Dedup.simHashDf(fresh, "text", "doc_id")
+    Dedup.simHashIncremental(
+        Dedup.simHashChunks(oldSigs), oldSigs,
+        Dedup.simHashChunks(freshSigs), freshSigs, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1325,6 +1346,7 @@ object SparkEntry {
     "q79_date_dim_rollup" -> (q79_date_dim_rollup _),
     "q80_incremental_neardup" -> (q80_incremental_neardup _),
     "q81_incremental_ivf" -> (q81_incremental_ivf _),
+    "q82_incremental_simhash" -> (q82_incremental_simhash _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

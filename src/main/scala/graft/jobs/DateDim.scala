@@ -59,4 +59,36 @@ object DateDim {
       when(dayofweek(d).isin(1, 7), lit("Weekend"))
         .otherwise(lit("Weekday")).as("day_type"))
   }
+
+  /** The reference's re-import path for the dimension (S14): read the
+    * staging CSV and project/rename exactly the 10 warehouse columns the
+    * reference importer inserts (`staging/import_date_dim.py:20-29`):
+    * `date_sk, full_date, day_since_2005→day_since_month_start,
+    * day_of_week→day_of_week_calendar, calendar_month→calendar_month_name,
+    * day_of_month, day_of_year, year_week_sunday→week_of_year,
+    * holiday→is_holiday, day_type`. Extra CSV columns (the source file
+    * carries ~18) are dropped by the projection, exactly as the
+    * importer's column list drops them.
+    *
+    * Same output schema as [[generate]] and differential-tested equal to
+    * it on a seed-shaped CSV (DateDimSpec) — consistent with the seed
+    * data, where the `day_since_month_start` slot holds day-of-month
+    * values (so the source CSV's `day_since_2005` column, which fed the
+    * seed through this very projection, holds day-of-month despite its
+    * name — see the header note). [[generate]] is strictly more useful
+    * (no input file); this exists for toolchain parity.
+    */
+  def importCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        col("date_sk").cast("long").as("date_sk"),
+        to_date(col("full_date")).as("full_date"),
+        col("day_since_2005").cast("int").as("day_since_month_start"),
+        col("day_of_week").as("day_of_week_calendar"),
+        col("calendar_month").as("calendar_month_name"),
+        col("day_of_month").cast("int").as("day_of_month"),
+        col("day_of_year").cast("int").as("day_of_year"),
+        col("year_week_sunday").as("week_of_year"),
+        col("holiday").as("is_holiday"),
+        col("day_type"))
 }

@@ -51,6 +51,17 @@ object DedupCluster {
     * loss replays from durable storage rather than failing the job —
     * localCheckpoint blocks are gone with the executor that held them.
     * Leave unset for single-node / latency-sensitive runs.
+    *
+    * Checkpoint-file lifecycle: files land in a fresh per-run UUID
+    * subdirectory (Spark's `setCheckpointDir` contract); each round's
+    * files are DELETED as soon as the next round materializes (the
+    * automatic cleaner only covers this when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
+    * session startup — off by default — so a long run would otherwise
+    * accumulate one RDD directory per round). Only the FINAL round's
+    * files survive, because the returned frame reads them lazily;
+    * callers may delete the run's subdirectory once the result is
+    * consumed or re-materialized.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30, collectThreshold: Long = 4000000L,
@@ -113,11 +124,32 @@ object DedupCluster {
     // to the materialized RDD each round. Default is localCheckpoint
     // (executor-memory blocks, no extra IO); pass `checkpointDir` to make
     // each round durable instead (see connectedComponents scaladoc).
+    val sc = edges.sparkSession.sparkContext
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
+    }
+    // Reliable-checkpoint hygiene (see connectedComponents scaladoc):
+    // round k's files are deletable the moment round k+1's checkpoint is
+    // materialized — everything downstream reads the newer files.
+    // setCheckpointDir just created a fresh UUID subdir, so every name
+    // under it belongs to THIS run and deletion can't touch a
+    // concurrent run's checkpoints.
+    val ckptRoot = checkpointDir.flatMap(_ => sc.getCheckpointDir).map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      (p.getFileSystem(sc.hadoopConfiguration), p)
+    }
+    def listCkpts(): Set[String] = ckptRoot match {
+      case Some((fs, root)) if fs.exists(root) =>
+        fs.listStatus(root).map(_.getPath.getName).toSet
+      case _ => Set.empty
+    }
+    def dropCkpts(names: Set[String]): Unit = ckptRoot.foreach { case (fs, root) =>
+      // best-effort: a failed delete only leaves garbage, never breaks the run
+      names.foreach(n => scala.util.Try(
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true)))
     }
     //
     // Round structure (each round ≈ fixed scheduling cost, so fewer
@@ -133,6 +165,7 @@ object DedupCluster {
       .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
     var checksum = labelSum(labels)
     var lastCkpt = labels // the checkpointed frame each round builds on
+    var prevCkptDirs = listCkpts() // the seed round's checkpoint files
 
     var iter = 0
     var converged = false
@@ -154,6 +187,9 @@ object DedupCluster {
         .select(col("x.id").as("id"), col("y.comp").as("comp"))
       val nextSum = labelSum(jumped)
       lastCkpt.unpersist()
+      val nowDirs = listCkpts()
+      dropCkpts(prevCkptDirs)          // previous round is now unreferenced
+      prevCkptDirs = nowDirs -- prevCkptDirs // this round's new files
       lastCkpt = next
       labels = jumped
       converged = nextSum == checksum // min-prop only ever decreases the sum

@@ -61,9 +61,18 @@ object Multimodal {
       (w, ht, dur, false)
     }
 
-  /** Attach the metadata struct to a binary column via `mapPartitions`
-    * — the batch shape a vectorized decoder needs (amortized
-    * per-partition init, bytes never touch the driver).
+  /** Attach the metadata struct to a binary column via typed
+    * `Dataset.mapPartitions` — the batch shape a vectorized decoder
+    * needs (amortized per-partition init, bytes never touch the
+    * driver). Staying on the Dataset API (vs `df.rdd`) keeps the schema
+    * contract in the plan: Catalyst sees a `MapPartitions` over a typed
+    * row encoder, upstream pruning/pushdown still applies below it, and
+    * downstream operators resume whole-stage codegen above it —
+    * `df.rdd` would instead sever the plan into two separate jobs'
+    * lineage with an opaque RDD boundary.
+    *
+    * The `spark` parameter is no longer needed (no `createDataFrame`
+    * re-entry) but stays for source compatibility with round-2 callers.
     */
   def withMediaMeta(spark: SparkSession, df: DataFrame, blobCol: String,
       mediaType: String): DataFrame = {
@@ -73,7 +82,7 @@ object Multimodal {
       df.schema.fields :+ StructField("media_meta", mediaMetaSchema))
     val blobIdx = inSchema.fieldIndex(blobCol)
     val fmtIdx = inSchema.fieldIndex("__fmt")
-    val rdd = fmtDf.rdd.mapPartitions { iter =>
+    fmtDf.mapPartitions { iter =>
       // per-partition decoder init would go here (codec handles, GPU ctx…)
       iter.map { row =>
         val bytes = if (row.isNullAt(blobIdx)) null
@@ -84,8 +93,7 @@ object Multimodal {
           if (bytes == null) 0L else bytes.length.toLong, w, h, dur, corrupt)
         Row.fromSeq(row.toSeq.patch(fmtIdx, Nil, 1) :+ meta)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Deterministic frame-sampling plan for video blobs: emits

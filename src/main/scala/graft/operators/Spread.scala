@@ -31,6 +31,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Streaming inputs are returned untouched (partition introspection
   * needs a materializable plan; micro-batches parallelize by source).
+  *
+  * SCOPE: `auto` is built for SCAN-ROOTED NARROW pipelines — read →
+  * per-row transform → (maybe) aggregate, the shape every caller in
+  * this repo has. Two deliberate approximations follow from that:
+  * the leaf estimate only reads scan leaves, so a frame whose real
+  * parallelism comes from a downstream exchange (an aggregate or join
+  * over a small file) may be repartitioned when its exchange would
+  * already have spread it (harmless: one cheap extra exchange on tiny
+  * input); and `alreadySpread` suppresses repair if ANY repartition
+  * appears anywhere in the plan, even on an unrelated side of a join
+  * (also harmless at the call sites, which invoke `auto` directly on
+  * the scan frame before composing). Callers with exchange-rooted or
+  * multi-branch frames should repartition explicitly instead.
   */
 object Spread {
 

@@ -129,6 +129,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p.take(3000))
   }
 
+  test("q49: multimodal decode is a typed MapPartitions INSIDE the plan, not an RDD break") {
+    // the old df.rdd form severed lineage: the whole upstream (parquet
+    // scan included) ran as a separate job and the query plan rooted at
+    // an opaque 'Scan ExistingRDD'. The typed Dataset.mapPartitions
+    // keeps one plan: parquet scan below, MapPartitions object op in the
+    // middle, codegen'd projection/sort above.
+    val p = plan(SparkEntry.q49_multimodal_meta(spark, dir))
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(!p.contains("ExistingRDD"), "decode severed the plan into an RDD scan:\n" + p.take(3000))
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p.take(3000))
+  }
+
   test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
     // one native LshBuckets expression + posexplode — the plan between
     // scan and join must contain no Exchange on the corpus side other

@@ -231,4 +231,32 @@ class PipelineSpec extends SparkSpec {
     }
     dim.unpersist()
   }
+
+  test("date dim importCsv == generate: faithful 10-col projection/rename (S14 import path)") {
+    // synthesize a seed-shaped staging CSV: generate's values under the
+    // SOURCE column names the reference importer reads
+    // (import_date_dim.py:20-29), plus extra columns the projection must
+    // drop (the real file carries ~18)
+    val dir = tmpDir("datedim_csv")
+    val gen = DateDim.generate(spark, "2025-01-02", "2026-12-31")
+    gen.select(
+        $"date_sk", $"full_date",
+        $"day_since_month_start".as("day_since_2005"),
+        $"day_of_week_calendar".as("day_of_week"),
+        $"calendar_month_name".as("calendar_month"),
+        $"day_of_month", $"day_of_year",
+        $"week_of_year".as("year_week_sunday"),
+        $"is_holiday".as("holiday"),
+        $"day_type",
+        lit("x").as("quarter_name"), lit(7).as("some_extra_col"))
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+    val imported = DateDim.importCsv(spark, dir)
+    // names + types must match exactly; nullability legitimately differs
+    // (a CSV source can carry nulls, a generated spine provably can't)
+    assert(imported.schema.map(f => (f.name, f.dataType)) ==
+      gen.schema.map(f => (f.name, f.dataType)),
+      s"schema drift: ${imported.schema} vs ${gen.schema}")
+    assert(imported.count() == gen.count())
+    assert(imported.except(gen).isEmpty && gen.except(imported).isEmpty)
+  }
 }

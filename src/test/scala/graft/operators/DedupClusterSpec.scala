@@ -57,6 +57,18 @@ class DedupClusterSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "no reliable checkpoint files written")
+    // per-round hygiene: the 21-node chain takes several rounds, but
+    // every superseded round's rdd-* directory is deleted as the loop
+    // advances — only the FINAL round's checkpoint (which the returned
+    // frame reads) may remain
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+      .toSeq
+    assert(rddDirs.size == 1,
+      s"superseded round checkpoints not cleaned: ${rddDirs.mkString(", ")}")
   }
 
   test("connected components: edge direction is irrelevant") {

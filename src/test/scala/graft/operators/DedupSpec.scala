@@ -107,6 +107,82 @@ class DedupSpec extends SparkSpec {
       s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
   }
 
+  test("incremental simhash == batch: old pairs ∪ new-involving pairs, exactly") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = corpus.filter($"doc_id" % 5 =!= 0)
+    val fresh = corpus.filter($"doc_id" % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val batch = key(Dedup.simHashPairs(corpus, "text", "doc_id", maxHamming = 3))
+    val oldPairs = key(Dedup.simHashPairs(old, "text", "doc_id", maxHamming = 3))
+    val idxSigs = Dedup.simHashDf(old, "text", "doc_id")
+    val freshSigs = Dedup.simHashDf(fresh, "text", "doc_id")
+    val inc = key(Dedup.simHashIncremental(
+      Dedup.simHashChunks(idxSigs), idxSigs,
+      Dedup.simHashChunks(freshSigs), freshSigs, maxHamming = 3))
+
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty,
+      "incremental must only emit pairs involving a new doc")
+    assert(oldPairs ++ inc == batch,
+      s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
+  }
+
+  test("band join under a hot band_key: AQE skew-split activates, results stay exact") {
+    // 20% of docs byte-identical → their (band, band_key) collides in
+    // EVERY band: one shuffle partition holds a quadratic pair blow-up
+    // while the rest stay tiny — the skew shape a hot boilerplate/empty
+    // document produces at corpus scale. The shuffle_hash pins keep the
+    // join shuffled (spec'd elsewhere); this case asserts the AQE
+    // skew-split path the pins rely on actually fires and is
+    // result-invariant. Thresholds drop to test scale (the defaults
+    // trigger at 256 MB partitions).
+    val hot = (0 until 150).map(i =>
+      (i.toLong, "the exact same boilerplate text repeated across the corpus every day"))
+    val cold = (150 until 200).map(i =>
+      (i.toLong, s"unique document number $i carrying words w${i}a w${i * 7}b w${i * 13}c distinct"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    def pairs() = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      // skew-split subdivides a reduce partition at MAPPER boundaries;
+      // at test scale AQE coalesces every upstream stage to one task
+      // (one mapper = nothing to split), which can never happen at the
+      // corpus scale this guards — pin coalescing off for the fixture
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val baseline = pairs()
+      assert(baseline.size >= 150 * 149 / 2, "hot docs must all pair up")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      // the pair dedup re-shuffles on (id_a,id_b) anyway, but AQE counts
+      // the replacement exchange as "extra" — force keeps the split on
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = Dedup.minHashLsh(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      val skewed = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), "skew-split did not activate:\n" + plan.take(4000))
+      assert(skewed == baseline, "skew-split changed the result set")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("rolling fingerprints: shared substrings overlap, short/empty docs yield none") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
