@@ -194,4 +194,50 @@ object Zone {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- JDBC sink (S7) ------------------------------------------------------
+
+  /** Relational batch-insert sink — the literal form of the reference's
+    * staging loader, which executemany-INSERTs scraped rows into MySQL
+    * (`staging/staging_loader.py:81-85`; SURVEY marks the JDBC sink
+    * optional, parquet being the warehouse zone format here).
+    *
+    * Thin facade over Spark's JDBC writer, with the two knobs that
+    * matter pinned to sane defaults: `batchsize` (rows per
+    * PreparedStatement batch — the reference's ~10 rows/s came from
+    * row-at-a-time commits) and a `maxConnections` cap via `coalesce`
+    * (every task opens one connection; an uncapped 1000-task write is a
+    * connection-pool DoS on the receiving database — the DB is the
+    * bottleneck at any cluster size, so fewer, fatter writers win).
+    * Executors write partitions in parallel; rows never route through
+    * the driver.
+    *
+    * `mode="overwrite"` + `truncate=true` is the reference's
+    * truncate-then-load (S8, `import_date_dim.py`'s TRUNCATE TABLE):
+    * keeps the table's DDL and indexes, replaces the rows.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append", batchSize: Int = 1000, maxConnections: Int = 8,
+      truncate: Boolean = false,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.coalesce(maxConnections).write
+      .mode(mode)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", truncate.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+      .jdbc(url, table, props)
+
+  /** Matching read surface (S12/S13's remote-table pull collapses into
+    * this + temp views). `partitionColumn`/bounds turn the read into
+    * `numPartitions` parallel range scans instead of one connection
+    * dragging the whole table.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    partitionColumn match {
+      case Some((colName, lower, upper, n)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
 }
