@@ -1242,23 +1242,22 @@ object SparkEntry {
   }
 
   /** Incremental SimHash near-dup ([[Dedup.simHashIncremental]]): same
-    * 80/20 index-vs-increment split as q80/q81, on the SimHash two-table
-    * index ([[Dedup.simHashDf]] signatures + [[Dedup.simHashChunks]]).
-    * The increment's chunk rows join the index; signatures fetch per
-    * candidate pair; output = verified pairs touching a new doc, with
-    * exact integer hamming distance. Oracle: the batch pair set
-    * restricted to pairs involving a new doc (set equality also
-    * property-tested in DedupSpec).
+    * 80/20 index-vs-increment split as q80/q81, on the persisted
+    * [[Dedup.simHashChunks]] index (one table — the 8-byte signature
+    * rides the chunk rows). The increment's chunk rows join the index
+    * and verify by XOR-popcount on the collision row; output = pairs
+    * touching a new doc, with exact integer hamming distance. Oracle:
+    * the batch pair set restricted to pairs involving a new doc (set
+    * equality also property-tested in DedupSpec).
     */
   def q82_incremental_simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
-    val oldSigs = Dedup.simHashDf(old, "text", "doc_id")
-    val freshSigs = Dedup.simHashDf(fresh, "text", "doc_id")
     Dedup.simHashIncremental(
-        Dedup.simHashChunks(oldSigs), oldSigs,
-        Dedup.simHashChunks(freshSigs), freshSigs, maxHamming = 3)
+        Dedup.simHashChunks(Dedup.simHashDf(old, "text", "doc_id")),
+        Dedup.simHashChunks(Dedup.simHashDf(fresh, "text", "doc_id")),
+        maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -536,60 +536,59 @@ object Dedup {
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
-  /** The chunk half of the two-table SimHash index: `(id, chunk,
-    * chunk_val)` rows of a [[simHashDf]] signature set — the exact
-    * analogue of [[signatureBands]] for the 4×15-bit pigeonhole blocks.
-    * Persist both tables (chunks partitioned by `chunk` at scale, sigs
-    * by id bucket); incremental batches join against them
-    * ([[simHashIncremental]]) instead of recomputing the corpus. The
-    * 8-byte signature could ride the chunk rows cheaply (unlike the
-    * ~0.5 KB MinHash array), but keeping it off preserves the one-index
-    * discipline: the chunk table is pure join keys, the sig table is
-    * pure payload, and either can be rebuilt from the other's id set.
+  /** The persistable SimHash index: `(id, sim, chunk, chunk_val)` rows
+    * of a [[simHashDf]] signature set — the analogue of
+    * [[signatureBands]] for the 4×15-bit pigeonhole blocks. Unlike the
+    * MinHash index, this is ONE table, not two: the whole signature is
+    * 8 bytes, so riding it on every chunk row costs 32 bytes/doc of
+    * index storage and buys the pair path a direct XOR-popcount on the
+    * collision row — the two per-pair signature joins the MinHash shape
+    * needs (to keep its ~0.5 KB arrays off the band exchange) would
+    * cost more than they save here. Same payload-size reasoning, both
+    * directions. Persist partitioned by `chunk` at scale; incremental
+    * batches join against it ([[simHashIncremental]]) instead of
+    * recomputing the corpus.
     */
   def simHashChunks(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"),
+    sigs.select(col("id"), col("simhash").as("sim"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
 
   /** Incremental SimHash near-dup: pairs *involving a new document* —
-    * new×index and new×new — against the pre-built two-table index
-    * ([[simHashDf]] signatures + [[simHashChunks]]). Daily cost = the
-    * increment's chunks joined to the chunk-partitioned index, plus two
-    * per-pair signature fetches; the corpus self-join never reruns and
-    * old×old pairs were emitted when their documents arrived.
+    * new×index and new×new — against the pre-built [[simHashChunks]]
+    * index. Daily cost = the increment's chunk rows joined to the
+    * chunk-partitioned index and an XOR-popcount per collision row; the
+    * corpus self-join never reruns and old×old pairs were already
+    * emitted when their documents arrived.
     * `batch == oldPairs ∪ incremental` exactly (DedupSpec property).
-    * Callers then append `newSigs`/`newChunks` to the index tables.
+    * Callers then append `newChunks` to the index table.
     */
   def simHashIncremental(
       indexChunks: DataFrame,
-      indexSigs: DataFrame,
       newChunks: DataFrame,
-      newSigs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk candidate guarantee (<= 3)")
     val allChunks = indexChunks.unionByName(newChunks)
-    val allSigs = indexSigs.unionByName(newSigs)
     // ONE join with the new side driving (a new id can be either end of
     // a pair → ≠ condition + least/greatest orientation normalization,
     // exactly as minHashLshIncremental); new×new collisions appear once
-    // per orientation and dropDuplicates collapses them.
-    val cand = newChunks.as("a").join(allChunks.as("b"),
+    // per orientation and dropDuplicates collapses them. hamming is
+    // computed on the collision row BEFORE the dedup and is
+    // functionally determined by the pair, so it joins the dedup KEYS —
+    // a pure hash-distinct over three scalars instead of a First
+    // aggregate dragging a payload column; same rows either way.
+    newChunks.as("a").join(allChunks.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") =!= col("b.id"))
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(allSigs.select(col("id").as("id_a"), col("simhash").as("sim_a")), Seq("id_a"))
-      .join(allSigs.select(col("id").as("id_b"), col("simhash").as("sim_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b", "hamming")
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -68,4 +68,40 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming incremental SimHash near-dup — the same micro-batch
+    * discipline as [[runIncrementalNearDup]] over the ONE-table
+    * [[Dedup.simHashChunks]] index (the 8-byte signature rides the
+    * chunk rows, so each batch is one pair append + one index append;
+    * with a single index table there is no write-ordering hazard at
+    * all — a crash before the index append just re-emits the same
+    * batch's pairs on replay, which consumers dedupe on (id_a, id_b)).
+    */
+  def runIncrementalSimHash(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newChunks = Dedup.simHashChunks(
+          Dedup.simHashDf(batch, textCol, idCol)).cache()
+        try {
+          val pairs = Zone.readIfExists(spark, indexDir) match {
+            case Some(idx) => Dedup.simHashIncremental(idx, newChunks, maxHamming)
+            case None => // first batch: the increment IS the corpus
+              Dedup.simHashIncremental(newChunks.limit(0), newChunks, maxHamming)
+          }
+          pairs.write.mode("append").parquet(pairsDir)
+          newChunks.write.mode("append").parquet(indexDir)
+        } finally newChunks.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

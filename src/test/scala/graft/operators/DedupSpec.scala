@@ -117,11 +117,10 @@ class DedupSpec extends SparkSpec {
 
     val batch = key(Dedup.simHashPairs(corpus, "text", "doc_id", maxHamming = 3))
     val oldPairs = key(Dedup.simHashPairs(old, "text", "doc_id", maxHamming = 3))
-    val idxSigs = Dedup.simHashDf(old, "text", "doc_id")
-    val freshSigs = Dedup.simHashDf(fresh, "text", "doc_id")
     val inc = key(Dedup.simHashIncremental(
-      Dedup.simHashChunks(idxSigs), idxSigs,
-      Dedup.simHashChunks(freshSigs), freshSigs, maxHamming = 3))
+      Dedup.simHashChunks(Dedup.simHashDf(old, "text", "doc_id")),
+      Dedup.simHashChunks(Dedup.simHashDf(fresh, "text", "doc_id")),
+      maxHamming = 3))
 
     assert(inc.keySet.intersect(oldPairs.keySet).isEmpty,
       "incremental must only emit pairs involving a new doc")

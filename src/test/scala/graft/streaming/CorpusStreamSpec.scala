@@ -43,4 +43,39 @@ class CorpusStreamSpec extends SparkSpec {
     assert(bands.select("id").distinct().count() == corpus.count())
     assert(!bands.columns.contains("sig"), "band index must stay narrow")
   }
+
+  test("streaming simhash increments == batch pair set; one-table index accumulates") {
+    val base = tmpDir("simhashstream")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" % 3 === 0).write.parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 1).write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = CorpusStream.runIncrementalSimHash(spark, stream,
+      "text", "doc_id", s"$base/index", s"$base/pairs", s"$base/ckpt")
+    q.awaitTermination()
+
+    // collected-set compare (pair lists are tiny at this SF): exceptAll's
+    // ReplicateRows rewrite mis-binds over these frames in Spark 4
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — value equality is the same
+    // assertion without the fragile plan shape
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.read.parquet(s"$base/pairs"))
+    val batch = key(Dedup.simHashPairs(corpus, "text", "doc_id", maxHamming = 3))
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+
+    // the single index table holds every document's 4 chunk rows + sig
+    val idx = spark.read.parquet(s"$base/index")
+    assert(idx.select("id").distinct().count() == corpus.count())
+    assert(idx.count() == corpus.count() * 4)
+    assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
+  }
 }
