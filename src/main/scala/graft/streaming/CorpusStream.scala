@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, IvfIndex}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -100,6 +100,50 @@ object CorpusStream {
           pairs.write.mode("append").parquet(pairsDir)
           newChunks.write.mode("append").parquet(indexDir)
         } finally newChunks.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming IVF index maintenance — the ANN side of the same
+    * discipline: the first micro-batch bootstraps the two-table index
+    * ([[IvfIndex.buildIndex]] — codebook + cells); every later batch is
+    * ONE [[IvfIndex.assignIncrement]] narrow map against the PERSISTED
+    * codebook and a cells append. Queries probe the persisted tables on
+    * demand ([[IvfIndex.probe]]); codebook drift under a shifting
+    * distribution is a scheduled [[IvfIndex.rebuild]], never something
+    * the stream pays for.
+    *
+    * Crash ordering: centroids commit BEFORE cells. A centroid table
+    * with no cells just makes the next replay take the incremental
+    * branch — which assigns the same batch against the same frozen
+    * codebook and appends exactly the rows the crashed buildIndex would
+    * have (the incremental==batch property, doing recovery work) —
+    * while cells referencing a centroid table that never landed would
+    * poison every later probe.
+    */
+  def runIncrementalAnnIndex(
+      spark: SparkSession,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexDir: String,
+      checkpointDir: String,
+      nCentroids: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val centsDir = s"$indexDir/centroids"
+        val cellsDir = s"$indexDir/cells"
+        Zone.readIfExists(spark, centsDir) match {
+          case Some(cents) =>
+            IvfIndex.assignIncrement(batch, idCol, vecCol, cents)
+              .write.mode("append").parquet(cellsDir)
+          case None => // first batch bootstraps the codebook
+            val (cents, cells) = IvfIndex.buildIndex(batch, idCol, vecCol, nCentroids)
+            cents.write.mode("overwrite").parquet(centsDir)
+            cells.write.mode("append").parquet(cellsDir)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

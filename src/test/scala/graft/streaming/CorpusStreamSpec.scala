@@ -78,4 +78,38 @@ class CorpusStreamSpec extends SparkSpec {
     assert(idx.count() == corpus.count() * 4)
     assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
   }
+
+  test("streaming IVF maintenance: cells == frozen-codebook batch assignment; probe works") {
+    val base = tmpDir("ivfstream")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val inDir = s"$base/in"
+    emb.filter($"vec_id" % 3 === 0).write.parquet(inDir)
+    emb.filter($"vec_id" % 3 === 1).write.mode("append").parquet(inDir)
+    emb.filter($"vec_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = CorpusStream.runIncrementalAnnIndex(spark, stream,
+      "embedding", "vec_id", s"$base/index", s"$base/ckpt", nCentroids = 8)
+    q.awaitTermination()
+
+    val cents = spark.read.parquet(s"$base/index/centroids")
+    assert(cents.count() == 8)
+    // streamed cells == the whole corpus assigned against the persisted
+    // codebook in one shot (the incremental==batch property, end-to-end)
+    def cellKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamed = spark.read.parquet(s"$base/index/cells")
+    assert(streamed.count() == emb.count())
+    assert(cellKey(streamed) ==
+      cellKey(graft.operators.IvfIndex.assignIncrement(emb, "vec_id", "embedding", cents)))
+    // and the persisted tables serve probes directly
+    val hits = graft.operators.IvfIndex.probe(streamed, cents,
+      emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 5)
+    assert(hits.count() == 15)
+  }
 }
