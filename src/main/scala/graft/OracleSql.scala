@@ -1493,6 +1493,43 @@ object OracleSql {
       AND (id_a % 5 = 0 OR id_b % 5 = 0)
     ORDER BY id_a, id_b"""
 
+  /** q83: incremental embedding near-dup == the batch LSH-blocked pair
+    * set (buckets from the same quantized plane literals as q27)
+    * restricted to pairs touching a new vector (vec_id % 5 = 0).
+    */
+  private val q83 = s"""
+    WITH planes(t, b, qc) AS (VALUES $q27Planes),
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS lx,
+             $quantize AS qe
+      FROM embeddings),
+    n2 AS (
+      SELECT vec_id, lx, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM emb),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> lx[i] * qc[i])) AS BIGINT) >= 0
+                      THEN (1 << b) ELSE 0 END) AS INTEGER) AS bucket
+      FROM n2 CROSS JOIN planes
+      GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+        AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)),
+    paired AS (
+      SELECT cand.id_a, cand.id_b,
+             av.qe AS aq, av.n2v AS an2, bv.qe AS bq, bv.n2v AS bn2
+      FROM cand
+      JOIN n2 av ON av.vec_id = cand.id_a
+      JOIN n2 bv ON bv.vec_id = cand.id_b)
+    SELECT id_a, id_b, round(${qcos("aq", "bq", "an2", "bn2")}, 6) AS cosine
+    FROM paired
+    WHERE round(${qcos("aq", "bq", "an2", "bn2")}, 6) >= 0.2
+    ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1575,5 +1612,6 @@ object OracleSql {
     "q80_incremental_neardup" -> q80,
     "q81_incremental_ivf" -> q81,
     "q82_incremental_simhash" -> q82,
+    "q83_incremental_embedding" -> q83,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

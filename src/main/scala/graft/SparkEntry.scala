@@ -1261,6 +1261,25 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental embedding near-dup ([[Dedup.embeddingNearDupIncremental]]):
+    * same 80/20 index-vs-increment split as q80–q82, on the two-table
+    * embedding LSH index ([[Dedup.embeddingIndex]] — narrow bucket rows
+    * + quantized vectors). The increment's bucket rows join the index;
+    * vectors fetch per candidate pair; output = pairs touching a new
+    * vector with exact fixed-point cosine. Oracle: buckets recomputed
+    * from the embedded quantized plane literals (q27's machinery),
+    * restricted to pairs involving a new vector.
+    */
+  def q83_incremental_embedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val (oldBk, oldV) = Dedup.embeddingIndex(old, "embedding", "vec_id", dim = 64)
+    val (newBk, newV) = Dedup.embeddingIndex(fresh, "embedding", "vec_id", dim = 64)
+    Dedup.embeddingNearDupIncremental(oldBk, oldV, newBk, newV, minCosine = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1346,6 +1365,7 @@ object SparkEntry {
     "q80_incremental_neardup" -> (q80_incremental_neardup _),
     "q81_incremental_ivf" -> (q81_incremental_ivf _),
     "q82_incremental_simhash" -> (q82_incremental_simhash _),
+    "q83_incremental_embedding" -> (q83_incremental_embedding _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

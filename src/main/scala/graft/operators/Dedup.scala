@@ -767,4 +767,73 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** The two-table embedding LSH index: NARROW bucket rows
+    * `(id, table, bucket)` + quantized vectors `(id, qv, n2)` — the
+    * MinHash split applied to embeddings. A 64-dim quantized vector is
+    * ~0.5 KB, so embedding it in each of the `tables` bucket rows (as
+    * the one-shot [[embeddingNearDupLsh]] legitimately does inside a
+    * single plan) would multiply PERSISTED index storage and every
+    * future bucket join's payload ×tables; the one-table SimHash trade
+    * goes the other way only because its whole signature is 8 bytes.
+    * Persist buckets partitioned by `table` at scale, vectors by id
+    * bucket; incremental batches join against them
+    * ([[embeddingNearDupIncremental]]) instead of recomputing the
+    * corpus. Bucket identity is [[Similarity.planeMatrix]] — the same
+    * frozen hyperplanes must be passed for every increment (`seed` is
+    * the codebook here; drift = explicit rebuild, as with
+    * [[IvfIndex.rebuild]]).
+    */
+  def embeddingIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val buckets = Similarity.lshBucketsDf(df.sparkSession,
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, dim, bits, tables, seed)
+      .select(col("id"), col("table"), col("bucket"))
+    val vecs = df.select(col(idCol).as("id"), V.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", V.dotQ(col("qv"), col("qv")))
+    (buckets, vecs)
+  }
+
+  /** Incremental embedding near-dup: pairs *involving a new vector* —
+    * new×index and new×new — against the pre-built two-table index
+    * ([[embeddingIndex]]). Daily cost = the increment's narrow bucket
+    * rows joined to the bucket-partitioned index plus one integer dot
+    * per candidate PAIR (vectors fetched from the vecs table per
+    * deduped pair, never per collision row); the corpus self-join never
+    * reruns. `batch == oldPairs ∪ incremental` exactly (DedupSpec
+    * property — scores are table-independent, so the pair-fetch form
+    * and the batch collision-row form agree to the digit). Callers then
+    * append `newBuckets`/`newVecs` to the index tables.
+    */
+  def embeddingNearDupIncremental(
+      indexBuckets: DataFrame,
+      indexVecs: DataFrame,
+      newBuckets: DataFrame,
+      newVecs: DataFrame,
+      minCosine: Double): DataFrame = {
+    val allBuckets = indexBuckets.unionByName(newBuckets)
+    val allVecs = indexVecs.unionByName(newVecs)
+    val cand = newBuckets.as("a").join(allBuckets.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(allVecs.select(col("id").as("id_a"),
+        col("qv").as("qv_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(allVecs.select(col("id").as("id_b"),
+        col("qv").as("qv_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(V.cosineFromQuantized(
+        col("qv_a"), col("qv_b"), col("n2_a"), col("n2_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

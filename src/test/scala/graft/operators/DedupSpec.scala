@@ -128,6 +128,31 @@ class DedupSpec extends SparkSpec {
       s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
   }
 
+  test("incremental embedding == batch: old pairs ∪ new-involving pairs, exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val fresh = emb.filter($"vec_id" % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // batch form scores on the collision row, incremental fetches per
+    // pair — the score is table-independent, so the maps agree exactly
+    val batch = key(Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id",
+      minCosine = 0.2, dim = 64))
+    val oldPairs = key(Dedup.embeddingNearDupLsh(old, "embedding", "vec_id",
+      minCosine = 0.2, dim = 64))
+    val (oldBk, oldV) = Dedup.embeddingIndex(old, "embedding", "vec_id", dim = 64)
+    val (newBk, newV) = Dedup.embeddingIndex(fresh, "embedding", "vec_id", dim = 64)
+    val inc = key(Dedup.embeddingNearDupIncremental(oldBk, oldV, newBk, newV, 0.2))
+
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty,
+      "incremental must only emit pairs involving a new vector")
+    assert(oldPairs ++ inc == batch,
+      s"batch=${batch.size} old=${oldPairs.size} inc=${inc.size}")
+  }
+
   test("band join under a hot band_key: AQE skew-split activates, results stay exact") {
     // 20% of docs byte-identical → their (band, band_key) collides in
     // EVERY band: one shuffle partition holds a quadratic pair blow-up
