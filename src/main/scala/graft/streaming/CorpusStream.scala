@@ -105,6 +105,54 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental embedding near-dup — the same micro-batch
+    * discipline over the two-table embedding LSH index
+    * ([[Dedup.embeddingIndex]]): each batch's NARROW bucket rows join
+    * the persisted index, vectors fetch per candidate pair, pairs
+    * append to the log, both index tables extend. Same crash ordering
+    * as the MinHash stream: vectors BEFORE buckets — a vector row with
+    * no bucket rows is inert, a bucket row with no vector would
+    * silently drop pairs in later batches' verification. The hyperplane
+    * `seed` is the frozen codebook; changing it mid-stream is a
+    * rebuild, not an increment.
+    */
+  def runIncrementalEmbeddingNearDup(
+      spark: SparkSession,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      dim: Int,
+      minCosine: Double = 0.9,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (newBk0, newV0) = Dedup.embeddingIndex(
+          batch, vecCol, idCol, dim, bits, tables, seed)
+        val (newBk, newV) = (newBk0.cache(), newV0.cache())
+        try {
+          val pairs = (Zone.readIfExists(spark, s"$indexDir/buckets"),
+              Zone.readIfExists(spark, s"$indexDir/vecs")) match {
+            case (Some(idxBk), Some(idxV)) =>
+              Dedup.embeddingNearDupIncremental(idxBk, idxV, newBk, newV, minCosine)
+            case _ => // first batch: the increment IS the corpus
+              Dedup.embeddingNearDupIncremental(
+                newBk.limit(0), newV.limit(0), newBk, newV, minCosine)
+          }
+          pairs.write.mode("append").parquet(pairsDir)
+          newV.write.mode("append").parquet(s"$indexDir/vecs")
+          newBk.write.mode("append").parquet(s"$indexDir/buckets")
+        } finally { newBk.unpersist(); newV.unpersist() }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF index maintenance — the ANN side of the same
     * discipline: the first micro-batch bootstraps the two-table index
     * ([[IvfIndex.buildIndex]] — codebook + cells); every later batch is

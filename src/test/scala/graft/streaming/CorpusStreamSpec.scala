@@ -79,6 +79,38 @@ class CorpusStreamSpec extends SparkSpec {
     assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
   }
 
+  test("streaming embedding increments == batch LSH pair set; two-table index accumulates") {
+    val base = tmpDir("embstream")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val inDir = s"$base/in"
+    emb.filter($"vec_id" % 3 === 0).write.parquet(inDir)
+    emb.filter($"vec_id" % 3 === 1).write.mode("append").parquet(inDir)
+    emb.filter($"vec_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = CorpusStream.runIncrementalEmbeddingNearDup(spark, stream,
+      "embedding", "vec_id", s"$base/index", s"$base/pairs", s"$base/ckpt",
+      dim = 64, minCosine = 0.5)
+    q.awaitTermination()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = key(spark.read.parquet(s"$base/pairs"))
+    val batch = key(Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id",
+      minCosine = 0.5, dim = 64))
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+
+    val buckets = spark.read.parquet(s"$base/index/buckets")
+    assert(buckets.select("id").distinct().count() == emb.count())
+    assert(!buckets.columns.contains("qv"), "bucket index must stay narrow")
+    assert(spark.read.parquet(s"$base/index/vecs").count() == emb.count())
+  }
+
   test("streaming IVF maintenance: cells == frozen-codebook batch assignment; probe works") {
     val base = tmpDir("ivfstream")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
