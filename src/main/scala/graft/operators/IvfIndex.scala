@@ -213,6 +213,22 @@ object IvfIndex {
       V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
   }
 
+  /** Persist a built index in the layout [[probe]] wants: `centroids/`
+    * plain parquet (tiny), `cells/` partitioned by `centroid_id` — so a
+    * probe's `centroid_id ∈ probed-cells` predicate becomes a PARTITION
+    * filter and Spark never lists, let alone reads, the other cells'
+    * files. At nProbe=4 / nCentroids=256 that is ~1.6% of the corpus
+    * touched per query batch.
+    */
+  def writeIndex(cents: DataFrame, cells: DataFrame, dir: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/cells")
+  }
+
+  /** Read back a persisted index: `(centroids, cells)`. */
+  def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/cells"))
+
   /** One-shot batch form: build the index and probe it in a single plan
     * (one codebook collect — [[centroidsWithCodebook]]).
     */

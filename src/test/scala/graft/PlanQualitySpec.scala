@@ -141,6 +141,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Scan parquet") || p.contains("FileScan"), p.take(3000))
   }
 
+  test("q81/q83: incremental index queries keep the batch forms' plan guarantees") {
+    // q81: assignment on BOTH union branches is the native IvfAssign
+    // narrow map — no join, no amplification, no aggregate for
+    // assignment (a SortAggregate means the max_by shape regressed)
+    val p81 = plan(SparkEntry.q81_incremental_ivf(spark, dir))
+    assert(p81.contains("graft_ivf_assign"), p81.take(3000))
+    assert(!p81.contains("SortAggregate"), p81.take(3000))
+    // q83: candidates come from the bucket equi-join (a nested-loop
+    // product means the bucket blocking degenerated); pair dedup and
+    // scoring stay scalar — no array payload through an aggregate
+    val p83 = plan(SparkEntry.q83_incremental_embedding(spark, dir))
+    assert(p83.contains("graft_lsh_buckets"), p83.take(3000))
+    assert(!p83.contains("BroadcastNestedLoopJoin"), p83.take(3000))
+    assert(!p83.contains("SortAggregate"), p83.take(3000))
+  }
+
   test("q27: LSH bucket assignment is a narrow map (no shuffle before the candidate join)") {
     // one native LshBuckets expression + posexplode — the plan between
     // scan and join must contain no Exchange on the corpus side other
