@@ -1530,6 +1530,28 @@ object OracleSql {
     WHERE round(${qcos("aq", "bq", "an2", "bn2")}, 6) >= 0.2
     ORDER BY id_a, id_b"""
 
+  /** q84: incrementally-merged vocabulary == full-corpus df (df over
+    * disjoint doc sets is additive), so the new docs' tf-idf against
+    * the merged vocab equals the batch computation restricted to them.
+    * Same token CTE as q58.
+    */
+  private val q84 = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+      FROM documents),
+    t AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    d AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM t GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT t.doc_id, t.term, t.tf, d.df_docs,
+           round(CAST(t.tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(d.df_docs AS DOUBLE)), 6) AS tfidf
+    FROM t JOIN d ON t.term = d.term CROSS JOIN n
+    WHERE t.doc_id % 5 = 0 AND t.doc_id < 1000
+    ORDER BY t.doc_id, t.term"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1613,5 +1635,6 @@ object OracleSql {
     "q81_incremental_ivf" -> q81,
     "q82_incremental_simhash" -> q82,
     "q83_incremental_embedding" -> q83,
+    "q84_incremental_tfidf" -> q84,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

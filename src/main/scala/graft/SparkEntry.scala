@@ -1280,6 +1280,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental TF-IDF ([[TermStats.docFreq]] / [[TermStats.mergeDocFreq]] /
+    * [[TermStats.tfIdfAgainst]]): the corpus-global vocabulary is
+    * maintained ADDITIVELY — old corpus' df table merged with the daily
+    * increment's own df table (one tokenize over the increment, zero
+    * corpus recompute) — and the increment scores against the merged
+    * vocabulary. Oracle: full-corpus tf/df/tfidf restricted to the new
+    * docs — equality IS the additivity property, checked end-to-end.
+    * Output bounded to doc_id < 1000 to keep the verify dump small.
+    */
+  def q84_incremental_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val vocab = TermStats.mergeDocFreq(
+      TermStats.docFreq(old, "text", "doc_id"),
+      TermStats.docFreq(fresh, "text", "doc_id"))
+    val nDocs = docs.count() // the audit-tracked corpus size
+    TermStats.tfIdfAgainst(fresh.filter(col("doc_id") < 1000),
+        "text", "doc_id", vocab, nDocs)
+      .withColumn("tfidf", round(col("tfidf"), 6))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1366,6 +1389,7 @@ object SparkEntry {
     "q81_incremental_ivf" -> (q81_incremental_ivf _),
     "q82_incremental_simhash" -> (q82_incremental_simhash _),
     "q83_incremental_embedding" -> (q83_incremental_embedding _),
+    "q84_incremental_tfidf" -> (q84_incremental_tfidf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

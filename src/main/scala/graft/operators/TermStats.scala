@@ -24,25 +24,75 @@ object TermStats {
     * (tf · ln(N/df), the classic smoothed-free form). NULL/empty text
     * contributes no rows.
     */
+  /** Per-(doc, term) occurrence counts — the shared first stage of
+    * [[tfIdf]], [[docFreq]] and [[tfIdfAgainst]]. Tokenize is a narrow
+    * map ([[Spread]]-parallelized on one-row-group corpora); one
+    * shuffle keyed on (doc, term).
+    */
+  private def termFreq(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Spread.auto(docs, col(idCol)).select(col(idCol),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // corpus size as a LAZY broadcast scalar (1-row cross join), not an
     // eager .count() — a construction-time job would run the full scan
     // even for callers that drop the tfidf column entirely (q58's
     // topTerms ranks on integer facts alone)
     val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n_docs"))
-    // spread before the token explosion: one-row-group corpora would
-    // otherwise tokenize single-threaded (see Spread)
-    val tokens = Spread.auto(docs, col(idCol)).select(col(idCol),
-        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = tokens.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(docs, textCol, idCol)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log(col("__n_docs") / col("df_docs")))
       .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
+
+  /** The persistable vocabulary table `(term, df_docs)` — the
+    * corpus-global half of TF-IDF, and the piece a daily pipeline must
+    * NOT recompute from scratch: document frequency over disjoint
+    * corpora is ADDITIVE (a term's df in old ∪ new = df(old) +
+    * df(new), because df counts documents and the id sets are
+    * disjoint), so the vocabulary maintains by [[mergeDocFreq]] with
+    * the increment's own [[docFreq]] — one tokenize over the increment,
+    * zero corpus work. Track corpus size (`n_docs`) alongside in the
+    * caller's audit/control table, exactly like the watermark counts
+    * the pipeline already keeps.
+    */
+  def docFreq(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    termFreq(docs, textCol, idCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+
+  /** Additive vocabulary merge: `docFreq(a ∪ b) == mergeDocFreq(docFreq(a),
+    * docFreq(b))` exactly for disjoint doc-id sets (TermStatsSpec
+    * property). Union + one sum keyed on term — mergeable the same way
+    * the HLL/Count-Min sketches are, so increments can also fold in a
+    * streaming `foreachBatch`.
+    */
+  def mergeDocFreq(vocabs: DataFrame*): DataFrame = {
+    require(vocabs.nonEmpty, "nothing to merge")
+    vocabs.reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df_docs")).as("df_docs"))
+  }
+
+  /** TF-IDF of a batch against a MAINTAINED vocabulary: the batch pays
+    * its own tokenize + TF; the corpus-global statistic arrives as the
+    * persisted `(term, df_docs)` table + the tracked corpus size. At
+    * web scale the vocabulary is millions of rows against the batch's
+    * billions — AQE broadcasts it. Terms the vocabulary has never seen
+    * score NULL (no df fact to weigh them with — callers either treat
+    * NULL as "novel term" or refresh the vocabulary first; silently
+    * defaulting df=1 would overweight typos into every downstream
+    * topic ranking).
+    */
+  def tfIdfAgainst(batch: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, nDocs: Long): DataFrame =
+    termFreq(batch, textCol, idCol)
+      .join(vocab, Seq("term"), "left")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df_docs")))
+      .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
 
   /** Intra-document n-gram repetition — the Gopher/RefinedWeb-family
     * quality rule that single-token stats can't see: templated or

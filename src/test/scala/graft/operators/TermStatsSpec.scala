@@ -27,6 +27,44 @@ class TermStatsSpec extends SparkSpec {
     assert(math.abs(v - math.log(3.0 / 1.0)) < 1e-12)
   }
 
+  test("incremental vocabulary: merged df == full-corpus df; batch scoring identical") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val old = corpus.filter($"doc_id" % 5 =!= 0)
+    val fresh = corpus.filter($"doc_id" % 5 === 0)
+    def vmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // additivity: df over disjoint doc sets sums exactly
+    val full = vmap(TermStats.docFreq(corpus, "text", "doc_id"))
+    val merged = vmap(TermStats.mergeDocFreq(
+      TermStats.docFreq(old, "text", "doc_id"),
+      TermStats.docFreq(fresh, "text", "doc_id")))
+    assert(merged == full)
+
+    // scoring a batch against the maintained vocabulary == the batch
+    // form's rows for those docs (same tf, df, tfidf to the bit)
+    val n = corpus.count()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "term", "tf", "df_docs", "tfidf").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val against = key(TermStats.tfIdfAgainst(fresh, "text", "doc_id",
+      TermStats.mergeDocFreq(
+        TermStats.docFreq(old, "text", "doc_id"),
+        TermStats.docFreq(fresh, "text", "doc_id")), n))
+    val batch = key(TermStats.tfIdf(corpus, "text", "doc_id")
+      .filter($"doc_id" % 5 === 0))
+    assert(against == batch)
+
+    // a term the vocabulary never saw scores NULL, not a silent default
+    val novel = TermStats.tfIdfAgainst(
+      Seq((9999L, "zzzunseen zzzunseen")).toDF("doc_id", "text"),
+      "text", "doc_id", TermStats.docFreq(old, "text", "doc_id"), n)
+    val row = novel.filter($"term" === "zzzunseen").head()
+    assert(row.isNullAt(row.fieldIndex("df_docs")) && row.isNullAt(row.fieldIndex("tfidf")))
+  }
+
   test("topTerms ranks tf desc, then rarity, then term; k bounds output") {
     val top = TermStats.topTerms(docs, "text", "doc_id", k = 2)
       .select("doc_id", "term", "rnk").as[(Long, String, Int)].collect().toSet
