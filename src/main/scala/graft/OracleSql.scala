@@ -1552,6 +1552,36 @@ object OracleSql {
     WHERE t.doc_id % 5 = 0 AND t.doc_id < 1000
     ORDER BY t.doc_id, t.term"""
 
+  /** q85: incremental labels (old labels + new-doc pair edges) == full
+    * connected components over the whole pair set — q55's recursive CTE
+    * up to `cc`, emitted as raw (id, comp) labels.
+    */
+  private val q85 = s"""
+    ${q48Chunks.replaceFirst("WITH canon", "WITH RECURSIVE canon")}
+    , cset AS (
+      SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+    sized AS (
+      SELECT doc_id, chunk_md5,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM cset),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(CAST(count(*) AS DOUBLE) / least(min(a.n_chunks), min(b.n_chunks)), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id)
+    SELECT id, CAST(min(comp) AS BIGINT) AS comp
+    FROM walk GROUP BY id
+    ORDER BY id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1636,5 +1666,6 @@ object OracleSql {
     "q82_incremental_simhash" -> q82,
     "q83_incremental_embedding" -> q83,
     "q84_incremental_tfidf" -> q84,
+    "q85_incremental_clusters" -> q85,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

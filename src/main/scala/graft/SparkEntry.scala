@@ -1303,6 +1303,27 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Incremental cluster resolution ([[DedupCluster.incremental]]):
+    * yesterday's labels + today's new pair edges (pairs touching a new
+    * doc, same % 5 split as q80–q84) → today's labels, without
+    * replaying the accumulated pair log. New edges that bridge old
+    * components re-label both to the joint minimum. Oracle: connected
+    * components over the FULL pair set (q55's recursive CTE) — equality
+    * IS the compressed-graph property, end-to-end.
+    */
+  def q85_incremental_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
+        w = 8, avgSize = 64, minShared = 1)
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val oldPairs = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val newPairs = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    val oldLabels = DedupCluster.connectedComponents(oldPairs, "id_a", "id_b")
+    DedupCluster.incremental(oldLabels, newPairs, "id_a", "id_b")
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1390,6 +1411,7 @@ object SparkEntry {
     "q82_incremental_simhash" -> (q82_incremental_simhash _),
     "q83_incremental_embedding" -> (q83_incremental_embedding _),
     "q84_incremental_tfidf" -> (q84_incremental_tfidf _),
+    "q85_incremental_clusters" -> (q85_incremental_clusters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -86,6 +86,27 @@ object DedupCluster {
     iterative(edges, maxIter, checkpointDir)
   }
 
+  /** Incremental connected components: fold a day's NEW pair edges into
+    * an existing labeling without replaying the accumulated pair log.
+    * A `(id, comp)` label row IS an edge to a member of its component
+    * (comp = component min, a real node), so the compressed graph
+    * `labels-as-edges ∪ newPairs` has exactly the original graph's
+    * connectivity — `incremental(cc(oldPairs), newPairs) ==
+    * cc(oldPairs ∪ newPairs)` (DedupClusterSpec property). Daily input
+    * size is nodes + increment, not the ever-growing edge log, and the
+    * label graph has diameter ≤ 2, so when new edges bridge old
+    * components the propagation loop converges in a couple of rounds.
+    * Callers persist the returned labels as the next day's input.
+    */
+  def incremental(labels: DataFrame, newPairs: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIter: Int = 30, collectThreshold: Long = 4000000L,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as(srcCol), col("comp").as(dstCol))
+        .unionByName(newPairs.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol, maxIter, collectThreshold, checkpointDir)
+
   /** Small-graph regime: collect the (deduped, symmetric) edge list and
     * run path-compressed union-find on the driver. 16 bytes/edge; the
     * default threshold collects ≤ 64 MB.

@@ -71,6 +71,31 @@ class DedupClusterSpec extends SparkSpec {
       s"superseded round checkpoints not cleaned: ${rddDirs.mkString(", ")}")
   }
 
+  test("incremental CC == full CC: new edges bridge old components correctly") {
+    // old graph: two chains (1-2-3, 10-11) and a singleton pair (20,21);
+    // the increment bridges chain 1 to chain 2 (3,10), adds a node to
+    // the third component (21,22), and opens a brand-new one (30,31)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 10L), (21L, 22L), (30L, 31L)).toDF("id_a", "id_b")
+    val all = oldPairs.unionByName(newPairs)
+
+    val oldLabels = DedupCluster.connectedComponents(oldPairs, "id_a", "id_b")
+    val inc = DedupCluster.incremental(oldLabels, newPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val full = DedupCluster.connectedComponents(all, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(11L) == 1L, "bridged components must re-label to the joint minimum")
+    assert(inc(22L) == 20L && inc(30L) == 30L)
+
+    // and through the iterative regime (threshold 0 forces it)
+    val incIter = DedupCluster.incremental(
+        DedupCluster.connectedComponents(oldPairs, "id_a", "id_b", collectThreshold = 0L),
+        newPairs, "id_a", "id_b", collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(incIter == full)
+  }
+
   test("connected components: edge direction is irrelevant") {
     val a = Seq((5L, 1L), (1L, 9L)).toDF("id_a", "id_b") // min in the middle
     val comp = DedupCluster.connectedComponents(a, "id_a", "id_b")
