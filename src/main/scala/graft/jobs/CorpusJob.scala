@@ -1,9 +1,12 @@
 package graft.jobs
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, DedupCluster, TermStats}
+import graft.sources.Zone
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** The training-data pipeline end-to-end: raw document corpus →
   * exact + canonical dedup → near-dup (MinHash LSH) pruning → quality
@@ -68,6 +71,120 @@ object CorpusJob {
     annotated
       .filter(!col("is_duplicate") && !col("is_near_duplicate") &&
         col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens)
+
+  /** The daily INCREMENTAL form of [[run]]: one batch in, the batch's
+    * annotated rows out, every corpus-global statistic maintained in
+    * persisted index tables under `stateDir` — nothing ever recomputes
+    * over the accumulated corpus. Composes the round-6 incremental
+    * operators end-to-end:
+    *
+    *   - `fps/`            exact/canonical-dedup fingerprint index
+    *                       `(content_fp, canonical_id)` — a batch doc
+    *                       whose fingerprint exists is a duplicate of
+    *                       the indexed canonical
+    *   - `index/sigs|bands` two-table MinHash LSH index
+    *                       ([[Dedup.minHashLshIncremental]])
+    *   - `pairs/`          append-only verified near-dup pair log
+    *   - `labels/`         cluster labels, folded forward each day
+    *                       ([[DedupCluster.incremental]])
+    *   - `vocab/` + `meta/` additive TF-IDF vocabulary + corpus size
+    *                       ([[TermStats.mergeDocFreq]])
+    *   - `annotated/`      the per-batch annotated output, appended
+    *
+    * Assumes doc ids grow monotonically across batches (the reference's
+    * daily-extract discipline): every dedup loser (non-minimum id) then
+    * lands in the CURRENT batch, so each day's annotated rows are final
+    * — the union of daily outputs equals the one-shot batch
+    * [[annotate]] (CorpusJobSpec property).
+    *
+    * Failure contract: a MID-batch crash replays safely — annotated
+    * rows and pair/sig/band/fp appends re-emit byte-identical values
+    * (consumers dedupe on their keys; an orphan signature without band
+    * rows is inert), and the folded tables commit LAST behind
+    * [[Zone.overwriteInPlace]] swaps, so they fold each batch at most
+    * once. Replaying an already-COMPLETED batch would merge its
+    * vocabulary/meta counts a second time — gate batch re-runs with the
+    * pipeline's audit idempotence check
+    * ([[graft.control.Audit.isProcessDone]], the A5 discipline every
+    * other job here uses), exactly as the reference gates its daily
+    * loads.
+    */
+  def runIncremental(spark: SparkSession, batch0: DataFrame, stateDir: String,
+      cfg: Config = Config()): DataFrame = {
+    val batch = batch0.select(col("doc_id"), col("text")).cache()
+    try {
+      // --- canonical dedup against the fingerprint index ---
+      val idxFps = Zone.readIfExists(spark, s"$stateDir/fps").getOrElse(
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          new StructType().add("content_fp", StringType).add("canonical_id", LongType)))
+        .withColumnRenamed("canonical_id", "idx_canonical")
+      val withFp = batch
+        .withColumn("content_fp", T.contentFingerprint(col("text")))
+        .withColumn("batch_canonical",
+          min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
+      val canon = withFp.join(idxFps, Seq("content_fp"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("idx_canonical"), col("batch_canonical")))
+        .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+
+      // --- near-dup pairs against the two-table LSH index ---
+      val newSigs = Dedup.signatures(batch, "text", "doc_id",
+        cfg.shingleSize, cfg.numHashes).cache()
+      val newBands = Dedup.signatureBands(newSigs, cfg.numHashes, cfg.bands)
+      val newPairs = (Zone.readIfExists(spark, s"$stateDir/index/bands"),
+          Zone.readIfExists(spark, s"$stateDir/index/sigs")) match {
+        case (Some(ib), Some(is)) => Dedup.minHashLshIncremental(
+          ib, is, newBands, newSigs, cfg.numHashes, cfg.nearDupThreshold)
+        case _ => Dedup.minHashLshIncremental(newBands.limit(0), newSigs.limit(0),
+          newBands, newSigs, cfg.numHashes, cfg.nearDupThreshold)
+      }
+      newPairs.cache()
+
+      // --- annotated batch (written FIRST: replay-idempotent) ---
+      val losers = newPairs
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+        .withColumn("is_near_duplicate", lit(true))
+      val annotated = canon
+        .join(losers, Seq("doc_id"), "left_outer")
+        .withColumn("is_near_duplicate",
+          coalesce(col("is_near_duplicate"), lit(false)))
+        .withColumn("__tstats", T.textStats(col("text")))
+        .withColumn("n_tokens", T.tokenCountFrom(col("__tstats")).cast("long"))
+        .withColumn("quality", T.qualityFrom(col("__tstats")))
+        .withColumn("lang_pred", T.langIdFrom(col("__tstats")))
+        .drop("__tstats", "idx_canonical", "batch_canonical")
+      annotated.write.mode("append").parquet(s"$stateDir/annotated")
+
+      // --- append-only state ---
+      newPairs.write.mode("append").parquet(s"$stateDir/pairs")
+      newSigs.write.mode("append").parquet(s"$stateDir/index/sigs")
+      newBands.write.mode("append").parquet(s"$stateDir/index/bands")
+      val newFps = canon.filter(col("idx_canonical").isNull)
+        .select(col("content_fp"), col("batch_canonical").as("canonical_id"))
+        .distinct()
+      newFps.write.mode("append").parquet(s"$stateDir/fps")
+
+      // --- folded-forward state (overwrite behind crash-safe swaps) ---
+      val labels = Zone.readIfExists(spark, s"$stateDir/labels") match {
+        case Some(old) => DedupCluster.incremental(old, newPairs, "id_a", "id_b")
+        case None => DedupCluster.connectedComponents(newPairs, "id_a", "id_b")
+      }
+      Zone.overwriteInPlace(spark, labels, s"$stateDir/labels")
+      val batchVocab = TermStats.docFreq(batch, "text", "doc_id")
+      val vocab = Zone.readIfExists(spark, s"$stateDir/vocab") match {
+        case Some(old) => TermStats.mergeDocFreq(old, batchVocab)
+        case None => batchVocab
+      }
+      Zone.overwriteInPlace(spark, vocab, s"$stateDir/vocab")
+      val nDocs = Zone.readIfExists(spark, s"$stateDir/meta")
+        .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) + batch.count()
+      import spark.implicits._
+      Zone.overwriteInPlace(spark, Seq(nDocs).toDF("n_docs"), s"$stateDir/meta")
+
+      newSigs.unpersist(); newPairs.unpersist()
+      annotated
+    } finally batch.unpersist()
+  }
 
   /** Run annotate → filter → write corpus + per-language stats. Returns
     * (kept, dropped) counts.

@@ -27,6 +27,54 @@ class CorpusJobSpec extends SparkSpec {
     assert(byId(6L).getAs[String]("lang_pred") == "en")
   }
 
+  test("runIncremental over monotonic daily batches == one-shot annotate; state converges") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    // monotonic id slices — the daily-extract arrival order the operator
+    // documents (losers always land in the current batch)
+    val slices = Seq(
+      docs.filter($"doc_id" <= n / 3),
+      docs.filter($"doc_id" > n / 3 && $"doc_id" <= 2 * n / 3),
+      docs.filter($"doc_id" > 2 * n / 3))
+    val state = tmpDir("corpusinc")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    slices.foreach(s => CorpusJob.runIncremental(spark, s, state, cfg))
+
+    val cols = Seq("doc_id", "canonical_id", "is_duplicate",
+      "is_near_duplicate", "n_tokens", "quality", "lang_pred")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val daily = key(spark.read.parquet(s"$state/annotated"))
+    val oneShot = key(CorpusJob.annotate(docs, cfg))
+    assert(daily == oneShot, s"daily=${daily.size} oneShot=${oneShot.size}")
+
+    // folded state equals its batch twin
+    val labels = spark.read.parquet(s"$state/labels")
+      .as[(Long, Long)].collect().toMap
+    val batchLabels = graft.operators.DedupCluster.connectedComponents(
+        graft.operators.Dedup.minHashLsh(docs, "text", "doc_id",
+          cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold),
+        "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == batchLabels)
+    val vocab = spark.read.parquet(s"$state/vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchVocab = graft.operators.TermStats.docFreq(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == batchVocab)
+    assert(spark.read.parquet(s"$state/meta").head().getLong(0) == docs.count())
+
+    // replaying a batch rewrites identical annotated rows (the appends
+    // duplicate, which downstream consumers dedupe on doc_id — assert
+    // the VALUES are stable, the effectively-once contract)
+    CorpusJob.runIncremental(spark, slices.last, state, cfg)
+    val replayed = spark.read.parquet(s"$state/annotated")
+      .select(cols.head, cols.tail: _*).distinct()
+    assert(replayed.count() == oneShot.size)
+  }
+
   test("run keeps survivors only and writes corpus + stats") {
     val out = tmpDir("corpus")
     val (kept, dropped) = CorpusJob.run(spark, corpus,
