@@ -1582,6 +1582,21 @@ object OracleSql {
     FROM walk GROUP BY id
     ORDER BY id"""
 
+  /** q86: fingerprint-index incremental canonical dedup == full-corpus
+    * canonical dedup restricted to the batch (monotonic 80/20 id split,
+    * so the indexed canonical IS the global group minimum).
+    */
+  private val q86 = s"""
+    WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+    g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY $normFp) AS canonical_id
+      FROM documents)
+    SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_duplicate
+    FROM g CROSS JOIN cut
+    WHERE doc_id > c
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1667,5 +1682,6 @@ object OracleSql {
     "q83_incremental_embedding" -> q83,
     "q84_incremental_tfidf" -> q84,
     "q85_incremental_clusters" -> q85,
+    "q86_incremental_exact" -> q86,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1324,6 +1324,33 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Incremental canonical dedup against a fingerprint index — the
+    * exact-dedup leg of [[CorpusJob.runIncremental]] as a standalone
+    * oracle query. The index holds `(content_fp, canonical_id)` for the
+    * accumulated corpus (here: the first 80% of ids — a MONOTONIC
+    * split, because the operator's contract assumes daily ids grow);
+    * a batch doc whose fingerprint exists is a duplicate of the indexed
+    * canonical, new-fingerprint groups elect their batch minimum.
+    * Oracle: full-corpus canonical dedup restricted to the batch —
+    * equality holds exactly because ids are monotonic.
+    */
+  def q86_incremental_exact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val idx = docs.filter(col("doc_id") <= cut)
+      .withColumn("content_fp", T.contentFingerprint(col("text")))
+      .groupBy(col("content_fp")).agg(min(col("doc_id")).as("idx_canonical"))
+    val canonical = coalesce(col("idx_canonical"), col("batch_canonical"))
+    docs.filter(col("doc_id") > cut)
+      .withColumn("content_fp", T.contentFingerprint(col("text")))
+      .withColumn("batch_canonical", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_fp"))))
+      .join(idx, Seq("content_fp"), "left")
+      .select(col("doc_id"), canonical.as("canonical_id"),
+        (col("doc_id") =!= canonical).as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1412,6 +1439,7 @@ object SparkEntry {
     "q83_incremental_embedding" -> (q83_incremental_embedding _),
     "q84_incremental_tfidf" -> (q84_incremental_tfidf _),
     "q85_incremental_clusters" -> (q85_incremental_clusters _),
+    "q86_incremental_exact" -> (q86_incremental_exact _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
