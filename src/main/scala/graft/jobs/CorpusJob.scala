@@ -186,6 +186,24 @@ object CorpusJob {
     } finally batch.unpersist()
   }
 
+  /** [[runIncremental]] behind the pipeline's audit discipline — the
+    * exactly-once wrapper the failure contract above calls for: an
+    * already-succeeded logical date is a NO-OP (0 rows; the
+    * vocabulary/meta folds cannot double-count), anything else brackets
+    * Running→Success/Failed with the annotated row count, exactly like
+    * [[ExtractJob.run]] gates the reference's daily extracts.
+    */
+  def runIncrementalAudited(spark: SparkSession, batch: DataFrame,
+      stateDir: String, audit: graft.control.Audit, date: String,
+      cfg: Config = Config()): Long = {
+    val day = java.sql.Date.valueOf(date)
+    val processName = "corpus_incremental"
+    if (audit.alreadySucceeded(processName, day)) 0L
+    else audit.bracket(processName, day) {
+      runIncremental(spark, batch, stateDir, cfg).count()
+    }
+  }
+
   /** Run annotate → filter → write corpus + per-language stats. Returns
     * (kept, dropped) counts.
     */

@@ -73,6 +73,20 @@ class CorpusJobSpec extends SparkSpec {
     val replayed = spark.read.parquet(s"$state/annotated")
       .select(cols.head, cols.tail: _*).distinct()
     assert(replayed.count() == oneShot.size)
+
+    // the audited wrapper makes completed-date re-runs TRUE no-ops
+    // (vocab/meta cannot double-count): first run brackets Success,
+    // second run skips without touching state
+    val audit = new graft.control.Audit(spark, tmpDir("corpusinc-audit"),
+      () => new java.sql.Timestamp(1700000000000L))
+    val state2 = tmpDir("corpusinc2")
+    val n1 = CorpusJob.runIncrementalAudited(spark, slices.head, state2, audit,
+      "2025-11-24", cfg)
+    assert(n1 == slices.head.count())
+    val vocabBefore = spark.read.parquet(s"$state2/vocab").count()
+    assert(CorpusJob.runIncrementalAudited(spark, slices.head, state2, audit,
+      "2025-11-24", cfg) == 0L)
+    assert(spark.read.parquet(s"$state2/vocab").count() == vocabBefore)
   }
 
   test("run keeps survivors only and writes corpus + stats") {
