@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants of the incremental index family over
+  * RANDOM corpora and RANDOM disjoint splits — the differential specs
+  * (DedupSpec etc.) pin the real-data cases; these pin the algebra:
+  * for ANY corpus and ANY index/increment partition of it,
+  * `batch pairs == old pairs ∪ increment pairs` exactly, with the
+  * increment emitting precisely the pairs that touch a new doc.
+  *
+  * Corpora draw from a 12-word alphabet so shingle/token collisions
+  * (and therefore real candidate pairs, including near-misses) are
+  * dense at tiny sizes.
+  */
+object IncrementalProps extends Properties("IncrementalIndexes") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private val words =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private val corpusGen: Gen[(List[(Long, String)], Set[Long])] = for {
+    n <- Gen.choose(6, 24)
+    docs <- Gen.sequence[List[(Long, String)], (Long, String)](
+      (0 until n).map { i =>
+        for {
+          len <- Gen.choose(3, 10)
+          toks <- Gen.listOfN(len, Gen.oneOf(words))
+        } yield (i.toLong, toks.mkString(" "))
+      })
+    newIds <- Gen.someOf(0 until n)
+  } yield (docs, newIds.map(_.toLong).toSet)
+
+  private def pairKey(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  property("minhash: batch == old ∪ incremental; increment touches new docs only") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      val all = docs.toDF("doc_id", "text")
+      val old = all.filter(!$"doc_id".isin(newIds.toSeq: _*))
+      val fresh = all.filter($"doc_id".isin(newIds.toSeq: _*))
+      def lsh(df: org.apache.spark.sql.DataFrame) =
+        Dedup.minHashLsh(df, "text", "doc_id",
+          shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+      val oldSigs = Dedup.signatures(old, "text", "doc_id", 2, 16)
+      val newSigs = Dedup.signatures(fresh, "text", "doc_id", 2, 16)
+      val inc = pairKey(Dedup.minHashLshIncremental(
+        Dedup.signatureBands(oldSigs, 16, 8), oldSigs,
+        Dedup.signatureBands(newSigs, 16, 8), newSigs,
+        numHashes = 16, threshold = 0.3))
+      val batch = pairKey(lsh(all))
+      val oldPairs = pairKey(lsh(old))
+      inc.forall { case (a, b) => newIds.contains(a) || newIds.contains(b) } &&
+        (oldPairs ++ inc) == batch && inc.intersect(oldPairs).isEmpty
+    }
+
+  property("simhash: batch == old ∪ incremental; increment touches new docs only") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      val all = docs.toDF("doc_id", "text")
+      val old = all.filter(!$"doc_id".isin(newIds.toSeq: _*))
+      val fresh = all.filter($"doc_id".isin(newIds.toSeq: _*))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        Dedup.simHashPairs(df, "text", "doc_id", maxHamming = 3)
+      val inc = pairKey(Dedup.simHashIncremental(
+        Dedup.simHashChunks(Dedup.simHashDf(old, "text", "doc_id")),
+        Dedup.simHashChunks(Dedup.simHashDf(fresh, "text", "doc_id")),
+        maxHamming = 3))
+      val batch = pairKey(pairs(all))
+      val oldPairs = pairKey(pairs(old))
+      inc.forall { case (a, b) => newIds.contains(a) || newIds.contains(b) } &&
+        (oldPairs ++ inc) == batch && inc.intersect(oldPairs).isEmpty
+    }
+
+  property("clusters: incremental(cc(old), newPairs) == cc(all pairs)") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      val all = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minHashLsh(all, "text", "doc_id",
+        shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("id_a", "id_b").cache()
+      try {
+        val isNew = (c: org.apache.spark.sql.Column) => c.isin(newIds.toSeq: _*)
+        val oldPairs = pairs.filter(!isNew($"id_a") && !isNew($"id_b"))
+        val newPairs = pairs.filter(isNew($"id_a") || isNew($"id_b"))
+        val inc = DedupCluster.incremental(
+            DedupCluster.connectedComponents(oldPairs, "id_a", "id_b"),
+            newPairs, "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val full = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        inc == full
+      } finally pairs.unpersist()
+    }
+
+  property("vocabulary: mergeDocFreq(old, new) == docFreq(all)") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      val all = docs.toDF("doc_id", "text")
+      val old = all.filter(!$"doc_id".isin(newIds.toSeq: _*))
+      val fresh = all.filter($"doc_id".isin(newIds.toSeq: _*))
+      def vmap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vmap(TermStats.mergeDocFreq(
+        TermStats.docFreq(old, "text", "doc_id"),
+        TermStats.docFreq(fresh, "text", "doc_id"))) ==
+        vmap(TermStats.docFreq(all, "text", "doc_id"))
+    }
+}
