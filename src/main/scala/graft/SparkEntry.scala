@@ -1313,15 +1313,25 @@ object SparkEntry {
     */
   def q85_incremental_clusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // cached for the two CC passes (old labels, then incremental fold) —
+    // without it the chunk pipeline executes once per pass. Scoped
+    // unpersist is safe here, unlike q50's deliberately-uncached
+    // composition: BOTH connectedComponents regimes materialize during
+    // CONSTRUCTION (driver union-find collects; the iterative loop
+    // checkpoints eagerly), so by the time this function returns, the
+    // result no longer references the pair lineage.
     val pairs = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
         w = 8, avgSize = 64, minShared = 1)
       .filter(col("containment") >= 0.5)
       .select(col("id_a"), col("id_b"))
-    val oldPairs = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
-    val newPairs = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
-    val oldLabels = DedupCluster.connectedComponents(oldPairs, "id_a", "id_b")
-    DedupCluster.incremental(oldLabels, newPairs, "id_a", "id_b")
-      .orderBy(col("id"))
+      .cache()
+    try {
+      val oldPairs = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val newPairs = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      val oldLabels = DedupCluster.connectedComponents(oldPairs, "id_a", "id_b")
+      DedupCluster.incremental(oldLabels, newPairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    } finally pairs.unpersist()
   }
 
   /** Incremental canonical dedup against a fingerprint index — the
