@@ -204,6 +204,23 @@ object CorpusJob {
     }
   }
 
+  /** Compact [[runIncremental]]'s append-accreting state tables — a
+    * year of daily appends is ~365 small files per table, and every
+    * index join then pays file-listing + task-scheduling overhead
+    * before any data moves. Rewrites each append-only table (sigs,
+    * bands, fps, pairs, annotated) to `targetBytes`-sized files behind
+    * [[Zone.compact]]'s crash-safe swap; the folded tables
+    * (labels/vocab/meta) rewrite every batch and never fragment. Run it
+    * on the maintenance cadence, not per batch. Returns
+    * (table → resulting file count) for the tables that exist.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] =
+    Seq("index/sigs", "index/bands", "fps", "pairs", "annotated")
+      .filter(t => Zone.exists(spark, s"$stateDir/$t"))
+      .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
+      .toMap
+
   /** Run annotate → filter → write corpus + per-language stats. Returns
     * (kept, dropped) counts.
     */

@@ -229,6 +229,26 @@ object IvfIndex {
   def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/cells"))
 
+  /** Rebuild-trigger diagnostics for the frozen-codebook discipline:
+    * per-cell row counts plus the imbalance ratio
+    * `max(cell) / mean(cell)` as a one-row summary column. Under
+    * [[assignIncrement]] the codebook never moves, so a drifting corpus
+    * shows up as cell-count skew long before recall measurably decays —
+    * schedule [[rebuild]] when the ratio crosses the operating
+    * threshold (rule of thumb: low single digits; FAISS guidance is the
+    * same). One aggregate over the (already partitioned) cells table;
+    * no vectors read.
+    */
+  def cellStats(cells: DataFrame): DataFrame = {
+    val counts = cells.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    counts.crossJoin(broadcast(counts.agg(
+        (max(col("n_vectors")).cast("double") / avg(col("n_vectors")))
+          .as("imbalance"))))
+      .select(col("centroid_id"), col("n_vectors"), round(col("imbalance"), 4).as("imbalance"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** One-shot batch form: build the index and probe it in a single plan
     * (one codebook collect — [[centroidsWithCodebook]]).
     */

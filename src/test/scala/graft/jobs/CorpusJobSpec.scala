@@ -87,6 +87,17 @@ class CorpusJobSpec extends SparkSpec {
     assert(CorpusJob.runIncrementalAudited(spark, slices.head, state2, audit,
       "2025-11-24", cfg) == 0L)
     assert(spark.read.parquet(s"$state2/vocab").count() == vocabBefore)
+
+    // maintenance: three days of appends compact to one file per table,
+    // content untouched
+    val pairsBefore = spark.read.parquet(s"$state/pairs")
+      .collect().map(_.toSeq).toSet
+    val compacted = CorpusJob.compactState(spark, state)
+    assert(compacted.keySet ==
+      Set("index/sigs", "index/bands", "fps", "pairs", "annotated"))
+    assert(compacted.values.forall(_ == 1), compacted.toString)
+    assert(spark.read.parquet(s"$state/pairs")
+      .collect().map(_.toSeq).toSet == pairsBefore)
   }
 
   test("run keeps survivors only and writes corpus + stats") {

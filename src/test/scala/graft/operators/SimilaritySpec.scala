@@ -94,6 +94,18 @@ class SimilaritySpec extends SparkSpec {
       direct.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("cellStats: counts per cell, imbalance = max/mean (rebuild trigger)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val (_, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding", 8)
+    val stats = IvfIndex.cellStats(cells).collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    val counts = stats.map(_.getAs[Long]("n_vectors").toDouble)
+    val want = counts.max / (counts.sum / counts.length)
+    assert(math.abs(stats.head.getAs[Double]("imbalance") - want) < 1e-3)
+    assert(stats.forall(_.getAs[Double]("imbalance") == stats.head.getAs[Double]("imbalance")))
+  }
+
   test("quantized cosine ≈ float cosine (1e-4) and is exactly reproducible") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir).limit(50)
