@@ -94,6 +94,20 @@ class SimilaritySpec extends SparkSpec {
       direct.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("IVF probe achieves usable recall vs exact on the real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+    val approx = IvfIndex.topK(emb, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 4)
+    val recall = Similarity.recallAgainstExact(exact, approx)
+      .agg(avg($"recall")).head().getDouble(0)
+    // 4-of-16 cells probed on 500 weakly-clustered vectors: the classic
+    // IVF trade — well above chance (0.25 of the corpus scanned), not 1.0
+    assert(recall > 0.5, s"mean recall $recall too low")
+  }
+
   test("cellStats: counts per cell, imbalance = max/mean (rebuild trigger)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
