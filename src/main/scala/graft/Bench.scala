@@ -51,16 +51,25 @@ object Bench {
     val wall = scala.collection.mutable.Map[String, Double]()
     val cpu = scala.collection.mutable.Map[String, Double]()
     val errs = scala.collection.mutable.Map[String, String]()
+    val fails = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (_ <- 1 to runs; name <- names) {
       val fn = qmap(name)
       val c0 = procCpuSec()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // a round that throws taints only ITSELF: the query keeps its min
+      // over the rounds that succeeded (interleaving widens the window a
+      // transient host burst / OOM can land in, so one bad round must
+      // not erase n-1 good samples); only a query with NO successful
+      // round reports as errored, and partially-failed queries surface
+      // in `flaky` with their failed-round count
+      val failed = try { fn(spark, sfDir).count(); false }
       catch { case t: Throwable =>
         errs(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        fails(name) += 1
+        true
       }
       val w = (System.nanoTime() - t0) / 1e9
-      if (w < wall.getOrElse(name, Double.MaxValue)) {
+      if (!failed && w < wall.getOrElse(name, Double.MaxValue)) {
         wall(name) = w
         cpu(name) = procCpuSec() - c0 // CPU of the round that won on wall
       }
@@ -78,16 +87,18 @@ object Bench {
     // far (the durable SPARK_GRAFT_BENCH_OUT copy is the backstop if a
     // log tail still truncates).
     def jnum2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val ok = names.filterNot(errs.contains)
+    val ok = names.filter(wall.contains) // >= 1 successful round
     val qs = ok.map(k => jstr(k) + ":" + jnum(wall(k))).mkString("{", ",", "}")
     val cpuQs = ok.map(k => jstr(k) + ":" + jnum2(cpu(k))).mkString("{", ",", "}")
-    val errJson = errs.toSeq.sortBy(_._1)
-      .map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    val errJson = names.filterNot(wall.contains).sorted
+      .map(k => jstr(k) + ":" + jstr(errs(k))).mkString("{", ",", "}")
+    val flakyJson = ok.filter(fails(_) > 0).sorted
+      .map(k => jstr(k) + ":" + fails(k)).mkString("{", ",", "}")
     val total = ok.map(wall).sum
     val load = s"""{"avg_start":${jnum(loadStart)},"avg_end":${jnum(loadEnd)},""" +
       s""""wall_sec":${jnum(wallSec)},"proc_cpu_sec":${jnum(cpuEnd - cpuStart)},""" +
       s""""cpus":$cpus,"runs":$runs}"""
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"errors":$errJson,"load":$load,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"errors":$errJson,"flaky":$flakyJson,"load":$load,"sf":"$sfDir"}"""
     // stdout FIRST: if the durable-copy write throws (read-only dir, bad
     // SPARK_GRAFT_BENCH_OUT), the results must not die with it
     println(line)

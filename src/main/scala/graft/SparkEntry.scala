@@ -1296,8 +1296,11 @@ object SparkEntry {
     val vocab = TermStats.mergeDocFreq(
       TermStats.docFreq(old, "text", "doc_id"),
       TermStats.docFreq(fresh, "text", "doc_id"))
-    val nDocs = docs.count() // the audit-tracked corpus size
-    TermStats.tfIdfAgainst(fresh.filter(col("doc_id") < 1000),
+    // the audit-tracked corpus size as a LAZY 1-row broadcast scalar
+    // (q58's pattern) — construction runs no driver job; production
+    // reads the same value from the persisted meta table
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+    TermStats.tfIdfAgainstN(fresh.filter(col("doc_id") < 1000),
         "text", "doc_id", vocab, nDocs)
       .withColumn("tfidf", round(col("tfidf"), 6))
       .orderBy(col("doc_id"), col("term"))
@@ -1346,13 +1349,17 @@ object SparkEntry {
     */
   def q86_incremental_exact(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
-    val idx = docs.filter(col("doc_id") <= cut)
+    // the 80% id cut as a LAZY 1-row broadcast scalar (q58's pattern) —
+    // construction runs no driver job; floor(·*4/5) over positive longs
+    // equals the oracle's integer `(max*4) // 5`
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
       .withColumn("content_fp", T.contentFingerprint(col("text")))
+    val idx = withCut.filter(col("doc_id") <= col("__cut"))
       .groupBy(col("content_fp")).agg(min(col("doc_id")).as("idx_canonical"))
     val canonical = coalesce(col("idx_canonical"), col("batch_canonical"))
-    docs.filter(col("doc_id") > cut)
-      .withColumn("content_fp", T.contentFingerprint(col("text")))
+    withCut.filter(col("doc_id") > col("__cut"))
       .withColumn("batch_canonical", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_fp"))))
       .join(idx, Seq("content_fp"), "left")

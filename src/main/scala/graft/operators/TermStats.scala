@@ -89,9 +89,24 @@ object TermStats {
     */
   def tfIdfAgainst(batch: DataFrame, textCol: String, idCol: String,
       vocab: DataFrame, nDocs: Long): DataFrame =
+    tfIdfAgainstN(batch, textCol, idCol, vocab,
+      batch.sparkSession.range(1).select(lit(nDocs.toDouble).as("__n_docs")))
+
+  /** [[tfIdfAgainst]] with the corpus size as a LAZY 1-row frame
+    * (column `__n_docs`, double) instead of an eager scalar — the
+    * production path reads it from the persisted meta table, and a
+    * query constructor can pass an aggregate (e.g.
+    * `docs.agg(count(lit(1)).cast("double").as("__n_docs"))`) without
+    * running a driver-blocking job at construction time. The 1-row
+    * frame rides a broadcast cross join, same as [[tfIdf]]'s own
+    * corpus-size scalar.
+    */
+  def tfIdfAgainstN(batch: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, nDocs: DataFrame): DataFrame =
     termFreq(batch, textCol, idCol)
       .join(vocab, Seq("term"), "left")
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df_docs")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("__n_docs") / col("df_docs")))
       .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"))
 
   /** Intra-document n-gram repetition — the Gopher/RefinedWeb-family

@@ -205,12 +205,16 @@ object Zone {
     * Thin facade over Spark's JDBC writer, with the two knobs that
     * matter pinned to sane defaults: `batchsize` (rows per
     * PreparedStatement batch — the reference's ~10 rows/s came from
-    * row-at-a-time commits) and a `maxConnections` cap via `coalesce`
-    * (every task opens one connection; an uncapped 1000-task write is a
-    * connection-pool DoS on the receiving database — the DB is the
-    * bottleneck at any cluster size, so fewer, fatter writers win).
-    * Executors write partitions in parallel; rows never route through
-    * the driver.
+    * row-at-a-time commits) and a `maxConnections` cap via
+    * `repartition` (every task opens one connection; an uncapped
+    * 1000-task write is a connection-pool DoS on the receiving database
+    * — the DB is the bottleneck at any cluster size, so fewer, fatter
+    * writers win). Repartition, NOT coalesce: coalesce propagates the
+    * reduced parallelism UPSTREAM — the whole pipeline producing `df`
+    * would run in `maxConnections` tasks — while repartition pays one
+    * round-robin shuffle of the final rows and leaves the upstream
+    * computation at full width. Executors write partitions in parallel;
+    * rows never route through the driver.
     *
     * `mode="overwrite"` + `truncate=true` is the reference's
     * truncate-then-load (S8, `import_date_dim.py`'s TRUNCATE TABLE):
@@ -220,7 +224,7 @@ object Zone {
       mode: String = "append", batchSize: Int = 1000, maxConnections: Int = 8,
       truncate: Boolean = false,
       props: java.util.Properties = new java.util.Properties): Unit =
-    df.coalesce(maxConnections).write
+    df.repartition(maxConnections).write
       .mode(mode)
       .option("batchsize", batchSize.toString)
       .option("truncate", truncate.toString)
