@@ -85,10 +85,12 @@ object CorpusJob {
     *   - `index/sigs|bands` two-table MinHash LSH index
     *                       ([[Dedup.minHashLshIncremental]])
     *   - `pairs/`          append-only verified near-dup pair log
-    *   - `labels/`         cluster labels, folded forward each day
+    *   - `folded/labels`   cluster labels, folded forward each day
     *                       ([[DedupCluster.incremental]])
-    *   - `vocab/` + `meta/` additive TF-IDF vocabulary + corpus size
-    *                       ([[TermStats.mergeDocFreq]])
+    *   - `folded/vocab` + `folded/meta` additive TF-IDF vocabulary +
+    *                       corpus size ([[TermStats.mergeDocFreq]]);
+    *                       meta also records `last_batch`, the replay
+    *                       marker
     *   - `annotated/`      the per-batch annotated output, appended
     *
     * Assumes doc ids grow monotonically across batches (the reference's
@@ -100,19 +102,29 @@ object CorpusJob {
     * Failure contract: a MID-batch crash replays safely — annotated
     * rows and pair/sig/band/fp appends re-emit byte-identical values
     * (consumers dedupe on their keys; an orphan signature without band
-    * rows is inert), and the folded tables commit LAST behind
-    * [[Zone.overwriteInPlace]] swaps, so they fold each batch at most
-    * once. Replaying an already-COMPLETED batch would merge its
-    * vocabulary/meta counts a second time — gate batch re-runs with the
-    * pipeline's audit idempotence check
-    * ([[graft.control.Audit.isProcessDone]], the A5 discipline every
-    * other job here uses), exactly as the reference gates its daily
-    * loads.
+    * rows is inert), and the three folded tables commit LAST as ONE
+    * atomic root swap ([[Zone.overwriteAllInPlace]] on `folded/`), so
+    * the additive vocabulary/meta fold can never land without its
+    * replay marker: `folded/meta.last_batch` records `batchId`, and a
+    * replay of the same batch id SKIPS the fold entirely. With a
+    * `batchId` the fold is therefore exactly-once through any crash
+    * point — there is no window between per-table swaps anymore.
+    * Without a `batchId` (ad-hoc callers), replaying an
+    * already-COMPLETED batch would still merge its vocabulary/meta
+    * counts a second time — gate such re-runs with the pipeline's audit
+    * idempotence check ([[graft.control.Audit.isProcessDone]], the A5
+    * discipline every other job here uses, via
+    * [[runIncrementalAudited]]), exactly as the reference gates its
+    * daily loads.
     */
   def runIncremental(spark: SparkSession, batch0: DataFrame, stateDir: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), batchId: Option[String] = None): DataFrame = {
     val batch = batch0.select(col("doc_id"), col("text")).cache()
     try {
+      // probe the ROOT first: promotes a crashed folded swap
+      // (delete-then-rename window) before any sub-table read
+      val foldedRoot = s"$stateDir/folded"
+      Zone.exists(spark, foldedRoot)
       // --- canonical dedup against the fingerprint index ---
       val idxFps = Zone.readIfExists(spark, s"$stateDir/fps").getOrElse(
         spark.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -164,22 +176,36 @@ object CorpusJob {
         .distinct()
       newFps.write.mode("append").parquet(s"$stateDir/fps")
 
-      // --- folded-forward state (overwrite behind crash-safe swaps) ---
-      val labels = Zone.readIfExists(spark, s"$stateDir/labels") match {
-        case Some(old) => DedupCluster.incremental(old, newPairs, "id_a", "id_b")
-        case None => DedupCluster.connectedComponents(newPairs, "id_a", "id_b")
+      // --- folded-forward state: ONE atomic root swap, replay-gated ---
+      // meta.last_batch == batchId means this batch's fold already
+      // committed (the swap is atomic, so the marker and the folded
+      // counts agree by construction): skip the non-idempotent
+      // vocabulary/meta merge instead of double-counting it. The
+      // append-only writes above re-emitted byte-identical rows, which
+      // is the consumers' existing dedup contract.
+      val meta0 = Zone.readIfExists(spark, s"$foldedRoot/meta")
+      val alreadyFolded = batchId.isDefined && meta0.exists { m =>
+        m.columns.contains("last_batch") &&
+          m.select(col("last_batch")).collect().exists(r =>
+            !r.isNullAt(0) && r.getString(0) == batchId.get)
       }
-      Zone.overwriteInPlace(spark, labels, s"$stateDir/labels")
-      val batchVocab = TermStats.docFreq(batch, "text", "doc_id")
-      val vocab = Zone.readIfExists(spark, s"$stateDir/vocab") match {
-        case Some(old) => TermStats.mergeDocFreq(old, batchVocab)
-        case None => batchVocab
+      if (!alreadyFolded) {
+        val labels = Zone.readIfExists(spark, s"$foldedRoot/labels") match {
+          case Some(old) => DedupCluster.incremental(old, newPairs, "id_a", "id_b")
+          case None => DedupCluster.connectedComponents(newPairs, "id_a", "id_b")
+        }
+        val batchVocab = TermStats.docFreq(batch, "text", "doc_id")
+        val vocab = Zone.readIfExists(spark, s"$foldedRoot/vocab") match {
+          case Some(old) => TermStats.mergeDocFreq(old, batchVocab)
+          case None => batchVocab
+        }
+        val nDocs = meta0
+          .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) + batch.count()
+        import spark.implicits._
+        val meta = Seq((nDocs, batchId.orNull)).toDF("n_docs", "last_batch")
+        Zone.overwriteAllInPlace(spark,
+          Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta), foldedRoot)
       }
-      Zone.overwriteInPlace(spark, vocab, s"$stateDir/vocab")
-      val nDocs = Zone.readIfExists(spark, s"$stateDir/meta")
-        .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) + batch.count()
-      import spark.implicits._
-      Zone.overwriteInPlace(spark, Seq(nDocs).toDF("n_docs"), s"$stateDir/meta")
 
       newSigs.unpersist(); newPairs.unpersist()
       annotated
@@ -187,11 +213,14 @@ object CorpusJob {
   }
 
   /** [[runIncremental]] behind the pipeline's audit discipline — the
-    * exactly-once wrapper the failure contract above calls for: an
-    * already-succeeded logical date is a NO-OP (0 rows; the
-    * vocabulary/meta folds cannot double-count), anything else brackets
-    * Running→Success/Failed with the annotated row count, exactly like
-    * [[ExtractJob.run]] gates the reference's daily extracts.
+    * exactly-once wrapper: an already-succeeded logical date is a NO-OP
+    * (0 rows), anything else brackets Running→Success/Failed with the
+    * annotated row count, exactly like [[ExtractJob.run]] gates the
+    * reference's daily extracts. The date doubles as the fold's replay
+    * marker (`batchId`), so even a crash-replay that the audit gate
+    * admits (the batch never reached Success) cannot double-count the
+    * additive vocabulary/meta fold — belt (audit) and suspenders
+    * (marker) cover the two distinct failure windows.
     */
   def runIncrementalAudited(spark: SparkSession, batch: DataFrame,
       stateDir: String, audit: graft.control.Audit, date: String,
@@ -200,7 +229,7 @@ object CorpusJob {
     val processName = "corpus_incremental"
     if (audit.alreadySucceeded(processName, day)) 0L
     else audit.bracket(processName, day) {
-      runIncremental(spark, batch, stateDir, cfg).count()
+      runIncremental(spark, batch, stateDir, cfg, batchId = Some(date)).count()
     }
   }
 
@@ -210,7 +239,8 @@ object CorpusJob {
     * before any data moves. Rewrites each append-only table (sigs,
     * bands, fps, pairs, annotated) to `targetBytes`-sized files behind
     * [[Zone.compact]]'s crash-safe swap; the folded tables
-    * (labels/vocab/meta) rewrite every batch and never fragment. Run it
+    * (`folded/{labels,vocab,meta}`) rewrite every batch and never
+    * fragment. Run it
     * on the maintenance cadence, not per batch. Returns
     * (table → resulting file count) for the tables that exist.
     */

@@ -56,6 +56,35 @@ object Zone {
     require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
 
+  /** [[overwriteInPlace]] for a ROOT of several sibling tables with ONE
+    * atomic rename: every frame lands under `root__rewrite/<name>`,
+    * then the whole root swaps. Either all tables advance together or
+    * none does — the multi-table transactionality two sequential
+    * [[overwriteInPlace]] calls cannot give (a crash between their
+    * renames leaves table A folded and table B not, which is exactly
+    * how an additive fold double-counts on replay). Input plans may
+    * read the current tables under `root`; a mid-write crash leaves
+    * only the staging root (deleted on the next attempt), and a crash
+    * between delete and rename is healed by [[recover]] on the next
+    * existence probe of `root` — callers should probe the ROOT (not a
+    * subtable) first so the promotion fires.
+    */
+  def overwriteAllInPlace(spark: SparkSession,
+      tables: Seq[(String, DataFrame)], root: String): Unit = {
+    val tmp = new Path(rewriteTmp(root))
+    val target = new Path(root)
+    val f = fs(spark, target)
+    // leftover staging from a crashed PREVIOUS attempt: safe to drop —
+    // if the target were missing (crash between delete and rename),
+    // the caller's exists() probe already promoted the staging root
+    if (f.exists(tmp)) f.delete(tmp, true)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
+    }
+    if (f.exists(target)) f.delete(target, true)
+    require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
+  }
+
   // ---- versioned snapshots -----------------------------------------------
 
   private def versionDir(root: String, v: Long) = s"$root/v=$v"

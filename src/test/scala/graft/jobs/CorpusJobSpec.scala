@@ -51,7 +51,7 @@ class CorpusJobSpec extends SparkSpec {
     assert(daily == oneShot, s"daily=${daily.size} oneShot=${oneShot.size}")
 
     // folded state equals its batch twin
-    val labels = spark.read.parquet(s"$state/labels")
+    val labels = spark.read.parquet(s"$state/folded/labels")
       .as[(Long, Long)].collect().toMap
     val batchLabels = graft.operators.DedupCluster.connectedComponents(
         graft.operators.Dedup.minHashLsh(docs, "text", "doc_id",
@@ -59,12 +59,12 @@ class CorpusJobSpec extends SparkSpec {
         "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(labels == batchLabels)
-    val vocab = spark.read.parquet(s"$state/vocab")
+    val vocab = spark.read.parquet(s"$state/folded/vocab")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val batchVocab = graft.operators.TermStats.docFreq(docs, "text", "doc_id")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(vocab == batchVocab)
-    assert(spark.read.parquet(s"$state/meta").head().getLong(0) == docs.count())
+    assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0) == docs.count())
 
     // replaying a batch rewrites identical annotated rows (the appends
     // duplicate, which downstream consumers dedupe on doc_id — assert
@@ -83,10 +83,10 @@ class CorpusJobSpec extends SparkSpec {
     val n1 = CorpusJob.runIncrementalAudited(spark, slices.head, state2, audit,
       "2025-11-24", cfg)
     assert(n1 == slices.head.count())
-    val vocabBefore = spark.read.parquet(s"$state2/vocab").count()
+    val vocabBefore = spark.read.parquet(s"$state2/folded/vocab").count()
     assert(CorpusJob.runIncrementalAudited(spark, slices.head, state2, audit,
       "2025-11-24", cfg) == 0L)
-    assert(spark.read.parquet(s"$state2/vocab").count() == vocabBefore)
+    assert(spark.read.parquet(s"$state2/folded/vocab").count() == vocabBefore)
 
     // maintenance: three days of appends compact to one file per table,
     // content untouched
@@ -98,6 +98,35 @@ class CorpusJobSpec extends SparkSpec {
     assert(compacted.values.forall(_ == 1), compacted.toString)
     assert(spark.read.parquet(s"$state/pairs")
       .collect().map(_.toSeq).toSet == pairsBefore)
+  }
+
+  test("fold replay marker: same-batchId replay cannot double-count vocab/meta") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (d1, d2) = (docs.filter($"doc_id" <= n / 2), docs.filter($"doc_id" > n / 2))
+    val state = tmpDir("corpusfold")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    CorpusJob.runIncremental(spark, d1, state, cfg, batchId = Some("2025-11-24"))
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("2025-11-25"))
+    def folded() = {
+      val vocab = spark.read.parquet(s"$state/folded/vocab")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val meta = spark.read.parquet(s"$state/folded/meta").head()
+      (vocab, meta.getLong(0), meta.getString(1))
+    }
+    val before = folded()
+    assert(before._2 == docs.count() && before._3 == "2025-11-25")
+    // the window the audit gate can't see: the fold committed (marker
+    // swapped atomically with it) but the batch crashed before reaching
+    // audit Success — the replay re-runs runIncremental with the SAME
+    // batch id, and the marker must turn the additive fold into a no-op
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("2025-11-25"))
+    assert(folded() == before, "replayed fold double-counted")
+    // a genuinely NEW batch id still folds forward
+    CorpusJob.runIncremental(spark, d2.limit(0), state, cfg, batchId = Some("2025-11-26"))
+    assert(folded()._3 == "2025-11-26")
+    assert(folded()._2 == docs.count(), "empty day must not change n_docs")
   }
 
   test("run keeps survivors only and writes corpus + stats") {
