@@ -85,6 +85,94 @@ object Zone {
     require(f.rename(tmp, target), s"atomic swap failed: $tmp -> $target")
   }
 
+  // ---- idempotent micro-batch appends --------------------------------------
+
+  /** Idempotent micro-batch append for `foreachBatch` sinks: rows land
+    * under a `__batch_id=<id>` partition via DYNAMIC partition
+    * overwrite, so a REPLAYED batch (foreachBatch is at-least-once —
+    * a crash after the append but before the streaming checkpoint
+    * commits re-runs the batch) rewrites its own partition with the
+    * same deterministic values instead of appending duplicates. Other
+    * batches' partitions are untouched. This is what upgrades the pair
+    * logs' "consumers dedupe on their keys" contract to true
+    * exactly-once state, and what keeps a replayed IVF cells append
+    * from double-inserting a vector into the probe ranking.
+    *
+    * The partition directory name contains `=`, so Spark's hidden-path
+    * rule keeps it listable despite the leading underscore; read the
+    * table back through [[readBatched]] to drop the bookkeeping column.
+    */
+  def appendBatch(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write
+      .partitionBy("__batch_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+
+  /** A batch-partitioned table dir that exists but holds NO data files
+    * yet: every batch so far had zero rows — a zero-row dynamic
+    * partition overwrite creates no partition dirs, unlike the plain
+    * append's schema-bearing empty file. Distinguished from corrupt
+    * footers (which must propagate) by the error class.
+    */
+  private def readBatchedRaw(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!exists(spark, dir)) None
+    else try Some(spark.read.parquet(dir))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
+  /** [[readIfExists]] for tables written by [[appendBatch]]: drops the
+    * `__batch_id` bookkeeping partition column so consumers see the
+    * logical schema. None when the table has no data yet (including
+    * the all-batches-were-empty case).
+    */
+  def readBatched(spark: SparkSession, dir: String): Option[DataFrame] =
+    readBatchedRaw(spark, dir).map(df =>
+      if (df.columns.contains("__batch_id")) df.drop("__batch_id") else df)
+
+  /** [[readBatched]] restricted to batches BEFORE `batchId` — the
+    * snapshot a foreachBatch body must read of its OWN state tables:
+    * a replayed batch already appended its `__batch_id=<id>` partition
+    * before the crash, and an unfiltered read would hand the recompute
+    * an index containing the batch's own rows (duplicating every
+    * per-pair signature fetch, among other corruption). The filter is
+    * on the partition column, so it prunes files, not rows.
+    */
+  def readBatchedBefore(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] =
+    readBatchedRaw(spark, dir).map(df =>
+      if (df.columns.contains("__batch_id"))
+        df.filter(org.apache.spark.sql.functions.col("__batch_id") < batchId)
+          .drop("__batch_id")
+      else df)
+
+  private def committedPath(dir: String) = s"$dir/_committed"
+
+  /** Highest streaming batch id whose sink writes ALL completed, or
+    * None before the first commit. The marker directory starts with
+    * `_`, so parquet listings of the surrounding state root never see
+    * it. Batch ids are monotonic within a checkpoint, so `marker >= id`
+    * means batch `id` fully committed.
+    */
+  def lastCommittedBatch(spark: SparkSession, dir: String): Option[Long] =
+    readIfExists(spark, committedPath(dir)).map(_.head().getLong(0))
+
+  /** Record `batchId` as fully committed — call LAST in a foreachBatch,
+    * after every table append; the write is crash-safe via the same
+    * temp-and-rename swap as [[overwriteInPlace]]. A replay that finds
+    * the marker skips the whole batch body; a crash BEFORE the marker
+    * replays the appends, which [[appendBatch]] makes idempotent —
+    * together: exactly-once through any crash point.
+    */
+  def markBatchCommitted(spark: SparkSession, dir: String, batchId: Long): Unit =
+    overwriteInPlace(spark,
+      spark.range(1).select(
+        org.apache.spark.sql.functions.lit(batchId).as("batch_id")),
+      committedPath(dir))
+
   // ---- versioned snapshots -----------------------------------------------
 
   private def versionDir(root: String, v: Long) = s"$root/v=$v"

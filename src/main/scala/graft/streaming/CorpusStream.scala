@@ -13,19 +13,31 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * never a corpus recompute), appends the pairs to the pair log, and
   * extends both index tables. At 100 TB this is the shape that keeps
   * daily dedup cost proportional to the increment: the bands table is
-  * band-partitioned parquet carrying no signature payload, signatures
-  * move only per candidate pair, and the stream checkpoint makes each
-  * batch effectively-once (an index append replayed for the same batch
-  * re-emits the same pairs; downstream consumers dedupe on
-  * (id_a, id_b) exactly like the operator does).
+  * band-partitioned parquet carrying no signature payload, and
+  * signatures move only per candidate pair.
+  *
+  * Exactly-once, without consumer cooperation (every sink here):
+  * foreachBatch is at-least-once, so each job (a) writes every state
+  * table through [[Zone.appendBatch]] — rows land in a
+  * `__batch_id=<id>` partition via dynamic overwrite, making a
+  * replayed batch REWRITE its own partition with the same
+  * deterministic values instead of appending duplicates — and
+  * (b) records the batch in a `_committed` marker
+  * ([[Zone.markBatchCommitted]]) as the LAST write, so a replay of a
+  * fully-committed batch is a pure no-op. A crash at any point either
+  * replays into an idempotent overwrite (before the marker) or skips
+  * (after it); state tables are value-identical under kill-and-replay
+  * (CorpusStreamSpec proves it by deleting the newest checkpoint
+  * commit and re-running).
   */
 object CorpusStream {
 
   /** @param docs        streaming DataFrame with `idCol` + `textCol`
     * @param indexDir    two-table signature index — `sigs/` (id, sig)
     *                    and `bands/` (id, band, band_key), created on
-    *                    the first batch
-    * @param pairsDir    append-only near-dup pair log
+    *                    the first batch; also holds the job's
+    *                    `_committed` marker
+    * @param pairsDir    near-dup pair log (batch-partitioned)
     */
   def runIncrementalNearDup(
       spark: SparkSession,
@@ -41,29 +53,38 @@ object CorpusStream {
       threshold: Double = 0.8): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val newSigs = Dedup.signatures(
-          batch, textCol, idCol, shingleSize, numHashes).cache()
-        val newBands = Dedup.signatureBands(newSigs, numHashes, bands)
-        try {
-          val pairs = (Zone.readIfExists(spark, s"$indexDir/bands"),
-              Zone.readIfExists(spark, s"$indexDir/sigs")) match {
-            case (Some(idxBands), Some(idxSigs)) =>
-              Dedup.minHashLshIncremental(idxBands, idxSigs,
-                newBands, newSigs, numHashes, threshold)
-            case _ => // first batch: the increment IS the corpus
-              Dedup.minHashLshIncremental(newBands.limit(0), newSigs.limit(0),
-                newBands, newSigs, numHashes, threshold)
-          }
-          pairs.write.mode("append").parquet(pairsDir)
-          // sigs BEFORE bands: a sig row without band rows is inert
-          // (generates no candidates), while a band row whose sig is
-          // missing would make later batches' pair verification drop
-          // the pair silently — so a crash between the two writes must
-          // leave the harmless orphan, not the dangerous one
-          newSigs.write.mode("append").parquet(s"$indexDir/sigs")
-          newBands.write.mode("append").parquet(s"$indexDir/bands")
-        } finally newSigs.unpersist()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val newSigs = Dedup.signatures(
+            batch, textCol, idCol, shingleSize, numHashes).cache()
+          val newBands = Dedup.signatureBands(newSigs, numHashes, bands)
+          try {
+            // snapshot-isolated index read (__batch_id < bid): a replay
+            // must not see the batch's own pre-crash appends
+            val pairs = (Zone.readBatchedBefore(spark, s"$indexDir/bands", bid),
+                Zone.readBatchedBefore(spark, s"$indexDir/sigs", bid)) match {
+              case (Some(idxBands), Some(idxSigs)) =>
+                Dedup.minHashLshIncremental(idxBands, idxSigs,
+                  newBands, newSigs, numHashes, threshold)
+              case _ => // first batch: the increment IS the corpus
+                Dedup.minHashLshIncremental(newBands.limit(0), newSigs.limit(0),
+                  newBands, newSigs, numHashes, threshold)
+            }
+            Zone.appendBatch(pairs, pairsDir, bid)
+            // sigs BEFORE bands: a sig row without band rows is inert
+            // (generates no candidates), while a band row whose sig is
+            // missing would make later batches' pair verification drop
+            // the pair silently — so a crash between the two writes must
+            // leave the harmless orphan, not the dangerous one. (With
+            // idempotent batch partitions the replay heals either way;
+            // the ordering keeps the mid-crash state harmless even
+            // BEFORE the replay runs.)
+            Zone.appendBatch(newSigs, s"$indexDir/sigs", bid)
+            Zone.appendBatch(newBands, s"$indexDir/bands", bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally newSigs.unpersist()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -72,10 +93,9 @@ object CorpusStream {
   /** Streaming incremental SimHash near-dup — the same micro-batch
     * discipline as [[runIncrementalNearDup]] over the ONE-table
     * [[Dedup.simHashChunks]] index (the 8-byte signature rides the
-    * chunk rows, so each batch is one pair append + one index append;
-    * with a single index table there is no write-ordering hazard at
-    * all — a crash before the index append just re-emits the same
-    * batch's pairs on replay, which consumers dedupe on (id_a, id_b)).
+    * chunk rows, so each batch is one pair append + one index append).
+    * Same exactly-once contract: idempotent batch partitions + the
+    * `_committed` marker under `indexDir`.
     */
   def runIncrementalSimHash(
       spark: SparkSession,
@@ -88,18 +108,22 @@ object CorpusStream {
       maxHamming: Int = 3): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val newChunks = Dedup.simHashChunks(
-          Dedup.simHashDf(batch, textCol, idCol)).cache()
-        try {
-          val pairs = Zone.readIfExists(spark, indexDir) match {
-            case Some(idx) => Dedup.simHashIncremental(idx, newChunks, maxHamming)
-            case None => // first batch: the increment IS the corpus
-              Dedup.simHashIncremental(newChunks.limit(0), newChunks, maxHamming)
-          }
-          pairs.write.mode("append").parquet(pairsDir)
-          newChunks.write.mode("append").parquet(indexDir)
-        } finally newChunks.unpersist()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val newChunks = Dedup.simHashChunks(
+            Dedup.simHashDf(batch, textCol, idCol)).cache()
+          try {
+            val pairs = Zone.readBatchedBefore(spark, indexDir, bid) match {
+              case Some(idx) => Dedup.simHashIncremental(idx, newChunks, maxHamming)
+              case None => // first batch: the increment IS the corpus
+                Dedup.simHashIncremental(newChunks.limit(0), newChunks, maxHamming)
+            }
+            Zone.appendBatch(pairs, pairsDir, bid)
+            Zone.appendBatch(newChunks, indexDir, bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally newChunks.unpersist()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -109,12 +133,14 @@ object CorpusStream {
     * discipline over the two-table embedding LSH index
     * ([[Dedup.embeddingIndex]]): each batch's NARROW bucket rows join
     * the persisted index, vectors fetch per candidate pair, pairs
-    * append to the log, both index tables extend. Same crash ordering
-    * as the MinHash stream: vectors BEFORE buckets — a vector row with
-    * no bucket rows is inert, a bucket row with no vector would
-    * silently drop pairs in later batches' verification. The hyperplane
+    * append to the log, both index tables extend. Write order: vectors
+    * BEFORE buckets — a vector row with no bucket rows is inert, a
+    * bucket row with no vector would silently drop pairs in later
+    * batches' verification (the replay heals either way; the ordering
+    * keeps the mid-crash state harmless before it runs). The hyperplane
     * `seed` is the frozen codebook; changing it mid-stream is a
-    * rebuild, not an increment.
+    * rebuild, not an increment. Same exactly-once contract as
+    * [[runIncrementalNearDup]].
     */
   def runIncrementalEmbeddingNearDup(
       spark: SparkSession,
@@ -131,23 +157,27 @@ object CorpusStream {
       seed: Long = 42L): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (newBk0, newV0) = Dedup.embeddingIndex(
-          batch, vecCol, idCol, dim, bits, tables, seed)
-        val (newBk, newV) = (newBk0.cache(), newV0.cache())
-        try {
-          val pairs = (Zone.readIfExists(spark, s"$indexDir/buckets"),
-              Zone.readIfExists(spark, s"$indexDir/vecs")) match {
-            case (Some(idxBk), Some(idxV)) =>
-              Dedup.embeddingNearDupIncremental(idxBk, idxV, newBk, newV, minCosine)
-            case _ => // first batch: the increment IS the corpus
-              Dedup.embeddingNearDupIncremental(
-                newBk.limit(0), newV.limit(0), newBk, newV, minCosine)
-          }
-          pairs.write.mode("append").parquet(pairsDir)
-          newV.write.mode("append").parquet(s"$indexDir/vecs")
-          newBk.write.mode("append").parquet(s"$indexDir/buckets")
-        } finally { newBk.unpersist(); newV.unpersist() }
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val (newBk0, newV0) = Dedup.embeddingIndex(
+            batch, vecCol, idCol, dim, bits, tables, seed)
+          val (newBk, newV) = (newBk0.cache(), newV0.cache())
+          try {
+            val pairs = (Zone.readBatchedBefore(spark, s"$indexDir/buckets", bid),
+                Zone.readBatchedBefore(spark, s"$indexDir/vecs", bid)) match {
+              case (Some(idxBk), Some(idxV)) =>
+                Dedup.embeddingNearDupIncremental(idxBk, idxV, newBk, newV, minCosine)
+              case _ => // first batch: the increment IS the corpus
+                Dedup.embeddingNearDupIncremental(
+                  newBk.limit(0), newV.limit(0), newBk, newV, minCosine)
+            }
+            Zone.appendBatch(pairs, pairsDir, bid)
+            Zone.appendBatch(newV, s"$indexDir/vecs", bid)
+            Zone.appendBatch(newBk, s"$indexDir/buckets", bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally { newBk.unpersist(); newV.unpersist() }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -162,13 +192,18 @@ object CorpusStream {
     * distribution is a scheduled [[IvfIndex.rebuild]], never something
     * the stream pays for.
     *
-    * Crash ordering: centroids commit BEFORE cells. A centroid table
-    * with no cells just makes the next replay take the incremental
-    * branch — which assigns the same batch against the same frozen
-    * codebook and appends exactly the rows the crashed buildIndex would
-    * have (the incremental==batch property, doing recovery work) —
-    * while cells referencing a centroid table that never landed would
-    * poison every later probe.
+    * Exactly-once matters MORE here than for the pair logs: probe has
+    * no per-id dedup, so a duplicated cell row would take two top-k
+    * slots and displace a real neighbor. The batch-partitioned cells
+    * append + `_committed` marker close that: a replayed batch
+    * overwrites its own cells partition, never duplicates it.
+    *
+    * Crash ordering inside the bootstrap batch: centroids commit BEFORE
+    * cells. A centroid table with no cells makes the replay take the
+    * incremental branch — which assigns the same batch against the same
+    * frozen codebook and lands exactly the rows the crashed buildIndex
+    * would have — while cells referencing a centroid table that never
+    * landed would poison every later probe.
     */
   def runIncrementalAnnIndex(
       spark: SparkSession,
@@ -180,17 +215,20 @@ object CorpusStream {
       nCentroids: Int = 16): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val centsDir = s"$indexDir/centroids"
         val cellsDir = s"$indexDir/cells"
-        Zone.readIfExists(spark, centsDir) match {
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else Zone.readIfExists(spark, centsDir) match {
           case Some(cents) =>
-            IvfIndex.assignIncrement(batch, idCol, vecCol, cents)
-              .write.mode("append").parquet(cellsDir)
+            Zone.appendBatch(
+              IvfIndex.assignIncrement(batch, idCol, vecCol, cents), cellsDir, bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
           case None => // first batch bootstraps the codebook
             val (cents, cells) = IvfIndex.buildIndex(batch, idCol, vecCol, nCentroids)
-            cents.write.mode("overwrite").parquet(centsDir)
-            cells.write.mode("append").parquet(cellsDir)
+            Zone.overwriteInPlace(spark, cents, centsDir)
+            Zone.appendBatch(cells, cellsDir, bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
         }
       }
       .option("checkpointLocation", checkpointDir)

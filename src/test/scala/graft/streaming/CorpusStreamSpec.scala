@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
 class CorpusStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  private def rmrf(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+  }
+
+  /** Simulate a crash after batch `n`'s state appends but BEFORE the
+    * streaming checkpoint committed it: drop the newest checkpoint
+    * commit (so restart replays that batch) and the sink's `_committed`
+    * marker (so the replay cannot take the fast no-op path and must
+    * prove the appends themselves are idempotent).
+    */
+  private def simulateCrashBeforeCommit(ckptDir: String, markerRoot: String): Unit = {
+    val commits = new java.io.File(s"$ckptDir/commits")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    rmrf(s"$ckptDir/commits/${commits.max}")
+    rmrf(s"$markerRoot/_committed")
+  }
+
+  /** Row-value MULTISET of a state table (minus bookkeeping columns) —
+    * duplicates from a replayed append would change the counts even
+    * where the value SET is stable. Arrays normalize to Lists (raw
+    * Array equality is reference identity and would never compare).
+    */
+  private def norm(v: Any): Any = v match {
+    case a: Array[_] => a.toList.map(norm)
+    case s: scala.collection.Seq[_] => s.toList.map(norm)
+    case r: org.apache.spark.sql.Row => r.toSeq.toList.map(norm)
+    case x => x
+  }
+  private def multiset(dir: String): Map[Any, Int] = {
+    val df = graft.sources.Zone.readBatched(spark, dir).get
+    df.collect().map(r => norm(r)).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+  }
+
   test("streamed increments produce exactly the batch pair set; index accumulates") {
     val base = tmpDir("corpusstream")
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -42,6 +77,27 @@ class CorpusStreamSpec extends SparkSpec {
     val bands = spark.read.parquet(s"$base/index/bands")
     assert(bands.select("id").distinct().count() == corpus.count())
     assert(!bands.columns.contains("sig"), "band index must stay narrow")
+
+    // exactly-once: kill-and-replay the newest batch with the committed
+    // marker ALSO gone (crash landed between the appends and the
+    // marker) — the replayed appends overwrite their own __batch_id
+    // partition, so every state table is value-identical INCLUDING
+    // duplicate counts
+    val before = Seq(s"$base/pairs", s"$base/index/sigs", s"$base/index/bands")
+      .map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    val q2 = CorpusStream.runIncrementalNearDup(spark, spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "text", "doc_id", s"$base/index", s"$base/pairs", s"$base/ckpt",
+      threshold = 0.2)
+    q2.awaitTermination()
+    val after = Seq(s"$base/pairs", s"$base/index/sigs", s"$base/index/bands")
+      .map(multiset)
+    assert(after == before, "kill-and-replay changed state tables")
+
+    // and a replay of a FULLY committed batch (marker present) is a
+    // no-op too: the marker now records the replayed batch
+    assert(graft.sources.Zone.lastCommittedBatch(spark, s"$base/index").nonEmpty)
   }
 
   test("streaming simhash increments == batch pair set; one-table index accumulates") {
@@ -73,7 +129,9 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
 
     // the single index table holds every document's 4 chunk rows + sig
-    val idx = spark.read.parquet(s"$base/index")
+    // (read through readBatched: the __batch_id partition column is
+    // sink bookkeeping, not index schema)
+    val idx = graft.sources.Zone.readBatched(spark, s"$base/index").get
     assert(idx.select("id").distinct().count() == corpus.count())
     assert(idx.count() == corpus.count() * 4)
     assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
@@ -100,7 +158,10 @@ class CorpusStreamSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "cosine").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val streamed = key(spark.read.parquet(s"$base/pairs"))
+    // readBatched: a pair log whose every batch had zero rows holds no
+    // data files at all (None ⇒ the empty set)
+    val streamed = graft.sources.Zone.readBatched(spark, s"$base/pairs")
+      .map(key).getOrElse(Set.empty)
     val batch = key(Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id",
       minCosine = 0.5, dim = 64))
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
@@ -143,5 +204,19 @@ class CorpusStreamSpec extends SparkSpec {
     val hits = graft.operators.IvfIndex.probe(streamed, cents,
       emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 5)
     assert(hits.count() == 15)
+
+    // exactly-once where it bites hardest (probe has no per-id dedup —
+    // a duplicated cell row would displace a real neighbor): replay the
+    // newest batch with the marker gone; the cells partition overwrites
+    // itself, so the count cannot double
+    val cellsBefore = multiset(s"$base/index/cells")
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    val q2 = CorpusStream.runIncrementalAnnIndex(spark, spark.readStream
+        .schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "embedding", "vec_id", s"$base/index", s"$base/ckpt", nCentroids = 8)
+    q2.awaitTermination()
+    assert(multiset(s"$base/index/cells") == cellsBefore,
+      "ANN cells replay duplicated rows")
+    assert(spark.read.parquet(s"$base/index/cells").count() == emb.count())
   }
 }
