@@ -1597,6 +1597,53 @@ object OracleSql {
     WHERE doc_id > c
     ORDER BY doc_id"""
 
+  /** q87: tombstone-excluded incremental near-dup == the from-scratch
+    * batch pair set over the corpus minus the deleted slice (index docs
+    * with doc_id % 7 = 3), restricted to pairs touching a new doc —
+    * q80's CTEs with the deleted docs filtered out of the corpus at the
+    * source.
+    */
+  private val q87 = s"""
+    WITH ${shingleRows.replace("FROM documents",
+      "FROM documents WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 3)")}, $minhashSig
+    SELECT id_a, id_b, est_jaccard
+    FROM est
+    WHERE est_jaccard >= 0.2 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    ORDER BY id_a, id_b"""
+
+  /** q88: deleteNodes over an existing labeling == connected components
+    * over the pair graph minus every edge touching a deleted doc
+    * (doc_id % 7 = 3) — q85's recursive CTE with the edge filter.
+    */
+  private val q88 = s"""
+    ${q48Chunks.replaceFirst("WITH canon", "WITH RECURSIVE canon")}
+    , cset AS (
+      SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+    sized AS (
+      SELECT doc_id, chunk_md5,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM cset),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(CAST(count(*) AS DOUBLE) / least(min(a.n_chunks), min(b.n_chunks)), 6) >= 0.5),
+    live AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 7 <> 3 AND id_b % 7 <> 3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM live
+      UNION
+      SELECT id_b, id_a FROM live),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id)
+    SELECT id, CAST(min(comp) AS BIGINT) AS comp
+    FROM walk GROUP BY id
+    ORDER BY id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1683,5 +1730,7 @@ object OracleSql {
     "q84_incremental_tfidf" -> q84,
     "q85_incremental_clusters" -> q85,
     "q86_incremental_exact" -> q86,
+    "q87_delete_neardup" -> q87,
+    "q88_delete_clusters" -> q88,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

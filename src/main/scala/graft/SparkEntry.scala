@@ -1368,6 +1368,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Tombstone-excluded incremental near-dup — the deletion leg of the
+    * index family ([[graft.jobs.CorpusJob.deleteDocs]]'s discipline):
+    * the persisted two-table LSH index was built over the accumulated
+    * corpus (doc_id % 5 ≠ 0), a takedown batch tombstoned the
+    * doc_id % 7 = 3 slice of it, and today's batch (doc_id % 5 = 0)
+    * joins the index through the anti-join exclusion — the index is NOT
+    * rebuilt. Oracle: the from-scratch batch pair set over the corpus
+    * WITHOUT the deleted slice, restricted to pairs touching a new doc
+    * — delete-then-query == build-without, end-to-end.
+    */
+  def q87_delete_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val tomb = old.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("id"))
+    val live = (df: DataFrame) => df.join(tomb, Seq("id"), "left_anti")
+    val idxSigs = Dedup.signatures(old, "text", "doc_id")
+    val newSigs = Dedup.signatures(fresh, "text", "doc_id")
+    Dedup.minHashLshIncremental(
+        live(Dedup.signatureBands(idxSigs, 64, 16)), live(idxSigs),
+        Dedup.signatureBands(newSigs, 64, 16), newSigs,
+        numHashes = 64, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Deletion-aware cluster labels ([[DedupCluster.deleteNodes]]):
+    * delete the doc_id % 7 = 3 docs from an existing labeling —
+    * components containing a deleted node rebuild from the
+    * tombstone-filtered pair slice (deletions can SPLIT components,
+    * which the insert-only incremental fold cannot), every other
+    * component keeps its labels verbatim. Oracle: connected components
+    * over the pair graph minus every edge touching a deleted doc
+    * (q55/q85's recursive CTE) — delete-then-label == build-without.
+    */
+  def q88_delete_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // cached for the two CC passes (full labels, then the affected-slice
+    // rebuild); both regimes materialize during construction, so the
+    // scoped unpersist is safe (q85's reasoning)
+    val pairs = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
+        w = 8, avgSize = 64, minShared = 1)
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    try {
+      val labels = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+      DedupCluster.deleteNodes(labels, pairs,
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "id_a", "id_b")
+        .orderBy(col("id"))
+    } finally pairs.unpersist()
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1457,6 +1511,8 @@ object SparkEntry {
     "q84_incremental_tfidf" -> (q84_incremental_tfidf _),
     "q85_incremental_clusters" -> (q85_incremental_clusters _),
     "q86_incremental_exact" -> (q86_incremental_exact _),
+    "q87_delete_neardup" -> (q87_delete_neardup _),
+    "q88_delete_clusters" -> (q88_delete_clusters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

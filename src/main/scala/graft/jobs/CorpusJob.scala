@@ -140,13 +140,24 @@ object CorpusJob {
         .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
 
       // --- near-dup pairs against the two-table LSH index ---
+      // tombstoned docs ([[deleteDocs]]) are excluded from the index
+      // side until [[compactState]] physically drops their rows: the
+      // anti-join is on the (small) tombstone set, so it broadcasts
+      val tomb = Zone.readIfExists(spark, s"$stateDir/tombstones")
+        .map(_.select(col("doc_id")).distinct())
+      def live(df: DataFrame, idCol: String): DataFrame = tomb match {
+        case Some(t) =>
+          df.join(t.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+        case None => df
+      }
       val newSigs = Dedup.signatures(batch, "text", "doc_id",
         cfg.shingleSize, cfg.numHashes).cache()
       val newBands = Dedup.signatureBands(newSigs, cfg.numHashes, cfg.bands)
       val newPairs = (Zone.readIfExists(spark, s"$stateDir/index/bands"),
           Zone.readIfExists(spark, s"$stateDir/index/sigs")) match {
         case (Some(ib), Some(is)) => Dedup.minHashLshIncremental(
-          ib, is, newBands, newSigs, cfg.numHashes, cfg.nearDupThreshold)
+          live(ib, "id"), live(is, "id"),
+          newBands, newSigs, cfg.numHashes, cfg.nearDupThreshold)
         case _ => Dedup.minHashLshIncremental(newBands.limit(0), newSigs.limit(0),
           newBands, newSigs, cfg.numHashes, cfg.nearDupThreshold)
       }
@@ -233,6 +244,129 @@ object CorpusJob {
     }
   }
 
+  /** Tombstone documents OUT of the incremental state — the
+    * takedown / right-to-be-forgotten pass a real corpus pipeline runs
+    * that insert-only daily batches can't express. Returns the number
+    * of documents actually removed (unknown ids no-op).
+    *
+    * What happens, in crash-safe order:
+    *
+    *  1. `tombstones/` gains the ids (append; duplicates are harmless —
+    *     every consumer exclusion is a semi/anti join). From this point
+    *     [[runIncremental]]'s index joins exclude the docs even before
+    *     any physical rewrite.
+    *  2. the fingerprint index repairs (idempotent
+    *     [[Zone.overwriteInPlace]]): fingerprint groups that contained
+    *     a deleted doc re-elect their canonical as the minimum
+    *     REMAINING member (from the annotated log), and groups left
+    *     empty drop their fp row — a future doc with that content is
+    *     genuinely new, not a duplicate of a removed document.
+    *  3. the folded tables repair as ONE atomic root swap, marker-gated
+    *     exactly like [[runIncremental]]'s fold (`batchId`):
+    *     labels via [[DedupCluster.deleteNodes]] (affected components
+    *     rebuilt from the tombstone-filtered pair log — deletion can
+    *     SPLIT components, which the insert-only fold can't); vocab by
+    *     SUBTRACTING the deleted docs' own document frequencies
+    *     (df is additive over disjoint doc sets, so the inverse is a
+    *     merge with negated counts — zero-df terms drop); meta's
+    *     n_docs decrements.
+    *
+    * Physical rows in the append-only tables (sigs/bands/pairs/
+    * annotated) remain until [[compactState]], which purges them and
+    * clears `tombstones/` — the exclusion joins make that purely a
+    * storage concern, never a correctness one. Equality with the
+    * from-scratch build over the corpus minus the deleted docs is
+    * spec'd end-to-end (CorpusJobSpec) and at the operator level
+    * (q87/q88 oracles, IncrementalProps).
+    *
+    * Replay contract, same shape as [[runIncremental]]'s: a replay
+    * with the SAME `batchId` re-runs the idempotent repairs and the
+    * marker skips the subtractive vocab/meta fold; re-submitting the
+    * same docs under a DIFFERENT id before compaction would subtract
+    * twice — delete batches deserve the same audit discipline as daily
+    * loads.
+    */
+  def deleteDocs(spark: SparkSession, deleted0: DataFrame, stateDir: String,
+      batchId: Option[String] = None): Long = {
+    val annotated0 = Zone.readIfExists(spark, s"$stateDir/annotated")
+    if (annotated0.isEmpty) return 0L
+    // replayed appends re-emit identical annotated rows; collapse them
+    // before anything additive (vocab subtraction) reads the log
+    val annotated = annotated0.get.dropDuplicates("doc_id")
+    val deleted = deleted0
+      .select(col(deleted0.columns.head).cast("long").as("doc_id")).distinct()
+    val present = deleted
+      .join(annotated.select("doc_id"), Seq("doc_id"), "left_semi").cache()
+    try {
+      val nDeleted = present.count()
+      if (nDeleted == 0L) return 0L
+      val foldedRoot = s"$stateDir/folded"
+      Zone.exists(spark, foldedRoot) // promote a crashed folded swap
+
+      // 1. exclusion set first: every later step (and any concurrent
+      //    reader) already sees the docs as gone
+      present.write.mode("append").parquet(s"$stateDir/tombstones")
+      val tomb = spark.read.parquet(s"$stateDir/tombstones")
+        .select("doc_id").distinct()
+
+      // 2. fingerprint-index repair (pure function of annotated ∖
+      //    tombstones — safe to replay)
+      val delFps = annotated.join(tomb, Seq("doc_id"), "left_semi")
+        .select("content_fp").distinct()
+      val reElected = annotated
+        .join(delFps, Seq("content_fp"), "left_semi")
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .groupBy(col("content_fp")).agg(min(col("doc_id")).as("canonical_id"))
+      Zone.readIfExists(spark, s"$stateDir/fps").foreach { fps =>
+        Zone.overwriteInPlace(spark,
+          fps.join(delFps, Seq("content_fp"), "left_anti").unionByName(reElected),
+          s"$stateDir/fps")
+      }
+
+      // 3. folded repair: one atomic swap, marker-gated
+      val meta0 = Zone.readIfExists(spark, s"$foldedRoot/meta")
+      val alreadyFolded = batchId.isDefined && meta0.exists { m =>
+        m.columns.contains("last_batch") &&
+          m.select(col("last_batch")).collect().exists(r =>
+            !r.isNullAt(0) && r.getString(0) == batchId.get)
+      }
+      if (!alreadyFolded) {
+        val labels = Zone.readIfExists(spark, s"$foldedRoot/labels") match {
+          case Some(old) =>
+            val pairLog = Zone.readIfExists(spark, s"$stateDir/pairs")
+              .map(_.select("id_a", "id_b"))
+              .getOrElse(old.limit(0).select(col("id").as("id_a"), col("comp").as("id_b")))
+            // deleteNodes' contract wants the CURRENT graph's edges:
+            // filter earlier tombstones out of the log first (this
+            // call's own ids are filtered inside deleteNodes)
+            // (this call's ids are still in `tomb` too, but deleteNodes
+            // filters its own delete set — the pre-filter only needs to
+            // clear EARLIER deletions' stale edges)
+            val liveLog = pairLog
+              .join(tomb.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+              .join(tomb.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+            DedupCluster.deleteNodes(old, liveLog, present, "id_a", "id_b")
+          case None => null
+        }
+        val vocab = Zone.readIfExists(spark, s"$foldedRoot/vocab").map { old =>
+          val delVocab = TermStats.docFreq(
+              annotated.join(present, Seq("doc_id"), "left_semi")
+                .select("doc_id", "text"), "text", "doc_id")
+            .withColumn("df_docs", -col("df_docs"))
+          TermStats.mergeDocFreq(old, delVocab).filter(col("df_docs") > 0)
+        }.orNull
+        val nDocs = meta0
+          .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) - nDeleted
+        import spark.implicits._
+        val meta = Seq((nDocs, batchId.orNull)).toDF("n_docs", "last_batch")
+        Zone.overwriteAllInPlace(spark,
+          Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta)
+            .filter(_._2 != null), foldedRoot)
+      }
+      nDeleted
+    } finally present.unpersist()
+  }
+
   /** Compact [[runIncremental]]'s append-accreting state tables — a
     * year of daily appends is ~365 small files per table, and every
     * index join then pays file-listing + task-scheduling overhead
@@ -243,13 +377,39 @@ object CorpusJob {
     * fragment. Run it
     * on the maintenance cadence, not per batch. Returns
     * (table → resulting file count) for the tables that exist.
+    *
+    * Also the PHYSICAL half of [[deleteDocs]]: tombstoned rows purge
+    * out of the append-only tables here (one filtered rewrite each,
+    * folded into the same maintenance pass), and `tombstones/` clears
+    * LAST — a crash mid-purge leaves the tombstones in place, and the
+    * exclusion joins stay correct because anti-joining already-removed
+    * rows is a no-op. Until this runs, deletion is logical-only, which
+    * is exactly the exclusion joins' contract.
     */
   def compactState(spark: SparkSession, stateDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] =
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    Zone.readIfExists(spark, s"$stateDir/tombstones").foreach { t =>
+      val tomb = t.select(col("doc_id")).distinct().cache()
+      try {
+        def purge(table: String, keyCols: Seq[String]): Unit =
+          Zone.readIfExists(spark, s"$stateDir/$table").foreach { df =>
+            val kept = keyCols.foldLeft(df)((acc, k) =>
+              acc.join(tomb.withColumnRenamed("doc_id", k), Seq(k), "left_anti"))
+            Zone.overwriteInPlace(spark, kept, s"$stateDir/$table")
+          }
+        purge("index/sigs", Seq("id"))
+        purge("index/bands", Seq("id"))
+        purge("pairs", Seq("id_a", "id_b"))
+        purge("annotated", Seq("doc_id"))
+      } finally tomb.unpersist()
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     Seq("index/sigs", "index/bands", "fps", "pairs", "annotated")
       .filter(t => Zone.exists(spark, s"$stateDir/$t"))
       .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
       .toMap
+  }
 
   /** Run annotate → filter → write corpus + per-language stats. Returns
     * (kept, dropped) counts.

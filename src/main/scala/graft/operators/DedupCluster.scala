@@ -107,6 +107,67 @@ object DedupCluster {
         .unionByName(newPairs.select(col(srcCol), col(dstCol))),
       srcCol, dstCol, maxIter, collectThreshold, checkpointDir)
 
+  /** Deletion/retraction for an existing labeling — the operation
+    * [[incremental]] cannot express: removing a node can SPLIT a
+    * component (drop the bridge and the two halves separate), and the
+    * labels-as-edges compression only ever merges. Instead of replaying
+    * the whole accumulated pair log, rebuild ONLY the components that
+    * contained a deleted node:
+    *
+    *  1. affected components = the (tiny) set of `comp` values owning a
+    *     deleted node — one semi-join against the labels;
+    *  2. untouched components keep their labels verbatim (anti-join on
+    *     the broadcast-small affected set);
+    *  3. the pair log filters to the affected components' edges (one
+    *     scan; components are closed under edges, so membership of ONE
+    *     endpoint decides), minus every edge touching a deleted node,
+    *     and connected components re-run on that slice alone.
+    *
+    * `pairs` must be the CURRENT graph's edge log — i.e. `labels ==
+    * connectedComponents(pairs)` with earlier deletions already
+    * filtered out (callers that tombstone should pre-exclude
+    * tombstoned endpoints, as [[graft.jobs.CorpusJob]] does): a stale
+    * edge to a previously-deleted node would break the closure that
+    * step 3 relies on.
+    *
+    * Deleted nodes drop out of the labeling, as does any affected node
+    * the deletion left edge-less (cc's "one row per node appearing in
+    * any pair" contract) — so the result is exactly
+    * `connectedComponents(pairs ∖ edgesTouching(deleted))`
+    * (IncrementalProps property; DedupClusterSpec pins the
+    * bridge-split case).
+    *
+    * Cost ∝ one pair-log filter scan + CC over the affected slice. The
+    * affected-comp and deleted sets are usually tiny (near-dup
+    * components are small; takedown batches are a sliver of the
+    * corpus), so the auxiliary semi/anti joins broadcast — but that is
+    * left to AQE's size check rather than forced, so one pathological
+    * mega-component cannot OOM the driver with a hint.
+    */
+  def deleteNodes(labels: DataFrame, pairs: DataFrame, deleted: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIter: Int = 30, collectThreshold: Long = 4000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val del = deleted
+      .select(col(deleted.columns.head).cast("long").as("__del_id")).distinct()
+    val affected = labels
+      .join(del, labels("id") === del("__del_id"), "left_semi")
+      .select(col("comp").as("__aff_comp")).distinct()
+    val keep = labels
+      .join(affected, labels("comp") === affected("__aff_comp"), "left_anti")
+    val members = labels
+      .join(affected, labels("comp") === affected("__aff_comp"), "left_semi")
+      .select(col("id").as("__member_id"))
+    val slice = pairs
+      .join(members, pairs(srcCol) === members("__member_id"), "left_semi")
+    val clean = slice
+      .join(del, slice(srcCol) === del("__del_id"), "left_anti")
+    val clean2 = clean
+      .join(del, clean(dstCol) === del("__del_id"), "left_anti")
+    keep.unionByName(connectedComponents(
+      clean2, srcCol, dstCol, maxIter, collectThreshold, checkpointDir))
+  }
+
   /** Small-graph regime: collect the (deduped, symmetric) edge list and
     * run path-compressed union-find on the driver. 16 bytes/edge; the
     * default threshold collects ≤ 64 MB.

@@ -129,6 +129,88 @@ class CorpusJobSpec extends SparkSpec {
     assert(folded()._2 == docs.count(), "empty day must not change n_docs")
   }
 
+  test("deleteDocs: state == from-scratch build without the deleted docs") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("corpusdel")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    CorpusJob.runIncremental(spark, docs.filter($"doc_id" <= n / 2), state, cfg,
+      batchId = Some("d1"))
+    CorpusJob.runIncremental(spark, docs.filter($"doc_id" > n / 2), state, cfg,
+      batchId = Some("d2"))
+
+    val deleted = docs.filter($"doc_id" % 7 === 3).select("doc_id")
+    val delIds = deleted.as[Long].collect().toSet
+    assert(CorpusJob.deleteDocs(spark, deleted, state, Some("del-1")) == delIds.size)
+    val remaining = docs.filter(!$"doc_id".isin(delIds.toSeq: _*))
+
+    // fps == from-scratch canonical election over the remaining corpus
+    def fpsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectFps = fpsMap(remaining
+      .withColumn("content_fp", T.contentFingerprint($"text"))
+      .groupBy("content_fp").agg(min($"doc_id").as("canonical_id")))
+    assert(fpsMap(spark.read.parquet(s"$state/fps")) == expectFps)
+
+    // vocab == docFreq(remaining); meta tracks count + marker
+    def vmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vmap(spark.read.parquet(s"$state/folded/vocab")) ==
+      vmap(graft.operators.TermStats.docFreq(remaining, "text", "doc_id")))
+    val meta = spark.read.parquet(s"$state/folded/meta").head()
+    assert(meta.getLong(0) == remaining.count() && meta.getString(1) == "del-1")
+
+    // labels == cc over the pair graph minus edges touching deleted
+    val batchPairs = graft.operators.Dedup.minHashLsh(docs, "text", "doc_id",
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+      .select("id_a", "id_b")
+      .filter(!$"id_a".isin(delIds.toSeq: _*) && !$"id_b".isin(delIds.toSeq: _*))
+    val expectLabels = graft.operators.DedupCluster
+      .connectedComponents(batchPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(spark.read.parquet(s"$state/folded/labels")
+      .as[(Long, Long)].collect().toMap == expectLabels)
+
+    // replaying the SAME delete batch id re-runs the idempotent repairs
+    // (tombstones/fps) but the marker blocks a second vocab/meta
+    // subtraction
+    assert(CorpusJob.deleteDocs(spark, deleted, state, Some("del-1")) == delIds.size)
+    assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0)
+      == remaining.count())
+    assert(vmap(spark.read.parquet(s"$state/folded/vocab")) ==
+      vmap(graft.operators.TermStats.docFreq(remaining, "text", "doc_id")))
+
+    // forward semantics: a new doc copying a FULLY deleted group's
+    // content is genuinely new; one copying a survivor is a duplicate
+    val fpOf = docs.withColumn("fp", T.contentFingerprint($"text"))
+    val fullyDeletedText = fpOf
+      .groupBy("fp").agg(collect_set($"doc_id").as("ids"), first($"text").as("text"))
+      .filter(size(filter($"ids", i => !i.isin(delIds.toSeq: _*))) === 0)
+      .select($"text").head().getString(0)
+    val survivor = remaining.orderBy($"doc_id").head()
+    val day3 = Seq((n + 1, fullyDeletedText), (n + 2, survivor.getString(1)))
+      .toDF("doc_id", "text")
+    val ann3 = CorpusJob.runIncremental(spark, day3, state, cfg, batchId = Some("d3"))
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(ann3(n + 1) == (n + 1, false), "copy of fully-deleted content must be new")
+    assert(ann3(n + 2)._2 && ann3(n + 2)._1 <= survivor.getLong(0),
+      "copy of surviving content must be a duplicate of a remaining canonical")
+
+    // compactState purges the tombstoned rows physically and clears the set
+    CorpusJob.compactState(spark, state)
+    assert(!graft.sources.Zone.exists(spark, s"$state/tombstones"))
+    assert(spark.read.parquet(s"$state/index/sigs")
+      .filter($"id".isin(delIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s"$state/pairs")
+      .filter($"id_a".isin(delIds.toSeq: _*) || $"id_b".isin(delIds.toSeq: _*))
+      .count() == 0)
+    assert(spark.read.parquet(s"$state/annotated")
+      .filter($"doc_id".isin(delIds.toSeq: _*)).count() == 0)
+  }
+
   test("run keeps survivors only and writes corpus + stats") {
     val out = tmpDir("corpus")
     val (kept, dropped) = CorpusJob.run(spark, corpus,

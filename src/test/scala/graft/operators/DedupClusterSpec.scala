@@ -134,6 +134,29 @@ class DedupClusterSpec extends SparkSpec {
     assert(perCluster == 0)
   }
 
+  test("deleteNodes: removing a bridge SPLITS the component; untouched comps keep labels") {
+    // 1-2-3-4-5 chain bridged by 3, plus a separate comp {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+    val afterDel = DedupCluster.deleteNodes(labels, pairs,
+        Seq(3L).toDF("doc_id"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // the chain splits into {1,2} and {4,5}; 3 is gone; {10,11} untouched
+    assert(afterDel == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    // == the from-scratch build without the deleted node's edges
+    val scratch = DedupCluster.connectedComponents(
+        pairs.filter(col("id_a") =!= 3L && col("id_b") =!= 3L), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(afterDel == scratch)
+    // deleting a leaf leaves its partner edge-less: both drop out
+    val leafDel = DedupCluster.deleteNodes(labels, pairs,
+        Seq(11L).toDF("doc_id"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(leafDel == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("self-loop pairs register their node in BOTH regimes") {
     val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
     val viaCollect = DedupCluster.connectedComponents(pairs, "id_a", "id_b")

@@ -99,6 +99,57 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
       } finally pairs.unpersist()
     }
 
+  property("clusters: deleteNodes(cc(P), P, D) == cc(P ∖ edgesTouching(D))") =
+    forAll(corpusGen) { case (docs, delIds) =>
+      // reuse the random subset as the DELETE set this time
+      val all = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minHashLsh(all, "text", "doc_id",
+        shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("id_a", "id_b").cache()
+      try {
+        val isDel = (c: org.apache.spark.sql.Column) =>
+          if (delIds.isEmpty) org.apache.spark.sql.functions.lit(false)
+          else c.isin(delIds.toSeq: _*)
+        val labels = DedupCluster.connectedComponents(pairs, "id_a", "id_b")
+        val viaDelete = DedupCluster.deleteNodes(labels, pairs,
+            delIds.toSeq.toDF("doc_id"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val scratch = DedupCluster.connectedComponents(
+            pairs.filter(!isDel($"id_a") && !isDel($"id_b")), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        viaDelete == scratch
+      } finally pairs.unpersist()
+    }
+
+  property("minhash: tombstone-excluded index == from-scratch build without deleted") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      // fresh = the random subset; deleted = every 3rd of the REST — the
+      // takedown shape: index minus a slice, then a new batch arrives
+      val delIds = docs.map(_._1).filterNot(newIds).filter(_ % 3 == 1).toSet
+      val all = docs.toDF("doc_id", "text")
+      val remaining = all.filter(
+        if (delIds.isEmpty) $"doc_id".isNotNull else !$"doc_id".isin(delIds.toSeq: _*))
+      val old = all.filter(!$"doc_id".isin((newIds ++ delIds).toSeq: _*))
+      val fresh = all.filter($"doc_id".isin(newIds.toSeq: _*))
+      val idxSigs0 = Dedup.signatures(
+        all.filter(!$"doc_id".isin(newIds.toSeq: _*)), "text", "doc_id", 2, 16)
+      // tombstone exclusion on the PERSISTED index (built before the
+      // deletion), not a rebuilt index over `old`
+      val live = (df: org.apache.spark.sql.DataFrame) =>
+        if (delIds.isEmpty) df else df.filter(!$"id".isin(delIds.toSeq: _*))
+      val newSigs = Dedup.signatures(fresh, "text", "doc_id", 2, 16)
+      val inc = pairKey(Dedup.minHashLshIncremental(
+        live(Dedup.signatureBands(idxSigs0, 16, 8)), live(idxSigs0),
+        Dedup.signatureBands(newSigs, 16, 8), newSigs,
+        numHashes = 16, threshold = 0.3))
+      val batch = pairKey(Dedup.minHashLsh(remaining, "text", "doc_id",
+        shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3))
+      val oldPairs = pairKey(Dedup.minHashLsh(old, "text", "doc_id",
+        shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3))
+      inc.forall { case (a, b) => newIds.contains(a) || newIds.contains(b) } &&
+        (oldPairs ++ inc) == batch
+    }
+
   property("vocabulary: mergeDocFreq(old, new) == docFreq(all)") =
     forAll(corpusGen) { case (docs, newIds) =>
       val all = docs.toDF("doc_id", "text")
