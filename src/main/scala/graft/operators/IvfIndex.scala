@@ -174,10 +174,60 @@ object IvfIndex {
     * Run when [[assignIncrement]]'s frozen codebook has drifted from the
     * corpus distribution (recall decay at cell borders) — an explicit,
     * scheduled operator, not something probes pay for implicitly.
+    *
+    * `lloydIters > 0` refines the deterministic hash-sample seed with
+    * that many Lloyd (k-means) iterations — the spherical variant:
+    * assignment is the max-cosine [[graft.plans.IvfAssign]] narrow map
+    * (cosine argmax is scale-invariant, so the unnormalized per-cell
+    * MEAN is the correct update), and each iteration costs exactly one
+    * extra corpus pass:
+    *
+    *   - the per-cell mean runs as `posexplode` → two-level hash
+    *     aggregate. The explode amplifies rows ×dim, but map-side
+    *     partial aggregation collapses each task to ≤ nCentroids·dim
+    *     `(cell, pos)` partial sums before the exchange — shuffle
+    *     volume ∝ #partitions · k · dim, independent of corpus size;
+    *   - cells the assignment left empty keep their previous centroid
+    *     (the standard Lloyd guard, so k never shrinks);
+    *   - the refined codebook re-collects through the same
+    *     [[collectCodebook]] path, so the next assignment is again a
+    *     pure narrow map.
+    *
+    * The refined means average in floating point, so unlike the seed
+    * pick they are not bit-reproducible across partitionings — this is
+    * the OPS path for recall recovery ([[cellStats]] trigger); the
+    * oracle-checked queries (q36/q81) stay on the frozen-sample
+    * codebook, whose pick IS auditable-hash-exact.
     */
   def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16): (DataFrame, DataFrame) =
-    buildIndex(corpus, idCol, vecCol, nCentroids)
+      nCentroids: Int = 16, lloydIters: Int = 0): (DataFrame, DataFrame) = {
+    var (cents, code) = centroidsWithCodebook(corpus, idCol, vecCol, nCentroids)
+    var iter = 0
+    while (iter < lloydIters) {
+      cents = lloydStep(corpus, idCol, vecCol, cents, code)
+      code = collectCodebook(cents)
+      iter += 1
+    }
+    (cents, cellsQ(corpus, idCol, vecCol, code))
+  }
+
+  /** One Lloyd iteration: assign (narrow map) → per-cell element-wise
+    * mean (partial-agg-friendly two-level aggregate) → empty cells keep
+    * their old centroid.
+    */
+  private def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, code: Array[(Int, Seq[Long], Long)]): DataFrame = {
+    val means = assignQ(corpus, idCol, vecCol, code)
+      .select(col("centroid_id"), posexplode(col(vecCol)))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col")).as("__m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+        s => s.getField("__m").cast("float")).as("__mean_vec"))
+    cents.join(means, Seq("centroid_id"), "left")
+      .select(coalesce(col("__mean_vec"), col("centroid_vec")).as("centroid_vec"),
+        col("centroid_id"))
+  }
 
   /** Probe a persisted index: per query keep the `nProbe` closest
     * centroids (broadcast join against the tiny centroid table), scan

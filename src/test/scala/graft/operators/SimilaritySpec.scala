@@ -108,6 +108,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"mean recall $recall too low")
   }
 
+  test("Lloyd-refined rebuild raises recall over the frozen-sample codebook") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
+    try {
+      val queries = emb.filter($"vec_id" < 20)
+      val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      def recallOf(iters: Int): Double = {
+        val (cents, cells) = IvfIndex.rebuild(emb, "vec_id", "embedding", 16, iters)
+        val approx = IvfIndex.probe(cells, cents, queries, "embedding", "vec_id", 10, nProbe = 4)
+        Similarity.recallAgainstExact(exact, approx).agg(avg($"recall")).head().getDouble(0)
+      }
+      val frozen = recallOf(0)
+      val refined = recallOf(2)
+      // measured on this corpus: frozen 0.48, refined ~0.575 (means
+      // average in floating point, so leave slack under the wobble)
+      assert(refined > frozen + 0.03,
+        s"Lloyd refinement should beat the hash-sample seed: $frozen -> $refined")
+      assert(refined > 0.52, s"refined recall $refined below the operating bar")
+    } finally emb.unpersist()
+  }
+
   test("cellStats: counts per cell, imbalance = max/mean (rebuild trigger)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
