@@ -348,6 +348,73 @@ object Zone {
       .option("isolationLevel", "READ_COMMITTED")
       .jdbc(url, table, props)
 
+  /** Column-selective JDBC upsert — [[graft.operators.Upsert]]'s U3
+    * semantics (`INSERT … ON DUPLICATE KEY UPDATE job_title, salary,
+    * posted_time, date_id`, `staging/staging_transformer_v2.py:134-151`)
+    * against a real relational target, via the standard stage-then-merge
+    * pattern:
+    *
+    *  1. the batch collapses to its latest row per key
+    *     ([[graft.operators.LatestPerKey]], same `incomingOrder`
+    *     contract as the parquet Upsert — MySQL applies a duplicated
+    *     key sequentially, last writer wins; SQL MERGE instead ERRORS
+    *     on a doubly-matched target row, so the dedup is load-bearing)
+    *     and stages through [[writeJdbc]] — parallel batched writers
+    *     into `<table>__stage`, rows never touching the driver;
+    *  2. one `MERGE INTO` statement runs inside the database: matched
+    *     keys update ONLY `refreshCols`, unmatched keys insert whole.
+    *     The single statement is atomic in the target DB, and re-running
+    *     the whole call with the same batch is idempotent (same values
+    *     land); a crash between stage and merge leaves only a staging
+    *     table the next run overwrites;
+    *  3. the staging table drops.
+    *
+    * NULL keys: `ON t.k = s.k` never matches NULL — faithfully MySQL,
+    * where NULLs never collide on a UNIQUE key, so a NULL-keyed row
+    * always inserts (the parquet [[graft.operators.Upsert]] instead
+    * matches null-safely; documented divergence, each faithful to its
+    * own storage contract). Targets are MERGE-capable engines (Derby
+    * here; MySQL itself would use the reference's own
+    * `ON DUPLICATE KEY UPDATE` via a rewritten statement).
+    */
+  def writeJdbcUpsert(df: DataFrame, url: String, table: String,
+      key: String, refreshCols: Seq[String],
+      incomingOrder: Seq[org.apache.spark.sql.Column],
+      batchSize: Int = 1000, maxConnections: Int = 8,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val stage = s"${table}__stage"
+    val latest = graft.operators.LatestPerKey(df, Seq(key), incomingOrder)
+    writeJdbc(latest, url, stage, mode = "overwrite",
+      batchSize = batchSize, maxConnections = maxConnections, props = props)
+    // Spark's JDBC writer creates columns as QUOTED identifiers
+    // (preserving case), so the merge must quote them too — unquoted
+    // names would upper-case and miss
+    val cols = df.columns
+    def q(c: String) = "\"" + c + "\""
+    // Spark's Derby dialect maps StringType to CLOB, and Derby refuses
+    // CLOB comparisons — string keys compare through a VARCHAR cast
+    // (exact: Derby VARCHAR holds up to 32672 chars; a longer "key" is
+    // a modeling bug)
+    def k(alias: String) = df.schema(key).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        s"CAST($alias.${q(key)} AS VARCHAR(32672))"
+      case _ => s"$alias.${q(key)}"
+    }
+    val merge =
+      s"""MERGE INTO $table t USING $stage s ON ${k("t")} = ${k("s")}
+         |WHEN MATCHED THEN UPDATE SET ${refreshCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(merge)
+        st.executeUpdate(s"DROP TABLE $stage")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Matching read surface (S12/S13's remote-table pull collapses into
     * this + temp views). `partitionColumn`/bounds turn the read into
     * `numPartitions` parallel range scans instead of one connection

@@ -35,6 +35,40 @@ class ZoneSpec extends SparkSpec {
     assert(ranged.count() == 3)
   }
 
+  test("JDBC upsert: conflict refreshes only declared columns; new keys insert (derby MERGE)") {
+    val url = s"jdbc:derby:${tmpDir("jdbcupsert")}/db;create=true"
+    val existing = Seq(("j1", "old-title", "old-loc", 1L), ("j2", "t2", "l2", 1L))
+      .toDF("id", "title", "loc", "v")
+    Zone.writeJdbc(existing, url, "jobs", mode = "append")
+
+    // duplicate key in one batch: last writer by incomingOrder wins
+    // (the load-bearing dedup — MERGE errors on a doubly-matched row)
+    val batch = Seq(
+      ("j1", "mid-title", "new-loc", 2L),
+      ("j1", "new-title", "new-loc", 3L),
+      ("j3", "t3", "l3", 1L),
+    ).toDF("id", "title", "loc", "v")
+    Zone.writeJdbcUpsert(batch, url, "jobs", "id",
+      refreshCols = Seq("title", "v"), incomingOrder = Seq(col("v").desc))
+
+    val back = Zone.readJdbc(spark, url, "jobs")
+      .as[(String, String, String, Long)].collect()
+      .map { case (id, t, l, v) => id -> ((t, l, v)) }.toMap
+    assert(back("j1") == (("new-title", "old-loc", 3L)),
+      "refresh cols take incoming, others keep existing")
+    assert(back("j2") == (("t2", "l2", 1L)), "unmatched existing row untouched")
+    assert(back("j3") == (("t3", "l3", 1L)), "new key inserts whole")
+
+    // replaying the same batch is idempotent; staging table is gone
+    Zone.writeJdbcUpsert(batch, url, "jobs", "id",
+      refreshCols = Seq("title", "v"), incomingOrder = Seq(col("v").desc))
+    assert(Zone.readJdbc(spark, url, "jobs")
+      .as[(String, String, String, Long)].collect()
+      .map { case (id, t, l, v) => id -> ((t, l, v)) }.toMap == back)
+    val ex = intercept[Exception] { Zone.readJdbc(spark, url, "jobs__stage").collect() }
+    assert(ex.getMessage.toLowerCase.contains("jobs__stage"))
+  }
+
   test("compact: many small files collapse to the target count, content identical") {
     val dir = tmpDir("compactzone")
     val df = (1 to 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
