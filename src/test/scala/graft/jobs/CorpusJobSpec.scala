@@ -129,6 +129,61 @@ class CorpusJobSpec extends SparkSpec {
     assert(folded()._2 == docs.count(), "empty day must not change n_docs")
   }
 
+  test("soak: 10 audited days at sf0.1 — state growth linear in increments, day-10 == one-shot") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("corpussoak")
+    val audit = new graft.control.Audit(spark, tmpDir("corpussoak-audit"),
+      () => new java.sql.Timestamp(1700000000000L))
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+
+    def tableCount(t: String): Long =
+      graft.sources.Zone.readIfExists(spark, s"$state/$t").map(_.count()).getOrElse(0L)
+
+    var cum = 0L
+    (0 until 10).foreach { d =>
+      val batch = docs.filter(
+        $"doc_id" >= d * (n + 1) / 10 && $"doc_id" < (d + 1) * (n + 1) / 10)
+      val batchRows = batch.count()
+      val batchSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id",
+        cfg.shingleSize, cfg.numHashes).count()
+      val (annBefore, sigsBefore) = (tableCount("annotated"), tableCount("index/sigs"))
+      val nRows = CorpusJob.runIncrementalAudited(spark, batch, state, audit,
+        f"2026-01-${d + 1}%02d", cfg)
+      assert(nRows == batchRows)
+      cum += batchRows
+      // linear growth: each day's append is exactly the increment —
+      // a corpus re-append would blow these deltas up by the
+      // accumulated size
+      assert(tableCount("annotated") - annBefore == batchRows,
+        s"day $d annotated delta")
+      assert(tableCount("index/sigs") - sigsBefore == batchSigs,
+        s"day $d sigs delta")
+      assert(tableCount("annotated") == cum)
+    }
+    assert(cum == docs.count(), "slices must cover the corpus")
+
+    // day-10 state == the one-shot batch build
+    val cols = Seq("doc_id", "canonical_id", "is_duplicate",
+      "is_near_duplicate", "n_tokens", "quality", "lang_pred")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(key(spark.read.parquet(s"$state/annotated")) ==
+      key(CorpusJob.annotate(docs, cfg)))
+    assert(spark.read.parquet(s"$state/folded/labels").as[(Long, Long)].collect().toMap ==
+      graft.operators.DedupCluster.connectedComponents(
+        graft.operators.Dedup.minHashLsh(docs, "text", "doc_id",
+          cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold),
+        "id_a", "id_b").as[(Long, Long)].collect().toMap)
+    assert(spark.read.parquet(s"$state/folded/vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      graft.operators.TermStats.docFreq(docs, "text", "doc_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0) == cum)
+  }
+
   test("deleteDocs: state == from-scratch build without the deleted docs") {
     import graft.functions.{TextFunctions => T}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
