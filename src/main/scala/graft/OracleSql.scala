@@ -1644,6 +1644,69 @@ object OracleSql {
     FROM walk GROUP BY id
     ORDER BY id"""
 
+  /** q89: mixture sampling to a token budget — acceptance rates derived
+    * in-query from per-domain token mass (`least(1, budget·weight/dt)`),
+    * then q53's u01 draw. Head domains cap at 1 at small SF; every rate
+    * is fractional at sf0.1 — both branches oracle-covered.
+    */
+  private val q89 = s"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS dt FROM t GROUP BY source),
+    r AS (
+      SELECT source,
+             least(1.0, 20000.0 * (CASE WHEN source = 'src0' THEN 0.5
+                                        WHEN source = 'src1' THEN 0.3
+                                        ELSE 0.01 END) / dt) AS rate
+      FROM tot)
+    SELECT t.doc_id, t.lang, t.source, t.n_tokens
+    FROM t JOIN r ON t.source = r.source
+    WHERE CAST(${h60("'mixture:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+          / 1152921504606846976.0 < r.rate
+    ORDER BY t.doc_id"""
+
+  /** q90: exact substring-span dedup (k = 8): every 8-token window
+    * hashed (h60 of the space-joined lowercased shingle), windows whose
+    * hash occurs ≥ 2 times corpus-wide marked, marked positions merged
+    * into maximal spans by the gaps-and-islands window (`pos − lag ≤ k`
+    * ⇒ same island). 1-based inclusive token indices.
+    */
+  private val q90 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM sh),
+    p AS (SELECT doc_id, pos FROM d WHERE c >= 2),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1732,5 +1795,7 @@ object OracleSql {
     "q86_incremental_exact" -> q86,
     "q87_delete_neardup" -> q87,
     "q88_delete_clusters" -> q88,
+    "q89_mixture_sample" -> q89,
+    "q90_duplicate_spans" -> q90,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1422,6 +1422,36 @@ object SparkEntry {
     } finally pairs.unpersist()
   }
 
+  /** Mixture sampling to a token budget ([[Sampling.mixture]]): a
+    * skewed target mixture over the 20 synthetic sources — half the
+    * budget to src0, 30% to src1, the long tail sharing 1% each — with
+    * acceptance rates DERIVED from each domain's actual token mass
+    * (`min(1, budget·weight / domainTokens)`), not hand-set constants.
+    * At sf0.001 the head domains cap at rate 1 (target exceeds mass —
+    * best-effort branch); at sf0.1 every rate is fractional — the two
+    * regimes the operator has to get right, both oracle-covered.
+    */
+  def q89_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+    Sampling.mixture(docs, "doc_id", "source", "n_tokens",
+        weights = Map("src0" -> 0.5, "src1" -> 0.3),
+        budgetTokens = 20000L, defaultWeight = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact substring-span dedup ([[SubstringDedup.duplicateSpans]]):
+    * maximal ≥8-token ranges occurring ≥2 times corpus-wide, per
+    * document — the positional annotation (Lee et al. 2022) that lets
+    * a pipeline excise boilerplate instead of dropping whole docs.
+    * Hash-match checked against the full gaps-and-islands SQL mirror.
+    */
+  def q90_duplicate_spans(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicateSpans(
+        Tables.documents(s, dir), "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1513,6 +1543,8 @@ object SparkEntry {
     "q86_incremental_exact" -> (q86_incremental_exact _),
     "q87_delete_neardup" -> (q87_delete_neardup _),
     "q88_delete_clusters" -> (q88_delete_clusters _),
+    "q89_mixture_sample" -> (q89_mixture_sample _),
+    "q90_duplicate_spans" -> (q90_duplicate_spans _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -100,6 +100,44 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture sampling to a global token budget — the training-mixture
+    * operator: given target domain *weights* (fractions of the final
+    * mixture) and a total `budgetTokens`, derive each domain's
+    * acceptance rate from the data (`rate = min(1, budget·weight /
+    * domainTokens)`) and keep rows by the key's deterministic draw.
+    * Unlike [[stratified]], the rates are not constants: they adapt to
+    * what each domain actually holds, so the surviving corpus
+    * approaches the requested mixture without anyone pre-computing
+    * per-domain counts. A domain whose target exceeds its mass keeps
+    * everything (rate caps at 1 — the mixture is then best-effort,
+    * exactly the fastText/DoReMi-style sampling discipline); domains
+    * absent from `weights` get `defaultWeight`.
+    *
+    * Two jobs in one plan: a map-side-combined aggregate over the
+    * low-cardinality domain key (rows = #domains), broadcast-joined
+    * back onto the corpus, then the same narrow h60 filter as
+    * [[bernoulli]]. At 100 TB the aggregate is one cheap pass and the
+    * broadcast is a few KB — no corpus shuffle anywhere.
+    */
+  def mixture(df: DataFrame, keyCol: String, domainCol: String,
+      tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
+      defaultWeight: Double = 0.0, salt: String = "mixture"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0,1]")
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (domain, w)) =>
+        when(col(domainCol) === lit(domain), lit(w)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("double").as("__domain_tokens"))
+    df.join(broadcast(totals), domainCol)
+      .withColumn("__rate",
+        least(lit(1.0), lit(budgetTokens.toDouble) * weight / col("__domain_tokens")))
+      .filter(u01(col(keyCol), salt) < col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Leakage-free split: every row gains a `split` column in
     * {train, val, test} decided by the *group* key's draw, so all rows
     * of a group land in the same fold. `valFrac`/`testFrac` are carved

@@ -64,6 +64,47 @@ class SamplingSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("mixture: rates derive from domain mass; cap and fractional branches") {
+    val d = docs.withColumn("n_tokens",
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+    val totals = d.groupBy("source").agg(sum("n_tokens").as("dt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 20000L
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3)
+    val out = Sampling.mixture(d, "doc_id", "source", "n_tokens",
+      weights, budget, defaultWeight = 0.01)
+
+    // cap branch: src0's target (10000) exceeds its mass at sf0.001 —
+    // rate 1, every src0 row survives
+    assert(budget * 0.5 > totals("src0"))
+    assert(out.filter(col("source") === "src0").count() ==
+      d.filter(col("source") === "src0").count())
+
+    // fractional branch: a tail domain keeps roughly budget·w tokens
+    val tailKept = out.filter(col("source") === "src5")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val tailTarget = budget * 0.01
+    assert(tailKept < totals("src5"), "tail must actually downsample")
+    assert(math.abs(tailKept - tailTarget) < totals("src5") * 0.2,
+      s"tail kept $tailKept vs target $tailTarget")
+
+    // mixture == per-domain bernoulli at the derived rate (API coherence)
+    val viaBern = Sampling.bernoulli(
+        d.filter(col("source") === "src5"), "doc_id",
+        math.min(1.0, budget * 0.01 / totals("src5")), salt = "mixture")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaMix = out.filter(col("source") === "src5")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMix == viaBern)
+
+    // deterministic under repartition; schema preserved
+    val again = Sampling.mixture(d.repartition(13), "doc_id", "source",
+      "n_tokens", weights, budget, defaultWeight = 0.01)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+    assert(out.columns.sameElements(d.columns))
+  }
+
   test("split: exhaustive, deterministic, and group-cohesive") {
     val out = Sampling.split(docs, "source", valFrac = 0.25, testFrac = 0.25)
     assert(out.count() == docs.count())

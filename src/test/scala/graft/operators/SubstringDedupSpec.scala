@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def spans(rows: Seq[(Long, String)], k: Int) =
+    SubstringDedup.duplicateSpans(
+        rows.toDF("doc_id", "text"), "text", "doc_id", k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("cross-document shared run becomes one maximal span per doc") {
+    // docs 1 and 2 share the 5-token run "a b c d e"; doc 3 is unique
+    val out = spans(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d e z",
+      3L -> "p q r s t u v w"), k = 3)
+    assert(out == Set((1L, 1L, 5L, 5L), (2L, 3L, 7L, 5L)))
+  }
+
+  test("within-document repeat flags both occurrences, far apart stays split") {
+    // "m n o" at positions 1 and 8 — gap 7 > k, two islands
+    val out = spans(Seq(
+      1L -> "m n o j1 j2 j3 j4 m n o"), k = 3)
+    assert(out == Set((1L, 1L, 3L, 3L), (1L, 8L, 10L, 3L)))
+  }
+
+  test("touching windows merge: gap == k coalesces into one span") {
+    // doc 1 repeats "a b c" at 1 and 4 (pos diff 3 == k): contiguous
+    // duplicated coverage [1,6] merges into a single island
+    val out = spans(Seq(1L -> "a b c a b c"), k = 3)
+    assert(out == Set((1L, 1L, 6L, 6L)))
+  }
+
+  test("case-insensitive: shingles match through lowercasing") {
+    val out = spans(Seq(
+      1L -> "Foo Bar Baz tail1 tail2",
+      2L -> "foo bar baz other stuff"), k = 3)
+    assert(out.map(t => (t._1, t._2, t._3)) == Set((1L, 1L, 3L), (2L, 1L, 3L)))
+  }
+
+  test("short and empty docs emit nothing and do not break the guard") {
+    val out = spans(Seq(
+      1L -> "a b",         // shorter than k
+      2L -> "",            // empty
+      3L -> null.asInstanceOf[String],
+      4L -> "a b c d",
+      5L -> "a b c d"), k = 3)
+    // only the two identical 4-token docs dup; whole doc is the span
+    assert(out == Set((4L, 1L, 4L, 4L), (5L, 1L, 4L, 4L)))
+  }
+
+  test("deterministic under repartition") {
+    val docs = (1L to 40L).map(i =>
+      i -> (if (i % 4 == 0) "shared shingle run of eight tokens exactly here"
+            else s"unique text $i with no repeats at all ${i * 7}"))
+    val a = spans(docs, k = 5)
+    val b = SubstringDedup.duplicateSpans(
+        docs.toDF("doc_id", "text").repartition(13), "text", "doc_id", 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
