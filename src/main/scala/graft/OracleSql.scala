@@ -1678,14 +1678,14 @@ object OracleSql {
   private val q90 = s"""
     WITH t AS (
       SELECT doc_id,
-             CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
       FROM documents),
     sh0 AS (
       SELECT doc_id,
              unnest(range(1, len(tk) - 6)) AS pos,
              unnest(list_transform(range(1, len(tk) - 6),
-                    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS m
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
       FROM t),
     sh AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
@@ -1706,6 +1706,64 @@ object OracleSql {
            max(pos) + 7 - min(pos) + 1 AS span_tokens
     FROM g GROUP BY doc_id, grp
     ORDER BY doc_id, span_start"""
+
+  /** q91: keep-one-copy excision — q90's shingle pipeline, but marking
+    * `row_number ≥ 2` within each hash (ordered by `(doc_id, pos)` — the
+    * corpus-first occurrence keeps its text), islands merged as in q90,
+    * then every token outside a span re-joined by single spaces. Pure
+    * copies of earlier docs collapse to ''.
+    */
+  private val q91 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sh),
+    p AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk),
+    sp AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM g GROUP BY doc_id, grp),
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok
+      FROM t),
+    keep AS (
+      SELECT tk0.doc_id, tk0.pos, tk0.tok
+      FROM toks tk0
+      WHERE NOT EXISTS (SELECT 1 FROM sp
+                        WHERE sp.doc_id = tk0.doc_id
+                          AND tk0.pos BETWEEN sp.s AND sp.e)),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+             count(*) AS kept
+      FROM keep GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM t)
+    SELECT b.doc_id, coalesce(a.txt, '') AS text_deduped,
+           b.n - CAST(coalesce(a.kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
 
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
@@ -1797,5 +1855,6 @@ object OracleSql {
     "q88_delete_clusters" -> q88,
     "q89_mixture_sample" -> q89,
     "q90_duplicate_spans" -> q90,
+    "q91_excise_spans" -> q91,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1452,6 +1452,19 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", k = 8)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Keep-one-copy excision ([[SubstringDedup.excise]]): every doc's
+    * text minus the non-canonical duplicated ranges (the corpus-first
+    * occurrence of each 8-token window survives), rebuilt by a
+    * codegen'd collection expression — pure copies collapse to ''.
+    * Hash-match covers the rebuilt strings themselves.
+    */
+  def q91_excise_spans(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.excise(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", "doc_id", k = 8)
+      .select(col("doc_id"), col("text_deduped"), col("n_tokens_removed"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1545,6 +1558,7 @@ object SparkEntry {
     "q88_delete_clusters" -> (q88_delete_clusters _),
     "q89_mixture_sample" -> (q89_mixture_sample _),
     "q90_duplicate_spans" -> (q90_duplicate_spans _),
+    "q91_excise_spans" -> (q91_excise_spans _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{AuditableHash => H, TextFunctions => T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,16 +18,19 @@ import org.apache.spark.sql.functions._
   * Algorithm — three stages, two exchanges, no suffix array:
   *
   *  1. Shingle: every position `i` of every document emits the h60 of
-  *     its `k`-token window, projected immediately to the narrow
+  *     its `k`-token window (tokens lowercased inside the hash, so
+  *     matching is case-blind while positions index the original
+  *     tokenization), projected immediately to the narrow
   *     `(hash: long, doc_id, pos)` triple — the wide shingle string
   *     never reaches an exchange.
-  *  2. Mark: a shingle occurrence is *duplicated* iff its hash occurs
-  *     ≥ 2 times corpus-wide (in another document OR again in the same
-  *     one). One hash exchange: `count(*) OVER (PARTITION BY hash)`
-  *     keeps the positions attached — no second pass over the corpus
-  *     to re-join a duplicate-hash set.
-  *  3. Merge: per document, duplicated positions whose windows overlap
-  *     or touch (`pos' − pos ≤ k`) coalesce into maximal spans — the
+  *  2. Mark: one hash exchange. [[duplicateSpans]] marks an occurrence
+  *     iff its hash occurs ≥ 2 times corpus-wide (`count` over the
+  *     hash partition — positions stay attached, no second corpus
+  *     pass); [[excise]] instead marks all but the corpus-FIRST
+  *     occurrence (`row_number` ordered by `(doc_id, pos)` ≥ 2), the
+  *     keep-one-copy discipline of the paper.
+  *  3. Merge: per document, marked positions whose windows overlap or
+  *     touch (`pos' − pos ≤ k`) coalesce into maximal spans — the
   *     standard gaps-and-islands window, one exchange on doc id.
   *
   * The row count entering stage 2 is `Σ max(0, n_tokens − k + 1)` —
@@ -38,37 +41,36 @@ import org.apache.spark.sql.functions._
   * repeated everywhere) skews the stage-2 window partition; AQE's
   * skew split handles the sort, and the count itself is O(partition).
   *
-  * Determinism: positions are a pure function of the tokenization
-  * ([[T.tokens]] over lowercased text), the hash is the auditable
-  * h60, so the span set is engine-independent — the DuckDB oracle
-  * reproduces it exactly (q90).
+  * Determinism: positions are a pure function of the whitespace
+  * tokenization ([[T.tokens]]), the hash is the auditable h60, and
+  * the canonical occurrence is the `(doc_id, pos)` minimum — the span
+  * sets and excised text are engine-independent (DuckDB oracles q90 /
+  * q91 reproduce them exactly).
   */
 object SubstringDedup {
 
-  /** Maximal duplicated token spans per document:
-    * `(id, span_start, span_end, span_tokens)` with 1-based inclusive
-    * token indices into the document's whitespace tokenization.
-    * Documents with no duplicated window emit no rows.
-    */
-  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+  /** `(doc_id, pos, hash)` for every k-token window. */
+  private def occurrences(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
-    require(k >= 2, s"window must be >= 2 tokens, got $k")
-    val toks = T.tokens(lower(col(textCol)))
+    val toks = T.tokens(col(textCol))
     // guard: sequence(1, n-k+1) RUNS BACKWARDS when n < k — gate it
     val starts = when(size(toks) >= k,
       sequence(lit(1), size(toks) - k + 1))
       .otherwise(array().cast("array<int>"))
-    val occ = docs
+    docs
       .select(col(idCol), explode(starts).as("__p"), toks.as("__toks"))
       .select(col(idCol), col("__p").cast("long").as("pos"),
-        H.h60(array_join(slice(col("__toks"), col("__p"), lit(k)), " ")).as("__h"))
-    val byHash = Window.partitionBy(col("__h"))
+        H.h60(array_join(
+          transform(slice(col("__toks"), col("__p"), lit(k)), lower _),
+          " ")).as("__h"))
+  }
+
+  /** Gaps-and-islands merge of marked positions into maximal spans. */
+  private def mergeSpans(marked: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val dup = occ
-      .withColumn("__cnt", count(lit(1)).over(byHash))
-      .filter(col("__cnt") >= 2)
-    dup
-      // NULL lag (first duplicated position of a doc) → otherwise(1):
+    marked
+      // NULL lag (first marked position of a doc) → otherwise(1):
       // every island opener increments the group id
       .withColumn("__brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0))
@@ -80,5 +82,74 @@ object SubstringDedup {
         (max(col("pos")) + (k - 1)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Maximal duplicated token spans per document:
+    * `(id, span_start, span_end, span_tokens)` with 1-based inclusive
+    * token indices into the document's whitespace tokenization. Every
+    * occurrence of a duplicated window is marked (analysis view — "how
+    * much of this doc exists elsewhere"); documents with no duplicated
+    * window emit no rows.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    val byHash = Window.partitionBy(col("__h"))
+    val marked = occurrences(docs, textCol, idCol, k)
+      .withColumn("__cnt", count(lit(1)).over(byHash))
+      .filter(col("__cnt") >= 2)
+    mergeSpans(marked, idCol, k)
+  }
+
+  /** Spans covering every occurrence EXCEPT the corpus-first one (the
+    * `(doc_id, pos)`-minimum occurrence of each window keeps its
+    * text): what [[excise]] cuts. Windows unique in the corpus are
+    * never marked (`row_number ≥ 2` implies `count ≥ 2`).
+    */
+  def nonCanonicalSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    val byHashOrd = Window.partitionBy(col("__h"))
+      .orderBy(col(idCol), col("pos"))
+    val marked = occurrences(docs, textCol, idCol, k)
+      .withColumn("__rn", row_number().over(byHashOrd))
+      .filter(col("__rn") >= 2)
+    mergeSpans(marked, idCol, k)
+  }
+
+  /** Keep-one-copy excision: every document gains `text_deduped` (its
+    * whitespace tokens minus the [[nonCanonicalSpans]] ranges, re-joined
+    * by single spaces — original casing and token order preserved;
+    * original inter-token whitespace is normalised, which the
+    * tokenization already discards) and `n_tokens_removed`. Documents
+    * that are pure copies of earlier ones collapse to the empty
+    * string; the corpus-first occurrence of every passage survives
+    * somewhere. One extra doc-id join against the span list; the cut
+    * itself is a codegen'd collection expression, no UDF.
+    */
+  def excise(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spans = nonCanonicalSpans(docs, textCol, idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val covered = (p: Column, sp: Column) =>
+      p >= sp.getField("span_start") && p <= sp.getField("span_end")
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", T.tokens(col(textCol)))
+      .withColumn("__sp",
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>")))
+      .withColumn("__kept",
+        filter(
+          transform(col("__toks"),
+            (t, i) => struct(t.as("t"), (i + 1).cast("long").as("p"))),
+          s => !exists(col("__sp"), sp => covered(s.getField("p"), sp))))
+      .withColumn("text_deduped",
+        array_join(transform(col("__kept"), _.getField("t")), " "))
+      .withColumn("n_tokens_removed",
+        (size(col("__toks")) - size(col("__kept"))).cast("long"))
+      .select(docs.columns.map(col) :+ col("text_deduped")
+        :+ col("n_tokens_removed"): _*)
   }
 }

@@ -52,6 +52,44 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out == Set((4L, 1L, 4L, 4L), (5L, 1L, 4L, 4L)))
   }
 
+  test("excise: corpus-first occurrence survives, later copies cut") {
+    val docs = Seq(
+      1L -> "a b c d e tail1 tail2",
+      2L -> "x y a b c d e z w",    // "a b c d e" is doc 1's — cut here
+      3L -> "a b c d e tail1 tail2" // pure copy of doc 1 — collapses
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.excise(docs, "text", "doc_id", k = 3)
+      .select("doc_id", "text_deduped", "n_tokens_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b c d e tail1 tail2", 0L)),
+      "first occurrence keeps everything")
+    assert(out(1) == ((2L, "x y z w", 5L)))
+    assert(out(2) == ((3L, "", 7L)), "pure copy collapses to empty")
+  }
+
+  test("excise: original casing preserved; matching is case-blind") {
+    val docs = Seq(
+      1L -> "Foo Bar Baz end",
+      2L -> "pre foo bar baz").toDF("doc_id", "text")
+    val out = SubstringDedup.excise(docs, "text", "doc_id", k = 3)
+      .select("doc_id", "text_deduped")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "Foo Bar Baz end", "canonical keeps its casing")
+    assert(out(2L) == "pre")
+  }
+
+  test("excise: input columns pass through; null/short docs untouched") {
+    val docs = Seq(
+      (1L, "a b", "k1"), (2L, null.asInstanceOf[String], "k2"))
+      .toDF("doc_id", "text", "extra")
+    val out = SubstringDedup.excise(docs, "text", "doc_id", k = 3)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "extra", "text_deduped", "n_tokens_removed"))
+    val rows = out.select("doc_id", "text_deduped", "n_tokens_removed")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "a b", 0L), (2L, "", 0L)))
+  }
+
   test("deterministic under repartition") {
     val docs = (1L to 40L).map(i =>
       i -> (if (i % 4 == 0) "shared shingle run of eight tokens exactly here"
