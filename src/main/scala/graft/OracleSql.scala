@@ -1765,6 +1765,47 @@ object OracleSql {
     FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  /** q92: incremental substring spans — q91's rn-marked span pipeline
+    * over the FULL corpus, restricted to batch docs (`doc_id >` the
+    * 80% cut): with monotonic ids this is exactly what the index-probe
+    * incremental form computes for the batch.
+    */
+  private val q92 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sh),
+    p AS (SELECT doc_id, pos FROM r, cut WHERE rn >= 2 AND doc_id > c),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1856,5 +1897,6 @@ object OracleSql {
     "q89_mixture_sample" -> q89,
     "q90_duplicate_spans" -> q90,
     "q91_excise_spans" -> q91,
+    "q92_incremental_spans" -> q92,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1465,6 +1465,31 @@ object SparkEntry {
       .select(col("doc_id"), col("text_deduped"), col("n_tokens_removed"))
       .orderBy(col("doc_id"))
 
+  /** Incremental substring spans
+    * ([[SubstringDedup.nonCanonicalSpansIncremental]]): the persisted
+    * index is the accumulated corpus's distinct window-hash set (first
+    * 80% of ids — monotonic, the daily-append contract); today's batch
+    * probes it with one semi-join plus a batch-local row_number.
+    * Oracle: the FULL-corpus non-canonical span build restricted to
+    * batch docs — equality holds exactly because ids are monotonic
+    * (q86's reasoning, span-level).
+    */
+  def q92_incremental_spans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // the 80% id cut as a LAZY 1-row broadcast scalar (q58's pattern)
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") <= col("__cut"))
+      .select(col("doc_id"), col("text"))
+    val fresh = withCut.filter(col("doc_id") > col("__cut"))
+      .select(col("doc_id"), col("text"))
+    SubstringDedup.nonCanonicalSpansIncremental(
+        SubstringDedup.shingleIndex(old, "text", "doc_id", k = 8),
+        fresh, "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1559,6 +1584,7 @@ object SparkEntry {
     "q89_mixture_sample" -> (q89_mixture_sample _),
     "q90_duplicate_spans" -> (q90_duplicate_spans _),
     "q91_excise_spans" -> (q91_excise_spans _),
+    "q92_incremental_spans" -> (q92_incremental_spans _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

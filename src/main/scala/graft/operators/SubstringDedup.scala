@@ -117,6 +117,47 @@ object SubstringDedup {
     mergeSpans(marked, idCol, k)
   }
 
+  /** The persistable incremental index: the DISTINCT h60 set of every
+    * k-token window in `docs` — one narrow long column, the only state
+    * the incremental form needs ("has this window been seen before").
+    * Store bucketed on `shingle_h` so daily probes co-locate.
+    */
+  def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    occurrences(docs, textCol, idCol, k)
+      .select(col("__h").as("shingle_h")).distinct()
+  }
+
+  /** Incremental [[nonCanonicalSpans]]: spans for a daily `batch` of
+    * NEW documents against the accumulated corpus, without touching the
+    * corpus — a batch occurrence is non-canonical iff its window hash
+    * exists in the persisted [[shingleIndex]] (one semi-join; with the
+    * index bucketed on the hash only the increment shuffles) OR an
+    * earlier `(doc_id, pos)` occurrence exists within the batch itself
+    * (`row_number` over the batch's hash partition). With batch ids
+    * monotonically above every indexed id — the daily-append contract
+    * the rest of the index family assumes — this equals the full-corpus
+    * [[nonCanonicalSpans]] restricted to the batch (q92's oracle).
+    * Maintain the index by appending the batch's distinct hashes.
+    */
+  def nonCanonicalSpansIncremental(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    val byHashOrd = Window.partitionBy(col("__h"))
+      .orderBy(col(idCol), col("pos"))
+    val withRn = occurrences(batch, textCol, idCol, k)
+      .withColumn("__rn", row_number().over(byHashOrd))
+    val seen = withRn.join(
+      index.select(col("shingle_h").as("__h")), Seq("__h"), "left_semi")
+    // an occurrence can be marked by both legs — dropDuplicates, not
+    // a left-join indicator: joining a non-distinct index must never
+    // multiply rows
+    val marked = withRn.filter(col("__rn") >= 2)
+      .unionByName(seen).dropDuplicates(idCol, "pos")
+    mergeSpans(marked, idCol, k)
+  }
+
   /** Keep-one-copy excision: every document gains `text_deduped` (its
     * whitespace tokens minus the [[nonCanonicalSpans]] ranges, re-joined
     * by single spaces — original casing and token order preserved;

@@ -90,6 +90,49 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows == Set((1L, "a b", 0L), (2L, "", 0L)))
   }
 
+  test("incremental == batch nonCanonicalSpans restricted to the batch (monotonic split)") {
+    val docs = (1L to 60L).map { i =>
+      val base = if (i % 3 == 0) "the shared licence header tokens one two three four five"
+                 else s"unique body $i text with tokens ${i * 13} ${i * 17} none shared"
+      i -> base
+    }
+    val df = docs.toDF("doc_id", "text")
+    val full = SubstringDedup.nonCanonicalSpans(df, "text", "doc_id", 4)
+      .filter($"doc_id" > 30).as[(Long, Long, Long, Long)].collect().toSet
+    val inc = SubstringDedup.nonCanonicalSpansIncremental(
+        SubstringDedup.shingleIndex(df.filter($"doc_id" <= 30), "text", "doc_id", 4),
+        df.filter($"doc_id" > 30), "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
+  test("incremental: batch-first occurrence of an UNSEEN window stays canonical") {
+    val index = SubstringDedup.shingleIndex(
+      Seq(1L -> "completely different old corpus content here").toDF("doc_id", "text"),
+      "text", "doc_id", 3)
+    val batch = Seq(
+      10L -> "new phrase alpha beta gamma",
+      11L -> "also new phrase alpha beta gamma").toDF("doc_id", "text")
+    val out = SubstringDedup.nonCanonicalSpansIncremental(
+        index, batch, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 10 keeps canonicity; doc 11's copy of "new phrase alpha beta
+    // gamma" is marked (positions 2..6 of its 6-token text)
+    assert(out == Set((11L, 2L, 6L, 5L)))
+  }
+
+  test("incremental: a non-distinct index never multiplies marks") {
+    val dupIndex = Seq("a b c d e", "a b c d e")
+      .zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("doc_id", "text")
+    val idx = SubstringDedup.shingleIndex(dupIndex, "text", "doc_id", 3)
+      .union(SubstringDedup.shingleIndex(dupIndex, "text", "doc_id", 3))
+    val out = SubstringDedup.nonCanonicalSpansIncremental(
+        idx, Seq(10L -> "a b c d e tail").toDF("doc_id", "text"),
+        "text", "doc_id", 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((10L, 1L, 5L, 5L)))
+  }
+
   test("deterministic under repartition") {
     val docs = (1L to 40L).map(i =>
       i -> (if (i % 4 == 0) "shared shingle run of eight tokens exactly here"
