@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AuditableHash => H, TextFunctions => T}
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,20 +49,20 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** `(doc_id, pos, hash)` for every k-token window. */
+  /** `(doc_id, pos, hash)` for every k-token window — one
+    * [[graft.plans.ShingleHashes]] pass per document (tokenize +
+    * lowercase + window-hash fused; NULL text yields no rows through
+    * `posexplode`'s null-drop), positions 1-based.
+    */
   private def occurrences(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
-    val toks = T.tokens(col(textCol))
-    // guard: sequence(1, n-k+1) RUNS BACKWARDS when n < k — gate it
-    val starts = when(size(toks) >= k,
-      sequence(lit(1), size(toks) - k + 1))
-      .otherwise(array().cast("array<int>"))
+    val hashes = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col(textCol).cast("string")), k))
     docs
-      .select(col(idCol), explode(starts).as("__p"), toks.as("__toks"))
-      .select(col(idCol), col("__p").cast("long").as("pos"),
-        H.h60(array_join(
-          transform(slice(col("__toks"), col("__p"), lit(k)), lower _),
-          " ")).as("__h"))
+      .select(col(idCol), posexplode(hashes).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
   }
 
   /** Gaps-and-islands merge of marked positions into maximal spans. */
@@ -150,11 +150,12 @@ object SubstringDedup {
       .withColumn("__rn", row_number().over(byHashOrd))
     val seen = withRn.join(
       index.select(col("shingle_h").as("__h")), Seq("__h"), "left_semi")
-    // an occurrence can be marked by both legs — dropDuplicates, not
-    // a left-join indicator: joining a non-distinct index must never
-    // multiply rows
-    val marked = withRn.filter(col("__rn") >= 2)
-      .unionByName(seen).dropDuplicates(idCol, "pos")
+    // an occurrence can be marked by both legs; the semi-join (never a
+    // left-join indicator) keeps a non-distinct index from multiplying
+    // rows, and the between-leg duplicates need no dedup exchange:
+    // a repeated position lands in the same island (pos − lag = 0) and
+    // leaves min/max/grouping untouched — mergeSpans is dup-absorbing
+    val marked = withRn.filter(col("__rn") >= 2).unionByName(seen)
     mergeSpans(marked, idCol, k)
   }
 

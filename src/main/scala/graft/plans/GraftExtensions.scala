@@ -55,6 +55,16 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException(s"$name must be an int literal")
         }
         CdcChunks(children.head, intLit(children(1), "w"), intLit(children(2), "avgSize"))
+      }),
+    (FunctionIdentifier("graft_shingle_h60"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_h60 takes (text, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException("k must be an int literal")
+        }
+        ShingleHashes(children.head, k)
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Dedup, IvfIndex}
+import graft.operators.{Dedup, IvfIndex, SubstringDedup}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -229,6 +229,50 @@ object CorpusStream {
             Zone.overwriteInPlace(spark, cents, centsDir)
             Zone.appendBatch(cells, cellsDir, bid)
             Zone.markBatchCommitted(spark, indexDir, bid)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming incremental substring-span dedup — the positional
+    * family member: each micro-batch marks its non-canonical k-token
+    * spans against the persisted distinct-hash shingle index
+    * ([[SubstringDedup.nonCanonicalSpansIncremental]] — one semi-join,
+    * no corpus recompute), appends the spans to the span log, and
+    * extends the index with its own distinct window hashes. Batches
+    * re-appending hashes an earlier batch already holds is harmless —
+    * the probe is a semi-join and the operator is spec'd robust to a
+    * non-distinct index; compaction may dedupe at leisure. Batch ids
+    * must ride the family's monotonic-doc-id contract. Same
+    * exactly-once contract as [[runIncrementalNearDup]].
+    */
+  def runIncrementalSpans(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      spansDir: String,
+      checkpointDir: String,
+      k: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val newHashes = SubstringDedup.shingleIndex(batch, textCol, idCol, k)
+          val spans = Zone.readBatchedBefore(spark, indexDir, bid) match {
+            case Some(idx) =>
+              SubstringDedup.nonCanonicalSpansIncremental(
+                idx, batch, textCol, idCol, k)
+            case None => // first batch: the increment IS the corpus
+              SubstringDedup.nonCanonicalSpansIncremental(
+                newHashes.limit(0), batch, textCol, idCol, k)
+          }
+          Zone.appendBatch(spans, spansDir, bid)
+          Zone.appendBatch(newHashes, indexDir, bid)
+          Zone.markBatchCommitted(spark, indexDir, bid)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -162,4 +162,23 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
         TermStats.docFreq(fresh, "text", "doc_id"))) ==
         vmap(TermStats.docFreq(all, "text", "doc_id"))
     }
+
+  property("substring spans: index-probe incremental == full build restricted to batch") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      // the operator's contract is MONOTONIC daily ids — derive a
+      // random cut (newIds.size is uniform in [0, n]) instead of using
+      // the random-subset split the other indexes accept
+      val cutId = (docs.size - newIds.size).toLong
+      val all = docs.toDF("doc_id", "text")
+      val old = all.filter($"doc_id" < cutId)
+      val fresh = all.filter($"doc_id" >= cutId)
+      def spans(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "span_start", "span_end", "span_tokens")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      spans(SubstringDedup.nonCanonicalSpansIncremental(
+          SubstringDedup.shingleIndex(old, "text", "doc_id", 2),
+          fresh, "text", "doc_id", 2)) ==
+        spans(SubstringDedup.nonCanonicalSpans(all, "text", "doc_id", 2)
+          .filter($"doc_id" >= cutId))
+    }
 }

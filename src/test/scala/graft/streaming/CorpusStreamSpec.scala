@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.Dedup
+import graft.operators.{Dedup, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 class CorpusStreamSpec extends SparkSpec {
@@ -135,6 +135,57 @@ class CorpusStreamSpec extends SparkSpec {
     assert(idx.select("id").distinct().count() == corpus.count())
     assert(idx.count() == corpus.count() * 4)
     assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
+  }
+
+  test("streaming spans: monotonic micro-batches == one-shot span set; replay idempotent") {
+    val base = tmpDir("spanstream")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // the span family's contract is MONOTONIC daily ids — slice by id
+    // range (not % 3) and land each slice as ONE file so arrival order
+    // follows id order
+    val maxId = corpus.agg(org.apache.spark.sql.functions.max($"doc_id"))
+      .head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" <= c1).coalesce(1).write.parquet(inDir)
+    corpus.filter($"doc_id" > c1 && $"doc_id" <= c2).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" > c2).coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = CorpusStream.runIncrementalSpans(spark, stream,
+      "text", "doc_id", s"$base/index", s"$base/spans", s"$base/ckpt", k = 8)
+    q.awaitTermination()
+
+    // union of per-batch spans == the one-shot full-corpus build
+    // (collected-set compare — the exceptAll gotcha, as above)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.read.parquet(s"$base/spans"))
+    val batch = key(SubstringDedup.nonCanonicalSpans(corpus, "text", "doc_id", 8))
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+
+    // index accumulates the corpus's distinct hash set (per-batch
+    // appends may overlap — distinct-on-read is the contract)
+    val idx = graft.sources.Zone.readBatched(spark, s"$base/index").get
+    assert(idx.select("shingle_h").distinct().count() ==
+      SubstringDedup.shingleIndex(corpus, "text", "doc_id", 8).count())
+
+    // exactly-once: kill-and-replay the newest batch with the marker
+    // gone — state tables value-identical including duplicate counts
+    val before = Seq(s"$base/spans", s"$base/index").map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    val q2 = CorpusStream.runIncrementalSpans(spark, spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "text", "doc_id", s"$base/index", s"$base/spans", s"$base/ckpt", k = 8)
+    q2.awaitTermination()
+    val after = Seq(s"$base/spans", s"$base/index").map(multiset)
+    assert(after == before, "kill-and-replay changed state tables")
   }
 
   test("streaming embedding increments == batch LSH pair set; two-table index accumulates") {
