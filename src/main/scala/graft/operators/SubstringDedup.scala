@@ -148,14 +148,15 @@ object SubstringDedup {
       .orderBy(col(idCol), col("pos"))
     val withRn = occurrences(batch, textCol, idCol, k)
       .withColumn("__rn", row_number().over(byHashOrd))
-    val seen = withRn.join(
-      index.select(col("shingle_h").as("__h")), Seq("__h"), "left_semi")
-    // an occurrence can be marked by both legs; the semi-join (never a
-    // left-join indicator) keeps a non-distinct index from multiplying
-    // rows, and the between-leg duplicates need no dedup exchange:
-    // a repeated position lands in the same island (pos − lag = 0) and
-    // leaves min/max/grouping untouched — mergeSpans is dup-absorbing
-    val marked = withRn.filter(col("__rn") >= 2).unionByName(seen)
+    // ONE batch pipeline, not a union of marking legs: the distinct()
+    // makes the left-join indicator safe against a non-distinct index
+    // (it costs nothing extra — a semi-join build side gets the same
+    // dedup aggregate planned internally), and both the rn window and
+    // the join key are __h, so the batch exchanges once
+    val seen = index.select(col("shingle_h").as("__h")).distinct()
+      .withColumn("__seen", lit(true))
+    val marked = withRn.join(seen, Seq("__h"), "left")
+      .filter(col("__rn") >= 2 || col("__seen").isNotNull)
     mergeSpans(marked, idCol, k)
   }
 

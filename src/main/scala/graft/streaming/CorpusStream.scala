@@ -261,18 +261,24 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
         else {
-          val newHashes = SubstringDedup.shingleIndex(batch, textCol, idCol, k)
-          val spans = Zone.readBatchedBefore(spark, indexDir, bid) match {
-            case Some(idx) =>
-              SubstringDedup.nonCanonicalSpansIncremental(
-                idx, batch, textCol, idCol, k)
-            case None => // first batch: the increment IS the corpus
-              SubstringDedup.nonCanonicalSpansIncremental(
-                newHashes.limit(0), batch, textCol, idCol, k)
-          }
-          Zone.appendBatch(spans, spansDir, bid)
-          Zone.appendBatch(newHashes, indexDir, bid)
-          Zone.markBatchCommitted(spark, indexDir, bid)
+          // cached: the batch feeds both the span marking and the
+          // index-extension hash pass (family style — one compute per
+          // micro-batch)
+          val b = batch.cache()
+          try {
+            val newHashes = SubstringDedup.shingleIndex(b, textCol, idCol, k)
+            val spans = Zone.readBatchedBefore(spark, indexDir, bid) match {
+              case Some(idx) =>
+                SubstringDedup.nonCanonicalSpansIncremental(
+                  idx, b, textCol, idCol, k)
+              case None => // first batch: the increment IS the corpus
+                SubstringDedup.nonCanonicalSpansIncremental(
+                  newHashes.limit(0), b, textCol, idCol, k)
+            }
+            Zone.appendBatch(spans, spansDir, bid)
+            Zone.appendBatch(newHashes, indexDir, bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally b.unpersist()
         }
       }
       .option("checkpointLocation", checkpointDir)

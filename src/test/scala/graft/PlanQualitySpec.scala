@@ -118,6 +118,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q90/q92: shingle hashing is one native pass; only the narrow triple crosses exchanges") {
+    // the wide token/shingle strings must never reach a shuffle: the
+    // native graft_shingle_h60 pass reduces each doc to (id, pos, h)
+    // BEFORE the first exchange, and every exchange in the span family
+    // carries only those 24-byte rows
+    for (q <- Seq(SparkEntry.q90_duplicate_spans _,
+        SparkEntry.q92_incremental_spans _)) {
+      val df = q(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_shingle_h60"), p.take(2000))
+      assert(!p.contains("array_join"), "shingle strings rebuilt relationally:\n" + p.take(2000))
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(_.contains("__toks")),
+        "token array crossed an exchange:\n" + exchanges.mkString("\n"))
+    }
+  }
+
   test("q36: IVF cell assignment is a narrow map (no sort-agg over the amplified corpus)") {
     // the codebook embeds inside the native graft_ivf_assign expression
     // (one tight codegen loop per row), so the corpus side has NO join,
