@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, DedupCluster, TermStats}
+import graft.operators.{Dedup, DedupCluster, SubstringDedup, TermStats}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -26,7 +26,8 @@ object CorpusJob {
       bands: Int = 16,
       nearDupThreshold: Double = 0.8,
       minQuality: Double = 0.3,
-      minTokens: Int = 5)
+      minTokens: Int = 5,
+      spanTokens: Int = 8)
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
@@ -92,6 +93,11 @@ object CorpusJob {
     *                       meta also records `last_batch`, the replay
     *                       marker
     *   - `annotated/`      the per-batch annotated output, appended
+    *   - `index/shingles`  attribution-free distinct window-hash set
+    *                       ([[SubstringDedup.shingleIndex]])
+    *   - `spans/`          append-only non-canonical substring spans
+    *                       of each batch (keep-one-copy marking
+    *                       against everything seen before)
     *
     * Assumes doc ids grow monotonically across batches (the reference's
     * daily-extract discipline): every dedup loser (non-minimum id) then
@@ -186,6 +192,33 @@ object CorpusJob {
         .select(col("content_fp"), col("batch_canonical").as("canonical_id"))
         .distinct()
       newFps.write.mode("append").parquet(s"$stateDir/fps")
+
+      // --- substring spans against the shingle-hash index ---
+      // The index carries per-hash attribution (first_id) so a REPLAY
+      // probes only hashes introduced before itself: `first_id <
+      // min(batch ids)` excludes exactly what a crashed attempt
+      // appended (exact under monotonic ids) — without it, the batch's
+      // own indexed hashes would mark every replayed occurrence as
+      // seen. Tombstones don't retract the hash set — duplicates of
+      // REMOVED content keep being marked, the conservative behavior
+      // excision wants.
+      val newShingles = SubstringDedup.shingleIndexAttributed(
+        batch, "text", "doc_id", cfg.spanTokens)
+      val batchMinRow = batch.agg(min(col("doc_id"))).head()
+      val priorHashes = Zone.readIfExists(spark, s"$stateDir/index/shingles")
+        .map { idx =>
+          if (batchMinRow.isNullAt(0)) idx // empty batch: no occurrences anyway
+          else idx.filter(col("first_id") < batchMinRow.getLong(0))
+        }
+      val spans = priorHashes match {
+        case Some(idx) => SubstringDedup.nonCanonicalSpansIncremental(
+          idx.select(col("shingle_h")), batch, "text", "doc_id", cfg.spanTokens)
+        case None => SubstringDedup.nonCanonicalSpansIncremental(
+          newShingles.select(col("shingle_h")).limit(0),
+          batch, "text", "doc_id", cfg.spanTokens)
+      }
+      spans.write.mode("append").parquet(s"$stateDir/spans")
+      newShingles.write.mode("append").parquet(s"$stateDir/index/shingles")
 
       // --- folded-forward state: ONE atomic root swap, replay-gated ---
       // meta.last_batch == batchId means this batch's fold already
@@ -401,11 +434,14 @@ object CorpusJob {
         purge("index/bands", Seq("id"))
         purge("pairs", Seq("id_a", "id_b"))
         purge("annotated", Seq("doc_id"))
+        purge("spans", Seq("doc_id"))
+        // index/shingles is attribution-free — nothing to purge
       } finally tomb.unpersist()
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    Seq("index/sigs", "index/bands", "fps", "pairs", "annotated")
+    Seq("index/sigs", "index/bands", "index/shingles", "fps", "pairs",
+        "annotated", "spans")
       .filter(t => Zone.exists(spark, s"$stateDir/$t"))
       .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
       .toMap

@@ -129,6 +129,25 @@ object SubstringDedup {
       .select(col("__h").as("shingle_h")).distinct()
   }
 
+  /** Attribution-carrying variant of [[shingleIndex]] for REPLAY-SAFE
+    * batch pipelines: each distinct window hash with the smallest doc
+    * id that introduced it. A replayed daily batch must probe only
+    * hashes introduced BEFORE itself — with the attribution-free set
+    * it cannot tell corpus history from its own crashed attempt's
+    * append, but `first_id < min(batch ids)` is exact under the
+    * monotonic-id contract ([[graft.jobs.CorpusJob.runIncremental]]'s
+    * span leg). Appends may repeat a hash with a later first_id; the
+    * probe's distinct absorbs that, and compaction may collapse to the
+    * per-hash minimum at leisure.
+    */
+  def shingleIndexAttributed(docs: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    occurrences(docs, textCol, idCol, k)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("first_id"))
+      .select(col("__h").as("shingle_h"), col("first_id"))
+  }
+
   /** Incremental [[nonCanonicalSpans]]: spans for a daily `batch` of
     * NEW documents against the accumulated corpus, without touching the
     * corpus — a batch occurrence is non-canonical iff its window hash

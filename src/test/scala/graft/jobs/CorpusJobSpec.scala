@@ -66,6 +66,15 @@ class CorpusJobSpec extends SparkSpec {
     assert(vocab == batchVocab)
     assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0) == docs.count())
 
+    // the span leg: union of daily span appends == the one-shot
+    // non-canonical span build over the whole corpus
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dailySpans = spanSet(spark.read.parquet(s"$state/spans"))
+    assert(dailySpans == spanSet(graft.operators.SubstringDedup
+      .nonCanonicalSpans(docs, "text", "doc_id", cfg.spanTokens)))
+
     // replaying a batch rewrites identical annotated rows (the appends
     // duplicate, which downstream consumers dedupe on doc_id — assert
     // the VALUES are stable, the effectively-once contract)
@@ -73,6 +82,10 @@ class CorpusJobSpec extends SparkSpec {
     val replayed = spark.read.parquet(s"$state/annotated")
       .select(cols.head, cols.tail: _*).distinct()
     assert(replayed.count() == oneShot.size)
+    // ...including the spans: the attributed index keeps the replay
+    // from seeing its own crashed-attempt hashes, so the re-appended
+    // span values are byte-identical (distinct == the batch build)
+    assert(spanSet(spark.read.parquet(s"$state/spans")) == dailySpans)
 
     // the audited wrapper makes completed-date re-runs TRUE no-ops
     // (vocab/meta cannot double-count): first run brackets Success,
@@ -94,7 +107,8 @@ class CorpusJobSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val compacted = CorpusJob.compactState(spark, state)
     assert(compacted.keySet ==
-      Set("index/sigs", "index/bands", "fps", "pairs", "annotated"))
+      Set("index/sigs", "index/bands", "index/shingles", "fps", "pairs",
+        "annotated", "spans"))
     assert(compacted.values.forall(_ == 1), compacted.toString)
     assert(spark.read.parquet(s"$state/pairs")
       .collect().map(_.toSeq).toSet == pairsBefore)
