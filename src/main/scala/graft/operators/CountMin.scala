@@ -72,7 +72,7 @@ object CountMin {
       valueCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
     val probes = keys.select(keys.columns.map(col) :+
       explode(array((0 until depth).map(i =>
-        struct(lit(i).as("row"), bucket(i, width, col(valueCol)).cast("int").as("bucket"))): _*)).as("rb"): _*)
+        struct(lit(i).as("row"), bucket(i, width, col(valueCol)).cast("int").as("bucket"))).toIndexedSeq: _*)).as("rb"): _*)
       .select(keys.columns.map(col) :+ col("rb.row").as("row") :+ col("rb.bucket").as("bucket"): _*)
     probes.join(sketchDf, groupCols ++ Seq("row", "bucket"), "left")
       .na.fill(0L, Seq("cell_count"))

@@ -285,7 +285,7 @@ object DedupCluster {
   }
 
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
   /** Full dedup-cluster assembly over a document table: every document
     * gains its `cluster_id` (component min of the near-dup graph;

@@ -52,7 +52,7 @@ object ZOrder {
       nFiles: Int): Unit = {
     val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
       max(col(c).cast("double")).as(s"hi_$c")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val withBounds = cols.map { c =>
       require(!bounds.isNullAt(bounds.fieldIndex(s"lo_$c")),
         s"cannot z-order on '$c': no non-null rows to derive bounds from")
