@@ -1806,6 +1806,100 @@ object OracleSql {
     FROM g GROUP BY doc_id, grp
     ORDER BY doc_id, span_start"""
 
+  /** q93: span-level decontamination — corpus (doc_id % 50 ≠ 0)
+    * occurrences whose window hash appears anywhere in the benchmark
+    * (doc_id % 50 = 0), islands merged as in q90.
+    */
+  private val q93 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    p AS (
+      SELECT doc_id, pos FROM sh
+      WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start"""
+
+  /** q94: q93's spans cut out of the corpus text (q91's rebuild), every
+    * corpus doc emitting one row.
+    */
+  private val q94 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    p AS (
+      SELECT doc_id, pos FROM sh
+      WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk),
+    sp AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM g GROUP BY doc_id, grp),
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok
+      FROM t WHERE doc_id % 50 <> 0),
+    keep AS (
+      SELECT tk0.doc_id, tk0.pos, tk0.tok
+      FROM toks tk0
+      WHERE NOT EXISTS (SELECT 1 FROM sp
+                        WHERE sp.doc_id = tk0.doc_id
+                          AND tk0.pos BETWEEN sp.s AND sp.e)),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+             count(*) AS kept
+      FROM keep GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n
+      FROM t WHERE doc_id % 50 <> 0)
+    SELECT b.doc_id, coalesce(a.txt, '') AS text_clean,
+           b.n - CAST(coalesce(a.kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1898,5 +1992,7 @@ object OracleSql {
     "q90_duplicate_spans" -> q90,
     "q91_excise_spans" -> q91,
     "q92_incremental_spans" -> q92,
+    "q93_decontaminate_spans" -> q93,
+    "q94_decontaminate_excise" -> q94,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

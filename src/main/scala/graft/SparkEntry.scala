@@ -1490,6 +1490,38 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Span-level decontamination ([[Decontaminate.overlapSpans]]):
+    * which 8-token ranges of each corpus doc overlap the benchmark
+    * (q68's % 50 split) — the surgical alternative to q68's per-doc
+    * contamination ratio.
+    */
+  def q93_decontaminate_spans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.overlapSpans(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Surgical decontamination end-to-end: q93's overlap spans cut out
+    * of the corpus text ([[SubstringDedup.cutSpans]]) — contaminated
+    * passages drop, the novel remainder survives, every corpus doc
+    * emits one row. Hash-match covers the rebuilt strings.
+    */
+  def q94_decontaminate_excise(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+    SubstringDedup.cutSpans(corpus,
+        Decontaminate.overlapSpans(corpus,
+          docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", k = 8),
+        "text", "doc_id")
+      .select(col("doc_id"), col("text_deduped").as("text_clean"),
+        col("n_tokens_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1585,6 +1617,8 @@ object SparkEntry {
     "q90_duplicate_spans" -> (q90_duplicate_spans _),
     "q91_excise_spans" -> (q91_excise_spans _),
     "q92_incremental_spans" -> (q92_incremental_spans _),
+    "q93_decontaminate_spans" -> (q93_decontaminate_spans _),
+    "q94_decontaminate_excise" -> (q94_decontaminate_excise _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

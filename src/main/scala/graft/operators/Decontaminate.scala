@@ -39,4 +39,23 @@ object Decontaminate {
       .withColumn("contamination",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Span-level decontamination: WHICH token ranges of each corpus
+    * document overlap the benchmark, as maximal `(id, span_start,
+    * span_end, span_tokens)` spans — the surgical alternative to
+    * [[overlap]]'s per-doc ratio (drop the quoted eval question, keep
+    * the rest of the page). The benchmark's distinct k-window hash set
+    * ([[SubstringDedup.shingleIndex]] — eval sets are tiny) broadcasts
+    * against the corpus's positional occurrences; marked positions
+    * merge by the same gaps-and-islands rule as the dedup span family.
+    * Compose with [[SubstringDedup.cutSpans]] to emit cleaned text.
+    */
+  def overlapSpans(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val bench = SubstringDedup.shingleIndex(benchmark, textCol, idCol, k)
+      .select(col("shingle_h").as("__h"))
+    val marked = SubstringDedup.occurrences(corpus, textCol, idCol, k)
+      .join(broadcast(bench), Seq("__h"), "left_semi")
+    SubstringDedup.mergeSpans(marked, idCol, k)
+  }
 }

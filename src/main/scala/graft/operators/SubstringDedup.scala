@@ -54,8 +54,8 @@ object SubstringDedup {
     * lowercase + window-hash fused; NULL text yields no rows through
     * `posexplode`'s null-drop), positions 1-based.
     */
-  private def occurrences(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+  private[operators] def occurrences(docs: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
     val hashes = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.ShingleHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
@@ -66,7 +66,7 @@ object SubstringDedup {
   }
 
   /** Gaps-and-islands merge of marked positions into maximal spans. */
-  private def mergeSpans(marked: DataFrame, idCol: String,
+  private[operators] def mergeSpans(marked: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
@@ -190,14 +190,29 @@ object SubstringDedup {
     * itself is a codegen'd collection expression, no UDF.
     */
   def excise(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val spans = nonCanonicalSpans(docs, textCol, idCol, k)
+      k: Int): DataFrame =
+    cutSpans(docs, nonCanonicalSpans(docs, textCol, idCol, k),
+      textCol, idCol)
+
+  /** Cut arbitrary token spans out of documents: every doc gains
+    * `text_deduped` (tokens outside any of its `spans` rows, re-joined
+    * by single spaces — original casing and order preserved, original
+    * inter-token whitespace normalised) and `n_tokens_removed`. The
+    * assembly half of [[excise]], public so other span producers
+    * (e.g. [[Decontaminate.overlapSpans]] — surgical benchmark
+    * removal) compose with it. One doc-id join hanging the span list
+    * on the docs; the cut is a codegen'd collection expression, no
+    * UDF.
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spanList = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
     val covered = (p: Column, sp: Column) =>
       p >= sp.getField("span_start") && p <= sp.getField("span_end")
-    docs.join(spans, Seq(idCol), "left")
+    docs.join(spanList, Seq(idCol), "left")
       .withColumn("__toks", T.tokens(col(textCol)))
       .withColumn("__sp",
         coalesce(col("__spans"),

@@ -133,6 +133,31 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 5L, 5L)))
   }
 
+  test("overlapSpans: benchmark ranges marked in corpus docs only") {
+    val corpus = Seq(
+      1L -> "intro words the quick brown fox ends here",
+      2L -> "nothing shared with any benchmark at all").toDF("doc_id", "text")
+    val bench = Seq(
+      100L -> "THE QUICK BROWN FOX jumps").toDF("doc_id", "text")
+    val out = Decontaminate.overlapSpans(corpus, bench, "text", "doc_id", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // "the quick brown fox" = corpus doc 1 positions 3..6 (case-blind)
+    assert(out == Set((1L, 3L, 6L, 4L)))
+  }
+
+  test("cutSpans composes: surgical decontamination keeps the remainder") {
+    val corpus = Seq(
+      1L -> "keep this part SECRET EVAL QUESTION HERE and this too")
+      .toDF("doc_id", "text")
+    val bench = Seq(100L -> "secret eval question here").toDF("doc_id", "text")
+    val out = SubstringDedup.cutSpans(corpus,
+        Decontaminate.overlapSpans(corpus, bench, "text", "doc_id", k = 4),
+        "text", "doc_id")
+      .select("doc_id", "text_deduped", "n_tokens_removed")
+      .as[(Long, String, Long)].collect().head
+    assert(out == ((1L, "keep this part and this too", 4L)))
+  }
+
   test("deterministic under repartition") {
     val docs = (1L to 40L).map(i =>
       i -> (if (i % 4 == 0) "shared shingle run of eight tokens exactly here"
