@@ -196,6 +196,14 @@ class CorpusJobSpec extends SparkSpec {
       graft.operators.TermStats.docFreq(docs, "text", "doc_id")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0) == cum)
+
+    // ten days of span appends == the one-shot non-canonical build
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spanSet(spark.read.parquet(s"$state/spans")) ==
+      spanSet(graft.operators.SubstringDedup.nonCanonicalSpans(
+        docs, "text", "doc_id", cfg.spanTokens)))
   }
 
   test("deleteDocs: state == from-scratch build without the deleted docs") {
