@@ -1900,6 +1900,25 @@ object OracleSql {
     FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  /** q95: deterministic token-budget shards — the one-global-window
+    * cumsum over the h60 shuffle order (tractable at oracle SF; the
+    * operator computes the identical sum distributed).
+    */
+  private val q95 = s"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens,
+             ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS u
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
+    FROM c ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -1994,5 +2013,6 @@ object OracleSql {
     "q92_incremental_spans" -> q92,
     "q93_decontaminate_spans" -> q93,
     "q94_decontaminate_excise" -> q94,
+    "q95_training_shards" -> q95,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1522,6 +1522,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic training-shard assignment ([[Sharding.assignShards]]):
+    * pseudo-random global order (h60 of the id), ~4000-token shards,
+    * computed with the distributed prefix-sum idiom — one range
+    * exchange, no global window. Construction materializes the ranged
+    * frame once (localCheckpoint — the [[Scd2Merge.assignSurrogateKeys]]
+    * precedent: range bounds must not drift between the count and
+    * assignment passes), so the bench times the assignment, like q11.
+    * Oracle: the same cumsum as ONE global window — tractable at
+    * oracle SF, the exact plan shape the operator exists to avoid.
+    */
+  def q95_training_shards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    Sharding.assignShards(docs, "doc_id", "n_tokens", shardTokens = 4000L)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1619,6 +1637,7 @@ object SparkEntry {
     "q92_incremental_spans" -> (q92_incremental_spans _),
     "q93_decontaminate_spans" -> (q93_decontaminate_spans _),
     "q94_decontaminate_excise" -> (q94_decontaminate_excise _),
+    "q95_training_shards" -> (q95_training_shards _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
