@@ -1919,6 +1919,98 @@ object OracleSql {
            CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
     FROM c ORDER BY doc_id"""
 
+  /** q96: deletion-aware incremental spans — q92's split with the
+    * doc_id % 7 = 3 slice of the OLD side deleted. The oracle is the
+    * from-scratch keep-one-copy marking over the LIVE corpus
+    * (old minus deleted, plus the fresh batch) restricted to the
+    * batch: delete-then-probe must equal build-without.
+    */
+  private val q96 = s"""
+    WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+    live AS (
+      SELECT doc_id, text FROM documents, cut
+      WHERE doc_id > c OR doc_id % 7 <> 3),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM live),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(range(1, len(tk) - 6)) AS pos,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> md5(array_to_string(list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+      FROM t),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM sh0),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sh),
+    p AS (SELECT doc_id, pos FROM r, cut WHERE rn >= 2 AND doc_id > c),
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mk)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start"""
+
+  /** q97: ANN takedown — q81's frozen-codebook probe with the
+    * vec_id % 7 = 3 slice of the INDEXED vectors dropped from the
+    * candidate set (the centroids stay the pre-delete pick, exactly as
+    * the engine freezes the quantizer through deletions).
+    */
+  private val q97 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 WHERE vec_id % 5 <> 0 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg
+      WHERE rn = 1 AND NOT (vec_id % 5 <> 0 AND vec_id % 7 = 3)),
+    qcell AS (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2
+            WHERE vec_id % 5 = 0 AND vec_id < 50) q CROSS JOIN cents),
+    probes AS (SELECT query_id, qq, qn2, centroid_id FROM qcell WHERE rn <= 4),
+    cand AS (
+      SELECT query_id, id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2014,5 +2106,7 @@ object OracleSql {
     "q93_decontaminate_spans" -> q93,
     "q94_decontaminate_excise" -> q94,
     "q95_training_shards" -> q95,
+    "q96_delete_spans" -> q96,
+    "q97_delete_ann" -> q97,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

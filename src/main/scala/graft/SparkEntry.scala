@@ -1540,6 +1540,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deletion-aware incremental substring spans
+    * ([[SubstringDedup.shinglePostings]]): q92's 80/20 split, but the
+    * doc_id % 7 = 3 slice of the indexed corpus is tombstoned before
+    * the batch probes. Because the postings carry per-(hash, doc)
+    * attribution, retraction is ONE anti-join — a window hash stops
+    * marking spans exactly when its last live holder is deleted.
+    * Oracle: the from-scratch non-canonical build over the live corpus
+    * (old ∖ deleted ∪ fresh) restricted to the fresh batch —
+    * delete-then-probe == build-without, the family's deletion
+    * contract (q87/q88's discipline extended to the positional
+    * family).
+    */
+  def q96_delete_spans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // the 80% id cut as a LAZY 1-row broadcast scalar (q58's pattern)
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") <= col("__cut"))
+      .select(col("doc_id"), col("text"))
+    val fresh = withCut.filter(col("doc_id") > col("__cut"))
+      .select(col("doc_id"), col("text"))
+    val tomb = old.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val livePostings = SubstringDedup
+      .shinglePostings(old, "text", "doc_id", k = 8)
+      .join(tomb, Seq("doc_id"), "left_anti")
+    SubstringDedup.nonCanonicalSpansIncremental(
+        livePostings, fresh, "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** ANN takedown ([[IvfIndex.probe]] over tombstone-excluded cells):
+    * q81's incremental IVF index with the vec_id % 7 = 3 slice of the
+    * INDEXED vectors deleted before probing — a removed vector must
+    * drop out of every top-k list and its slot must go to the next
+    * real neighbor. The codebook stays FROZEN (the family's
+    * discipline: deletion never re-trains the quantizer — that's
+    * [[IvfIndex.rebuild]]'s job on the maintenance cadence), so the
+    * exclusion is one anti-join on the cell rows' id; the oracle
+    * mirrors the frozen centroids and drops the deleted ids from the
+    * candidate set — delete-then-probe == probe-without.
+    */
+  def q97_delete_ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val index = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val (cents, cells) = IvfIndex.buildIndex(index, "vec_id", "embedding", nCentroids = 16)
+    val newCells = IvfIndex.assignIncrement(fresh, "vec_id", "embedding", cents)
+    val tomb = index.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    val liveCells = cells.unionByName(newCells).join(tomb, Seq("id"), "left_anti")
+    val queries = fresh.filter(col("vec_id") < 50)
+    IvfIndex.probe(liveCells, cents, queries, "embedding", "vec_id",
+        k = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1638,6 +1695,8 @@ object SparkEntry {
     "q93_decontaminate_spans" -> (q93_decontaminate_spans _),
     "q94_decontaminate_excise" -> (q94_decontaminate_excise _),
     "q95_training_shards" -> (q95_training_shards _),
+    "q96_delete_spans" -> (q96_delete_spans _),
+    "q97_delete_ann" -> (q97_delete_ann _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -93,8 +93,10 @@ object CorpusJob {
     *                       meta also records `last_batch`, the replay
     *                       marker
     *   - `annotated/`      the per-batch annotated output, appended
-    *   - `index/shingles`  attribution-free distinct window-hash set
-    *                       ([[SubstringDedup.shingleIndex]])
+    *   - `index/shingles`  shingle postings — distinct (window-hash,
+    *                       doc) pairs ([[SubstringDedup.shinglePostings]]);
+    *                       attribution gives replay exclusion AND
+    *                       exact deletion via the tombstone anti-join
     *   - `spans/`          append-only non-canonical substring spans
     *                       of each batch (keep-one-copy marking
     *                       against everything seen before)
@@ -193,22 +195,25 @@ object CorpusJob {
         .distinct()
       newFps.write.mode("append").parquet(s"$stateDir/fps")
 
-      // --- substring spans against the shingle-hash index ---
-      // The index carries per-hash attribution (first_id) so a REPLAY
-      // probes only hashes introduced before itself: `first_id <
-      // min(batch ids)` excludes exactly what a crashed attempt
-      // appended (exact under monotonic ids) — without it, the batch's
-      // own indexed hashes would mark every replayed occurrence as
-      // seen. Tombstones don't retract the hash set — duplicates of
-      // REMOVED content keep being marked, the conservative behavior
-      // excision wants.
-      val newShingles = SubstringDedup.shingleIndexAttributed(
+      // --- substring spans against the shingle postings index ---
+      // The index carries per-(hash, doc) attribution
+      // ([[SubstringDedup.shinglePostings]]) so a REPLAY probes only
+      // hashes introduced before itself: `doc_id < min(batch ids)`
+      // excludes exactly what a crashed attempt appended (exact under
+      // monotonic ids) — without attribution, the batch's own indexed
+      // hashes would mark every replayed occurrence as seen. The same
+      // attribution makes deletion exact: tombstoned docs' postings
+      // are excluded here (the `live` anti-join), so a hash stops
+      // marking spans the moment its last live holder is deleted —
+      // from-scratch equality, not the conservative keep-marking.
+      val newShingles = SubstringDedup.shinglePostings(
         batch, "text", "doc_id", cfg.spanTokens)
       val batchMinRow = batch.agg(min(col("doc_id"))).head()
       val priorHashes = Zone.readIfExists(spark, s"$stateDir/index/shingles")
-        .map { idx =>
+        .map { idx0 =>
+          val idx = live(idx0, "doc_id")
           if (batchMinRow.isNullAt(0)) idx // empty batch: no occurrences anyway
-          else idx.filter(col("first_id") < batchMinRow.getLong(0))
+          else idx.filter(col("doc_id") < batchMinRow.getLong(0))
         }
       val spans = priorHashes match {
         case Some(idx) => SubstringDedup.nonCanonicalSpansIncremental(
@@ -304,13 +309,20 @@ object CorpusJob {
     *     merge with negated counts — zero-df terms drop); meta's
     *     n_docs decrements.
     *
-    * Physical rows in the append-only tables (sigs/bands/pairs/
-    * annotated) remain until [[compactState]], which purges them and
-    * clears `tombstones/` — the exclusion joins make that purely a
+    * The shingle postings index needs no repair step at all: its
+    * per-(hash, doc) attribution ([[SubstringDedup.shinglePostings]])
+    * means the tombstone anti-join at probe time IS the retraction —
+    * a window hash stops marking spans exactly when its last live
+    * holder is deleted, with no re-election scan (q96 oracle,
+    * IncrementalProps span-deletion property).
+    *
+    * Physical rows in the append-only tables (sigs/bands/shingles/
+    * pairs/annotated) remain until [[compactState]], which purges them
+    * and clears `tombstones/` — the exclusion joins make that purely a
     * storage concern, never a correctness one. Equality with the
     * from-scratch build over the corpus minus the deleted docs is
     * spec'd end-to-end (CorpusJobSpec) and at the operator level
-    * (q87/q88 oracles, IncrementalProps).
+    * (q87/q88/q96 oracles, IncrementalProps).
     *
     * Replay contract, same shape as [[runIncremental]]'s: a replay
     * with the SAME `batchId` re-runs the idempotent repairs and the
@@ -435,7 +447,7 @@ object CorpusJob {
         purge("pairs", Seq("id_a", "id_b"))
         purge("annotated", Seq("doc_id"))
         purge("spans", Seq("doc_id"))
-        // index/shingles is attribution-free — nothing to purge
+        purge("index/shingles", Seq("doc_id"))
       } finally tomb.unpersist()
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

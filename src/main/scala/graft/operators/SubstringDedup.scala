@@ -129,23 +129,41 @@ object SubstringDedup {
       .select(col("__h").as("shingle_h")).distinct()
   }
 
-  /** Attribution-carrying variant of [[shingleIndex]] for REPLAY-SAFE
-    * batch pipelines: each distinct window hash with the smallest doc
-    * id that introduced it. A replayed daily batch must probe only
-    * hashes introduced BEFORE itself — with the attribution-free set
-    * it cannot tell corpus history from its own crashed attempt's
-    * append, but `first_id < min(batch ids)` is exact under the
-    * monotonic-id contract ([[graft.jobs.CorpusJob.runIncremental]]'s
-    * span leg). Appends may repeat a hash with a later first_id; the
-    * probe's distinct absorbs that, and compaction may collapse to the
-    * per-hash minimum at leisure.
+  /** Fully-attributed variant of [[shingleIndex]] — the POSTINGS of
+    * the window-hash set: one row per distinct `(hash, doc)` pair.
+    * This is the state shape that supports both production disciplines
+    * the attribution-free set cannot:
+    *
+    *  - **Replay safety**: a replayed daily batch must probe only
+    *    hashes introduced BEFORE itself; `doc_id < min(batch ids)` is
+    *    exact under the monotonic-id contract
+    *    ([[graft.jobs.CorpusJob.runIncremental]]'s span leg). A
+    *    keyless hash set cannot exclude its own crashed attempt's
+    *    appends.
+    *  - **Deletion**: retracting a document is an anti-join on
+    *    `doc_id` against the tombstone set — a hash stops marking
+    *    spans exactly when its LAST live holder goes, with no
+    *    re-election scan (cf. the fingerprint index, whose single
+    *    `canonical_id` attribution needs one). The exclusion join is
+    *    the same [[graft.jobs.CorpusJob.deleteDocs]] contract as the
+    *    sig/band/cell tables; [[graft.jobs.CorpusJob.compactState]]
+    *    purges the rows physically.
+    *
+    * Size: |distinct (hash, doc)| rows versus [[shingleIndex]]'s
+    * |distinct hash| — a small multiple (the mean document frequency
+    * of a k-token window is near 1 for everything but boilerplate) at
+    * 16 bytes a row, still bucketed on `shingle_h` so the daily probe
+    * plan is unchanged (the probe projects `shingle_h` and dedups
+    * inside the semi-join build). Appends are idempotent by value:
+    * a replayed batch re-emits identical rows and the probe's
+    * distinct absorbs them.
     */
-  def shingleIndexAttributed(docs: DataFrame, textCol: String,
+  def shinglePostings(docs: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
     occurrences(docs, textCol, idCol, k)
-      .groupBy(col("__h")).agg(min(col(idCol)).as("first_id"))
-      .select(col("__h").as("shingle_h"), col("first_id"))
+      .select(col("__h").as("shingle_h"), col(idCol).cast("long").as("doc_id"))
+      .distinct()
   }
 
   /** Incremental [[nonCanonicalSpans]]: spans for a daily `batch` of

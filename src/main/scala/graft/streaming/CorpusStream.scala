@@ -237,15 +237,18 @@ object CorpusStream {
 
   /** Streaming incremental substring-span dedup — the positional
     * family member: each micro-batch marks its non-canonical k-token
-    * spans against the persisted distinct-hash shingle index
+    * spans against the persisted shingle postings index
     * ([[SubstringDedup.nonCanonicalSpansIncremental]] — one semi-join,
     * no corpus recompute), appends the spans to the span log, and
-    * extends the index with its own distinct window hashes. Batches
-    * re-appending hashes an earlier batch already holds is harmless —
-    * the probe is a semi-join and the operator is spec'd robust to a
-    * non-distinct index; compaction may dedupe at leisure. Batch ids
-    * must ride the family's monotonic-doc-id contract. Same
-    * exactly-once contract as [[runIncrementalNearDup]].
+    * extends the index with its own distinct (hash, doc) postings
+    * ([[SubstringDedup.shinglePostings]] — the attributed shape the
+    * batch path persists, so the two paths share state and deletion
+    * stays an anti-join on `doc_id`). Batches re-appending postings an
+    * earlier batch already holds is harmless — the probe is a
+    * semi-join and the operator is spec'd robust to a non-distinct
+    * index; compaction may dedupe at leisure. Batch ids must ride the
+    * family's monotonic-doc-id contract. Same exactly-once contract as
+    * [[runIncrementalNearDup]].
     */
   def runIncrementalSpans(
       spark: SparkSession,
@@ -266,7 +269,7 @@ object CorpusStream {
           // micro-batch)
           val b = batch.cache()
           try {
-            val newHashes = SubstringDedup.shingleIndex(b, textCol, idCol, k)
+            val newHashes = SubstringDedup.shinglePostings(b, textCol, idCol, k)
             val spans = Zone.readBatchedBefore(spark, indexDir, bid) match {
               case Some(idx) =>
                 SubstringDedup.nonCanonicalSpansIncremental(

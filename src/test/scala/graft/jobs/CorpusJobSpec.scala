@@ -276,6 +276,20 @@ class CorpusJobSpec extends SparkSpec {
     assert(ann3(n + 2)._2 && ann3(n + 2)._1 <= survivor.getLong(0),
       "copy of surviving content must be a duplicate of a remaining canonical")
 
+    // span leg: the post-deletion batch's spans == the from-scratch
+    // keep-one-copy marking over the LIVE corpus restricted to the
+    // batch — a window hash whose only holders were deleted stops
+    // marking (the postings anti-join IS the retraction)
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(
+      spanSet(spark.read.parquet(s"$state/spans").filter($"doc_id" > n)) ==
+        spanSet(graft.operators.SubstringDedup.nonCanonicalSpans(
+            remaining.unionByName(day3), "text", "doc_id", cfg.spanTokens)
+          .filter($"doc_id" > n)),
+      "post-deletion span probe must equal build-without")
+
     // compactState purges the tombstoned rows physically and clears the set
     CorpusJob.compactState(spark, state)
     assert(!graft.sources.Zone.exists(spark, s"$state/tombstones"))
@@ -286,6 +300,9 @@ class CorpusJobSpec extends SparkSpec {
       .count() == 0)
     assert(spark.read.parquet(s"$state/annotated")
       .filter($"doc_id".isin(delIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s"$state/index/shingles")
+      .filter($"doc_id".isin(delIds.toSeq: _*)).count() == 0,
+      "compaction must purge deleted docs' shingle postings")
   }
 
   test("run keeps survivors only and writes corpus + stats") {

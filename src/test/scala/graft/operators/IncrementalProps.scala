@@ -181,4 +181,30 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
         spans(SubstringDedup.nonCanonicalSpans(all, "text", "doc_id", 2)
           .filter($"doc_id" >= cutId))
     }
+
+  property("substring spans: tombstone-excluded postings == from-scratch build without deleted") =
+    forAll(corpusGen) { case (docs, _) =>
+      // monotonic cut (the operator's id contract); deleted = every 3rd
+      // of the indexed side — the takedown shape: postings built BEFORE
+      // the deletion, then excluded by anti-join, then a batch probes
+      val cutId = (docs.size * 4 / 5).toLong
+      val all = docs.toDF("doc_id", "text")
+      val old = all.filter($"doc_id" < cutId)
+      val fresh = all.filter($"doc_id" >= cutId)
+      val delIds = docs.map(_._1).filter(i => i < cutId && i % 3 == 1).toSet
+      val tomb = delIds.toSeq.toDF("doc_id")
+      val livePostings = SubstringDedup
+        .shinglePostings(old, "text", "doc_id", 2)
+        .join(tomb, Seq("doc_id"), "left_anti")
+      val liveAll = all.filter(
+        if (delIds.isEmpty) $"doc_id".isNotNull
+        else !$"doc_id".isin(delIds.toSeq: _*))
+      def spans(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "span_start", "span_end", "span_tokens")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      spans(SubstringDedup.nonCanonicalSpansIncremental(
+          livePostings, fresh, "text", "doc_id", 2)) ==
+        spans(SubstringDedup.nonCanonicalSpans(liveAll, "text", "doc_id", 2)
+          .filter($"doc_id" >= cutId))
+    }
 }
