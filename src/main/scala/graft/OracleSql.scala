@@ -2011,6 +2011,27 @@ object OracleSql {
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  /** q98: incremental shard export == the one-shot cumsum under
+    * DAY-MAJOR order (day, u, doc_id) — day 2 continues filling day
+    * 1's open shard; already-shipped shards never reshuffle.
+    */
+  private val q98 = s"""
+    WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+    t AS (
+      SELECT doc_id, lang,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens,
+             ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS u,
+             CASE WHEN doc_id > c THEN 1 ELSE 0 END AS d
+      FROM documents, cut),
+    cm AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (ORDER BY d, u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
+    FROM cm ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2108,5 +2129,6 @@ object OracleSql {
     "q95_training_shards" -> q95,
     "q96_delete_spans" -> q96,
     "q97_delete_ann" -> q97,
+    "q98_incremental_shards" -> q98,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

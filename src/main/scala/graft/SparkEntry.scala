@@ -1597,6 +1597,32 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental training-shard export ([[Sharding.continueShards]]'
+    * assignment algebra): day 2's batch continues filling the shard
+    * day 1 left open — `startTokens` carries the cursor, so no shard
+    * truncates at the day boundary and already-shipped shards are
+    * never reshuffled. Oracle: the one-shot cumsum under DAY-MAJOR
+    * order `(day, u, doc_id)` — the only semantics a continuous export
+    * can have. Construction is eager like q95's (the sharding family's
+    * `localCheckpoint` + bounded offset collect are inherent to the
+    * distributed dense-numbering idiom); the day-1 token total the
+    * cursor would hold is one extra 1-row aggregate.
+    */
+  def q98_incremental_shards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+      .head().getLong(0)
+    val day1 = docs.filter(col("doc_id") <= cut)
+    val day2 = docs.filter(col("doc_id") > cut)
+    val t1 = day1.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    Sharding.assignShards(day1, "doc_id", "n_tokens", shardTokens = 4000L)
+      .unionByName(Sharding.assignShards(day2, "doc_id", "n_tokens",
+        shardTokens = 4000L, startTokens = t1))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1697,6 +1723,7 @@ object SparkEntry {
     "q95_training_shards" -> (q95_training_shards _),
     "q96_delete_spans" -> (q96_delete_spans _),
     "q97_delete_ann" -> (q97_delete_ann _),
+    "q98_incremental_shards" -> (q98_incremental_shards _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -29,12 +29,18 @@ object Sharding {
 
   /** `df` + `shard_id` (0-based, contiguous). `keyCol` must uniquely
     * identify rows — it seeds the deterministic shuffle order and
-    * breaks hash ties.
+    * breaks hash ties. `startTokens` offsets the global running sum:
+    * 0 for a one-shot export; the persisted cursor for the
+    * incremental form ([[continueShards]]), so a new batch keeps
+    * filling the shard the previous batch left open instead of
+    * truncating it at the day boundary.
     */
   def assignShards(df: DataFrame, keyCol: String, tokensCol: String,
-      shardTokens: Long, salt: String = "shard"): DataFrame = {
+      shardTokens: Long, salt: String = "shard",
+      startTokens: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, s"shardTokens must be > 0, got $shardTokens")
+    require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
     val u = H.h60(concat(lit(salt + ":"), col(keyCol).cast("string")))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
@@ -52,7 +58,7 @@ object Sharding {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .withColumn("__cum",
-        element_at(typedlit(offsets), col("__pid")) +
+        lit(startTokens) + element_at(typedlit(offsets), col("__pid")) +
           sum(col(tokensCol).cast("long")).over(w))
       .withColumn("shard_id",
         floor((col("__cum") - col(tokensCol).cast("long")) / shardTokens)
@@ -79,5 +85,60 @@ object Sharding {
         sum(col(tokensCol).cast("long")).as("n_tokens"))
     Zone.overwriteInPlace(spark, manifest, s"$dir/_manifest")
     spark.read.parquet(s"$dir/_manifest")
+  }
+
+  /** Incremental training-shard export — the continuous form of
+    * [[writeShards]]: each daily `batch` is pseudo-randomly shuffled
+    * WITHIN itself (the h60 order) and appended to the shard sequence
+    * from wherever the previous batch stopped, so the shard a day
+    * leaves part-filled keeps filling the next day and no shard is
+    * truncated at a day boundary. Day-over-day union equals the
+    * one-shot [[assignShards]] under day-major order — cumsum ordered
+    * by `(day, u, key)` — which is the exact semantics a continuous
+    * export CAN have: already-shipped shards are immutable, so a new
+    * batch may only extend the sequence, never reshuffle into it
+    * (q98's oracle states this as SQL; ShardingSpec pins the
+    * day-seam fill and the budget bound across it).
+    *
+    * State under `stateDir`:
+    *   - `shards/`  rows partitioned by `(__batch_id, shard_id)` and
+    *     written with DYNAMIC partition overwrite — a replayed batch
+    *     rewrites exactly its own partitions with identical bytes
+    *     (same cursor ⇒ same assignment), so the append is idempotent
+    *     through any crash point; a trainer reads shard k as the
+    *     `shard_id = k` slice (partition-pruned) across batch dirs
+    *   - `_cursor/` 1-row `(total_tokens, last_batch)`, swapped LAST
+    *     ([[Zone.overwriteInPlace]]) — the replay marker: any batch id
+    *     ≤ the committed one short-circuits to a no-op (batch ids must
+    *     be monotonic, [[Zone.lastCommittedBatch]]'s convention — an
+    *     old batch must never re-run against an advanced cursor)
+    *
+    * The cursor read and the per-partition offset collect are the
+    * operator's two bounded driver actions (1 row + shuffle-partition
+    * rows — the family's documented collect budget). Returns the
+    * batch's token count (0 for a replay of a committed batch).
+    */
+  def continueShards(spark: SparkSession, batch: DataFrame, stateDir: String,
+      keyCol: String, tokensCol: String, shardTokens: Long,
+      batchId: Long, salt: String = "shard"): Long = {
+    val cursor = Zone.readIfExists(spark, s"$stateDir/_cursor")
+      .map(_.select(col("total_tokens"), col("last_batch")).head())
+    if (cursor.exists(_.getLong(1) >= batchId)) return 0L
+    val start = cursor.map(_.getLong(0)).getOrElse(0L)
+    val sharded = assignShards(batch, keyCol, tokensCol, shardTokens,
+      salt, startTokens = start)
+    sharded.withColumn("__batch_id", lit(batchId))
+      .write
+      .partitionBy("__batch_id", "shard_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$stateDir/shards")
+    val batchTokens = batch.agg(coalesce(sum(col(tokensCol).cast("long")),
+      lit(0L))).head().getLong(0)
+    import spark.implicits._
+    Zone.overwriteInPlace(spark,
+      Seq((start + batchTokens, batchId)).toDF("total_tokens", "last_batch"),
+      s"$stateDir/_cursor")
+    batchTokens
   }
 }

@@ -58,6 +58,65 @@ class ShardingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("continueShards: daily batches == one-shot day-major assignment; seam shard keeps filling; replay no-op") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val state = tmpDir("shardstate")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val cuts = Seq(n / 3, 2 * n / 3, n)
+    val days = cuts.zip(-1L +: cuts.dropRight(1)).map { case (hi, lo) =>
+      docs.filter($"doc_id" > lo && $"doc_id" <= hi)
+    }
+    days.zipWithIndex.foreach { case (d, i) =>
+      Sharding.continueShards(spark, d, state, "doc_id", "n_tokens",
+        budget, batchId = i.toLong)
+    }
+    val got = spark.read.parquet(s"$state/shards")
+      .select($"doc_id", $"shard_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: one global cumsum under day-major order (day, u, doc_id)
+    val u = graft.functions.AuditableHash.h60(
+      concat(lit("shard:"), $"doc_id".cast("string")))
+    val day = when($"doc_id" <= cuts(0), 0).when($"doc_id" <= cuts(1), 1).otherwise(2)
+    val w = Window.orderBy(day, u, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docs
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("shard_id", floor(($"cum" - $"n_tokens") / budget).cast("long"))
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference)
+
+    // the day-1 seam shard is SHARED: day 2's first docs land in the
+    // shard day 1 left open (unless day 1 closed exactly on budget)
+    val lastDay1Shard = spark.read.parquet(s"$state/shards")
+      .filter($"__batch_id" === 0).agg(max($"shard_id".cast("long"))).head().getLong(0)
+    val firstDay2Shard = spark.read.parquet(s"$state/shards")
+      .filter($"__batch_id" === 1).agg(min($"shard_id".cast("long"))).head().getLong(0)
+    assert(firstDay2Shard <= lastDay1Shard,
+      "day 2 must continue the open shard, not truncate at the boundary")
+
+    // budget bound holds ACROSS the seam: every shard < budget + its max doc
+    spark.read.parquet(s"$state/shards")
+      .groupBy($"shard_id".cast("long").as("s"))
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) < budget + r.getLong(2),
+          s"shard ${r.getLong(0)} exceeds budget: ${r.getLong(1)}")
+      }
+
+    // replay of a committed batch: cursor marker short-circuits, state unchanged
+    val cursorBefore = spark.read.parquet(s"$state/_cursor").head()
+    assert(Sharding.continueShards(spark, days(1), state, "doc_id", "n_tokens",
+      budget, batchId = 1L) == 0L)
+    assert(spark.read.parquet(s"$state/_cursor").head() == cursorBefore)
+    assert(spark.read.parquet(s"$state/shards").count() == docs.count(),
+      "replay must not duplicate rows")
+    assert(spark.read.parquet(s"$state/_cursor").head().getLong(0) ==
+      docs.agg(sum("n_tokens")).head().getLong(0))
+  }
+
   test("writeShards: per-shard directories + complete manifest") {
     val dir = tmpDir("shards")
     val manifest = Sharding.writeShards(spark, docs, dir, "doc_id",
