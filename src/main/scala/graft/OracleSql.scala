@@ -2032,6 +2032,32 @@ object OracleSql {
            CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
     FROM cm ORDER BY doc_id"""
 
+  /** q99: hashed-BoW linear score — the weight vector regenerates
+    * in-SQL (`h60('qw:'||bucket) mod 2001 − 1000`), bucket =
+    * `h60(lower(token)) mod 256`; exact integer sum per document.
+    * NULL text → NULL score + failed gate; token-less text scores 0.
+    */
+  private val q99 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+    wt AS (
+      SELECT doc_id,
+             ${h60(s"'qw:' || CAST(${h60("lower(w)")} % 256 AS VARCHAR)")}
+               % 2001 - 1000 AS wv
+      FROM tok),
+    sc AS (SELECT doc_id, CAST(sum(wv) AS BIGINT) AS s FROM wt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(sc.s, 0) END AS bow_score,
+           CASE WHEN d.text IS NULL THEN FALSE
+                ELSE coalesce(sc.s, 0) >= 0 END AS quality_pass
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2130,5 +2156,6 @@ object OracleSql {
     "q96_delete_spans" -> q96,
     "q97_delete_ann" -> q97,
     "q98_incremental_shards" -> q98,
+    "q99_model_score" -> q99,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1623,6 +1623,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality scoring ([[QualityModel.score]] — the
+    * fastText-style classifier inference stage): every document gets
+    * an exact fixed-point hashed-bag-of-words linear score from the
+    * 256-bucket stub model and a pass/fail gate at 0. The weights
+    * embed in the plan inside ONE native codegen expression
+    * ([[graft.plans.HashedBowScore]] — tokenize + hash + bucket + dot
+    * product fused), so scoring is a pure narrow map: one corpus scan,
+    * no join, no explode. The oracle regenerates the weight vector
+    * in-SQL from the h60 family (the MinHash-constants discipline) —
+    * no out-of-band model shipping.
+    */
+  def q99_model_score(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    QualityModel.score(docs, "text", QualityModel.stubWeights(256))
+      .select(col("doc_id"), col("bow_score"), col("quality_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1724,6 +1742,7 @@ object SparkEntry {
     "q96_delete_spans" -> (q96_delete_spans _),
     "q97_delete_ann" -> (q97_delete_ann _),
     "q98_incremental_shards" -> (q98_incremental_shards _),
+    "q99_model_score" -> (q99_model_score _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

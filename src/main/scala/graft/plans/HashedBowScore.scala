@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed bag-of-words linear score of one document against an
+  * embedded weight vector: `string → long` where the score is
+  * `Σ weights[h60(lower(token)) mod dim]` over the whitespace tokens —
+  * the fastText-style classifier inference pass
+  * ([[graft.operators.QualityModel]]). Weights are fixed-point longs
+  * (the model's export contract), so the score is exact integer
+  * arithmetic and the DuckDB oracle reproduces it bit-for-bit; NULL
+  * text → NULL, a token-less document scores 0.
+  *
+  * Per-token hashing delegates to [[ShingleHashes.compute]] with k=1
+  * (a 1-token window hash IS the token's h60 — tokenize + lowercase +
+  * md5 in one fused pass, bit-identical to the span family's kernels
+  * and to `md5(lower(tok))` in SQL), so the tokenization contract
+  * cannot drift between the classifier and the dedup operators.
+  *
+  * Why a custom Expression (the [[IvfAssign]]/[[LshBuckets]]
+  * rationale): the composed form — `aggregate(transform(...))` over an
+  * exploded token array with an `element_at` against a dim-long array
+  * literal — runs the per-token lambda interpreted (~10 µs/row at
+  * dim-scale forests, the q90 pathology), and at 100 TB the scoring
+  * pass sits on every document. This is one tight loop over a `long[]`
+  * reference object inside whole-stage codegen: scoring stays a pure
+  * narrow map — no join, no explode, no row amplification.
+  */
+case class HashedBowScore(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty, "weights must be non-empty (dim >= 1)")
+
+  private val dim = weights.length
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_bow_score requires string, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bow_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBowScore.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bowWeights", w, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.HashedBowScore.compute($a, $wRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBowScore =
+    copy(child = newChild)
+}
+
+object HashedBowScore {
+
+  /** Exact integer score; shared by interpreted eval and codegen. */
+  def compute(text: UTF8String, w: Array[Long]): Long = {
+    val hashes: ArrayData = ShingleHashes.compute(text, 1)
+    val n = hashes.numElements()
+    val dim = w.length
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      // h60 is non-negative, so % is a true mod
+      score += w((hashes.getLong(i) % dim).toInt)
+      i += 1
+    }
+    score
+  }
+}
