@@ -287,4 +287,38 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming training-shard export — the continuous form of the
+    * export family's tail: each micro-batch rides
+    * [[graft.operators.Sharding.continueShards]], continuing the
+    * token cumsum from the persisted cursor so the shard one
+    * micro-batch leaves part-filled keeps filling in the next.
+    * Exactly-once comes from the operator itself, not this wrapper:
+    * the cursor swap is the committed marker (any batch id ≤ the
+    * committed one no-ops — streaming batch ids are monotonic by
+    * construction) and the shard rows write under
+    * `(__batch_id, shard_id)` with dynamic overwrite, so a replay
+    * rewrites its own partitions byte-identically. Same state layout
+    * as the batch path — the two share `stateDir`.
+    */
+  def runIncrementalShards(
+      spark: SparkSession,
+      docs: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      shardTokens: Long,
+      salt: String = "shard"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.operators.Sharding.continueShards(
+          spark, batch, stateDir, keyCol, tokensCol, shardTokens,
+          batchId = bid, salt = salt)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -188,6 +188,60 @@ class CorpusStreamSpec extends SparkSpec {
     assert(after == before, "kill-and-replay changed state tables")
   }
 
+  test("streaming shard export == one-shot day-major assignment; kill-and-replay value-identical") {
+    import org.apache.spark.sql.expressions.Window
+    val base = tmpDir("shardstream")
+    val budget = 2000L
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+      .select($"doc_id", $"n_tokens")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (c1, c2) = (n / 3, 2 * n / 3)
+    val inDir = s"$base/in"
+    docs.filter($"doc_id" <= c1).coalesce(1).write.parquet(inDir)
+    docs.filter($"doc_id" > c1 && $"doc_id" <= c2).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    docs.filter($"doc_id" > c2).coalesce(1).write.mode("append").parquet(inDir)
+
+    val q = CorpusStream.runIncrementalShards(spark, spark.readStream
+        .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "doc_id", "n_tokens", s"$base/state", s"$base/ckpt", budget)
+    q.awaitTermination()
+
+    // == the one-shot cumsum under micro-batch-major order. File-source
+    // ordering note: batches arrive in file order = the three writes
+    val u = graft.functions.AuditableHash.h60(
+      concat(lit("shard:"), $"doc_id".cast("string")))
+    val day = when($"doc_id" <= c1, 0).when($"doc_id" <= c2, 1).otherwise(2)
+    val w = Window.orderBy(day, u, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docs
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("shard_id", floor(($"cum" - $"n_tokens") / budget).cast("long"))
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(s"$base/state/shards")
+      .select($"doc_id", $"shard_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference)
+
+    // kill-and-replay the newest batch: the cursor marker short-circuits
+    // and the dynamic-overwrite partitions rewrite byte-identically
+    val before = multiset(s"$base/state/shards")
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    rmrf(s"$base/ckpt/commits/${commits.max}")
+    val q2 = CorpusStream.runIncrementalShards(spark, spark.readStream
+        .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "doc_id", "n_tokens", s"$base/state", s"$base/ckpt", budget)
+    q2.awaitTermination()
+    assert(multiset(s"$base/state/shards") == before,
+      "kill-and-replay changed the shard table")
+    assert(spark.read.parquet(s"$base/state/_cursor").head().getLong(0) ==
+      docs.agg(sum($"n_tokens")).head().getLong(0))
+  }
+
   test("streaming embedding increments == batch LSH pair set; two-table index accumulates") {
     val base = tmpDir("embstream")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
