@@ -2058,6 +2058,53 @@ object OracleSql {
     FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     ORDER BY d.doc_id"""
 
+  /** q100: BPE vocabulary induction — the 8-merge training chain as
+    * generated MATERIALIZED CTEs (without materialization the
+    * seg→best→seg lineage inlines exponentially). Each iteration
+    * mirrors the engine exactly: adjacent-pair counts weighted by word
+    * count, argmax with the pair-string ascending tie-break,
+    * left-to-right non-overlapping `replace` on the space-delimited
+    * segmentation.
+    */
+  private val q100: String = {
+    val k = 8
+    val sb = new StringBuilder(s"""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
+      w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      seg1 AS MATERIALIZED (
+        SELECT word, cnt,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+        FROM w)""")
+    for (i <- 1 to k) {
+      sb.append(s""",
+      pc$i AS (
+        SELECT p, sum(cnt) AS c FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(l)),
+                 j -> l[j] || ' ' || l[j + 1])) AS p
+          FROM (SELECT cnt, string_split(trim(s), ' ') AS l FROM seg$i))
+        GROUP BY p),
+      best$i AS MATERIALIZED (
+        SELECT p, CAST(c AS BIGINT) AS c FROM pc$i
+        ORDER BY c DESC, p ASC LIMIT 1)""")
+      if (i < k) sb.append(s""",
+      seg${i + 1} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(s, ' ' || (SELECT p FROM best$i) || ' ',
+                          ' ' || (SELECT replace(p, ' ', '') FROM best$i) || ' ') AS s
+        FROM seg$i)""")
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS cnt FROM best$i")
+      .mkString(" UNION ALL ")
+    sb.append(s" SELECT * FROM ($unions) ORDER BY rank")
+    sb.toString
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2157,5 +2204,6 @@ object OracleSql {
     "q97_delete_ann" -> q97,
     "q98_incremental_shards" -> q98,
     "q99_model_score" -> q99,
+    "q100_bpe_vocab" -> q100,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

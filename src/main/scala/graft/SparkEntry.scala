@@ -1641,6 +1641,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE vocabulary induction ([[BpeVocab.train]] — Sennrich et al.
+    * 2016): the 8 highest-frequency symbol merges learned from the
+    * corpus, with each merge's weighted pair frequency at merge time
+    * (the training trace). The corpus collapses to the word-TYPE table
+    * in one pass; each merge is one aggregate over the types plus a
+    * 1-row argmax collect (the bounded iterative-driver shape shared
+    * with IvfIndex.rebuild's Lloyd loop — training is inherently
+    * sequential in the merge rank). Oracle: the identical 8-iteration
+    * chain as materialized CTEs — pair counting, argmax with the
+    * pair-string tie-break, left-to-right non-overlapping replace.
+    */
+  def q100_bpe_vocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    BpeVocab.train(s, docs, "text", numMerges = 8).orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1743,6 +1759,7 @@ object SparkEntry {
     "q97_delete_ann" -> (q97_delete_ann _),
     "q98_incremental_shards" -> (q98_incremental_shards _),
     "q99_model_score" -> (q99_model_score _),
+    "q100_bpe_vocab" -> (q100_bpe_vocab _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

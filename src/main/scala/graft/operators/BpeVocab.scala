@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction at corpus scale — the
+  * tokenizer-training step of an LLM data pipeline (Sennrich et al.
+  * 2016's subword BPE, the algorithm behind the GPT-2/RoBERTa-family
+  * vocabularies). Given a corpus, learn the `numMerges`
+  * highest-frequency symbol merges; given the learned merges, segment
+  * text into subword tokens.
+  *
+  * Scale shape — the corpus is touched ONCE: [[wordCounts]] collapses
+  * it to the word-TYPE table `(word, cnt)` (one tokenize + one hash
+  * aggregate — at 100 TB the type table is millions of rows where the
+  * corpus is trillions of tokens, the classic type/token gap that
+  * makes BPE training tractable). Every merge iteration is then one
+  * aggregate over the type table: explode each word's CURRENT
+  * segmentation into adjacent symbol pairs weighted by `cnt`, pick the
+  * global argmax (a 1-row driver action per iteration — the bounded
+  * IvfIndex-codebook discipline), and apply the merge as a narrow
+  * `replace` on the segmentation column. `numMerges` iterations =
+  * `numMerges` aggregates over the type table, never a second corpus
+  * pass.
+  *
+  * Determinism (what makes q100 oracle-exact): ties in pair frequency
+  * break on the pair string ascending; the segmentation is the
+  * space-delimited symbol string `" c1 c2 … </w> "` and merge
+  * application is standard left-to-right non-overlapping string
+  * replace — bit-identical in Spark and DuckDB. Vocabulary admits
+  * `^[a-z]+$` word types of the lowercased tokenization (BPE trainers
+  * normalize; out-of-alphabet tokens pass through [[segment]]
+  * unsplit), so the char-exploding regex never meets a multi-byte
+  * codepoint and the two engines' regex semantics cannot diverge.
+  */
+object BpeVocab {
+
+  /** End-of-word marker symbol (its own symbol in every segmentation,
+    * as in the original BPE formulation — lets merges distinguish
+    * word-final from word-internal contexts).
+    */
+  val EndOfWord = "</w>"
+
+  /** The word-type table `(word, cnt)` — the ONE corpus pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(T.tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation column: `" c1 c2 … cn </w> "`. */
+  private def initialSeg(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "), lit(EndOfWord + " "))
+
+  /** Adjacent-pair counts of the current segmentations, weighted by
+    * word count: `(p = "a b", c)`.
+    */
+  private def pairCounts(seg: DataFrame): DataFrame =
+    seg.select(col("cnt"), split(trim(col("s")), " ").as("l"))
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "j -> concat(element_at(l, j), ' ', element_at(l, j + 1)))")).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("c"))
+
+  /** Learn the top `numMerges` merges. Returns `(rank, pair, merged,
+    * cnt)` — rank 1-based in learned order, `pair` the space-joined
+    * symbol pair, `merged` its concatenation, `cnt` the pair's
+    * weighted frequency AT MERGE TIME (the training trace, so two runs
+    * are comparable merge-by-merge). Stops early if no pair is left
+    * (fully merged vocabulary).
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val w = wordCounts(docs, textCol)
+    // the type table materializes ONCE; each iteration's aggregate and
+    // replace chain re-read this cache, never the corpus
+    val seg0 = w.withColumn("s", initialSeg(col("word"))).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var seg = seg0
+      var i = 1
+      var done = false
+      while (i <= numMerges && !done) {
+        val top = pairCounts(seg)
+          .orderBy(col("c").desc, col("p").asc).limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          val merged = pair.replace(" ", "")
+          merges += ((i, pair, merged, top(0).getLong(1)))
+          // symbols are [a-z</>]+ — safe to inline in the SQL literal
+          seg = seg.withColumn("s",
+            expr(s"replace(s, ' $pair ', ' $merged ')"))
+          i += 1
+        }
+      }
+      import spark.implicits._
+      merges.toSeq.toDF("rank", "pair", "merged", "cnt")
+    } finally seg0.unpersist()
+  }
+
+  /** Collected merge rules in rank order — the bounded model artifact
+    * (`numMerges` rows) [[segment]] embeds in its plan.
+    */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("rank")).select("pair", "merged").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toIndexedSeq
+
+  /** Segment text with learned merges: `df` + `bpe_tokens`
+    * (array<string>) + `n_bpe_tokens`. The distributed shape mirrors
+    * training: distinct word TYPES segment once (the ranked replace
+    * chain runs over the type table, not the corpus), then the
+    * corpus's tokens join the type→subwords map and re-assemble in
+    * position order — one explode, one join (broadcast when the
+    * vocabulary is small), one doc-id aggregate. Out-of-alphabet
+    * tokens pass through as single unsplit symbols.
+    */
+  def segment(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(T.tokens(lower(col(textCol)))).as(Seq("pos", "word")))
+    val types = toks.select(col("word")).distinct()
+      .withColumn("s",
+        when(col("word").rlike("^[a-z]+$"), initialSeg(col("word")))
+          // out-of-alphabet: one unsplit symbol + the marker (symbol
+          // boundaries are spaces, so no learned [a-z] pair can match)
+          .otherwise(concat(lit(" "), col("word"), lit(" " + EndOfWord + " "))))
+    val segged = merges.foldLeft(types) { case (acc, (pair, merged)) =>
+      acc.withColumn("s", expr(s"replace(s, ' $pair ', ' $merged ')"))
+    }.select(col("word"), split(trim(col("s")), " ").as("subwords"))
+    toks.join(segged, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subwords"))))
+        .getField("subwords")).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+      .join(df, Seq(idCol), "right")
+  }
+}
