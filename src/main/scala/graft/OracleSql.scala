@@ -2066,8 +2066,12 @@ object OracleSql {
     * left-to-right non-overlapping `replace` on the space-delimited
     * segmentation.
     */
-  private val q100: String = {
-    val k = 8
+  /** The k-iteration BPE TRAINING chain as a WITH-body fragment
+    * (`tok`, `w`, `seg1..segk`, `pc1..pck`, `best1..bestk`) — shared
+    * by q100 (the trace) and q101 (segmentation uses the learned
+    * `best{i}` rules).
+    */
+  private def bpeTrainingCtes(k: Int): String = {
     val sb = new StringBuilder(s"""
       WITH tok AS (
         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -2098,10 +2102,56 @@ object OracleSql {
                           ' ' || (SELECT replace(p, ' ', '') FROM best$i) || ' ') AS s
         FROM seg$i)""")
     }
+    sb.toString
+  }
+
+  private val q100: String = {
+    val k = 8
     val unions = (1 to k).map(i =>
       s"SELECT $i AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS cnt FROM best$i")
       .mkString(" UNION ALL ")
-    sb.append(s" SELECT * FROM ($unions) ORDER BY rank")
+    bpeTrainingCtes(k) + s" SELECT * FROM ($unions) ORDER BY rank"
+  }
+
+  /** q101: BPE segmentation end-to-end — the q100 training chain, then
+    * the learned rules applied to ALL word types (out-of-alphabet
+    * words stay one unsplit symbol + marker), corpus tokens joined to
+    * the type→subwords map and reassembled in position order. Per-doc
+    * output: subword count + an md5 fingerprint of the joined
+    * segmentation (compact, still hash-exact).
+    */
+  private val q101: String = {
+    val k = 8
+    val sb = new StringBuilder(bpeTrainingCtes(k))
+    sb.append(s""",
+      t AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END AS tk
+        FROM documents),
+      tokpos AS (
+        SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+               unnest(list_transform(range(1, len(tk) + 1), i -> lower(tk[i]))) AS word
+        FROM t),
+      tseg1 AS MATERIALIZED (
+        SELECT word, CASE WHEN regexp_matches(word, '^[a-z]+$$')
+                          THEN ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '
+                          ELSE ' ' || word || ' </w> ' END AS s
+        FROM (SELECT DISTINCT word FROM tokpos))""")
+    for (i <- 1 to k) sb.append(s""",
+      tseg${i + 1} AS MATERIALIZED (
+        SELECT word, replace(s, ' ' || (SELECT p FROM best$i) || ' ',
+                                ' ' || (SELECT replace(p, ' ', '') FROM best$i) || ' ') AS s
+        FROM tseg$i)""")
+    sb.append(s""",
+      smap AS (SELECT word, string_split(trim(s), ' ') AS sub FROM tseg${k + 1}),
+      perdoc AS (
+        SELECT doc_id, flatten(list(sub ORDER BY pos)) AS bt
+        FROM tokpos JOIN smap USING (word) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(len(bt), 0) AS BIGINT) AS n_bpe_tokens,
+             md5(coalesce(array_to_string(bt, ' '), '')) AS bpe_fp
+      FROM documents d LEFT JOIN perdoc USING (doc_id)
+      ORDER BY d.doc_id""")
     sb.toString
   }
 
@@ -2205,5 +2255,6 @@ object OracleSql {
     "q98_incremental_shards" -> q98,
     "q99_model_score" -> q99,
     "q100_bpe_vocab" -> q100,
+    "q101_bpe_segment" -> q101,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1657,6 +1657,25 @@ object SparkEntry {
     BpeVocab.train(s, docs, "text", numMerges = 8).orderBy(col("rank"))
   }
 
+  /** BPE segmentation end-to-end ([[BpeVocab.segment]]): train q100's
+    * 8 merges, segment every document with them, emit the per-doc
+    * subword count and an md5 fingerprint of the joined segmentation
+    * (compact, still hash-exact — the whole subword sequence is
+    * checked, not just its length). Token-less documents fingerprint
+    * the empty string.
+    */
+  def q101_bpe_segment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val merges = BpeVocab.collectMerges(
+      BpeVocab.train(s, docs, "text", numMerges = 8))
+    BpeVocab.segment(docs, "text", "doc_id", merges)
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        md5(concat_ws(" ", coalesce(col("bpe_tokens"),
+          array().cast("array<string>")))).as("bpe_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1760,6 +1779,7 @@ object SparkEntry {
     "q98_incremental_shards" -> (q98_incremental_shards _),
     "q99_model_score" -> (q99_model_score _),
     "q100_bpe_vocab" -> (q100_bpe_vocab _),
+    "q101_bpe_segment" -> (q101_bpe_segment _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
