@@ -57,6 +57,13 @@ class BpeVocabSpec extends SparkSpec {
       .toSeq
     assert(got == expected)
     assert(got.size == 8)
+    // partitioning-invariant: the learned vocabulary is a pure
+    // function of the corpus
+    val again = BpeVocab.train(spark, docs.repartition(13), "text", 8)
+      .orderBy($"rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(again == got)
   }
 
   test("segment: subwords concatenate back to the word; merged symbols appear; determinism") {

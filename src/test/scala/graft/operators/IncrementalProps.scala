@@ -207,4 +207,37 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
         spans(SubstringDedup.nonCanonicalSpans(liveAll, "text", "doc_id", 2)
           .filter($"doc_id" >= cutId))
     }
+
+  property("shards: union of daily continueShards == one-shot day-major cumsum") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{concat, floor, lit, sum, when}
+      // token weights from word counts; two monotonic days at a random cut
+      val cutId = (docs.size - newIds.size).toLong
+      val all = docs.toDF("doc_id", "text")
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+        .select($"doc_id", $"n_tokens")
+      val budget = 7L
+      val state = java.nio.file.Files
+        .createTempDirectory("shardprop").toString
+      Sharding.continueShards(spark, all.filter($"doc_id" < cutId), state,
+        "doc_id", "n_tokens", budget, batchId = 0L)
+      Sharding.continueShards(spark, all.filter($"doc_id" >= cutId), state,
+        "doc_id", "n_tokens", budget, batchId = 1L)
+      val u = graft.functions.AuditableHash.h60(
+        concat(lit("shard:"), $"doc_id".cast("string")))
+      val w = Window
+        .orderBy(when($"doc_id" < cutId, 0).otherwise(1), u, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val reference = all
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .withColumn("shard_id", floor(($"cum" - $"n_tokens") / budget).cast("long"))
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = spark.read.parquet(s"$state/shards")
+        .select($"doc_id", $"shard_id".cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == reference
+    }
 }
