@@ -2155,6 +2155,25 @@ object OracleSql {
     sb.toString
   }
 
+  /** q102: q82's incremental SimHash pair set with the indexed
+    * doc_id % 7 = 3 slice deleted — pairs touching a deleted index doc
+    * drop; new×new pairs are unaffected.
+    */
+  private val q102 = q82.replace(
+    "AND (id_a % 5 = 0 OR id_b % 5 = 0)",
+    """AND (id_a % 5 = 0 OR id_b % 5 = 0)
+      AND NOT (id_a % 5 <> 0 AND id_a % 7 = 3)
+      AND NOT (id_b % 5 <> 0 AND id_b % 7 = 3)""")
+
+  /** q103: q83's incremental embedding pair set with the indexed
+    * vec_id % 7 = 3 slice deleted.
+    */
+  private val q103 = q83.replace(
+    "AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)",
+    """AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+        AND NOT (a.vec_id % 5 <> 0 AND a.vec_id % 7 = 3)
+        AND NOT (b.vec_id % 5 <> 0 AND b.vec_id % 7 = 3)""")
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2256,5 +2275,7 @@ object OracleSql {
     "q99_model_score" -> q99,
     "q100_bpe_vocab" -> q100,
     "q101_bpe_segment" -> q101,
+    "q102_delete_simhash" -> q102,
+    "q103_delete_embedding" -> q103,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1676,6 +1676,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash-index deletion (q82's probe over a tombstone-excluded
+    * chunk index): the doc_id % 7 = 3 slice of the indexed corpus is
+    * deleted before the increment probes — one anti-join on the chunk
+    * rows' id, the same exclusion every other index family uses
+    * (q87/q96/q97). Oracle: the batch pair set restricted to pairs
+    * touching a new doc AND touching no deleted doc.
+    */
+  def q102_delete_simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val tomb = old.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("id"))
+    Dedup.simHashIncremental(
+        Dedup.simHashChunks(Dedup.simHashDf(old, "text", "doc_id"))
+          .join(tomb, Seq("id"), "left_anti"),
+        Dedup.simHashChunks(Dedup.simHashDf(fresh, "text", "doc_id")),
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-index deletion (q83's probe over a tombstone-excluded
+    * two-table LSH index): both index tables — the narrow bucket rows
+    * and the quantized-vector payload — drop the vec_id % 7 = 3 slice
+    * by anti-join before the increment probes. Completes the deletion
+    * matrix: every persisted index family (MinHash q87, spans q96, IVF
+    * q97, SimHash q102, embedding q103) now has an oracle-checked
+    * delete-then-probe == build-without query.
+    */
+  def q103_delete_embedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val tomb = old.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    val (oldBk, oldV) = Dedup.embeddingIndex(old, "embedding", "vec_id", dim = 64)
+    val (newBk, newV) = Dedup.embeddingIndex(fresh, "embedding", "vec_id", dim = 64)
+    Dedup.embeddingNearDupIncremental(
+        oldBk.join(tomb, Seq("id"), "left_anti"),
+        oldV.join(tomb, Seq("id"), "left_anti"),
+        newBk, newV, minCosine = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1780,6 +1824,8 @@ object SparkEntry {
     "q99_model_score" -> (q99_model_score _),
     "q100_bpe_vocab" -> (q100_bpe_vocab _),
     "q101_bpe_segment" -> (q101_bpe_segment _),
+    "q102_delete_simhash" -> (q102_delete_simhash _),
+    "q103_delete_embedding" -> (q103_delete_embedding _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
