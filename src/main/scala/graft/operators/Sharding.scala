@@ -133,7 +133,10 @@ object Sharding {
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$stateDir/shards")
-    val batchTokens = batch.agg(coalesce(sum(col(tokensCol).cast("long")),
+    // summed over `sharded` (rooted at assignShards' localCheckpoint),
+    // not `batch` — the upstream pipeline producing the batch is never
+    // recomputed for the cursor arithmetic
+    val batchTokens = sharded.agg(coalesce(sum(col(tokensCol).cast("long")),
       lit(0L))).head().getLong(0)
     import spark.implicits._
     Zone.overwriteInPlace(spark,
