@@ -2174,6 +2174,32 @@ object OracleSql {
         AND NOT (a.vec_id % 5 <> 0 AND a.vec_id % 7 = 3)
         AND NOT (b.vec_id % 5 <> 0 AND b.vec_id % 7 = 3)""")
 
+  /** q104: corpus-version diff — v1 (drop % 5 = 0) vs v2 (drop
+    * % 7 = 3, revise % 11 = 0 texts), classed added/removed/changed by
+    * join presence + null-safe (IS DISTINCT FROM) fingerprint compare.
+    */
+  private val q104 = s"""
+    WITH v1 AS (
+      SELECT doc_id, $normFp AS fp FROM documents WHERE doc_id % 5 <> 0),
+    v2t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' revised'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 3),
+    v2 AS (SELECT doc_id, $normFp AS fp FROM v2t),
+    j AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             v1.fp AS fo, v2.fp AS fn,
+             v1.doc_id IS NOT NULL AS in_old, v2.doc_id IS NOT NULL AS in_new
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT doc_id,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN fo IS DISTINCT FROM fn THEN 'changed' END AS change
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new) OR (fo IS DISTINCT FROM fn)
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2277,5 +2303,6 @@ object OracleSql {
     "q101_bpe_segment" -> q101,
     "q102_delete_simhash" -> q102,
     "q103_delete_embedding" -> q103,
+    "q104_corpus_diff" -> q104,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

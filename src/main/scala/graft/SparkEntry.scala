@@ -1720,6 +1720,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus-version diff ([[SnapshotDiff.byKey]]): two deterministic
+    * "snapshots" of the documents table — v1 drops the doc_id % 5 = 0
+    * slice, v2 drops % 7 = 3 and revises the % 11 = 0 texts — diffed
+    * by content fingerprint into added/removed/changed rows (unchanged
+    * documents, the vast majority between adjacent versions, drop
+    * before the result materializes). One full-outer hash join;
+    * presence is join-indicator-based and the fingerprint comparison
+    * is null-safe, so null-text documents diff correctly.
+    */
+  def q104_corpus_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" revised")))
+          .otherwise(col("text")))
+    def fp(df: DataFrame) =
+      df.withColumn("fp", T.contentFingerprint(col("text")))
+    SnapshotDiff.byKey(fp(v1), fp(v2), "doc_id", "fp")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1826,6 +1849,7 @@ object SparkEntry {
     "q101_bpe_segment" -> (q101_bpe_segment _),
     "q102_delete_simhash" -> (q102_delete_simhash _),
     "q103_delete_embedding" -> (q103_delete_embedding _),
+    "q104_corpus_diff" -> (q104_corpus_diff _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
