@@ -144,4 +144,65 @@ object Sharding {
       s"$stateDir/_cursor")
     batchTokens
   }
+
+  /** Takedown for ALREADY-EXPORTED shards ([[continueShards]] state):
+    * remove `deleted` documents from the shard table by rewriting ONLY
+    * the `(__batch_id, shard_id)` partitions that contain them —
+    * a right-to-be-forgotten pass over an export measured in years
+    * touches the handful of partitions the documents landed in, never
+    * the corpus. Shard identities and boundaries stay FROZEN
+    * (redaction shrinks a shard's content; it never re-packs — *
+    * trainers' shard references stay valid and the cursor is
+    * untouched), which is the immutable-export semantics a takedown
+    * wants.
+    *
+    * Crash contract: each affected partition rewrites via dynamic
+    * partition overwrite (idempotent — a replay rewrites the same
+    * partitions to the same bytes); partitions left EMPTY by the
+    * redaction are deleted by filesystem remove LAST, so a crash
+    * between the two leaves a fully-redacted partition directory that
+    * the re-run (or any reader) sees correctly. The affected-partition
+    * list is a bounded driver collect (a takedown batch lands in at
+    * most |deleted| partitions). Returns the number of rows removed.
+    */
+  def redactShards(spark: SparkSession, stateDir: String,
+      deleted0: DataFrame, keyCol: String): Long = {
+    val shardsDir = s"$stateDir/shards"
+    if (!Zone.exists(spark, shardsDir)) return 0L
+    val all = spark.read.parquet(shardsDir)
+    val del = deleted0
+      .select(col(deleted0.columns.head).cast("long").as(keyCol)).distinct()
+    val affected = all.join(del, Seq(keyCol), "left_semi")
+      .select(col("__batch_id").cast("long"), col("shard_id").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (affected.isEmpty) return 0L
+    import spark.implicits._
+    val affectedDf = affected.toSeq.toDF("__b", "__s")
+    val inAffected = all
+      .join(broadcast(affectedDf),
+        col("__batch_id").cast("long") === col("__b") &&
+          col("shard_id").cast("long") === col("__s"), "left_semi")
+    val removed = inAffected.join(del, Seq(keyCol), "left_semi").count()
+    // materialize before writing: the plan reads the same directory it
+    // overwrites (affected partitions only — takedown-sized)
+    val kept = inAffected.join(del, Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    kept.write
+      .partitionBy("__batch_id", "shard_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(shardsDir)
+    // partitions the redaction emptied produced no output above —
+    // remove their directories explicitly (LAST: see crash contract)
+    val survivors = kept
+      .select(col("__batch_id").cast("long"), col("shard_id").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = new org.apache.hadoop.fs.Path(shardsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survivors).foreach { case (b, s) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$shardsDir/__batch_id=$b/shard_id=$s"), true)
+    }
+    removed
+  }
 }

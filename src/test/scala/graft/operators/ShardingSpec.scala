@@ -117,6 +117,43 @@ class ShardingSpec extends SparkSpec {
       docs.agg(sum("n_tokens")).head().getLong(0))
   }
 
+  test("redactShards: deleted docs leave; untouched partitions byte-stable; emptied shard dirs removed") {
+    val budget = 2000L
+    val state = tmpDir("shardredact")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    Sharding.continueShards(spark, docs.filter($"doc_id" <= n / 2), state,
+      "doc_id", "n_tokens", budget, batchId = 0L)
+    Sharding.continueShards(spark, docs.filter($"doc_id" > n / 2), state,
+      "doc_id", "n_tokens", budget, batchId = 1L)
+    val before = spark.read.parquet(s"$state/shards")
+      .select($"doc_id", $"shard_id".cast("long"), $"__batch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // delete one whole (batch, shard) partition plus a few scattered docs
+    val (emptyB, emptyS) = (before.head._3, before.head._2)
+    val wholeShard = before
+      .filter(r => r._3 == emptyB && r._2 == emptyS).map(_._1).toSet
+    val scattered = before.map(_._1).filter(id => id % 13 == 5).toSet
+    val delIds = wholeShard ++ scattered
+    val removed = Sharding.redactShards(spark, state,
+      delIds.toSeq.toDF("doc_id"), "doc_id")
+    assert(removed == before.count(r => delIds.contains(r._1)))
+
+    val after = spark.read.parquet(s"$state/shards")
+      .select($"doc_id", $"shard_id".cast("long"), $"__batch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the survivors remain, with FROZEN shard assignments
+    assert(after.toSet == before.filterNot(r => delIds.contains(r._1)).toSet)
+    // the fully-deleted partition directory is gone
+    assert(!new java.io.File(
+      s"$state/shards/__batch_id=$emptyB/shard_id=$emptyS").exists())
+    // a second identical redaction is a no-op
+    assert(Sharding.redactShards(spark, state,
+      delIds.toSeq.toDF("doc_id"), "doc_id") == 0L)
+    // cursor untouched — shard boundaries stay frozen
+    assert(spark.read.parquet(s"$state/_cursor").head().getLong(0) ==
+      docs.agg(sum($"n_tokens")).head().getLong(0))
+  }
+
   test("writeShards: per-shard directories + complete manifest") {
     val dir = tmpDir("shards")
     val manifest = Sharding.writeShards(spark, docs, dir, "doc_id",
