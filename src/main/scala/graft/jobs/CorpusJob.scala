@@ -20,6 +20,38 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   */
 object CorpusJob {
 
+  /** How many folded batch ids `folded/meta` remembers. The fold-replay
+    * gate checks membership in this set, so recovery stays exactly-once
+    * even when OTHER folds (the next day's batch, a [[deleteDocs]])
+    * committed between a crash and its replay — a single `last_batch`
+    * marker covers only strictly sequential recovery. 64 markers bound
+    * the meta row to ~1 KB while covering any realistic replay horizon
+    * (a replay older than 64 committed folds means two months of daily
+    * loads ran meanwhile — gate such archaeology with the audit table).
+    */
+  val MaxFoldedMarkers = 64
+
+  /** The set of batch ids whose vocab/meta fold already committed, read
+    * from `folded/meta`. Falls back to the single `last_batch` column
+    * for state written before the marker-set existed.
+    */
+  private def foldedBatchIds(meta0: Option[DataFrame]): Seq[String] =
+    meta0 match {
+      case Some(m) if m.columns.contains("folded_batches") =>
+        m.select(col("folded_batches")).collect().toSeq
+          .flatMap(r => if (r.isNullAt(0)) Nil else r.getSeq[String](0))
+      case Some(m) if m.columns.contains("last_batch") =>
+        m.select(col("last_batch")).collect().toSeq
+          .flatMap(r => Option(r.getString(0)))
+      case _ => Nil
+    }
+
+  /** The next fold's marker state: prior ids + this fold's id, bounded
+    * to the newest [[MaxFoldedMarkers]].
+    */
+  private def nextFoldedIds(prior: Seq[String], batchId: Option[String]): Seq[String] =
+    (prior ++ batchId).distinct.takeRight(MaxFoldedMarkers)
+
   final case class Config(
       shingleSize: Int = 3,
       numHashes: Int = 64,
@@ -90,8 +122,8 @@ object CorpusJob {
     *                       ([[DedupCluster.incremental]])
     *   - `folded/vocab` + `folded/meta` additive TF-IDF vocabulary +
     *                       corpus size ([[TermStats.mergeDocFreq]]);
-    *                       meta also records `last_batch`, the replay
-    *                       marker
+    *                       meta also records `folded_batches`, the
+    *                       bounded replay-marker set
     *   - `annotated/`      the per-batch annotated output, appended
     *   - `index/shingles`  shingle postings — distinct (window-hash,
     *                       doc) pairs ([[SubstringDedup.shinglePostings]]);
@@ -113,10 +145,14 @@ object CorpusJob {
     * rows is inert), and the three folded tables commit LAST as ONE
     * atomic root swap ([[Zone.overwriteAllInPlace]] on `folded/`), so
     * the additive vocabulary/meta fold can never land without its
-    * replay marker: `folded/meta.last_batch` records `batchId`, and a
-    * replay of the same batch id SKIPS the fold entirely. With a
-    * `batchId` the fold is therefore exactly-once through any crash
-    * point — there is no window between per-table swaps anymore.
+    * replay marker: `folded/meta.folded_batches` records the last
+    * [[MaxFoldedMarkers]] committed fold ids, and a replay of any id in
+    * the set SKIPS the fold entirely — exactly-once even when OTHER
+    * folds (the next day's batch, a [[deleteDocs]]) committed between
+    * the crash and the replay, which a single last-batch marker could
+    * not gate. With a `batchId` the fold is therefore exactly-once
+    * through any crash point — there is no window between per-table
+    * swaps anymore.
     * Without a `batchId` (ad-hoc callers), replaying an
     * already-COMPLETED batch would still merge its vocabulary/meta
     * counts a second time — gate such re-runs with the pipeline's audit
@@ -233,11 +269,8 @@ object CorpusJob {
       // append-only writes above re-emitted byte-identical rows, which
       // is the consumers' existing dedup contract.
       val meta0 = Zone.readIfExists(spark, s"$foldedRoot/meta")
-      val alreadyFolded = batchId.isDefined && meta0.exists { m =>
-        m.columns.contains("last_batch") &&
-          m.select(col("last_batch")).collect().exists(r =>
-            !r.isNullAt(0) && r.getString(0) == batchId.get)
-      }
+      val priorFolded = foldedBatchIds(meta0)
+      val alreadyFolded = batchId.exists(priorFolded.contains)
       if (!alreadyFolded) {
         val labels = Zone.readIfExists(spark, s"$foldedRoot/labels") match {
           case Some(old) => DedupCluster.incremental(old, newPairs, "id_a", "id_b")
@@ -251,7 +284,8 @@ object CorpusJob {
         val nDocs = meta0
           .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) + batch.count()
         import spark.implicits._
-        val meta = Seq((nDocs, batchId.orNull)).toDF("n_docs", "last_batch")
+        val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
+          .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta), foldedRoot)
       }
@@ -326,10 +360,13 @@ object CorpusJob {
     *
     * Replay contract, same shape as [[runIncremental]]'s: a replay
     * with the SAME `batchId` re-runs the idempotent repairs and the
-    * marker skips the subtractive vocab/meta fold; re-submitting the
-    * same docs under a DIFFERENT id before compaction would subtract
-    * twice — delete batches deserve the same audit discipline as daily
-    * loads.
+    * marker skips the subtractive vocab/meta fold. Re-deletion is ALSO
+    * idempotent across DIFFERENT batch ids: the subtractive fold and
+    * the n_docs decrement count only docs not already in `tombstones/`,
+    * so overlapping takedown lists (the realistic repeated-takedown
+    * pattern) subtract each doc exactly once regardless of how many
+    * lists name it or what ids those lists ran under — no caller audit
+    * discipline required.
     */
   def deleteDocs(spark: SparkSession, deleted0: DataFrame, stateDir: String,
       batchId: Option[String] = None): Long = {
@@ -340,17 +377,31 @@ object CorpusJob {
     val annotated = annotated0.get.dropDuplicates("doc_id")
     val deleted = deleted0
       .select(col(deleted0.columns.head).cast("long").as("doc_id")).distinct()
-    val present = deleted
+    // `affected` drives the idempotent REPAIRS (fp re-election, label
+    // rebuild) — pure functions of annotated ∖ tombstones, safe and
+    // necessary to re-run on a crash replay. `present` drives the
+    // ADDITIVE fold (vocab subtraction, n_docs decrement) and excludes
+    // docs an EARLIER delete batch already tombstoned: overlapping
+    // delete lists under different batch ids — the repeated-takedown
+    // pattern the per-batch marker cannot gate — must count each doc
+    // ONCE, not once per list it appears on.
+    val priorTomb = Zone.readIfExists(spark, s"$stateDir/tombstones")
+      .map(_.select(col("doc_id")).distinct())
+    val affected = deleted
       .join(annotated.select("doc_id"), Seq("doc_id"), "left_semi").cache()
+    val present = priorTomb.fold(affected)(t =>
+      affected.join(t, Seq("doc_id"), "left_anti")).cache()
     try {
+      if (affected.isEmpty) return 0L
       val nDeleted = present.count()
-      if (nDeleted == 0L) return 0L
       val foldedRoot = s"$stateDir/folded"
       Zone.exists(spark, foldedRoot) // promote a crashed folded swap
 
       // 1. exclusion set first: every later step (and any concurrent
-      //    reader) already sees the docs as gone
-      present.write.mode("append").parquet(s"$stateDir/tombstones")
+      //    reader) already sees the docs as gone. Only newly-deleted
+      //    ids append, so repeated takedowns don't grow the set.
+      if (nDeleted > 0L)
+        present.write.mode("append").parquet(s"$stateDir/tombstones")
       val tomb = spark.read.parquet(s"$stateDir/tombstones")
         .select("doc_id").distinct()
 
@@ -370,11 +421,8 @@ object CorpusJob {
 
       // 3. folded repair: one atomic swap, marker-gated
       val meta0 = Zone.readIfExists(spark, s"$foldedRoot/meta")
-      val alreadyFolded = batchId.isDefined && meta0.exists { m =>
-        m.columns.contains("last_batch") &&
-          m.select(col("last_batch")).collect().exists(r =>
-            !r.isNullAt(0) && r.getString(0) == batchId.get)
-      }
+      val priorFolded = foldedBatchIds(meta0)
+      val alreadyFolded = batchId.exists(priorFolded.contains)
       if (!alreadyFolded) {
         val labels = Zone.readIfExists(spark, s"$foldedRoot/labels") match {
           case Some(old) =>
@@ -390,7 +438,7 @@ object CorpusJob {
             val liveLog = pairLog
               .join(tomb.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
               .join(tomb.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
-            DedupCluster.deleteNodes(old, liveLog, present, "id_a", "id_b")
+            DedupCluster.deleteNodes(old, liveLog, affected, "id_a", "id_b")
           case None => null
         }
         val vocab = Zone.readIfExists(spark, s"$foldedRoot/vocab").map { old =>
@@ -403,13 +451,14 @@ object CorpusJob {
         val nDocs = meta0
           .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) - nDeleted
         import spark.implicits._
-        val meta = Seq((nDocs, batchId.orNull)).toDF("n_docs", "last_batch")
+        val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
+          .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta)
             .filter(_._2 != null), foldedRoot)
       }
       nDeleted
-    } finally present.unpersist()
+    } finally { present.unpersist(); affected.unpersist() }
   }
 
   /** Compact [[runIncremental]]'s append-accreting state tables — a

@@ -33,7 +33,9 @@ object Sharding {
     * 0 for a one-shot export; the persisted cursor for the
     * incremental form ([[continueShards]]), so a new batch keeps
     * filling the shard the previous batch left open instead of
-    * truncating it at the day boundary.
+    * truncating it at the day boundary. NULL token counts weigh 0 (the
+    * row still lands in a shard — a doc with unknown length must not
+    * crash the export or fall out of it).
     */
   def assignShards(df: DataFrame, keyCol: String, tokensCol: String,
       shardTokens: Long, salt: String = "shard",
@@ -41,6 +43,7 @@ object Sharding {
     import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, s"shardTokens must be > 0, got $shardTokens")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
     val u = H.h60(concat(lit(salt + ":"), col(keyCol).cast("string")))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
@@ -49,7 +52,7 @@ object Sharding {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = ranged.groupBy("__pid")
-      .agg(sum(col(tokensCol).cast("long")).as("t")).collect()
+      .agg(sum(tok).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] =
       counts.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
@@ -59,9 +62,9 @@ object Sharding {
     ranged
       .withColumn("__cum",
         lit(startTokens) + element_at(typedlit(offsets), col("__pid")) +
-          sum(col(tokensCol).cast("long")).over(w))
+          sum(tok).over(w))
       .withColumn("shard_id",
-        floor((col("__cum") - col(tokensCol).cast("long")) / shardTokens)
+        floor((col("__cum") - tok) / shardTokens)
           .cast("long"))
       .drop("__u", "__pid", "__cum")
   }
@@ -82,7 +85,7 @@ object Sharding {
     val manifest = spark.read.parquet(s"$dir/shards")
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col(tokensCol).cast("long")).as("n_tokens"))
+        sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("n_tokens"))
     Zone.overwriteInPlace(spark, manifest, s"$dir/_manifest")
     spark.read.parquet(s"$dir/_manifest")
   }
