@@ -21,20 +21,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is written with nanosecond precision, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * Long (session conf) and floor-convert to microseconds — the same
-    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so oracles
-    * agree. Integer `div` (not double /) — ns epochs overflow a double's
-    * 53-bit mantissa.
+  /** `events.ts` arrives in one of three physical shapes depending on
+    * the generator vintage: nanosecond precision (which Spark's parquet
+    * reader rejects, [PARQUET_TYPE_ILLEGAL] — read nanos as Long via
+    * session conf and floor-convert to microseconds, the same
+    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies), microsecond
+    * without timezone (Spark reads TIMESTAMP_NTZ — cast to session-tz
+    * TIMESTAMP; the session pins UTC so the wall-clock fields are
+    * unchanged and epoch math agrees with DuckDB's naive TIMESTAMP),
+    * or already a plain TIMESTAMP. Integer `div` (not double /) on the
+    * nanos path — ns epochs overflow a double's 53-bit mantissa.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
