@@ -361,12 +361,23 @@ object CorpusJob {
     * Replay contract, same shape as [[runIncremental]]'s: a replay
     * with the SAME `batchId` re-runs the idempotent repairs and the
     * marker skips the subtractive vocab/meta fold. Re-deletion is ALSO
-    * idempotent across DIFFERENT batch ids: the subtractive fold and
-    * the n_docs decrement count only docs not already in `tombstones/`,
-    * so overlapping takedown lists (the realistic repeated-takedown
+    * idempotent across DIFFERENT batch ids: each tombstone row records
+    * the batch id that created it, and the subtractive fold counts a
+    * doc for THIS batch iff it is newly tombstoned now OR was
+    * tombstoned under this same id by a crashed earlier attempt — so
+    * overlapping takedown lists (the realistic repeated-takedown
     * pattern) subtract each doc exactly once regardless of how many
-    * lists name it or what ids those lists ran under — no caller audit
-    * discipline required.
+    * lists name it or what ids those lists ran under, AND a replay
+    * whose first attempt crashed between the tombstone append and the
+    * folded swap still subtracts its own docs instead of finding them
+    * "already deleted" and folding nothing. The return value is
+    * likewise the batch's ATTRIBUTED count (stable across replays),
+    * not the per-call newly-tombstoned count.
+    *
+    * One sequencing requirement remains: [[compactState]] purges the
+    * annotated rows and clears `tombstones/`, destroying the
+    * attribution a crashed delete batch needs — don't compact while a
+    * delete batch is mid-flight (crashed but not yet replayed).
     */
   def deleteDocs(spark: SparkSession, deleted0: DataFrame, stateDir: String,
       batchId: Option[String] = None): Long = {
@@ -379,29 +390,50 @@ object CorpusJob {
       .select(col(deleted0.columns.head).cast("long").as("doc_id")).distinct()
     // `affected` drives the idempotent REPAIRS (fp re-election, label
     // rebuild) — pure functions of annotated ∖ tombstones, safe and
-    // necessary to re-run on a crash replay. `present` drives the
-    // ADDITIVE fold (vocab subtraction, n_docs decrement) and excludes
-    // docs an EARLIER delete batch already tombstoned: overlapping
-    // delete lists under different batch ids — the repeated-takedown
-    // pattern the per-batch marker cannot gate — must count each doc
-    // ONCE, not once per list it appears on.
-    val priorTomb = Zone.readIfExists(spark, s"$stateDir/tombstones")
-      .map(_.select(col("doc_id")).distinct())
+    // necessary to re-run on a crash replay. `attributed` drives the
+    // ADDITIVE fold (vocab subtraction, n_docs decrement): docs newly
+    // tombstoned by THIS call, plus docs a CRASHED earlier attempt of
+    // this same batch id already tombstoned (the fold never committed,
+    // or the marker would gate it) — and NOT docs an earlier,
+    // different delete batch tombstoned: overlapping delete lists
+    // under different batch ids — the repeated-takedown pattern the
+    // per-batch marker cannot gate — must count each doc ONCE.
+    // mergeSchema: the tombstone dir may mix legacy (doc_id)-only
+    // files with (doc_id, batch_id) files, and plain reads would pick
+    // one file's schema arbitrarily.
+    val priorTomb0 =
+      if (Zone.exists(spark, s"$stateDir/tombstones"))
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(s"$stateDir/tombstones"))
+      else None
+    val priorTomb = priorTomb0.map(_.select(col("doc_id")).distinct())
     val affected = deleted
       .join(annotated.select("doc_id"), Seq("doc_id"), "left_semi").cache()
     val present = priorTomb.fold(affected)(t =>
       affected.join(t, Seq("doc_id"), "left_anti")).cache()
+    // this batch's tombstones from a crashed earlier attempt (legacy
+    // states without batch_id can't attribute — they keep the
+    // strictly-sequential replay contract)
+    val ownPrior = for {
+      t <- priorTomb0 if t.columns.contains("batch_id")
+      id <- batchId
+    } yield t.filter(col("batch_id") === id).select("doc_id").distinct()
+    val attributed = ownPrior.fold(present)(o =>
+      present.select("doc_id").unionByName(o).distinct()).cache()
     try {
       if (affected.isEmpty) return 0L
-      val nDeleted = present.count()
+      val nDeleted = attributed.count()
       val foldedRoot = s"$stateDir/folded"
       Zone.exists(spark, foldedRoot) // promote a crashed folded swap
 
       // 1. exclusion set first: every later step (and any concurrent
       //    reader) already sees the docs as gone. Only newly-deleted
-      //    ids append, so repeated takedowns don't grow the set.
-      if (nDeleted > 0L)
-        present.write.mode("append").parquet(s"$stateDir/tombstones")
+      //    ids append, so repeated takedowns don't grow the set; each
+      //    row records its batch id so a crash replay can re-attribute.
+      if (!present.isEmpty)
+        present.select("doc_id")
+          .withColumn("batch_id", lit(batchId.orNull).cast("string"))
+          .write.mode("append").parquet(s"$stateDir/tombstones")
       val tomb = spark.read.parquet(s"$stateDir/tombstones")
         .select("doc_id").distinct()
 
@@ -443,7 +475,7 @@ object CorpusJob {
         }
         val vocab = Zone.readIfExists(spark, s"$foldedRoot/vocab").map { old =>
           val delVocab = TermStats.docFreq(
-              annotated.join(present, Seq("doc_id"), "left_semi")
+              annotated.join(attributed, Seq("doc_id"), "left_semi")
                 .select("doc_id", "text"), "text", "doc_id")
             .withColumn("df_docs", -col("df_docs"))
           TermStats.mergeDocFreq(old, delVocab).filter(col("df_docs") > 0)
@@ -458,7 +490,9 @@ object CorpusJob {
             .filter(_._2 != null), foldedRoot)
       }
       nDeleted
-    } finally { present.unpersist(); affected.unpersist() }
+    } finally {
+      attributed.unpersist(); present.unpersist(); affected.unpersist()
+    }
   }
 
   /** Compact [[runIncremental]]'s append-accreting state tables — a

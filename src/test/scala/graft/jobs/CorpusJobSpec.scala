@@ -259,6 +259,15 @@ class CorpusJobSpec extends SparkSpec {
     assert(vmap(spark.read.parquet(s"$state/folded/vocab")) ==
       vmap(graft.operators.TermStats.docFreq(remaining, "text", "doc_id")))
 
+    // cross-id idempotence (ADVICE): a DIFFERENT takedown list naming
+    // only already-deleted docs attributes zero and leaves the folded
+    // state untouched — no double-subtraction
+    assert(CorpusJob.deleteDocs(spark, deleted.limit(20), state, Some("del-1b")) == 0L)
+    assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0)
+      == remaining.count())
+    assert(vmap(spark.read.parquet(s"$state/folded/vocab")) ==
+      vmap(graft.operators.TermStats.docFreq(remaining, "text", "doc_id")))
+
     // forward semantics: a new doc copying a FULLY deleted group's
     // content is genuinely new; one copying a survivor is a duplicate
     val fpOf = docs.withColumn("fp", T.contentFingerprint($"text"))
@@ -303,6 +312,54 @@ class CorpusJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/index/shingles")
       .filter($"doc_id".isin(delIds.toSeq: _*)).count() == 0,
       "compaction must purge deleted docs' shingle postings")
+  }
+
+  test("deleteDocs: crash replay re-attributes own tombstones; overlapping ids subtract once") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" <= 200)
+    val state = tmpDir("corpusdelcrash")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    CorpusJob.runIncremental(spark, docs, state, cfg, batchId = Some("d1"))
+    def vmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expectState(deletedIds: Set[Long]): Unit = {
+      val remaining = docs.filter(!$"doc_id".isin(deletedIds.toSeq: _*))
+      assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0)
+        == remaining.count())
+      assert(vmap(spark.read.parquet(s"$state/folded/vocab")) ==
+        vmap(graft.operators.TermStats.docFreq(remaining, "text", "doc_id")))
+    }
+
+    // del-A commits normally
+    val aIds = (1L to 200L).filter(_ % 10 == 1).toSet
+    assert(CorpusJob.deleteDocs(spark, docs.filter($"doc_id" % 10 === 1)
+      .select("doc_id"), state, Some("del-A")) == aIds.size)
+    expectState(aIds)
+
+    // del-B overlaps del-A (ids ≡ 1 mod 5 ⊃ ids ≡ 1 mod 10): only the
+    // genuinely new docs attribute, each subtracted exactly once
+    val bIds = (1L to 200L).filter(_ % 5 == 1).toSet
+    assert(CorpusJob.deleteDocs(spark, docs.filter($"doc_id" % 5 === 1)
+      .select("doc_id"), state, Some("del-B")) == (bIds -- aIds).size)
+    expectState(aIds ++ bIds)
+
+    // del-C "crashed" between the tombstone append and the folded
+    // swap: simulate by appending its tombstone rows directly, folding
+    // nothing. The replay must find its own tombstones, attribute
+    // them, and subtract them exactly once.
+    val cIds = (1L to 200L).filter(_ % 7 == 0).toSet -- aIds -- bIds
+    cIds.toSeq.toDF("doc_id")
+      .withColumn("batch_id", lit("del-C"))
+      .write.mode("append").parquet(s"$state/tombstones")
+    expectState(aIds ++ bIds) // fold not yet run — vocab still has del-C docs
+    assert(CorpusJob.deleteDocs(spark, (1L to 200L).filter(_ % 7 == 0).toSeq
+      .toDF("doc_id"), state, Some("del-C")) == cIds.size)
+    expectState(aIds ++ bIds ++ cIds)
+
+    // committed replay of del-C: same attributed count, state unchanged
+    assert(CorpusJob.deleteDocs(spark, (1L to 200L).filter(_ % 7 == 0).toSeq
+      .toDF("doc_id"), state, Some("del-C")) == cIds.size)
+    expectState(aIds ++ bIds ++ cIds)
   }
 
   test("run keeps survivors only and writes corpus + stats") {
