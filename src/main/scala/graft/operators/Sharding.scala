@@ -159,14 +159,22 @@ object Sharding {
     * untouched), which is the immutable-export semantics a takedown
     * wants.
     *
-    * Crash contract: each affected partition rewrites via dynamic
-    * partition overwrite (idempotent — a replay rewrites the same
-    * partitions to the same bytes); partitions left EMPTY by the
-    * redaction are deleted by filesystem remove LAST, so a crash
-    * between the two leaves a fully-redacted partition directory that
-    * the re-run (or any reader) sees correctly. The affected-partition
-    * list is a bounded driver collect (a takedown batch lands in at
-    * most |deleted| partitions). Returns the number of rows removed.
+    * Crash contract: partitions the redaction leaves EMPTY are removed
+    * FIRST — dynamic partition overwrite only rewrites partitions that
+    * produce output rows, so an emptied partition would never be
+    * rewritten and a trailing cleanup would be load-bearing (a crash
+    * before it would leave the taken-down documents readable). An
+    * emptied partition's every row is a deleted doc, so removing the
+    * directory IS its redaction, and a crash mid-removal is healed by
+    * a re-run (the surviving originals still contain the deleted docs,
+    * so the partition is re-detected as affected). The dynamic
+    * overwrite of the partially-redacted partitions follows
+    * (idempotent — a replay rewrites the same partitions to the same
+    * bytes). A crash at any point therefore leaves each partition
+    * original (re-run redacts it), fully redacted, or removed — never
+    * a state a re-run can't converge. The affected-partition list is a
+    * bounded driver collect (a takedown batch lands in at most
+    * |deleted| partitions). Returns the number of rows removed.
     */
   def redactShards(spark: SparkSession, stateDir: String,
       deleted0: DataFrame, keyCol: String): Long = {
@@ -186,17 +194,13 @@ object Sharding {
         col("__batch_id").cast("long") === col("__b") &&
           col("shard_id").cast("long") === col("__s"), "left_semi")
     val removed = inAffected.join(del, Seq(keyCol), "left_semi").count()
-    // materialize before writing: the plan reads the same directory it
-    // overwrites (affected partitions only — takedown-sized)
+    // materialize before touching the directory: the plan reads the
+    // same files it overwrites/removes (affected partitions only —
+    // takedown-sized)
     val kept = inAffected.join(del, Seq(keyCol), "left_anti")
       .localCheckpoint(true)
-    kept.write
-      .partitionBy("__batch_id", "shard_id")
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(shardsDir)
-    // partitions the redaction emptied produced no output above —
-    // remove their directories explicitly (LAST: see crash contract)
+    // emptied partitions FIRST (see crash contract): their only rows
+    // are deleted docs, so directory removal is itself the redaction
     val survivors = kept
       .select(col("__batch_id").cast("long"), col("shard_id").cast("long"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -206,6 +210,11 @@ object Sharding {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$shardsDir/__batch_id=$b/shard_id=$s"), true)
     }
+    kept.write
+      .partitionBy("__batch_id", "shard_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(shardsDir)
     removed
   }
 }
