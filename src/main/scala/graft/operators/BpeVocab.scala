@@ -33,6 +33,29 @@ import org.apache.spark.sql.functions._
   * normalize; out-of-alphabet tokens pass through [[segment]]
   * unsplit), so the char-exploding regex never meets a multi-byte
   * codepoint and the two engines' regex semantics cannot diverge.
+  *
+  * Merge application is ONE plan node whatever the merge count:
+  * [[graft.plans.BpeApplyMerges]] applies the accumulated ranked list
+  * per evaluation (rank-heap inside, O(word²) per word independent of
+  * vocabulary size), replacing the earlier per-merge
+  * `withColumn(replace…)` chain whose plan depth, serialized lineage,
+  * and re-evaluated string work all grew linearly per merge — the
+  * O(V²) shape that capped training at demo scale. BpeVocabSpec
+  * trains 512 merges at sf0.01 under this form; q100/q101's 8-merge
+  * oracles are unchanged (BpeApplySpec proves the kernel ==
+  * replace-chain differentially).
+  *
+  * Divergence from reference (Sennrich et al. 2016) BPE, deliberate:
+  * a merge pass is ONE non-overlapping left-to-right `replace`, so in
+  * `" a b a b "` the second occurrence's leading space is the first's
+  * consumed trailing space and only the first merges in that pass
+  * (the pair can then win a later iteration again). Reference BPE
+  * (regex sub with lookaround) merges all non-overlapping occurrences
+  * per pass. Spark and DuckDB agree exactly — that is what keeps the
+  * oracles hash-exact — but a model trained HERE segments
+  * repeated-pair words slightly differently than a Sennrich-trained
+  * model would, and vice versa; import external vocabularies with
+  * that in mind.
   */
 object BpeVocab {
 
@@ -58,6 +81,9 @@ object BpeVocab {
     */
   private def pairCounts(seg: DataFrame): DataFrame =
     seg.select(col("cnt"), split(trim(col("s")), " ").as("l"))
+      // fully-merged words (one symbol) have no pairs — and
+      // sequence(1, 0) would DESCEND [1, 0], not produce empty
+      .filter(size(col("l")) >= 2)
       .select(col("cnt"), explode(expr(
         "transform(sequence(1, size(l) - 1), " +
           "j -> concat(element_at(l, j), ' ', element_at(l, j + 1)))")).as("p"))
@@ -74,25 +100,25 @@ object BpeVocab {
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val w = wordCounts(docs, textCol)
-    // the type table materializes ONCE; each iteration's aggregate and
-    // replace chain re-read this cache, never the corpus
+    // the type table materializes ONCE; each iteration re-reads this
+    // cache through a single [[graft.plans.BpeApplyMerges]] node
+    // carrying the merges learned so far — constant plan depth, so no
+    // lineage checkpointing is needed even at 32k merges (the kernel's
+    // rank-heap makes the per-row cost independent of the list length)
     val seg0 = w.withColumn("s", initialSeg(col("word"))).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
-      var seg = seg0
       var i = 1
       var done = false
       while (i <= numMerges && !done) {
-        val top = pairCounts(seg)
+        val top = pairCounts(applyMerges(seg0,
+            merges.map(m => (m._2, m._3)).toSeq))
           .orderBy(col("c").desc, col("p").asc).limit(1).collect()
         if (top.isEmpty) done = true
         else {
           val pair = top(0).getString(0)
           val merged = pair.replace(" ", "")
           merges += ((i, pair, merged, top(0).getLong(1)))
-          // symbols are [a-z</>]+ — safe to inline in the SQL literal
-          seg = seg.withColumn("s",
-            expr(s"replace(s, ' $pair ', ' $merged ')"))
           i += 1
         }
       }
@@ -100,6 +126,18 @@ object BpeVocab {
       merges.toSeq.toDF("rank", "pair", "merged", "cnt")
     } finally seg0.unpersist()
   }
+
+  /** `seg` with the ranked `merges` applied to its `s` column — one
+    * [[graft.plans.BpeApplyMerges]] node (no-op passthrough for an
+    * empty list).
+    */
+  private def applyMerges(seg: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    if (merges.isEmpty) seg
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      seg.withColumn("s", ColumnBridge.column(
+        graft.plans.BpeApplyMerges(ColumnBridge.expression(col("s")), merges)))
+    }
 
   /** Collected merge rules in rank order — the bounded model artifact
     * (`numMerges` rows) [[segment]] embeds in its plan.
@@ -127,9 +165,8 @@ object BpeVocab {
           // out-of-alphabet: one unsplit symbol + the marker (symbol
           // boundaries are spaces, so no learned [a-z] pair can match)
           .otherwise(concat(lit(" "), col("word"), lit(" " + EndOfWord + " "))))
-    val segged = merges.foldLeft(types) { case (acc, (pair, merged)) =>
-      acc.withColumn("s", expr(s"replace(s, ' $pair ', ' $merged ')"))
-    }.select(col("word"), split(trim(col("s")), " ").as("subwords"))
+    val segged = applyMerges(types, merges)
+      .select(col("word"), split(trim(col("s")), " ").as("subwords"))
     toks.join(segged, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subwords"))))

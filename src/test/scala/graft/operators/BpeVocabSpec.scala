@@ -29,12 +29,18 @@ class BpeVocabSpec extends SparkSpec {
         val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, s"$x $y") }
         out += ((i, s"$a $b", a + b, c))
         seg = seg.map { case (syms, cnt) =>
-          // left-to-right non-overlapping merge
+          // left-to-right non-overlapping merge with the engine's
+          // documented `replace` quirk: a match may not START at the
+          // position right after a merge (its leading space was the
+          // previous merge's consumed trailing space), so in
+          // "a b a b" only the first occurrence merges this pass
           val res = scala.collection.mutable.ArrayBuffer.empty[String]
           var j = 0
+          var forbid = -1
           while (j < syms.length) {
-            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-              res += a + b; j += 2
+            if (j + 1 < syms.length && j != forbid &&
+                syms(j) == a && syms(j + 1) == b) {
+              res += a + b; j += 2; forbid = j
             } else { res += syms(j); j += 1 }
           }
           res.toVector -> cnt
@@ -64,6 +70,66 @@ class BpeVocabSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(again == got)
+  }
+
+  /** Engine vs reference at `numMerges`, reporting the first diverging
+    * rank instead of a full-trace dump.
+    */
+  private def trainMatchesReference(corpus: org.apache.spark.sql.DataFrame,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val counts = BpeVocab.wordCounts(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(counts, numMerges)
+    val got = BpeVocab.train(spark, corpus, "text", numMerges)
+      .orderBy($"rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"first divergence at rank ${i + 1}: engine=$g reference=$e")
+    }
+    assert(got.size == expected.size,
+      s"engine stopped at ${got.size}, reference at ${expected.size}")
+    got
+  }
+
+  test("sf0.01 trains to pair exhaustion; == single-node reference the whole way") {
+    // the synthetic sf tables draw from a ~100-word lexicon, so the
+    // pair supply dries up near rank ~106 — the test pins that the
+    // engine and reference agree merge-for-merge to EXHAUSTION and
+    // that train stops gracefully rather than erroring (the
+    // fully-merged single-symbol words are the sequence(1,0) edge)
+    val big = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"text")
+    val got = trainMatchesReference(big, 512)
+    assert(got.size >= 100, s"expected ~106 merges to exhaustion, got ${got.size}")
+  }
+
+  test("512-merge training: constant-depth plan on a wide-vocabulary corpus") {
+    // the scale criterion: the per-merge replace chain this replaced
+    // grew the plan one node per merge (O(V²) string work, JIT/codegen
+    // blowup at real vocabulary sizes); the BpeApplyMerges kernel keeps
+    // ONE plan node whatever the merge count, so 512 merges must both
+    // finish and agree with the sequential single-node reference.
+    // The sf tables' lexicon is too small to feed 512 merges, so the
+    // corpus is a seeded synthetic one with ~8k word types.
+    val rnd = new scala.util.Random(7)
+    def word = {
+      val n = 2 + rnd.nextInt(9)
+      String.valueOf(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
+    }
+    val lexicon = Array.fill(8000)(word)
+    // zipf-ish draw: low ids dominate, so pair counts are well spread
+    val docs = Seq.tabulate(2000) { i =>
+      val words = Seq.fill(40)(
+        lexicon(math.min((8000 * math.pow(rnd.nextDouble(), 3)).toInt, 7999)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = trainMatchesReference(docs, 512)
+    assert(got.size == 512, s"train stopped early at ${got.size} merges")
+    // the 512-rule model segments the corpus (one kernel node again)
+    val seg = BpeVocab.segment(docs.limit(200), "text", "doc_id",
+      got.map(m => (m._2, m._3)))
+    assert(seg.filter($"n_bpe_tokens" > 0).count() == 200)
   }
 
   test("segment: subwords concatenate back to the word; merged symbols appear; determinism") {
