@@ -1,7 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,7 +41,8 @@ import org.apache.spark.sql.functions._
   * skew split handles the sort, and the count itself is O(partition).
   *
   * Determinism: positions are a pure function of the whitespace
-  * tokenization ([[T.tokens]]), the hash is the auditable h60, and
+  * tokenization ([[graft.functions.TextFunctions.tokens]]), the hash
+  * is the auditable h60, and
   * the canonical occurrence is the `(doc_id, pos)` minimum — the span
   * sets and excised text are engine-independent (DuckDB oracles q90 /
   * q91 reproduce them exactly).
@@ -219,31 +219,28 @@ object SubstringDedup {
     * assembly half of [[excise]], public so other span producers
     * (e.g. [[Decontaminate.overlapSpans]] — surgical benchmark
     * removal) compose with it. One doc-id join hanging the span list
-    * on the docs; the cut is a codegen'd collection expression, no
-    * UDF.
+    * on the docs; the cut is ONE native kernel
+    * ([[graft.plans.CutSpans]]: tokenize + interval-merge + sweep +
+    * re-join fused inside whole-stage codegen), replacing the earlier
+    * `transform`/`filter`/`exists` higher-order functions whose
+    * lambdas ran interpreted at O(tokens × spans) per document on the
+    * heaviest pass of a real dedup run (CutSpansSpec proves the two
+    * forms equal, nulls and overlaps included).
     */
   def cutSpans(docs: DataFrame, spans: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val spanList = spans
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start"), col("span_end")))
-        .as("__spans"))
-    val covered = (p: Column, sp: Column) =>
-      p >= sp.getField("span_start") && p <= sp.getField("span_end")
+      .agg(collect_list(struct(col("span_start").cast("long"),
+        col("span_end").cast("long"))).as("__spans"))
+    val cut = ColumnBridge.column(graft.plans.CutSpans(
+      ColumnBridge.expression(col(textCol).cast("string")),
+      ColumnBridge.expression(col("__spans"))))
     docs.join(spanList, Seq(idCol), "left")
-      .withColumn("__toks", T.tokens(col(textCol)))
-      .withColumn("__sp",
-        coalesce(col("__spans"),
-          array().cast("array<struct<span_start:long,span_end:long>>")))
-      .withColumn("__kept",
-        filter(
-          transform(col("__toks"),
-            (t, i) => struct(t.as("t"), (i + 1).cast("long").as("p"))),
-          s => !exists(col("__sp"), sp => covered(s.getField("p"), sp))))
-      .withColumn("text_deduped",
-        array_join(transform(col("__kept"), _.getField("t")), " "))
-      .withColumn("n_tokens_removed",
-        (size(col("__toks")) - size(col("__kept"))).cast("long"))
+      .withColumn("__cut", cut)
+      .withColumn("text_deduped", col("__cut").getField("text_deduped"))
+      .withColumn("n_tokens_removed", col("__cut").getField("n_tokens_removed"))
       .select(docs.columns.map(col) :+ col("text_deduped")
         :+ col("n_tokens_removed"): _*)
   }
