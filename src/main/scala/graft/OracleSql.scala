@@ -2200,6 +2200,28 @@ object OracleSql {
     WHERE (NOT in_old) OR (NOT in_new) OR (fo IS DISTINCT FROM fn)
     ORDER BY doc_id"""
 
+  /** q105: version reconciliation as vocabulary algebra — the Spark
+    * side folds v1's df minus the retracted (removed ∪ changed) docs'
+    * old-text df plus the admitted (added ∪ changed) docs' new-text
+    * df; the oracle computes df over v2 DIRECTLY (same v1/v2
+    * derivations as q104, same token CTE as q58/q84). Equality proves
+    * the delta fold lands exactly on the target version's vocabulary.
+    */
+  private val q105 = """
+    WITH v2t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' revised'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 3),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+      FROM v2t),
+    t AS (
+      SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+    SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+    FROM t GROUP BY term ORDER BY term"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2304,5 +2326,6 @@ object OracleSql {
     "q102_delete_simhash" -> q102,
     "q103_delete_embedding" -> q103,
     "q104_corpus_diff" -> q104,
+    "q105_version_delta" -> q105,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

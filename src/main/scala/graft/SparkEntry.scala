@@ -1743,6 +1743,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Version reconciliation as pure delta algebra
+    * ([[graft.jobs.CorpusJob.runVersionDelta]]'s oracle surface): the
+    * q104 diff drives the vocabulary fold — v1's df MINUS the
+    * retracted docs' (removed ∪ changed, OLD text) df PLUS the
+    * admitted docs' (added ∪ changed, NEW text) df — and the result
+    * must equal the direct df over v2, which is exactly what the
+    * DuckDB oracle computes. Hash equality proves the subtractive
+    * vocab fold reconciles a version transition without touching the
+    * unchanged majority: the Spark plan tokenizes only v1 + the delta
+    * slices, never re-reads v2's unchanged docs.
+    */
+  def q105_version_delta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" revised")))
+          .otherwise(col("text")))
+    def fp(df: DataFrame) =
+      df.withColumn("fp", T.contentFingerprint(col("text")))
+    val diff = SnapshotDiff.byKey(fp(v1), fp(v2), "doc_id", "fp")
+    val retract = diff.filter(col("change").isin("removed", "changed"))
+      .select("doc_id")
+    val admit = diff.filter(col("change").isin("added", "changed"))
+      .select("doc_id")
+    val delta = TermStats.mergeDocFreq(
+      TermStats.docFreq(v1, "text", "doc_id"),
+      TermStats.docFreq(v1.join(retract, Seq("doc_id"), "left_semi"),
+          "text", "doc_id")
+        .withColumn("df_docs", -col("df_docs")),
+      TermStats.docFreq(v2.join(admit, Seq("doc_id"), "left_semi"),
+        "text", "doc_id"))
+    delta.filter(col("df_docs") > 0).orderBy(col("term"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1850,6 +1886,7 @@ object SparkEntry {
     "q102_delete_simhash" -> (q102_delete_simhash _),
     "q103_delete_embedding" -> (q103_delete_embedding _),
     "q104_corpus_diff" -> (q104_corpus_diff _),
+    "q105_version_delta" -> (q105_version_delta _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, DedupCluster, SubstringDedup, TermStats}
+import graft.operators.{Dedup, DedupCluster, SnapshotDiff, SubstringDedup, TermStats}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -493,6 +493,64 @@ object CorpusJob {
     } finally {
       attributed.unpersist(); present.unpersist(); affected.unpersist()
     }
+  }
+
+  /** Version-to-version reconciliation in ONE call — the composition
+    * [[SnapshotDiff.byKey]] classifies and nothing previously wired:
+    * diff corpus version `oldV` → `newV` by content fingerprint, then
+    *
+    *  1. retract `removed ∪ changed` through [[deleteDocs]] (the
+    *     changed docs' OLD content must leave every index before the
+    *     new content can enter — a changed doc keeps its id),
+    *  2. [[compactState]] — physically purges the retracted rows and
+    *     clears the tombstones, WITHOUT which the re-inserted ids
+    *     would still be excluded by every tombstone anti-join,
+    *  3. re-process `added ∪ changed` (with `newV`'s text) as one
+    *     [[runIncremental]] batch.
+    *
+    * Equality contract (CorpusJobSpec): the folded tables
+    * (vocab/meta/labels) and the fps index equal the state built from
+    * `newV` directly — they are order-independent functions of the
+    * live corpus (additive df, min-id canonical, cc over live pairs).
+    * The append-only OBSERVATION tables (annotated flags, spans) stay
+    * insert-order-faithful as everywhere else in the family: a
+    * re-inserted changed doc probes the index as it stands, and
+    * earlier docs' historical rows are not revised (q105 states the
+    * vocab algebra as the oracle-checkable surface).
+    *
+    * The re-insert violates the daily-append family's monotonic-id
+    * convention by design (changed docs re-enter under their old
+    * ids); the span leg's `doc_id < min(batch)` replay exclusion is
+    * then CONSERVATIVE (it also hides live postings of higher-id
+    * docs), which under-marks only the re-inserted docs' spans — the
+    * from-scratch-equal state surfaces above are unaffected.
+    *
+    * Returns the classified delta counts by change kind.
+    */
+  def runVersionDelta(spark: SparkSession, oldV: DataFrame, newV: DataFrame,
+      stateDir: String, cfg: Config = Config(),
+      batchId: Option[String] = None): Map[String, Long] = {
+    def fp(df: DataFrame) = df.select(col("doc_id"), col("text"))
+      .withColumn("__fp", T.contentFingerprint(col("text")))
+    val diff = SnapshotDiff.byKey(fp(oldV), fp(newV), "doc_id", "__fp").cache()
+    try {
+      val counts = diff.groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val retract = diff.filter(col("change").isin("removed", "changed"))
+        .select("doc_id")
+      if (counts.getOrElse("removed", 0L) + counts.getOrElse("changed", 0L) > 0) {
+        deleteDocs(spark, retract, stateDir, batchId.map(_ + ":retract"))
+        compactState(spark, stateDir)
+      }
+      val admit = diff.filter(col("change").isin("added", "changed"))
+        .select("doc_id")
+      if (counts.getOrElse("added", 0L) + counts.getOrElse("changed", 0L) > 0) {
+        runIncremental(spark,
+          newV.join(admit, Seq("doc_id"), "left_semi"), stateDir, cfg,
+          batchId.map(_ + ":admit"))
+      }
+      counts
+    } finally diff.unpersist()
   }
 
   /** Compact [[runIncremental]]'s append-accreting state tables — a

@@ -362,6 +362,51 @@ class CorpusJobSpec extends SparkSpec {
     expectState(aIds ++ bIds ++ cIds)
   }
 
+  test("runVersionDelta: folded + fps state == built from the new version directly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val v1 = docs.filter($"doc_id" % 5 =!= 0)
+    val v2 = docs.filter($"doc_id" % 7 =!= 3)
+      .withColumn("text",
+        when($"doc_id" % 11 === 0,
+          concat(coalesce($"text", lit("")), lit(" revised")))
+          .otherwise($"text"))
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    val stateA = tmpDir("vdelta_a")
+    val stateB = tmpDir("vdelta_b")
+    // v1 state accretes over two monotonic daily batches, then the
+    // version transition reconciles it to v2 in one call
+    val n = v1.agg(max($"doc_id")).head().getLong(0)
+    CorpusJob.runIncremental(spark, v1.filter($"doc_id" <= n / 2), stateA, cfg,
+      batchId = Some("a1"))
+    CorpusJob.runIncremental(spark, v1.filter($"doc_id" > n / 2), stateA, cfg,
+      batchId = Some("a2"))
+    val counts = CorpusJob.runVersionDelta(spark, v1, v2, stateA, cfg,
+      batchId = Some("v1v2"))
+    // the diff itself: v2 added back the %5=0 docs (minus %7=3 ones),
+    // removed the %7=3 docs v1 had, changed the %11=0 survivors
+    assert(counts.getOrElse("added", 0L) > 0 &&
+      counts.getOrElse("removed", 0L) > 0 && counts.getOrElse("changed", 0L) > 0,
+      s"delta should class all three kinds, got $counts")
+
+    CorpusJob.runIncremental(spark, v2, stateB, cfg, batchId = Some("b1"))
+
+    def vmap(path: String) = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vmap(s"$stateA/folded/vocab") == vmap(s"$stateB/folded/vocab"),
+      "reconciled vocabulary must equal the direct v2 build")
+    assert(spark.read.parquet(s"$stateA/folded/meta").head().getLong(0)
+      == v2.count())
+    def fpsSet(path: String) = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fpsSet(s"$stateA/fps") == fpsSet(s"$stateB/fps"),
+      "fingerprint index must re-elect to the direct v2 build")
+    def labelMap(path: String) = spark.read.parquet(path)
+      .as[(Long, Long)].collect().toMap
+    assert(labelMap(s"$stateA/folded/labels") == labelMap(s"$stateB/folded/labels"),
+      "cluster labels must equal the direct v2 build")
+  }
+
   test("run keeps survivors only and writes corpus + stats") {
     val out = tmpDir("corpus")
     val (kept, dropped) = CorpusJob.run(spark, corpus,
