@@ -36,21 +36,37 @@ object Sharding {
     * truncating it at the day boundary. NULL token counts weigh 0 (the
     * row still lands in a shard — a doc with unknown length must not
     * crash the export or fall out of it).
+    *
+    * The range partitioning must materialize once — the range
+    * sampler's bounds must not drift between the offset pass and the
+    * window pass. HOW it materializes is the `checkpointDir` decision
+    * rule: `None` (default) uses `localCheckpoint` — executor block
+    * storage, right for the DAILY-BATCH input the incremental form
+    * feeds (bounded size; an executor loss just re-runs the batch).
+    * A one-shot export over a FULL corpus should pass a durable
+    * directory instead: the input materializes there as parquet (and
+    * is the caller's to clean up), so the export neither pins the
+    * corpus in executor storage nor dies with one executor.
     */
   def assignShards(df: DataFrame, keyCol: String, tokensCol: String,
       shardTokens: Long, salt: String = "shard",
-      startTokens: Long = 0L): DataFrame = {
+      startTokens: Long = 0L, checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, s"shardTokens must be > 0, got $shardTokens")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
     val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
     val u = H.h60(concat(lit(salt + ":"), col(keyCol).cast("string")))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val ranged0 = df
       .withColumn("__u", u)
       .repartitionByRange(nParts, col("__u"), col(keyCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = checkpointDir match {
+      case Some(dir) =>
+        ranged0.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None => ranged0.localCheckpoint(true)
+    }
     val counts = ranged.groupBy("__pid")
       .agg(sum(tok).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -73,12 +89,15 @@ object Sharding {
     * (`partitionBy(shard_id)` — a trainer reads shard k as one glob)
     * and a `_manifest` table `(shard_id, n_docs, n_tokens)` written
     * LAST, so a complete manifest certifies a complete export. Returns
-    * the manifest.
+    * the manifest. `checkpointDir`: see [[assignShards]] — a
+    * full-corpus one-shot export should pass a durable staging
+    * directory rather than pin the corpus in executor block storage.
     */
   def writeShards(spark: SparkSession, df: DataFrame, dir: String,
       keyCol: String, tokensCol: String, shardTokens: Long,
-      salt: String = "shard"): DataFrame = {
-    val sharded = assignShards(df, keyCol, tokensCol, shardTokens, salt)
+      salt: String = "shard", checkpointDir: Option[String] = None): DataFrame = {
+    val sharded = assignShards(df, keyCol, tokensCol, shardTokens, salt,
+      checkpointDir = checkpointDir)
     sharded.write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$dir/shards")
     // partition-column inference reads shard_id back as int — pin long

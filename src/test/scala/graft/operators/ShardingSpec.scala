@@ -154,6 +154,29 @@ class ShardingSpec extends SparkSpec {
       docs.agg(sum($"n_tokens")).head().getLong(0))
   }
 
+  test("durable checkpointDir (one-shot export): assignment identical to localCheckpoint") {
+    // the full-corpus one-shot path: range-partitioned input
+    // materializes to a durable staging dir instead of executor block
+    // storage; the assignment must be byte-identical either way
+    val budget = 2000L
+    val viaLocal = Sharding.assignShards(docs, "doc_id", "n_tokens", budget)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckpt = tmpDir("shardckpt")
+    val viaDurable = Sharding.assignShards(docs, "doc_id", "n_tokens", budget,
+        checkpointDir = Some(s"$ckpt/staging"))
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDurable == viaLocal)
+    // the staging dir is real parquet the caller can clean up
+    assert(graft.sources.Zone.exists(spark, s"$ckpt/staging"))
+    // and the writeShards layout accepts the same option
+    val outDir = tmpDir("shardsdurable")
+    val manifest = Sharding.writeShards(spark, docs, outDir, "doc_id",
+      "n_tokens", budget, checkpointDir = Some(s"$ckpt/staging2"))
+    assert(manifest.agg(sum($"n_docs")).head().getLong(0) == docs.count())
+  }
+
   test("writeShards: per-shard directories + complete manifest") {
     val dir = tmpDir("shards")
     val manifest = Sharding.writeShards(spark, docs, dir, "doc_id",
