@@ -21,14 +21,15 @@ import org.apache.spark.sql.functions._
   * 100 TB the pass costs exactly one corpus scan; a 1000-executor
   * cluster scores shards independently.
   *
-  * The model itself is a STUB by the same discipline as the multimodal
-  * decode ([[Multimodal]]): training happens outside this engine (no
-  * ML libs in the sandbox), so [[stubWeights]] derives a deterministic
-  * fixed-point weight vector from the h60 family — the full inference
-  * path (hashing, bucketing, dot product, thresholding) is real,
-  * tested, and DuckDB-oracle-exact, and a trained model drops in as a
-  * `Seq[Long]` (fixed-point export is the standard quantized-inference
-  * contract) without touching the plan shape.
+  * TRAINING is outside this engine by the same discipline as the
+  * multimodal decode ([[Multimodal]]) — no ML libs in the sandbox —
+  * but a trained model IMPORTS: [[loadModel]] parses the documented
+  * fixed-point weight-file format (dim / scale / bigrams / sparse
+  * bucket weights) into a [[Model]] that [[scoreWith]] runs through
+  * the same kernel, word-bigram features included (fastText's actual
+  * feature set). [[stubWeights]] remains the deterministic stand-in
+  * the q99 oracle regenerates in-query — no out-of-band parameter
+  * shipping, exactly the MinHash-constants discipline.
   */
 object QualityModel {
 
@@ -43,15 +44,95 @@ object QualityModel {
     Seq.tabulate(dim)(b => H.h60(s"$salt:$b") % 2001L - 1000L)
   }
 
+  /** A trained model as this operator consumes it: `dim` fixed-point
+    * weights at `scale` (1.0 ≙ `scale`), optionally with word-bigram
+    * features (fastText's actual feature set — the bigram hash is the
+    * span family's k=2 window hash, so one tokenization contract
+    * serves classifier and dedup alike).
+    */
+  final case class Model(scale: Long, bigrams: Boolean, weights: IndexedSeq[Long]) {
+    require(weights.nonEmpty, "model must have dim >= 1")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    def dim: Int = weights.length
+  }
+
+  /** Import a trained model from the documented fixed-point export
+    * format — the piece that separates inference plumbing from a
+    * usable classifier stage (training happens outside this engine;
+    * file parsing does not). Line-oriented text:
+    *
+    * {{{
+    * # comments and blank lines ignored
+    * dim 64            (required, first directive)
+    * scale 1000        (optional, default 1000 — 1.0 ≙ scale)
+    * bigrams true      (optional, default false)
+    * w 0 125           (bucket weight, fixed-point; unlisted buckets
+    * w 3 -770           weigh 0 — sparse exports stay small)
+    * }}}
+    *
+    * A float-weight trainer exports by rounding `w * scale` — the
+    * standard quantized-inference contract, which is what keeps the
+    * score exact-integer and therefore DuckDB-oracle-comparable.
+    * Fails loudly on malformed lines, duplicate buckets, or a bucket
+    * outside [0, dim).
+    */
+  def loadModel(path: String): Model = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      var dim = -1
+      var scale = 1000L
+      var bigrams = false
+      val weights = scala.collection.mutable.Map.empty[Int, Long]
+      src.getLines().zipWithIndex.foreach { case (line0, i) =>
+        val line = line0.trim
+        def fail(msg: String) =
+          throw new IllegalArgumentException(s"$path:${i + 1}: $msg in '$line'")
+        if (line.nonEmpty && !line.startsWith("#")) {
+          line.split("\\s+").toSeq match {
+            case Seq("dim", v) =>
+              dim = scala.util.Try(v.toInt).filter(_ >= 1)
+                .getOrElse(fail("bad dim"))
+            case Seq("scale", v) =>
+              scale = scala.util.Try(v.toLong).filter(_ >= 1)
+                .getOrElse(fail("bad scale"))
+            case Seq("bigrams", v) =>
+              bigrams = scala.util.Try(v.toBoolean).getOrElse(fail("bad bigrams"))
+            case Seq("w", b, v) =>
+              if (dim < 1) fail("'w' before 'dim'")
+              val bucket = scala.util.Try(b.toInt).getOrElse(fail("bad bucket"))
+              if (bucket < 0 || bucket >= dim) fail(s"bucket outside [0, $dim)")
+              if (weights.contains(bucket)) fail("duplicate bucket")
+              weights(bucket) = scala.util.Try(v.toLong).getOrElse(fail("bad weight"))
+            case _ => fail("unrecognized directive")
+          }
+        }
+      }
+      if (dim < 1) throw new IllegalArgumentException(s"$path: missing 'dim'")
+      Model(scale, bigrams,
+        IndexedSeq.tabulate(dim)(b => weights.getOrElse(b, 0L)))
+    } finally src.close()
+  }
+
   /** The scoring column: exact integer `Σ weights[h60(token) mod dim]`
     * over the document's whitespace tokens (NULL text → NULL, empty →
-    * 0).
+    * 0); with `bigrams`, plus `Σ weights[h60(tok_i ' ' tok_i+1) mod
+    * dim]` over the adjacent pairs — all inside one
+    * [[graft.plans.HashedBowScore]] kernel pass.
     */
-  def bowScore(text: Column, weights: Seq[Long]): Column =
+  def bowScore(text: Column, weights: Seq[Long],
+      bigrams: Boolean = false): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.HashedBowScore(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          text.cast("string")), weights))
+          text.cast("string")), weights, bigrams))
+
+  /** [[score]] with an imported [[Model]]. */
+  def scoreWith(df: DataFrame, textCol: String, model: Model,
+      minScore: Long = 0L): DataFrame =
+    df.withColumn("bow_score",
+        bowScore(col(textCol), model.weights, model.bigrams))
+      .withColumn("quality_pass",
+        coalesce(col("bow_score") >= minScore, lit(false)))
 
   /** `df` + `bow_score` (fixed-point long) + `quality_pass`
     * (score ≥ minScore; NULL text fails the gate).

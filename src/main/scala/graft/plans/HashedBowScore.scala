@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference object inside whole-stage codegen: scoring stays a pure
   * narrow map — no join, no explode, no row amplification.
   */
-case class HashedBowScore(child: Expression, weights: Seq[Long])
+case class HashedBowScore(child: Expression, weights: Seq[Long],
+    bigrams: Boolean = false)
     extends UnaryExpression {
 
   require(weights.nonEmpty, "weights must be non-empty (dim >= 1)")
@@ -52,12 +53,12 @@ case class HashedBowScore(child: Expression, weights: Seq[Long])
   override def prettyName: String = "graft_bow_score"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashedBowScore.compute(input.asInstanceOf[UTF8String], w)
+    HashedBowScore.compute(input.asInstanceOf[UTF8String], w, bigrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("bowWeights", w, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.HashedBowScore.compute($a, $wRef);")
+      s"${ev.value} = graft.plans.HashedBowScore.compute($a, $wRef, $bigrams);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedBowScore =
@@ -66,11 +67,24 @@ case class HashedBowScore(child: Expression, weights: Seq[Long])
 
 object HashedBowScore {
 
-  /** Exact integer score; shared by interpreted eval and codegen. */
-  def compute(text: UTF8String, w: Array[Long]): Long = {
-    val hashes: ArrayData = ShingleHashes.compute(text, 1)
-    val n = hashes.numElements()
+  /** Exact integer score; shared by interpreted eval and codegen.
+    * `bigrams = true` adds fastText's actual feature set — word
+    * bigrams — as one more fused pass: the k=2 window hash of the
+    * span family ([[ShingleHashes]]) IS the bigram feature hash
+    * (`h60(lower(tok_i) + ' ' + lower(tok_i+1))`), so the classifier
+    * and the dedup operators share one tokenization + hash contract
+    * and the SQL oracle reproduces bigram features with the same
+    * `md5(lower(...))` expression it already uses for spans.
+    */
+  def compute(text: UTF8String, w: Array[Long], bigrams: Boolean = false): Long = {
     val dim = w.length
+    var score = sumPass(ShingleHashes.compute(text, 1), w, dim)
+    if (bigrams) score += sumPass(ShingleHashes.compute(text, 2), w, dim)
+    score
+  }
+
+  private def sumPass(hashes: ArrayData, w: Array[Long], dim: Int): Long = {
+    val n = hashes.numElements()
     var score = 0L
     var i = 0
     while (i < n) {

@@ -44,6 +44,64 @@ class QualityModelSpec extends SparkSpec {
     assert(out(4L)._1.isDefined)
   }
 
+  test("loadModel: checked-in export parses; bigram scoring == composed reference") {
+    val path = getClass.getResource("/quality_model_tiny.txt").getPath
+    val model = QualityModel.loadModel(path)
+    assert(model.dim == 16 && model.scale == 1000L && model.bigrams)
+    // sparse buckets default to 0; listed ones land where declared
+    assert(model.weights(0) == 125L && model.weights(1) == -770L)
+    assert(model.weights(2) == 0L && model.weights(8) == 990L)
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"text".isNotNull).limit(200)
+    // composed reference: unigram pass + bigram pass, each hashing the
+    // LOWERCASED space-joined window (the ShingleHashes contract)
+    val wLit = typedlit(model.weights.toArray)
+    def pass(tokCol: org.apache.spark.sql.Column) =
+      sum(when(tokCol.isNull, lit(0L)).otherwise(
+        element_at(wLit, (H.h60(lower(tokCol)) % model.dim + 1).cast("int"))))
+    val toks = docs.select($"doc_id",
+      posexplode_outer(T.tokens($"text")).as(Seq("pos", "tok")))
+    val uni = toks.groupBy("doc_id").agg(pass($"tok").as("u"))
+    val bi = toks.alias("a")
+      .join(toks.alias("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.pos" + 1 === $"b.pos")
+      .select($"a.doc_id".as("doc_id"),
+        concat($"a.tok", lit(" "), $"b.tok").as("bg"))
+      .groupBy("doc_id").agg(pass($"bg").as("b"))
+    val reference = uni.join(bi, Seq("doc_id"), "left")
+      .select($"doc_id", ($"u" + coalesce($"b", lit(0L))).as("ref"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = QualityModel.scoreWith(docs, "text", model)
+      .select("doc_id", "bow_score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == reference)
+    assert(native.nonEmpty)
+  }
+
+  test("loadModel rejects malformed exports loudly") {
+    def tmpModel(lines: String*): String = {
+      val f = java.io.File.createTempFile("qmodel", ".txt")
+      f.deleteOnExit()
+      val w = new java.io.PrintWriter(f)
+      try lines.foreach(w.println) finally w.close()
+      f.getPath
+    }
+    def rejects(lines: String*): Unit =
+      intercept[IllegalArgumentException](
+        QualityModel.loadModel(tmpModel(lines: _*)))
+    rejects("scale 1000")                    // missing dim
+    rejects("w 0 5", "dim 4")                // w before dim
+    rejects("dim 4", "w 4 5")                // bucket out of range
+    rejects("dim 4", "w 1 5", "w 1 6")       // duplicate bucket
+    rejects("dim 4", "w 1 notanumber")       // bad weight
+    rejects("dim 4", "frobnicate 9")         // unknown directive
+    // and the happy path parses with defaults
+    val m = QualityModel.loadModel(tmpModel("dim 4", "w 2 7"))
+    assert(m.dim == 4 && m.scale == 1000L && !m.bigrams)
+    assert(m.weights == IndexedSeq(0L, 0L, 7L, 0L))
+  }
+
   test("filterByScore keeps exactly the passing rows; stub weights deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
