@@ -206,6 +206,78 @@ class CorpusJobSpec extends SparkSpec {
         docs, "text", "doc_id", cfg.spanTokens)))
   }
 
+  test("deletion soak: 10 days at sf0.1 with interleaved takedowns + compactions") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("corpussoakdel")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+
+    def tableCount(t: String): Long =
+      graft.sources.Zone.readIfExists(spark, s"$state/$t").map(_.count()).getOrElse(0L)
+
+    // days 0..9 insert monotonic slices; after days 3, 6, 9 a takedown
+    // deletes a residue class of everything inserted so far, then
+    // compaction purges physically — the retention lifecycle a real
+    // pipeline runs, which the insert-only soak can't witness
+    var deleted = Set.empty[Long]
+    (0 until 10).foreach { d =>
+      val lo = d * (n + 1) / 10; val hi = (d + 1) * (n + 1) / 10
+      val batch = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+      CorpusJob.runIncremental(spark, batch, state, cfg,
+        batchId = Some(f"2026-02-${d + 1}%02d"))
+      if (d % 3 == 2) {
+        val insertedHi = (d + 1) * (n + 1) / 10
+        val residue = 2 * (d / 3) + 1 // 1, 3, 5 — disjoint delete sets
+        val delList = docs
+          .filter($"doc_id" < insertedHi && $"doc_id" % 9 === residue)
+          .select("doc_id")
+        val delIds = delList.as[Long].collect().toSet -- deleted
+        val nDel = CorpusJob.deleteDocs(spark, delList, state,
+          Some(s"del-day$d"))
+        assert(nDel == delIds.size, s"day $d takedown count")
+        deleted ++= delIds
+        val before = Seq("annotated", "index/sigs", "spans", "pairs")
+          .map(t => t -> tableCount(t)).toMap
+        CorpusJob.compactState(spark, state)
+        assert(!graft.sources.Zone.exists(spark, s"$state/tombstones"),
+          s"day $d compaction must clear tombstones")
+        assert(tableCount("annotated") == before("annotated") - delIds.size,
+          s"day $d annotated must shrink by the takedown")
+        assert(tableCount("index/sigs") < before("index/sigs"),
+          s"day $d sigs must shrink")
+      }
+    }
+
+    // final state == from-scratch build over the SURVIVORS, on every
+    // order-independent surface (the deleteDocs equality, held through
+    // ten days of interleaved inserts, takedowns, and compactions)
+    val survivors = docs.filter(!$"doc_id".isin(deleted.toSeq: _*))
+    assert(spark.read.parquet(s"$state/annotated")
+      .select("doc_id").as[Long].collect().toSet ==
+      survivors.select("doc_id").as[Long].collect().toSet)
+    assert(spark.read.parquet(s"$state/folded/meta").head().getLong(0)
+      == survivors.count())
+    assert(spark.read.parquet(s"$state/folded/vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      graft.operators.TermStats.docFreq(survivors, "text", "doc_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(spark.read.parquet(s"$state/folded/labels")
+      .as[(Long, Long)].collect().toMap ==
+      graft.operators.DedupCluster.connectedComponents(
+        graft.operators.Dedup.minHashLsh(docs, "text", "doc_id",
+            cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+          .filter(!$"id_a".isin(deleted.toSeq: _*) &&
+            !$"id_b".isin(deleted.toSeq: _*)),
+        "id_a", "id_b").as[(Long, Long)].collect().toMap)
+    import graft.functions.{TextFunctions => TF}
+    assert(spark.read.parquet(s"$state/fps")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      survivors.withColumn("content_fp", TF.contentFingerprint($"text"))
+        .groupBy("content_fp").agg(min($"doc_id").as("canonical_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("deleteDocs: state == from-scratch build without the deleted docs") {
     import graft.functions.{TextFunctions => T}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
