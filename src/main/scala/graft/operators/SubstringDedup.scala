@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
   *     tokenization), projected immediately to the narrow
   *     `(hash: long, doc_id, pos)` triple — the wide shingle string
   *     never reaches an exchange.
-  *  2. Mark: one hash exchange. [[duplicateSpans]] marks an occurrence
-  *     iff its hash occurs ≥ 2 times corpus-wide (`count` over the
-  *     hash partition — positions stay attached, no second corpus
-  *     pass); [[excise]] instead marks all but the corpus-FIRST
-  *     occurrence (`row_number` ordered by `(doc_id, pos)` ≥ 2), the
-  *     keep-one-copy discipline of the paper.
+  *  2. Mark: [[duplicateSpans]] marks an occurrence iff its hash
+  *     occurs ≥ 2 times corpus-wide; [[excise]] instead marks all but
+  *     the corpus-FIRST occurrence (the `(doc_id, pos)` minimum), the
+  *     keep-one-copy discipline of the paper. Both are an AGGREGATE
+  *     keyed on the hash (count / min-struct) joined back to the
+  *     occurrences — deliberately NOT a window over the hash
+  *     partition, although that would save the join: a window must
+  *     co-locate every occurrence of a key in one task, so a single
+  *     boilerplate shingle repeated across 1% of a 100 TB corpus
+  *     serializes billions of rows through one sort, and AQE cannot
+  *     split a window partition. The aggregate's partial (map-side)
+  *     combine collapses the hot hash BEFORE its exchange, and the
+  *     join back IS one of the shapes AQE skew-split handles
+  *     (SubstringDedupSpec plants a hot shingle and asserts the split
+  *     activates with the result set unchanged).
   *  3. Merge: per document, marked positions whose windows overlap or
   *     touch (`pos' − pos ≤ k`) coalesce into maximal spans — the
   *     standard gaps-and-islands window, one exchange on doc id.
@@ -94,11 +103,18 @@ object SubstringDedup {
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
-    val byHash = Window.partitionBy(col("__h"))
-    val marked = occurrences(docs, textCol, idCol, k)
-      .withColumn("__cnt", count(lit(1)).over(byHash))
+    val occ = occurrences(docs, textCol, idCol, k)
+    // hashes occurring >= 2 times, via partial-combinable aggregate +
+    // semi join (not a count window — see the stage-2 note up top);
+    // the decoy grouping key puts the build side on its own
+    // planner-owned shuffle stage so the probe side is
+    // AQE-skew-splittable (the markNonFirst note)
+    val dup = occ
+      .groupBy(col("__h"), pmod(col("__h"), lit(1L)).as("__k0"))
+      .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2)
-    mergeSpans(marked, idCol, k)
+      .select(col("__h"))
+    mergeSpans(occ.join(dup, Seq("__h"), "left_semi"), idCol, k)
   }
 
   /** Spans covering every occurrence EXCEPT the corpus-first one (the
@@ -109,12 +125,40 @@ object SubstringDedup {
   def nonCanonicalSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
-    val byHashOrd = Window.partitionBy(col("__h"))
-      .orderBy(col(idCol), col("pos"))
-    val marked = occurrences(docs, textCol, idCol, k)
-      .withColumn("__rn", row_number().over(byHashOrd))
-      .filter(col("__rn") >= 2)
-    mergeSpans(marked, idCol, k)
+    val occ = occurrences(docs, textCol, idCol, k)
+    mergeSpans(markNonFirst(occ, idCol), idCol, k)
+  }
+
+  /** Occurrences minus each hash's corpus-first `(id, pos)` holder —
+    * the min via a partial-combinable struct aggregate joined back on
+    * the hash (not a `row_number` window — see the stage-2 note up
+    * top). Struct ordering is lexicographic by field, so
+    * `min(struct(id, pos))` IS the `(id, pos)` minimum.
+    *
+    * The decoy secondary grouping key is load-bearing: AQE's skew
+    * split only matches a sort-merge join whose BOTH children sit
+    * directly on ENSURE_REQUIREMENTS shuffle stages (the ShuffleStage
+    * matcher tests the origin, so a manual `.repartition` — origin
+    * REPARTITION_BY_COL — can never enable a split), and a final
+    * aggregate between the build side's exchange and the join breaks
+    * the shape. Grouping on `(__h, pmod(__h, 1))` — the same groups,
+    * since the decoy is a pure function of `__h` — leaves the
+    * aggregate's output partitioning unusable for the `__h` join, so
+    * EnsureRequirements plants ITS OWN exchange directly under the
+    * join. The firsts table pays one extra exchange (hash-distinct
+    * rows, post-combine); the corpus-sized probe side becomes
+    * splittable at mapper granularity, which is what survives a
+    * boilerplate hash at 100 TB.
+    */
+  private def markNonFirst(occ: DataFrame, idCol: String): DataFrame = {
+    val firsts = occ
+      .groupBy(col("__h"), pmod(col("__h"), lit(1L)).as("__k0"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .drop("__k0")
+    occ.join(firsts, Seq("__h"))
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+        col("pos") === col("__first").getField("pos")))
+      .drop("__first")
   }
 
   /** The persistable incremental index: the DISTINCT h60 set of every
@@ -181,19 +225,24 @@ object SubstringDedup {
   def nonCanonicalSpansIncremental(index: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
-    val byHashOrd = Window.partitionBy(col("__h"))
-      .orderBy(col(idCol), col("pos"))
-    val withRn = occurrences(batch, textCol, idCol, k)
-      .withColumn("__rn", row_number().over(byHashOrd))
-    // ONE batch pipeline, not a union of marking legs: the distinct()
-    // makes the left-join indicator safe against a non-distinct index
-    // (it costs nothing extra — a semi-join build side gets the same
-    // dedup aggregate planned internally), and both the rn window and
-    // the join key are __h, so the batch exchanges once
+    val occ = occurrences(batch, textCol, idCol, k)
+    // ONE batch pipeline, not a union of marking legs: the batch-first
+    // aggregate, its join back, and the index probe are all keyed on
+    // __h, so the batch exchanges once (the firsts/seen build sides
+    // are their own small exchanges). The distinct() makes the
+    // left-join indicator safe against a non-distinct index. Marking
+    // is the same aggregate-not-window shape as [[nonCanonicalSpans]]
+    // (the stage-2 note) — batch-internal non-first OR seen-in-index.
+    val firsts = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
     val seen = index.select(col("shingle_h").as("__h")).distinct()
       .withColumn("__seen", lit(true))
-    val marked = withRn.join(seen, Seq("__h"), "left")
-      .filter(col("__rn") >= 2 || col("__seen").isNotNull)
+    val marked = occ.join(firsts, Seq("__h"))
+      .join(seen, Seq("__h"), "left")
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+          col("pos") === col("__first").getField("pos")) ||
+        col("__seen").isNotNull)
+      .drop("__first", "__seen")
     mergeSpans(marked, idCol, k)
   }
 

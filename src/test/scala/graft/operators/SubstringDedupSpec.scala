@@ -168,4 +168,101 @@ class SubstringDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("aggregate-join marking == the row_number/count window forms") {
+    // the stage-2 marking is an aggregate + join (hot hashes partial-
+    // combine; the join skew-splits) — this pins it to the window
+    // semantics it replaced, on a corpus with repeats, case folds,
+    // within-doc duplicates, and unique tails
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 30L).map(i =>
+        i -> (if (i % 3 == 0) "the Same Boilerplate phrase repeated many times across documents"
+              else if (i % 3 == 1) s"unique words u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+              else "internal repeat go go go go go go go go internal repeat")) :+
+      (31L -> "the same boilerplate PHRASE repeated many times across documents"))
+      .toDF("doc_id", "text")
+    val k = 4
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+    val occ = SubstringDedup.occurrences(docs, "text", "doc_id", k)
+    val byHash = Window.partitionBy(col("__h"))
+    val dupWindow = SubstringDedup.mergeSpans(
+      occ.withColumn("__cnt", count(lit(1)).over(byHash))
+        .filter(col("__cnt") >= 2).drop("__cnt"), "doc_id", k)
+    assert(key(SubstringDedup.duplicateSpans(docs, "text", "doc_id", k))
+      == key(dupWindow))
+
+    val byHashOrd = byHash.orderBy(col("doc_id"), col("pos"))
+    val firstWindow = SubstringDedup.mergeSpans(
+      occ.withColumn("__rn", row_number().over(byHashOrd))
+        .filter(col("__rn") >= 2).drop("__rn"), "doc_id", k)
+    assert(key(SubstringDedup.nonCanonicalSpans(docs, "text", "doc_id", k))
+      == key(firstWindow))
+  }
+
+  test("hot shingle: AQE skew-split activates on the mark join, results stay exact") {
+    // 600 docs of EXACTLY k tokens of identical boilerplate → each
+    // emits ONE window hash, so a single key holds 600 rows while the
+    // unique docs' hashes spread thin over every reduce partition —
+    // the concentration a boilerplate line produces at corpus scale.
+    // The window form this replaced could never split (a window
+    // partition must co-locate); the aggregate+join form must show
+    // AQE's skew-split actually firing, result-invariant. Same conf
+    // recipe as DedupSpec's band fixture (thresholds to test scale;
+    // coalescing off so there is more than one mapper to split along).
+    val hot = (0 until 600).map(i =>
+      (i.toLong, "the exact same boilerplate sentence"))
+    val cold = (600 until 650).map(i =>
+      (i.toLong, s"unique document number $i carrying words w${i}a w${i * 7}b w${i * 13}c distinct"))
+    // several input partitions: skew-split subdivides a reduce
+    // partition at MAPPER boundaries, so a single-mapper local table
+    // leaves nothing to split along (never the case at corpus scale)
+    val docs = (hot ++ cold).toDF("doc_id", "text").repartition(8)
+    def run() = SubstringDedup.nonCanonicalSpans(docs, "text", "doc_id", 5)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ).map(k => k ->
+      scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // at corpus scale the firsts build side is vocabulary-sized — far
+      // past any broadcast threshold — so the mark join is a shuffled
+      // join; the fixture forces that regime (a broadcast join at test
+      // scale is both correct and skew-immune, proving nothing)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val baseline = run().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(baseline.size >= 599, "hot docs must all mark their boilerplate span")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = run()
+      // collect df ITSELF (an .as[...] view owns a separate query
+      // execution, and the adaptive plan only finalizes on execution)
+      val skewed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "skew-split did not activate:\n" + plan.take(4000))
+      assert(skewed == baseline, "skew-split changed the result set")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
