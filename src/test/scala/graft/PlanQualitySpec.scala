@@ -134,6 +134,13 @@ class PlanQualitySpec extends SparkSpec {
       assert(exchanges.nonEmpty)
       assert(!exchanges.exists(_.contains("__toks")),
         "token array crossed an exchange:\n" + exchanges.mkString("\n"))
+      // stage-2 marking must stay an aggregate + join: a window over
+      // the hash partition would drag every occurrence of a hot
+      // boilerplate hash through ONE task, and AQE cannot split a
+      // window partition (the round-8 rework; SubstringDedupSpec's
+      // hot-shingle fixture proves the join path splits)
+      assert(!p.contains("windowspecdefinition(__h"),
+        "hash-partition window regressed (single-task hot-hash risk):\n" + p.take(2000))
     }
   }
 
