@@ -2222,6 +2222,44 @@ object OracleSql {
     SELECT term, CAST(count(*) AS BIGINT) AS df_docs
     FROM t GROUP BY term ORDER BY term"""
 
+  /** q106: q99's hashed-BoW score plus word-bigram features — the
+    * bigram feature hash is the span family's 2-token window hash
+    * (md5 h60 of the lowercased space-joined pair), the bucket and
+    * stub-weight derivations identical to q99's.
+    */
+  private val q106 = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+    uni AS (
+      SELECT doc_id,
+             ${h60(s"'qw:' || CAST(${h60("lower(w)")} % 256 AS VARCHAR)")}
+               % 2001 - 1000 AS wv
+      FROM tok),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+               i -> lower(tk[i]) || ' ' || lower(tk[i + 1]))) AS b
+      FROM t WHERE len(tk) >= 2),
+    bi AS (
+      SELECT doc_id,
+             ${h60(s"'qw:' || CAST(${h60("b")} % 256 AS VARCHAR)")}
+               % 2001 - 1000 AS wv
+      FROM bg),
+    sc AS (
+      SELECT doc_id, CAST(sum(wv) AS BIGINT) AS s
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(sc.s, 0) END AS bow_score,
+           CASE WHEN d.text IS NULL THEN FALSE
+                ELSE coalesce(sc.s, 0) >= 0 END AS quality_pass
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2327,5 +2365,6 @@ object OracleSql {
     "q103_delete_embedding" -> q103,
     "q104_corpus_diff" -> q104,
     "q105_version_delta" -> q105,
+    "q106_model_bigram" -> q106,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1743,6 +1743,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** [[q99_model_score]] with word-bigram features — fastText's
+    * actual feature set ([[QualityModel.scoreWith]] with a
+    * `bigrams = true` [[QualityModel.Model]]): the same fused
+    * [[graft.plans.HashedBowScore]] kernel runs one more pass whose
+    * feature hash is the span family's k=2 window hash
+    * (`h60(lower(tok_i) ' ' lower(tok_i+1))`), so scoring stays a
+    * pure narrow map — one corpus scan, no join, no explode — and the
+    * oracle reproduces the bigram features with the same md5 h60
+    * expression it already uses for spans. Weights are the q99 stub
+    * vector, regenerated in-SQL.
+    */
+  def q106_model_bigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val model = QualityModel.Model(1000L, bigrams = true,
+      QualityModel.stubWeights(256).toIndexedSeq)
+    QualityModel.scoreWith(docs, "text", model)
+      .select(col("doc_id"), col("bow_score"), col("quality_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Version reconciliation as pure delta algebra
     * ([[graft.jobs.CorpusJob.runVersionDelta]]'s oracle surface): the
     * q104 diff drives the vocabulary fold — v1's df MINUS the
@@ -1887,6 +1907,7 @@ object SparkEntry {
     "q103_delete_embedding" -> (q103_delete_embedding _),
     "q104_corpus_diff" -> (q104_corpus_diff _),
     "q105_version_delta" -> (q105_version_delta _),
+    "q106_model_bigram" -> (q106_model_bigram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
