@@ -84,12 +84,20 @@ object Bench {
     val matNames = Seq("q91_excise_spans", "q94_decontaminate_excise",
       "q101_bpe_segment").filter(qmap.contains)
     val mat = scala.collection.mutable.Map[String, Double]()
+    val matErrs = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to runs; name <- matNames) {
       val t0 = System.nanoTime()
+      // NonFatal only (an OOM must propagate, not masquerade as a
+      // missing row), and failures are recorded so a failed noop write
+      // is distinguishable in the JSON from a query never benchmarked
       val failed = try {
         qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         false
-      } catch { case _: Throwable => true }
+      } catch { case scala.util.control.NonFatal(t) =>
+        matErrs(name) =
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        true
+      }
       val w = (System.nanoTime() - t0) / 1e9
       if (!failed && w < mat.getOrElse(name, Double.MaxValue)) mat(name) = w
     }
@@ -119,7 +127,9 @@ object Bench {
       s""""cpus":$cpus,"runs":$runs}"""
     val matJson = matNames.filter(mat.contains)
       .map(k => jstr(k) + ":" + jnum(mat(k))).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"materialized":$matJson,"errors":$errJson,"flaky":$flakyJson,"load":$load,"sf":"$sfDir"}"""
+    val matErrJson = matNames.filter(matErrs.contains)
+      .map(k => jstr(k) + ":" + jstr(matErrs(k))).mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"materialized":$matJson,"materialized_errors":$matErrJson,"errors":$errJson,"flaky":$flakyJson,"load":$load,"sf":"$sfDir"}"""
     // stdout FIRST: if the durable-copy write throws (read-only dir, bad
     // SPARK_GRAFT_BENCH_OUT), the results must not die with it
     println(line)
@@ -129,6 +139,19 @@ object Bench {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     }.failed.foreach(t => System.err.println(s"bench: durable copy failed: $t"))
+    // LAST stdout line: a compact wall-only summary that fits inside a
+    // ~2 KB log-tail capture window even at 100+ queries (the full line
+    // above is ~5 KB with the cpu/materialized maps, and BENCH_r08's
+    // tail happened to capture the CPU map instead of the wall map —
+    // the authoritative per-query wall numbers must be what a tail
+    // always sees). Keys shorten to the qNN prefix (unique by
+    // construction; falls back to full names if ever not).
+    val shortKey = ok.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val keyOf: String => String =
+      if (shortKey.values.toSet.size == ok.size) shortKey else (k: String) => k
+    val compactQs = ok.sorted.map(k => jstr(keyOf(k)) + ":" + jnum(wall(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${ok.size},"n_err":${names.size - ok.size},"queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

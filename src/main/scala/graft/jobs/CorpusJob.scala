@@ -52,6 +52,30 @@ object CorpusJob {
   private def nextFoldedIds(prior: Seq[String], batchId: Option[String]): Seq[String] =
     (prior ++ batchId).distinct.takeRight(MaxFoldedMarkers)
 
+  /** Delete-batch ids with live tombstone rows whose subtractive fold
+    * has NOT committed — a crashed [[deleteDocs]] attempt awaiting
+    * replay. [[compactState]] clears `tombstones/` and purges the
+    * annotated rows, which destroys exactly the attribution that
+    * replay needs (the sequencing requirement on [[deleteDocs]]), so
+    * automated compaction ([[runVersionDelta]] step 2) must check this
+    * first. Legacy tombstone rows with no `batch_id` kept the
+    * strictly-sequential replay contract and are treated as folded; a
+    * fold evicted from the bounded marker window ([[MaxFoldedMarkers]])
+    * can flag spuriously, which only ever delays compaction — replay
+    * the flagged batch (idempotent) or run [[compactState]] directly
+    * to override.
+    */
+  def unfoldedDeleteBatches(spark: SparkSession, stateDir: String): Seq[String] = {
+    if (!Zone.exists(spark, s"$stateDir/tombstones")) return Nil
+    val tomb = spark.read.option("mergeSchema", "true")
+      .parquet(s"$stateDir/tombstones")
+    if (!tomb.columns.contains("batch_id")) return Nil
+    val folded =
+      foldedBatchIds(Zone.readIfExists(spark, s"$stateDir/folded/meta")).toSet
+    tomb.select(col("batch_id")).filter(col("batch_id").isNotNull).distinct()
+      .collect().map(_.getString(0)).filterNot(folded.contains).toSeq.sorted
+  }
+
   final case class Config(
       shingleSize: Int = 3,
       numHashes: Int = 64,
@@ -504,7 +528,11 @@ object CorpusJob {
     *     new content can enter — a changed doc keeps its id),
     *  2. [[compactState]] — physically purges the retracted rows and
     *     clears the tombstones, WITHOUT which the re-inserted ids
-    *     would still be excluded by every tombstone anti-join,
+    *     would still be excluded by every tombstone anti-join. Because
+    *     compaction destroys the attribution a crashed, not-yet-
+    *     replayed delete batch needs, this step FAILS FAST (before any
+    *     mutation) if [[unfoldedDeleteBatches]] reports one — replay
+    *     that batch first, then re-run the delta,
     *  3. re-process `added ∪ changed` (with `newV`'s text) as one
     *     [[runIncremental]] batch.
     *
@@ -539,6 +567,25 @@ object CorpusJob {
       val retract = diff.filter(col("change").isin("removed", "changed"))
         .select("doc_id")
       if (counts.getOrElse("removed", 0L) + counts.getOrElse("changed", 0L) > 0) {
+        // Step 2's compaction clears ALL tombstones, destroying the
+        // attribution any OTHER crashed, not-yet-replayed delete batch
+        // needs ([[deleteDocs]]'s sequencing requirement) — refuse to
+        // automate that data loss. Check BEFORE this call's own
+        // retract leg so the failure precedes any mutation; replay the
+        // flagged batch (idempotent) and re-run. This call's own
+        // retract id is exempt: tombstones under it mean a crashed
+        // earlier attempt of THIS delta, and the deleteDocs call below
+        // is precisely that batch's replay.
+        val ownRetract = batchId.map(_ + ":retract")
+        val pending = unfoldedDeleteBatches(spark, stateDir)
+          .filterNot(ownRetract.contains)
+        if (pending.nonEmpty)
+          throw new IllegalStateException(
+            s"runVersionDelta: refusing to compact over unfolded delete " +
+              s"batch(es) ${pending.mkString(", ")} — replay each via " +
+              "deleteDocs(batchId) so its fold commits, then re-run. " +
+              "(A fold evicted from the bounded marker window flags " +
+              "spuriously; run compactState directly to override.)")
         deleteDocs(spark, retract, stateDir, batchId.map(_ + ":retract"))
         compactState(spark, stateDir)
       }

@@ -233,8 +233,15 @@ object SubstringDedup {
     // left-join indicator safe against a non-distinct index. Marking
     // is the same aggregate-not-window shape as [[nonCanonicalSpans]]
     // (the stage-2 note) — batch-internal non-first OR seen-in-index.
-    val firsts = occ.groupBy(col("__h"))
+    // The decoy grouping key matches [[markNonFirst]]: a hot
+    // boilerplate shingle inside one large batch is the same
+    // single-task hazard as in the batch path, and without the decoy
+    // the firsts aggregate sits between the exchange and the mark
+    // join, so AQE's skew split cannot activate on the probe side.
+    val firsts = occ
+      .groupBy(col("__h"), pmod(col("__h"), lit(1L)).as("__k0"))
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .drop("__k0")
     val seen = index.select(col("shingle_h").as("__h")).distinct()
       .withColumn("__seen", lit(true))
     val marked = occ.join(firsts, Seq("__h"))

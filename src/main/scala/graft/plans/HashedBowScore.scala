@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,18 +77,21 @@ object HashedBowScore {
     */
   def compute(text: UTF8String, w: Array[Long], bigrams: Boolean = false): Long = {
     val dim = w.length
-    var score = sumPass(ShingleHashes.compute(text, 1), w, dim)
-    if (bigrams) score += sumPass(ShingleHashes.compute(text, 2), w, dim)
+    // tokenize+lowercase ONCE; each k pass hashes over the shared
+    // token-byte arrays (the bigram pass previously re-ran the whole
+    // string pipeline, doubling per-row work on the corpus-scan path)
+    val tb = ShingleHashes.tokenBytes(text)
+    var score = sumPass(ShingleHashes.hashWindows(tb, 1), w, dim)
+    if (bigrams) score += sumPass(ShingleHashes.hashWindows(tb, 2), w, dim)
     score
   }
 
-  private def sumPass(hashes: ArrayData, w: Array[Long], dim: Int): Long = {
-    val n = hashes.numElements()
+  private def sumPass(hashes: Array[Long], w: Array[Long], dim: Int): Long = {
     var score = 0L
     var i = 0
-    while (i < n) {
+    while (i < hashes.length) {
       // h60 is non-negative, so % is a true mod
-      score += w((hashes.getLong(i) % dim).toInt)
+      score += w((hashes(i) % dim).toInt)
       i += 1
     }
     score

@@ -64,12 +64,24 @@ object ShingleHashes {
 
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
+  private val EmptyTokens = new Array[Array[Byte]](0)
+
   def compute(text: UTF8String, k: Int): ArrayData = {
+    val out = hashWindows(tokenBytes(text), k)
+    if (out.isEmpty) Empty else new GenericArrayData(out)
+  }
+
+  /** The tokenize+lowercase half of [[compute]]: each whitespace
+    * token's lowercased bytes, in order (empty for token-less text).
+    * Exposed so a caller hashing the SAME document at several window
+    * sizes ([[HashedBowScore]]'s unigram+bigram passes) pays the
+    * string work once.
+    */
+  def tokenBytes(text: UTF8String): Array[Array[Byte]] = {
     val trimmed = text.trim().toString
-    if (trimmed.isEmpty) return Empty
+    if (trimmed.isEmpty) return EmptyTokens
     val toks = Ws.split(trimmed, -1)
     val n = toks.length
-    if (n < k) return Empty
     // lowercase each token ONCE (UTF8String.toLowerCase == functions.lower)
     val tb = new Array[Array[Byte]](n)
     var i = 0
@@ -77,6 +89,15 @@ object ShingleHashes {
       tb(i) = UTF8String.fromString(toks(i)).toLowerCase.getBytes
       i += 1
     }
+    tb
+  }
+
+  /** The hash half of [[compute]]: h60 of each k-token window over
+    * pre-tokenized bytes.
+    */
+  def hashWindows(tb: Array[Array[Byte]], k: Int): Array[Long] = {
+    val n = tb.length
+    if (n < k) return Array.emptyLongArray
     val md = localDigest.get() // digest() self-resets between windows
     val out = new Array[Long](n - k + 1)
     var p = 0
@@ -94,6 +115,6 @@ object ShingleHashes {
           ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
       p += 1
     }
-    new GenericArrayData(out)
+    out
   }
 }

@@ -479,6 +479,32 @@ class CorpusJobSpec extends SparkSpec {
       "cluster labels must equal the direct v2 build")
   }
 
+  test("runVersionDelta refuses to compact over an unfolded foreign delete batch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val v1 = docs.filter($"doc_id" <= 100)
+    val v2 = v1.filter($"doc_id" % 7 =!= 3)
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    val state = tmpDir("vdelta_guard")
+    CorpusJob.runIncremental(spark, v1, state, cfg, batchId = Some("a1"))
+    // a crashed delete batch: tombstones appended, fold never committed
+    Seq(5L).toDF("doc_id").withColumn("batch_id", lit("del-X"))
+      .write.mode("append").parquet(s"$state/tombstones")
+    assert(CorpusJob.unfoldedDeleteBatches(spark, state) == Seq("del-X"))
+    val e = intercept[IllegalStateException] {
+      CorpusJob.runVersionDelta(spark, v1, v2, state, cfg, Some("v1v2"))
+    }
+    assert(e.getMessage.contains("del-X"))
+    // replay commits del-X's fold; the delta then proceeds and its
+    // compaction clears the (now fully attributed) tombstones
+    CorpusJob.deleteDocs(spark, Seq(5L).toDF("doc_id"), state, Some("del-X"))
+    assert(CorpusJob.unfoldedDeleteBatches(spark, state).isEmpty)
+    val counts = CorpusJob.runVersionDelta(spark, v1.filter($"doc_id" =!= 5),
+      v2, state, cfg, Some("v1v2"))
+    assert(counts.getOrElse("removed", 0L) > 0)
+    assert(CorpusJob.unfoldedDeleteBatches(spark, state).isEmpty)
+  }
+
   test("run keeps survivors only and writes corpus + stats") {
     val out = tmpDir("corpus")
     val (kept, dropped) = CorpusJob.run(spark, corpus,
