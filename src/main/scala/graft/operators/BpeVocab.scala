@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * IvfIndex-codebook discipline), and apply the merge as a narrow
   * `replace` on the segmentation column. `numMerges` iterations =
   * `numMerges` aggregates over the type table, never a second corpus
-  * pass.
+  * pass — and [[train]]'s `batchSize` collapses that to
+  * ~`numMerges / batchSize` aggregates by learning a round's top
+  * symbol-disjoint pairs together (exact at `batchSize = 1`; the
+  * batched divergence contract is on [[train]]).
   *
   * Determinism (what makes q100 oracle-exact): ties in pair frequency
   * break on the pair string ascending; the segmentation is the
@@ -95,10 +98,52 @@ object BpeVocab {
     * weighted frequency AT MERGE TIME (the training trace, so two runs
     * are comparable merge-by-merge). Stops early if no pair is left
     * (fully merged vocabulary).
+    *
+    * `batchSize` is the wall-clock lever for real vocabularies: the
+    * default 1 is EXACT Sennrich BPE (one aggregate over the type
+    * table per merge — at 32k merges that is 32k sequential Spark
+    * jobs, hours of scheduler overhead whatever the data size).
+    * `batchSize = k` learns up to k merges per aggregate by greedy
+    * selection down the round's frequency ranking, admitting a pair
+    * only if its two symbols AND its merged output are disjoint from
+    * every symbol already selected this round: merges over disjoint
+    * symbols commute, and each admitted pair's observed count is
+    * still its true count when its turn comes (a merge only perturbs
+    * pair counts adjacent to its own symbols). The round's first pair
+    * is always admissible, so progress — and the exact global argmax
+    * as the next merge — is guaranteed every round.
+    *
+    * Approximation contract, documented rather than hidden: batching
+    * is exact UNLESS a pair CREATED by an earlier in-batch merge
+    * (e.g. `("ab", c)` after `(a, b) → ab`) would have out-ranked a
+    * later in-batch selection at its sequential turn — those pairs
+    * don't exist in the round's count table, so the greedy pass
+    * cannot see them. They are never lost, only delayed to the next
+    * round's table; the learned merge SET can differ slightly in
+    * membership and order from `batchSize = 1` (the standard trade of
+    * every batched BPE trainer — and unavoidable beyond the first
+    * pick, since a merge's successor pair inherits its full count and
+    * its merged symbol, so it both out-ranks the round's later picks
+    * and conflicts with its own creator). BpeVocabSpec pins what DOES
+    * hold: `batchSize = 1` equals the single-node reference
+    * merge-for-merge, each batched round's first pick is the true
+    * global argmax, round count ≈ numMerges / batchSize, the batched
+    * vocabulary compresses the corpus within a few percent of the
+    * sequential one at equal size, and segmentation under it remains
+    * lossless.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, batchSize: Int = 1): DataFrame =
+    trainWithRounds(spark, docs, textCol, numMerges, batchSize)._1
+
+  /** [[train]] plus the number of aggregate rounds it ran — the
+    * observable the batching spec locks (`private[graft]`: rounds are
+    * a scheduling detail, not part of the model artifact).
+    */
+  private[graft] def trainWithRounds(spark: SparkSession, docs: DataFrame,
+      textCol: String, numMerges: Int, batchSize: Int = 1): (DataFrame, Int) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val w = wordCounts(docs, textCol)
     // the type table materializes ONCE; each iteration re-reads this
     // cache through a single [[graft.plans.BpeApplyMerges]] node
@@ -107,23 +152,41 @@ object BpeVocab {
     // rank-heap makes the per-row cost independent of the list length)
     val seg0 = w.withColumn("s", initialSeg(col("word"))).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
     try {
-      var i = 1
       var done = false
-      while (i <= numMerges && !done) {
+      while (merges.size < numMerges && !done) {
+        val k = math.min(batchSize, numMerges - merges.size)
+        // candidate window: conflicts skip down the ranking, so fetch
+        // a few × k (bounded driver collect — the IvfIndex-codebook
+        // discipline; an under-filled round just runs one more round)
+        val fetch = math.max(4 * k, 8)
         val top = pairCounts(applyMerges(seg0,
             merges.map(m => (m._2, m._3)).toSeq))
-          .orderBy(col("c").desc, col("p").asc).limit(1).collect()
+          .orderBy(col("c").desc, col("p").asc).limit(fetch).collect()
+        rounds += 1
         if (top.isEmpty) done = true
         else {
-          val pair = top(0).getString(0)
-          val merged = pair.replace(" ", "")
-          merges += ((i, pair, merged, top(0).getLong(1)))
-          i += 1
+          val touched = scala.collection.mutable.Set.empty[String]
+          var selected = 0
+          var j = 0
+          while (j < top.length && selected < k) {
+            val pair = top(j).getString(0)
+            val sp = pair.indexOf(' ')
+            val x = pair.substring(0, sp)
+            val y = pair.substring(sp + 1)
+            val merged = x + y
+            if (!touched(x) && !touched(y) && !touched(merged)) {
+              merges += ((merges.size + 1, pair, merged, top(j).getLong(1)))
+              touched += x; touched += y; touched += merged
+              selected += 1
+            }
+            j += 1
+          }
         }
       }
       import spark.implicits._
-      merges.toSeq.toDF("rank", "pair", "merged", "cnt")
+      (merges.toSeq.toDF("rank", "pair", "merged", "cnt"), rounds)
     } finally seg0.unpersist()
   }
 

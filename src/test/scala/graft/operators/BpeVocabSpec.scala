@@ -132,6 +132,71 @@ class BpeVocabSpec extends SparkSpec {
     assert(seg.filter($"n_bpe_tokens" > 0).count() == 200)
   }
 
+  test("batched training: fewer rounds, argmax-first, near-sequential merge set, lossless segment") {
+    // same seeded wide-vocabulary corpus as the 512-merge test: the sf
+    // lexicon is too small for interesting batches
+    val rnd = new scala.util.Random(7)
+    def word = {
+      val n = 2 + rnd.nextInt(9)
+      String.valueOf(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
+    }
+    val lexicon = Array.fill(8000)(word)
+    val corpus = Seq.tabulate(2000) { i =>
+      val words = Seq.fill(40)(
+        lexicon(math.min((8000 * math.pow(rnd.nextDouble(), 3)).toInt, 7999)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val (seqDf, seqRounds) =
+      BpeVocab.trainWithRounds(spark, corpus, "text", 64, batchSize = 1)
+    val (batDf, batRounds) =
+      BpeVocab.trainWithRounds(spark, corpus, "text", 64, batchSize = 8)
+    def trace(df: org.apache.spark.sql.DataFrame) = df.orderBy($"rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val sq = trace(seqDf)
+    val bt = trace(batDf)
+    assert(sq.size == 64 && bt.size == 64)
+    assert(bt.map(_._1) == (1 to 64), "batched ranks must stay contiguous")
+    // the wall-clock claim: one aggregate per ROUND, not per merge
+    assert(seqRounds == 64, s"sequential ran $seqRounds rounds")
+    assert(batRounds <= 16, s"batched(8) ran $batRounds rounds for 64 merges")
+    // round 1's first pick is the true global argmax by construction
+    assert(bt.head == sq.head)
+    // set divergence is real but bounded (sequential spends much of a
+    // 64-merge budget on chained successor pairs that batching defers
+    // a round; observed 38/64 on this deterministic corpus — pinned
+    // with margin)
+    val overlap = sq.map(_._2).toSet.intersect(bt.map(_._2).toSet).size
+    assert(overlap >= 32, s"only $overlap/64 merges shared with sequential")
+    // what actually matters for a tokenizer: the batched vocabulary
+    // compresses the corpus nearly as well as the sequential one.
+    // 64 merges is the WORST case for batching — every deferred
+    // successor pair is a large fraction of the budget — and the
+    // observed gap is 6.6% (463313 vs 434606); at 256 merges it is
+    // 0.66% (one-off measured on this corpus), shrinking toward real
+    // vocabulary sizes
+    def totalTokens(m: org.apache.spark.sql.DataFrame) =
+      BpeVocab.segment(corpus, "text", "doc_id", BpeVocab.collectMerges(m))
+        .agg(sum($"n_bpe_tokens")).head().getLong(0)
+    val (seqTok, batTok) = (totalTokens(seqDf), totalTokens(batDf))
+    assert(batTok <= (seqTok * 1.10).toLong,
+      s"batched vocab compresses to $batTok tokens vs sequential $seqTok")
+    // a batched vocabulary is still a valid BPE model: segmentation
+    // reconstructs the tokenization losslessly
+    val seg = BpeVocab.segment(corpus.limit(100), "text", "doc_id",
+      BpeVocab.collectMerges(batDf))
+    val bad = seg.filter($"bpe_tokens".isNotNull)
+      .withColumn("rebuilt",
+        regexp_replace(concat_ws("", $"bpe_tokens"),
+          java.util.regex.Pattern.quote(BpeVocab.EndOfWord), " "))
+      .withColumn("expect",
+        concat(concat_ws(" ",
+          graft.functions.TextFunctions.tokens(lower($"text"))), lit(" ")))
+      .filter(not($"rebuilt" === $"expect"))
+    assert(bad.count() == 0, bad.select("doc_id").limit(5).collect().mkString(","))
+  }
+
   test("segment: subwords concatenate back to the word; merged symbols appear; determinism") {
     val merges = BpeVocab.collectMerges(BpeVocab.train(spark, docs, "text", 8))
     val segged = BpeVocab.segment(docs, "text", "doc_id", merges).cache()
