@@ -2260,6 +2260,22 @@ object OracleSql {
     FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     ORDER BY d.doc_id"""
 
+  /** q107: the engine assembles PNG/JPEG/GIF binaries from each
+    * doc_id and parses them back with the native header kernel; the
+    * oracle states the construction formulas directly, so hash
+    * equality proves the parse inverts the assembly bit-exactly
+    * (format branch, big/little-endian dims, trailer truncation).
+    */
+  private val q107 = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST(doc_id % 1000 + 16 AS BIGINT) AS width,
+           CAST((doc_id * 7) % 1000 + 16 AS BIGINT) AS height,
+           (doc_id % 7 = 0) AS truncated
+    FROM documents
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2366,5 +2382,6 @@ object OracleSql {
     "q104_corpus_diff" -> q104,
     "q105_version_delta" -> q105,
     "q106_model_bigram" -> q106,
+    "q107_image_header" -> q107,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1799,6 +1799,59 @@ object SparkEntry {
     delta.filter(col("df_docs") > 0).orderBy(col("term"))
   }
 
+  /** In-JVM image-header decode end-to-end: deterministic PNG/JPEG/GIF
+    * binaries ASSEMBLE from each doc_id (the harness tables carry no
+    * media blobs), then the native [[graft.plans.ImageHeader]] kernel
+    * parses them BACK — container format, true header width/height,
+    * and trailer-based truncation detection must invert the
+    * construction exactly, which the formula oracle checks. Every
+    * seventh doc omits its container trailer (truncated); the three
+    * containers interleave by `doc_id % 3`.
+    */
+  def q107_image_header(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val w = (col("doc_id") % 1000 + 16).cast("int")
+    val h = ((col("doc_id") * 7) % 1000 + 16).cast("int")
+    def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def le16(c: Column) = {
+      val p = lpad(hex(c), 4, "0")
+      unhex(concat(substring(p, 3, 2), substring(p, 1, 2)))
+    }
+    val trunc = col("doc_id") % 7 === 0
+    val none = lit(Array.emptyByteArray)
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")),  // signature
+      unhex(lit("0000000D49484452")),  // IHDR chunk length + type
+      be32(w), be32(h),
+      unhex(lit("0806000000")),        // bit depth .. interlace
+      unhex(lit("00000000")),          // IHDR CRC (not header-checked)
+      when(trunc, none).otherwise(unhex(lit("0000000049454E44AE426082"))))
+    val jpeg = concat(
+      unhex(lit("FFD8")),                                  // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")),  // APP0/JFIF
+      unhex(lit("FFC0001108")), be16(h), be16(w),          // SOF0
+      unhex(lit("03012200021101031101")),                  // 3 components
+      unhex(lit("FFDA0008010100003F00")),                  // SOS
+      unhex(lit("ABCDEF")),                                // entropy bytes
+      when(trunc, none).otherwise(unhex(lit("FFD9"))))     // EOI
+    val gif = concat(
+      lit("GIF89a").cast("binary"),
+      le16(w), le16(h),
+      unhex(lit("000000")),            // packed fields, bg, aspect
+      when(trunc, none).otherwise(unhex(lit("3B"))))       // trailer
+    val blob = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, jpeg)
+      .otherwise(gif)
+    docs.withColumn("hdr", Multimodal.imageHeader(blob))
+      .select(col("doc_id"),
+        col("hdr.format").as("format"),
+        col("hdr.width").cast("long").as("width"),
+        col("hdr.height").cast("long").as("height"),
+        col("hdr.truncated").as("truncated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1908,6 +1961,7 @@ object SparkEntry {
     "q104_corpus_diff" -> (q104_corpus_diff _),
     "q105_version_delta" -> (q105_version_delta _),
     "q106_model_bigram" -> (q106_model_bigram _),
+    "q107_image_header" -> (q107_image_header _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

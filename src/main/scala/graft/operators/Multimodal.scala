@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * pattern for 100 TB multimodal corpora (decode happens per-partition
   * close to the data; bytes never round-trip through the driver).
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries — see builder brief): `decodeStub` derives deterministic
-  * fake features from the bytes. Everything around it — the schema
-  * contract, the `mapPartitions` batch shape, partition sizing,
-  * null/corrupt handling — is the real plumbing a codec would plug
-  * into.
+  * The decode step is REAL for image containers: blobs sniffing as
+  * PNG/JPEG/GIF parse through [[graft.plans.ImageHeader]] — true
+  * header width/height plus trailer-based truncation detection, pure
+  * JVM, no codec library. The pixel-decode / audio / video codec step
+  * remains STUBBED (this container has no media libraries — see
+  * builder brief): `decodeStubRow` derives deterministic fake
+  * features from the bytes for non-image-container blobs. Everything
+  * around it — the schema contract, the `mapPartitions` batch shape,
+  * partition sizing, null/corrupt handling — is the real plumbing a
+  * full codec would plug into.
   */
 object Multimodal {
 
@@ -44,10 +48,21 @@ object Multimodal {
       .otherwise(lit("unknown"))
   }
 
-  /** ??? — the real decoder. In production this calls the codec
-    * library per partition (JNI/FFI), never a driver loop. Here it is
-    * a deterministic fake: dimensions/duration derived from a byte
-    * hash, so tests are stable and the schema contract is exercised.
+  /** Image-header decode as a Column — [[graft.plans.ImageHeader]]'s
+    * `struct<format, width, height, truncated>` (the q107 surface).
+    */
+  def imageHeader(blob: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.ImageHeader(ColumnBridge.expression(blob)))
+  }
+
+  /** ??? — the full codec decoder (pixels/audio/video). In production
+    * this calls the codec library per partition (JNI/FFI), never a
+    * driver loop. Here it is a deterministic fake: dimensions/duration
+    * derived from a byte hash, so tests are stable and the schema
+    * contract is exercised. Only consulted for blobs that are NOT a
+    * recognized image container — those parse for real above.
     */
   private def decodeStubRow(bytes: Array[Byte], mediaType: String): (Int, Int, Long, Boolean) =
     if (bytes == null || bytes.length < 8) (0, 0, 0L, true)
@@ -88,7 +103,14 @@ object Multimodal {
         val bytes = if (row.isNullAt(blobIdx)) null
           else row.getAs[Array[Byte]](blobIdx)
         val fmt = if (row.isNullAt(fmtIdx)) null else row.getString(fmtIdx)
-        val (w, h, dur, corrupt) = decodeStubRow(bytes, mediaType)
+        // recognized image containers decode for REAL (header parse +
+        // trailer truncation check); everything else keeps the stub,
+        // so the q49 contract for non-image bytes is unchanged
+        val (w, h, dur, corrupt) =
+          if (fmt == "png" || fmt == "jpeg" || fmt == "gif") {
+            val p = graft.plans.ImageHeader.parse(bytes)
+            (p.width.max(0), p.height.max(0), 0L, p.truncated || p.width < 0)
+          } else decodeStubRow(bytes, mediaType)
         val meta = Row(mediaType, fmt,
           if (bytes == null) 0L else bytes.length.toLong, w, h, dur, corrupt)
         Row.fromSeq(row.toSeq.patch(fmtIdx, Nil, 1) :+ meta)

@@ -19,8 +19,14 @@ class MultimodalSpec extends SparkSpec {
     assert(fmts == Seq((1L, "png"), (2L, "jpeg"), (3L, "unknown")))
   }
 
-  test("media metadata: schema contract, deterministic stub features, corrupt flag") {
-    val df = Seq((1L, png), (2L, jpeg), (3L, tiny)).toDF("id", "blob")
+  test("media metadata: schema contract, real image parse, stub fallback, corrupt flag") {
+    // a real, complete 1x1 PNG — the parse path (ImageHeaderSpec owns
+    // the parser's own matrix); `png` above is signature + garbage,
+    // which the parser rightly flags corrupt (headerless container)
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val df = Seq((1L, png), (2L, jpeg), (3L, tiny), (4L, realPng))
+      .toDF("id", "blob")
     val out = Multimodal.withMediaMeta(spark, df, "blob", "image")
     assert(out.schema("media_meta").dataType == Multimodal.mediaMetaSchema)
     val rows = out.orderBy("id")
@@ -28,9 +34,12 @@ class MultimodalSpec extends SparkSpec {
         $"media_meta.width", $"media_meta.is_corrupt")
       .collect()
     assert(rows(0).getString(1) == "png" && rows(0).getLong(2) == png.length)
-    assert(rows(0).getInt(3) >= 160 && !rows(0).getBoolean(4))
+    assert(rows(0).getInt(3) == 0 && rows(0).getBoolean(4),
+      "png magic with no parseable header is corrupt, no dims")
     assert(rows(2).getBoolean(4), "short blob flagged corrupt")
-    // determinism: same bytes → same stub features
+    assert(rows(3).toSeq == Seq(4L, "png", realPng.length.toLong, 1, false),
+      "a real PNG decodes its true header dims")
+    // determinism: same bytes → same features
     val again = Multimodal.withMediaMeta(spark, df, "blob", "image")
       .orderBy("id").select($"media_meta.width").as[Int].collect().toSeq
     assert(again == out.orderBy("id").select($"media_meta.width").as[Int].collect().toSeq)
