@@ -197,6 +197,14 @@ object DedupCluster {
     rows.toDF("id", "comp")
   }
 
+  /** Rounds the most recent [[iterative]] run took to converge on this
+    * thread — observability for round-count drift (a labels-as-edges
+    * incremental fold should converge in ~2-3 rounds; trending upward
+    * at fixed input means the seeding or jump logic regressed, the
+    * r8→r9 watch item). Diagnostic only: queries never read it.
+    */
+  private[graft] val lastIterativeRounds = new ThreadLocal[Integer]
+
   private def iterative(edges: DataFrame, maxIter: Int,
       checkpointDir: Option[String]): DataFrame = {
     // checkpoint (not persist): each round's plan embeds the previous
@@ -279,6 +287,7 @@ object DedupCluster {
       iter += 1
     }
     edges.unpersist()
+    lastIterativeRounds.set(iter)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds the bound")
     labels

@@ -94,6 +94,13 @@ class DedupClusterSpec extends SparkSpec {
         newPairs, "id_a", "id_b", collectThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(incIter == full)
+    // round-count observability (the r8→r9 watch item): the incremental
+    // fold's input is labels-as-edges (diameter <= 2) plus a handful of
+    // bridges — seed + pointer-jump must converge in a few rounds, and
+    // trending above this bound at fixed input means seeding drifted
+    val rounds = DedupCluster.lastIterativeRounds.get
+    assert(rounds != null && rounds <= 3,
+      s"incremental CC took $rounds rounds on a diameter-2 label graph")
   }
 
   test("connected components: edge direction is irrelevant") {
