@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{BpeVocab, Dedup, DedupCluster, SubstringDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence run: the heavy operator families (substring-span
+  * dedup, near-dup clustering, MinHash LSH, BPE training) measured at
+  * 1× and R× (default 10×) of the input corpus, R× synthesized by
+  * id-offset replication — converting the "would survive 100×"
+  * plan-shape arguments into measured numbers, since no sf above 0.1
+  * exists in the harness testdata.
+  *
+  * Replication contract: replica k offsets `doc_id` by `k × 1e8` and
+  * prepends a replica token `rk` to the text. The token contains a
+  * digit, so it is OUTSIDE the BPE alphabet — the type table stays
+  * IDENTICAL at 10× (counts ×10), isolating the corpus-pass cost.
+  * For the pair-generating families the replicas are deliberate
+  * near-duplicates of each other: every document gains ~R-1 near-dup
+  * copies, so cross-replica pairs grow ~R²/2 per original document —
+  * the boilerplate-heavy worst case (report row counts next to walls;
+  * the superlinear pair growth is the WORKLOAD's doing, not the
+  * plan's). The span family sees every shingle's document frequency
+  * multiply by R — the hot-shingle skew the AQE decoy-key shape
+  * exists for.
+  *
+  * Output: one JSON line (stdout, last line) + a durable copy at
+  * SPARK_GRAFT_SCALE_OUT (default `SCALE_r9.json`).
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    def corpus(r: Int): DataFrame = {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      if (r <= 1) docs
+      else docs.crossJoin(spark.range(r).select(col("id").as("__r")))
+        .withColumn("doc_id", col("doc_id") + col("__r") * lit(100000000L))
+        .withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(concat(lit("r"), col("__r"), lit(" "), col("text"))))
+        .drop("__r")
+    }
+
+    // each workload returns the row count it materialized (count() is
+    // the execution trigger, and the count CONTEXTUALIZES the wall —
+    // pair blowup at R× must be visible next to its cost)
+    val workloads: Seq[(String, DataFrame => Long)] = Seq(
+      "span_mark" -> (d =>
+        SubstringDedup.duplicateSpans(d, "text", "doc_id", k = 8).count()),
+      "span_noncanonical" -> (d =>
+        SubstringDedup.nonCanonicalSpans(d, "text", "doc_id", k = 8).count()),
+      "minhash_lsh" -> (d =>
+        Dedup.minHashLsh(d, "text", "doc_id", shingleSize = 3,
+          numHashes = 64, bands = 16, threshold = 0.8).count()),
+      "cluster" -> { d =>
+        val pairs = Dedup.chunkOverlapPairs(d, "text", "doc_id",
+            w = 8, avgSize = 64, minShared = 1)
+          .filter(col("containment") >= 0.5)
+        DedupCluster.clusters(d.withColumn("n_chars", length(col("text"))),
+          pairs, "doc_id", "id_a", "id_b", "n_chars").count()
+      },
+      "bpe_train32_b8" -> (d =>
+        BpeVocab.train(spark, d, "text", 32, batchSize = 8).count()),
+    )
+
+    def run(r: Int): Map[String, (Double, Long)] = {
+      val d = corpus(r)
+      workloads.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(d)
+        val w = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] ${name}%-18s x$r%-3d rows=$n%-10d ${w}%.1fs")
+        name -> (w, n)
+      }.toMap
+    }
+
+    run(1) // warmup: JIT + parquet footer caches on the small pass
+    val base = run(1)
+    val big = run(factor)
+    def j(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val body = workloads.map { case (name, _) =>
+      val (t1, n1) = base(name)
+      val (tR, nR) = big(name)
+      s""""$name":{"t1":${j(t1)},"t$factor":${j(tR)},"ratio":${j(tR / t1)},"rows1":$n1,"rows$factor":$nR}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_ratio","factor":$factor,"sf":"$sfDir","cpus":$cpus,"workloads":$body}"""
+    println(line)
+    scala.util.Try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r9.json"))
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    }.failed.foreach(t => System.err.println(s"scalebench: durable copy failed: $t"))
+    spark.stop()
+  }
+}
