@@ -2276,6 +2276,30 @@ object OracleSql {
     FROM documents
     ORDER BY doc_id"""
 
+  /** q108: WAV/MP4 sibling of q107 — the engine assembles RIFF and
+    * ISO-BMFF binaries from each doc_id and parses them back with the
+    * native AvHeader kernel; the oracle restates the construction
+    * formulas (including WAV's integer-division duration algebra
+    * `data_bytes * 1000 // byte_rate` and MP4's
+    * `units * 1000 // timescale` = (doc_id % 500) * 5).
+    */
+  private val q108 = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+           CASE WHEN doc_id % 2 = 0
+             THEN CAST(1 + (doc_id % 4) // 2 AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 2 = 0
+             THEN CAST(8000 + (doc_id % 16) // 2 * 1000 AS BIGINT)
+             END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+             THEN CAST((doc_id % 100 + 1) * 4 * 1000
+               // ((1 + (doc_id % 4) // 2)
+                  * (8000 + (doc_id % 16) // 2 * 1000) * 2) AS BIGINT)
+             ELSE CAST((doc_id % 500) * 5 AS BIGINT) END AS duration_ms,
+           (doc_id % 5 = 0) AS truncated
+    FROM documents
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2383,5 +2407,6 @@ object OracleSql {
     "q105_version_delta" -> q105,
     "q106_model_bigram" -> q106,
     "q107_image_header" -> q107,
+    "q108_av_header" -> q108,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1852,6 +1852,66 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio/video header decode end-to-end, the q107 pattern for
+    * time-based media: deterministic WAV and MP4 binaries assemble
+    * from each doc_id — real RIFF chunk layout (fmt + data, word
+    * sizes little-endian) and real ISO-BMFF box layout (ftyp, moov >
+    * mvhd v0, mdat, sizes big-endian) — and the native
+    * [[graft.plans.AvHeader]] kernel parses them back: channels,
+    * sample rate, and the header-algebra duration
+    * `data_bytes × 1000 div byte_rate` for WAV, `units × 1000 /
+    * timescale` for MP4. Every fifth doc truncates (WAV: half its
+    * data bytes cut but headers intact; MP4: an `mdat` promising more
+    * than present), which the parser must flag from lengths alone.
+    */
+  def q108_av_header(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def le32(c: Column) = {
+      val p = lpad(hex(c), 8, "0")
+      unhex(concat(substring(p, 7, 2), substring(p, 5, 2),
+        substring(p, 3, 2), substring(p, 1, 2)))
+    }
+    def le16(c: Column) = {
+      val p = lpad(hex(c), 4, "0")
+      unhex(concat(substring(p, 3, 2), substring(p, 1, 2)))
+    }
+    def ascii(sLit: String) = lit(sLit).cast("binary")
+    val base = docs
+      .withColumn("ch", (lit(1) + (col("doc_id") % 4) / 2).cast("int"))
+      .withColumn("rate", (lit(8000) + (col("doc_id") % 16) / 2 * 1000).cast("int"))
+      .withColumn("br", col("ch") * col("rate") * 2)
+      .withColumn("ds", ((col("doc_id") % 100 + 1) * 4).cast("int"))
+      .withColumn("trunc", col("doc_id") % 5 === 0)
+      .withColumn("pad_n",
+        when(col("trunc"), col("ds") / 2).otherwise(col("ds")).cast("int"))
+    val wav = concat(
+      ascii("RIFF"), le32(col("ds") + 36), ascii("WAVE"),
+      ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(col("ch")),
+      le32(col("rate")), le32(col("br")), le16(col("ch") * 2), le16(lit(16)),
+      ascii("data"), le32(col("ds")),
+      expr("unhex(repeat('00', pad_n))"))
+    val u = (col("doc_id") % 500) * 3 // mvhd duration units, timescale 600
+    val mp4 = concat(
+      be32(lit(16)), ascii("ftyp"), ascii("isom"), be32(lit(0)),
+      be32(lit(36)), ascii("moov"),
+      be32(lit(28)), ascii("mvhd"), be32(lit(0)), // version 0 + flags
+      be32(lit(0)), be32(lit(0)),                 // ctime, mtime
+      be32(lit(600)), be32(u),                    // timescale, duration
+      when(col("trunc"), concat(be32(lit(1000)), ascii("mdat"), be32(lit(0))))
+        .otherwise(concat(be32(lit(16)), ascii("mdat"),
+          be32(lit(0)), be32(lit(0)))))
+    val blob = when(col("doc_id") % 2 === 0, wav).otherwise(mp4)
+    base.withColumn("hdr", Multimodal.avHeader(blob))
+      .select(col("doc_id"),
+        col("hdr.format").as("format"),
+        col("hdr.channels").cast("long").as("channels"),
+        col("hdr.sample_rate").cast("long").as("sample_rate"),
+        col("hdr.duration_ms").as("duration_ms"),
+        col("hdr.truncated").as("truncated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1962,6 +2022,7 @@ object SparkEntry {
     "q105_version_delta" -> (q105_version_delta _),
     "q106_model_bigram" -> (q106_model_bigram _),
     "q107_image_header" -> (q107_image_header _),
+    "q108_av_header" -> (q108_av_header _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -103,6 +103,10 @@ object BpeVocab {
     * default 1 is EXACT Sennrich BPE (one aggregate over the type
     * table per merge — at 32k merges that is 32k sequential Spark
     * jobs, hours of scheduler overhead whatever the data size).
+    * Measured (one-off, 16k-type corpus, local[32]): 512 merges in
+    * 83.8 s sequential vs 6.4 s at `batchSize = 16` (45 rounds) —
+    * 13×, and the per-round cost is flat, so a 32k-merge vocabulary
+    * drops from hours to minutes.
     * `batchSize = k` learns up to k merges per aggregate by greedy
     * selection down the round's frequency ranking, admitting a pair
     * only if its two symbols AND its merged output are disjoint from

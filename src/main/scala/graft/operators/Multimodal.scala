@@ -57,6 +57,16 @@ object Multimodal {
       graft.plans.ImageHeader(ColumnBridge.expression(blob)))
   }
 
+  /** Audio/video container-header decode as a Column —
+    * [[graft.plans.AvHeader]]'s `struct<format, channels, sample_rate,
+    * duration_ms, truncated>` (the q108 surface).
+    */
+  def avHeader(blob: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.AvHeader(ColumnBridge.expression(blob)))
+  }
+
   /** ??? — the full codec decoder (pixels/audio/video). In production
     * this calls the codec library per partition (JNI/FFI), never a
     * driver loop. Here it is a deterministic fake: dimensions/duration
@@ -110,6 +120,12 @@ object Multimodal {
           if (fmt == "png" || fmt == "jpeg" || fmt == "gif") {
             val p = graft.plans.ImageHeader.parse(bytes)
             (p.width.max(0), p.height.max(0), 0L, p.truncated || p.width < 0)
+          } else if (fmt == "riff" || fmt == "mp4") {
+            // WAV/MP4 headers carry a real duration; RIFF/AVI and
+            // header-cut streams fall back to the stub
+            val p = graft.plans.AvHeader.parse(bytes)
+            if (p.durationMs >= 0) (0, 0, p.durationMs, p.truncated)
+            else decodeStubRow(bytes, mediaType)
           } else decodeStubRow(bytes, mediaType)
         val meta = Row(mediaType, fmt,
           if (bytes == null) 0L else bytes.length.toLong, w, h, dur, corrupt)
