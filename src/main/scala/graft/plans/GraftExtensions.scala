@@ -65,6 +65,18 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException("k must be an int literal")
         }
         ShingleHashes(children.head, k)
+      }),
+    (FunctionIdentifier("graft_image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "graft_image_header"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_image_header takes exactly 1 argument")
+        ImageHeader(children.head)
+      }),
+    (FunctionIdentifier("graft_av_header"),
+      new ExpressionInfo(classOf[AvHeader].getName, "graft_av_header"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_av_header takes exactly 1 argument")
+        AvHeader(children.head)
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */

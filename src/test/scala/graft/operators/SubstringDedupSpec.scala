@@ -265,4 +265,63 @@ class SubstringDedupSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("hot shingle, incremental leg: AQE skew-split activates, results stay exact") {
+    // the r8-advice gap: without the decoy key the incremental firsts
+    // aggregate sat between the exchange and the mark join, so a hot
+    // boilerplate shingle inside one large daily batch re-created the
+    // single-task hazard the batch path had already removed. Same
+    // planted-hot fixture as above, driven through the index probe
+    // path; the mark join must show skew=true with the result set
+    // invariant. (AQE then re-plants its own exchange between the
+    // split join and the seen left-join, so the index probe stays
+    // co-partitioned — visible in the executed plan.)
+    val prior = (0 until 40).map(i =>
+      (i.toLong, s"old document $i with words o${i}x o${i * 3}y o${i * 11}z here"))
+      .toDF("doc_id", "text")
+    val index = SubstringDedup.shingleIndex(prior, "text", "doc_id", 5)
+    val hot = (1000 until 1600).map(i =>
+      (i.toLong, "the exact same boilerplate sentence"))
+    val cold = (1600 until 1650).map(i =>
+      (i.toLong, s"unique document number $i carrying words w${i}a w${i * 7}b w${i * 13}c distinct"))
+    val batch = (hot ++ cold).toDF("doc_id", "text").repartition(8)
+    def run() = SubstringDedup.nonCanonicalSpansIncremental(
+      index, batch, "text", "doc_id", 5)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ).map(k => k ->
+      scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val baseline = run().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(baseline.size >= 599, "hot docs must all mark their boilerplate span")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = run()
+      val skewed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "skew-split did not activate on the incremental leg:\n" + plan.take(4000))
+      assert(skewed == baseline, "skew-split changed the result set")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -62,6 +62,16 @@ class AvHeaderSpec extends SparkSpec {
     assert(AvHeader.parse(null).format == "unknown")
   }
 
+  test("SQL registration: graft_av_header(blob)") {
+    GraftExtensions.register(spark)
+    Seq((1L, wavBytes(2, 16000, 64000, 64000))).toDF("id", "blob")
+      .createOrReplaceTempView("av_t")
+    val r = spark.sql(
+      "SELECT graft_av_header(blob).duration_ms AS d, graft_av_header(blob).format AS f FROM av_t")
+      .head()
+    assert(r.getLong(0) == 1000L && r.getString(1) == "wav")
+  }
+
   test("expression surface + withMediaMeta: real WAV/MP4 duration, stub elsewhere") {
     val df = Seq(
       (1L, wavBytes(2, 16000, 64000, 64000)),

@@ -76,6 +76,15 @@ class ImageHeaderSpec extends SparkSpec {
     assert(out(4).toSeq == Seq(5L, null, null, null, null))
   }
 
+  test("SQL registration: graft_image_header(blob)") {
+    GraftExtensions.register(spark)
+    Seq((1L, realPng)).toDF("id", "blob").createOrReplaceTempView("ih_t")
+    val r = spark.sql(
+      "SELECT graft_image_header(blob).width AS w, graft_image_header(blob).format AS f FROM ih_t")
+      .head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "png")
+  }
+
   test("withMediaMeta: image containers decode for real; non-images keep the stub contract") {
     val df = Seq(
       (1L, realPng),
