@@ -108,8 +108,12 @@ object AvHeader {
         rate = le32(b, i + 12).toInt     // payload +4
         byteRate = le32(b, i + 16)       // payload +8
       } else if (tag(b, i, "data")) dataSize = size
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Clamp the
+      // claimed size to the stream length before narrowing: a garbage
+      // 32-bit size near 4G is a positive Long but a NEGATIVE Int, and
+      // un-clamped it would walk the cursor backwards forever.
+      val step = math.min(size, b.length.toLong).toInt
+      i += 8 + step + (step & 1)
     }
     val durMs =
       if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate else -1L
@@ -149,11 +153,13 @@ object AvHeader {
                   if (ts > 0) durMs = dur * 1000L / ts
                 }
               }
-              j += math.max(cs.toInt, 8)
+              j += math.max(math.min(cs, end.toLong).toInt, 8)
             }
           }
         }
-        i += size.toInt
+        // same narrowing hazard as the WAV walk: clamp before toInt so
+        // a 4G-ish box size ends the walk instead of reversing it
+        i += math.min(size, b.length.toLong).toInt
       }
     }
     if (durMs < 0) Parsed("mp4", -1, -1, -1L, truncated = true)

@@ -62,6 +62,40 @@ class AvHeaderSpec extends SparkSpec {
     assert(AvHeader.parse(null).format == "unknown")
   }
 
+  test("adversarial sizes and random fuzz: parse always terminates, never throws") {
+    // 32-bit sizes near 4G are positive Longs but negative Ints — an
+    // un-clamped narrowing would walk the chunk/box cursor backwards
+    // forever (the classic parser DoS on untrusted corpus blobs)
+    def le32raw(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hugeWav = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32raw(0xFFFFFFFFL) ++ Array.fill[Byte](16)(0)
+    assert(AvHeader.parse(hugeWav).format == "wav") // terminates
+    val negWav = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32raw(0x80000007L) ++ Array.fill[Byte](16)(0)
+    assert(AvHeader.parse(negWav).format == "wav")
+    val hugeMp4 = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0) ++
+      Array[Byte](0x90.toByte, 0, 0, 0) ++ ascii("mdat") ++ Array.fill[Byte](8)(0)
+    assert(AvHeader.parse(hugeMp4) ==
+      AvHeader.Parsed("mp4", -1, -1, -1L, truncated = true))
+    // moov child with a huge size: inner walk must clamp too
+    val hugeChild = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0) ++
+      be32(24) ++ ascii("moov") ++
+      Array[Byte](0x90.toByte, 0, 0, 0) ++ ascii("free") ++ be32(0) ++ be32(0)
+    assert(AvHeader.parse(hugeChild).format == "mp4")
+    // deterministic byte-soup fuzz across both parsers, seeded with
+    // magic prefixes so the format branches actually execute
+    val rnd = new scala.util.Random(42)
+    val prefixes = Seq(Array.emptyByteArray,
+      ascii("RIFF"), ascii("RIFF") ++ le32(1000) ++ ascii("WAVE"),
+      be32(16) ++ ascii("ftyp"))
+    for (_ <- 1 to 2000) {
+      val body = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt.toByte)
+      val bytes = prefixes(rnd.nextInt(prefixes.length)) ++ body
+      AvHeader.parse(bytes) // must return, whatever the bytes
+    }
+  }
+
   test("SQL registration: graft_av_header(blob)") {
     GraftExtensions.register(spark)
     Seq((1L, wavBytes(2, 16000, 64000, 64000))).toDF("id", "blob")

@@ -76,6 +76,17 @@ class ImageHeaderSpec extends SparkSpec {
     assert(out(4).toSeq == Seq(5L, null, null, null, null))
   }
 
+  test("random fuzz: parse always terminates, never throws") {
+    val rnd = new scala.util.Random(42)
+    def hx(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val prefixes = Seq(Array.emptyByteArray, hx("89504E470D0A1A0A"),
+      hx("FFD8FF"), "GIF89a".getBytes("US-ASCII"))
+    for (_ <- 1 to 2000) {
+      val body = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt.toByte)
+      ImageHeader.parse(prefixes(rnd.nextInt(prefixes.length)) ++ body)
+    }
+  }
+
   test("SQL registration: graft_image_header(blob)") {
     GraftExtensions.register(spark)
     Seq((1L, realPng)).toDF("id", "blob").createOrReplaceTempView("ih_t")
