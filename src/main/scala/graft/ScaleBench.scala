@@ -87,15 +87,62 @@ object ScaleBench {
       }.toMap
     }
 
+    // Incremental claim, measured: a FIXED 500-doc daily batch probed
+    // against persisted indexes built from the 1× vs R× corpus. Daily
+    // cost must track the batch, not the corpus — the index side is one
+    // narrow parquet column (span) / band rows (MinHash), so the R×
+    // probe may read more index bytes but must not approach R× wall.
+    // (Index builds are untimed setup; a full-corpus recompute at R× is
+    // reported alongside as the cost incremental AVOIDS paying.)
+    val batch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .limit(500)
+      .withColumn("doc_id", col("doc_id") + lit(10000000000L))
+    def incrRun(r: Int, tmp: String): Map[String, (Double, Long)] = {
+      val d = corpus(r)
+      graft.operators.SubstringDedup.shingleIndex(d, "text", "doc_id", 8)
+        .write.mode("overwrite").parquet(s"$tmp/spanidx")
+      val sigs = graft.operators.Dedup.signatures(d, "text", "doc_id", 3, 64)
+      sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+      graft.operators.Dedup.signatureBands(sigs, 64, 16)
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
+      val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
+      Seq[(String, () => Long)](
+        s"incr_span_probe" -> (() =>
+          graft.operators.SubstringDedup.nonCanonicalSpansIncremental(
+            spark.read.parquet(s"$tmp/spanidx"), batch, "text", "doc_id", 8)
+            .count()),
+        s"incr_minhash_probe" -> (() =>
+          graft.operators.Dedup.minHashLshIncremental(
+            spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/sigs"),
+            bBands, bSigs, 64, 0.8).count()),
+      ).map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f()
+        val w = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] ${name}%-18s x$r%-3d rows=$n%-10d ${w}%.1fs")
+        name -> (w, n)
+      }.toMap
+    }
+
     run(1) // warmup: JIT + parquet footer caches on the small pass
     val base = run(1)
     val big = run(factor)
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft_scale_incr").toString
+    val incrBase = incrRun(1, s"$tmpRoot/x1")
+    val incrBig = incrRun(factor, s"$tmpRoot/xR")
     def j(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val body = workloads.map { case (name, _) =>
+    val body = (workloads.map { case (name, _) =>
       val (t1, n1) = base(name)
       val (tR, nR) = big(name)
       s""""$name":{"t1":${j(t1)},"t$factor":${j(tR)},"ratio":${j(tR / t1)},"rows1":$n1,"rows$factor":$nR}"""
-    }.mkString("{", ",", "}")
+    } ++ incrBase.keys.toSeq.sorted.map { name =>
+      val (t1, n1) = incrBase(name)
+      val (tR, nR) = incrBig(name)
+      s""""$name":{"t1":${j(t1)},"t$factor":${j(tR)},"ratio":${j(tR / t1)},"rows1":$n1,"rows$factor":$nR}"""
+    }).mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_ratio","factor":$factor,"sf":"$sfDir","cpus":$cpus,"workloads":$body}"""
     println(line)
