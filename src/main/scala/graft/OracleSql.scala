@@ -2300,6 +2300,30 @@ object OracleSql {
     FROM documents
     ORDER BY doc_id"""
 
+  /** q109: Unicode NFC — the oracle rebuilds the same combining-mark /
+    * precomposed / ASCII variants with `chr()` codepoints and runs
+    * DuckDB's `nfc_normalize`; both engines implement the Unicode
+    * standard's NFC and count lengths in code points, so the
+    * normalized strings hash-match bit-for-bit.
+    */
+  private val q109 = """
+    WITH v AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'cafe' || chr(769) || ' menu'
+          WHEN 1 THEN chr(233) || 'cole d' || chr(233) || 'j' || chr(224)
+          WHEN 2 THEN 'facade plain ascii'
+          ELSE 'A' || chr(778) || 'ngstro' || chr(776) || 'm' END ||
+          ' #' || CAST(doc_id AS VARCHAR) AS raw
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(raw) AS nfc,
+           CAST(length(raw) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+           (raw != nfc_normalize(raw)) AS changed
+    FROM v
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2408,5 +2432,6 @@ object OracleSql {
     "q106_model_bigram" -> q106,
     "q107_image_header" -> q107,
     "q108_av_header" -> q108,
+    "q109_nfc_normalize" -> q109,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1912,6 +1912,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC canonicalization ([[T.normalizeNfc]], the ingest-side
+    * step the dedup families assume): deterministic denormalized
+    * variants — combining acute, precomposed accents, pure ASCII,
+    * combining ring/diaeresis — attach to each doc_id, and the
+    * normalized STRING itself hash-matches DuckDB's `nfc_normalize`
+    * (both implement the Unicode standard's NFC). Lengths are in code
+    * points on both engines, so the shrink from composition is checked
+    * too.
+    */
+  def q109_nfc_normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    // variants 0 and 3 carry COMBINING marks (acute U+0301, ring
+    // U+030A, diaeresis U+0308 — NFC composes them), 1 is already-
+    // precomposed NFC (normalization must be identity), 2 pure ASCII
+    val variant = when(col("doc_id") % 4 === 0, lit("café menu"))
+      .when(col("doc_id") % 4 === 1, lit("école déjà"))
+      .when(col("doc_id") % 4 === 2, lit("facade plain ascii"))
+      .otherwise(lit("Ångström"))
+    docs
+      .withColumn("raw", concat(variant, lit(" #"), col("doc_id")))
+      .withColumn("nfc", T.normalizeNfc(col("raw")))
+      .select(col("doc_id"), col("nfc"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        (col("raw") =!= col("nfc")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2023,6 +2051,7 @@ object SparkEntry {
     "q106_model_bigram" -> (q106_model_bigram _),
     "q107_image_header" -> (q107_image_header _),
     "q108_av_header" -> (q108_av_header _),
+    "q109_nfc_normalize" -> (q109_nfc_normalize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -168,6 +168,18 @@ object TextFunctions {
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
       .cast("binary"))
 
+  /** Unicode NFC canonicalization ([[graft.plans.NfcNormalize]], the
+    * JVM's built-in normalizer — codegen'd, no UDF): run it BEFORE
+    * [[contentFingerprint]]/shingling when a corpus mixes precomposed
+    * and combining-mark encodings of the same visible text, or the
+    * dedup families treat them as different documents.
+    */
+  def normalizeNfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** Word n-gram shingles (arrays of `n` consecutive tokens joined by a
     * space); documents shorter than `n` tokens yield a single shingle of
     * the whole text so no row silently vanishes from dedup.

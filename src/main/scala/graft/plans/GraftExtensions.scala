@@ -77,6 +77,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_av_header takes exactly 1 argument")
         AvHeader(children.head)
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */
