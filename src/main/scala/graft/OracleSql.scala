@@ -2324,6 +2324,44 @@ object OracleSql {
     FROM v
     ORDER BY doc_id"""
 
+  /** q110: the oracle assembles the same synthetic HTML and runs the
+    * IDENTICAL regex chain (every pattern RE2-compatible by design —
+    * script/style with content, comments, tags, the six entities with
+    * `&amp;` last, whitespace collapse) with the 'g' flag standing in
+    * for Java's replace-all default.
+    */
+  private val q110 = """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+        '<style type="text/css">body { color: red; }</style>' ||
+        '<script>var x = 1 < 2 && 3 > 2;</script></head><body>' ||
+        CASE WHEN doc_id % 3 = 0 THEN '<!-- hidden comment -->' ELSE '' END ||
+        '<p class="main">' || coalesce(text, '') ||
+        '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; ' ||
+        '&#39;s&nbsp;end</div></body></html>' AS html
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+            '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+            '&#39;', '''', 'g'),
+            '&nbsp;', ' ', 'g'),
+            '&amp;', '&', 'g'),
+          '\s+', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+    FROM c
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2433,5 +2471,6 @@ object OracleSql {
     "q107_image_header" -> q107,
     "q108_av_header" -> q108,
     "q109_nfc_normalize" -> q109,
+    "q110_strip_html" -> q110,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1940,6 +1940,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML boilerplate stripping ([[T.stripHtml]]) end-to-end: each doc
+    * wraps in deterministic HTML — head/title, a style element, a
+    * script whose CONTENT contains `<`/`>`/`&&` (must drop with the
+    * element, not leak), an every-3rd-doc comment, and an entity
+    * gauntlet (`&amp;lt;` ordering included) — and the cleaned text
+    * hash-matches DuckDB running the IDENTICAL RE2-compatible
+    * regex chain. Pure built-ins: the whole strip is codegen'd
+    * `regexp_replace` composition, no custom kernel.
+    */
+  def q110_strip_html(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+      lit("<style type=\"text/css\">body { color: red; }</style>"),
+      lit("<script>var x = 1 < 2 && 3 > 2;</script></head><body>"),
+      when(col("doc_id") % 3 === 0, lit("<!-- hidden comment -->"))
+        .otherwise(lit("")),
+      lit("<p class=\"main\">"), coalesce(col("text"), lit("")),
+      lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
+        "&#39;s&nbsp;end</div></body></html>"))
+    docs.withColumn("clean", T.stripHtml(html))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2052,6 +2078,7 @@ object SparkEntry {
     "q107_image_header" -> (q107_image_header _),
     "q108_av_header" -> (q108_av_header _),
     "q109_nfc_normalize" -> (q109_nfc_normalize _),
+    "q110_strip_html" -> (q110_strip_html _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

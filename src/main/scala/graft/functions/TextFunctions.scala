@@ -180,6 +180,32 @@ object TextFunctions {
       graft.plans.NfcNormalize(ColumnBridge.expression(c)))
   }
 
+  /** Regex-level HTML boilerplate removal — the web-corpus ingest step
+    * before any text analysis: script/style elements drop WITH their
+    * content, comments and remaining tags drop, the six ubiquitous
+    * character entities decode (`&amp;` LAST, so `&amp;lt;` correctly
+    * yields the literal `&lt;` rather than double-decoding), and
+    * whitespace collapses. Deliberately regex-level, not an HTML
+    * parser: malformed nesting degrades to leaving text in place, never
+    * to dropping it, which is the right failure mode for a corpus
+    * filter. Every pattern is RE2-compatible (non-greedy + inline
+    * flags, NO backreferences), so the DuckDB oracle runs the identical
+    * chain — and it is a pure composition of codegen'd built-ins, no
+    * UDF, no custom kernel.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    // entity names are regex-safe literals, so no quoting machinery
+    // (RE2 has no \Q\E) — identical pattern strings run on both engines
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (e, r)) => regexp_replace(col0, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Word n-gram shingles (arrays of `n` consecutive tokens joined by a
     * space); documents shorter than `n` tokens yield a single shingle of
     * the whole text so no row silently vanishes from dedup.

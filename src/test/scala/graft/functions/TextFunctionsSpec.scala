@@ -84,6 +84,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(f("hello world") != f("hello worlds"))
   }
 
+  test("stripHtml: elements with content drop, tags drop, entities decode in safe order") {
+    val cases = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      // script/style content must vanish entirely, '<' inside included
+      "<script>if (a < b && c > d) alert('x');</script>keep" -> "keep",
+      "<style>.a { color: red; }</style>keep" -> "keep",
+      "before<!-- secret -->after" -> "before after",
+      // entity gauntlet: &amp; decodes LAST, so &amp;lt; -> literal &lt;
+      "Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;end" ->
+        "Tom & Jerry <3 \"q\" 's end",
+      "&amp;lt;" -> "&lt;",
+      // malformed nesting degrades to keeping text, never dropping it
+      "<p>un<closed text" -> "un<closed text",
+      "   spaced\n\nout   " -> "spaced out",
+    )
+    val df = cases.zipWithIndex
+      .map { case ((in, out), i) => (i.toLong, in, out) }
+      .toDF("id", "raw", "expect")
+    val bad = df
+      .withColumn("got", graft.functions.TextFunctions.stripHtml($"raw"))
+      .filter($"got" =!= $"expect")
+    assert(bad.count() == 0,
+      bad.select("raw", "got", "expect").collect().mkString("; "))
+  }
+
   test("word shingles: n-grams in order; short doc collapses to whole text") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles(col("t"), 2).as("s"))
