@@ -2362,6 +2362,50 @@ object OracleSql {
     FROM c
     ORDER BY doc_id"""
 
+  /** q111: the oracle assembles the same raw URLs and runs the
+    * identical canonicalization chain — fragment drop, authority
+    * extract + lower + $-anchored default-port strip (scoped to the
+    * prefix by construction), substr re-concat, and the three
+    * group-free utm rules.
+    */
+  private val q111 = """
+    WITH r AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+         'EXAMPLE' || CAST(doc_id % 50 AS VARCHAR) || '.COM' ||
+         CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+         '/Path/To/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN '#Section-' || CAST(doc_id AS VARCHAR) ELSE '' END
+        ) AS url_raw
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        trim(regexp_replace(url_raw, '(?s)#.*', '')) AS nf
+      FROM r),
+    p AS (
+      SELECT doc_id, nf,
+        regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS pfx
+      FROM f),
+    c AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(lower(pfx), ':80$', ''), ':443$', '') ||
+          substr(nf, length(pfx) + 1),
+          '&utm_[a-z]+=[^&]*', '', 'g'),
+          '\?utm_[a-z]+=[^&]*&', '?', 'g'),
+          '\?utm_[a-z]+=[^&]*$', '') AS url_canon
+      FROM p)
+    SELECT doc_id, url_canon,
+           regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+    FROM c
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2472,5 +2516,6 @@ object OracleSql {
     "q108_av_header" -> q108,
     "q109_nfc_normalize" -> q109,
     "q110_strip_html" -> q110,
+    "q111_url_normalize" -> q111,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1966,6 +1966,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization ([[T.normalizeUrl]]): deterministic raw URLs
+    * — uppercase schemes/hosts, explicit `:443` default ports,
+    * case-significant paths (must NOT lower), leading/trailing/lone
+    * `utm_*` params, fragments — canonicalize, and both the canonical
+    * string and the extracted host hash-match DuckDB running the
+    * identical group-free regex chain. The URL-dedup key companion to
+    * the content fingerprint.
+    */
+  def q111_url_normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      lit("EXAMPLE"), col("doc_id") % 50, lit(".COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Path/To/"), col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), col("doc_id"), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit("#Section-"), col("doc_id")))
+        .otherwise(lit("")))
+    docs.withColumn("url_raw", raw)
+      .withColumn("url_canon", T.normalizeUrl(col("url_raw")))
+      .select(col("doc_id"), col("url_canon"),
+        regexp_extract(col("url_canon"), "^[a-z]+://([^/:?#]+)", 1).as("host"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2079,6 +2108,7 @@ object SparkEntry {
     "q108_av_header" -> (q108_av_header _),
     "q109_nfc_normalize" -> (q109_nfc_normalize _),
     "q110_strip_html" -> (q110_strip_html _),
+    "q111_url_normalize" -> (q111_url_normalize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -206,6 +206,36 @@ object TextFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** URL canonicalization for URL-level dedup — the companion key to
+    * [[contentFingerprint]] in a web corpus: trim, drop the fragment,
+    * lowercase ONLY the scheme+authority (paths/queries are
+    * case-significant), strip `utm_*` tracking parameters (query
+    * separators re-tidied), and drop explicit default ports
+    * (`:80`/`:443`). Scheme-less or malformed input passes through
+    * with just the fragment/utm/trim rules — never nulled, so no URL
+    * silently vanishes from the key space. Every rule is a group-free
+    * RE2-compatible pattern (replacement backreference syntax differs
+    * between Java and RE2, so none are used), and the authority
+    * lowering is `regexp_extract` + `substr` arithmetic — the DuckDB
+    * oracle runs the identical chain. Pure codegen'd built-ins.
+    */
+  def normalizeUrl(c: Column): Column = {
+    // fragment first, trim second: dropping '#frag' can expose
+    // trailing whitespace that the trim must still catch
+    val noFrag = trim(regexp_replace(c, "(?s)#.*", ""))
+    val pfx = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    // the extracted prefix ENDS at the authority, so $-anchored port
+    // rules are naturally scoped to it — a ':80' in a path or query
+    // (outside the prefix) is untouched
+    val pfxCanon = regexp_replace(
+      regexp_replace(lower(pfx), ":80$", ""), ":443$", "")
+    val lowered = concat(pfxCanon,
+      noFrag.substr(length(pfx) + lit(1), length(noFrag)))
+    val utm1 = regexp_replace(lowered, "&utm_[a-z]+=[^&]*", "")
+    val utm2 = regexp_replace(utm1, "\\?utm_[a-z]+=[^&]*&", "?")
+    regexp_replace(utm2, "\\?utm_[a-z]+=[^&]*$", "")
+  }
+
   /** Word n-gram shingles (arrays of `n` consecutive tokens joined by a
     * space); documents shorter than `n` tokens yield a single shingle of
     * the whole text so no row silently vanishes from dedup.

@@ -27,6 +27,19 @@ class EntryContractSpec extends SparkSpec {
     }
   }
 
+  test("no oracle SQL carries a stripMargin-mangled concat operator") {
+    // OracleSql normalizes with .stripMargin, which EATS a leading `|`
+    // on a continuation line — `|| substr(...)` at line start becomes
+    // `| substr(...)`, a VARCHAR bitwise-OR DuckDB rejects at bind
+    // time (bit q109 and q111 during development). A lone ` | ` in the
+    // normalized SQL is always that mangling: SQL string concat is
+    // `||` and no oracle uses bitwise OR.
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(!sql.contains(" | "),
+        s"$name: probable stripMargin-eaten '||' (found ' | ') in: " +
+          sql.take(300))
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -109,6 +109,32 @@ class TextFunctionsSpec extends SparkSpec {
       bad.select("raw", "got", "expect").collect().mkString("; "))
   }
 
+  test("normalizeUrl: authority lowers, path case survives, utm/fragment/ports strip") {
+    val cases = Seq(
+      "HTTPS://Example.COM/Path/X" -> "https://example.com/Path/X",
+      "https://example.com:443/x" -> "https://example.com/x",
+      "http://example.com:80" -> "http://example.com",
+      // a :80 outside the authority is data, not a port
+      "http://example.com/t?at=12:80/x" -> "http://example.com/t?at=12:80/x",
+      "http://e.com/p#frag" -> "http://e.com/p",
+      "http://e.com/p?utm_source=a&id=1" -> "http://e.com/p?id=1",
+      "http://e.com/p?id=1&utm_campaign=x" -> "http://e.com/p?id=1",
+      "http://e.com/p?utm_only=1" -> "http://e.com/p",
+      "http://e.com/p?utm_a=1&utm_b=2" -> "http://e.com/p",
+      // scheme-less input passes through the non-authority rules only
+      "not a url #frag" -> "not a url",
+      "  http://e.com/x  " -> "http://e.com/x",
+    )
+    val df = cases.zipWithIndex
+      .map { case ((in, out), i) => (i.toLong, in, out) }
+      .toDF("id", "raw", "expect")
+    val bad = df
+      .withColumn("got", graft.functions.TextFunctions.normalizeUrl($"raw"))
+      .filter($"got" =!= $"expect")
+    assert(bad.count() == 0,
+      bad.select("raw", "got", "expect").collect().mkString("; "))
+  }
+
   test("word shingles: n-grams in order; short doc collapses to whole text") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles(col("t"), 2).as("s"))
