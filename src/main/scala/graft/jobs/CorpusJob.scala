@@ -83,12 +83,25 @@ object CorpusJob {
       nearDupThreshold: Double = 0.8,
       minQuality: Double = 0.3,
       minTokens: Int = 5,
-      spanTokens: Int = 8)
+      spanTokens: Int = 8,
+      // opt-in ingest normalization (default off: every existing oracle
+      // and persisted index was built on raw text, and flipping it
+      // changes fingerprints): NFC-canonicalize then strip HTML
+      // boilerplate BEFORE any stats/dedup, so combining-mark encodings
+      // and markup wrappers of the same content land in the same
+      // fingerprint/shingle groups
+      normalizeText: Boolean = false)
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
     */
-  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def annotate(docs0: DataFrame, cfg: Config = Config()): DataFrame = {
+    // normalization (when enabled) rewrites `text` BEFORE everything —
+    // stats, fingerprints, shingles, and downstream span/excision all
+    // see the canonical form, exactly as a production ingest would
+    val docs = if (!cfg.normalizeText) docs0
+      else docs0.withColumn("text",
+        T.stripHtml(graft.functions.TextFunctions.normalizeNfc(col("text"))))
     // ONE TextStats pass per row, computed BELOW the canonical-dedup
     // window: a filter pushed down from above (CorpusJob.filter's
     // policy) cannot cross a Window whose partition key it doesn't

@@ -27,6 +27,28 @@ class CorpusJobSpec extends SparkSpec {
     assert(byId(6L).getAs[String]("lang_pred") == "en")
   }
 
+  test("normalizeText config: encoding variants and markup wrappers collapse to one canonical") {
+    // the same visible sentence three ways: precomposed é, combining
+    // e+U+0301, and an HTML wrapper — plus a genuinely different doc
+    val base = "café menu deluxe offers the finest seasonal dishes daily"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("é", "é")),
+      (3L, s"<p>$base</p>"),
+      (4L, "a completely unrelated document about engines and optimizers"),
+    ).toDF("doc_id", "text")
+    // default (raw) pipeline: the three encodings fingerprint apart
+    val raw = CorpusJob.annotate(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(raw.values.forall(_ == false),
+      "raw pipeline must NOT unify the variants (that's the gap normalizeText closes)")
+    // normalized pipeline: 2 and 3 collapse onto 1
+    val norm = CorpusJob.annotate(docs, CorpusJob.Config(normalizeText = true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(!norm(1L) && norm(2L) && norm(3L) && !norm(4L),
+      s"expected 2,3 to dedup onto 1, got $norm")
+  }
+
   test("runIncremental over monotonic daily batches == one-shot annotate; state converges") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
