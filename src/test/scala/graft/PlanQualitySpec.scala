@@ -30,6 +30,28 @@ class PlanQualitySpec extends SparkSpec {
       s"unpruned scan: $readSchema")
   }
 
+  test("q107-q111 hygiene family: one pruned scan, narrow map, no shuffle but the sort") {
+    // the whole ingest-hygiene family (header decode, NFC, HTML strip,
+    // URL canon) must stay a pure narrow map over a pruned scan: at
+    // 100 TB these ride the ingest scan for free, so ANY extra
+    // Exchange or an unpruned text column is a regression
+    val qs = Seq(
+      SparkEntry.q107_image_header(spark, dir) -> false, // doc_id only
+      SparkEntry.q109_nfc_normalize(spark, dir) -> false,
+      SparkEntry.q110_strip_html(spark, dir) -> true,    // needs text
+      SparkEntry.q111_url_normalize(spark, dir) -> false,
+    )
+    for ((df, needsText) <- qs) {
+      val p = plan(df)
+      val exchanges = p.linesIterator.count(_.contains("Exchange "))
+      assert(exchanges == 1, s"expected only the output-sort exchange:\n${p.take(1500)}")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id"), readSchema)
+      assert(readSchema.contains("text") == needsText,
+        s"text pruning wrong (needsText=$needsText): $readSchema")
+    }
+  }
+
   test("q03: dimension joins broadcast (no shuffle for nation/region)") {
     val p = plan(SparkEntry.q03_join_star(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -57,6 +57,17 @@ class AvHeaderSpec extends SparkSpec {
     // ftyp only, no moov: mp4, no duration, truncated
     assert(AvHeader.parse(be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0)) ==
       AvHeader.Parsed("mp4", -1, -1, -1L, truncated = true))
+    // mvhd VERSION 1: 64-bit times — timescale at +16, u64 duration at
+    // +20 of the post-version payload (box: 8 hdr + 4 ver + 8+8 times +
+    // 4 ts + 8 dur = 40)
+    val mvhdV1 = be32(40) ++ ascii("mvhd") ++
+      Array[Byte](1, 0, 0, 0) ++ // version 1 + flags
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ // ctime, mtime (u64 each)
+      be32(90000) ++ be32(0) ++ be32(270000) // timescale; u64 duration
+    val v1 = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0) ++
+      be32(48) ++ ascii("moov") ++ mvhdV1
+    assert(AvHeader.parse(v1) ==
+      AvHeader.Parsed("mp4", -1, -1, 3000L, truncated = false))
 
     assert(AvHeader.parse("not media at all".getBytes("UTF-8")).format == "unknown")
     assert(AvHeader.parse(null).format == "unknown")
