@@ -207,6 +207,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental band join under a hot batch: AQE skew-split activates, results stay exact") {
+    // the incremental twin of the case above: a daily batch full of
+    // boilerplate probes the persisted band index, and the candidate
+    // join on (band, band_key) must stay skew-splittable through the
+    // union-of-index-and-batch shape (round-9 audit: it does — both
+    // join children sit directly on exchanges, unlike the span family's
+    // pre-decoy aggregate-under-join shape)
+    val prior = (0 until 50).map(i =>
+      (i.toLong, s"old document $i with words o${i}x o${i * 3}y o${i * 11}z here"))
+      .toDF("doc_id", "text")
+    val iSigs = Dedup.signatures(prior, "text", "doc_id", 3, 32)
+    val iBands = Dedup.signatureBands(iSigs, 32, 8)
+    val hot = (1000 until 1300).map(i =>
+      (i.toLong, "the exact same boilerplate sentence repeated through the corpus"))
+    val batch = hot.toDF("doc_id", "text").repartition(8)
+    val bSigs = Dedup.signatures(batch, "text", "doc_id", 3, 32)
+    val bBands = Dedup.signatureBands(bSigs, 32, 8)
+    def run() = Dedup.minHashLshIncremental(iBands, iSigs, bBands, bSigs, 32, 0.5)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ).map(k => k ->
+      scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val baseline = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(baseline.size >= 300 * 299 / 2, "hot batch must pair up")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = run()
+      val skewed = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "skew-split did not activate on the incremental band join:\n" + plan.take(4000))
+      assert(skewed == baseline, "skew-split changed the result set")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("rolling fingerprints: shared substrings overlap, short/empty docs yield none") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
