@@ -2406,6 +2406,42 @@ object OracleSql {
     FROM c
     ORDER BY doc_id"""
 
+  /** q112: sentence chunking — the oracle mirrors the marker insertion
+    * (three group-free rules), the q106-style positional unnest, the
+    * same blank-safe token count, the windowed cumulative-fill chunk
+    * assignment, and the pos-ordered re-join.
+    */
+  private val q112 = """
+    WITH m AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+          '\. ', '.' || chr(1), 'g'), '! ', '!' || chr(1), 'g'),
+          '\? ', '?' || chr(1), 'g') AS mt
+      FROM documents),
+    l AS (SELECT doc_id, string_split(mt, chr(1)) AS sl FROM m),
+    s AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(sl) + 1),
+          i -> {'pos': i, 'sent': sl[i]})) AS u
+      FROM l),
+    t AS (
+      SELECT doc_id, u.pos AS pos, u.sent AS sent,
+        CASE WHEN trim(u.sent) = '' THEN 0
+             ELSE len(string_split_regex(trim(u.sent), '\s+')) END AS tok
+      FROM s),
+    c AS (
+      SELECT doc_id, pos, sent, tok,
+        CAST(floor((SUM(tok) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) / 64.0)
+          AS BIGINT) AS chunk_no
+      FROM t)
+    SELECT doc_id, chunk_no,
+           string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY doc_id, chunk_no
+    ORDER BY doc_id, chunk_no"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2517,5 +2553,6 @@ object OracleSql {
     "q109_nfc_normalize" -> q109,
     "q110_strip_html" -> q110,
     "q111_url_normalize" -> q111,
+    "q112_sentence_chunks" -> q112,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1995,6 +1995,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence-aware context-window chunking ([[Chunker.sentenceChunks]],
+    * 64-token budget): cumulative-fill assignment at sentence
+    * granularity — one per-document window cumsum, no sequential loop.
+    * The oracle reproduces the whole pipeline (marker insertion, token
+    * counts, cumsum, ordered re-join) and hash-matches the chunk
+    * STRINGS, so boundary placement itself is verified, not just
+    * counts.
+    */
+  def q112_sentence_chunks(s: SparkSession, dir: String): DataFrame =
+    Chunker.sentenceChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", "doc_id", maxTokens = 64)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_text"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2109,6 +2124,7 @@ object SparkEntry {
     "q109_nfc_normalize" -> (q109_nfc_normalize _),
     "q110_strip_html" -> (q110_strip_html _),
     "q111_url_normalize" -> (q111_url_normalize _),
+    "q112_sentence_chunks" -> (q112_sentence_chunks _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
