@@ -52,6 +52,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q112: chunking shuffles on doc_id once; agg reuses the window's partitioning") {
+    // window partitioned by doc_id plants one hash exchange; the
+    // (doc_id, chunk_no) aggregate's requirement is satisfied by that
+    // same partitioning (subset rule), so NO second hash exchange —
+    // only the output sort follows. Three exchanges would mean the
+    // reuse broke.
+    val p = plan(SparkEntry.q112_sentence_chunks(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val rangeEx = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(hashEx == 1 && rangeEx == 1,
+      s"expected 1 hash + 1 range exchange, got $hashEx/$rangeEx:\n${p.take(1500)}")
+    assert(p.contains("partial_collect_list"), "agg must be partial+final")
+  }
+
   test("q03: dimension joins broadcast (no shuffle for nation/region)") {
     val p = plan(SparkEntry.q03_join_star(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
