@@ -74,6 +74,8 @@ object ScaleBench {
       },
       "bpe_train32_b8" -> (d =>
         BpeVocab.train(spark, d, "text", 32, batchSize = 8).count()),
+      "sentence_chunks" -> (d =>
+        graft.operators.Chunker.sentenceChunks(d, "text", "doc_id", 64).count()),
     )
 
     def run(r: Int): Map[String, (Double, Long)] = {
