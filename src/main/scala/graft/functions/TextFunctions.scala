@@ -190,10 +190,25 @@ object TextFunctions {
     * to dropping it, which is the right failure mode for a corpus
     * filter. Every pattern is RE2-compatible (non-greedy + inline
     * flags, NO backreferences), so the DuckDB oracle runs the identical
-    * chain — and it is a pure composition of codegen'd built-ins, no
-    * UDF, no custom kernel.
+    * chain.
+    *
+    * Executes as ONE native kernel ([[graft.plans.HtmlStrip]]: six
+    * explicit scans, no regex engine, no intermediate per-pass
+    * strings); [[stripHtmlComposed]] is the eleven-`regexp_replace`
+    * reference chain the kernel is differentially proven against
+    * (HtmlStripSpec) and the form the q110 oracle mirrors in SQL.
     */
   def stripHtml(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.HtmlStrip(ColumnBridge.expression(c)))
+  }
+
+  /** The composed reference form of [[stripHtml]] — semantics
+    * documentation and differential-test target, not the production
+    * path.
+    */
+  private[graft] def stripHtmlComposed(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")

@@ -83,6 +83,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_nfc takes exactly 1 argument")
         NfcNormalize(children.head)
+      }),
+    (FunctionIdentifier("graft_strip_html"),
+      new ExpressionInfo(classOf[HtmlStrip].getName, "graft_strip_html"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_strip_html takes exactly 1 argument")
+        HtmlStrip(children.head)
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */
