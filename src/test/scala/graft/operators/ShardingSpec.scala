@@ -154,6 +154,74 @@ class ShardingSpec extends SparkSpec {
       docs.agg(sum($"n_tokens")).head().getLong(0))
   }
 
+  test("continue → redact → continue: cursor drift-free across the day seam") {
+    // takedown-vs-continuation composition: a redaction BETWEEN daily
+    // batches must not move the cursor, so the next batch lands exactly
+    // where it would have without the takedown — shard boundaries are
+    // frozen by token position, not by surviving content
+    val budget = 2000L
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val cuts = Seq(n / 3, 2 * n / 3, n)
+    val days = cuts.zip(-1L +: cuts.dropRight(1)).map { case (hi, lo) =>
+      docs.filter($"doc_id" > lo && $"doc_id" <= hi)
+    }
+
+    // reference: three batches, no redaction
+    val ref = tmpDir("shardref")
+    days.zipWithIndex.foreach { case (d, i) =>
+      Sharding.continueShards(spark, d, ref, "doc_id", "n_tokens",
+        budget, batchId = i.toLong)
+    }
+    val refAssign = spark.read.parquet(s"$ref/shards")
+      .select($"doc_id", $"shard_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // interleaved: batch 0 → redact (docs in batch 0's OPEN seam shard
+    // — the case where drift would corrupt batch 1) → batch 1 →
+    // redact again → batch 2
+    val state = tmpDir("shardinter")
+    Sharding.continueShards(spark, days(0), state, "doc_id", "n_tokens",
+      budget, batchId = 0L)
+    val openShard = spark.read.parquet(s"$state/shards")
+      .agg(max($"shard_id".cast("long"))).head().getLong(0)
+    val del1 = spark.read.parquet(s"$state/shards")
+      .filter($"shard_id".cast("long") === openShard)
+      .select($"doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSet
+    assert(del1.nonEmpty, "need docs in the open seam shard to delete")
+    assert(Sharding.redactShards(spark, state,
+      del1.toSeq.toDF("doc_id"), "doc_id") == del1.size)
+    Sharding.continueShards(spark, days(1), state, "doc_id", "n_tokens",
+      budget, batchId = 1L)
+    val del2 = days(1).select($"doc_id").filter($"doc_id" % 17 === 3)
+      .collect().map(_.getLong(0)).toSet
+    Sharding.redactShards(spark, state, del2.toSeq.toDF("doc_id"), "doc_id")
+    Sharding.continueShards(spark, days(2), state, "doc_id", "n_tokens",
+      budget, batchId = 2L)
+
+    val got = spark.read.parquet(s"$state/shards")
+      .select($"doc_id", $"shard_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deleted = del1 ++ del2
+    // survivors sit in EXACTLY the shard the redaction-free run puts
+    // them in — batches 1 and 2 continued from an undrifted cursor
+    assert(got == refAssign.filterNot { case (id, _) => deleted.contains(id) })
+    // cursor carries the FULL token history, including redacted docs
+    assert(spark.read.parquet(s"$state/_cursor").head().getLong(0) ==
+      docs.agg(sum($"n_tokens")).head().getLong(0))
+    // manifest-style invariant: per-shard totals never exceed the
+    // redaction-free shard's (redaction only shrinks, never re-packs)
+    val refTotals = spark.read.parquet(s"$ref/shards")
+      .groupBy($"shard_id".cast("long").as("s")).agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.read.parquet(s"$state/shards")
+      .groupBy($"shard_id".cast("long").as("s")).agg(sum("n_tokens").as("t"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) <= refTotals(r.getLong(0)),
+          s"shard ${r.getLong(0)} grew past its frozen boundary")
+      }
+  }
+
   test("durable checkpointDir (one-shot export): assignment identical to localCheckpoint") {
     // the full-corpus one-shot path: range-partitioned input
     // materializes to a durable staging dir instead of executor block
