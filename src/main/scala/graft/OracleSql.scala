@@ -2442,6 +2442,88 @@ object OracleSql {
     GROUP BY doc_id, chunk_no
     ORDER BY doc_id, chunk_no"""
 
+  /** q113: DSIR importance-resampling selection — the oracle re-runs
+    * the whole pipeline in integer arithmetic: hashed unigram+bigram
+    * buckets (q106's window idiom, mod 1024), per-slice bucket counts
+    * with add-one smoothing, the fixed-point log2 as a 10-step
+    * recursive CTE over `(x, r)` (bit-identical to `Dsir.log2Fp`'s
+    * repeated squaring — no IEEE `ln` anywhere, libms disagree in the
+    * last ulp), the per-document log-ratio score as a bucket join, and
+    * the top-20% rank with the `(score desc, doc_id)` tie-break.
+    */
+  private val q113 = s"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents),
+    uni AS (
+      SELECT doc_id, ${h60("lower(w)")} % 1024 AS b
+      FROM (SELECT doc_id, unnest(tk) AS w FROM t)),
+    bi AS (
+      SELECT doc_id, ${h60("p")} % 1024 AS b
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(1, len(tk)),
+                i -> lower(tk[i]) || ' ' || lower(tk[i + 1]))) AS p
+            FROM t WHERE len(tk) >= 2)),
+    feat AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    ctt AS (SELECT b, count(*) AS ct FROM feat WHERE doc_id % 10 = 0 GROUP BY b),
+    ctr AS (SELECT b, count(*) AS ct FROM feat WHERE doc_id % 10 <> 0 GROUP BY b),
+    cts AS (
+      SELECT s.b,
+             coalesce(tt.ct, 0) + 1 AS nt,
+             coalesce(rr.ct, 0) + 1 AS nr
+      FROM range(0, 1024) s(b)
+      LEFT JOIN ctt tt ON tt.b = s.b
+      LEFT JOIN ctr rr ON rr.b = s.b),
+    tot AS (
+      SELECT (SELECT coalesce(sum(ct), 0) FROM ctt) + 1024 AS tt,
+             (SELECT coalesce(sum(ct), 0) FROM ctr) + 1024 AS tr),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT nt AS v FROM cts UNION ALL SELECT nr FROM cts
+        UNION ALL SELECT tt FROM tot UNION ALL SELECT tr FROM tot)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    w AS (
+      SELECT c.b, lnt.r - ltt.r - lnr.r + ltr.r AS wv
+      FROM cts c
+      CROSS JOIN tot
+      JOIN lg lnt ON lnt.v = c.nt
+      JOIN lg lnr ON lnr.v = c.nr
+      JOIN lg ltt ON ltt.v = tot.tt
+      JOIN lg ltr ON ltr.v = tot.tr),
+    sc AS (
+      SELECT f.doc_id, CAST(sum(w.wv) AS BIGINT) AS s
+      FROM feat f JOIN w ON w.b = f.b
+      WHERE f.doc_id % 10 <> 0
+      GROUP BY f.doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(sc.s, 0) END AS s
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0),
+    rk AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM scored WHERE s IS NOT NULL),
+    n AS (SELECT count(*) AS cnt FROM rk)
+    SELECT sd.doc_id, sd.s AS dsir_score,
+           coalesce(rk.r <= n.cnt * 20 // 100, FALSE) AS selected
+    FROM scored sd
+    CROSS JOIN n
+    LEFT JOIN rk ON rk.doc_id = sd.doc_id
+    ORDER BY sd.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2554,5 +2636,6 @@ object OracleSql {
     "q110_strip_html" -> q110,
     "q111_url_normalize" -> q111,
     "q112_sentence_chunks" -> q112,
+    "q113_dsir_select" -> q113,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

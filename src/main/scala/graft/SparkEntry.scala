@@ -2010,6 +2010,27 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_no"), col("chunk_text"), col("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** DSIR importance-resampling selection ([[Dsir.selectLikeTarget]]
+    * — Xie et al. 2023): the `doc_id % 10 = 0` slice plays the
+    * curated target, the rest the raw pool; every raw document is
+    * scored with the fixed-point log2-ratio of the two hashed
+    * unigram+bigram bag models (dim 1024, add-one smoothing) and the
+    * top 20% by `(score desc, doc_id)` are selected. All integer
+    * arithmetic — the oracle re-derives the bucket counts, the
+    * recursive-CTE fixed-point log2, the per-document score, and the
+    * rank, so weight FITTING is hash-verified end-to-end, not just
+    * inference. NULL text scores NULL and is never selected.
+    */
+  def q113_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    Dsir.selectLikeTarget(
+        target = docs.filter(col("doc_id") % 10 === 0),
+        raw = docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", dim = 1024, num = 20, den = 100)
+      .select(col("doc_id"), col("dsir_score"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2125,6 +2146,7 @@ object SparkEntry {
     "q110_strip_html" -> (q110_strip_html _),
     "q111_url_normalize" -> (q111_url_normalize _),
     "q112_sentence_chunks" -> (q112_sentence_chunks _),
+    "q113_dsir_select" -> (q113_dsir_select _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Importance-resampling data selection (DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * pick the slice of a raw crawl that looks most like a small curated
+  * target corpus, by scoring every raw document with the log-likelihood
+  * ratio of two hashed-n-gram bag models — one fit on the target, one
+  * on the raw pool — and keeping the top fraction. This is the
+  * data-SELECTION stage of an LLM pipeline (between dedup and
+  * sharding): quality classifiers ([[QualityModel]]) rank documents
+  * against a learned notion of "good"; DSIR ranks them against a
+  * DISTRIBUTION ("looks like Wikipedia/books"), with nothing to train
+  * but two count tables.
+  *
+  * Spark-first shape, in three bounded stages:
+  *   1. FIT: bucket-count the hashed unigram+bigram windows of each
+  *      slice — one explode + hash aggregate per slice, shuffling at
+  *      most `dim` rows (map-side combine collapses the corpus to the
+  *      bucket table before the exchange). The two dim-long count
+  *      vectors are the operator's driver collect (the documented
+  *      budget: 2×dim rows, independent of corpus size).
+  *   2. SCORE: the per-bucket log-ratio weights embed in the plan
+  *      inside the SAME fused kernel the quality classifier uses
+  *      ([[graft.plans.HashedBowScore]], `bigrams = true`) — scoring
+  *      is a pure narrow map, one corpus scan, no join, no explode,
+  *      whole-stage codegen. DSIR's feature set (hashed unigrams +
+  *      bigrams) is exactly the classifier's, so one tokenization
+  *      contract serves both.
+  *   3. SELECT: the top `num/den` fraction by score — a global rank
+  *      with NO global window: the repo's range-partition +
+  *      per-partition-offset numbering idiom
+  *      ([[Scd2Merge.assignSurrogateKeys]]), so a billion-document
+  *      rank spreads over the cluster.
+  *
+  * Everything is exact integer arithmetic — the log is a fixed-point
+  * base-2 log computed by the classic repeated-squaring algorithm
+  * ([[log2Fp]]), bit-reproducible in pure-integer SQL (the q113
+  * DuckDB oracle re-derives the weights with a recursive CTE) —
+  * because IEEE `ln` differs between libms in the last ulp and a
+  * hash-matched oracle cannot tolerate "almost".
+  */
+object Dsir {
+
+  /** `floor(log2(n) * 2^fracBits)` in pure integer arithmetic —
+    * normalize `n` to Q30 ∈ [2^30, 2^31), then one squaring per
+    * fractional bit (square ∈ [2^60, 2^62): no signed-64 overflow);
+    * each square that crosses 2^31 emits a 1 bit and renormalizes.
+    * Deterministic on every platform and expressible in SQL as a
+    * `fracBits`-step recursive CTE over `(x, r)` — which is how the
+    * oracle reproduces it.
+    */
+  def log2Fp(n: Long, fracBits: Int = FracBits): Long = {
+    require(n >= 1, s"log2Fp needs n >= 1, got $n")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = if (m <= 30) n << (30 - m) else n >> (m - 30)
+    var r = m.toLong
+    var i = 0
+    while (i < fracBits) {
+      x = (x * x) >> 30
+      if (x >= (1L << 31)) { x >>= 1; r = r * 2 + 1 }
+      else r *= 2
+      i += 1
+    }
+    r
+  }
+
+  /** Fixed-point fractional bits: weights are in units of
+    * 2^-10 ≈ 0.001 log2 — far finer than the ranking needs.
+    */
+  val FracBits = 10
+
+  /** The hashed unigram+bigram window array of one document — the
+    * feature extractor, shared bit-for-bit with the scoring kernel
+    * ([[graft.plans.ShingleHashes]] at k=1 and k=2).
+    */
+  private def windowHashes(text: Column): Column = {
+    def sh(k: Int) = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          text.cast("string")), k))
+    concat(sh(1), sh(2))
+  }
+
+  /** Dense bucket-count vector of a slice's hashed windows: one
+    * explode + `dim`-group hash aggregate (map-side combine means the
+    * exchange carries ≤ `dim` rows whatever the corpus size), then a
+    * dim-bounded driver collect. NULL/empty text contributes nothing
+    * (the kernel yields no windows).
+    */
+  def bucketCounts(df: DataFrame, textCol: String, dim: Int): Array[Long] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val got = df
+      .select(explode(windowHashes(col(textCol))).as("__h"))
+      .select((col("__h") % dim).as("__b")) // h60 is non-negative
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(dim)(b => got.getOrElse(b, 0L))
+  }
+
+  /** Fit the per-bucket importance weights
+    * `λ[b] = log2((ct_t[b]+1)/(N_t+dim)) − log2((ct_r[b]+1)/(N_r+dim))`
+    * (add-one smoothing; fixed-point via [[log2Fp]]) from a target
+    * sample and the raw pool. A document's score
+    * `Σ_windows λ[h60(window) mod dim]` is then its hashed-n-gram
+    * log-likelihood ratio — positive ⇒ more target-like.
+    */
+  def fitWeights(target: DataFrame, raw: DataFrame, textCol: String,
+      dim: Int): Array[Long] = {
+    val ctT = bucketCounts(target, textCol, dim)
+    val ctR = bucketCounts(raw, textCol, dim)
+    val lgTT = log2Fp(ctT.sum + dim)
+    val lgTR = log2Fp(ctR.sum + dim)
+    Array.tabulate(dim)(b =>
+      log2Fp(ctT(b) + 1) - lgTT - (log2Fp(ctR(b) + 1) - lgTR))
+  }
+
+  /** `df` + `dsir_score` (fixed-point long; NULL text → NULL,
+    * token-less text → 0) — one narrow kernel pass.
+    */
+  def score(df: DataFrame, textCol: String, weights: Seq[Long]): DataFrame =
+    df.withColumn("dsir_score",
+      QualityModel.bowScore(col(textCol), weights, bigrams = true))
+
+  /** `df` + `selected`: true for the `num/den` top fraction by
+    * `(scoreCol desc, keyCol asc)` — `floor(N·num/den)` rows where N
+    * counts the non-NULL scores (NULL-scored rows are never
+    * selected). Global rank without a global window: range-partition
+    * by the sort key, per-partition counts → exclusive offsets (the
+    * collect is shuffle-partition-sized), each partition windows its
+    * own slice. The ranked frame materializes once so the range
+    * sampler's bounds cannot drift between the count pass and the
+    * rank pass ([[Sharding.assignShards]]'s rule).
+    */
+  def selectTop(df: DataFrame, scoreCol: String, keyCol: String,
+      num: Long, den: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 0 && den >= 1 && num <= den,
+      s"fraction must satisfy 0 <= num/den <= 1, got $num/$den")
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val unscored = df.filter(col(scoreCol).isNull)
+      .withColumn("selected", lit(false))
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = scored
+      .repartitionByRange(nParts, col(scoreCol).desc, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+        .zip(counts).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val k = counts.map(_._2).sum * num / den
+    val localRank = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col(scoreCol).desc, col(keyCol)))
+    ranged
+      .withColumn("selected",
+        (element_at(typedlit(offsets), col("__pid")) + localRank) <= k)
+      .drop("__pid")
+      .unionByName(unscored)
+  }
+
+  /** The end-to-end selection pass: fit on `(target, raw)`, score
+    * `raw`, keep the top `num/den` — the composed operator a pipeline
+    * calls between dedup and sharding.
+    */
+  def selectLikeTarget(target: DataFrame, raw: DataFrame, textCol: String,
+      keyCol: String, dim: Int, num: Long, den: Long): DataFrame =
+    selectTop(score(raw, textCol, fitWeights(target, raw, textCol, dim)),
+      "dsir_score", keyCol, num, den)
+}
