@@ -66,6 +66,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), "agg must be partial+final")
   }
 
+  test("q113: DSIR scoring is one fused kernel pass; rank windows are partitioned") {
+    // scoring must stay the narrow graft_bow_score map (no explode, no
+    // bucket join — the weights ride the kernel as a reference object),
+    // and the global rank must be the range-partition + offset idiom:
+    // a WindowExec with "No Partition Defined" here would drag the
+    // corpus through one task at 100 TB
+    val p = plan(SparkEntry.q113_dsir_select(spark, dir))
+    assert(p.contains("graft_bow_score"), "scoring must use the fused kernel")
+    assert(!p.contains("No Partition Defined"),
+      "rank must not use an unpartitioned global window")
+    assert(!p.contains("Generate explode"),
+      "scoring must not explode the window hashes")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // scoring-only plan: a pure narrow map — scan → project, no exchange
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val sp = plan(operators.Dsir.score(docs, "text", Seq.fill(64)(1L)))
+    assert(!sp.contains("Exchange"), s"scoring pass must be shuffle-free:\n$sp")
+  }
+
   test("q03: dimension joins broadcast (no shuffle for nation/region)") {
     val p = plan(SparkEntry.q03_join_star(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
