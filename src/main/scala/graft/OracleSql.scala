@@ -2451,7 +2451,7 @@ object OracleSql {
     * last ulp), the per-document log-ratio score as a bucket join, and
     * the top-20% rank with the `(score desc, doc_id)` tie-break.
     */
-  private val q113 = s"""
+  private def dsirSql(rawPred: String => String) = s"""
     WITH RECURSIVE t AS (
       SELECT doc_id, text,
              CASE WHEN text IS NULL OR trim(text) = '' THEN []
@@ -2468,7 +2468,8 @@ object OracleSql {
             FROM t WHERE len(tk) >= 2)),
     feat AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
     ctt AS (SELECT b, count(*) AS ct FROM feat WHERE doc_id % 10 = 0 GROUP BY b),
-    ctr AS (SELECT b, count(*) AS ct FROM feat WHERE doc_id % 10 <> 0 GROUP BY b),
+    ctr AS (SELECT b, count(*) AS ct FROM feat
+            WHERE ${rawPred("doc_id")} GROUP BY b),
     cts AS (
       SELECT s.b,
              coalesce(tt.ct, 0) + 1 AS nt,
@@ -2506,13 +2507,13 @@ object OracleSql {
     sc AS (
       SELECT f.doc_id, CAST(sum(w.wv) AS BIGINT) AS s
       FROM feat f JOIN w ON w.b = f.b
-      WHERE f.doc_id % 10 <> 0
+      WHERE ${rawPred("f.doc_id")}
       GROUP BY f.doc_id),
     scored AS (
       SELECT d.doc_id,
              CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(sc.s, 0) END AS s
       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-      WHERE d.doc_id % 10 <> 0),
+      WHERE ${rawPred("d.doc_id")}),
     rk AS (
       SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
       FROM scored WHERE s IS NOT NULL),
@@ -2523,6 +2524,17 @@ object OracleSql {
     CROSS JOIN n
     LEFT JOIN rk ON rk.doc_id = sd.doc_id
     ORDER BY sd.doc_id"""
+
+  private val q113 = dsirSql(c => s"$c % 10 <> 0")
+
+  /** q114: incremental DSIR — the engine maintains the raw-pool count
+    * state additively (three daily batches merged, then a takedown
+    * batch subtracted) and fits/scores/selects from the maintained
+    * state; the oracle recomputes the SAME pipeline from scratch over
+    * the reduced pool, so hash equality proves merge ∪ subtract is
+    * exact, not approximate.
+    */
+  private val q114 = dsirSql(c => s"$c % 10 <> 0 AND $c % 13 <> 5")
 
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
@@ -2637,5 +2649,6 @@ object OracleSql {
     "q111_url_normalize" -> q111,
     "q112_sentence_chunks" -> q112,
     "q113_dsir_select" -> q113,
+    "q114_incremental_dsir" -> q114,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2031,6 +2031,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental DSIR ([[Dsir.bucketCountsDf]] / [[Dsir.mergeCounts]]
+    * / [[Dsir.subtractCounts]]): the raw-pool count state builds from
+    * three daily batches (`doc_id % 3`) merged additively, then a
+    * takedown batch (`doc_id % 13 = 5`) subtracts its contribution;
+    * weights fit from the MAINTAINED state ([[Dsir.weightsFrom]] —
+    * the corpus is never re-read) and the reduced pool is scored and
+    * selected as in q113. The oracle recomputes everything from
+    * scratch over the reduced pool, so hash equality proves
+    * merge ∪ subtract is exact.
+    */
+  def q114_incremental_dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dim = 1024
+    val target = docs.filter(col("doc_id") % 10 === 0)
+    val raw = docs.filter(col("doc_id") % 10 =!= 0)
+    val merged = (0 to 2)
+      .map(d => Dsir.bucketCountsDf(raw.filter(col("doc_id") % 3 === d), "text", dim))
+      .reduce(Dsir.mergeCounts)
+    val counts = Dsir.subtractCounts(merged,
+      Dsir.bucketCountsDf(raw.filter(col("doc_id") % 13 === 5), "text", dim))
+    val w = Dsir.weightsFrom(Dsir.bucketCountsDf(target, "text", dim), counts, dim)
+    val pool = raw.filter(col("doc_id") % 13 =!= 5)
+    Dsir.selectTop(Dsir.score(pool, "text", w), "dsir_score", "doc_id",
+        num = 20, den = 100)
+      .select(col("doc_id"), col("dsir_score"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2147,6 +2175,7 @@ object SparkEntry {
     "q111_url_normalize" -> (q111_url_normalize _),
     "q112_sentence_chunks" -> (q112_sentence_chunks _),
     "q113_dsir_select" -> (q113_dsir_select _),
+    "q114_incremental_dsir" -> (q114_incremental_dsir _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -84,21 +84,64 @@ object Dsir {
     concat(sh(1), sh(2))
   }
 
-  /** Dense bucket-count vector of a slice's hashed windows: one
-    * explode + `dim`-group hash aggregate (map-side combine means the
-    * exchange carries ≤ `dim` rows whatever the corpus size), then a
-    * dim-bounded driver collect. NULL/empty text contributes nothing
-    * (the kernel yields no windows).
+  /** `(bucket, ct)` table of a slice's hashed windows — the
+    * PERSISTABLE form of the fit state: one explode + `dim`-group hash
+    * aggregate (map-side combine means the exchange carries ≤ `dim`
+    * rows whatever the corpus size). NULL/empty text contributes
+    * nothing (the kernel yields no windows). Counts over disjoint doc
+    * sets are ADDITIVE ([[mergeCounts]]) and a takedown SUBTRACTS
+    * exactly what its documents contributed ([[subtractCounts]]) — so
+    * the fit maintains incrementally like the TF-IDF vocabulary
+    * ([[TermStats.mergeDocFreq]]'s contract), never re-reading the
+    * corpus.
     */
-  def bucketCounts(df: DataFrame, textCol: String, dim: Int): Array[Long] = {
+  def bucketCountsDf(df: DataFrame, textCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val got = df
-      .select(explode(windowHashes(col(textCol))).as("__h"))
-      .select((col("__h") % dim).as("__b")) // h60 is non-negative
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    df.select(explode(windowHashes(col(textCol))).as("__h"))
+      .select((col("__h") % dim).as("bucket")) // h60 is non-negative
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+  }
+
+  /** Additive merge of two count tables over DISJOINT doc sets. */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(sum("ct").as("ct"))
+
+  /** Retract a takedown batch's contribution: `state − deleted`,
+    * zeroed buckets dropped. Only documents previously counted into
+    * `state` may be subtracted — over-subtraction (a doc never added,
+    * or subtracted twice) would drive counts negative, so that state
+    * corruption fails loudly downstream ([[weightsFrom]] rejects
+    * negative counts) instead of silently skewing the weights.
+    */
+  def subtractCounts(state: DataFrame, deleted: DataFrame): DataFrame =
+    state.unionByName(deleted.withColumn("ct", -col("ct")))
+      .groupBy("bucket").agg(sum("ct").as("ct"))
+      .filter(col("ct") =!= 0L)
+
+  /** [[bucketCountsDf]] collected dense — the operator's bounded
+    * driver collect (≤ dim rows).
+    */
+  def bucketCounts(df: DataFrame, textCol: String, dim: Int): Array[Long] =
+    toDense(bucketCountsDf(df, textCol, dim), dim)
+
+  private def toDense(counts: DataFrame, dim: Int): Array[Long] = {
+    val got = counts.collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    got.foreach { case (b, ct) =>
+      require(b >= 0 && b < dim, s"bucket $b outside [0, $dim)")
+      require(ct >= 0, s"negative count $ct in bucket $b — " +
+        "count state corrupted (over-subtraction?)")
+    }
     Array.tabulate(dim)(b => got.getOrElse(b, 0L))
   }
+
+  /** [[fitWeights]] from maintained count tables (the incremental
+    * form): same formula, but the corpus never re-reads — only the
+    * two ≤ dim-row states collect.
+    */
+  def weightsFrom(targetCounts: DataFrame, rawCounts: DataFrame,
+      dim: Int): Array[Long] =
+    weightsFromDense(toDense(targetCounts, dim), toDense(rawCounts, dim))
 
   /** Fit the per-bucket importance weights
     * `λ[b] = log2((ct_t[b]+1)/(N_t+dim)) − log2((ct_r[b]+1)/(N_r+dim))`
@@ -108,9 +151,14 @@ object Dsir {
     * log-likelihood ratio — positive ⇒ more target-like.
     */
   def fitWeights(target: DataFrame, raw: DataFrame, textCol: String,
-      dim: Int): Array[Long] = {
-    val ctT = bucketCounts(target, textCol, dim)
-    val ctR = bucketCounts(raw, textCol, dim)
+      dim: Int): Array[Long] =
+    weightsFromDense(bucketCounts(target, textCol, dim),
+      bucketCounts(raw, textCol, dim))
+
+  private def weightsFromDense(ctT: Array[Long], ctR: Array[Long]): Array[Long] = {
+    require(ctT.length == ctR.length,
+      s"count dims differ: ${ctT.length} vs ${ctR.length}")
+    val dim = ctT.length
     val lgTT = log2Fp(ctT.sum + dim)
     val lgTR = log2Fp(ctR.sum + dim)
     Array.tabulate(dim)(b =>

@@ -92,6 +92,41 @@ class DsirSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("incremental count state: daily merge == one-shot; subtract retracts exactly; corruption fails loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val dim = 1024
+    def dense(c: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // additive merge over disjoint daily slices == the one-shot count
+    val merged = (0 to 2)
+      .map(d => Dsir.bucketCountsDf(docs.filter($"doc_id" % 3 === d), "text", dim))
+      .reduce(Dsir.mergeCounts)
+    assert(dense(merged) == dense(Dsir.bucketCountsDf(docs, "text", dim)))
+    // subtracting a slice's counts == counting the remainder
+    val takedown = docs.filter($"doc_id" % 13 === 5)
+    val after = Dsir.subtractCounts(merged,
+      Dsir.bucketCountsDf(takedown, "text", dim))
+    assert(dense(after) ==
+      dense(Dsir.bucketCountsDf(docs.filter($"doc_id" % 13 =!= 5), "text", dim)))
+    // weights from the maintained state == weights fit from scratch
+    val target = docs.filter($"doc_id" % 10 === 0)
+    val pool = docs.filter($"doc_id" % 10 =!= 0)
+    val viaState = Dsir.weightsFrom(
+      Dsir.bucketCountsDf(target, "text", dim),
+      Dsir.bucketCountsDf(pool, "text", dim), dim)
+    assert(viaState.sameElements(Dsir.fitWeights(target, pool, "text", dim)))
+    // over-subtraction (docs never counted in) must fail loudly, not
+    // skew: subtracting the full corpus from a takedown-only state is
+    // guaranteed to drive shared buckets negative
+    val corrupted = Dsir.subtractCounts(
+      Dsir.bucketCountsDf(takedown, "text", dim),
+      Dsir.bucketCountsDf(docs, "text", dim))
+    intercept[IllegalArgumentException] {
+      Dsir.weightsFrom(Dsir.bucketCountsDf(target, "text", dim), corrupted, dim)
+    }
+  }
+
   test("selectLikeTarget: selection actually shifts the pool toward the target distribution") {
     // synthetic two-dialect corpus: target speaks A; the raw pool is a
     // mix. The selected 30% must be overwhelmingly dialect-A docs.
