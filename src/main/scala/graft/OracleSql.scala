@@ -2536,6 +2536,93 @@ object OracleSql {
     */
   private val q114 = dsirSql(c => s"$c % 10 <> 0 AND $c % 13 <> 5")
 
+  /** q115: CCNet char-LM perplexity terciles — hashed trigram counts
+    * over the curated slice's lowercased code-point windows, add-one
+    * smoothing (`(ct3+1)/(ct2+4096)`), the same recursive-CTE
+    * fixed-point log2 as q113, per-document `Σ log2 p̂` as a bucket
+    * join, the truncating-division per-window mean (DuckDB `//`
+    * truncates toward zero exactly like Spark's `div`), and the
+    * head/middle/tail split on the `(mean desc, doc_id)` rank.
+    */
+  private val q115 = s"""
+    WITH RECURSIVE lt AS (
+      SELECT doc_id, text, lower(text) AS t FROM documents),
+    tri AS (
+      SELECT doc_id,
+             ${h60("substr(t, i, 3)")} % 4096 AS b3,
+             ${h60("substr(t, i, 2)")} % 4096 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t
+            FROM lt WHERE length(t) >= 3)),
+    big AS (
+      SELECT doc_id, ${h60("substr(t, i, 2)")} % 4096 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t))) AS i, t
+            FROM lt WHERE length(t) >= 2)),
+    ct3 AS (SELECT b3 AS b, count(*) AS ct FROM tri
+            WHERE doc_id % 10 = 0 GROUP BY b3),
+    ct2 AS (SELECT b2 AS b, count(*) AS ct FROM big
+            WHERE doc_id % 10 = 0 GROUP BY b2),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT coalesce(t3.ct, 0) + 1 AS v
+        FROM range(0, 4096) s(b) LEFT JOIN ct3 t3 ON t3.b = s.b
+        UNION ALL
+        SELECT coalesce(t2.ct, 0) + 4096 AS v
+        FROM range(0, 4096) s(b) LEFT JOIN ct2 t2 ON t2.b = s.b)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    w3 AS (
+      SELECT s.b, lg.r AS wv
+      FROM range(0, 4096) s(b)
+      LEFT JOIN ct3 ON ct3.b = s.b
+      JOIN lg ON lg.v = coalesce(ct3.ct, 0) + 1),
+    w2 AS (
+      SELECT s.b, lg.r AS wv
+      FROM range(0, 4096) s(b)
+      LEFT JOIN ct2 ON ct2.b = s.b
+      JOIN lg ON lg.v = coalesce(ct2.ct, 0) + 4096),
+    sc AS (
+      SELECT tri.doc_id,
+             CAST(sum(w3.wv - w2.wv) AS BIGINT) AS s
+      FROM tri
+      JOIN w3 ON w3.b = tri.b3
+      JOIN w2 ON w2.b = tri.b2
+      GROUP BY tri.doc_id),
+    scored AS (
+      SELECT l.doc_id,
+             CASE WHEN l.text IS NULL THEN NULL
+                  ELSE greatest(length(l.t) - 2, 0) END AS n_tri,
+             CASE WHEN l.text IS NULL THEN NULL
+                  ELSE coalesce(sc.s, 0) END AS s
+      FROM lt l LEFT JOIN sc ON sc.doc_id = l.doc_id),
+    rk AS (
+      SELECT doc_id, s // n_tri AS lm_avg,
+             row_number() OVER (ORDER BY s // n_tri DESC, doc_id) AS r
+      FROM scored WHERE s IS NOT NULL AND n_tri > 0),
+    n AS (SELECT count(*) AS cnt FROM rk)
+    SELECT sd.doc_id,
+           CAST(sd.n_tri AS BIGINT) AS n_tri,
+           sd.s AS lm_score,
+           rk.lm_avg AS lm_avg,
+           CASE WHEN sd.s IS NULL THEN NULL
+                WHEN sd.n_tri = 0 THEN 'tail'
+                WHEN rk.r <= n.cnt // 3 THEN 'head'
+                WHEN rk.r <= 2 * n.cnt // 3 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored sd
+    CROSS JOIN n
+    LEFT JOIN rk ON rk.doc_id = sd.doc_id
+    ORDER BY sd.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2650,5 +2737,6 @@ object OracleSql {
     "q112_sentence_chunks" -> q112,
     "q113_dsir_select" -> q113,
     "q114_incremental_dsir" -> q114,
+    "q115_charlm_ppl" -> q115,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2059,6 +2059,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style char-LM perplexity gate ([[CharLm.perplexityBuckets]]
+    * — Wenzek et al. 2019): a hashed add-one-smoothed character-trigram
+    * LM fits on the curated `doc_id % 10 = 0` slice (dims 4096/4096),
+    * every document scores through the fused [[graft.plans.CharLmScore]]
+    * kernel, and the corpus splits into head/middle/tail perplexity
+    * terciles by per-window mean log2-probability. All fixed-point
+    * integer math — the oracle re-derives counts, the recursive-CTE
+    * log2, per-document scores, the truncating-division mean, and the
+    * tercile rank, hash-exactly. Sub-3-char docs are unjudgeable →
+    * `tail` with NULL mean; NULL text stays NULL-bucketed.
+    */
+  def q115_charlm_ppl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val model = CharLm.fit(docs.filter(col("doc_id") % 10 === 0), "text")
+    CharLm.perplexityBuckets(docs, "text", "doc_id", model)
+      .select(col("doc_id"), col("n_tri"), col("lm_score"), col("lm_avg"),
+        col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2176,6 +2196,7 @@ object SparkEntry {
     "q112_sentence_chunks" -> (q112_sentence_chunks _),
     "q113_dsir_select" -> (q113_dsir_select _),
     "q114_incremental_dsir" -> (q114_incremental_dsir _),
+    "q115_charlm_ppl" -> (q115_charlm_ppl _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language-model perplexity gate — the CCNet quality
+  * stage (Wenzek et al. 2019: score every crawled document with a
+  * language model trained on a curated corpus, split the crawl into
+  * head / middle / tail perplexity terciles, keep the head). Where the
+  * classifier ([[QualityModel]]) and DSIR ([[Dsir]]) rank documents by
+  * WORD features, the char-LM catches what word models can't see —
+  * mojibake, encoding damage, gibberish, wrong-language text — because
+  * a trigram model trained on clean text assigns such strings
+  * vanishingly small probability.
+  *
+  * The model is a hashed add-one-smoothed character-trigram LM:
+  * `p̂(c | ab) = (ct3[h(abc)] + 1) / (ct2[h(ab)] + d3)`, fit from two
+  * bucket-count aggregates over the curated slice (each shuffles ≤ dim
+  * rows; the collects are the operator's documented 2×dim driver
+  * budget). Scoring embeds both fixed-point log-weight vectors in ONE
+  * native codegen kernel ([[graft.plans.CharLmScore]]) — the
+  * code-point walk runs once for both window sizes, no explode, no
+  * join, a pure narrow map over the corpus scan. Terciles use the
+  * windowless global rank ([[Dsir.globalRank]]).
+  *
+  * Everything is exact integer arithmetic on the [[Dsir.log2Fp]]
+  * fixed-point log2, so the q115 DuckDB oracle re-derives the model,
+  * the scores, AND the tercile assignment hash-exactly.
+  */
+object CharLm {
+
+  /** A fitted hashed char-LM: `w3[b] = log2fp(ct3[b]+1)`,
+    * `w2[b] = log2fp(ct2[b]+dim3)` — a document's kernel score is then
+    * `Σ log2 p̂` in 2^-10 units (≤ 0 for any window the smoothing
+    * dominates; magnitudes grow with document length, which is why
+    * ranking uses the per-window mean).
+    */
+  final case class Model(w3: IndexedSeq[Long], w2: IndexedSeq[Long]) {
+    require(w3.nonEmpty && w2.nonEmpty, "model dims must be >= 1")
+  }
+
+  private def charNgrams(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharNgramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          text.cast("string")), k))
+
+  /** `(bucket, ct)` of the lowercased k-char windows — ≤ `dim` rows
+    * after one explode + hash aggregate (map-side combine), additive
+    * over disjoint doc sets exactly like [[Dsir.bucketCountsDf]]
+    * (merge with [[Dsir.mergeCounts]] / retract with
+    * [[Dsir.subtractCounts]] for an incrementally-maintained model).
+    */
+  def ngramCounts(df: DataFrame, textCol: String, k: Int, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    df.select(explode(charNgrams(lower(col(textCol)), k)).as("__h"))
+      .select((col("__h") % dim).as("bucket")) // h60 is non-negative
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+  }
+
+  /** Fit the trigram model on a curated slice. `dim2`/`dim3` size the
+    * two hash tables (collision rate vs plan-embedded weight size).
+    */
+  def fit(curated: DataFrame, textCol: String,
+      dim3: Int = 4096, dim2: Int = 4096): Model = {
+    val c3 = Dsir.toDense(ngramCounts(curated, textCol, 3, dim3), dim3)
+    val c2 = Dsir.toDense(ngramCounts(curated, textCol, 2, dim2), dim2)
+    Model(IndexedSeq.tabulate(dim3)(b => Dsir.log2Fp(c3(b) + 1)),
+      IndexedSeq.tabulate(dim2)(b => Dsir.log2Fp(c2(b) + dim3)))
+  }
+
+  /** [[fit]] from maintained count tables (the incremental form). */
+  def fitFromCounts(counts3: DataFrame, counts2: DataFrame,
+      dim3: Int, dim2: Int): Model = {
+    val c3 = Dsir.toDense(counts3, dim3)
+    val c2 = Dsir.toDense(counts2, dim2)
+    Model(IndexedSeq.tabulate(dim3)(b => Dsir.log2Fp(c3(b) + 1)),
+      IndexedSeq.tabulate(dim2)(b => Dsir.log2Fp(c2(b) + dim3)))
+  }
+
+  /** `df` + `n_tri` (trigram-window count; NULL text → NULL) +
+    * `lm_score` (fixed-point `Σ log2 p̂`; NULL text → NULL, < 3 chars
+    * → 0) — one narrow kernel pass over `lower(text)`.
+    */
+  def score(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    val t = col(textCol)
+    val scoreCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharLmScore(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          lower(t).cast("string")), model.w3, model.w2))
+    df.withColumn("n_tri",
+        when(t.isNull, lit(null).cast("long"))
+          .otherwise(greatest(length(lower(t)) - 2, lit(0)).cast("long")))
+      .withColumn("lm_score", scoreCol)
+  }
+
+  /** The CCNet split: `df` + `n_tri` + `lm_score` + `lm_avg`
+    * (per-window mean, truncating division — the length-normalized
+    * log2-probability, i.e. negated bits-per-window) + `ppl_bucket`
+    * (`head` = best third by `(lm_avg desc, keyCol)`, then `middle`,
+    * then `tail`). Documents with no trigram window (< 3 chars) can't
+    * be judged and go to `tail` with NULL `lm_avg`; NULL text stays
+    * NULL-bucketed. The rank is [[Dsir.globalRank]] — no global
+    * window, two tercile cuts from the same pass.
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, keyCol: String,
+      model: Model): DataFrame = {
+    val scored = score(df, textCol, model)
+    val nullAvg = lit(null).cast("long")
+    val rankable = scored.filter(col("lm_score").isNotNull && col("n_tri") > 0)
+      .withColumn("lm_avg", expr("lm_score div n_tri"))
+    val (ranked, n) = Dsir.globalRank(rankable,
+      Seq(col("lm_avg").desc, col(keyCol)), "__rank")
+    ranked
+      .withColumn("ppl_bucket",
+        when(col("__rank") <= n / 3, lit("head"))
+          .when(col("__rank") <= 2 * n / 3, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rank")
+      .unionByName(scored.filter(col("lm_score").isNull)
+        .withColumn("lm_avg", nullAvg)
+        .withColumn("ppl_bucket", lit(null).cast("string")))
+      .unionByName(scored.filter(col("lm_score").isNotNull && col("n_tri") === 0)
+        .withColumn("lm_avg", nullAvg)
+        .withColumn("ppl_bucket", lit("tail")))
+  }
+}

@@ -124,7 +124,7 @@ object Dsir {
   def bucketCounts(df: DataFrame, textCol: String, dim: Int): Array[Long] =
     toDense(bucketCountsDf(df, textCol, dim), dim)
 
-  private def toDense(counts: DataFrame, dim: Int): Array[Long] = {
+  private[operators] def toDense(counts: DataFrame, dim: Int): Array[Long] = {
     val got = counts.collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     got.foreach { case (b, ct) =>
@@ -184,15 +184,33 @@ object Dsir {
     */
   def selectTop(df: DataFrame, scoreCol: String, keyCol: String,
       num: Long, den: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(num >= 0 && den >= 1 && num <= den,
       s"fraction must satisfy 0 <= num/den <= 1, got $num/$den")
     val scored = df.filter(col(scoreCol).isNotNull)
     val unscored = df.filter(col(scoreCol).isNull)
       .withColumn("selected", lit(false))
+    val (ranked, n) = globalRank(scored,
+      Seq(col(scoreCol).desc, col(keyCol)), "__rank")
+    ranked
+      .withColumn("selected", col("__rank") <= n * num / den)
+      .drop("__rank")
+      .unionByName(unscored)
+  }
+
+  /** Dense global rank (1-based) by `sortCols` with NO global window —
+    * the range-partition + per-partition-offset numbering shared by
+    * [[selectTop]] and the perplexity terciles ([[CharLm]]). Returns
+    * the ranked frame (+ `rankCol`) and the total row count (free —
+    * the offsets pass already counts). The ranged frame materializes
+    * once so the range sampler's bounds cannot drift between the
+    * count pass and the rank pass.
+    */
+  private[operators] def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankCol: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = scored
-      .repartitionByRange(nParts, col(scoreCol).desc, col(keyCol))
+    val ranged = df
+      .repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = ranged.groupBy("__pid").count().collect()
@@ -200,14 +218,13 @@ object Dsir {
     val offsets: Map[Int, Long] =
       counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
         .zip(counts).map { case ((_, off), (pid, _)) => pid -> off }.toMap
-    val k = counts.map(_._2).sum * num / den
     val localRank = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(col(scoreCol).desc, col(keyCol)))
-    ranged
-      .withColumn("selected",
-        (element_at(typedlit(offsets), col("__pid")) + localRank) <= k)
-      .drop("__pid")
-      .unionByName(unscored)
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*))
+    (ranged
+      .withColumn(rankCol,
+        element_at(typedlit(offsets), col("__pid")) + localRank)
+      .drop("__pid"),
+      counts.map(_._2).sum)
   }
 
   /** The end-to-end selection pass: fit on `(target, raw)`, score

@@ -84,6 +84,16 @@ object GraftExtensions {
         require(children.length == 1, "graft_nfc takes exactly 1 argument")
         NfcNormalize(children.head)
       }),
+    (FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_char_ngrams takes (text, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException("k must be an int literal")
+        }
+        CharNgramHashes(children.head, k)
+      }),
     (FunctionIdentifier("graft_strip_html"),
       new ExpressionInfo(classOf[HtmlStrip].getName, "graft_strip_html"),
       (children: Seq[Expression]) => {

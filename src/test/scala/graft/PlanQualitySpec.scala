@@ -87,6 +87,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!sp.contains("Exchange"), s"scoring pass must be shuffle-free:\n$sp")
   }
 
+  test("q115: char-LM scoring is one fused kernel pass; tercile rank windows are partitioned") {
+    val p = plan(SparkEntry.q115_charlm_ppl(spark, dir))
+    assert(p.contains("graft_char_lm"), "scoring must use the fused kernel")
+    assert(!p.contains("No Partition Defined"),
+      "tercile rank must not use an unpartitioned global window")
+    assert(!p.contains("Generate explode"),
+      "scoring must not explode the window hashes")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // scoring-only plan: a pure narrow map — scan → project, no exchange
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val sp = plan(operators.CharLm.score(docs, "text",
+      operators.CharLm.Model(IndexedSeq.fill(64)(1L), IndexedSeq.fill(64)(1L))))
+    assert(!sp.contains("Exchange"), s"scoring pass must be shuffle-free:\n$sp")
+  }
+
   test("q03: dimension joins broadcast (no shuffle for nation/region)") {
     val p = plan(SparkEntry.q03_join_star(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
