@@ -76,6 +76,21 @@ object ScaleBench {
         BpeVocab.train(spark, d, "text", 32, batchSize = 8).count()),
       "sentence_chunks" -> (d =>
         graft.operators.Chunker.sentenceChunks(d, "text", "doc_id", 64).count()),
+      // selection family (round 9): fit + one narrow scoring scan +
+      // windowless rank — expected ~linear in corpus size
+      "dsir_select" -> { d =>
+        graft.operators.Dsir.selectLikeTarget(
+            d.filter(col("doc_id") % 10 === 0),
+            d.filter(col("doc_id") % 10 =!= 0),
+            "text", "doc_id", dim = 1024, num = 20, den = 100)
+          .filter(col("selected")).count()
+      },
+      "charlm_terciles" -> { d =>
+        val model = graft.operators.CharLm.fit(
+          d.filter(col("doc_id") % 10 === 0), "text")
+        graft.operators.CharLm.perplexityBuckets(d, "text", "doc_id", model)
+          .filter(col("ppl_bucket") === lit("head")).count()
+      },
     )
 
     def run(r: Int): Map[String, (Double, Long)] = {

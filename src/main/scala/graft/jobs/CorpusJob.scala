@@ -90,7 +90,19 @@ object CorpusJob {
       // boilerplate BEFORE any stats/dedup, so combining-mark encodings
       // and markup wrappers of the same content land in the same
       // fingerprint/shingle groups
-      normalizeText: Boolean = false)
+      normalizeText: Boolean = false,
+      // opt-in maintenance of the DSIR selection-count state
+      // (`folded/selcounts` — [[graft.operators.Dsir.bucketCountsDf]]
+      // buckets of the corpus's hashed unigram+bigram windows): folds
+      // additively per batch, subtracts on takedown, so
+      // [[graft.operators.Dsir.weightsFrom]] can fit selection weights
+      // against the live corpus at any time without a corpus re-read.
+      // Once the table exists it keeps folding regardless of the flag
+      // (the atomic folded-root swap would otherwise drop it).
+      // `selectionDim` pins the bucket table like shingleSize/bands
+      // pin the LSH index — it must not change over a stateDir's life.
+      maintainSelectionCounts: Boolean = false,
+      selectionDim: Int = 4096)
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
@@ -320,11 +332,24 @@ object CorpusJob {
         }
         val nDocs = meta0
           .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) + batch.count()
+        // selection-count fold: additive like vocab; participates in
+        // the same atomic swap + replay gate. Presence-OR-flag gated —
+        // an existing table must keep folding or the root swap drops it
+        val selPrior = Zone.readIfExists(spark, s"$foldedRoot/selcounts")
+        val selcounts =
+          if (selPrior.isEmpty && !cfg.maintainSelectionCounts) null
+          else {
+            val batchCounts = graft.operators.Dsir.bucketCountsDf(
+              batch, "text", cfg.selectionDim)
+            selPrior.map(graft.operators.Dsir.mergeCounts(_, batchCounts))
+              .getOrElse(batchCounts)
+          }
         import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
-          Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta), foldedRoot)
+          Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
+            Option(selcounts).map("selcounts" -> _), foldedRoot)
       }
 
       newSigs.unpersist(); newPairs.unpersist()
@@ -417,7 +442,7 @@ object CorpusJob {
     * delete batch is mid-flight (crashed but not yet replayed).
     */
   def deleteDocs(spark: SparkSession, deleted0: DataFrame, stateDir: String,
-      batchId: Option[String] = None): Long = {
+      batchId: Option[String] = None, cfg: Config = Config()): Long = {
     val annotated0 = Zone.readIfExists(spark, s"$stateDir/annotated")
     if (annotated0.isEmpty) return 0L
     // replayed appends re-emit identical annotated rows; collapse them
@@ -517,13 +542,27 @@ object CorpusJob {
             .withColumn("df_docs", -col("df_docs"))
           TermStats.mergeDocFreq(old, delVocab).filter(col("df_docs") > 0)
         }.orNull
+        // selection-count retraction mirrors the vocab subtraction:
+        // buckets are additive over disjoint doc sets, so subtracting
+        // the attributed docs' own counts IS the inverse fold
+        // (cfg.selectionDim must match the dim the state was built
+        // with — the same config-pins-the-state contract as the LSH
+        // band/hash parameters)
+        val selcounts = Zone.readIfExists(spark, s"$foldedRoot/selcounts")
+          .map { old =>
+            graft.operators.Dsir.subtractCounts(old,
+              graft.operators.Dsir.bucketCountsDf(
+                annotated.join(attributed, Seq("doc_id"), "left_semi")
+                  .select("doc_id", "text"), "text", cfg.selectionDim))
+          }.orNull
         val nDocs = meta0
           .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) - nDeleted
         import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
-          Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta)
+          (Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
+            Option(selcounts).map("selcounts" -> _))
             .filter(_._2 != null), foldedRoot)
       }
       nDeleted
@@ -599,7 +638,7 @@ object CorpusJob {
               "deleteDocs(batchId) so its fold commits, then re-run. " +
               "(A fold evicted from the bounded marker window flags " +
               "spuriously; run compactState directly to override.)")
-        deleteDocs(spark, retract, stateDir, batchId.map(_ + ":retract"))
+        deleteDocs(spark, retract, stateDir, batchId.map(_ + ":retract"), cfg)
         compactState(spark, stateDir)
       }
       val admit = diff.filter(col("change").isin("added", "changed"))

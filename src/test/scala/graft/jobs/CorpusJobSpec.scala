@@ -165,6 +165,41 @@ class CorpusJobSpec extends SparkSpec {
     assert(folded()._2 == docs.count(), "empty day must not change n_docs")
   }
 
+  test("selection-count state: daily folds == one-shot; replay-gated; takedown subtracts; weights fit from state") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (d1, d2) = (docs.filter($"doc_id" <= n / 2), docs.filter($"doc_id" > n / 2))
+    val state = tmpDir("corpussel")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainSelectionCounts = true, selectionDim = 1024)
+    CorpusJob.runIncremental(spark, d1, state, cfg, batchId = Some("d1"))
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+    def sel(): Map[Long, Long] = spark.read.parquet(s"$state/folded/selcounts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def oneShot(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Dsir.bucketCountsDf(d, "text", 1024)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sel() == oneShot(docs), "daily folds must equal the one-shot count")
+    // replay with the same batch id: the marker gates the additive fold
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+    assert(sel() == oneShot(docs), "replayed fold double-counted selcounts")
+    // takedown subtracts exactly the deleted docs' contribution
+    val delIds = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    CorpusJob.deleteDocs(spark, delIds, state, Some("del-1"), cfg)
+    assert(sel() == oneShot(docs.filter($"doc_id" % 7 =!= 3)),
+      "selcounts after takedown must equal the survivors' one-shot count")
+    // and the state is directly usable: weights fit from the
+    // maintained table == weights fit from the live corpus
+    val target = docs.filter($"doc_id" % 7 =!= 3).limit(50)
+    val viaState = graft.operators.Dsir.weightsFrom(
+      graft.operators.Dsir.bucketCountsDf(target, "text", 1024),
+      spark.read.parquet(s"$state/folded/selcounts"), 1024)
+    val scratch = graft.operators.Dsir.fitWeights(
+      target, docs.filter($"doc_id" % 7 =!= 3), "text", 1024)
+    assert(viaState.sameElements(scratch))
+  }
+
   test("soak: 10 audited days at sf0.1 — state growth linear in increments, day-10 == one-shot") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       .select($"doc_id", $"text")
