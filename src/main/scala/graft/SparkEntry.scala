@@ -2054,7 +2054,7 @@ object SparkEntry {
     val w = Dsir.weightsFrom(Dsir.bucketCountsDf(target, "text", dim), counts, dim)
     val pool = raw.filter(col("doc_id") % 13 =!= 5)
     Dsir.selectTop(Dsir.score(pool, "text", w), "dsir_score", "doc_id",
-        num = 20, den = 100)
+        num = 20, den = 100, scoredPred = Some(col("text").isNotNull))
       .select(col("doc_id"), col("dsir_score"), col("selected"))
       .orderBy(col("doc_id"))
   }

@@ -107,7 +107,14 @@ object CharLm {
       model: Model): DataFrame = {
     val scored = score(df, textCol, model)
     val nullAvg = lit(null).cast("long")
-    val rankable = scored.filter(col("lm_score").isNotNull && col("n_tri") > 0)
+    // branch predicates deliberately reference text/n_tri, NEVER
+    // lm_score: lm_score IS NULL ⟺ text IS NULL by the kernel's
+    // contract, but a filter on the kernel column would re-evaluate
+    // the (expensive) trigram walk on a full corpus scan PER BRANCH —
+    // on the text predicates, the kernel runs once over the ranked
+    // slice (materialized inside globalRank) and only on the
+    // few/cheap rows of the two edge branches
+    val rankable = scored.filter(col(textCol).isNotNull && col("n_tri") > 0)
       .withColumn("lm_avg", expr("lm_score div n_tri"))
     val (ranked, n) = Dsir.globalRank(rankable,
       Seq(col("lm_avg").desc, col(keyCol)), "__rank")
@@ -117,10 +124,10 @@ object CharLm {
           .when(col("__rank") <= 2 * n / 3, lit("middle"))
           .otherwise(lit("tail")))
       .drop("__rank")
-      .unionByName(scored.filter(col("lm_score").isNull)
+      .unionByName(scored.filter(col(textCol).isNull)
         .withColumn("lm_avg", nullAvg)
         .withColumn("ppl_bucket", lit(null).cast("string")))
-      .unionByName(scored.filter(col("lm_score").isNotNull && col("n_tri") === 0)
+      .unionByName(scored.filter(col(textCol).isNotNull && col("n_tri") === 0)
         .withColumn("lm_avg", nullAvg)
         .withColumn("ppl_bucket", lit("tail")))
   }

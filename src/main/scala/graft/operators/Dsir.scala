@@ -183,11 +183,17 @@ object Dsir {
     * rank pass ([[Sharding.assignShards]]'s rule).
     */
   def selectTop(df: DataFrame, scoreCol: String, keyCol: String,
-      num: Long, den: Long): DataFrame = {
+      num: Long, den: Long, scoredPred: Option[Column] = None): DataFrame = {
     require(num >= 0 && den >= 1 && num <= den,
       s"fraction must satisfy 0 <= num/den <= 1, got $num/$den")
-    val scored = df.filter(col(scoreCol).isNotNull)
-    val unscored = df.filter(col(scoreCol).isNull)
+    // `scoredPred` lets a caller whose score is an EXPENSIVE computed
+    // column state the null condition on the cheap source column
+    // instead (for [[score]]'s kernel: `text IS NOT NULL`) — a filter
+    // on the score column itself would re-run the kernel on a second
+    // full corpus scan just to route the handful of NULL rows
+    val isScored = scoredPred.getOrElse(col(scoreCol).isNotNull)
+    val scored = df.filter(isScored)
+    val unscored = df.filter(!coalesce(isScored, lit(false)))
       .withColumn("selected", lit(false))
     val (ranked, n) = globalRank(scored,
       Seq(col(scoreCol).desc, col(keyCol)), "__rank")
@@ -234,5 +240,6 @@ object Dsir {
   def selectLikeTarget(target: DataFrame, raw: DataFrame, textCol: String,
       keyCol: String, dim: Int, num: Long, den: Long): DataFrame =
     selectTop(score(raw, textCol, fitWeights(target, raw, textCol, dim)),
-      "dsir_score", keyCol, num, den)
+      "dsir_score", keyCol, num, den,
+      scoredPred = Some(col(textCol).isNotNull))
 }
