@@ -2623,6 +2623,138 @@ object OracleSql {
     LEFT JOIN rk ON rk.doc_id = sd.doc_id
     ORDER BY sd.doc_id"""
 
+  /** q116 — duplicate-line metrics: the identical five-line synthesis
+    * (line 3 == line 1; line 5 == line 2 on even ids), then the same
+    * list algebra as TextFunctions.dupLineStats. Character counts only
+    * need set identity, so list_distinct's occurrence choice is
+    * irrelevant.
+    */
+  private val q116 = s"""
+    WITH body AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(coalesce(text, ''), 1, 40),
+               substr(coalesce(text, ''), 41, 40),
+               substr(coalesce(text, ''), 1, 40),
+               substr(coalesce(text, ''), 81, 40),
+               CASE WHEN doc_id % 2 = 0 THEN substr(coalesce(text, ''), 41, 40)
+                    ELSE substr(coalesce(text, ''), 121, 40) END) AS b
+      FROM documents),
+    lined AS (
+      SELECT doc_id, b,
+             string_split(b, chr(10)) AS lines,
+             list_distinct(string_split(b, chr(10))) AS dlines
+      FROM body)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(dlines) AS BIGINT) AS distinct_lines,
+           CAST(len(lines) - len(dlines) AS BIGINT) AS dup_lines,
+           CAST(length(b) - (len(lines) - 1) AS BIGINT) AS line_chars,
+           CAST(length(b) - (len(lines) - 1)
+                - length(array_to_string(dlines, '')) AS BIGINT) AS dup_line_chars
+    FROM lined
+    ORDER BY doc_id"""
+
+  /** q117 — corpus-wide paragraph dedup: identical five-paragraph
+    * synthesis, first-(doc_id,pos) election per paragraph STRING (no
+    * digest needed — grouping by the value is the same equivalence),
+    * empty paragraphs always keep, ordered string_agg rebuild.
+    * coalesce(...,'') mirrors Spark's concat_ws over an empty array for
+    * docs that lose every paragraph.
+    */
+  private val q117 = s"""
+    WITH body AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+               'subscribe to our newsletter',
+               substr(coalesce(text, ''), 1, 60),
+               'share-' || CAST(doc_id % 7 AS VARCHAR),
+               substr(coalesce(text, ''), 61, 60),
+               'copyright 2026') AS b
+      FROM documents),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(b, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(b, chr(10) || chr(10)), 1) - 1 AS pos
+      FROM body),
+    marked AS (
+      SELECT doc_id, para, pos,
+             para = '' OR row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, pos) = 1 AS keep
+      FROM paras)
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  /** q118 — SemDeDup: the q36 codebook pick + argmax assignment, then
+    * q25's fixed-point pair cosine within each cluster and a
+    * max-neighbor election over lower ids.
+    */
+  private val q118 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    losers AS (
+      SELECT b.id AS id_b,
+             max(round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6)) AS nn_cosine
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+      WHERE round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6) >= 0.5
+      GROUP BY b.id)
+    SELECT s.id AS vec_id, s.centroid_id,
+           l.nn_cosine IS NOT NULL AS sem_dup, l.nn_cosine
+    FROM assigned s LEFT JOIN losers l ON s.id = l.id_b
+    ORDER BY s.id"""
+
+  /** q119 — URL blocklist: identical host synthesis, dot-suffix
+    * expansion via list slicing, equi-join against the VALUES
+    * blocklist, smallest matching suffix per doc.
+    */
+  private val q119 = s"""
+    WITH docs AS (
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 4 = 0 THEN 'sub.' ELSE '' END,
+               'example', CAST(doc_id % 50 AS VARCHAR), '.com') AS host
+      FROM documents),
+    blocked(domain) AS (
+      VALUES ('example7.com'), ('example23.com'), ('sub.example11.com')),
+    sufs AS (
+      SELECT doc_id, host,
+             array_to_string(l[len(l) - k + 1 :], '.') AS suffix
+      FROM (SELECT doc_id, host, string_split(host, '.') AS l,
+                   unnest(range(1, len(string_split(host, '.')) + 1)) AS k
+            FROM docs)),
+    hits AS (
+      SELECT doc_id, min(s.suffix) AS matched_domain
+      FROM sufs s JOIN blocked b ON s.suffix = lower(b.domain)
+      GROUP BY doc_id)
+    SELECT d.doc_id, d.host,
+           h.matched_domain IS NOT NULL AS blocked, h.matched_domain
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2738,5 +2870,9 @@ object OracleSql {
     "q113_dsir_select" -> q113,
     "q114_incremental_dsir" -> q114,
     "q115_charlm_ppl" -> q115,
+    "q116_dup_lines" -> q116,
+    "q117_paragraph_dedup" -> q117,
+    "q118_semdedup" -> q118,
+    "q119_url_blocklist" -> q119,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2079,6 +2079,103 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-line repetition metrics ([[T.dupLineStats]] — the
+    * Gopher-family rules of Rae et al. 2021): each doc synthesizes a
+    * deterministic five-line body with planted duplicates (line 3
+    * repeats line 1 always; line 5 repeats line 2 on even ids) and the
+    * per-doc line counts / duplicate-character mass hash-match DuckDB
+    * computing the identical list algebra. The whole struct is a
+    * codegen narrow map (`split`/`array_distinct`/`array_join`, no
+    * higher-order lambdas) — repetition scoring of a 100 TB corpus
+    * rides the scan with zero shuffles.
+    */
+  def q116_dup_lines(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val t = coalesce(col("text"), lit(""))
+    val l1 = substring(t, 1, 40)
+    val l2 = substring(t, 41, 40)
+    val l4 = substring(t, 81, 40)
+    val l5 = when(col("doc_id") % 2 === 0, l2).otherwise(substring(t, 121, 40))
+    val body = concat_ws("\n", l1, l2, l1, l4, l5)
+    docs.withColumn("st", T.dupLineStats(body))
+      .select(col("doc_id"),
+        col("st.n_lines").as("n_lines"),
+        col("st.distinct_lines").as("distinct_lines"),
+        col("st.dup_lines").as("dup_lines"),
+        col("st.line_chars").as("line_chars"),
+        col("st.dup_line_chars").as("dup_line_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide exact paragraph dedup ([[Dedup.paragraphDedup]] — the
+    * RefinedWeb boilerplate-removal recipe): each doc synthesizes five
+    * paragraphs — a constant header (every doc; only doc 0 keeps it), a
+    * text slice (duplicate texts in the corpus collide naturally), a
+    * 7-way shared footer, a second slice (empty for short docs — empty
+    * paragraphs are structure and never dedup), and a constant
+    * copyright line — then only the first `(doc_id, pos)` occurrence of
+    * each paragraph corpus-wide survives and the text REBUILDS in
+    * order. The oracle re-derives election, keep set, and the
+    * reassembled string; docs that lose every paragraph rebuild to ''
+    * (exercised by duplicate texts past the first seven ids).
+    */
+  def q117_paragraph_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val t = coalesce(col("text"), lit(""))
+    val body = concat_ws("\n\n",
+      lit("subscribe to our newsletter"),
+      substring(t, 1, 60),
+      concat(lit("share-"), col("doc_id") % 7),
+      substring(t, 61, 60),
+      lit("copyright 2026"))
+    Dedup.paragraphDedup(
+        docs.withColumn("body", body).select(col("doc_id"), col("body")),
+        "body", "doc_id")
+      .select(col("doc_id"), col("text_dedup"), col("n_paras"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup ([[Dedup.semDedup]] — Abbas et al. 2023): cluster the
+    * embedding space (16 deterministic auditable-hash centroids, the
+    * q36 codebook pick) and mark every vector with a lower-id
+    * cluster-mate at rounded quantized cosine ≥ 0.5 as a semantic
+    * duplicate. The oracle re-derives the codebook pick, the argmax
+    * assignment, the within-cluster pairs, and the max-neighbor
+    * election — hash-exact.
+    */
+  def q118_semdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nClusters = 16, minCosine = 0.5)
+      .select(col("vec_id"), col("centroid_id"), col("sem_dup"), col("nn_cosine"))
+      .orderBy(col("vec_id"))
+
+  /** URL domain-blocklist filtering ([[UrlBlocklist.mark]]): synthetic
+    * hosts `[sub.]example<id%50>.com` (every 4th doc gains a `sub.`
+    * label) against a three-entry blocklist — `example7.com` /
+    * `example23.com` match through the subdomain (suffix semantics),
+    * `sub.example11.com` matches ONLY the subdomain variant. The
+    * suffix explosion + broadcast equi-join replaces the OR-predicate
+    * nested loop; the oracle re-derives suffixes with list slicing.
+    */
+  def q119_url_blocklist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val host = concat(
+      when(col("doc_id") % 4 === 0, lit("sub.")).otherwise(lit("")),
+      lit("example"), col("doc_id") % 50, lit(".com"))
+    val blocked = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("example7.com"),
+        org.apache.spark.sql.Row("example23.com"),
+        org.apache.spark.sql.Row("sub.example11.com")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    UrlBlocklist.mark(docs.withColumn("host", host), "doc_id", "host", blocked)
+      .select(col("doc_id"), col("host"), col("blocked"), col("matched_domain"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2197,6 +2294,10 @@ object SparkEntry {
     "q113_dsir_select" -> (q113_dsir_select _),
     "q114_incremental_dsir" -> (q114_incremental_dsir _),
     "q115_charlm_ppl" -> (q115_charlm_ppl _),
+    "q116_dup_lines" -> (q116_dup_lines _),
+    "q117_paragraph_dedup" -> (q117_paragraph_dedup _),
+    "q118_semdedup" -> (q118_semdedup _),
+    "q119_url_blocklist" -> (q119_url_blocklist _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -263,6 +263,39 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Duplicate-line statistics (the Gopher-family repetition rules of
+    * Rae et al. 2021 §A1.1): `string → struct<n_lines, distinct_lines,
+    * dup_lines, line_chars, dup_line_chars : bigint>` where
+    * `dup_line_chars` counts the characters of every line occurrence
+    * BEYOND its first (the mass a line-level dedup would remove).
+    *
+    * Pure narrow map over codegen'd built-ins — `split` /
+    * `array_distinct` / `array_join` are ordinary expressions, not
+    * higher-order lambdas, so the whole struct rides the corpus scan
+    * with no shuffle and no interpreted closure per line. Character
+    * counts only need SET identity, not order, so
+    * `length(array_join(array_distinct(...)))` is exact regardless of
+    * which occurrence `array_distinct` keeps. NULL text → all fields
+    * NULL.
+    *
+    * @param sep line separator, a LITERAL string (regex-escaped before
+    *   it reaches `split`), default `"\n"`.
+    */
+  def dupLineStats(c: Column, sep: String = "\n"): Column = {
+    val lines    = split(c, java.util.regex.Pattern.quote(sep), -1)
+    val dlines   = array_distinct(lines)
+    val nLines   = size(lines).cast("long")
+    val nDistinct = size(dlines).cast("long")
+    val lineChars = (length(c) - (size(lines) - 1) * sep.length).cast("long")
+    val dupChars  = lineChars - length(array_join(dlines, "")).cast("long")
+    struct(
+      nLines.as("n_lines"),
+      nDistinct.as("distinct_lines"),
+      (nLines - nDistinct).as("dup_lines"),
+      lineChars.as("line_chars"),
+      dupChars.as("dup_line_chars"))
+  }
+
   /** PII patterns, deliberately conservative regex subset (no lookaround,
     * no backrefs) so the same pattern strings run identically under
     * Java's engine here and RE2-family engines elsewhere — a corpus

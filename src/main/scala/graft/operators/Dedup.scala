@@ -58,6 +58,65 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Corpus-wide exact PARAGRAPH dedup with text rebuild (the
+    * RefinedWeb / Falcon recipe: boilerplate paragraphs — nav bars,
+    * cookie banners, newsletter footers — repeat across millions of
+    * pages; only the first occurrence corpus-wide survives).
+    *
+    * Shape for 100 TB: split is a narrow map; the first-occurrence
+    * election is ONE hash aggregate on the 16-byte paragraph digest
+    * (map-side combine collapses hot boilerplate before the exchange —
+    * the same reasoning as the span-dedup stage-2 mark), the keep
+    * decision is an equi-join on that digest (AQE skew-splittable),
+    * and the rebuild is one aggregate on the doc id. No windows over
+    * unpartitioned data, no driver materialization.
+    *
+    * Keep rule: a paragraph occurrence survives iff it is empty
+    * (structure, never deduped) or it is the minimum `(id, position)`
+    * occurrence of its digest corpus-wide. Output: one row per doc —
+    * `id, text_dedup, n_paras, n_kept, n_dropped`. Documents with NULL
+    * text are passed through with NULL `text_dedup` and zero counts.
+    *
+    * @param sep paragraph separator LITERAL (default two newlines);
+    *   split and rebuild both use it, so `n_dropped == 0` implies
+    *   `text_dedup == text`.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "para")))
+      .withColumn("para_md5", md5(col("para").cast("binary")))
+    // min(struct) elects the lexicographically first (id, pos) per
+    // digest — an aggregate, not a window, so partial aggregation
+    // collapses boilerplate paragraphs map-side.
+    val firsts = paras.filter(col("para") =!= "")
+      .groupBy(col("para_md5"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = paras
+      .join(firsts, Seq("para_md5"), "left")
+      .withColumn("keep", col("para") === "" ||
+        (col("first.id") === col("id") && col("first.pos") === col("pos")))
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(sep,
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para")))))
+            .getField("para")).as("text_dedup"),
+        count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum((!col("keep")).cast("long")).as("n_dropped"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("text_dedup"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Word n-gram shingle rows: (id, keepCols…, shingle), one row per
     * *distinct* shingle per document — now a pure narrow map: the
     * native one-pass [[graft.plans.WordShingles]] emits each document's
@@ -835,5 +894,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(V.cosineFromQuantized(
         col("qv_a"), col("qv_b"), col("n2_a"), col("n2_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * clustering the embedding space and removing near-identical
+    * neighbors within each cluster — catches paraphrases and templated
+    * rewrites that lexical MinHash misses.
+    *
+    * Algorithm as published: k-means the embeddings (here the
+    * deterministic auditable-hash codebook pick of
+    * [[IvfIndex.buildIndex]] — the assignment is the
+    * [[graft.plans.IvfAssign]] narrow map, so clustering costs one
+    * scan), then within each cluster compare all pairs and drop every
+    * document that has a higher-priority neighbor above `minCosine`.
+    * Our keep rule is the deterministic "first wins": a doc is a
+    * semantic duplicate iff some LOWER id in its cluster has rounded
+    * quantized cosine ≥ `minCosine` (the paper keeps a random/low-
+    * centroid-distance representative; any fixed priority gives the
+    * same dedup mass).
+    *
+    * Shape for 100 TB: the within-cluster self-join exchanges only
+    * `(centroid_id, id, quantized vec)` rows hashed by cluster — both
+    * sides are the SAME cells table, so the exchange is computed once
+    * and reused — and all-pairs cost is bounded by the cluster size the
+    * caller controls via `nClusters` (pick k ≈ N / targetClusterSize;
+    * the paper uses ~100k clusters at web scale). A hot cluster
+    * skew-splits under AQE like any shuffle join.
+    *
+    * Output: one row per input vector — `(idCol, centroid_id, sem_dup,
+    * nn_cosine)` where `nn_cosine` is the max rounded cosine to any
+    * lower-id cluster-mate above threshold (NULL ⇔ kept).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, minCosine: Double): DataFrame = {
+    val (_, cells) = IvfIndex.buildIndex(df, idCol, vecCol, nClusters)
+    val a = cells.select(col("centroid_id"), col("id").as("id_a"),
+      col("cqv").as("qv_a"), col("cn2").as("n2_a"))
+    val b = cells.select(col("centroid_id"), col("id").as("id_b"),
+      col("cqv").as("qv_b"), col("cn2").as("n2_b"))
+    val losers = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), round(V.cosineFromQuantized(
+        col("qv_a"), col("qv_b"), col("n2_a"), col("n2_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("id_b")).agg(max(col("cosine")).as("nn_cosine"))
+    cells.select(col("id"), col("centroid_id"))
+      .join(losers.withColumnRenamed("id_b", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("centroid_id"),
+        col("nn_cosine").isNotNull.as("sem_dup"), col("nn_cosine"))
   }
 }

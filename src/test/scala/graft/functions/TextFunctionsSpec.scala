@@ -78,6 +78,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter(!col("a") || !col("b") || !col("c") || !col("d") || !col("e")).isEmpty)
   }
 
+  test("dupLineStats: counts + duplicate char mass; empties collapse; NULL propagates") {
+    def st(text: String): org.apache.spark.sql.Row =
+      one[org.apache.spark.sql.Row](TextFunctions.dupLineStats(col("t")), text)
+    // "a b a c": one duplicate line carrying 1 repeated char
+    assert(st("a\nb\na\nc").toSeq == Seq(4L, 3L, 1L, 4L, 1L))
+    // trailing separators: empties are lines too and dedup like any value
+    assert(st("x\n\nx\n\n").toSeq == Seq(5L, 2L, 3L, 2L, 1L))
+    // empty text is one empty line, nothing duplicated
+    assert(st("").toSeq == Seq(1L, 1L, 0L, 0L, 0L))
+    assert(st(null).toSeq.forall(_ == null))
+    // multi-char separator
+    val para = one[org.apache.spark.sql.Row](
+      TextFunctions.dupLineStats(col("t"), "\n\n"), "p\n\np\n\nq")
+    assert(para.toSeq == Seq(3L, 2L, 1L, 3L, 1L))
+  }
+
   test("content fingerprint invariant to case/punct/spacing, sensitive to words") {
     val f = (s: String) => one[String](TextFunctions.contentFingerprint(col("t")), s)
     assert(f("Hello,   World!") == f("hello world"))

@@ -345,4 +345,52 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.6, s"recall $recall over ${exactPairs.size} true pairs")
     }
   }
+
+  test("paragraph dedup: first occurrence survives, empties keep, rebuild is ordered") {
+    val pd = Seq(
+      (1L, "HEAD\n\nunique one\n\nFOOT"),
+      (2L, "HEAD\n\nunique two\n\nFOOT"),   // loses HEAD + FOOT to doc 1
+      (3L, "HEAD\n\n\n\nFOOT"),             // empty middle para is structure: kept
+      (4L, null.asInstanceOf[String]),      // NULL passes through
+      (5L, "HEAD\n\nFOOT"),                 // loses everything → ""
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pd, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // nothing dropped ⇒ rebuild is the identity
+    assert(out(1L) == (("HEAD\n\nunique one\n\nFOOT", 3L, 3L, 0L)))
+    assert(out(2L) == (("unique two", 3L, 1L, 2L)))
+    assert(out(3L) == (("", 3L, 1L, 2L)))
+    assert(out(4L) == ((null, 0L, 0L, 0L)))
+    assert(out(5L) == (("", 2L, 0L, 2L)))
+  }
+
+  test("semDedup: higher-id near-parallel clustermates marked; orthogonal/opposite kept") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.0)),  // ~parallel to 1 → dup (same argmax cell as 1)
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(-1.0, 0.0, 0.0, 0.0)),   // opposite direction: cosine -1, kept
+      (5L, Seq(0.0, 0.98, 0.02, 0.0)),  // ~parallel to 3 → dup
+    ).toDF("id", "vec")
+    val out = Dedup.semDedup(vecs, "id", "vec", nClusters = 2, minCosine = 0.9)
+    val dups = out.filter(col("sem_dup")).select("id").as[Long].collect().toSet
+    assert(dups == Set(2L, 5L))
+    // every row present exactly once; kept rows have NULL nn_cosine
+    assert(out.count() == 5)
+    assert(out.filter(!col("sem_dup")).filter(col("nn_cosine").isNotNull).count() == 0)
+  }
+
+  test("semDedup with one cluster == brute-force lower-id neighbor rule") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", nClusters = 1, minCosine = 0.2)
+      .filter(col("sem_dup")).select("vec_id").as[Long].collect().toSet
+    // brute force: quantized pair cosine over ALL pairs (one cluster ⇒ no blocking)
+    val brute = Dedup.embeddingNearDupQuantized(
+        emb.withColumn("all", lit(0)), "embedding", "vec_id", "all", 0.2)
+      .select(greatest($"id_a", $"id_b").as("loser")).distinct()
+      .as[Long].collect().toSet
+    assert(out == brute)
+    assert(out.nonEmpty) // sf0.001 embeddings contain seeded near-dups
+  }
 }
