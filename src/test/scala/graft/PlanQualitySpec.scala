@@ -353,6 +353,36 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("q116: duplicate-line metrics are a pure narrow map (only the sort exchanges)") {
+    // dupLineStats must ride the scan: split/array_distinct/array_join
+    // are ordinary codegen expressions, so any Exchange beyond the
+    // output sort (or any Generate/explode) is a regression
+    val p = plan(SparkEntry.q116_dup_lines(spark, dir))
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"expected only the output-sort exchange:\n${p.take(1500)}")
+    assert(!p.contains("Generate"), "dup-line metrics must not explode rows")
+  }
+
+  test("q117/q118/q119: curation operators plan hash joins, never nested loops") {
+    // paragraph dedup's keep join, SemDeDup's within-cluster self-join,
+    // and the blocklist suffix match must all stay equi-joins — a
+    // BroadcastNestedLoopJoin or CartesianProduct here means the
+    // OR-predicate / non-equi form crept back in
+    for (df <- Seq(
+        SparkEntry.q117_paragraph_dedup(spark, dir),
+        SparkEntry.q118_semdedup(spark, dir),
+        SparkEntry.q119_url_blocklist(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"non-equi join shape:\n${p.take(2000)}")
+    }
+    // the paragraph election must be an aggregate (map-side combine on
+    // hot boilerplate), not a window over the digest
+    val p117 = plan(SparkEntry.q117_paragraph_dedup(spark, dir))
+    assert(p117.contains("partial_min"), "first-occurrence election must be partial+final")
+    assert(!p117.contains("Window"), "election must not be a window")
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._
