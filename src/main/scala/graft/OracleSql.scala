@@ -2662,8 +2662,12 @@ object OracleSql {
     * coalesce(...,'') mirrors Spark's concat_ws over an empty array for
     * docs that lose every paragraph.
     */
-  private val q117 = s"""
-    WITH body AS (
+  /** body → paras → marked CTE chain of the paragraph-dedup family
+    * (q117/q120/q121): the five-paragraph synthesis and first-
+    * occurrence keep rule over an optionally-filtered documents set.
+    */
+  private def paraMarked(docsWhere: String) = s"""
+    body AS (
       SELECT doc_id,
              concat_ws(chr(10) || chr(10),
                'subscribe to our newsletter',
@@ -2671,7 +2675,7 @@ object OracleSql {
                'share-' || CAST(doc_id % 7 AS VARCHAR),
                substr(coalesce(text, ''), 61, 60),
                'copyright 2026') AS b
-      FROM documents),
+      FROM documents $docsWhere),
     paras AS (
       SELECT doc_id,
              unnest(string_split(b, chr(10) || chr(10))) AS para,
@@ -2681,16 +2685,44 @@ object OracleSql {
       SELECT doc_id, para, pos,
              para = '' OR row_number() OVER (PARTITION BY para
                ORDER BY doc_id, pos) = 1 AS keep
-      FROM paras)
+      FROM paras)"""
+
+  /** Rebuild tail shared by q117/q120/q121. */
+  private def paraRebuild(finalWhere: String) = s"""
     SELECT doc_id,
            coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
                       FILTER (WHERE keep), '') AS text_dedup,
            CAST(count(*) AS BIGINT) AS n_paras,
            CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
            CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
-    FROM marked
+    FROM marked $finalWhere
     GROUP BY doc_id
     ORDER BY doc_id"""
+
+  private val q117 = s"""
+    WITH ${paraMarked("")}
+    ${paraRebuild("")}"""
+
+  /** q120 — incremental paragraph dedup: the one-shot election over
+    * the FULL corpus (postings ∪ batch is everything), restricted to
+    * the 20%-id batch — the monotonic-id incremental contract.
+    */
+  private val q120 = s"""
+    WITH cut AS (
+      SELECT CAST(floor(max(doc_id) * 4 / 5) AS BIGINT) AS c FROM documents),
+    ${paraMarked("")}
+    ${paraRebuild("WHERE doc_id > (SELECT c FROM cut)")}"""
+
+  /** q121 — paragraph takedown: election recomputed WITHOUT the
+    * deleted indexed docs (doc_id % 7 = 3 below the cut), restricted
+    * to the batch — delete-then-probe == build-without.
+    */
+  private val q121 = s"""
+    WITH cut AS (
+      SELECT CAST(floor(max(doc_id) * 4 / 5) AS BIGINT) AS c FROM documents),
+    ${paraMarked(
+      "WHERE NOT (doc_id <= (SELECT c FROM cut) AND doc_id % 7 = 3)")}
+    ${paraRebuild("WHERE doc_id > (SELECT c FROM cut)")}"""
 
   /** q118 — SemDeDup: the q36 codebook pick + argmax assignment, then
     * q25's fixed-point pair cosine within each cluster and a
@@ -2726,6 +2758,48 @@ object OracleSql {
     SELECT s.id AS vec_id, s.centroid_id,
            l.nn_cosine IS NOT NULL AS sem_dup, l.nn_cosine
     FROM assigned s LEFT JOIN losers l ON s.id = l.id_b
+    ORDER BY s.id"""
+
+  /** q122 — incremental SemDeDup: codebook picked from the 80%-id
+    * prefix ONLY (the frozen index), everyone assigned to it, pair
+    * election restricted to batch probes — q118's algebra under the
+    * incremental contract.
+    */
+  private val q122 = s"""
+    WITH cut AS (
+      SELECT CAST(floor(max(vec_id) * 4 / 5) AS BIGINT) AS c FROM embeddings),
+    base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 WHERE vec_id <= (SELECT c FROM cut)
+            ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    losers AS (
+      SELECT b.id AS id_b,
+             max(round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6)) AS nn_cosine
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+      WHERE b.id > (SELECT c FROM cut)
+        AND round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6) >= 0.5
+      GROUP BY b.id)
+    SELECT s.id AS vec_id, s.centroid_id,
+           l.nn_cosine IS NOT NULL AS sem_dup, l.nn_cosine
+    FROM assigned s LEFT JOIN losers l ON s.id = l.id_b
+    WHERE s.id > (SELECT c FROM cut)
     ORDER BY s.id"""
 
   /** q119 — URL blocklist: identical host synthesis, dot-suffix
@@ -2874,5 +2948,8 @@ object OracleSql {
     "q117_paragraph_dedup" -> q117,
     "q118_semdedup" -> q118,
     "q119_url_blocklist" -> q119,
+    "q120_incremental_paragraphs" -> q120,
+    "q121_delete_paragraphs" -> q121,
+    "q122_incremental_semdedup" -> q122,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

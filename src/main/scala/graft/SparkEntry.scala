@@ -2119,22 +2119,13 @@ object SparkEntry {
     * reassembled string; docs that lose every paragraph rebuild to ''
     * (exercised by duplicate texts past the first seven ids).
     */
-  def q117_paragraph_dedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val t = coalesce(col("text"), lit(""))
-    val body = concat_ws("\n\n",
-      lit("subscribe to our newsletter"),
-      substring(t, 1, 60),
-      concat(lit("share-"), col("doc_id") % 7),
-      substring(t, 61, 60),
-      lit("copyright 2026"))
+  def q117_paragraph_dedup(s: SparkSession, dir: String): DataFrame =
     Dedup.paragraphDedup(
-        docs.withColumn("body", body).select(col("doc_id"), col("body")),
+        paraBody(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
         "body", "doc_id")
       .select(col("doc_id"), col("text_dedup"), col("n_paras"),
         col("n_kept"), col("n_dropped"))
       .orderBy(col("doc_id"))
-  }
 
   /** SemDeDup ([[Dedup.semDedup]] — Abbas et al. 2023): cluster the
     * embedding space (16 deterministic auditable-hash centroids, the
@@ -2174,6 +2165,92 @@ object SparkEntry {
     UrlBlocklist.mark(docs.withColumn("host", host), "doc_id", "host", blocked)
       .select(col("doc_id"), col("host"), col("blocked"), col("matched_domain"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q117's synthetic five-paragraph body over a doc frame — shared by
+    * the paragraph-dedup family (q117/q120/q121).
+    */
+  private def paraBody(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    docs.withColumn("body", concat_ws("\n\n",
+        lit("subscribe to our newsletter"),
+        substring(t, 1, 60),
+        concat(lit("share-"), col("doc_id") % 7),
+        substring(t, 61, 60),
+        lit("copyright 2026")))
+      .select(col("doc_id"), col("body"))
+  }
+
+  /** Incremental paragraph dedup ([[Dedup.paraPostings]] +
+    * [[Dedup.paragraphDedupIncremental]]): the 80%-id prefix plays the
+    * accumulated corpus (persisted postings), the rest the daily
+    * batch; the batch rebuilds against postings ∪ its own occurrences
+    * without re-reading the corpus. Under monotonic ids this equals
+    * the one-shot q117 build restricted to the batch — which is
+    * exactly what the oracle computes.
+    */
+  def q120_incremental_paragraphs(s: SparkSession, dir: String): DataFrame = {
+    val docs = paraBody(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // the 80% id cut as a LAZY 1-row broadcast scalar (q58's pattern)
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") <= col("__cut"))
+      .select(col("doc_id"), col("body"))
+    val fresh = withCut.filter(col("doc_id") > col("__cut"))
+      .select(col("doc_id"), col("body"))
+    Dedup.paragraphDedupIncremental(
+        Dedup.paraPostings(old, "body", "doc_id"),
+        fresh, "body", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Paragraph-index takedown ([[Dedup.paraPostings]] anti-join — the
+    * q96 shape at paragraph granularity): the `doc_id % 7 = 3` slice
+    * of the INDEXED docs is deleted from the postings, then the batch
+    * probes — the election falls to the next-earliest surviving
+    * occurrence automatically, so delete-then-probe equals building
+    * without the deleted docs (the oracle recomputes exactly that).
+    */
+  def q121_delete_paragraphs(s: SparkSession, dir: String): DataFrame = {
+    val docs = paraBody(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") <= col("__cut"))
+      .select(col("doc_id"), col("body"))
+    val fresh = withCut.filter(col("doc_id") > col("__cut"))
+      .select(col("doc_id"), col("body"))
+    val tomb = old.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val livePostings = Dedup.paraPostings(old, "body", "doc_id")
+      .join(tomb, col("id") === tomb("doc_id"), "left_anti")
+    Dedup.paragraphDedupIncremental(livePostings, fresh, "body", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental SemDeDup ([[Dedup.semDedupIncremental]] over the
+    * persisted IVF index): the 80%-id prefix builds the frozen
+    * codebook + cells; the batch assigns via the narrow
+    * [[IvfIndex.assignIncrement]] map and gets verdicts against
+    * index ∪ batch cell-mates. The oracle re-derives the OLD-only
+    * codebook pick, assigns everyone to it, and restricts the pair
+    * election to batch probes — the family's frozen-codebook
+    * contract, hash-exact.
+    */
+  def q122_incremental_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cut = emb.agg(
+      floor(max(col("vec_id")) * 4 / 5).cast("long").as("__cut"))
+    val withCut = emb.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("vec_id") <= col("__cut"))
+      .select(col("vec_id"), col("embedding"))
+    val fresh = withCut.filter(col("vec_id") > col("__cut"))
+      .select(col("vec_id"), col("embedding"))
+    val (cents, cells) = IvfIndex.buildIndex(old, "vec_id", "embedding", nCentroids = 16)
+    Dedup.semDedupIncremental(cents, cells, fresh, "vec_id", "embedding",
+        minCosine = 0.5)
+      .select(col("vec_id"), col("centroid_id"), col("sem_dup"), col("nn_cosine"))
+      .orderBy(col("vec_id"))
   }
 
   // ------------------------------------------------------------------------
@@ -2298,6 +2375,9 @@ object SparkEntry {
     "q117_paragraph_dedup" -> (q117_paragraph_dedup _),
     "q118_semdedup" -> (q118_semdedup _),
     "q119_url_blocklist" -> (q119_url_blocklist _),
+    "q120_incremental_paragraphs" -> (q120_incremental_paragraphs _),
+    "q121_delete_paragraphs" -> (q121_delete_paragraphs _),
+    "q122_incremental_semdedup" -> (q122_incremental_semdedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

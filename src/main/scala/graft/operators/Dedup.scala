@@ -83,18 +83,35 @@ object Dedup {
     */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n\n"): DataFrame = {
-    val paras = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
-          .as(Seq("pos", "para")))
-      .withColumn("para_md5", md5(col("para").cast("binary")))
+    val paras = explodedParas(df, textCol, idCol, sep)
     // min(struct) elects the lexicographically first (id, pos) per
     // digest — an aggregate, not a window, so partial aggregation
     // collapses boilerplate paragraphs map-side.
     val firsts = paras.filter(col("para") =!= "")
       .groupBy(col("para_md5"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
+    rebuildParas(df, idCol, paras, firsts, sep)
+  }
+
+  /** Occurrence rows of [[paragraphDedup]]'s split: `(id, pos, para,
+    * para_md5)`, one per paragraph per doc, empties included (the keep
+    * rule needs them), NULL docs excluded.
+    */
+  private def explodedParas(df: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "para")))
+      .withColumn("para_md5", md5(col("para").cast("binary")))
+
+  /** Shared keep-join + ordered-rebuild tail of the paragraph-dedup
+    * family: occurrences left-join the elected firsts, survivors
+    * reassemble per doc, docs outside `paras` (NULL text) pass through
+    * with NULL `text_dedup`.
+    */
+  private def rebuildParas(df: DataFrame, idCol: String, paras: DataFrame,
+      firsts: DataFrame, sep: String): DataFrame = {
     val kept = paras
       .join(firsts, Seq("para_md5"), "left")
       .withColumn("keep", col("para") === "" ||
@@ -115,6 +132,46 @@ object Dedup {
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** The persistable state of incremental paragraph dedup: one row per
+    * non-empty `(paragraph digest, doc, position)` occurrence — the
+    * [[SubstringDedup.shinglePostings]] discipline at paragraph
+    * granularity. Full attribution is what buys the two production
+    * properties the bare first-occurrence map cannot give:
+    * **deletion** (a takedown anti-joins its doc ids off the postings
+    * and the next probe's election falls to the next-earliest
+    * occurrence automatically) and **replay safety** (a replayed
+    * batch's own rows are excludable by id). Persist partitioned /
+    * bucketed by `para_md5` so probes shuffle only the increment.
+    */
+  def paraPostings(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame =
+    explodedParas(df, textCol, idCol, sep)
+      .filter(col("para") =!= "")
+      .select(col("para_md5"), col("id"), col("pos"))
+
+  /** Incremental [[paragraphDedup]]: rebuild a daily `batch` of NEW
+    * documents against the accumulated corpus without re-reading it —
+    * the election runs over the persisted [[paraPostings]] RESTRICTED
+    * to the batch's digests (one semi-join; everything downstream is
+    * increment-sized) unioned with the batch's own occurrences. Under
+    * the monotonic-id contract (new ids exceed indexed ids, the
+    * CorpusJob discipline) batch verdicts equal the one-shot
+    * [[paragraphDedup]] over index ∪ batch restricted to the batch.
+    * Callers append [[paraPostings]] of the batch to the state table.
+    */
+  def paragraphDedupIncremental(postings: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n\n"): DataFrame = {
+    val paras = explodedParas(batch, textCol, idCol, sep)
+    val bpost = paras.filter(col("para") =!= "")
+      .select(col("para_md5"), col("id"), col("pos"))
+    val relevant = postings.select(col("para_md5"), col("id"), col("pos"))
+      .join(bpost.select(col("para_md5")).distinct(), Seq("para_md5"), "left_semi")
+    val firsts = relevant.unionByName(bpost)
+      .groupBy(col("para_md5"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    rebuildParas(batch, idCol, paras, firsts, sep)
   }
 
   /** Word n-gram shingle rows: (id, keepCols…, shingle), one row per
@@ -939,6 +996,41 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .groupBy(col("id_b")).agg(max(col("cosine")).as("nn_cosine"))
     cells.select(col("id"), col("centroid_id"))
+      .join(losers.withColumnRenamed("id_b", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("centroid_id"),
+        col("nn_cosine").isNotNull.as("sem_dup"), col("nn_cosine"))
+  }
+
+  /** Incremental [[semDedup]] over the persisted IVF index
+    * ([[IvfIndex.buildIndex]]'s `(cents, cells)` pair — the same state
+    * the ANN probes maintain): a daily batch of new vectors assigns to
+    * the FROZEN codebook ([[IvfIndex.assignIncrement]], a narrow map
+    * over the increment only) and gets verdicts against index ∪ batch
+    * cell-mates. Under the monotonic-id contract indexed docs only
+    * ever gain HIGHER-id mates, so index verdicts never change and the
+    * batch's verdicts equal the one-shot [[semDedup]] with the same
+    * codebook — the family discipline: deletion is a tombstone
+    * anti-join on `cells` before the call (the q97 shape), codebook
+    * drift is [[IvfIndex.rebuild]]'s job on the maintenance cadence.
+    * Callers append the batch's cell rows (recomputable via
+    * [[IvfIndex.assignIncrement]]) to the persisted cells.
+    */
+  def semDedupIncremental(cents: DataFrame, cells: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val newCells = IvfIndex.assignIncrement(newVecs, idCol, vecCol, cents)
+    val earlier = cells.unionByName(newCells)
+      .select(col("centroid_id"), col("id").as("id_a"),
+        col("cqv").as("qv_a"), col("cn2").as("n2_a"))
+    val probes = newCells.select(col("centroid_id"), col("id").as("id_b"),
+      col("cqv").as("qv_b"), col("cn2").as("n2_b"))
+    val losers = earlier.join(probes, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), round(V.cosineFromQuantized(
+        col("qv_a"), col("qv_b"), col("n2_a"), col("n2_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("id_b")).agg(max(col("cosine")).as("nn_cosine"))
+    newCells.select(col("id"), col("centroid_id"))
       .join(losers.withColumnRenamed("id_b", "id"), Seq("id"), "left")
       .select(col("id").as(idCol), col("centroid_id"),
         col("nn_cosine").isNotNull.as("sem_dup"), col("nn_cosine"))

@@ -381,6 +381,67 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(!col("sem_dup")).filter(col("nn_cosine").isNotNull).count() == 0)
   }
 
+  test("incremental paragraph dedup == one-shot restricted to the batch; takedown re-elects") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+      // plant cross-doc structure: shared header + text-derived paras
+      .select(col("doc_id"), concat_ws("\n\n",
+        lit("hdr"), substring(col("text"), 1, 50),
+        substring(col("text"), 51, 50)).as("body"))
+    val old = docs.filter(col("doc_id") < 80)
+    val fresh = docs.filter(col("doc_id") >= 80)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // monotonic contract: batch verdicts == one-shot restricted
+    val inc = key(Dedup.paragraphDedupIncremental(
+      Dedup.paraPostings(old, "body", "doc_id"), fresh, "body", "doc_id"))
+    val full = key(Dedup.paragraphDedup(docs, "body", "doc_id")
+      .filter(col("doc_id") >= 80))
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // takedown: postings minus deleted docs ⇒ probe == build-without
+    val tomb = old.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+    val live = Dedup.paraPostings(old, "body", "doc_id")
+      .join(tomb, col("id") === tomb("doc_id"), "left_anti")
+    val afterDelete = key(Dedup.paragraphDedupIncremental(live, fresh, "body", "doc_id"))
+    val without = key(Dedup.paragraphDedup(
+        old.join(tomb, Seq("doc_id"), "left_anti").unionByName(fresh),
+        "body", "doc_id")
+      .filter(col("doc_id") >= 80))
+    assert(afterDelete == without)
+    // the takedown must actually move at least one election
+    assert(afterDelete != inc)
+  }
+
+  test("incremental semDedup == frozen-codebook one-shot; cell takedown re-elects") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") < 80)
+    val fresh = emb.filter(col("vec_id") >= 80)
+    val (cents, cells) = IvfIndex.buildIndex(old, "vec_id", "embedding", 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2), Option(r.get(3)))).toMap
+    val inc = key(Dedup.semDedupIncremental(cents, cells, fresh,
+      "vec_id", "embedding", 0.2))
+    // one-shot with the SAME frozen codebook: empty index, probe everyone
+    val oneShot = key(Dedup.semDedupIncremental(cents, cells.limit(0),
+        old.unionByName(fresh), "vec_id", "embedding", 0.2)
+      .filter(col("vec_id") >= 80))
+    assert(inc == oneShot)
+    assert(inc.exists(_._2._2), "expected at least one semantic dup in the batch")
+    // takedown: anti-join cells, probe again == build-without (q97 shape)
+    val tomb = old.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val liveCells = cells.join(tomb, cells("id") === tomb("vec_id"), "left_anti")
+    val afterDelete = key(Dedup.semDedupIncremental(cents, liveCells, fresh,
+      "vec_id", "embedding", 0.2))
+    val without = key(Dedup.semDedupIncremental(cents, cells.limit(0),
+        old.join(tomb, Seq("vec_id"), "left_anti").unionByName(fresh),
+        "vec_id", "embedding", 0.2)
+      .filter(col("vec_id") >= 80))
+    assert(afterDelete == without)
+  }
+
   test("semDedup with one cluster == brute-force lower-id neighbor rule") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Dedup.semDedup(emb, "vec_id", "embedding", nClusters = 1, minCosine = 0.2)
