@@ -288,6 +288,49 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming paragraph dedup — the continuous form of the
+    * [[Dedup.paraPostings]] index: each micro-batch rebuilds its
+    * documents against the persisted postings
+    * ([[Dedup.paragraphDedupIncremental]] — election work restricted
+    * to the batch's digests), appends the rebuilt docs to the dedup
+    * log, and extends the postings. Exactly-once by the family
+    * discipline: batch-partitioned idempotent appends, `_committed`
+    * marker written last, replays no-op.
+    */
+  def runIncrementalParagraphs(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      dedupDir: String,
+      checkpointDir: String,
+      sep: String = "\n\n"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val b = batch.cache()
+          try {
+            val newPostings = Dedup.paraPostings(b, textCol, idCol, sep)
+            val rebuilt = Zone.readBatchedBefore(spark, indexDir, bid) match {
+              case Some(idx) =>
+                Dedup.paragraphDedupIncremental(idx, b, textCol, idCol, sep)
+              case None => // first batch: the increment IS the corpus
+                Dedup.paragraphDedupIncremental(
+                  newPostings.limit(0), b, textCol, idCol, sep)
+            }
+            Zone.appendBatch(rebuilt, dedupDir, bid)
+            Zone.appendBatch(newPostings, indexDir, bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally b.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming training-shard export — the continuous form of the
     * export family's tail: each micro-batch rides
     * [[graft.operators.Sharding.continueShards]], continuing the

@@ -324,4 +324,59 @@ class CorpusStreamSpec extends SparkSpec {
       "ANN cells replay duplicated rows")
     assert(spark.read.parquet(s"$base/index/cells").count() == emb.count())
   }
+
+  test("streaming paragraphs: monotonic micro-batches == one-shot rebuild; replay idempotent") {
+    val base = tmpDir("parastream")
+    // plant cross-doc paragraph structure (shared header + text slices)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"text".isNotNull)
+      .select($"doc_id", concat_ws("\n\n",
+        lit("hdr"), substring($"text", 1, 50),
+        substring($"text", 51, 50)).as("body"))
+    // paragraph family contract: MONOTONIC ids — slice by id range,
+    // one file per slice so arrival order follows id order
+    val maxId = corpus.agg(max($"doc_id")).head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" <= c1).coalesce(1).write.parquet(inDir)
+    corpus.filter($"doc_id" > c1 && $"doc_id" <= c2).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" > c2).coalesce(1).write.mode("append").parquet(inDir)
+
+    val q = CorpusStream.runIncrementalParagraphs(spark, spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "body", "doc_id", s"$base/index", s"$base/dedup", s"$base/ckpt")
+    q.awaitTermination()
+
+    // union of per-batch rebuilds == the one-shot full-corpus build
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text_dedup", "n_paras", "n_kept", "n_dropped")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val streamed = key(spark.read.parquet(s"$base/dedup"))
+    val batch = key(Dedup.paragraphDedup(corpus, "body", "doc_id"))
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    // dedup actually fired across batches (the shared header survives
+    // only in the very first doc)
+    assert(spark.read.parquet(s"$base/dedup")
+      .filter($"n_dropped" > 0).count() > 0)
+
+    // index accumulates every non-empty paragraph occurrence
+    val idx = graft.sources.Zone.readBatched(spark, s"$base/index").get
+    assert(multiset(s"$base/index").values.forall(_ == 1))
+    assert(idx.count() ==
+      Dedup.paraPostings(corpus, "body", "doc_id").count())
+
+    // exactly-once: kill-and-replay the newest batch with the marker
+    // gone — state tables value-identical including duplicate counts
+    val before = Seq(s"$base/dedup", s"$base/index").map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    val q2 = CorpusStream.runIncrementalParagraphs(spark, spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "body", "doc_id", s"$base/index", s"$base/dedup", s"$base/ckpt")
+    q2.awaitTermination()
+    val after = Seq(s"$base/dedup", s"$base/index").map(multiset)
+    assert(after == before, "kill-and-replay changed state tables")
+  }
 }
