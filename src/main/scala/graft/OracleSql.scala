@@ -2829,6 +2829,40 @@ object OracleSql {
     FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
     ORDER BY d.doc_id"""
 
+  /** q123 — intra-doc line dedup: q116's synthesis, ordered-distinct
+    * reproduced relationally (list_distinct would scramble order),
+    * string_agg rebuild per doc. Note: unlike q117, the first EMPTY
+    * line also keeps and later empties drop (intra-doc semantics).
+    */
+  private val q123 = s"""
+    WITH body AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(coalesce(text, ''), 1, 40),
+               substr(coalesce(text, ''), 41, 40),
+               substr(coalesce(text, ''), 1, 40),
+               substr(coalesce(text, ''), 81, 40),
+               CASE WHEN doc_id % 2 = 0 THEN substr(coalesce(text, ''), 41, 40)
+                    ELSE substr(coalesce(text, ''), 121, 40) END) AS b
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(b, chr(10))) AS line,
+             generate_subscripts(string_split(b, chr(10)), 1) AS pos
+      FROM body),
+    marked AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1 AS keep
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS clean
+      FROM marked GROUP BY doc_id)
+    SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+    FROM rebuilt
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2951,5 +2985,6 @@ object OracleSql {
     "q120_incremental_paragraphs" -> q120,
     "q121_delete_paragraphs" -> q121,
     "q122_incremental_semdedup" -> q122,
+    "q123_dedup_lines" -> q123,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

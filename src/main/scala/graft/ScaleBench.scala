@@ -54,6 +54,17 @@ object ScaleBench {
         .drop("__r")
     }
 
+    // q117's five-paragraph synthesis (constant header/footer + text
+    // slices + 7-way share line) over any doc frame
+    def paraBody(d: DataFrame): DataFrame =
+      d.withColumn("body", concat_ws("\n\n",
+          lit("subscribe to our newsletter"),
+          substring(col("text"), 1, 60),
+          concat(lit("share-"), col("doc_id") % 7),
+          substring(col("text"), 61, 60),
+          lit("copyright 2026")))
+        .select(col("doc_id"), col("body"))
+
     // each workload returns the row count it materialized (count() is
     // the execution trigger, and the count CONTEXTUALIZES the wall —
     // pair blowup at R× must be visible next to its cost)
@@ -91,6 +102,15 @@ object ScaleBench {
         graft.operators.CharLm.perplexityBuckets(d, "text", "doc_id", model)
           .filter(col("ppl_bucket") === lit("head")).count()
       },
+      // paragraph dedup (round 9): constant header/footer paragraphs
+      // are shared by EVERY doc at every scale — the hot-digest worst
+      // case the aggregate election's map-side combine exists for.
+      // The length() guard forces the rebuilt strings to materialize
+      // (a bare count would prune the concat_ws away).
+      "paragraph_dedup" -> (d =>
+        Dedup.paragraphDedup(paraBody(d), "body", "doc_id")
+          .filter(col("n_dropped") > 0 && length(col("text_dedup")) >= 0)
+          .count()),
     )
 
     def run(r: Int): Map[String, (Double, Long)] = {
@@ -123,6 +143,8 @@ object ScaleBench {
       sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
       graft.operators.Dedup.signatureBands(sigs, 64, 16)
         .write.mode("overwrite").parquet(s"$tmp/bands")
+      graft.operators.Dedup.paraPostings(paraBody(d), "body", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/paraidx")
       val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
       val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
       Seq[(String, () => Long)](
@@ -134,6 +156,11 @@ object ScaleBench {
           graft.operators.Dedup.minHashLshIncremental(
             spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/sigs"),
             bBands, bSigs, 64, 0.8).count()),
+        s"incr_para_probe" -> (() =>
+          graft.operators.Dedup.paragraphDedupIncremental(
+            spark.read.parquet(s"$tmp/paraidx"), paraBody(batch),
+            "body", "doc_id")
+            .filter(length(col("text_dedup")) >= 0).count()),
       ).map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f()

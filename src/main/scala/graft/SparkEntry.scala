@@ -2253,6 +2253,27 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Intra-document line dedup ([[T.dedupLines]]): q116's five-line
+    * synthesis rebuilt keeping only each line's first occurrence — a
+    * pure codegen narrow map (`array_distinct` preserves
+    * first-occurrence order). The oracle reproduces ordered-distinct
+    * relationally (DuckDB's `list_distinct` does NOT preserve order),
+    * so the rebuilt STRING is hash-verified, not just counts.
+    */
+  def q123_dedup_lines(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val t = coalesce(col("text"), lit(""))
+    val l1 = substring(t, 1, 40)
+    val l2 = substring(t, 41, 40)
+    val l4 = substring(t, 81, 40)
+    val l5 = when(col("doc_id") % 2 === 0, l2).otherwise(substring(t, 121, 40))
+    val body = concat_ws("\n", l1, l2, l1, l4, l5)
+    docs.withColumn("clean", T.dedupLines(body))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2378,6 +2399,7 @@ object SparkEntry {
     "q120_incremental_paragraphs" -> (q120_incremental_paragraphs _),
     "q121_delete_paragraphs" -> (q121_delete_paragraphs _),
     "q122_incremental_semdedup" -> (q122_incremental_semdedup _),
+    "q123_dedup_lines" -> (q123_dedup_lines _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

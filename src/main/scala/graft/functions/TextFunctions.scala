@@ -296,6 +296,21 @@ object TextFunctions {
       dupChars.as("dup_line_chars"))
   }
 
+  /** Intra-document line dedup: rebuild the text keeping only the FIRST
+    * occurrence of each line — the excision companion to
+    * [[dupLineStats]] (Gopher's repetition rules measure; this removes).
+    * Spark's `array_distinct` preserves first-occurrence order, so the
+    * whole rebuild is `array_join(array_distinct(split(...)))` — a
+    * pure codegen narrow map riding the corpus scan. Note empty lines
+    * dedup like any value here (the SECOND blank line goes), unlike
+    * cross-doc [[graft.operators.Dedup.paragraphDedup]] where empties
+    * are structure — intra-doc, repeated blanks ARE the redundancy.
+    * NULL → NULL.
+    */
+  def dedupLines(c: Column, sep: String = "\n"): Column =
+    array_join(
+      array_distinct(split(c, java.util.regex.Pattern.quote(sep), -1)), sep)
+
   /** PII patterns, deliberately conservative regex subset (no lookaround,
     * no backrefs) so the same pattern strings run identically under
     * Java's engine here and RE2-family engines elsewhere — a corpus

@@ -94,6 +94,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(para.toSeq == Seq(3L, 2L, 1L, 3L, 1L))
   }
 
+  test("dedupLines keeps first occurrences in order; NULL passes through") {
+    assert(one[String](TextFunctions.dedupLines(col("t")), "a\nb\na\nc\nb") == "a\nb\nc")
+    // second blank line drops (intra-doc: repeated blanks ARE redundancy)
+    assert(one[String](TextFunctions.dedupLines(col("t")), "x\n\ny\n\nx") == "x\n\ny")
+    assert(one[String](TextFunctions.dedupLines(col("t")), "") == "")
+    assert(one[String](TextFunctions.dedupLines(col("t")), null) == null)
+    assert(one[String](TextFunctions.dedupLines(col("t"), "\n\n"), "p\n\np\n\nq")
+      == "p\n\nq")
+  }
+
   test("content fingerprint invariant to case/punct/spacing, sensitive to words") {
     val f = (s: String) => one[String](TextFunctions.contentFingerprint(col("t")), s)
     assert(f("Hello,   World!") == f("hello world"))
