@@ -240,4 +240,47 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == reference
     }
+
+  // token stream → ≤3-token paragraphs: the 12-word alphabet makes
+  // cross-doc paragraph collisions dense at tiny sizes
+  private def paraText(text: String): String =
+    text.split(" ").grouped(3).map(_.mkString(" ")).mkString("\n\n")
+
+  private def paraKey(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long, Long)] =
+    df.select("doc_id", "text_dedup", "n_paras", "n_kept", "n_dropped")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  property("paragraphs: index-probe incremental == full build restricted to batch") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      // monotonic cut — the paragraph index's id contract (spans' rule)
+      val cutId = (docs.size - newIds.size).toLong
+      val all = docs.map { case (i, t) => (i, paraText(t)) }.toDF("doc_id", "text")
+      val old = all.filter($"doc_id" < cutId)
+      val fresh = all.filter($"doc_id" >= cutId)
+      paraKey(Dedup.paragraphDedupIncremental(
+          Dedup.paraPostings(old, "text", "doc_id"), fresh, "text", "doc_id")) ==
+        paraKey(Dedup.paragraphDedup(all, "text", "doc_id")
+          .filter($"doc_id" >= cutId))
+    }
+
+  property("paragraphs: tombstone-excluded postings == from-scratch build without deleted") =
+    forAll(corpusGen) { case (docs, _) =>
+      val cutId = (docs.size * 4 / 5).toLong
+      val all = docs.map { case (i, t) => (i, paraText(t)) }.toDF("doc_id", "text")
+      val old = all.filter($"doc_id" < cutId)
+      val fresh = all.filter($"doc_id" >= cutId)
+      val delIds = docs.map(_._1).filter(i => i < cutId && i % 3 == 1).toSet
+      val tomb = delIds.toSeq.toDF("doc_id")
+      val livePostings = Dedup.paraPostings(old, "text", "doc_id")
+        .join(tomb, $"id" === tomb("doc_id"), "left_anti")
+      val liveAll = all.filter(
+        if (delIds.isEmpty) $"doc_id".isNotNull
+        else !$"doc_id".isin(delIds.toSeq: _*))
+      paraKey(Dedup.paragraphDedupIncremental(
+          livePostings, fresh, "text", "doc_id")) ==
+        paraKey(Dedup.paragraphDedup(liveAll, "text", "doc_id")
+          .filter($"doc_id" >= cutId))
+    }
 }
