@@ -102,7 +102,17 @@ object CorpusJob {
       // `selectionDim` pins the bucket table like shingleSize/bands
       // pin the LSH index — it must not change over a stateDir's life.
       maintainSelectionCounts: Boolean = false,
-      selectionDim: Int = 4096)
+      selectionDim: Int = 4096,
+      // opt-in maintenance of the paragraph-postings index
+      // (`index/paras` — [[graft.operators.Dedup.paraPostings]]) and
+      // the per-batch paragraph-deduped rebuild (`paradedup/`):
+      // cross-batch boilerplate paragraphs keep only their first
+      // corpus-wide occurrence. Presence-OR-flag gated like selcounts:
+      // once the index exists it keeps extending regardless of the
+      // flag. `paragraphSep` pins the split like shingleSize pins the
+      // LSH index — it must not change over a stateDir's life.
+      dedupParagraphs: Boolean = false,
+      paragraphSep: String = "\n\n")
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
@@ -309,6 +319,34 @@ object CorpusJob {
       }
       spans.write.mode("append").parquet(s"$stateDir/spans")
       newShingles.write.mode("append").parquet(s"$stateDir/index/shingles")
+
+      // --- paragraph dedup against the paragraph-postings index ---
+      // (opt-in; presence-OR-flag gated like selcounts). Same replay
+      // discipline as the span leg: a replay probes only postings from
+      // docs below its own min id (exact under monotonic ids), and
+      // tombstoned docs' postings are excluded so the election falls
+      // to the next-earliest SURVIVING occurrence — from-scratch
+      // equality, not conservative keep-dropping. Duplicate appended
+      // rows on replay are byte-identical (the min election is
+      // duplicate-insensitive) — the consumers' existing contract.
+      val paraPrior = Zone.readIfExists(spark, s"$stateDir/index/paras")
+      if (paraPrior.nonEmpty || cfg.dedupParagraphs) {
+        val newParas = Dedup.paraPostings(
+          batch, "text", "doc_id", cfg.paragraphSep)
+        val priorLive = paraPrior.map { idx0 =>
+          val idx = live(idx0, "id")
+          if (batchMinRow.isNullAt(0)) idx
+          else idx.filter(col("id") < batchMinRow.getLong(0))
+        }
+        val rebuilt = priorLive match {
+          case Some(idx) => Dedup.paragraphDedupIncremental(
+            idx, batch, "text", "doc_id", cfg.paragraphSep)
+          case None => Dedup.paragraphDedupIncremental(
+            newParas.limit(0), batch, "text", "doc_id", cfg.paragraphSep)
+        }
+        rebuilt.write.mode("append").parquet(s"$stateDir/paradedup")
+        newParas.write.mode("append").parquet(s"$stateDir/index/paras")
+      }
 
       // --- folded-forward state: ONE atomic root swap, replay-gated ---
       // meta.last_batch == batchId means this batch's fold already
@@ -688,12 +726,14 @@ object CorpusJob {
         purge("annotated", Seq("doc_id"))
         purge("spans", Seq("doc_id"))
         purge("index/shingles", Seq("doc_id"))
+        purge("index/paras", Seq("id"))
+        purge("paradedup", Seq("doc_id"))
       } finally tomb.unpersist()
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    Seq("index/sigs", "index/bands", "index/shingles", "fps", "pairs",
-        "annotated", "spans")
+    Seq("index/sigs", "index/bands", "index/shingles", "index/paras",
+        "fps", "pairs", "annotated", "spans", "paradedup")
       .filter(t => Zone.exists(spark, s"$stateDir/$t"))
       .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
       .toMap

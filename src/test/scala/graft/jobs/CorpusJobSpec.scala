@@ -200,6 +200,62 @@ class CorpusJobSpec extends SparkSpec {
     assert(viaState.sameElements(scratch))
   }
 
+  test("paragraph leg: daily rebuilds == one-shot; replay stable; takedown re-elects after compaction") {
+    // multi-paragraph corpus: shared header + text slices (cross-doc
+    // collisions from the corpus's seeded duplicate texts)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"text".isNotNull)
+      .select($"doc_id", concat_ws("\n\n",
+        lit("hdr"), substring($"text", 1, 50),
+        substring($"text", 51, 50)).as("text"))
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val slices = Seq(
+      "d1" -> docs.filter($"doc_id" <= n / 3),
+      "d2" -> docs.filter($"doc_id" > n / 3 && $"doc_id" <= 2 * n / 3),
+      "d3" -> docs.filter($"doc_id" > 2 * n / 3))
+    val state = tmpDir("corpuspara")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5, dedupParagraphs = true)
+    slices.foreach { case (id, s) =>
+      CorpusJob.runIncremental(spark, s, state, cfg, batchId = Some(id)) }
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text_dedup", "n_paras", "n_kept", "n_dropped")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val daily = key(spark.read.parquet(s"$state/paradedup"))
+    val oneShot = key(graft.operators.Dedup.paragraphDedup(docs, "text", "doc_id"))
+    assert(daily == oneShot, s"daily=${daily.size} oneShot=${oneShot.size}")
+    assert(daily.exists(_._5 > 0), "expected cross-batch paragraph drops")
+
+    // replay of the last batch: the replay exclusion (doc_id < batch
+    // min) keeps its verdicts identical — the value SET is stable
+    CorpusJob.runIncremental(spark, slices.last._2, state, cfg,
+      batchId = Some("d3"))
+    assert(key(spark.read.parquet(s"$state/paradedup")) == daily,
+      "replay changed paragraph verdicts")
+
+    // takedown + compaction: postings physically purge, and a new
+    // batch's election falls to the next-earliest SURVIVOR
+    val delIds = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    CorpusJob.deleteDocs(spark, delIds, state, Some("del-1"), cfg)
+    CorpusJob.compactState(spark, state)
+    val purged = spark.read.parquet(s"$state/index/paras")
+    assert(purged.join(delIds.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .count() == 0, "deleted docs' postings survived compaction")
+    val d4 = docs.withColumn("doc_id", $"doc_id" + lit(n + 1))
+    val rebuilt4 = CorpusJob.runIncremental(spark, d4, state, cfg,
+      batchId = Some("d4"))
+    val live = docs.filter($"doc_id" % 7 =!= 3)
+    val expect4 = key(graft.operators.Dedup.paragraphDedup(
+        live.unionByName(d4), "text", "doc_id")
+      .filter($"doc_id" > n))
+    assert(key(spark.read.parquet(s"$state/paradedup")
+      .filter($"doc_id" > n)) == expect4,
+      "post-takedown election differs from build-without")
+    assert(rebuilt4.columns.contains("is_duplicate")) // annotate output intact
+  }
+
   test("soak: 10 audited days at sf0.1 — state growth linear in increments, day-10 == one-shot") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       .select($"doc_id", $"text")
