@@ -2863,6 +2863,96 @@ object OracleSql {
     FROM rebuilt
     ORDER BY doc_id"""
 
+  /** q124 — char-LM language ID: q115's model-fit algebra per
+    * language (shared fixed-point log2 recursion over the union of
+    * all counts' values), per-(doc, model) scores, argmax by
+    * `(avg desc, lang asc)` — the first-model tie-break of the Spark
+    * argmax, since the models pass in alphabetical order.
+    */
+  private val q124 = s"""
+    WITH RECURSIVE lt AS (
+      SELECT doc_id, lang, text, lower(text) AS t FROM documents),
+    langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+    curated AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${h60("concat('cap:', CAST(doc_id AS VARCHAR))")} ASC,
+                          doc_id ASC) AS rn
+        FROM lt WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+      WHERE rn <= 30),
+    nt AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE greatest(length(t) - 2, 0) END AS n_tri
+      FROM lt),
+    tri AS (
+      SELECT doc_id,
+             ${h60("substr(t, i, 3)")} % 1024 AS b3,
+             ${h60("substr(t, i, 2)")} % 1024 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t
+            FROM lt WHERE length(t) >= 3)),
+    big AS (
+      SELECT doc_id, ${h60("substr(t, i, 2)")} % 1024 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t))) AS i, t
+            FROM lt WHERE length(t) >= 2)),
+    ct3 AS (SELECT c.lang, tri.b3 AS b, count(*) AS ct
+            FROM tri JOIN curated c USING (doc_id)
+            GROUP BY c.lang, tri.b3),
+    ct2 AS (SELECT c.lang, big.b2 AS b, count(*) AS ct
+            FROM big JOIN curated c USING (doc_id)
+            GROUP BY c.lang, big.b2),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT coalesce(ct3.ct, 0) + 1 AS v
+        FROM range(0, 1024) s(b) CROSS JOIN langs
+        LEFT JOIN ct3 ON ct3.lang = langs.lang AND ct3.b = s.b
+        UNION ALL
+        SELECT coalesce(ct2.ct, 0) + 1024 AS v
+        FROM range(0, 1024) s(b) CROSS JOIN langs
+        LEFT JOIN ct2 ON ct2.lang = langs.lang AND ct2.b = s.b)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    w3 AS (
+      SELECT langs.lang, s.b, lg.r AS wv
+      FROM range(0, 1024) s(b) CROSS JOIN langs
+      LEFT JOIN ct3 ON ct3.lang = langs.lang AND ct3.b = s.b
+      JOIN lg ON lg.v = coalesce(ct3.ct, 0) + 1),
+    w2 AS (
+      SELECT langs.lang, s.b, lg.r AS wv
+      FROM range(0, 1024) s(b) CROSS JOIN langs
+      LEFT JOIN ct2 ON ct2.lang = langs.lang AND ct2.b = s.b
+      JOIN lg ON lg.v = coalesce(ct2.ct, 0) + 1024),
+    sc AS (
+      SELECT tri.doc_id, w3.lang,
+             CAST(sum(w3.wv - w2.wv) AS BIGINT) AS s
+      FROM tri
+      JOIN w3 ON w3.b = tri.b3
+      JOIN w2 ON w2.lang = w3.lang AND w2.b = tri.b2
+      GROUP BY tri.doc_id, w3.lang),
+    pick AS (
+      SELECT sc.doc_id, sc.lang, sc.s // nt.n_tri AS avg,
+             row_number() OVER (PARTITION BY sc.doc_id
+               ORDER BY sc.s // nt.n_tri DESC, sc.lang ASC) AS r
+      FROM sc JOIN nt USING (doc_id) WHERE nt.n_tri > 0)
+    SELECT l.doc_id, l.lang, CAST(nt.n_tri AS BIGINT) AS n_tri,
+           coalesce(p.lang, 'und') AS lid_pred, p.avg AS lid_avg
+    FROM lt l
+    JOIN nt USING (doc_id)
+    LEFT JOIN (SELECT doc_id, lang, avg FROM pick WHERE r = 1) p
+      USING (doc_id)
+    ORDER BY l.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -2986,5 +3076,6 @@ object OracleSql {
     "q121_delete_paragraphs" -> q121,
     "q122_incremental_semdedup" -> q122,
     "q123_dedup_lines" -> q123,
+    "q124_charlm_lid" -> q124,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2274,6 +2274,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Char-LM language identification ([[CharLm.classifyLanguage]] —
+    * per-language trigram LMs, the Cavnar–Trenkle/Dunning family): one
+    * LM per language fits on an EQUAL-MASS labeled slice — the even-id
+    * pool capped at 30 docs per language via the auditable-hash
+    * [[Sampling.capPerGroup]] rank (unbalanced mass lets the biggest
+    * model's hash-collision floor outbid every matched model — the
+    * classic unnormalized-generative-comparison failure). Every
+    * document then scores under all five models in ONE
+    * [[graft.plans.CharLmScoreMulti]] code-point walk and the argmax
+    * of the per-window mean predicts the language (ties to the first
+    * model, alphabetical). The oracle re-derives the cap, all five
+    * models, the per-(doc, model) scores, and the argmax rank —
+    * hash-exact. Sub-3-char and NULL docs predict `und`.
+    *
+    * NOTE the harness corpus's `lang` column is a random label over
+    * IDENTICAL synthetic vocabulary — there is no character-level
+    * language signal to recover, so this query verifies the
+    * MECHANISM (fit, multi-score, argmax) hash-exactly; classifier
+    * ACCURACY is asserted in CharLmSpec on a separable fixture
+    * (disjoint alphabets → perfect held-out recovery).
+    */
+  def q124_charlm_lid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val curated = Sampling.capPerGroup(
+      docs.filter(col("doc_id") % 2 === 0 && col("text").isNotNull),
+      "lang", "doc_id", cap = 30)
+    val models = langs.map(l => l -> CharLm.fit(
+      curated.filter(col("lang") === l), "text", dim3 = 1024, dim2 = 1024))
+    CharLm.classifyLanguage(docs, "text", models)
+      .select(col("doc_id"), col("lang"), col("n_tri"),
+        col("lid_pred"), col("lid_avg"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2400,6 +2436,7 @@ object SparkEntry {
     "q121_delete_paragraphs" -> (q121_delete_paragraphs _),
     "q122_incremental_semdedup" -> (q122_incremental_semdedup _),
     "q123_dedup_lines" -> (q123_dedup_lines _),
+    "q124_charlm_lid" -> (q124_charlm_lid _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

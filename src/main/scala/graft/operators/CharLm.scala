@@ -94,6 +94,57 @@ object CharLm {
       .withColumn("lm_score", scoreCol)
   }
 
+  /** Char-LM language identification — the CCNet LID recipe: fit one
+    * trigram LM per language on a curated labeled slice, score every
+    * document under ALL of them, predict the argmax of the per-window
+    * mean log2-probability. Catches what the marker-word
+    * [[graft.functions.TextFunctions.langId]] can't (no marker hits,
+    * non-Latin scripts, short-token text) because the signal is the
+    * whole character distribution.
+    *
+    * One narrow kernel pass: [[graft.plans.CharLmScoreMulti]] walks
+    * the code points ONCE and accumulates all N models (the per-window
+    * md5 digests dominate; N lookups are free by comparison), so LID
+    * against any model count still rides the corpus scan shuffle-free.
+    * The argmax is `array_max` over `struct(avg, -modelIdx)` — exact
+    * integer comparison, ties to the FIRST model in `models` order.
+    * Documents with no trigram window (or NULL text) predict `und`.
+    *
+    * Output: `df` + `n_tri` + `lid_pred` + `lid_avg` (the winner's
+    * truncating-division per-window mean; NULL for `und`).
+    */
+  def classifyLanguage(df: DataFrame, textCol: String,
+      models: Seq[(String, Model)]): DataFrame = {
+    require(models.nonEmpty, "need at least one language model")
+    val t = col(textCol)
+    val scoresCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharLmScoreMulti(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          lower(t).cast("string")),
+        models.map(_._2.w3), models.map(_._2.w2)))
+    val nTri = when(t.isNull, lit(null).cast("long"))
+      .otherwise(greatest(length(lower(t)) - 2, lit(0)).cast("long"))
+    val withScores = df
+      .withColumn("n_tri", nTri)
+      .withColumn("__scores", scoresCol)
+    val cands = array(models.indices.map(i =>
+      struct(
+        expr(s"element_at(__scores, ${i + 1}) div n_tri").as("avg"),
+        lit(-i).as("ni"))): _*)
+    // the ANSI `div` inside cands must not evaluate on n_tri = 0/NULL
+    // rows (division by zero throws): the when() branches evaluate
+    // lazily, so the whole argmax sits under the guard
+    val best = when(col("n_tri") > 0, array_max(cands))
+    withScores
+      .withColumn("__best", best)
+      .withColumn("lid_pred",
+        when(col("__best").isNull, lit("und"))
+          .otherwise(element_at(
+            typedLit(models.map(_._1)), -col("__best.ni") + 1)))
+      .withColumn("lid_avg", col("__best.avg"))
+      .drop("__scores", "__best")
+  }
+
   /** The CCNet split: `df` + `n_tri` + `lm_score` + `lm_avg`
     * (per-window mean, truncating division — the length-normalized
     * log2-probability, i.e. negated bits-per-window) + `ppl_bucket`

@@ -114,6 +114,63 @@ class CharLmSpec extends SparkSpec {
     assert(sizes("middle") == 2 * n / 3 - n / 3)
   }
 
+  test("CharLmScoreMulti == N single-model kernels on real text + edges") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val m1 = CharLm.fit(docs.filter($"doc_id" % 3 === 0), "text", 256, 256)
+    val m2 = CharLm.fit(docs.filter($"doc_id" % 3 === 1), "text", 256, 256)
+    val multi = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharLmScoreMulti(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          lower($"text").cast("string")),
+        Seq(m1.w3, m2.w3), Seq(m1.w2, m2.w2)))
+    // element k of the multi kernel == the single-model kernel
+    val single1 = CharLm.score(docs, "text", m1)
+      .select($"doc_id", $"lm_score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val single2 = CharLm.score(docs, "text", m2)
+      .select($"doc_id", $"lm_score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    docs.withColumn("m", multi).select($"doc_id", $"m").collect().foreach { r =>
+      val id = r.getLong(0)
+      val m = Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Long]])
+      assert(m.map(_.head) == single1(id), s"doc $id model 1")
+      assert(m.map(_.last) == single2(id), s"doc $id model 2")
+    }
+  }
+
+  test("classifyLanguage: separable alphabets recover perfectly held-out; edge docs und") {
+    // the harness corpus's lang labels are random over identical
+    // vocabulary (no char-level signal), so accuracy is asserted on a
+    // SEPARABLE fixture: three languages over disjoint alphabets
+    val alphabets = Seq(
+      "la" -> "abcdef", "lb" -> "ghijkl", "lc" -> "tuvwxy")
+    def word(alpha: String, seed: Int): String =
+      (0 until 5).map(i => alpha((seed * 31 + i * 7) % alpha.length)).mkString
+    val docs = (for {
+      ((lang, alpha), li) <- alphabets.zipWithIndex
+      d <- 0 until 40
+    } yield ((li * 40 + d).toLong, lang,
+      (0 until 12).map(w => word(alpha, d * 13 + w)).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val models = alphabets.map { case (l, _) =>
+      l -> CharLm.fit(
+        docs.filter($"lang" === l && $"doc_id" % 2 === 0), "text", 512, 512)
+    }
+    val out = CharLm.classifyLanguage(docs, "text", models).cache()
+    val held = out.filter($"doc_id" % 2 === 1)
+    assert(held.count() > 0)
+    assert(held.filter($"lid_pred" =!= $"lang").count() == 0,
+      "disjoint alphabets must classify perfectly")
+    // und edges: short / NULL / empty text never gets a language
+    val edge = CharLm.classifyLanguage(
+      Seq((1L, "ab"), (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text"),
+      "text", models)
+    assert(edge.filter($"lid_pred" === "und").count() == 3)
+    assert(edge.filter($"lid_avg".isNotNull).count() == 0)
+    out.unpersist()
+  }
+
   test("SQL registration: graft_char_ngrams(text, k)") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
