@@ -383,6 +383,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p117.contains("Window"), "election must not be a window")
   }
 
+  test("q124: LID inference is one multi-model kernel pass, shuffle-free") {
+    // all five language models must score in ONE graft_char_lm_multi
+    // call (a per-model kernel column would re-digest the text five
+    // times), and inference stays a narrow map: only the output sort
+    // exchanges (model FITTING runs at construction, not in this plan)
+    val p = plan(SparkEntry.q124_charlm_lid(spark, dir))
+    assert(p.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"expected only the output-sort exchange:\n${p.take(1500)}")
+    val multiCalls = "graft_char_lm_multi".r.findAllIn(p).length
+    assert(multiCalls >= 1 && !p.contains("graft_char_lm("),
+      s"expected the multi-model kernel, got $multiCalls multi calls:\n${p.take(1500)}")
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._
