@@ -2953,6 +2953,33 @@ object OracleSql {
       USING (doc_id)
     ORDER BY l.doc_id"""
 
+  /** q125 — temperature mixture (α = 0.5): q89's machinery with the
+    * weight derived from the domain mass itself,
+    * `rate = min(1, budget · sqrt(dt) / Σ sqrt(dt) / dt)` — identical
+    * left-to-right double arithmetic, IEEE sqrt.
+    */
+  private val q125 = s"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dt,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE) * 1048576.0)) AS BIGINT) AS p
+      FROM t GROUP BY source),
+    ws AS (SELECT CAST(sum(p) AS BIGINT) AS wsum FROM tot),
+    r AS (
+      SELECT source,
+             least(1.0, 20000.0 * CAST(p AS DOUBLE) / CAST(wsum AS DOUBLE)
+                        / CAST(dt AS DOUBLE)) AS rate
+      FROM tot CROSS JOIN ws)
+    SELECT t.doc_id, t.lang, t.source, t.n_tokens
+    FROM t JOIN r ON t.source = r.source
+    WHERE CAST(${h60("'tempmix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+          / 1152921504606846976.0 < r.rate
+    ORDER BY t.doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3077,5 +3104,6 @@ object OracleSql {
     "q122_incremental_semdedup" -> q122,
     "q123_dedup_lines" -> q123,
     "q124_charlm_lid" -> q124,
+    "q125_temperature_mixture" -> q125,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2310,6 +2310,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-flattened mixture sampling
+    * ([[Sampling.temperatureMixture]], α = 0.5 — the multilingual
+    * rebalance): per-source weights derive from the data itself
+    * (`w ∝ sqrt(sourceTokens)`), rates follow q89's budget formula,
+    * and the h60 draw keeps it deterministic. IEEE `sqrt` is
+    * bit-portable (libm `pow` is not), so the oracle recomputes every
+    * rate to the last ulp and the kept set hash-matches.
+    */
+  def q125_temperature_mixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixture(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            T.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens",
+        budgetTokens = 20000L, alphaHalves = 1)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2437,6 +2454,7 @@ object SparkEntry {
     "q122_incremental_semdedup" -> (q122_incremental_semdedup _),
     "q123_dedup_lines" -> (q123_dedup_lines _),
     "q124_charlm_lid" -> (q124_charlm_lid _),
+    "q125_temperature_mixture" -> (q125_temperature_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

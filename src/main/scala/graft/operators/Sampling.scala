@@ -119,6 +119,51 @@ object Sampling {
     * [[bernoulli]]. At 100 TB the aggregate is one cheap pass and the
     * broadcast is a few KB — no corpus shuffle anywhere.
     */
+  /** Temperature-flattened mixture — the multilingual-training
+    * rebalance (XLM-R / mBERT style): instead of caller-supplied
+    * weights, each domain's mixture weight derives from its own mass,
+    * `w_i ∝ (domainTokens_i)^α` — α = 1 keeps natural proportions,
+    * α → 0 approaches uniform, and the common α ≈ 0.5 upweights
+    * low-resource domains without drowning high-resource ones. The
+    * acceptance rate is then [[mixture]]'s
+    * `min(1, budget·w_i / domainTokens_i)` with the same deterministic
+    * h60 draw.
+    *
+    * `alphaHalves` ∈ {0, 1, 2} picks α ∈ {0, 0.5, 1}: only powers
+    * computable by a `sqrt` are offered because IEEE `sqrt` is
+    * bit-exact across engines while libm `pow` is not. The powered
+    * weight is FIXED-POINT (`floor(sqrt(dt · 2^20))`, a long) so the
+    * cross-domain weight sum is exact integer arithmetic — a float
+    * `Σ sqrt` would make the rate depend on engine-specific summation
+    * order. Every value entering the final double division is an
+    * exact integer < 2^53, so the oracle reproduces each rate to the
+    * last ulp. Two tiny aggregates (one per-domain, one 1-row)
+    * broadcast; the filter is a narrow map.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
+      tokensCol: String, budgetTokens: Long, alphaHalves: Int = 1,
+      salt: String = "tempmix"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(alphaHalves >= 0 && alphaHalves <= 2,
+      s"alphaHalves must be 0, 1, or 2, got $alphaHalves")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__dt"))
+    val powered = totals.withColumn("__p", alphaHalves match {
+      case 0 => lit(1L)
+      case 1 => floor(sqrt(col("__dt").cast("double") * lit(1048576.0))).cast("long")
+      case 2 => col("__dt")
+    })
+    val wsum = powered.agg(sum(col("__p")).as("__wsum"))
+    df.join(broadcast(powered), domainCol)
+      .crossJoin(broadcast(wsum))
+      .withColumn("__rate",
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__p").cast("double")
+            / col("__wsum").cast("double") / col("__dt").cast("double")))
+      .filter(u01(col(keyCol), salt) < col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
   def mixture(df: DataFrame, keyCol: String, domainCol: String,
       tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
       defaultWeight: Double = 0.0, salt: String = "mixture"): DataFrame = {

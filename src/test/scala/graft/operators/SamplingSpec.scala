@@ -136,4 +136,34 @@ class SamplingSpec extends SparkSpec {
     assert(a.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       b.repartition(7).select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("temperatureMixture: flattening upweights small domains; kept sets nest in alpha") {
+    import spark.implicits._
+    // big: 400 docs x 100 tokens; small: 10 docs x 100 tokens
+    val docs = ((0 until 400).map(i => (i.toLong, "big", 100L)) ++
+      (400 until 410).map(i => (i.toLong, "small", 100L)))
+      .toDF("doc_id", "domain", "n_tokens")
+    // budget 8000: at alpha=0.5 the small domain's rate is
+    // 8000·(sqrt(1000)/(sqrt(40000)+sqrt(1000)))/1000 ≈ 1.09 → caps
+    // at 1 (keeps everything) while big subsamples at ≈ 0.17
+    def kept(alphaHalves: Int): Set[Long] =
+      Sampling.temperatureMixture(docs, "doc_id", "domain", "n_tokens",
+          budgetTokens = 8000L, alphaHalves = alphaHalves)
+        .select("doc_id").as[Long].collect().toSet
+    val k0 = kept(0); val k1 = kept(1); val k2 = kept(2)
+    def frac(ks: Set[Long], lo: Long, hi: Long) =
+      ks.count(i => i >= lo && i < hi).toDouble / (hi - lo)
+    // alpha = 0.5: the small domain's acceptance rate is strictly
+    // higher than the big one's (flattening), here hitting the cap
+    assert(frac(k1, 400, 410) == 1.0, "small domain must keep everything at alpha=0.5")
+    assert(frac(k1, 0, 400) < 1.0, "big domain must subsample")
+    // rates for the BIG domain grow monotonically with alpha, and the
+    // h60 draws are fixed, so its kept sets NEST: a0 ⊆ a0.5 ⊆ a1
+    val big0 = k0.filter(_ < 400); val big1 = k1.filter(_ < 400)
+    val big2 = k2.filter(_ < 400)
+    assert(big0.subsetOf(big1) && big1.subsetOf(big2))
+    assert(big0.size < big2.size)
+    // determinism
+    assert(kept(1) == k1)
+  }
 }
