@@ -1017,8 +1017,17 @@ object Dedup {
     */
   def semDedupIncremental(cents: DataFrame, cells: DataFrame,
       newVecs: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
-    val newCells = IvfIndex.assignIncrement(newVecs, idCol, vecCol, cents)
+      minCosine: Double): DataFrame =
+    semDedupOnCells(cells,
+      IvfIndex.assignIncrement(newVecs, idCol, vecCol, cents),
+      idCol, minCosine)
+
+  /** [[semDedupIncremental]] given the batch's ALREADY-ASSIGNED cell
+    * rows — the streaming twin computes the assignment once and feeds
+    * both the verdicts and the cells append from it.
+    */
+  def semDedupOnCells(cells: DataFrame, newCells: DataFrame,
+      idCol: String, minCosine: Double): DataFrame = {
     val earlier = cells.unionByName(newCells)
       .select(col("centroid_id"), col("id").as("id_a"),
         col("cqv").as("qv_a"), col("cn2").as("n2_a"))

@@ -235,6 +235,64 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SemDeDup — semantic-dedup verdicts as the corpus
+    * streams: maintains the ANN family's `(centroids, cells)` index
+    * (first batch bootstraps the frozen codebook, exactly
+    * [[runIncrementalAnnIndex]] — the two twins share state layout)
+    * and additionally logs each micro-batch's
+    * [[Dedup.semDedupOnCells]] verdicts against index ∪ batch
+    * cell-mates. Cells read through [[Zone.readBatchedBefore]], so a
+    * replayed batch probes only cells from batches before itself and
+    * its verdicts recompute value-identically; the assignment runs
+    * once per batch and feeds both the verdicts and the cells append.
+    * Same exactly-once contract as the rest of the family.
+    */
+  def runIncrementalSemDedup(
+      spark: SparkSession,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexDir: String,
+      verdictsDir: String,
+      checkpointDir: String,
+      nCentroids: Int = 16,
+      minCosine: Double = 0.5): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val centsDir = s"$indexDir/centroids"
+        val cellsDir = s"$indexDir/cells"
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else Zone.readIfExists(spark, centsDir) match {
+          case Some(cents) =>
+            val newCells = IvfIndex
+              .assignIncrement(batch, idCol, vecCol, cents).cache()
+            try {
+              val prior = Zone.readBatchedBefore(spark, cellsDir, bid)
+                .getOrElse(newCells.limit(0))
+              Zone.appendBatch(
+                Dedup.semDedupOnCells(prior, newCells, idCol, minCosine),
+                verdictsDir, bid)
+              Zone.appendBatch(newCells, cellsDir, bid)
+              Zone.markBatchCommitted(spark, indexDir, bid)
+            } finally newCells.unpersist()
+          case None => // first batch bootstraps the codebook
+            val (cents, cells0) = IvfIndex.buildIndex(batch, idCol, vecCol, nCentroids)
+            val cells = cells0.cache()
+            try {
+              Zone.overwriteInPlace(spark, cents, centsDir)
+              Zone.appendBatch(
+                Dedup.semDedupOnCells(cells.limit(0), cells, idCol, minCosine),
+                verdictsDir, bid)
+              Zone.appendBatch(cells, cellsDir, bid)
+              Zone.markBatchCommitted(spark, indexDir, bid)
+            } finally cells.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming incremental substring-span dedup — the positional
     * family member: each micro-batch marks its non-canonical k-token
     * spans against the persisted shingle postings index

@@ -325,6 +325,55 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/index/cells").count() == emb.count())
   }
 
+  test("streaming SemDeDup: verdicts == frozen-codebook one-shot; kill-and-replay value-identical") {
+    val base = tmpDir("semdedupstream")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // monotonic id slices (the semantic-dedup verdict contract)
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val inDir = s"$base/in"
+    emb.filter($"vec_id" <= c1).coalesce(1).write.parquet(inDir)
+    emb.filter($"vec_id" > c1 && $"vec_id" <= c2).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    emb.filter($"vec_id" > c2).coalesce(1).write.mode("append").parquet(inDir)
+
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = CorpusStream.runIncrementalSemDedup(spark, stream(),
+      "embedding", "vec_id", s"$base/index", s"$base/verdicts",
+      s"$base/ckpt", nCentroids = 8, minCosine = 0.2)
+    q.awaitTermination()
+
+    // union of per-batch verdicts == the one-shot semantic dedup with
+    // the SAME bootstrapped codebook over the whole corpus
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id", "sem_dup", "nn_cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          Option(r.get(3)))).toSet
+    val cents = spark.read.parquet(s"$base/index/centroids")
+    val oneShot = key(graft.operators.Dedup.semDedupOnCells(
+      graft.operators.IvfIndex
+        .assignIncrement(emb, "vec_id", "embedding", cents).limit(0),
+      graft.operators.IvfIndex
+        .assignIncrement(emb, "vec_id", "embedding", cents),
+      "vec_id", minCosine = 0.2))
+    val streamed = key(spark.read.parquet(s"$base/verdicts"))
+    assert(streamed == oneShot, s"streamed=${streamed.size} oneShot=${oneShot.size}")
+    assert(streamed.exists(_._3), "expected at least one semantic dup")
+
+    // exactly-once: kill-and-replay the newest batch — verdicts AND
+    // cells value-identical including duplicate counts
+    val before = Seq(s"$base/verdicts", s"$base/index/cells").map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    val q2 = CorpusStream.runIncrementalSemDedup(spark, stream(),
+      "embedding", "vec_id", s"$base/index", s"$base/verdicts",
+      s"$base/ckpt", nCentroids = 8, minCosine = 0.2)
+    q2.awaitTermination()
+    assert(Seq(s"$base/verdicts", s"$base/index/cells").map(multiset) == before,
+      "kill-and-replay changed state tables")
+  }
+
   test("streaming paragraphs: monotonic micro-batches == one-shot rebuild; replay idempotent") {
     val base = tmpDir("parastream")
     // plant cross-doc paragraph structure (shared header + text slices)
