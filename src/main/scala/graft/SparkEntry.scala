@@ -2302,8 +2302,12 @@ object SparkEntry {
     val curated = Sampling.capPerGroup(
       docs.filter(col("doc_id") % 2 === 0 && col("text").isNotNull),
       "lang", "doc_id", cap = 30)
-    val models = langs.map(l => l -> CharLm.fit(
-      curated.filter(col("lang") === l), "text", dim3 = 1024, dim2 = 1024))
+    // ONE grouped fit: two corpus passes for all five models, not two
+    // per model (CharLm.fitMany == per-slice CharLm.fit, spec-proven)
+    val fitted = CharLm.fitMany(
+      curated.filter(col("lang").isin(langs: _*)),
+      "text", "lang", dim3 = 1024, dim2 = 1024)
+    val models = langs.map(l => l -> fitted(l))
     CharLm.classifyLanguage(docs, "text", models)
       .select(col("doc_id"), col("lang"), col("n_tri"),
         col("lid_pred"), col("lid_avg"))

@@ -69,6 +69,44 @@ object CharLm {
       IndexedSeq.tabulate(dim2)(b => Dsir.log2Fp(c2(b) + dim3)))
   }
 
+  /** Fit MANY models in one pass — the language-ID shape: per-group
+    * counts come from TWO aggregates over the whole curated slice
+    * (`groupBy(group, bucket)`, ≤ groups·dim rows each) instead of two
+    * aggregates PER model, so fitting N language models costs the same
+    * two corpus scans as fitting one. Counts per group are identical
+    * to [[fit]] on that group's slice (same explode, same buckets), so
+    * swapping sequential fits for this changes nothing downstream.
+    * Groups with NULL key are skipped; the returned map's models are
+    * exactly `fit(slice(g))` for each group g present.
+    */
+  def fitMany(curated: DataFrame, textCol: String, groupCol: String,
+      dim3: Int = 4096, dim2: Int = 4096): Map[String, Model] = {
+    require(dim3 >= 1 && dim2 >= 1, "dims must be >= 1")
+    def countsBy(k: Int, dim: Int): Map[String, Array[Long]] = {
+      val rows = curated
+        .filter(col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("__g"),
+          explode(charNgrams(lower(col(textCol)), k)).as("__h"))
+        .select(col("__g"), (col("__h") % dim).as("bucket"))
+        .groupBy(col("__g"), col("bucket")).agg(count(lit(1)).as("ct"))
+        .collect()
+      rows.groupBy(_.getString(0)).map { case (g, rs) =>
+        val dense = new Array[Long](dim)
+        rs.foreach(r => dense(r.getLong(1).toInt) = r.getLong(2))
+        g -> dense
+      }
+    }
+    val c3 = countsBy(3, dim3)
+    val c2 = countsBy(2, dim2)
+    (c3.keySet ++ c2.keySet).map { g =>
+      val d3 = c3.getOrElse(g, new Array[Long](dim3))
+      val d2 = c2.getOrElse(g, new Array[Long](dim2))
+      g -> Model(
+        IndexedSeq.tabulate(dim3)(b => Dsir.log2Fp(d3(b) + 1)),
+        IndexedSeq.tabulate(dim2)(b => Dsir.log2Fp(d2(b) + dim3)))
+    }.toMap
+  }
+
   /** [[fit]] from maintained count tables (the incremental form). */
   def fitFromCounts(counts3: DataFrame, counts2: DataFrame,
       dim3: Int, dim2: Int): Model = {

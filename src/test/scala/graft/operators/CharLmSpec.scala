@@ -171,6 +171,17 @@ class CharLmSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fitMany == per-slice fit for every group") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"lang")
+    val many = CharLm.fitMany(docs, "text", "lang", 512, 512)
+    assert(many.nonEmpty)
+    many.foreach { case (g, m) =>
+      val single = CharLm.fit(docs.filter($"lang" === g), "text", 512, 512)
+      assert(m.w3 == single.w3 && m.w2 == single.w2, s"group $g drifted")
+    }
+  }
+
   test("SQL registration: graft_char_ngrams(text, k)") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
