@@ -2307,7 +2307,10 @@ object SparkEntry {
     val fitted = CharLm.fitMany(
       curated.filter(col("lang").isin(langs: _*)),
       "text", "lang", dim3 = 1024, dim2 = 1024)
-    val models = langs.map(l => l -> fitted(l))
+    // a language absent from the curated slice gets the all-smoothing
+    // model (every window scores the same floor) instead of crashing
+    lazy val empty = CharLm.fit(curated.limit(0), "text", 1024, 1024)
+    val models = langs.map(l => l -> fitted.getOrElse(l, empty))
     CharLm.classifyLanguage(docs, "text", models)
       .select(col("doc_id"), col("lang"), col("n_tri"),
         col("lid_pred"), col("lid_avg"))
