@@ -113,15 +113,46 @@ object ScaleBench {
           .count()),
     )
 
+    // SemDeDup scale pair: replicas are CIRCULAR-SHIFTED so
+    // cross-replica vectors decorrelate (identical copies would be the
+    // degenerate all-pairs-dup case) — true near-dups stay
+    // within-replica, but cell OCCUPANCY still grows R×, so the
+    // within-cell join generates ~R² candidate pairs at FIXED k. The
+    // operator's documented discipline is k ∝ N (cluster size is the
+    // caller's knob, per the SemDeDup paper's ~100k clusters at web
+    // scale): the `_kscaled` twin holds cell size constant and must
+    // scale ~linearly while `_k16` exhibits the fixed-k hazard.
+    def corpusEmb(r: Int): DataFrame = {
+      val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      if (r <= 1) emb
+      else emb.crossJoin(spark.range(r).select(col("id").as("__r")))
+        .withColumn("vec_id", col("vec_id") + col("__r") * lit(100000000L))
+        .withColumn("__s", (col("__r") % 64).cast("int"))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), col("__s") + 1, lit(64) - col("__s")),
+            slice(col("embedding"), lit(1), col("__s"))))
+        .drop("__r", "__s")
+    }
+    val semWorkloads: Seq[(String, Int => Long)] = Seq(
+      "semdedup_k16" -> (r =>
+        Dedup.semDedup(corpusEmb(r), "vec_id", "embedding",
+          nClusters = 16, minCosine = 0.5).filter(col("sem_dup")).count()),
+      "semdedup_kscaled" -> (r =>
+        Dedup.semDedup(corpusEmb(r), "vec_id", "embedding",
+          nClusters = 16 * r, minCosine = 0.5).filter(col("sem_dup")).count()),
+    )
+
     def run(r: Int): Map[String, (Double, Long)] = {
       val d = corpus(r)
-      workloads.map { case (name, f) =>
-        val t0 = System.nanoTime()
-        val n = f(d)
-        val w = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scale] ${name}%-18s x$r%-3d rows=$n%-10d ${w}%.1fs")
-        name -> (w, n)
-      }.toMap
+      (workloads.map { case (name, f) => name -> (() => f(d)) } ++
+        semWorkloads.map { case (name, f) => name -> (() => f(r)) })
+        .map { case (name, f) =>
+          val t0 = System.nanoTime()
+          val n = f()
+          val w = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[scale] ${name}%-18s x$r%-3d rows=$n%-10d ${w}%.1fs")
+          name -> (w, n)
+        }.toMap
     }
 
     // Incremental claim, measured: a FIXED 500-doc daily batch probed
@@ -178,7 +209,8 @@ object ScaleBench {
     val incrBase = incrRun(1, s"$tmpRoot/x1")
     val incrBig = incrRun(factor, s"$tmpRoot/xR")
     def j(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val body = (workloads.map { case (name, _) =>
+    val body = ((workloads.map(_._1) ++ semWorkloads.map(_._1))
+      .map { name =>
       val (t1, n1) = base(name)
       val (tR, nR) = big(name)
       s""""$name":{"t1":${j(t1)},"t$factor":${j(tR)},"ratio":${j(tR / t1)},"rows1":$n1,"rows$factor":$nR}"""
