@@ -92,16 +92,25 @@ object Sharding {
     * the manifest. `checkpointDir`: see [[assignShards]] — a
     * full-corpus one-shot export should pass a durable staging
     * directory rather than pin the corpus in executor block storage.
+    *
+    * `format`: `"parquet"` (default) or `"json"` — JSON Lines, the
+    * training-data interchange most trainers ingest directly (one JSON
+    * object per document, one directory per shard). The manifest is
+    * computed from a READ-BACK of the written files either way, so it
+    * certifies what is actually on disk, not what the plan intended.
     */
   def writeShards(spark: SparkSession, df: DataFrame, dir: String,
       keyCol: String, tokensCol: String, shardTokens: Long,
-      salt: String = "shard", checkpointDir: Option[String] = None): DataFrame = {
+      salt: String = "shard", checkpointDir: Option[String] = None,
+      format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got $format")
     val sharded = assignShards(df, keyCol, tokensCol, shardTokens, salt,
       checkpointDir = checkpointDir)
     sharded.write.mode("overwrite").partitionBy("shard_id")
-      .parquet(s"$dir/shards")
+      .format(format).save(s"$dir/shards")
     // partition-column inference reads shard_id back as int — pin long
-    val manifest = spark.read.parquet(s"$dir/shards")
+    val manifest = spark.read.format(format).load(s"$dir/shards")
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("n_tokens"))

@@ -256,4 +256,23 @@ class ShardingSpec extends SparkSpec {
     val shard0 = spark.read.parquet(s"$dir/shards/shard_id=0")
     assert(shard0.count() == m.map { case (k, v, _) => k -> v }.toMap.apply(0L))
   }
+
+  test("writeShards json: JSON Lines layout, manifest identical to parquet export") {
+    val pDir = tmpDir("shardsp"); val jDir = tmpDir("shardsj")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mp = key(Sharding.writeShards(spark, docs, pDir, "doc_id",
+      "n_tokens", shardTokens = 2000L))
+    val mj = key(Sharding.writeShards(spark, docs, jDir, "doc_id",
+      "n_tokens", shardTokens = 2000L, format = "json"))
+    // same deterministic assignment ⇒ identical manifests
+    assert(mj == mp)
+    // the shard files are real JSON Lines: one parseable object per row
+    val files = new java.io.File(s"$jDir/shards/shard_id=0")
+      .listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty, "expected .json part files")
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(l =>
+      l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")))
+  }
 }
