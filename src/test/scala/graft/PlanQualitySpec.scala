@@ -396,6 +396,20 @@ class PlanQualitySpec extends SparkSpec {
       s"expected the multi-model kernel, got $multiCalls multi calls:\n${p.take(1500)}")
   }
 
+  test("q125: temperature mixture keeps both stat tables broadcast (no corpus-sized join)") {
+    // the per-domain totals join must be a broadcast HASH join (a
+    // sort-merge join would shuffle the corpus by domain for a
+    // three-row dimension); the ONE BroadcastNestedLoopJoin is the
+    // 1-row weight-sum scalar crossJoin (the q58 pattern the smell
+    // census classifies as deliberate)
+    val p = plan(SparkEntry.q125_temperature_mixture(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"domain totals must broadcast:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"expected exactly the 1-row wsum scalar BNLJ:\n${p.take(1500)}")
+  }
+
   test("raw zone: partition filters prune, not scan-then-filter") {
     val tmp = tmpDir("rawplan")
     import spark.implicits._
