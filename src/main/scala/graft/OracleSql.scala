@@ -2802,24 +2802,31 @@ object OracleSql {
     WHERE s.id > (SELECT c FROM cut)
     ORDER BY s.id"""
 
-  /** q119 — URL blocklist: identical host synthesis, dot-suffix
-    * expansion via list slicing, equi-join against the VALUES
-    * blocklist, smallest matching suffix per doc.
+  /** q119 — URL blocklist: identical host synthesis (with case-variant
+    * and trailing-dot forms), the same lowercase + trailing-dot
+    * normalization, dot-suffix expansion via list slicing, equi-join
+    * against the VALUES blocklist, smallest matching suffix per doc.
     */
   private val q119 = s"""
     WITH docs AS (
       SELECT doc_id,
              concat(CASE WHEN doc_id % 4 = 0 THEN 'sub.' ELSE '' END,
-               'example', CAST(doc_id % 50 AS VARCHAR), '.com') AS host
+               CASE WHEN doc_id % 5 = 0 THEN 'EXAMPLE' ELSE 'example' END,
+               CAST(doc_id % 50 AS VARCHAR), '.com',
+               CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END) AS host
       FROM documents),
     blocked(domain) AS (
       VALUES ('example7.com'), ('example23.com'), ('sub.example11.com')),
+    norm AS (
+      SELECT doc_id, host,
+             regexp_replace(lower(host), '[.]$$', '') AS nhost
+      FROM docs),
     sufs AS (
       SELECT doc_id, host,
              array_to_string(l[len(l) - k + 1 :], '.') AS suffix
-      FROM (SELECT doc_id, host, string_split(host, '.') AS l,
-                   unnest(range(1, len(string_split(host, '.')) + 1)) AS k
-            FROM docs)),
+      FROM (SELECT doc_id, host, string_split(nhost, '.') AS l,
+                   unnest(range(1, len(string_split(nhost, '.')) + 1)) AS k
+            FROM norm)),
     hits AS (
       SELECT doc_id, min(s.suffix) AS matched_domain
       FROM sufs s JOIN blocked b ON s.suffix = lower(b.domain)

@@ -2145,15 +2145,22 @@ object SparkEntry {
     * hosts `[sub.]example<id%50>.com` (every 4th doc gains a `sub.`
     * label) against a three-entry blocklist — `example7.com` /
     * `example23.com` match through the subdomain (suffix semantics),
-    * `sub.example11.com` matches ONLY the subdomain variant. The
-    * suffix explosion + broadcast equi-join replaces the OR-predicate
-    * nested loop; the oracle re-derives suffixes with list slicing.
+    * `sub.example11.com` matches ONLY the subdomain variant. Every
+    * 5th doc upper-cases the `example` label and every 7th carries a
+    * trailing-dot FQDN form — both must still match (DNS names are
+    * case-insensitive; `host.` names the same host), exercising the
+    * normalization inside [[UrlBlocklist.mark]]. The suffix explosion
+    * + broadcast equi-join replaces the OR-predicate nested loop; the
+    * oracle re-derives suffixes with list slicing over the same
+    * normalized host.
     */
   def q119_url_blocklist(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val host = concat(
       when(col("doc_id") % 4 === 0, lit("sub.")).otherwise(lit("")),
-      lit("example"), col("doc_id") % 50, lit(".com"))
+      when(col("doc_id") % 5 === 0, lit("EXAMPLE")).otherwise(lit("example")),
+      col("doc_id") % 50, lit(".com"),
+      when(col("doc_id") % 7 === 0, lit(".")).otherwise(lit("")))
     val blocked = s.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row("example7.com"),

@@ -100,25 +100,6 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Mixture sampling to a global token budget — the training-mixture
-    * operator: given target domain *weights* (fractions of the final
-    * mixture) and a total `budgetTokens`, derive each domain's
-    * acceptance rate from the data (`rate = min(1, budget·weight /
-    * domainTokens)`) and keep rows by the key's deterministic draw.
-    * Unlike [[stratified]], the rates are not constants: they adapt to
-    * what each domain actually holds, so the surviving corpus
-    * approaches the requested mixture without anyone pre-computing
-    * per-domain counts. A domain whose target exceeds its mass keeps
-    * everything (rate caps at 1 — the mixture is then best-effort,
-    * exactly the fastText/DoReMi-style sampling discipline); domains
-    * absent from `weights` get `defaultWeight`.
-    *
-    * Two jobs in one plan: a map-side-combined aggregate over the
-    * low-cardinality domain key (rows = #domains), broadcast-joined
-    * back onto the corpus, then the same narrow h60 filter as
-    * [[bernoulli]]. At 100 TB the aggregate is one cheap pass and the
-    * broadcast is a few KB — no corpus shuffle anywhere.
-    */
   /** Temperature-flattened mixture — the multilingual-training
     * rebalance (XLM-R / mBERT style): instead of caller-supplied
     * weights, each domain's mixture weight derives from its own mass,
@@ -157,13 +138,37 @@ object Sampling {
     df.join(broadcast(powered), domainCol)
       .crossJoin(broadcast(wsum))
       .withColumn("__rate",
-        least(lit(1.0),
-          lit(budgetTokens.toDouble) * col("__p").cast("double")
-            / col("__wsum").cast("double") / col("__dt").cast("double")))
+        // A zero-token (or all-NULL-token) domain must drop, not keep:
+        // without the guard the division is NULL (or throws under ANSI)
+        // and least(1.0, NULL) silently resolves to 1.0.
+        when(col("__dt") > 0,
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) * col("__p").cast("double")
+              / col("__wsum").cast("double") / col("__dt").cast("double")))
+          .otherwise(lit(0.0)))
       .filter(u01(col(keyCol), salt) < col("__rate"))
       .select(df.columns.map(col): _*)
   }
 
+  /** Mixture sampling to a global token budget — the training-mixture
+    * operator: given target domain *weights* (fractions of the final
+    * mixture) and a total `budgetTokens`, derive each domain's
+    * acceptance rate from the data (`rate = min(1, budget·weight /
+    * domainTokens)`) and keep rows by the key's deterministic draw.
+    * Unlike [[stratified]], the rates are not constants: they adapt to
+    * what each domain actually holds, so the surviving corpus
+    * approaches the requested mixture without anyone pre-computing
+    * per-domain counts. A domain whose target exceeds its mass keeps
+    * everything (rate caps at 1 — the mixture is then best-effort,
+    * exactly the fastText/DoReMi-style sampling discipline); domains
+    * absent from `weights` get `defaultWeight`.
+    *
+    * Two jobs in one plan: a map-side-combined aggregate over the
+    * low-cardinality domain key (rows = #domains), broadcast-joined
+    * back onto the corpus, then the same narrow h60 filter as
+    * [[bernoulli]]. At 100 TB the aggregate is one cheap pass and the
+    * broadcast is a few KB — no corpus shuffle anywhere.
+    */
   def mixture(df: DataFrame, keyCol: String, domainCol: String,
       tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
       defaultWeight: Double = 0.0, salt: String = "mixture"): DataFrame = {
@@ -178,7 +183,10 @@ object Sampling {
       .agg(sum(col(tokensCol)).cast("double").as("__domain_tokens"))
     df.join(broadcast(totals), domainCol)
       .withColumn("__rate",
-        least(lit(1.0), lit(budgetTokens.toDouble) * weight / col("__domain_tokens")))
+        when(col("__domain_tokens") > 0,
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) * weight / col("__domain_tokens")))
+          .otherwise(lit(0.0)))
       .filter(u01(col(keyCol), salt) < col("__rate"))
       .select(df.columns.map(col): _*)
   }

@@ -109,8 +109,13 @@ object Sharding {
       checkpointDir = checkpointDir)
     sharded.write.mode("overwrite").partitionBy("shard_id")
       .format(format).save(s"$dir/shards")
-    // partition-column inference reads shard_id back as int — pin long
-    val manifest = spark.read.format(format).load(s"$dir/shards")
+    // Read back with the writer's schema pinned: JSON Lines omits
+    // NULL fields, so inference over an all-NULL column would drop it
+    // and the manifest aggregation would fail unresolved; the explicit
+    // schema also pins partition-column shard_id to long (inference
+    // would narrow it to int).
+    val manifest = spark.read.schema(sharded.schema).format(format)
+      .load(s"$dir/shards")
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("n_tokens"))

@@ -24,11 +24,16 @@ object UrlBlocklist {
 
   /** Dot-suffix rows of `hostCol`: one row per trailing label group.
     * Empty/NULL hosts produce no rows (they can't match a blocklist).
+    * The host is normalized first — lowercased (DNS names are
+    * case-insensitive, so `EXAMPLE.com` must not evade the list) and
+    * stripped of a trailing dot (the FQDN root form `example.com.`
+    * names the same host).
     */
   private def suffixRows(df: DataFrame, idCol: String, hostCol: String): DataFrame = {
-    val labels = split(col(hostCol), "\\.")
-    df.select(col(idCol), col(hostCol), labels.as("__labels"))
-      .filter(col(hostCol).isNotNull && col(hostCol) =!= "")
+    val host = regexp_replace(lower(col(hostCol)), "\\.$", "")
+    val labels = split(host, "\\.")
+    df.select(col(idCol), host.as("__host"), labels.as("__labels"))
+      .filter(col("__host").isNotNull && col("__host") =!= "")
       .select(col(idCol), explode(sequence(lit(1), size(col("__labels")))).as("__k"),
         col("__labels"))
       .withColumn("suffix", array_join(slice(col("__labels"), -col("__k"), col("__k")), "."))

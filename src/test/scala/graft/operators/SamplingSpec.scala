@@ -166,4 +166,26 @@ class SamplingSpec extends SparkSpec {
     // determinism
     assert(kept(1) == k1)
   }
+
+  test("mixture/temperatureMixture: zero-token and all-NULL-token domains drop, not keep-all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "live", java.lang.Long.valueOf(100L)),
+      (2L, "live", java.lang.Long.valueOf(100L)),
+      (3L, "zero", java.lang.Long.valueOf(0L)),
+      (4L, "zero", java.lang.Long.valueOf(0L)),
+      (5L, "nul", null.asInstanceOf[java.lang.Long]),
+    ).toDF("doc_id", "domain", "n_tokens")
+    val t = Sampling.temperatureMixture(docs, "doc_id", "domain", "n_tokens",
+        budgetTokens = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(t.forall(_ <= 2L), s"zero-mass domains must drop entirely, got $t")
+    assert(t.nonEmpty, "the live domain must survive (rate caps at 1)")
+    val m = Sampling.mixture(docs, "doc_id", "domain", "n_tokens",
+        weights = Map("live" -> 0.5, "zero" -> 0.3, "nul" -> 0.2),
+        budgetTokens = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.forall(_ <= 2L), s"zero-mass domains must drop entirely, got $m")
+    assert(m.nonEmpty)
+  }
 }

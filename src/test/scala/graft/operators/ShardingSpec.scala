@@ -275,4 +275,22 @@ class ShardingSpec extends SparkSpec {
     assert(lines.nonEmpty && lines.forall(l =>
       l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")))
   }
+
+  test("writeShards json: all-NULL token column survives read-back (schema pinned, not inferred)") {
+    import spark.implicits._
+    // JSON Lines omits NULL fields: with inference the column would
+    // vanish from the read-back and the manifest agg would fail
+    // unresolved. The writer's schema is pinned on read instead.
+    val nullToks = Seq(
+      (1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[java.lang.Long]),
+    ).toDF("doc_id", "n_tokens")
+    val dir = tmpDir("shardsnull")
+    val m = Sharding.writeShards(spark, nullToks, dir, "doc_id",
+        "n_tokens", shardTokens = 100L, format = "json")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // NULL tokens weigh 0: everything packs into shard 0
+    assert(m.toSeq == Seq((0L, 3L, 0L)))
+  }
 }

@@ -37,6 +37,25 @@ class UrlBlocklistSpec extends SparkSpec {
     assert(out(9L) == ((true, "b.com")))
   }
 
+  test("host normalization: case-variant and trailing-dot FQDN forms still match") {
+    val variants = Seq(
+      (1L, "EXAMPLE.com"),           // DNS is case-insensitive
+      (2L, "a.Example.COM"),         // mixed case, subdomain
+      (3L, "example.com."),          // FQDN root form names the same host
+      (4L, "A.B.EXAMPLE.COM."),      // both at once
+      (5L, "safe.org."),             // normalization must not create matches
+    ).toDF("id", "host")
+    val out = UrlBlocklist.mark(variants, "id", "host", blocked)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("blocked")),
+         r.getString(r.fieldIndex("matched_domain")))).toMap
+    assert(out(1L) == ((true, "example.com")))
+    assert(out(2L) == ((true, "example.com")))
+    assert(out(3L) == ((true, "example.com")))
+    assert(out(4L) == ((true, "example.com")))
+    assert(out(5L) == ((false, null)))
+  }
+
   test("multiple matching suffixes: lexicographically smallest wins, deterministically") {
     val bl = Seq("a.b.com", "b.com").toDF("domain")
     val out = UrlBlocklist.mark(Seq((1L, "x.a.b.com")).toDF("id", "host"),
