@@ -1,7 +1,8 @@
 package graft.jobs
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, DedupCluster, SnapshotDiff, SubstringDedup, TermStats}
+import graft.operators.{CharLm, Dedup, DedupCluster, Dsir, IvfIndex, Sampling,
+  SnapshotDiff, SubstringDedup, TermStats, UrlBlocklist}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -737,6 +738,462 @@ object CorpusJob {
       .filter(t => Zone.exists(spark, s"$stateDir/$t"))
       .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
       .toMap
+  }
+
+  // ========================================================================
+  // End-to-end ordered web-curation pipeline (CCNet / RefinedWeb style)
+  // ========================================================================
+
+  /** Configuration of [[curate]] / [[runCuration]]. Every knob is a
+    * determinism-pinning parameter: changing any of them over a
+    * `stateDir`'s life invalidates the frozen curation state the same
+    * way shingleSize pins the LSH index.
+    */
+  final case class CurationConfig(
+      paragraphSep: String = "\n\n",
+      // char-LM language ID (q124 recipe): models fit per `lang` on a
+      // capped seed slice; documents whose PREDICTED language is not
+      // in keepLangs drop
+      lidLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh"),
+      keepLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh"),
+      lidDim: Int = 1024,
+      lidSeedCap: Int = 30,
+      // CCNet perplexity gate (q115 recipe, threshold form): drop the
+      // worst tercile by char-LM mean log2-probability. pplGate=false
+      // keeps the scoring columns but drops nothing (spec isolation /
+      // corpora too small for a meaningful tercile)
+      pplDim: Int = 4096,
+      pplGate: Boolean = true,
+      // Lee et al. substring-span excision window (tokens)
+      spanTokens: Int = 8,
+      // SemDeDup (Abbas et al.)
+      semClusters: Int = 16,
+      semMinCosine: Double = 0.5,
+      // temperature mixture (α = 0.5, the XLM-R rebalance) token budget
+      budgetTokens: Long = 20000L)
+
+  /** The corpus-global quantities the pipeline FITS (one-shot) or
+    * FREEZES (incremental): LID models, the perplexity model + tercile
+    * cutoff, and the per-domain mixture acceptance rates. All of them
+    * are bounded, driver-resident values (models are `dim`-sized weight
+    * tables, rates are #domains entries) — persisting them is what
+    * makes the daily incremental form a pure narrow-map + index-probe
+    * pipeline with no corpus-global recomputation.
+    */
+  final case class CurationState(
+      lidModels: Seq[(String, CharLm.Model)],
+      pplModel: CharLm.Model,
+      pplCut: Long,
+      rates: Map[String, Double])
+
+  /** Everything one curation pass produces: the per-document verdict
+    * frame, the fitted (or passed-through) state, and the per-stage
+    * index increments an incremental caller appends to its state dir.
+    */
+  final case class CurationOutput(
+      annotated: DataFrame,
+      state: CurationState,
+      newParas: DataFrame,
+      newShingles: DataFrame,
+      cents: Option[DataFrame],
+      newCells: Option[DataFrame])
+
+  /** The ordered CCNet/RefinedWeb-style composition, one stage feeding
+    * the next — ORDER IS SEMANTICS here (CorpusJobSpec pins the cases
+    * where it matters):
+    *
+    *  1. hygiene: per-paragraph NFC + HTML strip (per paragraph, so the
+    *     whitespace collapse can't destroy the paragraph structure the
+    *     dedup stages key on) — encoding/markup variants of the same
+    *     content land in the same paragraph digests BEFORE any dedup
+    *  2. char-LM language ID (q124): drop docs predicted outside
+    *     `keepLangs` (reason `lang`; NULL text scores `und` and drops)
+    *  3. CCNet perplexity gate (q115, threshold form): LM fit on the
+    *     `doc_id % 10 = 0` seed of the LID survivors, tercile cutoff
+    *     from ranking ALL LID survivors, drop `lm_avg < cut` (reason
+    *     `perplexity`) — fit population is stage-coupled by design
+    *  4. URL domain blocklist (q119): reason `blocked_url`
+    *  5. Gopher duplicate-line mass gate (q116): drop docs whose
+    *     duplicate-line characters exceed half the line mass (reason
+    *     `repetitive`) — BEFORE corpus-wide dedup, so a spammy doc
+    *     drops whole instead of donating its first occurrence
+    *  6. corpus-wide paragraph dedup (q117) over the SURVIVORS — a
+    *     dropped doc's paragraphs claim no first-occurrence; docs
+    *     rebuilt empty drop (reason `empty`)
+    *  7. SemDeDup (q118) over the survivors' embeddings: reason
+    *     `sem_dup`; docs without an embedding pass
+    *  8. substring-span excision (q91, Lee et al.): keep-one-copy spans
+    *     cut from the paragraph-deduped text; docs excised to nothing
+    *     drop (reason `empty`)
+    *  9. temperature mixture (q125, α = 0.5) to `budgetTokens` over the
+    *     FINAL token counts — sampling sees post-dedup masses, which is
+    *     the load-bearing ordering (dedup before sampling): reason
+    *     `sampled_out`
+    *
+    * Returns one row per input document: stage verdict columns are
+    * non-NULL exactly for the documents that REACHED the stage, and
+    * `drop_reason` names the first failing stage (NULL = kept).
+    *
+    * 100 TB shape: hygiene/LID/perplexity/blocklist/repetition are
+    * narrow maps or broadcast joins riding the scan; the dedup stages
+    * are the operators' own documented aggregate-not-window shapes; the
+    * model fits and the rate/cut derivations are bounded driver
+    * collects (dim-sized / #domains-sized / 1 row). Assembly is a chain
+    * of doc_id-keyed left joins — co-partitioned after the first
+    * exchange.
+    *
+    * `docs` needs columns `doc_id, text, lang, source` (+ `host` when
+    * `blocked` is given); `embeddings` is `(doc_id, embedding)`.
+    */
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): DataFrame =
+    curateCore(docs, cfg, blocked, embeddings, None, None, None, None, None)
+      .annotated
+
+  private def curateCore(docs: DataFrame, cfg: CurationConfig,
+      blocked: Option[DataFrame], embeddings: Option[DataFrame],
+      state0: Option[CurationState],
+      frozenCents: Option[DataFrame], priorParas: Option[DataFrame],
+      priorShingles: Option[DataFrame], priorCells: Option[DataFrame])
+      : CurationOutput = {
+    val sep = cfg.paragraphSep
+    val sepQ = java.util.regex.Pattern.quote(sep)
+
+    // -- stage 1: hygiene (per-paragraph NFC + HTML strip) --
+    val cleanParas = transform(split(col("text"), sepQ, -1),
+      p => T.stripHtmlComposed(T.normalizeNfc(p)))
+    val base = docs.withColumn("clean",
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(cleanParas, sep)))
+      .cache()
+
+    // -- stage 2: char-LM language ID --
+    val lidModels = state0.map(_.lidModels).getOrElse {
+      val seed = Sampling.capPerGroup(
+        base.filter(col("doc_id") % 2 === 0 && col("clean").isNotNull),
+        "lang", "doc_id", cfg.lidSeedCap)
+      val fitted = CharLm.fitMany(
+        seed.filter(col("lang").isin(cfg.lidLangs: _*)),
+        "clean", "lang", cfg.lidDim, cfg.lidDim)
+      lazy val empty = CharLm.fit(base.limit(0), "clean", cfg.lidDim, cfg.lidDim)
+      cfg.lidLangs.map(l => l -> fitted.getOrElse(l, empty))
+    }
+    val lid = CharLm.classifyLanguage(base, "clean", lidModels)
+      .drop("n_tri", "lid_avg")
+    val s1 = lid.filter(col("lid_pred").isin(cfg.keepLangs: _*)).cache()
+
+    // -- stage 3: CCNet perplexity gate (threshold form) --
+    val pplModel = state0.map(_.pplModel).getOrElse(
+      CharLm.fit(s1.filter(col("doc_id") % 10 === 0), "clean",
+        cfg.pplDim, cfg.pplDim))
+    val scored = CharLm.score(s1, "clean", pplModel)
+      .withColumn("lm_avg",
+        when(col("n_tri") > 0, expr("lm_score div n_tri")).cast("long"))
+      .drop("lm_score")
+      .cache()
+    val pplCut = state0.map(_.pplCut).getOrElse {
+      if (!cfg.pplGate) Long.MinValue else {
+      // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) — the
+      // worst "middle" doc's score; `lm_avg >= cut` then keeps the
+      // head + middle terciles (ties at the boundary keep)
+      val rankable = scored.filter(col("n_tri") > 0)
+      val (ranked, n) = Dsir.globalRank(rankable,
+        Seq(col("lm_avg").desc, col("doc_id")), "__r")
+      val k = 2 * n / 3
+      if (k <= 0) Long.MinValue
+      else ranked.filter(col("__r") === k).select(col("lm_avg")).head().getLong(0)
+      }
+    }
+    val s2 = scored.filter(col("n_tri") > 0 && col("lm_avg") >= pplCut)
+
+    // -- stage 4: URL domain blocklist --
+    val s3m = blocked match {
+      case Some(bl) => UrlBlocklist.mark(s2, "doc_id", "host", bl)
+      case None => s2.withColumn("blocked", lit(false))
+        .withColumn("matched_domain", lit(null).cast("string"))
+    }
+    val s3 = s3m.filter(!col("blocked"))
+
+    // -- stage 5: Gopher duplicate-line mass gate --
+    val s3r = s3.withColumn("__dls", T.dupLineStats(col("clean"), "\n"))
+      .withColumn("rep_dup_chars", col("__dls").getField("dup_line_chars"))
+      .withColumn("rep_chars", col("__dls").getField("line_chars"))
+      .drop("__dls")
+    val s4 = s3r.filter(!(col("rep_dup_chars") * 2 > col("rep_chars"))).cache()
+
+    // -- stage 6: corpus-wide paragraph dedup over the survivors --
+    val pdIn = s4.select(col("doc_id"), col("clean"))
+    val pd = priorParas match {
+      case Some(idx) =>
+        Dedup.paragraphDedupIncremental(idx, pdIn, "clean", "doc_id", sep)
+      case None => Dedup.paragraphDedup(pdIn, "clean", "doc_id", sep)
+    }
+    val s4j = s4.join(pd.select(col("doc_id"), col("text_dedup"),
+      col("n_kept")), Seq("doc_id"))
+    val s5 = s4j.filter(trim(col("text_dedup")) =!= "").cache()
+
+    // -- stage 7: SemDeDup over the survivors' embeddings --
+    val (semJoined, cents, newCells) = embeddings match {
+      case Some(emb) =>
+        val vecs = s5.select(col("doc_id")).join(emb, Seq("doc_id"))
+        val (c, prior, fresh) = (frozenCents, priorCells) match {
+          case (Some(fc), pcOpt) =>
+            val assigned = IvfIndex.assignIncrement(vecs, "doc_id", "embedding", fc)
+            // no prior cells (the one-shot-with-frozen-codebook form):
+            // every doc probes against its own batch only
+            (fc, pcOpt.getOrElse(assigned.limit(0)), assigned)
+          case _ =>
+            val (c0, cells0) = IvfIndex.buildIndex(vecs, "doc_id", "embedding",
+              cfg.semClusters)
+            (c0, cells0.limit(0), cells0)
+        }
+        val verdict = Dedup.semDedupOnCells(prior, fresh, "doc_id",
+          cfg.semMinCosine)
+        (s5.join(verdict.select(col("doc_id"), col("sem_dup")),
+          Seq("doc_id"), "left"), Some(c), Some(fresh))
+      case None =>
+        (s5.withColumn("sem_dup", lit(null).cast("boolean")), None, None)
+    }
+    val s6 = semJoined.filter(!coalesce(col("sem_dup"), lit(false))).cache()
+
+    // -- stage 8: substring-span keep-one-copy excision --
+    val spanIn = s6.select(col("doc_id"), col("text_dedup"))
+    val ex = priorShingles match {
+      case Some(idx) =>
+        val spans = SubstringDedup.nonCanonicalSpansIncremental(
+          idx.select(col("shingle_h")), spanIn, "text_dedup", "doc_id",
+          cfg.spanTokens)
+        SubstringDedup.cutSpans(spanIn, spans, "text_dedup", "doc_id")
+      case None =>
+        SubstringDedup.excise(spanIn, "text_dedup", "doc_id", cfg.spanTokens)
+    }
+    val s6j = s6.join(ex.select(col("doc_id"),
+      col("text_deduped").as("text_final")), Seq("doc_id"))
+    val s7 = s6j.filter(trim(col("text_final")) =!= "")
+      .withColumn("n_tokens", T.tokenCount(col("text_final")).cast("long"))
+      .cache()
+
+    // -- stage 9: temperature mixture (α = 0.5) over FINAL token mass --
+    val rates: Map[String, Double] = state0.map(_.rates).getOrElse {
+      // same arithmetic as Sampling.temperatureMixture at alphaHalves=1,
+      // computed once and frozen: p = floor(sqrt(dt·2^20)) fixed-point,
+      // rate = min(1, budget·p/Σp/dt) in the operator's left-to-right
+      // double order (IEEE sqrt/÷ are bit-portable; libm pow is not)
+      val totals = s7.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("long").as("dt"))
+        .withColumn("p",
+          floor(sqrt(col("dt").cast("double") * lit(1048576.0))).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val wsum = totals.map(_._3).sum
+      totals.map { case (src, dt, p) =>
+        val rate =
+          if (dt <= 0 || wsum <= 0) 0.0
+          else math.min(1.0,
+            cfg.budgetTokens.toDouble * p.toDouble / wsum.toDouble / dt.toDouble)
+        src -> rate
+      }.toMap
+    }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (d, rt)) =>
+      when(col("source") === lit(d), lit(rt)).otherwise(acc)
+    }
+    val s8 = s7.filter(Sampling.u01(col("doc_id"), "tempmix") < rateCol)
+
+    // -- assembly: one row per input doc, first failing stage named --
+    val assembled = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(lid.select(col("doc_id"), col("lid_pred")), Seq("doc_id"), "left")
+      .join(scored.select(col("doc_id"), col("lm_avg"),
+        (col("n_tri") > 0 && col("lm_avg") >= pplCut).as("__ppl_ok")),
+        Seq("doc_id"), "left")
+      .join(s3m.select(col("doc_id"), col("blocked")), Seq("doc_id"), "left")
+      .join(s3r.select(col("doc_id"),
+        (col("rep_dup_chars") * 2 > col("rep_chars")).as("__rep")),
+        Seq("doc_id"), "left")
+      .join(s4j.select(col("doc_id"), col("n_kept"),
+        (trim(col("text_dedup")) === "").as("__pempty")), Seq("doc_id"), "left")
+      .join(semJoined.select(col("doc_id"), col("sem_dup")),
+        Seq("doc_id"), "left")
+      .join(s6j.select(col("doc_id"), col("text_final"),
+        (trim(col("text_final")) === "").as("__sempty")), Seq("doc_id"), "left")
+      .join(s7.select(col("doc_id"), col("n_tokens")), Seq("doc_id"), "left")
+      .join(s8.select(col("doc_id"), lit(true).as("__sampled")),
+        Seq("doc_id"), "left")
+    val dropReason =
+      when(!col("lid_pred").isin(cfg.keepLangs: _*), lit("lang"))
+        .when(!col("__ppl_ok"), lit("perplexity"))
+        .when(col("blocked"), lit("blocked_url"))
+        .when(col("__rep"), lit("repetitive"))
+        .when(col("__pempty"), lit("empty"))
+        .when(coalesce(col("sem_dup"), lit(false)), lit("sem_dup"))
+        .when(col("__sempty"), lit("empty"))
+        .when(col("__sampled").isNull, lit("sampled_out"))
+    val annotated = assembled
+      .withColumn("drop_reason", dropReason)
+      .withColumn("kept", dropReason.isNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("lid_pred"),
+        col("lm_avg"), col("blocked"), col("n_kept"), col("sem_dup"),
+        col("n_tokens"), col("text_final"), col("drop_reason"), col("kept"))
+
+    CurationOutput(annotated,
+      CurationState(lidModels, pplModel, pplCut, rates),
+      newParas = Dedup.paraPostings(pdIn, "clean", "doc_id", sep),
+      newShingles = SubstringDedup.shinglePostings(spanIn, "text_dedup",
+        "doc_id", cfg.spanTokens),
+      cents = cents, newCells = newCells)
+  }
+
+  /** One-shot curation JOB: [[curate]] → write the per-document verdict
+    * frame (`annotated/`), the kept corpus (`corpus/`), a per-stage
+    * funnel (`funnel/`), and token-budget training shards (`shards/` —
+    * [[graft.operators.Sharding.writeShards]]). Returns the funnel
+    * (drop reason → docs, plus `kept`).
+    */
+  def runCuration(spark: SparkSession, docs: DataFrame, outDir: String,
+      cfg: CurationConfig = CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None,
+      shardTokens: Long = 100000L): Map[String, Long] = {
+    val ann = curate(docs, cfg, blocked, embeddings).cache()
+    try {
+      ann.write.mode("overwrite").parquet(s"$outDir/annotated")
+      ann.filter(col("kept"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("text_final"), col("n_tokens"))
+        .write.mode("overwrite").parquet(s"$outDir/corpus")
+      graft.operators.Sharding.writeShards(spark,
+        spark.read.parquet(s"$outDir/corpus"), s"$outDir/shards",
+        "doc_id", "n_tokens", shardTokens)
+      val funnel = ann
+        .groupBy(coalesce(col("drop_reason"), lit("kept")).as("stage"))
+        .agg(count(lit(1)).as("n"))
+      funnel.write.mode("overwrite").parquet(s"$outDir/funnel")
+      funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally ann.unpersist()
+  }
+
+  /** Bootstrap the INCREMENTAL curation pipeline: run the one-shot
+    * composition over `corpus`, then persist under `stateDir/curation/`
+    * everything a daily batch needs —
+    *
+    *   - `models`   LID + perplexity char-LM weight tables (`dim`-sized)
+    *   - `params`   the frozen perplexity tercile cutoff
+    *   - `rates`    the frozen per-domain mixture acceptance rates
+    *   - `cents`    the frozen SemDeDup IVF codebook (when embeddings)
+    *   - `cells`    assigned cell rows (append-only)
+    *   - `paras`    paragraph postings of the dedup-stage survivors
+    *   - `shingles` span-window postings of the excision-stage input
+    *   - `annotated` the per-batch verdict log (append-only)
+    *
+    * Freezing models/cut/rates/codebook is the CCNet operating
+    * discipline (percentile cutoffs computed once on a sample, applied
+    * as thresholds) and what makes the incremental twin exactly equal
+    * to the one-shot WITH THIS STATE (CorpusJobSpec): every remaining
+    * stage is either a narrow map or one of the family's incremental
+    * index operators, exact under the monotonic-id contract.
+    */
+  def fitCurationState(spark: SparkSession, corpus: DataFrame,
+      stateDir: String, cfg: CurationConfig = CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): DataFrame = {
+    val out = curateCore(corpus, cfg, blocked, embeddings,
+      None, None, None, None, None)
+    val dir = s"$stateDir/curation"
+    import spark.implicits._
+    val modelRows =
+      (out.state.lidModels ++ Seq("__ppl" -> out.state.pplModel))
+        .flatMap { case (name, m) =>
+          m.w3.zipWithIndex.map { case (w, b) => (name, 3, b, w) } ++
+            m.w2.zipWithIndex.map { case (w, b) => (name, 2, b, w) }
+        }.toDF("name", "kind", "bucket", "w")
+    Zone.overwriteInPlace(spark, modelRows, s"$dir/models")
+    Zone.overwriteInPlace(spark,
+      Seq(out.state.pplCut).toDF("ppl_cut"), s"$dir/params")
+    Zone.overwriteInPlace(spark,
+      out.state.rates.toSeq.toDF("source", "rate"), s"$dir/rates")
+    out.cents.foreach(Zone.overwriteInPlace(spark, _, s"$dir/cents"))
+    out.annotated.write.mode("append").parquet(s"$dir/annotated")
+    out.newCells.foreach(_.write.mode("append").parquet(s"$dir/cells"))
+    out.newParas.write.mode("append").parquet(s"$dir/paras")
+    out.newShingles.write.mode("append").parquet(s"$dir/shingles")
+    spark.read.parquet(s"$dir/annotated")
+  }
+
+  /** The daily INCREMENTAL curation twin: one batch through the same
+    * nine ordered stages against the frozen [[fitCurationState]] state
+    * — LID/perplexity/blocklist/repetition/mixture run as pure narrow
+    * maps under the persisted models/cut/rates (no corpus-global
+    * action anywhere), and the three dedup stages probe their persisted
+    * postings/codebook increment-sized:
+    * [[Dedup.paragraphDedupIncremental]],
+    * [[Dedup.semDedupOnCells]] over [[IvfIndex.assignIncrement]], and
+    * [[SubstringDedup.nonCanonicalSpansIncremental]]. Batch ids must
+    * grow monotonically across batches (the family's daily-append
+    * contract); under it, per-batch outputs union to exactly the
+    * one-shot composition with the same state (CorpusJobSpec). Domains
+    * absent from the frozen rate table drop (`sampled_out`) — re-fit
+    * state to admit new domains.
+    *
+    * Batch verdicts MATERIALIZE (append to `annotated/`) before the
+    * batch's own postings append — the probe plans read the tables
+    * being appended. Returns the batch's written verdict rows.
+    */
+  /** Load the frozen [[fitCurationState]] scalars back into a
+    * [[CurationState]] — a bounded collect (`dim`-sized weight tables,
+    * #domains rates, 1-row cut).
+    */
+  def loadCurationState(spark: SparkSession, stateDir: String,
+      cfg: CurationConfig = CurationConfig()): CurationState = {
+    val dir = s"$stateDir/curation"
+    val modelRows = spark.read.parquet(s"$dir/models").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    def model(name: String): CharLm.Model = {
+      val dim = if (name == "__ppl") cfg.pplDim else cfg.lidDim
+      val rows = modelRows.filter(_._1 == name)
+      def vec(kind: Int): IndexedSeq[Long] = {
+        val m = rows.filter(_._2 == kind).map(t => t._3 -> t._4).toMap
+        IndexedSeq.tabulate(dim)(b => m.getOrElse(b, 0L))
+      }
+      CharLm.Model(vec(3), vec(2))
+    }
+    CurationState(
+      lidModels = cfg.lidLangs.map(l => l -> model(l)),
+      pplModel = model("__ppl"),
+      pplCut = spark.read.parquet(s"$dir/params").head().getLong(0),
+      rates = spark.read.parquet(s"$dir/rates").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap)
+  }
+
+  /** The one-shot composition under a GIVEN frozen state and no prior
+    * indexes — the reference form the incremental twin is proven
+    * against (CorpusJobSpec): under monotonic batch ids,
+    * `fitCurationState(A) ∪ runCurationIncremental(B)` equals
+    * `curateWithState(A ∪ B, state(A))` row for row.
+    */
+  def curateWithState(docs: DataFrame, st: CurationState,
+      cfg: CurationConfig = CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None,
+      cents: Option[DataFrame] = None): DataFrame =
+    curateCore(docs, cfg, blocked, embeddings, Some(st),
+      cents, None, None, None).annotated
+
+  def runCurationIncremental(spark: SparkSession, batch: DataFrame,
+      stateDir: String, cfg: CurationConfig = CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): DataFrame = {
+    val dir = s"$stateDir/curation"
+    val st = loadCurationState(spark, stateDir, cfg)
+    val out = curateCore(batch, cfg, blocked, embeddings, Some(st),
+      Zone.readIfExists(spark, s"$dir/cents"),
+      Some(spark.read.parquet(s"$dir/paras")),
+      Some(spark.read.parquet(s"$dir/shingles")),
+      Zone.readIfExists(spark, s"$dir/cells"))
+    out.annotated.write.mode("append").parquet(s"$dir/annotated")
+    out.newParas.write.mode("append").parquet(s"$dir/paras")
+    out.newShingles.write.mode("append").parquet(s"$dir/shingles")
+    out.newCells.foreach(_.write.mode("append").parquet(s"$dir/cells"))
+    spark.read.parquet(s"$dir/annotated")
+      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
   /** Run annotate → filter → write corpus + per-language stats. Returns

@@ -211,7 +211,7 @@ object Dsir {
     * once so the range sampler's bounds cannot drift between the
     * count pass and the rank pass.
     */
-  private[operators] def globalRank(df: DataFrame, sortCols: Seq[Column],
+  private[graft] def globalRank(df: DataFrame, sortCols: Seq[Column],
       rankCol: String): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -644,4 +644,121 @@ class CorpusJobSpec extends SparkSpec {
     // probing half the cells scans roughly half the corpus per query
     assert(ivf.count() <= 50)
   }
+
+  // --- ordered curation pipeline -----------------------------------------
+
+  private val blockedDomains = Seq("spam.example").toDF("domain")
+
+  test("curate: each stage drops for its own reason; first failing stage wins") {
+    val pA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pB = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"unique first paragraph words here\n\n$pA\n\n$pB", "en", "web", "ok.example"),
+      (2L, null.asInstanceOf[String], "en", "web", "ok.example"),
+      (3L, s"a blocked document paragraph\n\n$pA extended further", "en", "web", "a.spam.example"),
+      (4L, s"$pB rep\n\n$pB rep\n\n$pB rep", "en", "web", "ok.example"),
+      (5L, s"unique first paragraph words here\n\n$pA\n\n$pB", "en", "web", "ok.example"),
+      (6L, "another distinct body paragraph entirely\n\nwith more fresh words beyond", "en", "web", "ok.example"),
+    ).toDF("doc_id", "text", "lang", "source", "host")
+    val cfg = CorpusJob.CurationConfig(pplGate = false, budgetTokens = 100000L)
+    val out = CorpusJob.curate(docs, cfg, Some(blockedDomains), None)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(out(1L) == null, s"doc 1 must survive, got ${out(1L)}")
+    assert(out(2L) == "lang", "NULL text scores 'und' and drops at LID")
+    assert(out(3L) == "blocked_url")
+    assert(out(4L) == "repetitive", "dup-line mass gate fires before corpus dedup")
+    assert(out(5L) == "empty", "exact copy of doc 1 loses every paragraph")
+    assert(out(6L) == null)
+  }
+
+  test("curate: perplexity gate drops the worst tercile under the seed LM") {
+    // ids all % 10 == 0 so the whole corpus seeds the LM; six distinct
+    // texts rank 6 ways, k = 2n/3 = 4 → ranks 5..6 fall below the cut
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (20L, "the quick brown fox runs through the green field every single day"),
+      (30L, "a slow grey wolf walks across the frozen lake at night alone"),
+      (40L, "qqq zzz xxx jjj vvv www kkk qqq zzz xxx jjj unseen rare trigrams"),
+      (50L, "zxqj wvkq pzzx jqqv xwzk qjvp kzxw vqjz unusual letter soup entirely"),
+      (60L, "the quick brown dog and the lazy fox trade places near the bank"),
+    ).map { case (i, t) => (i, t, "en", "web", "ok.example") }
+      .toDF("doc_id", "text", "lang", "source", "host")
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 100000L)
+    val out = CorpusJob.curate(docs, cfg, None, None).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("drop_reason"), r.getAs[java.lang.Long]("lm_avg"))).toMap
+    val dropped = out.filter(_._2._1 == "perplexity").keySet
+    assert(dropped.size == 2,
+      s"expect exactly the worst tercile (2 of 6) to drop, got $out")
+    // the dropped pair must be the two smallest lm_avg values
+    val avgs = out.view.mapValues(_._2).toMap
+    val worst2 = avgs.toSeq.sortBy { case (id, a) => (a.longValue, id) }.take(2).map(_._1).toSet
+    assert(dropped == worst2, s"dropped $dropped but worst-scored are $worst2")
+  }
+
+  test("curate: hygiene precedes dedup; dedup precedes sampling") {
+    val filler = "fresh distinct filler words number %d for the paragraph body"
+    val dupBody = "the very same duplicated document body repeated verbatim many times over\n\nsecond paragraph of the duplicated body with plenty more words inside"
+    val docs = (Seq(
+      // markup / NFC variants of ONE paragraph: dedup can only unify
+      // them because hygiene runs first
+      (1L, "<b>café subscription offers</b>\n\n" + filler.format(1), "en", "uniq", "ok.example"),
+      (2L, "café subscription offers\n\n" + filler.format(2), "en", "uniq", "ok.example"),
+      (3L, filler.format(3) + "\n\n" + filler.format(4), "en", "uniq", "ok.example"),
+    ) ++ (10L to 19L).map(i =>
+      // a domain whose RAW token mass is inflated 10× by exact copies —
+      // only the first survives paragraph dedup
+      (i, dupBody, "en", "dup", "ok.example"))
+    ).toDF("doc_id", "text", "lang", "source", "host")
+    val cfg = CorpusJob.CurationConfig(pplGate = false, budgetTokens = 150L)
+    val dir = tmpDir("curstate")
+    val rows = CorpusJob.fitCurationState(spark, docs, dir, cfg, None, None)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("drop_reason"), r.getAs[java.lang.Long]("n_kept"))).toMap
+    val ann = rows.view.mapValues(_._1).toMap
+    // hygiene→dedup: doc 2's first paragraph is a combining-mark NFC
+    // variant of doc 1's markup-wrapped one — it dedups away (n_kept
+    // drops to 1) ONLY because hygiene normalized both first
+    assert(ann(1L) == null, s"doc 1 should keep, got ${ann(1L)}")
+    assert(rows(2L)._2 == 1L,
+      s"doc 2's NFC-variant paragraph must dedup against doc 1 post-hygiene, got ${rows(2L)}")
+    assert((10L to 19L).count(i => ann(i) == "empty") == 9,
+      "9 of 10 exact copies lose every paragraph")
+    // dedup→sampling: the budget (150) covers the DEDUPED corpus, so
+    // every rate is 1.0 — had sampling seen the raw 10× mass, the dup
+    // domain's rate would be ≈ budget/rawTokens < 1
+    val st = CorpusJob.loadCurationState(spark, dir, cfg)
+    assert(st.rates.values.forall(_ == 1.0),
+      s"rates must derive from post-dedup mass (all 1.0), got ${st.rates}")
+    val rawDupTokens = docs.filter($"source" === "dup")
+      .agg(sum(graft.functions.TextFunctions.tokenCount($"text"))).head().getLong(0)
+    assert(rawDupTokens > cfg.budgetTokens,
+      "fixture sanity: raw mass must exceed the budget for the order to matter")
+    assert(ann.values.count(_ == "sampled_out") == 0)
+  }
+
+  test("runCurationIncremental: monotonic batches == curateWithState one-shot") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+    val bl = Seq("h3.example.com").toDF("domain")
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 20000L)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val a = docs.filter($"doc_id" <= n / 2)
+    val b = docs.filter($"doc_id" > n / 2)
+    val state = tmpDir("curinc")
+    val annA = CorpusJob.fitCurationState(spark, a, state, cfg, Some(bl), Some(emb))
+      .collect().map(_.toString).toSeq
+    val annB = CorpusJob.runCurationIncremental(spark, b, state, cfg, Some(bl), Some(emb))
+      .collect().map(_.toString).toSeq
+    val st = CorpusJob.loadCurationState(spark, state, cfg)
+    val cents = spark.read.parquet(s"$state/curation/cents")
+    val ref = CorpusJob.curateWithState(docs, st, cfg, Some(bl), Some(emb), Some(cents))
+      .collect().map(_.toString).toSeq
+    assert((annA ++ annB).sorted == ref.sorted,
+      s"batch union (${annA.size}+${annB.size}) != one-shot (${ref.size})")
+  }
 }
