@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   * pruning before an expensive non-join operator (dedup, ANN) that
   * consumes the filtered scan.
   *
-  * The probe is a deserialized `util.sketch.BloomFilter` behind a scala
-  * UDF — a deliberate exception to the functions-not-UDFs rule:
-  * `BloomFilterMightContain` is `private[sql]` with no public SQL
-  * registration, and the UDF sits in a `Filter` *under* the exchange,
-  * so it trims far more work than its boxing costs. The filter object
-  * ships to executors via the UDF closure (one broadcast-sized blob).
+  * The probe is the codegen'd [[graft.plans.BloomMightContain]]
+  * kernel over the SERIALIZED filter (Spark's own
+  * `BloomFilterMightContain` is `private[sql]` and bound to the
+  * runtime-filter subquery machinery, so it can't carry a pre-built
+  * reusable blob): the blob ships as a plan reference object, decodes
+  * once per executor, and the membership test runs inside the scan's
+  * whole-stage codegen — no boxing, no codegen break, which matters
+  * precisely because this predicate sits on the 100 TB probe scan.
   */
 object BloomJoin {
 
@@ -57,12 +59,16 @@ object BloomJoin {
         s"bloom join key '$key' has unsupported type $other — integral or string only")
     }
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     if (isIntegral) {
-      val probe = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
-      c => probe(c.cast("long"))
+      c => ColumnBridge.column(graft.plans.BloomMightContain(
+        ColumnBridge.expression(c.cast("long")), bytes, longKey = true))
     } else {
-      val probe = udf((k: String) => k != null && bf.mightContainString(k))
-      c => probe(c.cast("string"))
+      c => ColumnBridge.column(graft.plans.BloomMightContain(
+        ColumnBridge.expression(c.cast("string")), bytes, longKey = false))
     }
   }
 }

@@ -80,16 +80,33 @@ object CharLm {
     * exactly `fit(slice(g))` for each group g present.
     */
   def fitMany(curated: DataFrame, textCol: String, groupCol: String,
-      dim3: Int = 4096, dim2: Int = 4096): Map[String, Model] = {
+      dim3: Int = 4096, dim2: Int = 4096,
+      maxCells: Int = 4 << 20): Map[String, Model] = {
     require(dim3 >= 1 && dim2 >= 1, "dims must be >= 1")
+    require(maxCells >= 1, "maxCells must be >= 1")
     def countsBy(k: Int, dim: Int): Map[String, Array[Long]] = {
+      // DRIVER BUDGET (the Dsir "documented 2×dim collect" discipline):
+      // the collect is ≤ groups·dim (group, bucket, count) rows per
+      // n-gram order. Nothing upstream caps the group count, so a
+      // caller fitting per-domain models over thousands of domains
+      // would otherwise discover the limit as a driver OOM — the
+      // limit+require fails LOUDLY at `maxCells` rows (default 4M ≈
+      // 1k groups at dim 4096) without materializing past the budget.
+      // Fit in group chunks (union the returned maps) or raise
+      // maxCells deliberately if the budget is really wanted.
       val rows = curated
         .filter(col(groupCol).isNotNull)
         .select(col(groupCol).cast("string").as("__g"),
           explode(charNgrams(lower(col(textCol)), k)).as("__h"))
         .select(col("__g"), (col("__h") % dim).as("bucket"))
         .groupBy(col("__g"), col("bucket")).agg(count(lit(1)).as("ct"))
+        .limit(maxCells + 1)
         .collect()
+      require(rows.length <= maxCells,
+        s"CharLm.fitMany driver budget exceeded: more than maxCells=" +
+          s"$maxCells (group, bucket) cells at dim $dim — fit in group " +
+          "chunks and merge the maps, or raise maxCells deliberately " +
+          "(the collect is driver-resident)")
       rows.groupBy(_.getString(0)).map { case (g, rs) =>
         val dense = new Array[Long](dim)
         rs.foreach(r => dense(r.getLong(1).toInt) = r.getLong(2))

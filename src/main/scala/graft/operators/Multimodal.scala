@@ -22,15 +22,22 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Metadata struct carried alongside every media blob. */
+  /** Metadata struct carried alongside every media blob.
+    * `decoded_real` is the honesty bit: TRUE only when the full pixel
+    * raster actually decoded ([[graft.plans.PngPixels]] — PNG today);
+    * header-parse-only rows (jpeg/gif/wav/mp4 dims/duration) and
+    * stub-derived rows are FALSE, so a consumer can tell real decode
+    * output from plumbing-tested fakes in the schema, not the docs.
+    */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),   // image|audio|video
     StructField("format", StringType),       // sniffed container format
     StructField("n_bytes", LongType),
-    StructField("width", IntegerType),       // STUB-derived
-    StructField("height", IntegerType),      // STUB-derived
-    StructField("duration_ms", LongType),    // STUB-derived (audio/video)
+    StructField("width", IntegerType),       // header-derived (or stub)
+    StructField("height", IntegerType),      // header-derived (or stub)
+    StructField("duration_ms", LongType),    // header-derived (or stub)
     StructField("is_corrupt", BooleanType),
+    StructField("decoded_real", BooleanType),
   ))
 
   /** Container-format sniffing from magic bytes — real (not stubbed):
@@ -67,12 +74,15 @@ object Multimodal {
       graft.plans.AvHeader(ColumnBridge.expression(blob)))
   }
 
-  /** ??? — the full codec decoder (pixels/audio/video). In production
-    * this calls the codec library per partition (JNI/FFI), never a
-    * driver loop. Here it is a deterministic fake: dimensions/duration
-    * derived from a byte hash, so tests are stable and the schema
-    * contract is exercised. Only consulted for blobs that are NOT a
-    * recognized image container — those parse for real above.
+  /** The remaining codec stub (audio/video sample decode and non-PNG
+    * pixel decode). In production this calls the codec library per
+    * partition (JNI/FFI), never a driver loop. Here it is a
+    * deterministic fake: dimensions/duration derived from a byte hash,
+    * so tests are stable and the schema contract is exercised. Only
+    * consulted for blobs that are NOT a recognized container — PNG
+    * pixels decode for REAL ([[graft.plans.PngPixels]]), image/AV
+    * headers parse for real above, and stub rows carry
+    * `decoded_real = false` in the schema.
     */
   private def decodeStubRow(bytes: Array[Byte], mediaType: String): (Int, Int, Long, Boolean) =
     if (bytes == null || bytes.length < 8) (0, 0, 0L, true)
@@ -114,21 +124,29 @@ object Multimodal {
           else row.getAs[Array[Byte]](blobIdx)
         val fmt = if (row.isNullAt(fmtIdx)) null else row.getString(fmtIdx)
         // recognized image containers decode for REAL (header parse +
-        // trailer truncation check); everything else keeps the stub,
-        // so the q49 contract for non-image bytes is unchanged
-        val (w, h, dur, corrupt) =
+        // trailer truncation check); PNG additionally decodes its full
+        // pixel raster (graft.plans.PngPixels) and earns decoded_real;
+        // everything else keeps the stub, so the q49 contract for
+        // non-image bytes is unchanged
+        val (w, h, dur, corrupt, real) =
           if (fmt == "png" || fmt == "jpeg" || fmt == "gif") {
             val p = graft.plans.ImageHeader.parse(bytes)
-            (p.width.max(0), p.height.max(0), 0L, p.truncated || p.width < 0)
+            val pixelsOk = fmt == "png" && !p.truncated && p.width >= 0 &&
+              graft.plans.PngPixels.decode(bytes).isDefined
+            (p.width.max(0), p.height.max(0), 0L,
+              p.truncated || p.width < 0, pixelsOk)
           } else if (fmt == "riff" || fmt == "mp4") {
             // WAV/MP4 headers carry a real duration; RIFF/AVI and
             // header-cut streams fall back to the stub
             val p = graft.plans.AvHeader.parse(bytes)
-            if (p.durationMs >= 0) (0, 0, p.durationMs, p.truncated)
-            else decodeStubRow(bytes, mediaType)
-          } else decodeStubRow(bytes, mediaType)
+            if (p.durationMs >= 0) (0, 0, p.durationMs, p.truncated, false)
+            else { val s = decodeStubRow(bytes, mediaType)
+              (s._1, s._2, s._3, s._4, false) }
+          } else { val s = decodeStubRow(bytes, mediaType)
+            (s._1, s._2, s._3, s._4, false) }
         val meta = Row(mediaType, fmt,
-          if (bytes == null) 0L else bytes.length.toLong, w, h, dur, corrupt)
+          if (bytes == null) 0L else bytes.length.toLong, w, h, dur, corrupt,
+          real)
         Row.fromSeq(row.toSeq.patch(fmtIdx, Nil, 1) :+ meta)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

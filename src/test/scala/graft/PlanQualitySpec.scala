@@ -305,15 +305,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("WindowExec"), "sketch path must not sort-window")
   }
 
-  test("q60: bloom probe filters the scan side BELOW the join") {
+  test("q60: bloom probe filters the scan side BELOW the join, inside codegen") {
     // text plans print top-down (join above its inputs), so the probe
     // filter must appear AFTER the join node — i.e. under the exchange,
     // where it trims shuffle write
-    val p = plan(SparkEntry.q60_bloom_join(spark, dir))
+    val df = SparkEntry.q60_bloom_join(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages print
+    val p = df.queryExecution.executedPlan.toString
     val joinAt = p.indexOf("Join")
-    val udfAt = p.indexOf("UDF")
-    assert(joinAt >= 0 && udfAt > joinAt,
-      s"bloom UDF filter not below the join: join@$joinAt udf@$udfAt\n${p.take(2000)}")
+    val probeAt = p.indexOf("graft_bloom_contains")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe filter not below the join: join@$joinAt probe@$probeAt\n${p.take(2000)}")
+    assert(!p.contains("UDF"), "probe must be the native kernel, not a udf")
+    // the probe's Filter stays inside whole-stage codegen (the '*' node
+    // prefix in the text plan) — the old udf form broke the span here
+    val probeLine = p.split("\n").find(l =>
+      l.contains("Filter") && l.contains("graft_bloom_contains")).get
+    assert(probeLine.matches(""".*\*\(\d+\) Filter.*"""),
+      s"probe filter outside whole-stage codegen: $probeLine")
   }
 
   test("q68: the benchmark shingle set broadcasts (eval sets are tiny)") {

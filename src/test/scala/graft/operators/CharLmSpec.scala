@@ -182,6 +182,21 @@ class CharLmSpec extends SparkSpec {
     }
   }
 
+  test("fitMany: driver budget breach fails loudly, not as an OOM") {
+    import spark.implicits._
+    // 1000 groups of short text: cells ≈ groups × distinct buckets —
+    // far over a 100-cell budget, and the failure must name the knob
+    val many = (0 until 1000).map(i => (s"g$i", "abcdef")).toDF("grp", "text")
+    val e = intercept[IllegalArgumentException] {
+      CharLm.fitMany(many, "text", "grp", dim3 = 64, dim2 = 64, maxCells = 100)
+    }
+    assert(e.getMessage.contains("maxCells"), e.getMessage)
+    // the same corpus fits fine under the default budget
+    val ok = CharLm.fitMany(many.filter($"grp".isin("g0", "g1")), "text", "grp",
+      dim3 = 64, dim2 = 64)
+    assert(ok.keySet == Set("g0", "g1"))
+  }
+
   test("SQL registration: graft_char_ngrams(text, k)") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(

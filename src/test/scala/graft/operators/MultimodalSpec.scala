@@ -39,6 +39,13 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getBoolean(4), "short blob flagged corrupt")
     assert(rows(3).toSeq == Seq(4L, "png", realPng.length.toLong, 1, false),
       "a real PNG decodes its true header dims")
+    // the honesty bit: only the fully-pixel-decoded PNG is
+    // decoded_real; header-garbage png, jpeg and stub rows are not
+    val real = out.orderBy("id")
+      .select($"id", $"media_meta.decoded_real").as[(Long, Boolean)]
+      .collect().toSeq
+    assert(real == Seq((1L, false), (2L, false), (3L, false), (4L, true)),
+      s"decoded_real flags wrong: $real")
     // determinism: same bytes → same features
     val again = Multimodal.withMediaMeta(spark, df, "blob", "image")
       .orderBy("id").select($"media_meta.width").as[Int].collect().toSeq

@@ -255,6 +255,10 @@ class ShardingSpec extends SparkSpec {
     // a trainer reads shard k as one directory glob
     val shard0 = spark.read.parquet(s"$dir/shards/shard_id=0")
     assert(shard0.count() == m.map { case (k, v, _) => k -> v }.toMap.apply(0L))
+    // the per-file sha256 audit trail ships with the export
+    val fh = spark.read.parquet(s"$dir/_filehashes")
+    assert(fh.select("shard_id").distinct().count() == m.length.toLong)
+    assert(fh.filter(length(col("sha256")) =!= 64).count() == 0)
   }
 
   test("writeShards json: JSON Lines layout, manifest identical to parquet export") {
@@ -274,6 +278,43 @@ class ShardingSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
     assert(lines.nonEmpty && lines.forall(l =>
       l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")))
+  }
+
+  test("fileHashes audit trail: redaction changes exactly the rewritten partitions' hashes") {
+    val budget = 2000L
+    val state = tmpDir("shardaudit")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    Sharding.continueShards(spark, docs.filter($"doc_id" <= n / 2), state,
+      "doc_id", "n_tokens", budget, batchId = 0L)
+    Sharding.continueShards(spark, docs.filter($"doc_id" > n / 2), state,
+      "doc_id", "n_tokens", budget, batchId = 1L)
+    def snapshot() = Sharding.fileHashes(spark, s"$state/shards")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getString(0), r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val before = snapshot()
+    assert(before.nonEmpty && before.values.forall(_.forall(_._3.length == 64)))
+    // redact a few scattered docs; record which partitions hold them
+    val rows = spark.read.parquet(s"$state/shards")
+      .select($"doc_id", $"__batch_id".cast("long"), $"shard_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val delIds = rows.map(_._1).filter(_ % 17 == 3).toSet
+    val touched = rows.filter(r => delIds.contains(r._1))
+      .map(r => (r._2, r._3)).toSet
+    assert(delIds.nonEmpty && touched.size < before.size,
+      "fixture sanity: some partitions must stay untouched")
+    Sharding.redactShards(spark, state, delIds.toSeq.toDF("doc_id"), "doc_id")
+    val after = snapshot()
+    // rewritten partitions: hash set differs; untouched: byte-identical
+    for ((part, files) <- before) {
+      if (touched.contains(part))
+        assert(after.get(part).forall(_ != files),
+          s"rewritten partition $part kept identical file hashes")
+      else
+        assert(after(part) == files,
+          s"untouched partition $part was rewritten: $files -> ${after(part)}")
+    }
   }
 
   test("writeShards json: all-NULL token column survives read-back (schema pinned, not inferred)") {
