@@ -2987,6 +2987,412 @@ object OracleSql {
           / 1152921504606846976.0 < r.rate
     ORDER BY t.doc_id"""
 
+  /** The q110 strip chain around an inner expression, composed AFTER
+    * nfc_normalize — the per-paragraph hygiene lambda body of q126.
+    * Non-interpolated so the regex backslashes stay literal.
+    */
+  private val hygChain: String = """trim(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(nfc_normalize(p),
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;', '''', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '&amp;', '&', 'g'),
+      '\s+', ' ', 'g'))"""
+
+  /** q126 — the full ordered curation composition (CorpusJob.curate):
+    * per-paragraph NFC + HTML-strip hygiene, char-LM LID (q124 algebra
+    * on the CLEAN text, dim 1024), the CCNet perplexity gate (q115
+    * algebra on the LID survivors, dim 4096, threshold form: cut = the
+    * lm_avg at the 2n/3 rank, keep >= cut), URL blocklist (q119),
+    * Gopher dup-line mass gate (q116), corpus-wide paragraph dedup
+    * over the survivors (q117), SemDeDup over the survivors'
+    * embeddings (q118 — codebook picked FROM the survivor set),
+    * substring-span keep-one-copy excision (q91 on the
+    * paragraph-deduped text), and the temperature mixture (q125) over
+    * the FINAL token mass. Every stage CTE reads the previous stage's
+    * survivor set — the staged composition is the thing under test.
+    * Final assembly mirrors the Spark first-failing-stage CASE chain
+    * (NULL stage columns for docs that never reached the stage).
+    */
+  private val q126: String = s"""
+    WITH RECURSIVE
+    d0 AS (
+      SELECT doc_id, lang, source, coalesce(text, '') AS t0 FROM documents),
+    syn AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             concat_ws(chr(10) || chr(10),
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '<b>subscribe to our newsletter</b>'
+                 WHEN 1 THEN 'subscribe   to our newsletter'
+                 ELSE 'subscribe to our newsletter' END,
+               substr(t0, 1, 60),
+               CASE WHEN doc_id % 2 = 0 THEN 'cafe' || chr(769) || ' corner'
+                    ELSE 'caf' || chr(233) || ' corner' END,
+               CASE WHEN doc_id % 9 = 0 THEN substr(t0, 1, 60)
+                    ELSE substr(t0, 61, 60) END,
+               CASE WHEN doc_id % 9 = 0 THEN substr(t0, 1, 60)
+                    ELSE 'copyright 2026' END) AS body,
+             concat(CASE WHEN doc_id % 4 = 0 THEN 'sub.' ELSE '' END,
+               'example', CAST(doc_id % 40 AS VARCHAR), '.com') AS host
+      FROM d0),
+    hyg AS MATERIALIZED (
+      SELECT doc_id, lang, source, host,
+             array_to_string(
+               list_transform(string_split(body, chr(10) || chr(10)),
+                 p -> $hygChain),
+               chr(10) || chr(10)) AS clean
+      FROM syn),
+    ltc AS MATERIALIZED (SELECT doc_id, lang, clean, lower(clean) AS t FROM hyg),
+    langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+    curated AS MATERIALIZED (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${h60("concat('cap:', CAST(doc_id AS VARCHAR))")} ASC,
+                          doc_id ASC) AS rn
+        FROM ltc WHERE doc_id % 2 = 0 AND clean IS NOT NULL)
+      WHERE rn <= 30),
+    ntL AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN clean IS NULL THEN NULL
+                  ELSE greatest(length(t) - 2, 0) END AS n_tri
+      FROM ltc),
+    triL AS MATERIALIZED (
+      SELECT doc_id,
+             ${h60("substr(t, i, 3)")} % 1024 AS b3,
+             ${h60("substr(t, i, 2)")} % 1024 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t
+            FROM ltc WHERE length(t) >= 3)),
+    bigL AS MATERIALIZED (
+      SELECT doc_id, ${h60("substr(t, i, 2)")} % 1024 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t))) AS i, t
+            FROM ltc WHERE length(t) >= 2)),
+    ct3L AS (SELECT c.lang, triL.b3 AS b, count(*) AS ct
+             FROM triL JOIN curated c USING (doc_id)
+             GROUP BY c.lang, triL.b3),
+    ct2L AS (SELECT c.lang, bigL.b2 AS b, count(*) AS ct
+             FROM bigL JOIN curated c USING (doc_id)
+             GROUP BY c.lang, bigL.b2),
+    valsL AS (
+      SELECT DISTINCT v FROM (
+        SELECT coalesce(ct3L.ct, 0) + 1 AS v
+        FROM range(0, 1024) s(b) CROSS JOIN langs
+        LEFT JOIN ct3L ON ct3L.lang = langs.lang AND ct3L.b = s.b
+        UNION ALL
+        SELECT coalesce(ct2L.ct, 0) + 1024 AS v
+        FROM range(0, 1024) s(b) CROSS JOIN langs
+        LEFT JOIN ct2L ON ct2L.lang = langs.lang AND ct2L.b = s.b)),
+    lg0L AS (SELECT v, length(bin(v)) - 1 AS m FROM valsL),
+    lgiL(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0L
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgiL WHERE i < 10)),
+    lgL AS MATERIALIZED (SELECT v, r FROM lgiL WHERE i = 10),
+    w3L AS MATERIALIZED (
+      SELECT langs.lang, s.b, lgL.r AS wv
+      FROM range(0, 1024) s(b) CROSS JOIN langs
+      LEFT JOIN ct3L ON ct3L.lang = langs.lang AND ct3L.b = s.b
+      JOIN lgL ON lgL.v = coalesce(ct3L.ct, 0) + 1),
+    w2L AS MATERIALIZED (
+      SELECT langs.lang, s.b, lgL.r AS wv
+      FROM range(0, 1024) s(b) CROSS JOIN langs
+      LEFT JOIN ct2L ON ct2L.lang = langs.lang AND ct2L.b = s.b
+      JOIN lgL ON lgL.v = coalesce(ct2L.ct, 0) + 1024),
+    scL AS MATERIALIZED (
+      SELECT triL.doc_id, w3L.lang,
+             CAST(sum(w3L.wv - w2L.wv) AS BIGINT) AS s
+      FROM triL
+      JOIN w3L ON w3L.b = triL.b3
+      JOIN w2L ON w2L.lang = w3L.lang AND w2L.b = triL.b2
+      GROUP BY triL.doc_id, w3L.lang),
+    pickL AS (
+      SELECT scL.doc_id, scL.lang,
+             row_number() OVER (PARTITION BY scL.doc_id
+               ORDER BY scL.s // ntL.n_tri DESC, scL.lang ASC) AS r
+      FROM scL JOIN ntL USING (doc_id) WHERE ntL.n_tri > 0),
+    lid AS MATERIALIZED (
+      SELECT l.doc_id, coalesce(p.lang, 'und') AS lid_pred
+      FROM ltc l
+      LEFT JOIN (SELECT doc_id, lang FROM pickL WHERE r = 1) p
+        USING (doc_id)),
+    s1 AS MATERIALIZED (
+      SELECT l.doc_id, l.t, ntL.n_tri
+      FROM ltc l JOIN ntL USING (doc_id) JOIN lid USING (doc_id)
+      WHERE lid.lid_pred IN ('de', 'en', 'es', 'fr')),
+    triP AS MATERIALIZED (
+      SELECT doc_id,
+             ${h60("substr(t, i, 3)")} % 4096 AS b3,
+             ${h60("substr(t, i, 2)")} % 4096 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t) - 1)) AS i, t
+            FROM s1 WHERE length(t) >= 3)),
+    bigP AS MATERIALIZED (
+      SELECT doc_id, ${h60("substr(t, i, 2)")} % 4096 AS b2
+      FROM (SELECT doc_id, unnest(range(1, length(t))) AS i, t
+            FROM s1 WHERE length(t) >= 2)),
+    ct3P AS (SELECT b3 AS b, count(*) AS ct FROM triP
+             WHERE doc_id % 10 = 0 GROUP BY b3),
+    ct2P AS (SELECT b2 AS b, count(*) AS ct FROM bigP
+             WHERE doc_id % 10 = 0 GROUP BY b2),
+    valsP AS (
+      SELECT DISTINCT v FROM (
+        SELECT coalesce(t3.ct, 0) + 1 AS v
+        FROM range(0, 4096) s(b) LEFT JOIN ct3P t3 ON t3.b = s.b
+        UNION ALL
+        SELECT coalesce(t2.ct, 0) + 4096 AS v
+        FROM range(0, 4096) s(b) LEFT JOIN ct2P t2 ON t2.b = s.b)),
+    lg0P AS (SELECT v, length(bin(v)) - 1 AS m FROM valsP),
+    lgiP(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0P
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgiP WHERE i < 10)),
+    lgP AS MATERIALIZED (SELECT v, r FROM lgiP WHERE i = 10),
+    w3P AS MATERIALIZED (
+      SELECT s.b, lgP.r AS wv
+      FROM range(0, 4096) s(b)
+      LEFT JOIN ct3P ON ct3P.b = s.b
+      JOIN lgP ON lgP.v = coalesce(ct3P.ct, 0) + 1),
+    w2P AS MATERIALIZED (
+      SELECT s.b, lgP.r AS wv
+      FROM range(0, 4096) s(b)
+      LEFT JOIN ct2P ON ct2P.b = s.b
+      JOIN lgP ON lgP.v = coalesce(ct2P.ct, 0) + 4096),
+    scP AS MATERIALIZED (
+      SELECT triP.doc_id, CAST(sum(w3P.wv - w2P.wv) AS BIGINT) AS s
+      FROM triP
+      JOIN w3P ON w3P.b = triP.b3
+      JOIN w2P ON w2P.b = triP.b2
+      GROUP BY triP.doc_id),
+    pavg AS MATERIALIZED (
+      SELECT s1.doc_id, s1.n_tri,
+             CASE WHEN s1.n_tri > 0
+                  THEN coalesce(scP.s, 0) // s1.n_tri END AS lm_avg
+      FROM s1 LEFT JOIN scP USING (doc_id)),
+    prank AS MATERIALIZED (
+      SELECT doc_id, lm_avg,
+             row_number() OVER (ORDER BY lm_avg DESC, doc_id) AS r
+      FROM pavg WHERE n_tri > 0),
+    pn AS (SELECT count(*) AS cnt FROM prank),
+    pcut AS MATERIALIZED (
+      SELECT coalesce(
+        (SELECT p.lm_avg FROM prank p, pn WHERE p.r = 2 * pn.cnt // 3),
+        -9223372036854775807 - 1) AS cut),
+    s2 AS MATERIALIZED (
+      SELECT pv.doc_id FROM pavg pv, pcut
+      WHERE pv.n_tri > 0 AND pv.lm_avg >= pcut.cut),
+    blocked(domain) AS (
+      VALUES ('example7.com'), ('example23.com'), ('sub.example11.com')),
+    bnorm AS (
+      SELECT s2.doc_id,
+             regexp_replace(lower(syn.host), '[.]$$', '') AS nhost
+      FROM s2 JOIN syn USING (doc_id)),
+    bsufs AS (
+      SELECT doc_id, array_to_string(l[len(l) - k + 1 :], '.') AS suffix
+      FROM (SELECT doc_id, string_split(nhost, '.') AS l,
+                   unnest(range(1, len(string_split(nhost, '.')) + 1)) AS k
+            FROM bnorm)),
+    bhits AS (
+      SELECT doc_id, min(s.suffix) AS matched_domain
+      FROM bsufs s JOIN blocked b ON s.suffix = lower(b.domain)
+      GROUP BY doc_id),
+    bmark AS MATERIALIZED (
+      SELECT n.doc_id, h.matched_domain IS NOT NULL AS blocked
+      FROM bnorm n LEFT JOIN bhits h USING (doc_id)),
+    s3 AS MATERIALIZED (SELECT doc_id FROM bmark WHERE NOT blocked),
+    rep AS MATERIALIZED (
+      SELECT s3.doc_id,
+             length(h.clean)
+               - (len(string_split(h.clean, chr(10))) - 1) AS line_chars,
+             length(h.clean)
+               - (len(string_split(h.clean, chr(10))) - 1)
+               - length(array_to_string(
+                   list_distinct(string_split(h.clean, chr(10))), ''))
+               AS dup_chars
+      FROM s3 JOIN hyg h USING (doc_id)),
+    s4 AS MATERIALIZED (SELECT doc_id FROM rep WHERE NOT (dup_chars * 2 > line_chars)),
+    paras AS (
+      SELECT h.doc_id,
+             unnest(string_split(h.clean, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(h.clean, chr(10) || chr(10)), 1)
+               - 1 AS pos
+      FROM hyg h JOIN s4 ON s4.doc_id = h.doc_id),
+    marked AS MATERIALIZED (
+      SELECT doc_id, para, pos,
+             para = '' OR row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, pos) = 1 AS keep
+      FROM paras),
+    pd AS MATERIALIZED (
+      SELECT doc_id,
+             coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS text_dedup,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+      FROM marked GROUP BY doc_id),
+    s5 AS MATERIALIZED (SELECT doc_id FROM pd WHERE trim(text_dedup) != ''),
+    ebase AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM s5)),
+    en2 AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))
+               AS BIGINT) AS n2v
+      FROM ebase),
+    ecents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM en2 ORDER BY h LIMIT 16)),
+    easg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC,
+                        centroid_id ASC) AS rn
+      FROM en2 CROSS JOIN ecents),
+    eassigned AS MATERIALIZED (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2
+      FROM easg WHERE rn = 1),
+    elosers AS MATERIALIZED (
+      SELECT b.id AS id_b,
+             max(round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6)) AS nn_cosine
+      FROM eassigned a JOIN eassigned b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+      WHERE round(${qcos("a.aq", "b.aq", "a.an2", "b.an2")}, 6) >= 0.35
+      GROUP BY b.id),
+    sem AS MATERIALIZED (
+      SELECT s5.doc_id,
+             CASE WHEN ea.id IS NULL THEN NULL
+                  ELSE el.nn_cosine IS NOT NULL END AS sem_dup
+      FROM s5
+      LEFT JOIN eassigned ea ON ea.id = s5.doc_id
+      LEFT JOIN elosers el ON el.id_b = s5.doc_id),
+    s6 AS MATERIALIZED (SELECT doc_id FROM sem WHERE NOT coalesce(sem_dup, false)),
+    st AS MATERIALIZED (
+      SELECT s6.doc_id,
+             CASE WHEN pd.text_dedup IS NULL OR trim(pd.text_dedup) = ''
+                  THEN [] ELSE string_split_regex(trim(pd.text_dedup), '\\s+')
+                  END AS tk
+      FROM s6 JOIN pd USING (doc_id)),
+    ssh AS MATERIALIZED (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(range(1, len(tk) - 6)) AS pos,
+               unnest(list_transform(range(1, len(tk) - 6),
+                 i -> md5(array_to_string(
+                   list_transform(tk[i:i+7], x -> lower(x)), ' ')))) AS m
+        FROM st)),
+    sr AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM ssh),
+    sp0 AS MATERIALIZED (SELECT doc_id, pos FROM sr WHERE rn >= 2),
+    smk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM sp0),
+    sg AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM smk),
+    ssp AS MATERIALIZED (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM sg GROUP BY doc_id, grp),
+    stoks AS MATERIALIZED (
+      SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok
+      FROM st),
+    skeep AS (
+      SELECT tk0.doc_id, tk0.pos, tk0.tok
+      FROM stoks tk0
+      WHERE NOT EXISTS (SELECT 1 FROM ssp
+                        WHERE ssp.doc_id = tk0.doc_id
+                          AND tk0.pos BETWEEN ssp.s AND ssp.e)),
+    sagg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM skeep GROUP BY doc_id),
+    ex AS MATERIALIZED (
+      SELECT st.doc_id, coalesce(sagg.txt, '') AS text_final
+      FROM st LEFT JOIN sagg USING (doc_id)),
+    s7 AS MATERIALIZED (
+      SELECT doc_id, text_final,
+             CAST(len(CASE WHEN trim(text_final) = '' THEN []
+                           ELSE string_split_regex(trim(text_final), '\\s+')
+                           END) AS BIGINT) AS n_tokens
+      FROM ex WHERE trim(text_final) != ''),
+    mtot AS (
+      SELECT d.source, CAST(sum(s7.n_tokens) AS BIGINT) AS dt,
+             CAST(floor(sqrt(CAST(sum(s7.n_tokens) AS DOUBLE) * 1048576.0))
+               AS BIGINT) AS p
+      FROM s7 JOIN documents d USING (doc_id)
+      GROUP BY d.source),
+    mws AS (SELECT CAST(sum(p) AS BIGINT) AS wsum FROM mtot),
+    mr AS (
+      SELECT source,
+             least(1.0, 4000.0 * CAST(p AS DOUBLE) / CAST(wsum AS DOUBLE)
+                        / CAST(dt AS DOUBLE)) AS rate
+      FROM mtot CROSS JOIN mws),
+    samp AS MATERIALIZED (
+      SELECT s7.doc_id
+      FROM s7 JOIN documents d USING (doc_id) JOIN mr ON mr.source = d.source
+      WHERE CAST(${h60("'tempmix:' || CAST(s7.doc_id AS VARCHAR)")} AS DOUBLE)
+            / 1152921504606846976.0 < mr.rate),
+    fin AS (
+      SELECT d.doc_id, d.lang, d.source,
+             lid.lid_pred,
+             pv.lm_avg,
+             bm.blocked,
+             pd.n_kept,
+             sem.sem_dup,
+             s7.n_tokens,
+             ex.text_final,
+             CASE
+               WHEN lid.lid_pred NOT IN ('de', 'en', 'es', 'fr') THEN 'lang'
+               WHEN NOT (pv.n_tri > 0 AND pv.lm_avg >= pc.cut) THEN 'perplexity'
+               WHEN bm.blocked THEN 'blocked_url'
+               WHEN rep.dup_chars * 2 > rep.line_chars THEN 'repetitive'
+               WHEN trim(pd.text_dedup) = '' THEN 'empty'
+               WHEN coalesce(sem.sem_dup, false) THEN 'sem_dup'
+               WHEN trim(ex.text_final) = '' THEN 'empty'
+               WHEN samp.doc_id IS NULL THEN 'sampled_out'
+             END AS drop_reason
+      FROM documents d
+      CROSS JOIN pcut pc
+      LEFT JOIN lid ON lid.doc_id = d.doc_id
+      LEFT JOIN pavg pv ON pv.doc_id = d.doc_id
+      LEFT JOIN bmark bm ON bm.doc_id = d.doc_id
+      LEFT JOIN rep ON rep.doc_id = d.doc_id
+      LEFT JOIN pd ON pd.doc_id = d.doc_id
+      LEFT JOIN sem ON sem.doc_id = d.doc_id
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN s7 ON s7.doc_id = d.doc_id
+      LEFT JOIN samp ON samp.doc_id = d.doc_id)
+    SELECT doc_id, lang, source, lid_pred, lm_avg, blocked, n_kept,
+           sem_dup, n_tokens, text_final, drop_reason,
+           drop_reason IS NULL AS kept
+    FROM fin
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3112,5 +3518,6 @@ object OracleSql {
     "q123_dedup_lines" -> q123,
     "q124_charlm_lid" -> q124,
     "q125_temperature_mixture" -> q125,
+    "q126_curation_pipeline" -> q126,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

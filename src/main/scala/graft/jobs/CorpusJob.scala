@@ -863,10 +863,30 @@ object CorpusJob {
     // -- stage 1: hygiene (per-paragraph NFC + HTML strip) --
     val cleanParas = transform(split(col("text"), sepQ, -1),
       p => T.stripHtmlComposed(T.normalizeNfc(p)))
+    // localCheckpoint, not cache: the stage frames all chain off this
+    // one, and a cached-but-lazy lineage would make every downstream
+    // join re-OPTIMIZE the hygiene HOF + char-LM kernel trees (the
+    // planner cost dominates the small per-stage jobs — measured 60 s
+    // at sf0.1 with plain cache, planner-bound, executors idle).
+    // Truncating lineage at the three kernel-heavy frames (base / lid /
+    // scored) keeps every later plan ordinary-columnar. In a production
+    // run these frames materialize to the corpus store anyway
+    // (runCuration persists the verdict log); executor block storage is
+    // the in-session equivalent.
     val base = docs.withColumn("clean",
         when(col("text").isNull, lit(null).cast("string"))
           .otherwise(array_join(cleanParas, sep)))
-      .cache()
+      .localCheckpoint(true)
+
+    // The stage verdicts ride ONE frame as cumulative `alive` masks —
+    // narrow stages (LID / perplexity / blocklist / repetition /
+    // mixture) add columns with no join at all, and only the four
+    // corpus-global stages (paragraph dedup, SemDeDup, span excision,
+    // and the blocklist's suffix aggregation) join their survivor-set
+    // results back on doc_id. The earlier nine-frame assembly spent
+    // ~2/3 of its wall in the PLANNER (each joined frame re-optimized
+    // the whole upstream kernel chain; 69 AQE jobs at sf0.1); this
+    // form plans once per materialization and runs ~15 jobs.
 
     // -- stage 2: char-LM language ID --
     val lidModels = state0.map(_.lidModels).getOrElse {
@@ -879,64 +899,74 @@ object CorpusJob {
       lazy val empty = CharLm.fit(base.limit(0), "clean", cfg.lidDim, cfg.lidDim)
       cfg.lidLangs.map(l => l -> fitted.getOrElse(l, empty))
     }
-    val lid = CharLm.classifyLanguage(base, "clean", lidModels)
+    val withLid = CharLm.classifyLanguage(base, "clean", lidModels)
       .drop("n_tri", "lid_avg")
-    val s1 = lid.filter(col("lid_pred").isin(cfg.keepLangs: _*)).cache()
+      .localCheckpoint(true)
+    val alive1 = col("lid_pred").isin(cfg.keepLangs: _*)
 
-    // -- stage 3: CCNet perplexity gate (threshold form) --
+    // -- stage 3: CCNet perplexity gate (threshold form). The model
+    // fits on the LID-survivor seed; scoring is a narrow kernel over
+    // EVERY doc (masked at output), so the whole gate is one pass --
     val pplModel = state0.map(_.pplModel).getOrElse(
-      CharLm.fit(s1.filter(col("doc_id") % 10 === 0), "clean",
+      CharLm.fit(withLid.filter(alive1 && col("doc_id") % 10 === 0), "clean",
         cfg.pplDim, cfg.pplDim))
-    val scored = CharLm.score(s1, "clean", pplModel)
+    val m = CharLm.score(withLid, "clean", pplModel)
       .withColumn("lm_avg",
         when(col("n_tri") > 0, expr("lm_score div n_tri")).cast("long"))
       .drop("lm_score")
-      .cache()
+      .localCheckpoint(true)
     val pplCut = state0.map(_.pplCut).getOrElse {
       if (!cfg.pplGate) Long.MinValue else {
-      // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) — the
-      // worst "middle" doc's score; `lm_avg >= cut` then keeps the
-      // head + middle terciles (ties at the boundary keep)
-      val rankable = scored.filter(col("n_tri") > 0)
-      val (ranked, n) = Dsir.globalRank(rankable,
-        Seq(col("lm_avg").desc, col("doc_id")), "__r")
-      val k = 2 * n / 3
-      if (k <= 0) Long.MinValue
-      else ranked.filter(col("__r") === k).select(col("lm_avg")).head().getLong(0)
+        // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) over
+        // the LID survivors — the worst "middle" doc's score;
+        // `lm_avg >= cut` keeps head + middle (boundary ties keep)
+        val rankable = m.filter(alive1 && col("n_tri") > 0)
+        val (ranked, n) = Dsir.globalRank(rankable,
+          Seq(col("lm_avg").desc, col("doc_id")), "__r")
+        val k = 2 * n / 3
+        if (k <= 0) Long.MinValue
+        else ranked.filter(col("__r") === k).select(col("lm_avg")).head().getLong(0)
       }
     }
-    val s2 = scored.filter(col("n_tri") > 0 && col("lm_avg") >= pplCut)
+    val pplOk = col("n_tri") > 0 && col("lm_avg") >= pplCut
+    val alive2 = alive1 && pplOk
 
-    // -- stage 4: URL domain blocklist --
-    val s3m = blocked match {
-      case Some(bl) => UrlBlocklist.mark(s2, "doc_id", "host", bl)
-      case None => s2.withColumn("blocked", lit(false))
-        .withColumn("matched_domain", lit(null).cast("string"))
+    // -- stage 4: URL domain blocklist (marked for every doc; the
+    // verdict is per-doc, so marking outside the survivor set changes
+    // nothing — the gate masks on alive2) --
+    val markedB = blocked match {
+      case Some(bl) => UrlBlocklist.mark(m, "doc_id", "host", bl)
+        .drop("matched_domain")
+      case None => m.withColumn("blocked", lit(false))
     }
-    val s3 = s3m.filter(!col("blocked"))
+    val alive3 = alive2 && !col("blocked")
 
-    // -- stage 5: Gopher duplicate-line mass gate --
-    val s3r = s3.withColumn("__dls", T.dupLineStats(col("clean"), "\n"))
-      .withColumn("rep_dup_chars", col("__dls").getField("dup_line_chars"))
-      .withColumn("rep_chars", col("__dls").getField("line_chars"))
+    // -- stage 5: Gopher duplicate-line mass gate (narrow) --
+    val m2 = markedB
+      .withColumn("__dls", T.dupLineStats(col("clean"), "\n"))
+      .withColumn("__rep", col("__dls").getField("dup_line_chars") * 2 >
+        col("__dls").getField("line_chars"))
       .drop("__dls")
-    val s4 = s3r.filter(!(col("rep_dup_chars") * 2 > col("rep_chars"))).cache()
+      .cache()
+    val alive4 = alive3 && !col("__rep")
 
     // -- stage 6: corpus-wide paragraph dedup over the survivors --
-    val pdIn = s4.select(col("doc_id"), col("clean"))
+    val pdIn = m2.filter(alive4).select(col("doc_id"), col("clean"))
     val pd = priorParas match {
       case Some(idx) =>
         Dedup.paragraphDedupIncremental(idx, pdIn, "clean", "doc_id", sep)
       case None => Dedup.paragraphDedup(pdIn, "clean", "doc_id", sep)
     }
-    val s4j = s4.join(pd.select(col("doc_id"), col("text_dedup"),
-      col("n_kept")), Seq("doc_id"))
-    val s5 = s4j.filter(trim(col("text_dedup")) =!= "").cache()
+    val m3 = m2.join(pd.select(col("doc_id"), col("text_dedup"),
+      col("n_kept")), Seq("doc_id"), "left")
+    // text_dedup is NULL for docs that never reached the stage, so the
+    // empty-check is false-or-null there and alive5 stays false
+    val alive5 = alive4 && trim(col("text_dedup")) =!= ""
 
     // -- stage 7: SemDeDup over the survivors' embeddings --
-    val (semJoined, cents, newCells) = embeddings match {
+    val (m4, cents, newCells) = embeddings match {
       case Some(emb) =>
-        val vecs = s5.select(col("doc_id")).join(emb, Seq("doc_id"))
+        val vecs = m3.filter(alive5).select(col("doc_id")).join(emb, Seq("doc_id"))
         val (c, prior, fresh) = (frozenCents, priorCells) match {
           case (Some(fc), pcOpt) =>
             val assigned = IvfIndex.assignIncrement(vecs, "doc_id", "embedding", fc)
@@ -950,15 +980,15 @@ object CorpusJob {
         }
         val verdict = Dedup.semDedupOnCells(prior, fresh, "doc_id",
           cfg.semMinCosine)
-        (s5.join(verdict.select(col("doc_id"), col("sem_dup")),
+        (m3.join(verdict.select(col("doc_id"), col("sem_dup")),
           Seq("doc_id"), "left"), Some(c), Some(fresh))
       case None =>
-        (s5.withColumn("sem_dup", lit(null).cast("boolean")), None, None)
+        (m3.withColumn("sem_dup", lit(null).cast("boolean")), None, None)
     }
-    val s6 = semJoined.filter(!coalesce(col("sem_dup"), lit(false))).cache()
+    val alive6 = alive5 && !coalesce(col("sem_dup"), lit(false))
 
     // -- stage 8: substring-span keep-one-copy excision --
-    val spanIn = s6.select(col("doc_id"), col("text_dedup"))
+    val spanIn = m4.filter(alive6).select(col("doc_id"), col("text_dedup"))
     val ex = priorShingles match {
       case Some(idx) =>
         val spans = SubstringDedup.nonCanonicalSpansIncremental(
@@ -968,11 +998,13 @@ object CorpusJob {
       case None =>
         SubstringDedup.excise(spanIn, "text_dedup", "doc_id", cfg.spanTokens)
     }
-    val s6j = s6.join(ex.select(col("doc_id"),
-      col("text_deduped").as("text_final")), Seq("doc_id"))
-    val s7 = s6j.filter(trim(col("text_final")) =!= "")
-      .withColumn("n_tokens", T.tokenCount(col("text_final")).cast("long"))
-      .cache()
+    val alive7 = alive6 && trim(col("text_final")) =!= ""
+    val m5 = m4
+      .join(ex.select(col("doc_id"),
+        col("text_deduped").as("text_final")), Seq("doc_id"), "left")
+      .withColumn("n_tokens",
+        when(alive7, T.tokenCount(col("text_final"))).cast("long"))
+      .localCheckpoint(true)
 
     // -- stage 9: temperature mixture (α = 0.5) over FINAL token mass --
     val rates: Map[String, Double] = state0.map(_.rates).getOrElse {
@@ -980,7 +1012,7 @@ object CorpusJob {
       // computed once and frozen: p = floor(sqrt(dt·2^20)) fixed-point,
       // rate = min(1, budget·p/Σp/dt) in the operator's left-to-right
       // double order (IEEE sqrt/÷ are bit-portable; libm pow is not)
-      val totals = s7.groupBy(col("source"))
+      val totals = m5.filter(alive7).groupBy(col("source"))
         .agg(sum(col("n_tokens")).cast("long").as("dt"))
         .withColumn("p",
           floor(sqrt(col("dt").cast("double") * lit(1048576.0))).cast("long"))
@@ -997,42 +1029,27 @@ object CorpusJob {
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (d, rt)) =>
       when(col("source") === lit(d), lit(rt)).otherwise(acc)
     }
-    val s8 = s7.filter(Sampling.u01(col("doc_id"), "tempmix") < rateCol)
+    val sampled = alive7 && Sampling.u01(col("doc_id"), "tempmix") < rateCol
 
-    // -- assembly: one row per input doc, first failing stage named --
-    val assembled = docs.select(col("doc_id"), col("lang"), col("source"))
-      .join(lid.select(col("doc_id"), col("lid_pred")), Seq("doc_id"), "left")
-      .join(scored.select(col("doc_id"), col("lm_avg"),
-        (col("n_tri") > 0 && col("lm_avg") >= pplCut).as("__ppl_ok")),
-        Seq("doc_id"), "left")
-      .join(s3m.select(col("doc_id"), col("blocked")), Seq("doc_id"), "left")
-      .join(s3r.select(col("doc_id"),
-        (col("rep_dup_chars") * 2 > col("rep_chars")).as("__rep")),
-        Seq("doc_id"), "left")
-      .join(s4j.select(col("doc_id"), col("n_kept"),
-        (trim(col("text_dedup")) === "").as("__pempty")), Seq("doc_id"), "left")
-      .join(semJoined.select(col("doc_id"), col("sem_dup")),
-        Seq("doc_id"), "left")
-      .join(s6j.select(col("doc_id"), col("text_final"),
-        (trim(col("text_final")) === "").as("__sempty")), Seq("doc_id"), "left")
-      .join(s7.select(col("doc_id"), col("n_tokens")), Seq("doc_id"), "left")
-      .join(s8.select(col("doc_id"), lit(true).as("__sampled")),
-        Seq("doc_id"), "left")
+    // -- output: first failing stage wins; stage columns masked to the
+    // population that actually reached the stage --
     val dropReason =
-      when(!col("lid_pred").isin(cfg.keepLangs: _*), lit("lang"))
-        .when(!col("__ppl_ok"), lit("perplexity"))
+      when(!alive1, lit("lang"))
+        .when(!pplOk, lit("perplexity"))
         .when(col("blocked"), lit("blocked_url"))
         .when(col("__rep"), lit("repetitive"))
-        .when(col("__pempty"), lit("empty"))
+        .when(trim(col("text_dedup")) === "", lit("empty"))
         .when(coalesce(col("sem_dup"), lit(false)), lit("sem_dup"))
-        .when(col("__sempty"), lit("empty"))
-        .when(col("__sampled").isNull, lit("sampled_out"))
-    val annotated = assembled
+        .when(trim(col("text_final")) === "", lit("empty"))
+        .when(!sampled, lit("sampled_out"))
+    val annotated = m5
       .withColumn("drop_reason", dropReason)
-      .withColumn("kept", dropReason.isNull)
       .select(col("doc_id"), col("lang"), col("source"), col("lid_pred"),
-        col("lm_avg"), col("blocked"), col("n_kept"), col("sem_dup"),
-        col("n_tokens"), col("text_final"), col("drop_reason"), col("kept"))
+        when(alive1, col("lm_avg")).as("lm_avg"),
+        when(alive2, col("blocked")).as("blocked"),
+        col("n_kept"), col("sem_dup"),
+        col("n_tokens"), col("text_final"), col("drop_reason"),
+        col("drop_reason").isNull.as("kept"))
 
     CurationOutput(annotated,
       CurationState(lidModels, pplModel, pplCut, rates),
