@@ -135,6 +135,12 @@ object BpeVocab {
     * vocabulary compresses the corpus within a few percent of the
     * sequential one at equal size, and segmentation under it remains
     * lossless.
+    *
+    * `batchSize = 0` AUTO-TUNES: `clamp(numMerges / 64, 16, 1024)`,
+    * targeting ~64 aggregate rounds at any vocabulary size (conflicts
+    * and under-filled rounds add a few) — 512 at the production-shaped
+    * 32k, the batch size the 13× measurement above validated; small
+    * vocabularies keep at least 16 so the batching still engages.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, batchSize: Int = 1): DataFrame =
@@ -147,7 +153,10 @@ object BpeVocab {
   private[graft] def trainWithRounds(spark: SparkSession, docs: DataFrame,
       textCol: String, numMerges: Int, batchSize: Int = 1): (DataFrame, Int) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(batchSize >= 0, s"batchSize must be >= 0 (0 = auto), got $batchSize")
+    val effBatch =
+      if (batchSize > 0) batchSize
+      else math.min(1024, math.max(16, numMerges / 64))
     val w = wordCounts(docs, textCol)
     // the type table materializes ONCE; each iteration re-reads this
     // cache through a single [[graft.plans.BpeApplyMerges]] node
@@ -160,11 +169,16 @@ object BpeVocab {
     try {
       var done = false
       while (merges.size < numMerges && !done) {
-        val k = math.min(batchSize, numMerges - merges.size)
+        val k = math.min(effBatch, numMerges - merges.size)
         // candidate window: conflicts skip down the ranking, so fetch
         // a few × k (bounded driver collect — the IvfIndex-codebook
         // discipline; an under-filled round just runs one more round)
-        val fetch = math.max(4 * k, 8)
+        // 16× window: symbol conflicts concentrate in the head of the
+        // ranking (hot symbols own the top pairs), so a narrow window
+        // saturates well short of k admitted — measured at 32k merges /
+        // k=512: 4× fetched ran 465 rounds (~70 admitted/round), 16×
+        // runs far fewer for a still-bounded 8k-row collect
+        val fetch = math.max(16 * k, 8)
         val top = pairCounts(applyMerges(seg0,
             merges.map(m => (m._2, m._3)).toSeq))
           .orderBy(col("c").desc, col("p").asc).limit(fetch).collect()

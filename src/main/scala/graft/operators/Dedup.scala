@@ -363,18 +363,41 @@ object Dedup {
       idCol: String,
       w: Int = 8,
       avgSize: Int = 64,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      maxChunkDf: Int = 0): DataFrame = {
     val ch = cdcChunks(df, textCol, idCol, w, avgSize)
       .select(col("id"), col("chunk_md5"))
       .dropDuplicates("id", "chunk_md5")
       .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // `maxChunkDf` is the hot-chunk stop list — the self-join emits
+    // ~df²/2 pairs PER CHUNK, so one boilerplate chunk held by a
+    // million documents is a trillion-pair bomb no amount of shuffle
+    // tuning survives. Chunks above the cap carry no dedup signal
+    // anyway (evidence shared by that many documents is boilerplate,
+    // not duplication — the similarity-join stop-word discipline), so
+    // they drop from the PAIR EVIDENCE while still counting in each
+    // doc's `n_chunks` denominator (containment stays honest: a doc
+    // that shares only boilerplate scores low, not undefined).
+    // 0 = uncapped (the exact form the q48/q52 oracles pin); at corpus
+    // scale pass a bound — pairs per chunk are then ≤ maxChunkDf²/2,
+    // and SCALE_r10 measures the 100× point with it.
+    val evidence =
+      if (maxChunkDf <= 0) ch
+      else {
+        val hot = ch.groupBy(col("chunk_md5"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxChunkDf)
+          .select(col("chunk_md5"))
+        ch.join(hot, Seq("chunk_md5"), "left_anti")
+      }
     // SHUFFLE_HASH on both sides: left alone Spark broadcasts one side
     // at small scale, planning the two sides as different subtrees — the
     // whole chunk pipeline (native CDC expression + dedup + window)
     // executes twice, and a corpus-sized chunk table can never broadcast
     // at real scale anyway. Hash-exchanged identically, the pipeline
     // materializes once and both join sides read the reused stage.
-    ch.hint("shuffle_hash").as("a").join(ch.hint("shuffle_hash").as("b"),
+    evidence.hint("shuffle_hash").as("a").join(
+        evidence.hint("shuffle_hash").as("b"),
         col("a.chunk_md5") === col("b.chunk_md5") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),

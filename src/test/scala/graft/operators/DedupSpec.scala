@@ -454,4 +454,22 @@ class DedupSpec extends SparkSpec {
     assert(out == brute)
     assert(out.nonEmpty) // sf0.001 embeddings contain seeded near-dups
   }
+
+  test("chunkOverlapPairs maxChunkDf: boilerplate chunks stop pairing, distinctive ones still do") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val distinct2 = "one two three four five six seven eight nine ten " * 8
+    val docs = ((1L to 10L).map(i => (i, boiler)) ++
+      Seq((20L, distinct2), (21L, distinct2)) ++
+      Seq((30L, "totally unrelated words entirely different content here now"))
+    ).toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
+        minShared = 1, maxChunkDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    assert(uncapped.size == 45 + 1, s"10-doc boilerplate group → 45 pairs: $uncapped")
+    val capped = pairs(5)
+    // the df-10 boilerplate chunks drop from evidence; the df-2 pair keeps
+    assert(capped == Set((20L, 21L)), s"capped pairs: $capped")
+  }
 }
