@@ -3393,6 +3393,32 @@ object OracleSql {
     FROM fin
     ORDER BY doc_id"""
 
+  /** q127: GPT-style sequence packing — the one-global-window cumsum
+    * over the h60 shuffle order (salt `pack`), then pure block
+    * arithmetic at width 2048 (tractable at oracle SF; the operator
+    * computes the identical sum distributed — q95's spine).
+    */
+  private val q127 = s"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens,
+             ${h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS u
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS block_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
+                     ELSE (cum - n_tokens) // 2048 END AS BIGINT) AS block_last,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+                     ELSE 0 END AS BIGINT) AS n_blocks
+    FROM c ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3519,5 +3545,6 @@ object OracleSql {
     "q124_charlm_lid" -> q124,
     "q125_temperature_mixture" -> q125,
     "q126_curation_pipeline" -> q126,
+    "q127_pack_sequences" -> q127,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

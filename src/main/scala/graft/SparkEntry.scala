@@ -2412,6 +2412,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** GPT-style sequence packing ([[graft.operators.Sharding.packSequences]]):
+    * concat-and-chunk the corpus into fixed 2048-token context windows
+    * in the deterministic h60 order — each document's global token
+    * offset and the block span it straddles. Same distributed
+    * prefix-sum spine as q95; the oracle states the packing as the
+    * single global window it is semantically.
+    */
+  def q127_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    Sharding.packSequences(docs, "doc_id", "n_tokens", blockTokens = 2048L)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2541,6 +2556,7 @@ object SparkEntry {
     "q124_charlm_lid" -> (q124_charlm_lid _),
     "q125_temperature_mixture" -> (q125_temperature_mixture _),
     "q126_curation_pipeline" -> (q126_curation_pipeline _),
+    "q127_pack_sequences" -> (q127_pack_sequences _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,9 +51,27 @@ object Sharding {
   def assignShards(df: DataFrame, keyCol: String, tokensCol: String,
       shardTokens: Long, salt: String = "shard",
       startTokens: Long = 0L, checkpointDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, s"shardTokens must be > 0, got $shardTokens")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    withGlobalCum(df, keyCol, tokensCol, salt, startTokens, checkpointDir)
+      .withColumn("shard_id",
+        floor((col("__cum") - tok) / shardTokens)
+          .cast("long"))
+      .drop("__cum")
+  }
+
+  /** The shared spine of [[assignShards]] and [[packSequences]]: `df` +
+    * `__cum`, the INCLUSIVE global running token sum in the h60-shuffled
+    * order (`startTokens` + every row at or before this one under
+    * `(u, key)`). One range exchange, per-partition sums to the driver
+    * (rows = shuffle partitions), offsets broadcast back — the
+    * distributed dense-numbering idiom described on the object doc.
+    */
+  private def withGlobalCum(df: DataFrame, keyCol: String, tokensCol: String,
+      salt: String, startTokens: Long,
+      checkpointDir: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
     val u = H.h60(concat(lit(salt + ":"), col(keyCol).cast("string")))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -79,10 +97,57 @@ object Sharding {
       .withColumn("__cum",
         lit(startTokens) + element_at(typedlit(offsets), col("__pid")) +
           sum(tok).over(w))
-      .withColumn("shard_id",
-        floor((col("__cum") - tok) / shardTokens)
-          .cast("long"))
-      .drop("__u", "__pid", "__cum")
+      .drop("__u", "__pid")
+  }
+
+  /** GPT-style sequence PACKING — the other training-export layout:
+    * concatenate the corpus in the deterministic h60-shuffled order and
+    * split it into fixed `blockTokens`-sized context windows, so a
+    * document may STRADDLE blocks (unlike [[assignShards]], whose
+    * shards close on document boundaries). This is the layout a
+    * pretraining batch actually consumes — block k of width B holds
+    * global token positions `[k·B, (k+1)·B)` — and the per-document
+    * frame this returns is the packing MAP a loader needs to slice
+    * documents into blocks:
+    *
+    *   - `tok_start`    the document's global token offset (exclusive
+    *     prefix sum; `startTokens`-shifted for continuous exports)
+    *   - `block_first`  `tok_start / B`
+    *   - `block_last`   `(tok_start + n_tokens - 1) / B` — the block
+    *     holding the document's LAST token
+    *   - `n_blocks`     blocks the document touches (0 for a 0-token
+    *     or NULL-count document: it occupies no positions, but keeps
+    *     its offset row so the map covers the corpus)
+    *
+    * Every block except the last is exactly full by construction — the
+    * fill-ratio question shard packing must answer (greedy first-fit,
+    * padding waste) vanishes under concat-and-chunk, which is why it is
+    * the pretraining default. Scale shape: the same single-range-
+    * exchange prefix-sum spine as [[assignShards]] (offsets collect =
+    * shuffle-partition rows); everything after the spine is a narrow
+    * integer map. Same determinism contract too: order = h60 of the
+    * key, so a re-run, another engine, or a grown corpus prefix
+    * reproduces identical block assignments, and `startTokens` chains
+    * daily batches into one unbroken token stream (the [[continueShards]]
+    * cursor discipline applies unchanged).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokensCol: String,
+      blockTokens: Long, salt: String = "pack",
+      startTokens: Long = 0L, checkpointDir: Option[String] = None): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be > 0, got $blockTokens")
+    require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    withGlobalCum(df, keyCol, tokensCol, salt, startTokens, checkpointDir)
+      .withColumn("tok_start", (col("__cum") - tok).cast("long"))
+      .withColumn("block_first",
+        floor(col("tok_start") / blockTokens).cast("long"))
+      .withColumn("block_last",
+        when(tok > 0, floor((col("__cum") - 1) / blockTokens))
+          .otherwise(col("block_first")).cast("long"))
+      .withColumn("n_blocks",
+        when(tok > 0, col("block_last") - col("block_first") + 1)
+          .otherwise(lit(0L)).cast("long"))
+      .drop("__cum")
   }
 
   /** [[assignShards]] + the physical layout: one directory per shard

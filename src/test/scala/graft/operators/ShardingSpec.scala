@@ -58,6 +58,70 @@ class ShardingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("packSequences: distributed packing == the single-global-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val b = 512L
+    val u = graft.functions.AuditableHash.h60(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    val w = Window.orderBy(u, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docs
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("tok_start", $"cum" - $"n_tokens")
+      .select($"doc_id", $"tok_start",
+        floor($"tok_start" / b).cast("long").as("bf"),
+        when($"n_tokens" > 0, floor(($"cum" - 1) / b))
+          .otherwise(floor($"tok_start" / b)).cast("long").as("bl"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val packed = Sharding.packSequences(docs, "doc_id", "n_tokens", b)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("block_first"),
+          r.getAs[Long]("block_last"))).toMap
+    assert(packed == reference)
+  }
+
+  test("packSequences: offsets tile the token stream; blocks full; straddle and zero-token rows coherent") {
+    val b = 512L
+    val rows = Sharding.packSequences(
+      docs.union(Seq((999999L, 0L)).toDF("doc_id", "n_tokens")),
+      "doc_id", "n_tokens", b)
+      .select("doc_id", "n_tokens", "tok_start", "block_first", "block_last", "n_blocks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // the offsets are a permutation-free tiling: sorted by tok_start,
+    // each document starts exactly where the previous one ended
+    val byStart = rows.sortBy(_._3)
+    byStart.sliding(2).foreach {
+      case Array((_, t1, s1, _, _, _), (_, _, s2, _, _, _)) =>
+        assert(s2 == s1 + t1, "gap or overlap in the packed token stream")
+      case _ => ()
+    }
+    val total = rows.map(_._2).sum
+    rows.foreach { case (id, tok, start, bf, bl, nb) =>
+      assert(bf == start / b, s"doc $id block_first")
+      if (tok > 0) {
+        assert(bl == (start + tok - 1) / b, s"doc $id block_last")
+        assert(nb == bl - bf + 1, s"doc $id n_blocks")
+      } else {
+        assert(bl == bf && nb == 0L, s"doc $id zero-token row")
+      }
+      assert(start + tok <= total)
+    }
+    // some document must straddle a block boundary at this width —
+    // the property that distinguishes packing from sharding
+    assert(rows.exists(r => r._6 > 1), "expected at least one straddling doc")
+    // startTokens chains batches into one unbroken stream: shifting by
+    // a full block shifts every block id by exactly one
+    val shifted = Sharding.packSequences(docs, "doc_id", "n_tokens", b,
+      startTokens = b)
+      .select("doc_id", "block_first").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Sharding.packSequences(docs, "doc_id", "n_tokens", b)
+      .select("doc_id", "block_first").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { case (id, bf) => assert(shifted(id) == bf + 1) }
+  }
+
   test("continueShards: daily batches == one-shot day-major assignment; seam shard keeps filling; replay no-op") {
     import org.apache.spark.sql.expressions.Window
     val budget = 2000L
