@@ -851,7 +851,7 @@ object CorpusJob {
     curateCore(docs, cfg, blocked, embeddings, None, None, None, None, None)
       .annotated
 
-  private def curateCore(docs: DataFrame, cfg: CurationConfig,
+  private[graft] def curateCore(docs: DataFrame, cfg: CurationConfig,
       blocked: Option[DataFrame], embeddings: Option[DataFrame],
       state0: Option[CurationState],
       frozenCents: Option[DataFrame], priorParas: Option[DataFrame],

@@ -402,6 +402,73 @@ object CorpusStream {
     * rewrites its own partitions byte-identically. Same state layout
     * as the batch path — the two share `stateDir`.
     */
+  /** Streaming CURATION — the continuous form of the full ordered
+    * pipeline ([[graft.jobs.CorpusJob.runCurationIncremental]]'s
+    * micro-batch twin): each batch runs the nine stages against the
+    * FROZEN [[graft.jobs.CorpusJob.fitCurationState]] state
+    * (models/cutoff/rates/codebook — the CCNet operating discipline, so
+    * every narrow stage is a pure map) and probes the three dedup
+    * families increment-sized against `bootstrap ∪ own batches < bid`.
+    * [[graft.jobs.CorpusJob.fitCurationState]] MUST have run first —
+    * the frozen scalars are read unconditionally.
+    *
+    * State layout: the bootstrap tables stay where the batch path put
+    * them (`stateDir/curation/{paras,shingles,cells}` — immutable
+    * plain parquet); this stream's own appends live under
+    * `stateDir/curation/stream/…` in `__batch_id` partitions. The
+    * split is what makes the exactly-once contract compose with a
+    * batch-written bootstrap: the bootstrap needs no batch isolation
+    * (it never replays), while the stream side gets the family's full
+    * discipline — snapshot-isolated prior reads (`__batch_id < bid`,
+    * so a replay never sees its own pre-crash appends), idempotent
+    * batch-partition appends, `_committed` marker written last.
+    * Verdicts append under `stream/annotated` BEFORE the postings
+    * extensions, mirroring the batch twin's materialize-then-extend
+    * order. Doc ids must grow monotonically across batches (the
+    * family's daily-append contract); domains absent from the frozen
+    * rate table drop as `sampled_out` — re-fit state to admit them.
+    */
+  def runIncrementalCuration(
+      spark: SparkSession,
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      cfg: graft.jobs.CorpusJob.CurationConfig =
+        graft.jobs.CorpusJob.CurationConfig(),
+      blocked: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val dir = s"$stateDir/curation"
+        val sDir = s"$dir/stream"
+        if (Zone.lastCommittedBatch(spark, sDir).exists(_ >= bid)) ()
+        else {
+          val st = graft.jobs.CorpusJob.loadCurationState(spark, stateDir, cfg)
+          // prior index = immutable bootstrap ∪ this stream's committed
+          // batches (snapshot-isolated at bid)
+          def prior(name: String): Option[DataFrame] = {
+            val boot = Zone.readIfExists(spark, s"$dir/$name")
+            val mine = Zone.readBatchedBefore(spark, s"$sDir/$name", bid)
+            (boot, mine) match {
+              case (Some(b), Some(m)) => Some(b.unionByName(m))
+              case (b, m) => b.orElse(m)
+            }
+          }
+          val out = graft.jobs.CorpusJob.curateCore(batch, cfg, blocked,
+            embeddings, Some(st), Zone.readIfExists(spark, s"$dir/cents"),
+            prior("paras"), prior("shingles"), prior("cells"))
+          Zone.appendBatch(out.annotated, s"$sDir/annotated", bid)
+          Zone.appendBatch(out.newParas, s"$sDir/paras", bid)
+          Zone.appendBatch(out.newShingles, s"$sDir/shingles", bid)
+          out.newCells.foreach(Zone.appendBatch(_, s"$sDir/cells", bid))
+          Zone.markBatchCommitted(spark, sDir, bid)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runIncrementalShards(
       spark: SparkSession,
       docs: DataFrame,

@@ -428,4 +428,61 @@ class CorpusStreamSpec extends SparkSpec {
     val after = Seq(s"$base/dedup", s"$base/index").map(multiset)
     assert(after == before, "kill-and-replay changed state tables")
   }
+
+  test("streaming curation: micro-batches == curateWithState one-shot; kill-and-replay value-identical") {
+    import graft.jobs.CorpusJob
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+    val bl = Seq("h3.example.com").toDF("domain")
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 20000L)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val base = tmpDir("curstream")
+    val state = s"$base/state"
+    // bootstrap on the first third, then stream the rest as two
+    // monotonic-id micro-batches (one file per slice, arrival = id order)
+    val annA = CorpusJob.fitCurationState(spark,
+        docs.filter($"doc_id" <= n / 3), state, cfg, Some(bl), Some(emb))
+      .collect().map(_.toString).toSeq
+    val inDir = s"$base/in"
+    docs.filter($"doc_id" > n / 3 && $"doc_id" <= 2 * n / 3)
+      .coalesce(1).write.parquet(inDir)
+    docs.filter($"doc_id" > 2 * n / 3)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = CorpusStream.runIncrementalCuration(spark, stream(), state,
+      s"$base/ckpt", cfg, Some(bl), Some(emb))
+    q.awaitTermination()
+
+    // bootstrap verdicts ∪ streamed per-batch verdicts == the one-shot
+    // composition under the same frozen state (the family's reference
+    // form, CorpusJobSpec's batch-twin oracle)
+    val streamed = graft.sources.Zone
+      .readBatched(spark, s"$state/curation/stream/annotated").get
+      .drop("__batch_id").collect().map(_.toString).toSeq
+    val st = CorpusJob.loadCurationState(spark, state, cfg)
+    val cents = spark.read.parquet(s"$state/curation/cents")
+    val ref = CorpusJob.curateWithState(docs, st, cfg, Some(bl), Some(emb),
+        Some(cents))
+      .collect().map(_.toString).toSeq
+    assert((annA ++ streamed).sorted == ref.sorted,
+      s"bootstrap (${annA.size}) + streamed (${streamed.size}) != one-shot (${ref.size})")
+
+    // exactly-once: kill-and-replay the newest batch with the marker
+    // gone — every stream state table value-identical, duplicate counts
+    // included
+    val tables = Seq("annotated", "paras", "shingles", "cells")
+      .map(t => s"$state/curation/stream/$t")
+    val before = tables.map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$state/curation/stream")
+    val q2 = CorpusStream.runIncrementalCuration(spark, stream(), state,
+      s"$base/ckpt", cfg, Some(bl), Some(emb))
+    q2.awaitTermination()
+    assert(tables.map(multiset) == before,
+      "kill-and-replay changed curation stream state")
+  }
 }
