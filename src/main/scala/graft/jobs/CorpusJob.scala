@@ -1213,6 +1213,40 @@ object CorpusJob {
       .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
+  /** Takedown for the CURATION state ([[fitCurationState]] layout plus
+    * the streaming twin's `stream/` tables): remove `deleted` docs'
+    * rows from every content-bearing table — paragraph postings, span
+    * shingle postings, IVF cells, and BOTH verdict logs (annotated
+    * carries `text_final`, so a right-to-be-forgotten must purge it
+    * too). The frozen scalars (models / cutoff / rates / codebook)
+    * stay: they are aggregate statistics holding no document content —
+    * the same freeze-through-deletion semantics as the family's ANN
+    * takedown (q97 freezes the quantizer through deletions). Every
+    * index table carries per-doc attribution, so each redaction is one
+    * anti-join ([[Zone.redactByKey]] — plain bootstrap tables swap
+    * atomically; the stream twin's batch-partitioned tables rewrite
+    * only the partitions the docs landed in), and the next probe's
+    * first-occurrence election falls to the next-earliest LIVE
+    * occurrence automatically: delete-then-probe equals probing an
+    * index built without the docs (CorpusJobSpec). Idempotent — a
+    * replay finds no rows and removes 0. Returns rows removed across
+    * all tables.
+    */
+  def deleteCurationDocs(spark: SparkSession, deleted0: DataFrame,
+      stateDir: String): Long = {
+    val dir = s"$stateDir/curation"
+    val del = deleted0
+      .select(col(deleted0.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    Seq(
+      (s"$dir/annotated", "doc_id"), (s"$dir/paras", "id"),
+      (s"$dir/shingles", "doc_id"), (s"$dir/cells", "id"),
+      (s"$dir/stream/annotated", "doc_id"), (s"$dir/stream/paras", "id"),
+      (s"$dir/stream/shingles", "doc_id"), (s"$dir/stream/cells", "id"))
+      .map { case (d, idName) => Zone.redactByKey(spark, d, del, idName) }
+      .sum
+  }
+
   /** Run annotate → filter → write corpus + per-language stats. Returns
     * (kept, dropped) counts.
     */

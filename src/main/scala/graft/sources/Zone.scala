@@ -149,6 +149,77 @@ object Zone {
           .drop("__batch_id")
       else df)
 
+  /** Remove every row of `dir` whose `idName` equals a key in `del`
+    * (single-column frame of long keys) — the takedown primitive for
+    * attributed state tables. Two layouts, one contract:
+    *
+    *   - a PLAIN table rewrites whole through the [[overwriteInPlace]]
+    *     atomic swap (the anti-joined survivor set materializes to the
+    *     temp sibling before the target is touched);
+    *   - a BATCH-PARTITIONED table ([[appendBatch]] layout) rewrites
+    *     ONLY the `__batch_id` partitions containing hits, with the
+    *     redact-shards crash contract: partitions the redaction leaves
+    *     EMPTY are removed FIRST (their every row is a deleted doc, so
+    *     directory removal IS the redaction, and dynamic overwrite
+    *     would never rewrite a zero-row partition), then the
+    *     partially-hit partitions dynamic-overwrite idempotently. A
+    *     takedown against years of accumulated batches touches the
+    *     handful of partitions the docs landed in, never the table.
+    *
+    * Idempotent: a replay finds no hits and returns 0. Returns rows
+    * removed.
+    */
+  def redactByKey(spark: SparkSession, dir: String, del: DataFrame,
+      idName: String): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!exists(spark, dir)) return 0L
+    val allOpt =
+      try Some(spark.read.parquet(dir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    allOpt match {
+      case None => 0L
+      case Some(all) =>
+        val delKeys = del.select(col(del.columns.head).cast("long").as("__del"))
+        def hits(df: DataFrame) =
+          df.join(delKeys, df(idName).cast("long") === col("__del"), "left_semi")
+        def survivors(df: DataFrame) =
+          df.join(delKeys, df(idName).cast("long") === col("__del"), "left_anti")
+        if (all.columns.contains("__batch_id")) {
+          val affected = hits(all)
+            .select(col("__batch_id").cast("long")).distinct()
+            .collect().map(_.getLong(0))
+          if (affected.isEmpty) 0L
+          else {
+            // read ONLY the affected partition directories (basePath
+            // keeps the partition column) — physical pruning by
+            // construction, so the rewrite reads takedown-sized input
+            // no matter how many batches the table has accumulated
+            val inAffected = spark.read.option("basePath", dir)
+              .parquet(affected.map(b => s"$dir/__batch_id=$b"): _*)
+            val removed = hits(inAffected).count()
+            // materialize before touching the directory: the plan reads
+            // the same files it overwrites (affected partitions only)
+            val kept = survivors(inAffected).localCheckpoint(true)
+            val live = kept.select(col("__batch_id").cast("long"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val f = fs(spark, new Path(dir))
+            affected.filterNot(live).foreach(b =>
+              f.delete(new Path(s"$dir/__batch_id=$b"), true))
+            kept.write.partitionBy("__batch_id").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic").parquet(dir)
+            removed
+          }
+        } else {
+          val removed = hits(all).count()
+          if (removed > 0) overwriteInPlace(spark, survivors(all), dir)
+          removed
+        }
+    }
+  }
+
   private def committedPath(dir: String) = s"$dir/_committed"
 
   /** Highest streaming batch id whose sink writes ALL completed, or

@@ -761,4 +761,51 @@ class CorpusJobSpec extends SparkSpec {
     assert((annA ++ annB).sorted == ref.sorted,
       s"batch union (${annA.size}+${annB.size}) != one-shot (${ref.size})")
   }
+
+  test("deleteCurationDocs: delete-then-probe == probe against live-only index; verdict log purged; replay no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+    val bl = Seq("h3.example.com").toDF("domain")
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 20000L)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val a = docs.filter($"doc_id" <= n / 2)
+    val b = docs.filter($"doc_id" > n / 2)
+    val state = tmpDir("curdel")
+    CorpusJob.fitCurationState(spark, a, state, cfg, Some(bl), Some(emb))
+    val cdir = s"$state/curation"
+    // pre-delete index snapshots — the reference anti-joins these in
+    // memory (the deletion rewrites the on-disk tables underneath)
+    def snap(p: String) = spark.read.parquet(p).localCheckpoint(true)
+    val (paras0, shing0, cells0) =
+      (snap(s"$cdir/paras"), snap(s"$cdir/shingles"), snap(s"$cdir/cells"))
+    val tomb = a.filter($"doc_id" % 5 === 2).select($"doc_id")
+      .localCheckpoint(true)
+    val removed = CorpusJob.deleteCurationDocs(spark, tomb, state)
+    assert(removed > 0, "takedown should remove index + log rows")
+    // the verdict log carries text_final — it must purge too
+    assert(spark.read.parquet(s"$cdir/annotated")
+      .join(tomb, Seq("doc_id"), "left_semi").count() == 0)
+    // idempotent: a replay finds nothing
+    assert(CorpusJob.deleteCurationDocs(spark, tomb, state) == 0L)
+    // delete-then-probe == probing an index built without the docs:
+    // the incremental batch against the redacted state equals curateCore
+    // under the same frozen state with the priors filtered in memory
+    val annB = CorpusJob.runCurationIncremental(spark, b, state, cfg,
+        Some(bl), Some(emb))
+      .collect().map(_.toString).toSeq
+    val st = CorpusJob.loadCurationState(spark, state, cfg)
+    val cents = spark.read.parquet(s"$cdir/cents")
+    def live(df: org.apache.spark.sql.DataFrame, idName: String) =
+      df.join(tomb, df(idName) === tomb("doc_id"), "left_anti")
+    val ref = CorpusJob.curateCore(b, cfg, Some(bl), Some(emb), Some(st),
+        Some(cents), Some(live(paras0, "id")), Some(live(shing0, "doc_id")),
+        Some(live(cells0, "id")))
+      .annotated.collect().map(_.toString).toSeq
+    assert(annB.sorted == ref.sorted,
+      s"post-takedown probe (${annB.size}) != live-only reference (${ref.size})")
+  }
 }

@@ -484,5 +484,25 @@ class CorpusStreamSpec extends SparkSpec {
     q2.awaitTermination()
     assert(tables.map(multiset) == before,
       "kill-and-replay changed curation stream state")
+
+    // takedown over the stream tables is PARTITION-SCOPED: deleting
+    // docs from the first streamed batch rewrites only its
+    // __batch_id=0 partitions — every batch-1 file stays
+    // byte-identical (sha256 audit trail)
+    val annDir = s"$state/curation/stream/annotated"
+    def shas(d: String) = graft.operators.Sharding.fileHashes(spark, d)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    val before1 = shas(annDir).filter(_._1.startsWith("__batch_id=1"))
+    val tomb = graft.sources.Zone.readBatched(spark, annDir).get
+      .filter($"doc_id" > n / 3 && $"doc_id" <= 2 * n / 3)
+      .select($"doc_id").limit(3).localCheckpoint(true)
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "need stream-batch-0 docs to take down")
+    val removed = graft.jobs.CorpusJob.deleteCurationDocs(spark, tomb, state)
+    assert(removed >= nTomb, s"expected >= $nTomb rows removed, got $removed")
+    assert(graft.sources.Zone.readBatched(spark, annDir).get
+      .join(tomb, Seq("doc_id"), "left_semi").count() == 0)
+    val after1 = shas(annDir).filter(_._1.startsWith("__batch_id=1"))
+    assert(after1 == before1, "untouched batch partitions must stay byte-identical")
   }
 }
