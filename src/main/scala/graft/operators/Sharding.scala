@@ -54,11 +54,13 @@ object Sharding {
     require(shardTokens > 0, s"shardTokens must be > 0, got $shardTokens")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
     val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    // integer `div`, not floor(a / b): the double division is only
+    // exact below 2^53 and for power-of-2 budgets — a corpus-scale
+    // running sum with an odd budget could misround the boundary doc
     withGlobalCum(df, keyCol, tokensCol, salt, startTokens, checkpointDir)
-      .withColumn("shard_id",
-        floor((col("__cum") - tok) / shardTokens)
-          .cast("long"))
-      .drop("__cum")
+      .withColumn("__start", col("__cum") - tok)
+      .withColumn("shard_id", expr(s"__start div ${shardTokens}L"))
+      .drop("__cum", "__start")
   }
 
   /** The shared spine of [[assignShards]] and [[packSequences]]: `df` +
@@ -137,12 +139,14 @@ object Sharding {
     require(blockTokens > 0, s"blockTokens must be > 0, got $blockTokens")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
     val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    // integer `div` throughout — see assignShards' boundary note; the
+    // oracle's `//` is exact BIGINT division and these must agree at
+    // any corpus size
     withGlobalCum(df, keyCol, tokensCol, salt, startTokens, checkpointDir)
       .withColumn("tok_start", (col("__cum") - tok).cast("long"))
-      .withColumn("block_first",
-        floor(col("tok_start") / blockTokens).cast("long"))
+      .withColumn("block_first", expr(s"tok_start div ${blockTokens}L"))
       .withColumn("block_last",
-        when(tok > 0, floor((col("__cum") - 1) / blockTokens))
+        when(tok > 0, expr(s"(__cum - 1) div ${blockTokens}L"))
           .otherwise(col("block_first")).cast("long"))
       .withColumn("n_blocks",
         when(tok > 0, col("block_last") - col("block_first") + 1)
