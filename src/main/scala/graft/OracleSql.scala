@@ -3419,6 +3419,40 @@ object OracleSql {
                      ELSE 0 END AS BIGINT) AS n_blocks
     FROM c ORDER BY doc_id"""
 
+  /** q128: epoched mixture — rate = min(target/dt, maxEpochs=4),
+    * floor(rate) guaranteed copies + one more when the h60 draw falls
+    * under frac(rate), expanded to 0-based epoch rows.
+    */
+  private val q128 = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dt FROM t GROUP BY source),
+    r AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             CASE WHEN dt > 0 THEN
+               least(CAST(CASE WHEN t.source = 'src1' THEN 10000000
+                               WHEN t.source = 'src2' THEN 100000
+                               WHEN t.source = 'src3' THEN 20000
+                               ELSE 0 END AS DOUBLE) / CAST(dt AS DOUBLE),
+                     4.0)
+             ELSE 0.0 END AS rate,
+             CAST(${h60("'epochmix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM t JOIN tot ON t.source = tot.source),
+    n AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor(rate) AS BIGINT) +
+               CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM r)
+    SELECT doc_id, source, n_tokens,
+           CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+    FROM n WHERE n_copies > 0
+    ORDER BY doc_id, epoch"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3546,5 +3580,6 @@ object OracleSql {
     "q125_temperature_mixture" -> q125,
     "q126_curation_pipeline" -> q126,
     "q127_pack_sequences" -> q127,
+    "q128_epoched_mixture" -> q128,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -57,8 +57,9 @@ object ScaleBench {
     //    ratio isolates the PLAN's scaling (the brief's "would it
     //    survive 100×" question) instead of a synthetic R² workload
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "neardup")
-    def corpus(r: Int): DataFrame = {
-      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def corpusKeep(r: Int, extra: Seq[String]): DataFrame = {
+      val docs = Tables.documents(spark, sfDir)
+        .select((Seq("doc_id") ++ extra ++ Seq("text")).map(col): _*)
       if (r <= 1) docs
       else {
         val rep = docs.crossJoin(spark.range(r).select(col("id").as("__r")))
@@ -78,6 +79,7 @@ object ScaleBench {
         varied.drop("__r")
       }
     }
+    def corpus(r: Int): DataFrame = corpusKeep(r, Nil)
 
     // q117's five-paragraph synthesis (constant header/footer + text
     // slices + 7-way share line) over any doc frame
@@ -169,6 +171,26 @@ object ScaleBench {
       "semdedup_kscaled" -> (r =>
         Dedup.semDedup(corpusEmb(r), "vec_id", "embedding",
           nClusters = 16 * r, minCosine = 0.5).filter(col("sem_dup")).count()),
+      // the COMPOSED nine-stage curation job (q126's production form):
+      // every corpus-global stage has its own row above — this row
+      // measures the ASSEMBLY (stage joins, checkpoint
+      // materializations, model fits) growing with R. SemDeDup rides
+      // the k ∝ N discipline (semClusters = 16r) and the token budget
+      // scales with R so the mixture stage keeps proportional mass.
+      "curation_pipeline" -> { r =>
+        val d = corpusKeep(r, Seq("lang", "source"))
+          .withColumn("host",
+            concat(lit("h"), col("doc_id") % 997, lit(".example.com")))
+        val bl = spark.range(7).select(
+          concat(lit("h"), (col("id") * 131) % 997, lit(".example.com"))
+            .as("domain"))
+        val emb = corpusEmb(r).select(col("vec_id").as("doc_id"), col("embedding"))
+        graft.jobs.CorpusJob.curate(d,
+            graft.jobs.CorpusJob.CurationConfig(
+              budgetTokens = 500000L * r, semClusters = 16 * r),
+            Some(bl), Some(emb))
+          .filter(col("kept") && length(col("text_final")) >= 0).count()
+      },
     )
 
     // optional workload subset (comma-separated) — the 100× point runs

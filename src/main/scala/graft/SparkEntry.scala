@@ -2427,6 +2427,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoched mixture ([[graft.operators.Sampling.epochedMixture]]):
+    * per-domain TARGET token counts with repeat-factor upsampling —
+    * src1's target is far above its mass (rate caps at maxEpochs = 4),
+    * src2 lands ~2 epochs, src3 under 1, everyone else drops. The
+    * oracle re-derives rate/base/frac-draw/epoch expansion in SQL.
+    */
+  def q128_epoched_mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    Sampling.epochedMixture(docs, "doc_id", "source", "n_tokens",
+        Map("src1" -> 10000000L, "src2" -> 100000L, "src3" -> 20000L),
+        maxEpochs = 4)
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2557,6 +2573,7 @@ object SparkEntry {
     "q125_temperature_mixture" -> (q125_temperature_mixture _),
     "q126_curation_pipeline" -> (q126_curation_pipeline _),
     "q127_pack_sequences" -> (q127_pack_sequences _),
+    "q128_epoched_mixture" -> (q128_epoched_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -191,6 +191,55 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Epoched mixture — the REPEAT-FACTOR side of data-recipe mixing
+    * that [[mixture]]'s rate cap cannot express: a recipe states
+    * per-domain TARGET token counts (`"3 epochs of wiki, half an epoch
+    * of web"` → absolute targets), and a domain whose target exceeds
+    * its mass is UPSAMPLED — every document repeats `floor(rate)`
+    * times (`rate = target / domainTokens`) and one more with
+    * probability `frac(rate)` by the key's deterministic h60 draw, so
+    * the expected surviving mass is the target exactly. Each copy
+    * carries a 0-based `epoch` column — the downstream shard/pack salt
+    * (`concat(key, ':', epoch)`) that keeps repeated copies apart in
+    * the shuffle order, so epochs of a document land in different
+    * shards instead of back-to-back.
+    *
+    * `maxEpochs` hard-caps the rate (default 8): a mistyped target
+    * against a tiny domain would otherwise explode a document into
+    * target/dt copies — repeat factors beyond a handful are a recipe
+    * error in every published mix, so the cap is the honest default
+    * and the parameter is the documented escape hatch.
+    *
+    * Scale shape: one map-side-combined domain aggregate (rows =
+    * #domains) broadcast back, then a narrow explode — no corpus
+    * shuffle; output size is the recipe's doing (Σ targets), reported
+    * by the `epoch` cardinality itself.
+    */
+  def epochedMixture(df: DataFrame, keyCol: String, domainCol: String,
+      tokensCol: String, targets: Map[String, Long],
+      maxEpochs: Int = 8, salt: String = "epochmix"): DataFrame = {
+    require(targets.values.forall(_ >= 0), "targets must be >= 0")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val target = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col(domainCol) === lit(d), lit(t)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__dt"))
+    df.join(broadcast(totals), domainCol)
+      .withColumn("__rate",
+        when(col("__dt") > 0,
+          least(target.cast("double") / col("__dt").cast("double"),
+            lit(maxEpochs.toDouble)))
+          .otherwise(lit(0.0)))
+      .withColumn("__base", floor(col("__rate")).cast("long"))
+      .withColumn("__n", col("__base") +
+        when(u01(col(keyCol), salt) < col("__rate") - col("__base"), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .select(df.columns.map(col) :+ col("epoch"): _*)
+  }
+
   /** Leakage-free split: every row gains a `split` column in
     * {train, val, test} decided by the *group* key's draw, so all rows
     * of a group land in the same fold. `valFrac`/`testFrac` are carved

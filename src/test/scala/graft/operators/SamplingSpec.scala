@@ -188,4 +188,51 @@ class SamplingSpec extends SparkSpec {
     assert(m.forall(_ <= 2L), s"zero-mass domains must drop entirely, got $m")
     assert(m.nonEmpty)
   }
+
+  test("epochedMixture: repeat factors, cap, fractional draw, zero-target drop") {
+    import spark.implicits._
+    val d = docs
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+      .select($"doc_id", $"source", $"n_tokens")
+    val dt = d.groupBy("source").agg(sum("n_tokens").as("dt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (s1, s2) = ("src1", "src2")
+    // s1: rate pinned at the cap; s2: a genuinely fractional rate ~2.5
+    val targets = Map(
+      s1 -> dt(s1) * 100, s2 -> (dt(s2) * 5 / 2))
+    val out = Sampling.epochedMixture(d, "doc_id", "source", "n_tokens",
+      targets, maxEpochs = 4).cache()
+    try {
+      // absent domains drop entirely
+      assert(out.filter(!$"source".isin(s1, s2)).count() == 0)
+      // capped domain: every doc exactly maxEpochs copies, epochs 0..3
+      val perDoc1 = out.filter($"source" === s1).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+        .collect()
+      assert(perDoc1.nonEmpty)
+      perDoc1.foreach { r =>
+        assert(r.getLong(1) == 4L && r.getLong(2) == 3L && r.getLong(3) == 0L)
+      }
+      assert(out.filter($"source" === s1).count() ==
+        d.filter($"source" === s1).count() * 4)
+      // fractional domain: every doc 2 or 3 copies, both branches taken,
+      // and the surviving token mass lands near the target
+      val perDoc2 = out.filter($"source" === s2).groupBy("doc_id")
+        .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+      assert(perDoc2.forall(n => n == 2L || n == 3L))
+      assert(perDoc2.toSet == Set(2L, 3L), "both floor and frac branches")
+      val mass2 = out.filter($"source" === s2)
+        .agg(sum("n_tokens")).head().getLong(0).toDouble
+      assert(math.abs(mass2 / targets(s2).toDouble - 1.0) < 0.2,
+        s"expected ~${targets(s2)} tokens, got $mass2")
+      // deterministic under repartition
+      val again = Sampling.epochedMixture(d.repartition(13), "doc_id",
+        "source", "n_tokens", targets, maxEpochs = 4)
+        .select("doc_id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == out.select("doc_id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    } finally out.unpersist()
+  }
 }
