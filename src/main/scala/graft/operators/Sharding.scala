@@ -282,6 +282,48 @@ object Sharding {
     batchTokens
   }
 
+  /** Incremental sequence packing — [[continuePack]] is to
+    * [[packSequences]] what [[continueShards]] is to [[assignShards]]:
+    * each daily batch is h60-shuffled within itself and appended to
+    * the GLOBAL token stream from wherever the previous batch stopped,
+    * so the context-window block a day leaves part-filled keeps
+    * filling the next day and no block is truncated at a day boundary.
+    * Day-over-day union equals the one-shot [[packSequences]] under
+    * day-major order — the only semantics a continuous packing can
+    * have, since shipped blocks are immutable.
+    *
+    * Same state contract as [[continueShards]]: rows under
+    * `stateDir/packed` partitioned by `__batch_id` with dynamic
+    * overwrite (a replayed batch rewrites exactly its own partition
+    * with identical bytes — same cursor ⇒ same offsets), and a 1-row
+    * `_cursor` swapped LAST as the replay marker (batch ids monotonic;
+    * a batch id ≤ the committed one no-ops). Returns the batch's token
+    * count (0 for a replay).
+    */
+  def continuePack(spark: SparkSession, batch: DataFrame, stateDir: String,
+      keyCol: String, tokensCol: String, blockTokens: Long,
+      batchId: Long, salt: String = "pack"): Long = {
+    val cursor = Zone.readIfExists(spark, s"$stateDir/_cursor")
+      .map(_.select(col("total_tokens"), col("last_batch")).head())
+    if (cursor.exists(_.getLong(1) >= batchId)) return 0L
+    val start = cursor.map(_.getLong(0)).getOrElse(0L)
+    val packed = packSequences(batch, keyCol, tokensCol, blockTokens,
+      salt, startTokens = start)
+    packed.withColumn("__batch_id", lit(batchId))
+      .write
+      .partitionBy("__batch_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$stateDir/packed")
+    val batchTokens = packed.agg(coalesce(sum(col(tokensCol).cast("long")),
+      lit(0L))).head().getLong(0)
+    import spark.implicits._
+    Zone.overwriteInPlace(spark,
+      Seq((start + batchTokens, batchId)).toDF("total_tokens", "last_batch"),
+      s"$stateDir/_cursor")
+    batchTokens
+  }
+
   /** Takedown for ALREADY-EXPORTED shards ([[continueShards]] state):
     * remove `deleted` documents from the shard table by rewriting ONLY
     * the `(__batch_id, shard_id)` partitions that contain them —

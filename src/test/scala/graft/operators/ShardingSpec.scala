@@ -181,6 +181,58 @@ class ShardingSpec extends SparkSpec {
       docs.agg(sum("n_tokens")).head().getLong(0))
   }
 
+  test("continuePack: daily batches == one-shot day-major packing; seam block keeps filling; replay no-op") {
+    import org.apache.spark.sql.expressions.Window
+    val b = 512L
+    val state = tmpDir("packstate")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val cuts = Seq(n / 3, 2 * n / 3, n)
+    val days = cuts.zip(-1L +: cuts.dropRight(1)).map { case (hi, lo) =>
+      docs.filter($"doc_id" > lo && $"doc_id" <= hi)
+    }
+    days.zipWithIndex.foreach { case (d, i) =>
+      Sharding.continuePack(spark, d, state, "doc_id", "n_tokens",
+        b, batchId = i.toLong)
+    }
+    val got = spark.read.parquet(s"$state/packed")
+      .select($"doc_id", $"tok_start", $"block_first", $"block_last")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // reference: one global cumsum under day-major order (day, u, doc_id)
+    val u = graft.functions.AuditableHash.h60(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    val day = when($"doc_id" <= cuts(0), 0).when($"doc_id" <= cuts(1), 1).otherwise(2)
+    val w = Window.orderBy(day, u, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docs
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("tok_start", $"cum" - $"n_tokens")
+      .select($"doc_id", $"tok_start",
+        floor($"tok_start" / b).cast("long").as("bf"),
+        when($"n_tokens" > 0, floor(($"cum" - 1) / b))
+          .otherwise(floor($"tok_start" / b)).cast("long").as("bl"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == reference)
+
+    // the day seam does not break the stream: day 2's first offset is
+    // exactly day 1's total, so the boundary block keeps filling
+    // (token stream gap-free across the seam by the tiling property)
+    val day1Total = days(0).agg(sum("n_tokens")).head().getLong(0)
+    val day2Starts = spark.read.parquet(s"$state/packed")
+      .filter($"__batch_id" === 1).agg(min($"tok_start")).head().getLong(0)
+    assert(day2Starts == day1Total,
+      s"day 2 must start at day 1's total ($day1Total), got $day2Starts")
+
+    // replay: cursor marker short-circuits, rows not duplicated
+    assert(Sharding.continuePack(spark, days(1), state, "doc_id", "n_tokens",
+      b, batchId = 1L) == 0L)
+    assert(spark.read.parquet(s"$state/packed").count() == docs.count())
+    assert(spark.read.parquet(s"$state/_cursor").head().getLong(0) ==
+      docs.agg(sum("n_tokens")).head().getLong(0))
+  }
+
   test("redactShards: deleted docs leave; untouched partitions byte-stable; emptied shard dirs removed") {
     val budget = 2000L
     val state = tmpDir("shardredact")
