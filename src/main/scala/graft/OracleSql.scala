@@ -3453,6 +3453,66 @@ object OracleSql {
     FROM n WHERE n_copies > 0
     ORDER BY doc_id, epoch"""
 
+  /** q129: ANN recall@10 — q36's IVF derivation at nProbe = 2, joined
+    * against the exact quantized brute-force top-10; micro recall is
+    * Σhit/Σexact (integer sums, one division — order-free exact).
+    */
+  private val q129 = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, qe AS qq, n2v AS qn2 FROM n2 WHERE vec_id < 10),
+    qcell AS (
+      SELECT query_id, qq, qn2, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY (${qcos("qq", "cq", "qn2", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM qs CROSS JOIN cents),
+    probes AS (SELECT query_id, qq, qn2, centroid_id FROM qcell WHERE rn <= 2),
+    ivf AS (
+      SELECT query_id, id FROM (
+        SELECT p.query_id, a.id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(${qcos("aq", "qq", "an2", "qn2")}, 6) DESC, a.id ASC) AS rank
+        FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+        WHERE a.id <> p.query_id)
+      WHERE rank <= 10),
+    bf AS (
+      SELECT query_id, id FROM (
+        SELECT q.query_id, n.vec_id AS id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(${qcos("qe", "qq", "n2v", "qn2")}, 6) DESC, n.vec_id ASC) AS rank
+        FROM n2 n CROSS JOIN qs q
+        WHERE n.vec_id <> q.query_id)
+      WHERE rank <= 10),
+    per AS (
+      SELECT b.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(i.id) AS BIGINT) AS n_hit
+      FROM bf b LEFT JOIN ivf i ON i.query_id = b.query_id AND i.id = b.id
+      GROUP BY b.query_id)
+    SELECT query_id, n_exact, n_hit,
+           round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall,
+           round(CAST(sum(n_hit) OVER () AS DOUBLE)
+                 / CAST(sum(n_exact) OVER () AS DOUBLE), 6) AS micro_recall
+    FROM per
+    ORDER BY query_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3581,5 +3641,6 @@ object OracleSql {
     "q126_curation_pipeline" -> q126,
     "q127_pack_sequences" -> q127,
     "q128_epoched_mixture" -> q128,
+    "q129_ann_recall" -> q129,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

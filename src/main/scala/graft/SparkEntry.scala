@@ -2443,6 +2443,19 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** ANN recall telemetry ([[graft.operators.IvfIndex.recallAtK]]):
+    * IVF probe at nProbe = 2 (deliberately under-probed so recall sits
+    * strictly inside (0,1)) measured against the exact quantized brute
+    * force — per-query recall + the order-free micro summary. The
+    * oracle composes q36's IVF derivation with a brute-force CTE.
+    */
+  def q129_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.recallAtK(emb, emb.filter(col("vec_id") < 10), "embedding",
+        "vec_id", k = 10, nCentroids = 16, nProbe = 2)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2574,6 +2587,7 @@ object SparkEntry {
     "q126_curation_pipeline" -> (q126_curation_pipeline _),
     "q127_pack_sequences" -> (q127_pack_sequences _),
     "q128_epoched_mixture" -> (q128_epoched_mixture _),
+    "q129_ann_recall" -> (q129_ann_recall _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

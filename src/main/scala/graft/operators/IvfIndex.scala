@@ -299,6 +299,51 @@ object IvfIndex {
       .orderBy(col("centroid_id"))
   }
 
+  /** ANN quality telemetry — recall@k of the IVF probe against the
+    * EXACT (quantized) brute force over the same corpus: per query,
+    * `|ivf ∩ exact| / |exact|`, plus the corpus-level micro recall
+    * (`Σ hits / Σ exact` — integer sums and ONE division, so the
+    * summary is order-free exact, unlike an average of per-query
+    * doubles). This is the dial that tunes `nProbe`/`nCentroids`:
+    * recall decays as the codebook drifts ([[cellStats]] is the cheap
+    * early warning; this is the ground-truth measurement).
+    *
+    * Cost discipline: the brute-force side is queries × corpus — run
+    * it over a SMALL query sample (the standard recall-eval protocol);
+    * the IVF side pays its normal pruned cost. Both sides rank with
+    * the same primitive and tie-break (cosine desc, id asc), so the
+    * comparison is apples-to-apples at rank boundaries. The summary
+    * window runs over the per-query aggregate (rows = #queries —
+    * bounded, the q73 discipline).
+    */
+  def recallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val ivf = topK(corpus, queries, vecCol, idCol, k, nCentroids, nProbe)
+      .select(col("query_id"), col("id"), lit(1L).as("__hit"))
+    val exact = Similarity.bruteForceTopKQuantized(
+        corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("id"))
+    val per = exact.join(ivf, Seq("query_id", "id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    per
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6))
+      .withColumn("micro_recall",
+        round(sum(col("n_hit")).over(Window.partitionBy())
+            .cast("double") /
+          sum(col("n_exact")).over(Window.partitionBy()).cast("double"), 6))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        col("recall"), col("micro_recall"))
+  }
+
   /** One-shot batch form: build the index and probe it in a single plan
     * (one codebook collect — [[centroidsWithCodebook]]).
     */

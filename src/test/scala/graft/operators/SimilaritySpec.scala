@@ -108,6 +108,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"mean recall $recall too low")
   }
 
+  test("recallAtK: monotone in nProbe; probing every cell == brute force (recall 1)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
+    try {
+      val queries = emb.filter($"vec_id" < 5)
+      def micro(np: Int) = IvfIndex.recallAtK(emb, queries, "embedding",
+          "vec_id", k = 10, nCentroids = 16, nProbe = np)
+        .agg(max($"micro_recall")).head().getDouble(0)
+      val (r1, r4, r16) = (micro(1), micro(4), micro(16))
+      // candidate sets nest as nProbe grows, and a true top-k member
+      // can never be displaced by growth (its displacers would have to
+      // outrank it globally) — so recall is monotone, and at nProbe =
+      // nCentroids the candidate set IS the corpus: exactly brute force
+      assert(r1 <= r4 && r4 <= r16, s"recall not monotone: $r1 / $r4 / $r16")
+      assert(r16 == 1.0, s"full probe must equal brute force, got $r16")
+      assert(r1 < 1.0, s"1-of-16 cells on weakly-clustered vectors should miss something")
+    } finally emb.unpersist()
+  }
+
   test("Lloyd-refined rebuild raises recall over the frozen-sample codebook") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
