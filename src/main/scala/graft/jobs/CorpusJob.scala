@@ -1061,15 +1061,20 @@ object CorpusJob {
 
   /** One-shot curation JOB: [[curate]] → write the per-document verdict
     * frame (`annotated/`), the kept corpus (`corpus/`), a per-stage
-    * funnel (`funnel/`), and token-budget training shards (`shards/` —
-    * [[graft.operators.Sharding.writeShards]]). Returns the funnel
+    * funnel (`funnel/`), token-budget training shards (`shards/` —
+    * [[graft.operators.Sharding.writeShards]]), and — when
+    * `packTokens` is set — the sequence-packing map (`packed/` —
+    * [[graft.operators.Sharding.packSequences]]: each kept document's
+    * global token offset and context-window block span, the layout a
+    * trainer's loader slices batches from). Returns the funnel
     * (drop reason → docs, plus `kept`).
     */
   def runCuration(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: CurationConfig = CurationConfig(),
       blocked: Option[DataFrame] = None,
       embeddings: Option[DataFrame] = None,
-      shardTokens: Long = 100000L): Map[String, Long] = {
+      shardTokens: Long = 100000L,
+      packTokens: Option[Long] = None): Map[String, Long] = {
     val ann = curate(docs, cfg, blocked, embeddings).cache()
     try {
       ann.write.mode("overwrite").parquet(s"$outDir/annotated")
@@ -1080,6 +1085,13 @@ object CorpusJob {
       graft.operators.Sharding.writeShards(spark,
         spark.read.parquet(s"$outDir/corpus"), s"$outDir/shards",
         "doc_id", "n_tokens", shardTokens)
+      packTokens.foreach { b =>
+        graft.operators.Sharding.packSequences(
+            spark.read.parquet(s"$outDir/corpus")
+              .select(col("doc_id"), col("n_tokens")),
+            "doc_id", "n_tokens", b)
+          .write.mode("overwrite").parquet(s"$outDir/packed")
+      }
       val funnel = ann
         .groupBy(coalesce(col("drop_reason"), lit("kept")).as("stage"))
         .agg(count(lit(1)).as("n"))

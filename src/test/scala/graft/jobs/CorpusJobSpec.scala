@@ -762,6 +762,37 @@ class CorpusJobSpec extends SparkSpec {
       s"batch union (${annA.size}+${annB.size}) != one-shot (${ref.size})")
   }
 
+  test("runCuration: complete export — annotated/corpus/shards/packed/funnel coherent") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val bl = Seq("h3.example.com").toDF("domain")
+    val out = tmpDir("curjob")
+    val funnel = CorpusJob.runCuration(spark, docs, out,
+      CorpusJob.CurationConfig(budgetTokens = 20000L), Some(bl),
+      embeddings = None, shardTokens = 4000L, packTokens = Some(512L))
+    val ann = spark.read.parquet(s"$out/annotated")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // funnel == the annotated frame's own census; kept == corpus rows
+    assert(funnel == ann
+      .groupBy(coalesce($"drop_reason", lit("kept")).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(funnel("kept") == corpus.count() && funnel("kept") > 0)
+    assert(corpus.count() == ann.filter($"kept").count())
+    // shard manifest certifies the whole kept corpus, nothing else
+    val manifest = spark.read.parquet(s"$out/shards/_manifest")
+    assert(manifest.agg(sum($"n_docs")).head().getLong(0) == corpus.count())
+    // packing map covers the kept corpus exactly, with the tiling
+    // property (total offsets span = total tokens)
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.count() == corpus.count())
+    assert(packed.agg(max($"tok_start" +
+        coalesce($"n_tokens", lit(0L)))).head().getLong(0) ==
+      corpus.agg(sum(coalesce($"n_tokens", lit(0L)))).head().getLong(0))
+  }
+
   test("deleteCurationDocs: delete-then-probe == probe against live-only index; verdict log purged; replay no-op") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
