@@ -3513,6 +3513,48 @@ object OracleSql {
     FROM per
     ORDER BY query_id"""
 
+  /** q130: ANALYZE-style column profile over orders — per column:
+    * rows, nulls, exact distincts, string-cast min/max. The derived
+    * nullable column exercises the null accounting.
+    */
+  private val q130 = s"""
+    WITH o AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL
+                  ELSE o_orderstatus END AS status_nullable
+      FROM orders),
+    p AS (
+      SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_custkey) AS n_nulls,
+             count(DISTINCT o_custkey) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_value,
+             CAST(max(o_custkey) AS VARCHAR) AS max_value FROM o
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR),
+             CAST(max(o_orderdate) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'status_nullable', count(*), count(*) - count(status_nullable),
+             count(DISTINCT status_nullable),
+             CAST(min(status_nullable) AS VARCHAR),
+             CAST(max(status_nullable) AS VARCHAR) FROM o)
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+    FROM p ORDER BY col_name"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3642,5 +3684,6 @@ object OracleSql {
     "q127_pack_sequences" -> q127,
     "q128_epoched_mixture" -> q128,
     "q129_ann_recall" -> q129,
+    "q130_profile" -> q130,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

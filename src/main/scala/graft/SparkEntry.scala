@@ -2456,6 +2456,19 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Column profiling ([[graft.operators.Profile.profile]]): one-scan
+    * ANALYZE over orders — counts, null rates (exercised via a derived
+    * nullable column), exact cardinalities, string-cast value ranges.
+    */
+  def q130_profile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      when(col("o_custkey") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status_nullable"))
+    graft.operators.Profile.profile(o)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2588,6 +2601,7 @@ object SparkEntry {
     "q127_pack_sequences" -> (q127_pack_sequences _),
     "q128_epoched_mixture" -> (q128_epoched_mixture _),
     "q129_ann_recall" -> (q129_ann_recall _),
+    "q130_profile" -> (q130_profile _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
