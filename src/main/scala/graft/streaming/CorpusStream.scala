@@ -489,4 +489,32 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming sequence-packing export — [[runIncrementalShards]]'s
+    * twin over [[graft.operators.Sharding.continuePack]]: each
+    * micro-batch extends the global token stream from the persisted
+    * cursor, so context-window blocks keep filling across micro-batch
+    * seams. Exactly-once comes from the operator (cursor swap = the
+    * committed marker; `__batch_id` dynamic-overwrite partitions).
+    */
+  def runIncrementalPack(
+      spark: SparkSession,
+      docs: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      blockTokens: Long,
+      salt: String = "pack"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.operators.Sharding.continuePack(
+          spark, batch, stateDir, keyCol, tokensCol, blockTokens,
+          batchId = bid, salt = salt)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

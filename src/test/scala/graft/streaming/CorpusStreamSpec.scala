@@ -242,6 +242,53 @@ class CorpusStreamSpec extends SparkSpec {
       docs.agg(sum($"n_tokens")).head().getLong(0))
   }
 
+  test("streaming pack export == one-shot day-major packing; kill-and-replay value-identical") {
+    import org.apache.spark.sql.expressions.Window
+    val base = tmpDir("packstream")
+    val b = 512L
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+      .select($"doc_id", $"n_tokens")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (c1, c2) = (n / 3, 2 * n / 3)
+    val inDir = s"$base/in"
+    docs.filter($"doc_id" <= c1).coalesce(1).write.parquet(inDir)
+    docs.filter($"doc_id" > c1 && $"doc_id" <= c2).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    docs.filter($"doc_id" > c2).coalesce(1).write.mode("append").parquet(inDir)
+
+    val q = CorpusStream.runIncrementalPack(spark, spark.readStream
+        .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "doc_id", "n_tokens", s"$base/state", s"$base/ckpt", b)
+    q.awaitTermination()
+
+    val u = graft.functions.AuditableHash.h60(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    val day = when($"doc_id" <= c1, 0).when($"doc_id" <= c2, 1).otherwise(2)
+    val w = Window.orderBy(day, u, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docs
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", ($"cum" - $"n_tokens").as("tok_start"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(s"$base/state/packed")
+      .select($"doc_id", $"tok_start")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference)
+
+    val before = multiset(s"$base/state/packed")
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    rmrf(s"$base/ckpt/commits/${commits.max}")
+    val q2 = CorpusStream.runIncrementalPack(spark, spark.readStream
+        .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "doc_id", "n_tokens", s"$base/state", s"$base/ckpt", b)
+    q2.awaitTermination()
+    assert(multiset(s"$base/state/packed") == before,
+      "kill-and-replay changed the packed map")
+  }
+
   test("streaming embedding increments == batch LSH pair set; two-table index accumulates") {
     val base = tmpDir("embstream")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
