@@ -1007,25 +1007,8 @@ object CorpusJob {
       .localCheckpoint(true)
 
     // -- stage 9: temperature mixture (α = 0.5) over FINAL token mass --
-    val rates: Map[String, Double] = state0.map(_.rates).getOrElse {
-      // same arithmetic as Sampling.temperatureMixture at alphaHalves=1,
-      // computed once and frozen: p = floor(sqrt(dt·2^20)) fixed-point,
-      // rate = min(1, budget·p/Σp/dt) in the operator's left-to-right
-      // double order (IEEE sqrt/÷ are bit-portable; libm pow is not)
-      val totals = m5.filter(alive7).groupBy(col("source"))
-        .agg(sum(col("n_tokens")).cast("long").as("dt"))
-        .withColumn("p",
-          floor(sqrt(col("dt").cast("double") * lit(1048576.0))).cast("long"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val wsum = totals.map(_._3).sum
-      totals.map { case (src, dt, p) =>
-        val rate =
-          if (dt <= 0 || wsum <= 0) 0.0
-          else math.min(1.0,
-            cfg.budgetTokens.toDouble * p.toDouble / wsum.toDouble / dt.toDouble)
-        src -> rate
-      }.toMap
-    }
+    val rates: Map[String, Double] = state0.map(_.rates).getOrElse(
+      fitMixtureRates(m5.filter(alive7), cfg.budgetTokens))
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (d, rt)) =>
       when(col("source") === lit(d), lit(rt)).otherwise(acc)
     }
@@ -1223,6 +1206,69 @@ object CorpusJob {
     out.newCells.foreach(_.write.mode("append").parquet(s"$dir/cells"))
     spark.read.parquet(s"$dir/annotated")
       .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** The stage-9 rate fit, shared by [[curateCore]] and [[refitRates]]
+    * so the two cannot drift: same arithmetic as
+    * `Sampling.temperatureMixture` at alphaHalves = 1 —
+    * `p = floor(sqrt(dt·2^20))` fixed-point, `rate = min(1,
+    * budget·p/Σp/dt)` in the operator's left-to-right double order
+    * (IEEE sqrt/÷ are bit-portable; libm pow is not). `survivors` must
+    * carry `source` and the post-dedup `n_tokens`.
+    */
+  private def fitMixtureRates(survivors: DataFrame,
+      budgetTokens: Long): Map[String, Double] = {
+    val totals = survivors.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("dt"))
+      .withColumn("p",
+        floor(sqrt(col("dt").cast("double") * lit(1048576.0))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wsum = totals.map(_._3).sum
+    totals.map { case (src, dt, p) =>
+      val rate =
+        if (dt <= 0 || wsum <= 0) 0.0
+        else math.min(1.0,
+          budgetTokens.toDouble * p.toDouble / wsum.toDouble / dt.toDouble)
+      src -> rate
+    }.toMap
+  }
+
+  /** Admit-new-domains maintenance for the frozen curation state: a
+    * domain absent from the frozen rate table drops every document as
+    * `sampled_out` ([[runCurationIncremental]]'s documented contract),
+    * and the heavy fix — re-running [[fitCurationState]] — refits
+    * models that didn't drift. This re-derives ONLY the rates, from
+    * the ACCUMULATED verdict logs (bootstrap + incremental appends +
+    * the stream twin's batches): `annotated.n_tokens` is non-NULL for
+    * exactly the rows that reached the mixture stage, so the log
+    * already records the post-dedup token mass the stage-9 fit
+    * consumed — the refit is [[fitMixtureRates]] over it, one tiny
+    * aggregate, no corpus re-read, no model refit. Persists the new
+    * table (atomic swap) and returns it. Replayed batches' duplicate
+    * verdict rows collapse by doc_id first (the deleteDocs
+    * discipline).
+    *
+    * The budget stays the config's: re-allocating it over the grown
+    * domain set REBALANCES existing domains too — that is the point
+    * (the mixture is a budget allocation, not a per-domain constant);
+    * callers wanting day-stable rates for already-admitted domains
+    * should keep the frozen table and refit on a maintenance cadence,
+    * the same knob discipline as [[graft.operators.IvfIndex.rebuild]].
+    */
+  def refitRates(spark: SparkSession, stateDir: String,
+      cfg: CurationConfig = CurationConfig()): Map[String, Double] = {
+    val dir = s"$stateDir/curation"
+    val boot = spark.read.parquet(s"$dir/annotated")
+    val all = Zone.readBatched(spark, s"$dir/stream/annotated")
+      .map(s => boot.unionByName(s)).getOrElse(boot)
+      .dropDuplicates("doc_id")
+    val rates = fitMixtureRates(
+      all.filter(col("n_tokens").isNotNull)
+        .select(col("source"), col("n_tokens")), cfg.budgetTokens)
+    import spark.implicits._
+    Zone.overwriteInPlace(spark,
+      rates.toSeq.toDF("source", "rate"), s"$dir/rates")
+    rates
   }
 
   /** Takedown for the CURATION state ([[fitCurationState]] layout plus

@@ -793,6 +793,58 @@ class CorpusJobSpec extends SparkSpec {
       corpus.agg(sum(coalesce($"n_tokens", lit(0L)))).head().getLong(0))
   }
 
+  test("refitRates: a new domain admitted from the verdict log alone; arithmetic == stage-9 fit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 20000L)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("currefit")
+    CorpusJob.fitCurationState(spark, docs.filter($"doc_id" <= n / 2),
+      state, cfg, None, None)
+    // the incremental batch arrives under a domain the frozen rate
+    // table has never seen: every doc that reaches the mixture stage
+    // must drop as sampled_out (the documented contract)
+    val b = docs.filter($"doc_id" > n / 2)
+      .withColumn("source", lit("newdomain"))
+    val annB = CorpusJob.runCurationIncremental(spark, b, state, cfg, None, None)
+    assert(annB.filter($"kept").count() == 0)
+    assert(annB.filter($"drop_reason" === "sampled_out").count() > 0,
+      "some batch docs must have survived to the mixture stage")
+
+    // refit from the verdict log: the new domain gets a positive rate,
+    // and every rate equals the stage-9 arithmetic over the logged mass
+    val rates = CorpusJob.refitRates(spark, state, cfg)
+    assert(rates.get("newdomain").exists(_ > 0))
+    val mass = spark.read.parquet(s"$state/curation/annotated")
+      .dropDuplicates("doc_id")
+      .filter($"n_tokens".isNotNull)
+      .groupBy($"source").agg(sum($"n_tokens").as("dt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ps = mass.map { case (s, dt) =>
+      s -> math.floor(math.sqrt(dt.toDouble * 1048576.0)).toLong
+    }
+    val wsum = ps.values.sum
+    val expected = mass.map { case (s, dt) =>
+      s -> math.min(1.0,
+        cfg.budgetTokens.toDouble * ps(s).toDouble / wsum.toDouble / dt.toDouble)
+    }
+    assert(rates == expected)
+    // the persisted table is what loadCurationState now serves, and a
+    // FRESH batch of the new domain gets kept rows under it
+    assert(CorpusJob.loadCurationState(spark, state, cfg).rates == rates)
+    // fresh ids AND fresh text: a byte-identical re-send would dedup to
+    // empty against the postings the B batch just appended
+    val c = docs.filter($"doc_id" > n / 2)
+      .withColumn("doc_id", $"doc_id" + n + 1)
+      .withColumn("source", lit("newdomain"))
+      .withColumn("text", concat($"text", lit(" uniq"), $"doc_id"))
+    val annC = CorpusJob.runCurationIncremental(spark, c, state, cfg, None, None)
+    assert(annC.filter($"kept").count() > 0,
+      "admitted domain must keep documents after the refit")
+  }
+
   test("deleteCurationDocs: delete-then-probe == probe against live-only index; verdict log purged; replay no-op") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
