@@ -3555,6 +3555,68 @@ object OracleSql {
            CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
     FROM p ORDER BY col_name"""
 
+  /** q131: the sketch-profile twin — q130's counts/ranges with
+    * cardinalities from the portable HLL (p = 8, the q62 register
+    * algebra over the long-form (col_name, string-rendered value)).
+    */
+  private val q131 = {
+    val n = graft.operators.HllSketch.rawNumerator(256)
+    s"""
+    WITH o AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL
+                  ELSE o_orderstatus END AS status_nullable
+      FROM orders),
+    lv AS (
+      SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS v FROM o
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM o
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o
+      UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM o
+      UNION ALL SELECT 'status_nullable', status_nullable FROM o),
+    r AS (
+      SELECT col_name, CAST(${h60("v")} % 256 AS INTEGER) AS register,
+             CAST(max(${graft.operators.HllSketch.duckRho("v", 8)}) AS INTEGER) AS rank
+      FROM lv WHERE v IS NOT NULL GROUP BY col_name, register),
+    e AS (
+      SELECT col_name, CAST(count(*) AS INTEGER) AS hit,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - rank)) +
+                  (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS fp_sum
+      FROM r GROUP BY col_name),
+    est AS (
+      SELECT col_name,
+             CAST(floor(CASE WHEN hit < 256 AND ($n / fp_sum) <= 640.0
+                    THEN 256.0 * ln(256.0 / CAST(256 - hit AS DOUBLE))
+                    ELSE $n / fp_sum END + 0.5) AS BIGINT) AS n_distinct_est
+      FROM e),
+    p AS (
+      SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_custkey) AS n_nulls,
+             CAST(min(o_custkey) AS VARCHAR) AS min_value,
+             CAST(max(o_custkey) AS VARCHAR) AS max_value FROM o
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR),
+             CAST(max(o_orderdate) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'status_nullable', count(*), count(*) - count(status_nullable),
+             CAST(min(status_nullable) AS VARCHAR),
+             CAST(max(status_nullable) AS VARCHAR) FROM o)
+    SELECT p.col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls, min_value, max_value,
+           CAST(coalesce(n_distinct_est, 0) AS BIGINT) AS n_distinct_est
+    FROM p LEFT JOIN est ON p.col_name = est.col_name
+    ORDER BY p.col_name"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3685,5 +3747,6 @@ object OracleSql {
     "q128_epoched_mixture" -> q128,
     "q129_ann_recall" -> q129,
     "q130_profile" -> q130,
+    "q131_profile_approx" -> q131,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

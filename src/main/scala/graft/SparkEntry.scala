@@ -2469,6 +2469,19 @@ object SparkEntry {
     graft.operators.Profile.profile(o)
   }
 
+  /** Sketch-based profile ([[graft.operators.Profile.approxProfile]]):
+    * q130's frame with cardinalities from the portable HLL (p = 8,
+    * the q62 family — estimates reproduce in SQL to the bit).
+    */
+  def q131_profile_approx(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      when(col("o_custkey") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status_nullable"))
+    graft.operators.Profile.approxProfile(o)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2602,6 +2615,7 @@ object SparkEntry {
     "q128_epoched_mixture" -> (q128_epoched_mixture _),
     "q129_ann_recall" -> (q129_ann_recall _),
     "q130_profile" -> (q130_profile _),
+    "q131_profile_approx" -> (q131_profile_approx _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
