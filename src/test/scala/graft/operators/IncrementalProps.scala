@@ -241,6 +241,37 @@ object IncrementalProps extends Properties("IncrementalIndexes") {
       got == reference
     }
 
+  property("packing: union of daily continuePack == one-shot day-major offsets") =
+    forAll(corpusGen) { case (docs, newIds) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{concat, lit, sum, when}
+      val cutId = (docs.size - newIds.size).toLong
+      val all = docs.toDF("doc_id", "text")
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+        .select($"doc_id", $"n_tokens")
+      val b = 5L
+      val state = java.nio.file.Files
+        .createTempDirectory("packprop").toString
+      Sharding.continuePack(spark, all.filter($"doc_id" < cutId), state,
+        "doc_id", "n_tokens", b, batchId = 0L)
+      Sharding.continuePack(spark, all.filter($"doc_id" >= cutId), state,
+        "doc_id", "n_tokens", b, batchId = 1L)
+      val u = graft.functions.AuditableHash.h60(
+        concat(lit("pack:"), $"doc_id".cast("string")))
+      val w = Window
+        .orderBy(when($"doc_id" < cutId, 0).otherwise(1), u, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val reference = all
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", ($"cum" - $"n_tokens").as("tok_start"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = spark.read.parquet(s"$state/packed")
+        .select($"doc_id", $"tok_start")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == reference
+    }
+
   // token stream → ≤3-token paragraphs: the 12-word alphabet makes
   // cross-doc paragraph collisions dense at tiny sizes
   private def paraText(text: String): String =
