@@ -302,17 +302,18 @@ object OracleSql {
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
   /** Tokens CTE body (lowercased) — the SQL mirror of TextFunctions.tokens. */
-  private val lowerToks = """
+  private def lowerToksFrom(table: String) = s"""
       SELECT doc_id,
              CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
-      FROM documents"""
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+      FROM $table"""
+  private val lowerToks = lowerToksFrom("documents")
 
   /** Distinct 3-shingle rows per doc (short docs collapse to whole text;
     * empty docs keep one '' shingle) — mirror of Dedup.shingleRows.
     */
-  private val shingleRows = s"""
-    toks AS ($lowerToks),
+  private def shingleRowsFrom(table: String) = s"""
+    toks AS (${lowerToksFrom(table)}),
     sh AS (
       SELECT doc_id,
              unnest(list_distinct(
@@ -320,6 +321,7 @@ object OracleSql {
                     ELSE list_transform(range(1, len(tk) - 1),
                                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS shingle
       FROM toks)"""
+  private val shingleRows = shingleRowsFrom("documents")
 
   /** MinHash signature CTEs (64 permutations of the auditable universal
     * family) — produces `sig(doc_id, i, m)` and `sigfull(doc_id, sig)`.
@@ -3617,6 +3619,44 @@ object OracleSql {
     ORDER BY p.col_name"""
   }
 
+  /** q132: LSH dedup quality — q22's signature/banding/est CTEs give
+    * the LSH pair set at est ≥ 0.35; exact ground truth is the
+    * exploded shingle equi-join (Σ df² like the engine, never an
+    * all-pairs list_intersect); precision/recall NULL when their
+    * denominator is empty.
+    */
+  private val q132 = s"""
+    WITH corpus132 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substr(text, 1, (length(text) * 3) // 5)
+      FROM documents WHERE doc_id % 10 = 0 AND length(text) > 100),
+    ${shingleRowsFrom("corpus132")}, $minhashSig,
+    lsh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.55),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    ex AS (
+      SELECT inter.id_a, inter.id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.id_a
+      JOIN sz sb ON sb.doc_id = inter.id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.55),
+    hit AS (SELECT ex.id_a, ex.id_b FROM ex
+            JOIN lsh ON lsh.id_a = ex.id_a AND lsh.id_b = ex.id_b),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+             (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+             (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+    SELECT n_exact, n_lsh, n_hit,
+           CASE WHEN n_lsh > 0
+                THEN round(CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6) END AS precision,
+           CASE WHEN n_exact > 0
+                THEN round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall
+    FROM c"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3748,5 +3788,6 @@ object OracleSql {
     "q129_ann_recall" -> q129,
     "q130_profile" -> q130,
     "q131_profile_approx" -> q131,
+    "q132_lsh_quality" -> q132,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2482,6 +2482,29 @@ object SparkEntry {
     graft.operators.Profile.approxProfile(o)
   }
 
+  /** LSH dedup quality ([[graft.operators.Dedup.lshQuality]]): the
+    * banded MinHash pipeline measured against exact shingle-Jaccard
+    * ground truth — the bands/hashes tuning dial, q129's protocol
+    * applied to the dedup family. The harness corpus' only similar
+    * pairs are exact dups (metric degenerates to 1.0), so every 10th
+    * doc gains a 3/5-prefix companion whose true Jaccard sits in the
+    * ~0.5–0.7 band around the 0.55 threshold, where the 64-hash
+    * estimate's ±1σ ≈ 0.06 noise actually flips borderline pairs.
+    * The oracle composes q22's signature/banding CTEs over the same
+    * union with the exploded exact-intersection join.
+    */
+  def q132_lsh_quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val companions = docs
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) > 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, CAST((length(text) * 3) DIV 5 AS INT))")
+          .as("text"))
+    Dedup.lshQuality(docs.unionByName(companions),
+      "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+      threshold = 0.55)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2616,6 +2639,7 @@ object SparkEntry {
     "q129_ann_recall" -> (q129_ann_recall _),
     "q130_profile" -> (q130_profile _),
     "q131_profile_approx" -> (q131_profile_approx _),
+    "q132_lsh_quality" -> (q132_lsh_quality _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

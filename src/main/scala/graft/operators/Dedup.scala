@@ -812,6 +812,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup-pipeline quality telemetry — precision/recall of the banded
+    * MinHash-LSH pipeline ([[minHashLsh]]: banding candidates, then
+    * `est_jaccard ≥ threshold`) against EXACT shingle-Jaccard ground
+    * truth ([[ngramJaccard]] corpus-wide, same shingle size, same
+    * inclusive threshold) — the dial that tunes `numHashes`/`bands`
+    * the way [[graft.operators.IvfIndex.recallAtK]] tunes `nProbe`:
+    * recall falls when banding misses true pairs, precision falls when
+    * the 64-hash estimate admits pairs below the true threshold. One
+    * row: `(n_exact, n_lsh, n_hit, precision, recall)` — NULL metric
+    * when its denominator is empty, never a fake 1.0.
+    *
+    * Cost discipline: the exact side is Σ df² over shared shingles —
+    * the eval protocol runs it over a corpus SAMPLE (like every
+    * ground-truth eval here); the three 1-row aggregates assemble via
+    * broadcast crossJoins (the censused 1-row-scalar pattern).
+    */
+  def lshQuality(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val lsh = minHashLsh(df, textCol, idCol, shingleSize, numHashes,
+        bands, threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    val exact = ngramJaccard(df.withColumn("__blk", lit(1)), textCol,
+        idCol, "__blk", shingleSize, minJaccard = threshold)
+      .select(col("id_a"), col("id_b"))
+    // one full-outer pair join + one aggregate: each pipeline computes
+    // ONCE (the crossJoin-of-three-counts form re-ran the shingle
+    // pipelines per branch — measured 2.6× this plan's wall)
+    exact.withColumn("__e", lit(1L))
+      .join(lsh.withColumn("__l", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        // outer coalesce: an agg over ZERO pair rows sums to NULL, and
+        // the no-similar-pairs corpus must report honest zero counts
+        coalesce(sum(coalesce(col("__e"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("__l"), lit(0L))), lit(0L)).as("n_lsh"),
+        coalesce(sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
+      .withColumn("precision",
+        when(col("n_lsh") > 0,
+          round(col("n_hit").cast("double") / col("n_lsh").cast("double"), 6)))
+      .withColumn("recall",
+        when(col("n_exact") > 0,
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)))
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * group. At 100 TB the block comes from LSH buckets
     * ([[graft.operators.Similarity.lshBucketsDf]]); here any coarse

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L }) // 5 is unrelated
   }
 
+  test("lshQuality: exact dups score perfectly; no-pair corpus keeps metrics NULL; hits bounded") {
+    // the fixture's only ≥0.9 pairs are the exact/near-identical trio —
+    // a 64-hash estimate cannot miss jaccard-1.0 pairs, so both metrics
+    // pin at 1.0
+    val r = Dedup.lshQuality(docs.select($"doc_id", $"text"),
+      "text", "doc_id", threshold = 0.9).head()
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Long]("n_hit") <=
+      math.min(r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh")))
+    assert(r.getAs[Double]("precision") == 1.0 && r.getAs[Double]("recall") == 1.0)
+    // a corpus with no similar pairs: both denominators empty → NULL
+    // metrics, never a fake 1.0
+    val lone = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.lshQuality(lone, "text", "doc_id", threshold = 0.9).head()
+    assert(r2.getAs[Long]("n_exact") == 0 && r2.getAs[Long]("n_lsh") == 0)
+    assert(r2.isNullAt(r2.fieldIndex("precision")) &&
+      r2.isNullAt(r2.fieldIndex("recall")))
+  }
+
   test("minhash losers form == pairs-derived loser set on real documents") {
     // the collision-row shortcut (no pair-level dropDuplicates) must
     // yield exactly the ids the pair form marks as non-minimum ends
