@@ -901,15 +901,23 @@ object CorpusJob {
     }
     val withLid = CharLm.classifyLanguage(base, "clean", lidModels)
       .drop("n_tri", "lid_avg")
-      .localCheckpoint(true)
     val alive1 = col("lid_pred").isin(cfg.keepLangs: _*)
 
     // -- stage 3: CCNet perplexity gate (threshold form). The model
-    // fits on the LID-survivor seed; scoring is a narrow kernel over
-    // EVERY doc (masked at output), so the whole gate is one pass --
+    // fits on the LID-survivor seed — LID is RE-DERIVED on just the
+    // 10% fit sample (same deterministic kernel ⇒ identical seed set)
+    // rather than forcing the full-corpus LID frame to materialize
+    // first; with the fit's dependency cut, the LID and scoring
+    // kernels FUSE into one narrow projection chain over `base` and
+    // stages 2+3 pay ONE full-corpus pass and ONE checkpoint where the
+    // round-9 form paid two of each (the corpus-pass count is the
+    // composition's whole cost at scale) --
     val pplModel = state0.map(_.pplModel).getOrElse(
-      CharLm.fit(withLid.filter(alive1 && col("doc_id") % 10 === 0), "clean",
-        cfg.pplDim, cfg.pplDim))
+      CharLm.fit(
+        CharLm.classifyLanguage(
+            base.filter(col("doc_id") % 10 === 0), "clean", lidModels)
+          .filter(col("lid_pred").isin(cfg.keepLangs: _*)),
+        "clean", cfg.pplDim, cfg.pplDim))
     val m = CharLm.score(withLid, "clean", pplModel)
       .withColumn("lm_avg",
         when(col("n_tri") > 0, expr("lm_score div n_tri")).cast("long"))
