@@ -3657,6 +3657,51 @@ object OracleSql {
                 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall
     FROM c"""
 
+  /** q133: the classifier TRAINING loop replayed in SQL — six unrolled
+    * GD iterations (margins = Σ count·weight, quasi-logistic residual
+    * `y − (0.5 + x/(2(1+|x|)))` — IEEE-only, no libm exp — quantized
+    * to 2^20 fixed-point BEFORE summing, so gradients are exact
+    * integers; updates are truncating integer division, which Scala
+    * `/`, Spark `div`, and DuckDB `//` all agree on). η = 1/(4n).
+    */
+  private val q133 = {
+    val iters = 6
+    val step = (k: Int) => s"""
+    m$k AS (
+      SELECT l.doc_id, l.y, coalesce(sum(c * wp.w), 0) AS mg
+      FROM labeled l
+      LEFT JOIN cnt ON cnt.doc_id = l.doc_id
+      LEFT JOIN w${k - 1} wp ON wp.bucket = cnt.b
+      GROUP BY l.doc_id, l.y),
+    g$k AS (
+      SELECT doc_id,
+             CAST(floor((CAST(y AS DOUBLE) - (0.5 + x / (2.0 * (1.0 + abs(x)))))
+                  * 1048576.0 + 0.5) AS BIGINT) AS g
+      FROM (SELECT doc_id, y, CAST(mg AS DOUBLE) / 1048576.0 AS x FROM m$k)),
+    r$k AS (
+      SELECT b, CAST(sum(g * c) AS BIGINT) AS grad
+      FROM cnt JOIN g$k USING (doc_id) GROUP BY b),
+    w$k AS (
+      SELECT wp.bucket, wp.w + coalesce(r$k.grad, 0) // (SELECT den FROM n) AS w
+      FROM w${k - 1} wp LEFT JOIN r$k ON r$k.b = wp.bucket)"""
+    s"""
+    WITH labeled AS (
+      SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM labeled),
+    cnt AS (
+      SELECT doc_id, CAST(${h60("tok")} % 64 AS INTEGER) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, b),
+    n AS (SELECT CAST(4 * count(*) AS BIGINT) AS den FROM labeled),
+    w0 AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS bucket,
+                  CAST(0 AS BIGINT) AS w),
+    ${(1 to iters).map(step).mkString(",")}
+    SELECT bucket, w FROM w$iters ORDER BY bucket"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3789,5 +3834,6 @@ object OracleSql {
     "q130_profile" -> q130,
     "q131_profile_approx" -> q131,
     "q132_lsh_quality" -> q132,
+    "q133_train_classifier" -> q133,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2505,6 +2505,27 @@ object SparkEntry {
       threshold = 0.55)
   }
 
+  /** In-engine classifier training
+    * ([[graft.operators.QualityModel.train]]): six deterministic
+    * fixed-point GD iterations fitting "is this document English" from
+    * hashed-BoW features at dim 64 — the oracle replays the ENTIRE
+    * optimization (margins, quasi-logistic residuals, integer
+    * gradients, truncating updates) as six unrolled SQL iterations,
+    * hash-exact. Output = the fitted weight table.
+    */
+  def q133_train_classifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+    val m = QualityModel.train(docs, "text", "y", "doc_id",
+      dim = 64, iters = 6)
+    import s.implicits._
+    m.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+      .toDF("bucket", "w")
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2640,6 +2661,7 @@ object SparkEntry {
     "q130_profile" -> (q130_profile _),
     "q131_profile_approx" -> (q131_profile_approx _),
     "q132_lsh_quality" -> (q132_lsh_quality _),
+    "q133_train_classifier" -> (q133_train_classifier _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

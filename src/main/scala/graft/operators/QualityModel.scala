@@ -113,6 +113,79 @@ object QualityModel {
     } finally src.close()
   }
 
+  /** Fixed-point scale of [[train]]'s weights (1.0 ≙ 2^20) — a power
+    * of two so every quantization step is exact binary arithmetic.
+    */
+  val TrainScale: Long = 1L << 20
+
+  /** Distributed, DETERMINISTIC in-engine training of the hashed-BoW
+    * classifier — closes the train→infer loop: the weights this fits
+    * are exactly what [[HashedBowScore]] embeds, and train-time
+    * margins are computed BY that kernel, so the feature contract
+    * (whitespace tokenize, lowercase, h60 mod dim, occurrence-counted)
+    * cannot drift between the two sides by construction.
+    *
+    * Batch gradient descent on a quasi-logistic link
+    * `σ̃(x) = 0.5 + x / (2·(1+|x|))` — only IEEE +, ×, ÷, |·|, which
+    * are bit-portable across engines (the repo's sqrt-over-libm-pow
+    * discipline; `exp` is libm and is not), so a SQL oracle replays
+    * the whole optimization to the bit. Per-document residuals
+    * quantize to [[TrainScale]] fixed-point BEFORE any cross-row sum:
+    * every gradient accumulation is exact integer arithmetic —
+    * order-free, so the fitted weights cannot drift with partitioning
+    * or parallelism. The weight update is all-long truncating division
+    * (Scala `/`, Spark `div`, and DuckDB `//` agree, negatives
+    * included). `etaDen = 0` auto-derives `4·n` (step ∝ the mean
+    * per-document gradient).
+    *
+    * Scale shape, per iteration: ONE narrow kernel pass for margins
+    * (weights embedded in the plan — no join), one bucket aggregate
+    * over the pre-materialized `(id, bucket, count)` table, one
+    * `dim`-sized collect (the CharLm driver-budget discipline). The
+    * count table materializes once, rows = Σ distinct buckets per doc.
+    * NULL-text documents contribute no features (the kernel's NULL
+    * propagates and the explode drops them).
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      idCol: String, dim: Int, iters: Int = 8,
+      etaNum: Long = 1L, etaDen: Long = 0L): Model = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(etaNum >= 1, s"etaNum must be >= 1, got $etaNum")
+    require(etaDen >= 0, s"etaDen must be >= 0, got $etaDen")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(graft.plans.ShingleHashes(
+      ColumnBridge.expression(col(textCol).cast("string")), 1))
+    val labeled = df.select(col(idCol).as("__id"),
+        col(labelCol).cast("long").as("__y"), col(textCol))
+      .localCheckpoint(true)
+    val cnt = labeled
+      .select(col("__id"), explode(hashes).as("__h"))
+      .withColumn("__b", (col("__h") % dim).cast("int"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val den = if (etaDen > 0) etaDen else math.max(1L, 4L * labeled.count())
+    val f = lit(TrainScale.toDouble)
+    var w = IndexedSeq.fill(dim)(0L)
+    for (_ <- 1 to iters) {
+      val g = labeled
+        .withColumn("__x",
+          coalesce(bowScore(col(textCol), w), lit(0L)).cast("double") / f)
+        .withColumn("__g",
+          floor((col("__y").cast("double") -
+            (lit(0.5) + col("__x") / (lit(2.0) * (lit(1.0) + abs(col("__x"))))))
+            * f + lit(0.5)).cast("long"))
+        .select(col("__id"), col("__g"))
+      val grad = cnt.join(g, Seq("__id"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__g") * col("__c")).as("__G"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = IndexedSeq.tabulate(dim)(b =>
+        w(b) + etaNum * grad.getOrElse(b, 0L) / den)
+    }
+    Model(TrainScale, bigrams = false, weights = w)
+  }
+
   /** The scoring column: exact integer `Σ weights[h60(token) mod dim]`
     * over the document's whitespace tokens (NULL text → NULL, empty →
     * 0); with `bigrams`, plus `Σ weights[h60(tok_i ' ' tok_i+1) mod

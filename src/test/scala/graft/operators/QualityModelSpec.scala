@@ -118,4 +118,31 @@ class QualityModelSpec extends SparkSpec {
     assert(QualityModel.stubWeights(dim) == weights)
     assert(weights.forall(w => w >= -1000L && w <= 1000L))
   }
+
+  test("train: separable corpus converges; weights deterministic under repartition; kernel round-trip") {
+    // two disjoint-vocabulary classes, slight per-doc variation so the
+    // problem isn't a single repeated row
+    val docs = ((0 until 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta tok$i alpha beta", 1L)) ++
+      (30 until 60).map(i =>
+        (i.toLong, s"omega psi chi phi tok$i omega psi", 0L)))
+      .toDF("id", "text", "y")
+    val m = QualityModel.train(docs, "text", "y", "id", dim = 64, iters = 8)
+    assert(m.scale == QualityModel.TrainScale && !m.bigrams && m.dim == 64)
+    // the fitted weights separate the classes through the INFERENCE
+    // kernel (scoreWith) — the round-trip that makes training real
+    val scored = QualityModel.scoreWith(docs, "text", m)
+      .select($"y", $"bow_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val good = scored.filter(_._1 == 1L).map(_._2)
+    val bad = scored.filter(_._1 == 0L).map(_._2)
+    assert(good.min > bad.max,
+      s"classes must separate: good min ${good.min} vs bad max ${bad.max}")
+    assert(good.min > 0L && bad.max < 0L, "zero threshold splits them")
+    // exact-integer gradient discipline: identical weights regardless
+    // of input partitioning
+    val m2 = QualityModel.train(docs.repartition(7), "text", "y", "id",
+      dim = 64, iters = 8)
+    assert(m2.weights == m.weights)
+  }
 }
