@@ -3664,8 +3664,13 @@ object OracleSql {
     * integers; updates are truncating integer division, which Scala
     * `/`, Spark `div`, and DuckDB `//` all agree on). η = 1/(4n).
     */
-  private val q133 = {
-    val iters = 6
+  /** The unrolled deterministic-GD training CTE chain (q133/q134):
+    * `labeledAll` = every usable doc, `labeled` = the TRAIN split
+    * (`trainPred` over labeledAll), `cnt`/`cnta` = per-(doc, bucket)
+    * token counts for the train split / all docs, `w<iters>` = the
+    * fitted weight table.
+    */
+  private def gdTraining(iters: Int, trainPred: String): String = {
     val step = (k: Int) => s"""
     m$k AS (
       SELECT l.doc_id, l.y, coalesce(sum(c * wp.w), 0) AS mg
@@ -3684,23 +3689,61 @@ object OracleSql {
     w$k AS (
       SELECT wp.bucket, wp.w + coalesce(r$k.grad, 0) // (SELECT den FROM n) AS w
       FROM w${k - 1} wp LEFT JOIN r$k ON r$k.b = wp.bucket)"""
-    s"""
-    WITH labeled AS (
+    s"""labeledAll AS (
       SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    labeled AS (SELECT * FROM labeledAll WHERE $trainPred),
     toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM labeled),
-    cnt AS (
+      FROM labeledAll),
+    cnta AS (
       SELECT doc_id, CAST(${h60("tok")} % 64 AS INTEGER) AS b,
              CAST(count(*) AS BIGINT) AS c
       FROM toks GROUP BY doc_id, b),
+    cnt AS (SELECT cnta.* FROM cnta
+            JOIN labeled ON labeled.doc_id = cnta.doc_id),
     n AS (SELECT CAST(4 * count(*) AS BIGINT) AS den FROM labeled),
     w0 AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS bucket,
                   CAST(0 AS BIGINT) AS w),
-    ${(1 to iters).map(step).mkString(",")}
-    SELECT bucket, w FROM w$iters ORDER BY bucket"""
+    ${(1 to iters).map(step).mkString(",")}"""
   }
+
+  private val q133 = s"""
+    WITH ${gdTraining(6, "TRUE")}
+    SELECT bucket, w FROM w6 ORDER BY bucket"""
+
+  /** q134: held-out evaluation of the q133 trainer — fit on the 3/4
+    * train split, score the held-out quarter with the fitted weights
+    * (margin ≥ 0 predicts English), emit the confusion matrix +
+    * accuracy/precision/recall (NULL on empty denominators).
+    */
+  private val q134 = s"""
+    WITH ${gdTraining(6, "doc_id % 4 <> 3")},
+    test AS (SELECT doc_id, y FROM labeledAll WHERE doc_id % 4 = 3),
+    tm AS (
+      SELECT t.doc_id, t.y, coalesce(sum(c * wp.w), 0) AS mg
+      FROM test t
+      LEFT JOIN cnta ON cnta.doc_id = t.doc_id
+      LEFT JOIN w6 wp ON wp.bucket = cnta.b
+      GROUP BY t.doc_id, t.y),
+    conf AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN y = 1 AND mg >= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+        CAST(coalesce(sum(CASE WHEN y = 0 AND mg >= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+        CAST(coalesce(sum(CASE WHEN y = 1 AND mg < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+        CAST(coalesce(sum(CASE WHEN y = 0 AND mg < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+      FROM tm)
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp + fn + tn > 0
+                THEN round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+           END AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           END AS recall
+    FROM conf"""
 
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
@@ -3835,5 +3878,6 @@ object OracleSql {
     "q131_profile_approx" -> q131,
     "q132_lsh_quality" -> q132,
     "q133_train_classifier" -> q133,
+    "q134_classifier_eval" -> q134,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

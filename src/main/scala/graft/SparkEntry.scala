@@ -2526,6 +2526,23 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Held-out classifier evaluation
+    * ([[graft.operators.QualityModel.evaluate]]): q133's trainer fit
+    * on the 3/4 split, confusion matrix + accuracy/precision/recall
+    * on the held-out quarter — the oracle replays training AND
+    * scoring, hash-exact.
+    */
+  def q134_classifier_eval(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+    val m = QualityModel.train(all.filter(col("doc_id") % 4 =!= 3),
+      "text", "y", "doc_id", dim = 64, iters = 6)
+    QualityModel.evaluate(all.filter(col("doc_id") % 4 === 3),
+      "text", "y", m)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2662,6 +2679,7 @@ object SparkEntry {
     "q131_profile_approx" -> (q131_profile_approx _),
     "q132_lsh_quality" -> (q132_lsh_quality _),
     "q133_train_classifier" -> (q133_train_classifier _),
+    "q134_classifier_eval" -> (q134_classifier_eval _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -186,6 +186,38 @@ object QualityModel {
     Model(TrainScale, bigrams = false, weights = w)
   }
 
+  /** Held-out evaluation of a fitted [[Model]]: score `test` through
+    * the SAME inference kernel training used, predict positive at
+    * `margin ≥ threshold`, and aggregate the confusion matrix plus
+    * accuracy / precision / recall (NULL on an empty denominator,
+    * never a fake score; all-zero counts on an empty test set). One
+    * narrow kernel pass + one 1-row aggregate.
+    */
+  def evaluate(test: DataFrame, textCol: String, labelCol: String,
+      model: Model, threshold: Long = 0L): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val pos = coalesce(bowScore(col(textCol), model.weights, model.bigrams),
+      lit(0L)) >= threshold
+    val z = lit(0L)
+    test.agg(
+        coalesce(sum(when(y === 1 && pos, 1L).otherwise(0L)), z).as("tp"),
+        coalesce(sum(when(y === 0 && pos, 1L).otherwise(0L)), z).as("fp"),
+        coalesce(sum(when(y === 1 && !pos, 1L).otherwise(0L)), z).as("fn"),
+        coalesce(sum(when(y === 0 && !pos, 1L).otherwise(0L)), z).as("tn"))
+      .withColumn("accuracy",
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)))
+  }
+
   /** The scoring column: exact integer `Σ weights[h60(token) mod dim]`
     * over the document's whitespace tokens (NULL text → NULL, empty →
     * 0); with `bigrams`, plus `Σ weights[h60(tok_i ' ' tok_i+1) mod

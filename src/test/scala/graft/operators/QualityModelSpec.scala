@@ -144,5 +144,23 @@ class QualityModelSpec extends SparkSpec {
     val m2 = QualityModel.train(docs.repartition(7), "text", "y", "id",
       dim = 64, iters = 8)
     assert(m2.weights == m.weights)
+
+    // held-out evaluation: a disjoint-vocab model is perfect on a
+    // held-out slice of the same distribution
+    val holdout = ((60 until 70).map(i =>
+      (i.toLong, s"alpha beta gamma held$i", 1L)) ++
+      (70 until 80).map(i => (i.toLong, s"omega psi chi held$i", 0L)))
+      .toDF("id", "text", "y")
+    val ev = QualityModel.evaluate(holdout, "text", "y", m).head()
+    assert(ev.getAs[Long]("tp") == 10L && ev.getAs[Long]("tn") == 10L &&
+      ev.getAs[Long]("fp") == 0L && ev.getAs[Long]("fn") == 0L)
+    assert(ev.getAs[Double]("accuracy") == 1.0 &&
+      ev.getAs[Double]("precision") == 1.0 && ev.getAs[Double]("recall") == 1.0)
+    // empty test set: zero counts, NULL metrics — never a fake score
+    val empty = QualityModel.evaluate(holdout.limit(0), "text", "y", m).head()
+    assert(empty.getAs[Long]("tp") == 0L && empty.getAs[Long]("tn") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("accuracy")) &&
+      empty.isNullAt(empty.fieldIndex("precision")) &&
+      empty.isNullAt(empty.fieldIndex("recall")))
   }
 }
