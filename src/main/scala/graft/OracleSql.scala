@@ -3745,6 +3745,132 @@ object OracleSql {
            END AS recall
     FROM conf"""
 
+  /** q135/q136: BM25 ranked retrieval — the oracle re-derives the whole
+    * fixed-point pipeline: the q58 tokenizer, per-doc lengths (zero-token
+    * docs keep dl = 0 and count toward N/avgdl), `avgdl_fp = 256·TL // N`,
+    * per-query-term document frequencies, the Lucene idf
+    * `log2fp(2N+2) − log2fp(2df+1)` via the 10-step recursive-CTE log2
+    * (bit-identical to `graft.plans.Log2Fp` — q113's recipe), the
+    * integer tf-saturation `22528·tf·af // (10·tf·af + 3·af + 2304·dl)`,
+    * and the `(score desc, doc_id)` top-20. q136 runs the same retrieval
+    * over the corpus minus the takedown set — the Spark side assembles it
+    * from three merged slice indexes plus deleteDocs, so the hash match
+    * proves incremental == rebuild.
+    */
+  private def bm25Sql(pred: String): String = s"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS term
+      FROM documents WHERE $pred),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    lens AS (
+      SELECT d.doc_id, coalesce(s.dl, 0) AS dl
+      FROM (SELECT doc_id FROM documents WHERE $pred) d
+      LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                 FROM toks WHERE term <> '' GROUP BY doc_id) s
+        ON s.doc_id = d.doc_id),
+    meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(dl), 0) AS BIGINT) AS tl
+      FROM lens),
+    av AS (SELECT n, (tl * 256) // greatest(n, 1) AS af FROM meta),
+    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT 2 * n + 2 AS v FROM meta
+        UNION ALL SELECT 2 * df + 1 FROM dfq)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    idf AS (
+      SELECT d.term, ln2.r - ld.r AS idf
+      FROM dfq d
+      CROSS JOIN meta
+      JOIN lg ln2 ON ln2.v = 2 * meta.n + 2
+      JOIN lg ld ON ld.v = 2 * d.df + 1),
+    w AS (
+      SELECT c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp FROM w GROUP BY doc_id),
+    rk AS (
+      SELECT doc_id, score_fp,
+             CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+               AS INTEGER) AS rank
+      FROM sc)
+    SELECT doc_id, score_fp, rank FROM rk WHERE rank <= 20 ORDER BY rank"""
+
+  private val q135 = bm25Sql("TRUE")
+  private val q136 = bm25Sql("doc_id % 17 <> 3")
+
+  /** q137/q138 shared CTEs: the typo-companion input, the prefix/suffix
+    * block rows (suffix start = max(len−3, 1), the engine-portable
+    * form), and per-block sizes. The cap (1000) is applied from ACTUAL
+    * counts, so kept/dropped flips with the scale factor exactly as the
+    * Spark side does.
+    */
+  private val fuzzyBase = """
+    base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) + 1000000,
+             substr(c_name, 1, 12) || 'x' || substr(c_name, 14)
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) + 2000000,
+             substr(c_name, 1, 10) || 'x' || substr(c_name, 12, 1) || 'y' ||
+             substr(c_name, 14)
+      FROM customer WHERE c_custkey % 13 = 0),
+    b AS (
+      SELECT id, name, length(name) AS len, 'p' AS kind,
+             substr(name, 1, 4) AS blk
+      FROM base WHERE name IS NOT NULL
+      UNION ALL
+      SELECT id, name, length(name), 's',
+             substr(name, greatest(length(name) - 3, 1), 4)
+      FROM base WHERE name IS NOT NULL),
+    sz AS (SELECT kind, blk, count(*) AS n FROM b GROUP BY kind, blk)"""
+
+  private val q137 = s"""
+    WITH $fuzzyBase,
+    kept AS (
+      SELECT b.* FROM b
+      JOIN sz ON sz.kind = b.kind AND sz.blk = b.blk AND sz.n <= 1000),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+             a.name AS key_a, c.name AS key_b
+      FROM kept a
+      JOIN kept c ON a.kind = c.kind AND a.blk = c.blk
+        AND a.id < c.id AND abs(a.len - c.len) <= 2)
+    SELECT id_a, id_b, key_a, key_b,
+           CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(key_a, key_b) <= 2
+    ORDER BY id_a, id_b"""
+
+  private val q138 = s"""
+    WITH $fuzzyBase
+    SELECT kind, blk, CAST(n AS BIGINT) AS n_rows, n <= 1000 AS kept
+    FROM sz
+    ORDER BY kind, blk"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -3879,5 +4005,9 @@ object OracleSql {
     "q132_lsh_quality" -> q132,
     "q133_train_classifier" -> q133,
     "q134_classifier_eval" -> q134,
+    "q135_bm25_topk" -> q135,
+    "q136_bm25_incremental" -> q136,
+    "q137_fuzzy_match" -> q137,
+    "q138_fuzzy_blocks" -> q138,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

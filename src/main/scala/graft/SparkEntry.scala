@@ -2543,6 +2543,80 @@ object SparkEntry {
       "text", "y", m)
   }
 
+  /** BM25 ranked retrieval ([[graft.operators.Bm25.search]]): top-20
+    * docs for a mixed-rarity query ("dup" df≈5%, two common terms, one
+    * absent term) — Lucene idf via the fixed-point [[graft.plans.Log2Fp]]
+    * kernel, integer tf-saturation, order-free long score sum. The
+    * oracle re-derives the whole pipeline including the recursive-CTE
+    * log2.
+    */
+  def q135_bm25_topk(s: SparkSession, dir: String): DataFrame =
+    Bm25.search(Tables.documents(s, dir), "text", "doc_id",
+      Seq("dup", "vector", "merge", "zzz"), k = 20)
+
+  /** Incremental BM25 index ([[graft.operators.Bm25.mergePostings]] +
+    * [[graft.operators.Bm25.deleteDocs]]): the index assembled from
+    * three disjoint slice builds, then a takedown batch removed, then
+    * probed — must hash-match the oracle's batch retrieval over
+    * (corpus − takedown), proving incremental == rebuild.
+    */
+  def q136_bm25_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val slices = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+    val post = Bm25.mergePostings(
+      slices.map(d => Bm25.postings(d, "text", "doc_id")): _*)
+    val lens = Bm25.mergePostings(
+      slices.map(d => Bm25.docLens(d, "text", "doc_id")): _*)
+    val takedown = docs.filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+    Bm25.searchPostings(
+      Bm25.deleteDocs(post, takedown, "doc_id"),
+      Bm25.deleteDocs(lens, takedown, "doc_id"),
+      "doc_id", Seq("dup", "vector", "merge", "zzz"), k = 20)
+  }
+
+  /** The q137/q138 entity-resolution input: customers plus planted
+    * typo companions — one mid-name substitution for custkey % 11,
+    * two (positions 11 and 13, both inside the digit run, away from
+    * the prefix/suffix blocks) for custkey % 13 — so true matches
+    * exist at dist 1 AND 2 alongside the natural near-pairs of
+    * zero-padded sequential names.
+    */
+  private def fuzzyCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+    val t1 = c.filter(col("id") % 11 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 12), lit("x"),
+          substring(col("name"), 14, 1000)).as("name"))
+    val t2 = c.filter(col("id") % 13 === 0)
+      .select((col("id") + 2000000L).as("id"),
+        concat(substring(col("name"), 1, 10), lit("x"),
+          substring(col("name"), 12, 1), lit("y"),
+          substring(col("name"), 14, 1000)).as("name"))
+    c.unionByName(t1).unionByName(t2)
+  }
+
+  /** Blocked fuzzy entity matching
+    * ([[graft.operators.FuzzyJoin.fuzzyPairs]]): prefix/suffix block
+    * equi-join with the hot-block cap (the all-row "Cust" prefix block
+    * drops at sf ≥ 0.01, kept at sf0.001 — the oracle replicates the
+    * cap from actual counts), length-band prefilter, banded
+    * levenshtein verify at maxDist = 2.
+    */
+  def q137_fuzzy_match(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.fuzzyPairs(fuzzyCustomers(s, dir), "name", "id",
+        maxDist = 2, blockLen = 4, maxBlock = 1000L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocking telemetry ([[graft.operators.FuzzyJoin.blockStats]]):
+    * every block's population and kept/dropped status — the
+    * no-silent-caps contract made queryable.
+    */
+  def q138_fuzzy_blocks(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.blockStats(fuzzyCustomers(s, dir), "name", "id",
+        blockLen = 4, maxBlock = 1000L)
+      .orderBy(col("kind"), col("blk"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2680,6 +2754,10 @@ object SparkEntry {
     "q132_lsh_quality" -> (q132_lsh_quality _),
     "q133_train_classifier" -> (q133_train_classifier _),
     "q134_classifier_eval" -> (q134_classifier_eval _),
+    "q135_bm25_topk" -> (q135_bm25_topk _),
+    "q136_bm25_incremental" -> (q136_bm25_incremental _),
+    "q137_fuzzy_match" -> (q137_fuzzy_match _),
+    "q138_fuzzy_blocks" -> (q138_fuzzy_blocks _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the search leg of a
+  * curation pipeline (contamination mining: "which training docs score
+  * high against this benchmark question"; quality auditing: "show me
+  * the top docs for this query"; boilerplate hunting by keyword). The
+  * reference's query surface stops at LIKE-prefix scans
+  * (`22130124/data_warehouse_nhom8` staging filters); this is the
+  * ranked-search extension a 100 TB corpus needs.
+  *
+  * Scoring is the Lucene BM25 variant, k1 = 1.2, b = 0.75:
+  *
+  * {{{  idf(t)  = log2((2N + 2) / (2·df(t) + 1))          // ln(1 + (N − df + ½)/(df + ½)), base-2 units
+  *      tfn(t,d)= tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *      score   = Σ_t idf(t) · tfn(t, d)                  }}}
+  *
+  * in EXACT fixed-point integer arithmetic — idf via the
+  * [[graft.plans.Log2Fp]] kernel (2^-10 units; IEEE `ln` differs
+  * between libms in the last ulp and a hash-matched oracle cannot
+  * tolerate "almost"), tfn as a single integer division in 2^-10
+  * units (clearing the rational k1/b and the avgdl denominator:
+  * `tfn_fp = 22528·tf·avgdl_fp div (10·tf·avgdl_fp + 3·avgdl_fp +
+  * 2304·dl)` with `avgdl_fp = 256·TL div N`), so scores are longs in
+  * 2^-20 units, summed order-free. Exact while
+  * `tf × avgdl < 2^47` (far beyond any chunked corpus — upstream
+  * [[Chunker]] bounds documents to hundreds of tokens; a 2^20-token
+  * doc in a 2^20-avg corpus still fits).
+  *
+  * Index shape at 100 TB: [[postings]] `(id, term, tf, dl)` and
+  * [[docLens]] `(id, dl)` are both ADDITIVE over disjoint doc-id sets
+  * (plain union — each doc owns its rows; the vocabulary statistic df
+  * is derived per-query from the postings of the query's terms, so
+  * there is no df state to maintain). Persist postings partitioned /
+  * bucketed BY TERM: a query touches |q| term groups, so the scan is
+  * partition-pruned to the query's postings lists — increment-sized
+  * work however big the corpus, the Lucene access path expressed
+  * relationally. Daily ingest appends its own [[postings]]; takedown
+  * is [[deleteDocs]] (anti-join, the same contract as the dedup
+  * indexes). Query terms are deduplicated (set semantics, as Lucene's
+  * default BooleanQuery).
+  */
+object Bm25 {
+
+  /** Whitespace tokens of `c`, lowercased, empties dropped — the
+    * TermStats tokenizer, shared so BM25 df and TF-IDF df agree.
+    */
+  private def tokens(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+
+  private def log2fp(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Log2Fp(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** `(id, term, tf, dl)` — one row per (document, distinct term).
+    * `dl` (the document's token count) rides every row so the scorer
+    * needs NO per-doc join at query time (Lucene's norms, stored
+    * inline). Tokenize is a narrow map ([[Spread]]-parallelized on
+    * one-row-group corpora); one shuffle keyed on (id, term).
+    * Zero-token documents contribute no rows.
+    */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Spread.auto(docs, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).cast("long").as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** `(id, dl)` — one row per document, INCLUDING zero-token docs
+    * (they score nothing but count toward N and avgdl, so adding empty
+    * docs changes rankings exactly as a batch rebuild would).
+    */
+  def docLens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
+
+  /** Additive index merge over DISJOINT doc-id sets: each document
+    * owns its postings and lens rows, so the merge is a plain union —
+    * no aggregation, increment-sized cost (BatchSpec property:
+    * `postings(a ∪ b) == merge(postings(a), postings(b))`).
+    */
+  def mergePostings(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "nothing to merge")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Takedown: drop every index row of the deleted documents — one
+    * anti-join per table, the standard index-family contract
+    * (delete-then-search == build-without, Bm25Spec).
+    */
+  def deleteDocs(index: DataFrame, deleted: DataFrame, idCol: String): DataFrame =
+    index.join(deleted.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Top-k documents for `query` against a postings index: filter the
+    * postings to the query's terms (partition-pruned when the index is
+    * stored by term), derive df per term from those rows, broadcast
+    * the ≤|q|-row idf table and the 1-row corpus meta, score each
+    * candidate row in one narrow integer projection, sum per doc, and
+    * `TakeOrderedAndProject` the top k by `(score desc, id)`. The
+    * only shuffle over candidate rows is the per-doc sum — everything
+    * corpus-sized stays in the pruned scan. Absent terms (df = 0)
+    * simply contribute no rows. `rank` is a row_number over the ≤k
+    * result rows (bounded single-partition window, the q73 carve-out).
+    */
+  def searchPostings(post: DataFrame, lens: DataFrame, idCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.nonEmpty, "query must have at least one term")
+    val q = query.map(_.toLowerCase).distinct
+    // 1-row corpus meta: N, and avgdl in Q8 fixed point (exact integer
+    // div — floor(long/double) misrounds above 2^53, the Sharding
+    // boundary lesson).
+    val meta = lens.agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("dl")), lit(0L)).as("__tl"))
+      .withColumn("__avg", expr("(__tl * 256L) div greatest(__n, 1L)"))
+    val cand = post.filter(col("term").isin(q: _*))
+    val idf = cand.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(meta))
+      .select(col("term"),
+        (log2fp(lit(2L) * col("__n") + lit(2L)) -
+          log2fp(lit(2L) * col("__df") + lit(1L))).as("__idf"))
+    val top = cand
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(meta.select(col("__avg"))))
+      .withColumn("__w", col("__idf") *
+        expr("(22528L * tf * __avg) div (10L * tf * __avg + 3L * __avg + 2304L * dl)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))))
+  }
+
+  /** One-shot form: build the index legs lazily and search — the
+    * correctness surface (q135); production probes a persisted index
+    * via [[searchPostings]].
+    */
+  def search(docs: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k: Int): DataFrame =
+    searchPostings(postings(docs, textCol, idCol),
+      docLens(docs, textCol, idCol), idCol, query, k)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy self-matching: find pairs of records whose keys are
+  * within `maxDist` edits — entity resolution over customer/supplier
+  * names, near-identical URL or title detection — WITHOUT an all-pairs
+  * comparison. The reference's matching surface is exact equality
+  * (`22130124/data_warehouse_nhom8` upsert/SCD2 key joins); this is
+  * the approximate-matching extension, built the way every operator
+  * here is: equi-join blocking so the comparison count is bounded, a
+  * cheap necessary-condition prefilter, then the exact verifier only
+  * on surviving candidates.
+  *
+  * Blocking: each record emits two block keys — its first and its last
+  * `blockLen` characters. Pairs sharing either block become
+  * candidates. This is complete for `maxDist = 1` when keys are at
+  * least `2·blockLen` long (one edit touches at most one of the two
+  * disjoint blocks; the other survives verbatim — the PassJoin
+  * pigeonhole at q = 2 segments), and high-recall-but-not-complete for
+  * larger distances (edits at BOTH ends evade; [[blockStats]] plus a
+  * q132-style sampled ground truth measure the gap). The length gap
+  * `|len(a) − len(b)| ≤ maxDist` rides the join as a prefilter — it is
+  * implied by edit distance, costs nothing, and kills most false
+  * candidates before the DP verifier runs.
+  *
+  * Hot blocks: real keys share boilerplate ("Customer#0…" — every row
+  * in one prefix block), and a degenerate block is quadratic. Blocks
+  * larger than `maxBlock` are EXCLUDED from candidate generation — a
+  * block that common discriminates nothing — and the cut is never
+  * silent: [[blockStats]] reports every block's size and kept/dropped
+  * status, so the recall trade is measured, not assumed. At 100 TB the
+  * shape holds: block sizes come from one aggregate on the block key,
+  * candidate generation is an equi-join on `(kind, block)` (AQE
+  * skew-splittable), and the O(len²) verifier — Spark's banded
+  * `levenshtein(l, r, threshold)`, which abandons a row at
+  * `maxDist + 1` — runs only on candidates that share a block and a
+  * length band.
+  */
+object FuzzyJoin {
+
+  /** `(id, key, len, kind, blk)`: two rows per record — kind 'p'
+    * (first `blockLen` chars) and 's' (last `blockLen` chars). Keys
+    * shorter than `blockLen` use the whole key for both blocks (the
+    * short-key fallback degenerates to an exact-prefix group, still
+    * bounded by `maxBlock`).
+    */
+  private def blocks(df: DataFrame, keyCol: String, idCol: String,
+      blockLen: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(keyCol).as("key"),
+        length(col(keyCol)).as("len"))
+      .filter(col("key").isNotNull)
+      .select(col("id"), col("key"), col("len"), explode(array(
+        struct(lit("p").as("kind"), substring(col("key"), 1, blockLen).as("blk")),
+        // explicit start = max(len−blockLen+1, 1): negative-position
+        // substring semantics differ between engines for keys shorter
+        // than blockLen; this form is identical everywhere
+        struct(lit("s").as("kind"),
+          expr(s"substring(key, greatest(length(key) - $blockLen + 1, 1), $blockLen)")
+            .as("blk")))).as("b"))
+      .select(col("id"), col("key"), col("len"),
+        col("b.kind").as("kind"), col("b.blk").as("blk"))
+
+  /** Per-block telemetry: `(kind, blk, n_rows, kept)` — every block's
+    * population and whether it participates in candidate generation
+    * (`n_rows <= maxBlock`). The no-silent-caps contract: a pipeline
+    * that drops a block sees exactly which and how big here.
+    */
+  def blockStats(df: DataFrame, keyCol: String, idCol: String,
+      blockLen: Int, maxBlock: Long): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    blocks(df, keyCol, idCol, blockLen)
+      .groupBy(col("kind"), col("blk"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("kept", col("n_rows") <= maxBlock)
+  }
+
+  /** Matched pairs `(id_a, id_b, key_a, key_b, dist)` with
+    * `dist = levenshtein(key_a, key_b) ≤ maxDist`, `id_a < id_b`.
+    * Candidates: share a kept block (equi-join on `(kind, blk)`) and a
+    * length band; deduplicated (a pair sharing both blocks verifies
+    * once) before the DP verifier.
+    */
+  def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
+      maxDist: Int, blockLen: Int = 4, maxBlock: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    val b = blocks(df, keyCol, idCol, blockLen)
+    val sizes = b.groupBy(col("kind"), col("blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock)
+    val kept = b.join(sizes.select(col("kind"), col("blk")), Seq("kind", "blk"))
+    val a = kept.select(col("kind"), col("blk"), col("id").as("id_a"),
+      col("key").as("key_a"), col("len").as("len_a"))
+    val c = kept.select(col("kind"), col("blk"), col("id").as("id_b"),
+      col("key").as("key_b"), col("len").as("len_b"))
+    a.join(c, Seq("kind", "blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") >= 0)
+  }
+}

@@ -99,6 +99,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_strip_html takes exactly 1 argument")
         HtmlStrip(children.head)
+      }),
+    (FunctionIdentifier("graft_log2fp"),
+      new ExpressionInfo(classOf[Log2Fp].getName, "graft_log2fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_log2fp takes exactly 1 argument")
+        Log2Fp(children.head)
       }))
 
   /** Register on an already-built session (tests, Verify/Bench mains). */

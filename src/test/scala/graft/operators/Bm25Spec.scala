@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana durian"),
+    (4L, null.asInstanceOf[String]),
+    (5L, ""))
+
+  private def docs = corpus.toDF("doc_id", "text")
+
+  /** Independent fixed-point reference (plain Scala longs, no Spark)
+    * — guards the operator's expr-string arithmetic against typos.
+    */
+  private def refScores(query: Seq[String]): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> Option(t).map(_.toLowerCase.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+    }
+    val n = toks.size.toLong
+    val tl = toks.map(_._2.size.toLong).sum
+    val avg = (tl * 256L) / n
+    val q = query.map(_.toLowerCase).distinct
+    val dfT = q.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val idf = q.map(t =>
+      t -> (Dsir.log2Fp(2 * n + 2) - Dsir.log2Fp(2 * dfT(t) + 1))).toMap
+    toks.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val s = q.map { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0) 0L
+        else idf(t) * ((22528L * tf * avg) / (10L * tf * avg + 3L * avg + 2304L * dl))
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.toMap
+  }
+
+  test("scores match the independent fixed-point reference exactly") {
+    val q = Seq("apple", "durian", "zzz")
+    val got = Bm25.search(docs, "text", "doc_id", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ref = refScores(q)
+    assert(got.map(r => r._1 -> r._2).toMap == ref)
+    // deterministic rank: score desc, then doc_id
+    val expected = ref.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    assert(got.sortBy(_._3).toSeq == expected)
+  }
+
+  test("k truncates; duplicate query terms collapse (set semantics)") {
+    val top1 = Bm25.search(docs, "text", "doc_id", Seq("apple"), k = 1).collect()
+    assert(top1.length == 1)
+    val a = Bm25.search(docs, "text", "doc_id", Seq("apple", "apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Bm25.search(docs, "text", "doc_id", Seq("apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("postings are additive: merge of disjoint slices == batch build") {
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val merged = Bm25.mergePostings(
+      Bm25.postings(a, "text", "doc_id"), Bm25.postings(b, "text", "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Bm25.postings(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == batch)
+  }
+
+  test("takedown: delete-then-search == build-without") {
+    val deleted = Seq(1L).toDF("doc_id")
+    val post = Bm25.deleteDocs(Bm25.postings(docs, "text", "doc_id"), deleted, "doc_id")
+    val lens = Bm25.deleteDocs(Bm25.docLens(docs, "text", "doc_id"), deleted, "doc_id")
+    val got = Bm25.searchPostings(post, lens, "doc_id", Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val without = Bm25.search(docs.filter($"doc_id" =!= 1L), "text", "doc_id",
+      Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == without)
+  }
+
+  test("empty/NULL docs count toward N and avgdl but never match") {
+    // dropping docs 4/5 changes N (6→... here 5→3) and so every idf —
+    // scores must differ even though the matching docs are identical
+    val withEmpties = Bm25.search(docs, "text", "doc_id", Seq("apple"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val withoutEmpties = Bm25.search(docs.filter($"doc_id" <= 3), "text",
+      "doc_id", Seq("apple"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withEmpties.keySet == withoutEmpties.keySet)
+    assert(withEmpties != withoutEmpties)
+    assert(!withEmpties.contains(4L) && !withEmpties.contains(5L))
+  }
+}
