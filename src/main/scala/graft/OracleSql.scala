@@ -3871,6 +3871,44 @@ object OracleSql {
     FROM sz
     ORDER BY kind, blk"""
 
+  /** q139: fuzzy entity canonicalization — the q137 pair derivation
+    * feeding the q55 walk-CTE connected components, then the
+    * deterministic canonical election (len desc, id asc; names are
+    * fixed-width so min id survives).
+    */
+  private val q139 = s"""
+    WITH RECURSIVE $fuzzyBase,
+    kept AS (
+      SELECT b.* FROM b
+      JOIN sz ON sz.kind = b.kind AND sz.blk = b.blk AND sz.n <= 1000),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+             a.name AS key_a, c.name AS key_b
+      FROM kept a
+      JOIN kept c ON a.kind = c.kind AND a.blk = c.blk
+        AND a.id < c.id AND abs(a.len - c.len) <= 2),
+    fp AS (
+      SELECT id_a, id_b FROM cand WHERE levenshtein(key_a, key_b) <= 2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM fp
+      UNION
+      SELECT id_b, id_a FROM fp),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+    cc AS (SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id),
+    lab AS (
+      SELECT bs.id, bs.name, coalesce(c.comp, bs.id) AS cluster_id,
+             length(bs.name) AS len
+      FROM base bs LEFT JOIN cc c ON c.id = bs.id)
+    SELECT id, name, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY len DESC, id ASC) = 1 AS is_canonical
+    FROM lab
+    ORDER BY id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4009,5 +4047,6 @@ object OracleSql {
     "q136_bm25_incremental" -> q136,
     "q137_fuzzy_match" -> q137,
     "q138_fuzzy_blocks" -> q138,
+    "q139_fuzzy_entities" -> q139,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

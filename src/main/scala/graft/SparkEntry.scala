@@ -2617,6 +2617,24 @@ object SparkEntry {
         blockLen = 4, maxBlock = 1000L)
       .orderBy(col("kind"), col("blk"))
 
+  /** Entity canonicalization: [[graft.operators.FuzzyJoin.fuzzyPairs]]
+    * edges → [[graft.operators.DedupCluster.clusters]] (component min,
+    * deterministic canonical election) — the full record-linkage loop:
+    * block, verify, cluster, elect one surviving record per entity.
+    * Same composition contract as q55's near-dup clusters, with fuzzy
+    * name edges instead of chunk-overlap edges.
+    */
+  def q139_fuzzy_entities(s: SparkSession, dir: String): DataFrame = {
+    val in = fuzzyCustomers(s, dir)
+    val pairs = FuzzyJoin.fuzzyPairs(in, "name", "id",
+      maxDist = 2, blockLen = 4, maxBlock = 1000L)
+    DedupCluster.clusters(in.withColumn("len", length(col("name"))),
+        pairs, "id", "id_a", "id_b", "len")
+      .select(col("id"), col("name"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2758,6 +2776,7 @@ object SparkEntry {
     "q136_bm25_incremental" -> (q136_bm25_incremental _),
     "q137_fuzzy_match" -> (q137_fuzzy_match _),
     "q138_fuzzy_blocks" -> (q138_fuzzy_blocks _),
+    "q139_fuzzy_entities" -> (q139_fuzzy_entities _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
