@@ -3757,8 +3757,12 @@ object OracleSql {
     * from three merged slice indexes plus deleteDocs, so the hash match
     * proves incremental == rebuild.
     */
-  private def bm25Sql(pred: String): String = s"""
-    WITH RECURSIVE toks AS (
+  /** Common BM25 CTEs (tokenize → tf → lens → meta → Q8 avgdl) plus
+    * the log2/idf/weight tail — `qt`/`cand`/`dfq` differ between the
+    * flat-query (q135/q136) and batch (q140) forms, so the shared text
+    * splits around them.
+    */
+  private def bm25Base(pred: String): String = s"""toks AS (
       SELECT doc_id,
              unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS term
       FROM documents WHERE $pred),
@@ -3775,11 +3779,12 @@ object OracleSql {
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(coalesce(sum(dl), 0) AS BIGINT) AS tl
       FROM lens),
-    av AS (SELECT n, (tl * 256) // greatest(n, 1) AS af FROM meta),
-    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
-    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
-    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
-    vals AS (
+    av AS (SELECT n, (tl * 256) // greatest(n, 1) AS af FROM meta)"""
+
+  /** The fixed-point log2 (q113's 10-step recursive CTE) over the idf
+    * arguments, and the per-term idf — expects `dfq(term, df)`.
+    */
+  private val bm25Idf = """vals AS (
       SELECT DISTINCT v FROM (
         SELECT 2 * n + 2 AS v FROM meta
         UNION ALL SELECT 2 * df + 1 FROM dfq)),
@@ -3800,7 +3805,14 @@ object OracleSql {
       FROM dfq d
       CROSS JOIN meta
       JOIN lg ln2 ON ln2.v = 2 * meta.n + 2
-      JOIN lg ld ON ld.v = 2 * d.df + 1),
+      JOIN lg ld ON ld.v = 2 * d.df + 1)"""
+
+  private def bm25Sql(pred: String): String = s"""
+    WITH RECURSIVE ${bm25Base(pred)},
+    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
     w AS (
       SELECT c.doc_id,
              idf.idf * ((22528 * c.tf * av.af) //
@@ -3819,6 +3831,40 @@ object OracleSql {
 
   private val q135 = bm25Sql("TRUE")
   private val q136 = bm25Sql("doc_id % 17 <> 3")
+
+  /** q140: batch BM25 — per-(query, doc) scores in one pass, rank
+    * partitioned by query. The duplicate/case-variant query term in
+    * the Spark-side table collapses before this VALUES list (set
+    * semantics).
+    */
+  private val q140 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt(query_id, term) AS (
+      VALUES (1, 'dup'), (1, 'line'), (2, 'vector'), (2, 'merge'), (3, 'zzz')),
+    terms AS (SELECT DISTINCT term FROM qt),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN terms q ON q.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT q.query_id, c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN qt q ON q.term = c.term
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (
+      SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+      FROM w GROUP BY query_id, doc_id),
+    rk AS (
+      SELECT query_id, doc_id, score_fp,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS INTEGER) AS rank
+      FROM sc)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_fp, rank
+    FROM rk WHERE rank <= 10
+    ORDER BY query_id, rank"""
 
   /** q137/q138 shared CTEs: the typo-companion input, the prefix/suffix
     * block rows (suffix start = max(len−3, 1), the engine-portable
@@ -4048,5 +4094,6 @@ object OracleSql {
     "q137_fuzzy_match" -> q137,
     "q138_fuzzy_blocks" -> q138,
     "q139_fuzzy_entities" -> q139,
+    "q140_bm25_batch" -> q140,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

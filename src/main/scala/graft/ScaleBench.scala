@@ -142,6 +142,32 @@ object ScaleBench {
         Dedup.paragraphDedup(paraBody(d), "body", "doc_id")
           .filter(col("n_dropped") > 0 && length(col("text_dedup")) >= 0)
           .count()),
+      // BM25 retrieval (round 10, q135): two corpus passes (postings +
+      // lens meta) + tiny broadcast aggregates + a candidate-row sum —
+      // expected ~linear in corpus size at fixed output (k = 20)
+      "bm25_search" -> (d =>
+        graft.operators.Bm25.search(d, "text", "doc_id",
+          Seq("dup", "vector", "merge", "zzz"), 20).count()),
+      // fuzzy matching (round 10, q137): names derived from a HASH of
+      // the doc id, so replicas decorrelate (cross-replica names differ
+      // everywhere — no synthetic R² pair blowup); planted one-edit
+      // companions for id % 11 keep a linear stream of true matches.
+      // blockLen = 6 over 13-char names: block-key SPACE (10^5/10^6)
+      // stays well above occupancy at 30× — the blockLen ∝ log N dial
+      // (fixed blockLen at a growing corpus is the fixed-k SemDeDup
+      // hazard: occupancy ∝ N ⇒ candidates ∝ N²; q137's maxBlock cap
+      // is the other half of the same discipline)
+      "fuzzy_pairs" -> { d =>
+        val base = d.select(col("doc_id").as("id"),
+          concat(lit("N"), lpad(pmod(xxhash64(col("doc_id")),
+            lit(1000000000000L)).cast("string"), 12, "0")).as("name"))
+        val typo = base.filter(col("id") % 11 === 0)
+          .select((col("id") + 50000000000L).as("id"),
+            concat(substring(col("name"), 1, 6), lit("x"),
+              substring(col("name"), 8, 100)).as("name"))
+        graft.operators.FuzzyJoin.fuzzyPairs(base.unionByName(typo),
+          "name", "id", maxDist = 2, blockLen = 6, maxBlock = 1000L).count()
+      },
     )
 
     // SemDeDup scale pair: replicas are CIRCULAR-SHIFTED so
@@ -227,14 +253,30 @@ object ScaleBench {
       .withColumn("doc_id", col("doc_id") + lit(10000000000L))
     def incrRun(r: Int, tmp: String): Map[String, (Double, Long)] = {
       val d = corpus(r)
-      graft.operators.SubstringDedup.shingleIndex(d, "text", "doc_id", 8)
-        .write.mode("overwrite").parquet(s"$tmp/spanidx")
-      val sigs = graft.operators.Dedup.signatures(d, "text", "doc_id", 3, 64)
-      sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
-      graft.operators.Dedup.signatureBands(sigs, 64, 16)
-        .write.mode("overwrite").parquet(s"$tmp/bands")
-      graft.operators.Dedup.paraPostings(paraBody(d), "body", "doc_id")
-        .write.mode("overwrite").parquet(s"$tmp/paraidx")
+      // index builds are untimed setup — build only what a kept probe
+      // will read (the workload-subset runs would otherwise pay the
+      // full index matrix at R×)
+      if (keep("incr_span_probe"))
+        graft.operators.SubstringDedup.shingleIndex(d, "text", "doc_id", 8)
+          .write.mode("overwrite").parquet(s"$tmp/spanidx")
+      if (keep("incr_minhash_probe")) {
+        val sigs = graft.operators.Dedup.signatures(d, "text", "doc_id", 3, 64)
+        sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+        graft.operators.Dedup.signatureBands(sigs, 64, 16)
+          .write.mode("overwrite").parquet(s"$tmp/bands")
+      }
+      if (keep("incr_para_probe"))
+        graft.operators.Dedup.paraPostings(paraBody(d), "body", "doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/paraidx")
+      if (keep("incr_bm25_query")) {
+        // postings PARTITIONED BY TERM — the Lucene access path: the
+        // probe's term filter becomes partition pruning, so it reads
+        // the query's postings lists, not the corpus
+        graft.operators.Bm25.postings(d, "text", "doc_id")
+          .write.mode("overwrite").partitionBy("term").parquet(s"$tmp/bm25post")
+        graft.operators.Bm25.docLens(d, "text", "doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/bm25lens")
+      }
       val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
       val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
       Seq[(String, () => Long)](
@@ -251,7 +293,16 @@ object ScaleBench {
             spark.read.parquet(s"$tmp/paraidx"), paraBody(batch),
             "body", "doc_id")
             .filter(length(col("text_dedup")) >= 0).count()),
-      ).map { case (name, f) =>
+        // not "incremental" state maintenance but the same claim shape:
+        // a FIXED query against the R× index must cost ~the query's
+        // postings lists (which do grow ~R — matching docs are a fixed
+        // fraction of the corpus), never the full-corpus tokenize
+        s"incr_bm25_query" -> (() =>
+          graft.operators.Bm25.searchPostings(
+            spark.read.parquet(s"$tmp/bm25post"),
+            spark.read.parquet(s"$tmp/bm25lens"), "doc_id",
+            Seq("dup", "vector", "merge", "zzz"), 20).count()),
+      ).filter(p => keep(p._1)).map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f()
         val w = (System.nanoTime() - t0) / 1e9

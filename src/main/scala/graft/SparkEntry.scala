@@ -2635,6 +2635,23 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Batch BM25 ([[graft.operators.Bm25.searchManyPostings]]): three
+    * queries (one with a case-variant duplicate term, one matching
+    * nothing) scored in one corpus pass, per-query top-10 through the
+    * bounded-buffer [[graft.operators.TopKPerGroup]] aggregator — the
+    * contamination-mining shape.
+    */
+  def q140_bm25_batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
+      (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
+    Bm25.searchManyPostings(Bm25.postings(docs, "text", "doc_id"),
+        Bm25.docLens(docs, "text", "doc_id"), "doc_id",
+        queries, "query_id", "term", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2777,6 +2794,7 @@ object SparkEntry {
     "q137_fuzzy_match" -> (q137_fuzzy_match _),
     "q138_fuzzy_blocks" -> (q138_fuzzy_blocks _),
     "q139_fuzzy_entities" -> (q139_fuzzy_entities _),
+    "q140_bm25_batch" -> (q140_bm25_batch _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -95,6 +95,32 @@ object Bm25 {
   def deleteDocs(index: DataFrame, deleted: DataFrame, idCol: String): DataFrame =
     index.join(deleted.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** 1-row corpus meta: N, total token count, and avgdl in Q8 fixed
+    * point (exact integer div — floor(long/double) misrounds above
+    * 2^53, the Sharding boundary lesson).
+    */
+  private def metaFrame(lens: DataFrame): DataFrame =
+    lens.agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("dl")), lit(0L)).as("__tl"))
+      .withColumn("__avg", expr("(__tl * 256L) div greatest(__n, 1L)"))
+
+  /** `(term, __idf)` for the candidate rows' terms — df is a count of
+    * the (doc, term)-unique candidate rows, so filtering postings to
+    * the query's terms first doesn't change any df.
+    */
+  private def idfFrame(cand: DataFrame, meta: DataFrame): DataFrame =
+    cand.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(meta))
+      .select(col("term"),
+        (log2fp(lit(2L) * col("__n") + lit(2L)) -
+          log2fp(lit(2L) * col("__df") + lit(1L))).as("__idf"))
+
+  /** Per-candidate-row fixed-point term weight (expects `tf`, `dl`,
+    * `__idf`, `__avg` in scope).
+    */
+  private def termWeight: Column = col("__idf") *
+    expr("(22528L * tf * __avg) div (10L * tf * __avg + 3L * __avg + 2304L * dl)")
+
   /** Top-k documents for `query` against a postings index: filter the
     * postings to the query's terms (partition-pruned when the index is
     * stored by term), derive df per term from those rows, broadcast
@@ -111,29 +137,52 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     require(query.nonEmpty, "query must have at least one term")
     val q = query.map(_.toLowerCase).distinct
-    // 1-row corpus meta: N, and avgdl in Q8 fixed point (exact integer
-    // div — floor(long/double) misrounds above 2^53, the Sharding
-    // boundary lesson).
-    val meta = lens.agg(count(lit(1)).as("__n"),
-        coalesce(sum(col("dl")), lit(0L)).as("__tl"))
-      .withColumn("__avg", expr("(__tl * 256L) div greatest(__n, 1L)"))
+    val meta = metaFrame(lens)
     val cand = post.filter(col("term").isin(q: _*))
-    val idf = cand.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-      .crossJoin(broadcast(meta))
-      .select(col("term"),
-        (log2fp(lit(2L) * col("__n") + lit(2L)) -
-          log2fp(lit(2L) * col("__df") + lit(1L))).as("__idf"))
     val top = cand
-      .join(broadcast(idf), "term")
+      .join(broadcast(idfFrame(cand, meta)), "term")
       .crossJoin(broadcast(meta.select(col("__avg"))))
-      .withColumn("__w", col("__idf") *
-        expr("(22528L * tf * __avg) div (10L * tf * __avg + 3L * __avg + 2304L * dl)"))
+      .withColumn("__w", termWeight)
       .groupBy(col(idCol))
       .agg(sum(col("__w")).as("score_fp"))
       .orderBy(col("score_fp").desc, col(idCol))
       .limit(k)
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))))
+  }
+
+  /** BATCH retrieval: top-k documents for EVERY query in a query
+    * table `(qidCol, termCol)` — the contamination-mining shape
+    * (thousands of benchmark questions against the corpus), one
+    * corpus pass however many queries. The query table broadcasts
+    * (benchmark-sized); candidate rows are postings of any queried
+    * term; the per-(query, doc) sum shuffles once; per-query top-k
+    * runs through [[TopKPerGroup]]'s bounded-buffer aggregator — the
+    * map-side phase caps state at k rows per query per task, so the
+    * final exchange carries O(k · queries · tasks), never the
+    * candidate set. Per-query term multiplicity collapses (set
+    * semantics, matching [[searchPostings]]). The aggregator's double
+    * buffer round-trips `score_fp` exactly below 2^53 (a score needs
+    * ~10^8 matched query terms to get there; the output re-casts to
+    * long).
+    */
+  def searchManyPostings(post: DataFrame, lens: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, termCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(qidCol).as("__qid"),
+      lower(col(termCol)).as("term")).distinct()
+    val meta = metaFrame(lens)
+    val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
+    val scored = cand
+      .join(broadcast(q), "term")
+      .join(broadcast(idfFrame(cand, meta)), "term")
+      .crossJoin(broadcast(meta.select(col("__avg"))))
+      .withColumn("__w", termWeight)
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+    TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
+      .select(col("__qid").as(qidCol), col(idCol),
+        col("score_fp").cast("long").as("score_fp"), col("rank"))
   }
 
   /** One-shot form: build the index legs lazily and search — the

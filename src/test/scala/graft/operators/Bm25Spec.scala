@@ -86,6 +86,25 @@ class Bm25Spec extends SparkSpec {
     assert(got == without)
   }
 
+  test("batch search: each query's rows == the single-query search; " +
+      "no-match queries vanish; case-variant duplicate terms collapse") {
+    val queries = Seq((10L, "apple"), (10L, "APPLE"), (10L, "durian"),
+      (20L, "banana"), (30L, "zzz")).toDF("query_id", "term")
+    val post = Bm25.postings(docs, "text", "doc_id")
+    val lens = Bm25.docLens(docs, "text", "doc_id")
+    val got = Bm25.searchManyPostings(post, lens, "doc_id",
+        queries, "query_id", "term", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(!got.exists(_._1 == 30L)) // all-absent query yields nothing
+    def single(q: Seq[String]) =
+      Bm25.searchPostings(post, lens, "doc_id", q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.filter(_._1 == 10L).map(r => (r._2, r._3, r._4)).toSet ==
+      single(Seq("apple", "durian")))
+    assert(got.filter(_._1 == 20L).map(r => (r._2, r._3, r._4)).toSet ==
+      single(Seq("banana")))
+  }
+
   test("empty/NULL docs count toward N and avgdl but never match") {
     // dropping docs 4/5 changes N (6→... here 5→3) and so every idf —
     // scores must differ even though the matching docs are identical
