@@ -3955,6 +3955,58 @@ object OracleSql {
     FROM lab
     ORDER BY id"""
 
+  /** q141: retrieve-then-rerank — the q135 BM25 derivation at rank ≤
+    * 100 feeding the q26-family quantized-cosine rerank against doc
+    * 0's embedding. Candidates without an embedding drop (inner join,
+    * the operator's documented contract — exercised at sf0.1 where
+    * embeddings cover 2000 of 5000 docs).
+    */
+  private val q141 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_fp FROM w GROUP BY doc_id),
+    rk AS (
+      SELECT doc_id, bm25_fp,
+             row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS r
+      FROM sc),
+    recall AS (SELECT doc_id, bm25_fp FROM rk WHERE r <= 100),
+    qv AS (
+      SELECT $quantize AS pq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS pn2
+      FROM embeddings WHERE vec_id = 0),
+    ev AS (
+      SELECT vec_id AS doc_id, $quantize AS dq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS dn2
+      FROM embeddings),
+    scored AS (
+      SELECT r.doc_id, r.bm25_fp,
+             round(CASE WHEN e.dn2 = 0 OR q.pn2 = 0 THEN 0.0
+                        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                               i -> e.dq[i] * q.pq[i])) AS BIGINT) AS DOUBLE)
+                             / (sqrt(CAST(e.dn2 AS DOUBLE)) *
+                                sqrt(CAST(q.pn2 AS DOUBLE))) END, 6) AS cosine
+      FROM recall r
+      JOIN ev e ON e.doc_id = r.doc_id
+      CROSS JOIN qv q),
+    rr AS (
+      SELECT doc_id, bm25_fp, cosine,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+               AS INTEGER) AS rank
+      FROM scored)
+    SELECT doc_id, bm25_fp, cosine, rank FROM rr WHERE rank <= 10
+    ORDER BY rank"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4095,5 +4147,6 @@ object OracleSql {
     "q138_fuzzy_blocks" -> q138,
     "q139_fuzzy_entities" -> q139,
     "q140_bm25_batch" -> q140,
+    "q141_hybrid_search" -> q141,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2652,6 +2652,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieve-then-rerank ([[graft.operators.Bm25.search]] →
+    * [[graft.operators.Similarity.rerankByVector]]): BM25 top-100
+    * lexical recall, exact quantized-cosine rerank against doc 0's
+    * embedding, top-10 — the modern two-stage search stack. At sf0.1
+    * only 2000 of 5000 docs have embeddings, so the documented
+    * no-vector drop path runs for real.
+    */
+  def q141_hybrid_search(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val recall = Bm25.search(docs, "text", "doc_id",
+        Seq("dup", "vector", "merge", "zzz"), k = 100)
+      .select(col("doc_id"), col("score_fp").as("bm25_fp"))
+    Similarity.rerankByVector(recall, "doc_id", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select(col("embedding")), k = 10)
+      .orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2795,6 +2813,7 @@ object SparkEntry {
     "q138_fuzzy_blocks" -> (q138_fuzzy_blocks _),
     "q139_fuzzy_entities" -> (q139_fuzzy_entities _),
     "q140_bm25_batch" -> (q140_bm25_batch _),
+    "q141_hybrid_search" -> (q141_hybrid_search _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -186,4 +186,38 @@ object Similarity {
         count(lit(1))).as("recall"))
     hits
   }
+
+  /** Second-stage reranking: score a BOUNDED candidate set (a lexical
+    * recall stage's top-N — q141 feeds [[Bm25]]'s output here) by
+    * exact quantized cosine against ONE probe vector, keep the top k.
+    * The retrieve-then-rerank stack: the cheap stage bounds the
+    * candidate count, so the expensive exact scoring runs on N rows,
+    * not the corpus. Scale shape: the candidate set broadcasts into
+    * the embedding join (the corpus-sized side is read id-pruned when
+    * embeddings are stored bucketed by id), the 1-row quantized probe
+    * rides a broadcast cross join, and top-k is
+    * `TakeOrderedAndProject` + a ≤k-row rank window. Candidates
+    * without an embedding can't be cosine-ranked and drop (inner
+    * join — callers keep the lexical rank if they want them back).
+    * Cosine rounds to 6 dp before ranking; ties break on id.
+    */
+  def rerankByVector(cands: DataFrame, idCol: String, emb: DataFrame,
+      embIdCol: String, vecCol: String, probe: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = probe.select(V.quantize(col(vecCol)).as("__p_qv"))
+      .withColumn("__p_n2", V.dotQ(col("__p_qv"), col("__p_qv")))
+    val e = emb.select(col(embIdCol).as(idCol),
+        V.quantize(col(vecCol)).as("__d_qv"))
+      .withColumn("__d_n2", V.dotQ(col("__d_qv"), col("__d_qv")))
+    val top = broadcast(cands).join(e, idCol)
+      .crossJoin(broadcast(p))
+      .withColumn("cosine", round(V.cosineFromQuantized(
+        col("__d_qv"), col("__p_qv"), col("__d_n2"), col("__p_n2")), 6))
+      .drop("__d_qv", "__d_n2", "__p_qv", "__p_n2")
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col(idCol))))
+  }
 }

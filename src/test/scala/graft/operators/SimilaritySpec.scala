@@ -170,4 +170,34 @@ class SimilaritySpec extends SparkSpec {
     val maxDiff = pairs.agg(max(abs($"c1" - $"c2"))).head().getDouble(0)
     assert(maxDiff < 1e-4, s"quantization error $maxDiff")
   }
+
+  test("rerankByVector == interpreted-kernel reference; no-vector " +
+      "candidates drop") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // candidates 0..29 plus one id with no embedding row
+    val cands = (0L to 29L).map(i => (i, i * 10)).toDF("vec_id", "carried")
+      .unionByName(Seq((999999L, 0L)).toDF("vec_id", "carried"))
+    val probe = emb.filter($"vec_id" === 7).select($"embedding")
+    val got = Similarity.rerankByVector(cands, "vec_id", emb, "vec_id",
+        "embedding", probe, k = 5)
+      .orderBy($"rank")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("carried"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    assert(got.length == 5 && !got.exists(_._1 == 999999L))
+    // independent reference via the interpreted (Slow) kernel forms
+    val ref = emb.filter($"vec_id" <= 29)
+      .crossJoin(broadcast(emb.filter($"vec_id" === 7)
+        .select(V.quantizeSlow($"embedding").as("pq"))))
+      .select($"vec_id", round(V.cosineFromQuantized(
+          V.quantizeSlow($"embedding"), $"pq",
+          V.dotQSlow(V.quantizeSlow($"embedding"), V.quantizeSlow($"embedding")),
+          V.dotQSlow($"pq", $"pq")), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(r => (r._1, r._3)).toSeq == ref.toSeq)
+    // carried columns survive the rerank; ranks are 1..5
+    assert(got.forall(r => r._2 == r._1 * 10))
+    assert(got.map(_._4).toSeq == (1 to 5))
+  }
 }
