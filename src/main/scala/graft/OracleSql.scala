@@ -4148,5 +4148,8 @@ object OracleSql {
     "q139_fuzzy_entities" -> q139,
     "q140_bm25_batch" -> q140,
     "q141_hybrid_search" -> q141,
+    // incremental == batch rebuild: the oracle IS q137's batch
+    // derivation — the hash match is the incremental-equivalence proof
+    "q142_incremental_fuzzy" -> q137,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

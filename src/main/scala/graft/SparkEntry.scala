@@ -2670,6 +2670,26 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Incremental fuzzy matching
+    * ([[graft.operators.FuzzyJoin.fuzzyPairsIncremental]]): the corpus
+    * split 2/3 "accumulated" + 1/3 "today"; old pairs from the old
+    * build, new-involving pairs from the persisted block index + the
+    * batch — the union must hash-match q137's batch rebuild over the
+    * full input (no block crosses the cap between builds at any
+    * harness SF; the crossing divergence is spec-pinned instead).
+    */
+  def q142_incremental_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val all = fuzzyCustomers(s, dir)
+    val old = all.filter(col("id") % 3 =!= 2)
+    val nw = all.filter(col("id") % 3 === 2)
+    val oldPairs = FuzzyJoin.fuzzyPairs(old, "name", "id",
+      maxDist = 2, blockLen = 4, maxBlock = 1000L)
+    val incr = FuzzyJoin.fuzzyPairsIncremental(
+      FuzzyJoin.blockRows(old, "name", "id", 4), nw, "name", "id",
+      maxDist = 2, blockLen = 4, maxBlock = 1000L)
+    oldPairs.unionByName(incr).orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2814,6 +2834,7 @@ object SparkEntry {
     "q139_fuzzy_entities" -> (q139_fuzzy_entities _),
     "q140_bm25_batch" -> (q140_bm25_batch _),
     "q141_hybrid_search" -> (q141_hybrid_search _),
+    "q142_incremental_fuzzy" -> (q142_incremental_fuzzy _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

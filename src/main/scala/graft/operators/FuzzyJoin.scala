@@ -103,4 +103,65 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
       .filter(col("dist") >= 0)
   }
+
+  /** The PERSISTABLE fuzzy index: each record's block rows
+    * `(id, key, len, kind, blk)`. Additive over disjoint id sets
+    * (each record owns its two rows — plain union, the postings-index
+    * contract); persist partitioned/bucketed by `(kind, blk)` so the
+    * incremental probe's block join reads only the batch's blocks.
+    * Takedown: anti-join on id, same as every index family.
+    */
+  def blockRows(df: DataFrame, keyCol: String, idCol: String,
+      blockLen: Int): DataFrame =
+    blocks(df, keyCol, idCol, blockLen)
+
+  /** Daily increment: every matched pair INVOLVING the new batch —
+    * `fuzzyPairs(old ∪ new) == fuzzyPairs(old) ∪ this` (disjoint by
+    * construction: old-old pairs never appear here), EXACTLY while no
+    * block crosses `maxBlock` between builds. A block that the new
+    * rows push over the cap stops generating NEW candidates here
+    * (sizes are computed over old ∪ new, matching the batch rebuild),
+    * but the old-old pairs it produced in earlier builds remain in
+    * the caller's accumulated pair state — the union is then a
+    * SUPERSET of the batch rebuild by exactly those stale old-old
+    * pairs (FuzzyJoinSpec pins both the equality and the crossing
+    * divergence; [[blockStats]] over the union makes crossings
+    * visible, so a pipeline can re-elect when one matters).
+    * Cost: the batch's block rows join the corpus index on
+    * `(kind, blk)` — increment-sized against a block-partitioned
+    * index, never a corpus rescan.
+    */
+  def fuzzyPairsIncremental(oldBlocks: DataFrame, newDf: DataFrame,
+      keyCol: String, idCol: String, maxDist: Int,
+      blockLen: Int = 4, maxBlock: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val nb = blocks(newDf, keyCol, idCol, blockLen)
+    val all = oldBlocks.unionByName(nb)
+    val sizes = all.groupBy(col("kind"), col("blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock)
+      .select(col("kind"), col("blk"))
+    val keptAll = all.join(sizes, Seq("kind", "blk"))
+      .select(col("kind"), col("blk"), col("id").as("__ia"),
+        col("key").as("__ka"), col("len").as("__la"))
+    val keptNew = nb.join(sizes, Seq("kind", "blk"))
+      .select(col("kind"), col("blk"), col("id").as("__ib"),
+        col("key").as("__kb"), col("len").as("__lb"))
+    // corpus-side × batch-side; normalize pair order afterwards (a
+    // new-new pair arrives in both orientations, an old-new pair in
+    // one — the normalized distinct collapses both cases)
+    keptAll.join(keptNew, Seq("kind", "blk"))
+      .filter(col("__ia") =!= col("__ib") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("__ka")).otherwise(col("__kb"))
+          .as("key_a"),
+        when(col("__ia") < col("__ib"), col("__kb")).otherwise(col("__ka"))
+          .as("key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") >= 0)
+  }
 }

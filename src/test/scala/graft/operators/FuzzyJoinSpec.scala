@@ -60,6 +60,54 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(stats.filter(_._1 == "s").forall(_._4)) // suffix blocks all kept
   }
 
+  test("incremental: batch == old-pairs ∪ new-involving pairs (no cap " +
+      "crossing); the two legs are disjoint") {
+    val base = "abcdefgh"
+    val rows = (0L to 20L).map(i =>
+      (i, if (i % 3 == 0) base.updated(2, ('a' + (i % 7).toInt).toChar)
+          else f"k$i%02d-${base.substring(0, 4)}"))
+    val old = rows.filter(_._1 % 4 != 1)
+    val nw = rows.filter(_._1 % 4 == 1)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val oldPairs = toSet(FuzzyJoin.fuzzyPairs(old.toDF("id", "name"),
+      "name", "id", maxDist = 2))
+    val incr = toSet(FuzzyJoin.fuzzyPairsIncremental(
+      FuzzyJoin.blockRows(old.toDF("id", "name"), "name", "id", 4),
+      nw.toDF("id", "name"), "name", "id", maxDist = 2))
+    val batch = toSet(FuzzyJoin.fuzzyPairs(rows.toDF("id", "name"),
+      "name", "id", maxDist = 2))
+    assert((oldPairs & incr).isEmpty)
+    assert((oldPairs | incr) == batch)
+    // every incremental pair involves a new id
+    val newIds = nw.map(_._1).toSet
+    assert(incr.forall(p => newIds.contains(p._1) || newIds.contains(p._2)))
+  }
+
+  test("incremental under a cap crossing: union ⊇ batch; the surplus " +
+      "is exactly stale old-old pairs of the crossed block") {
+    // 8 old + 4 new keys share prefix "AAAA" (suffixes distinct):
+    // old size 8 ≤ maxBlock 10, old ∪ new = 12 > 10 — the block
+    // crosses between builds
+    val old = (1L to 8L).map(i => (i, f"AAAA-$i%04d"))
+    val nw = (9L to 12L).map(i => (i, f"AAAA-$i%04d"))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = toSet(FuzzyJoin.fuzzyPairs(old.toDF("id", "name"),
+      "name", "id", maxDist = 2, blockLen = 4, maxBlock = 10L))
+    val incr = toSet(FuzzyJoin.fuzzyPairsIncremental(
+      FuzzyJoin.blockRows(old.toDF("id", "name"), "name", "id", 4),
+      nw.toDF("id", "name"), "name", "id", maxDist = 2,
+      blockLen = 4, maxBlock = 10L))
+    val batch = toSet(FuzzyJoin.fuzzyPairs((old ++ nw).toDF("id", "name"),
+      "name", "id", maxDist = 2, blockLen = 4, maxBlock = 10L))
+    assert(incr.isEmpty) // crossed block generates no NEW candidates
+    val union = oldPairs | incr
+    assert(batch.subsetOf(union))
+    assert((union -- batch).forall(p => p._1 <= 8L && p._2 <= 8L))
+    assert((union -- batch).nonEmpty) // the stale old-old pairs
+  }
+
   test("edits beyond maxDist are rejected by the verifier, not just " +
       "by blocking") {
     // shares the prefix block, so a candidate IS generated; dist 3
