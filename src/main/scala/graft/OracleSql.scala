@@ -4007,6 +4007,25 @@ object OracleSql {
     SELECT doc_id, bm25_fp, cosine, rank FROM rr WHERE rank <= 10
     ORDER BY rank"""
 
+  /** q143: exact-phrase match — positional tokens (filtered like the
+    * Spark side, so indexes align), consecutive-pair predicate,
+    * overlap-counted per doc.
+    */
+  private val q143 = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    i AS (
+      SELECT doc_id, unnest(range(1, len(tk))) AS i, tk
+      FROM t WHERE len(tk) >= 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+    FROM i
+    WHERE tk[i] = 'order' AND tk[i + 1] = 'order'
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4151,5 +4170,6 @@ object OracleSql {
     // incremental == batch rebuild: the oracle IS q137's batch
     // derivation — the hash match is the incremental-equivalence proof
     "q142_incremental_fuzzy" -> q137,
+    "q143_phrase_search" -> q143,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2690,6 +2690,17 @@ object SparkEntry {
     oldPairs.unionByName(incr).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact-phrase search ([[graft.operators.Bm25.phraseSearch]]):
+    * docs containing "order order" consecutively with overlap-counted
+    * occurrences — positional postings + one `(id, pos − i)`
+    * equi-join per extra phrase token. The repeated-word phrase
+    * exercises overlap counting ("order order order" = two hits).
+    */
+  def q143_phrase_search(s: SparkSession, dir: String): DataFrame =
+    Bm25.phraseSearch(Tables.documents(s, dir), "text", "doc_id",
+        Seq("order", "order"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2835,6 +2846,7 @@ object SparkEntry {
     "q140_bm25_batch" -> (q140_bm25_batch _),
     "q141_hybrid_search" -> (q141_hybrid_search _),
     "q142_incremental_fuzzy" -> (q142_incremental_fuzzy _),
+    "q143_phrase_search" -> (q143_phrase_search _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

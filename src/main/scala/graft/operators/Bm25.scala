@@ -193,4 +193,47 @@ object Bm25 {
       query: Seq[String], k: Int): DataFrame =
     searchPostings(postings(docs, textCol, idCol),
       docLens(docs, textCol, idCol), idCol, query, k)
+
+  /** POSITIONAL postings `(id, term, pos)` — one row per token
+    * occurrence (pos is the 0-based token index). The phrase-query
+    * index: additive over disjoint doc sets, takedown by
+    * [[deleteDocs]], persist partitioned by term like [[postings]] so
+    * a phrase query reads its terms' occurrence lists only. Heavier
+    * than [[postings]] (a row per occurrence, not per distinct term) —
+    * build it only when phrase queries are on the menu, exactly the
+    * Lucene positions-on/off dial.
+    */
+  def positions(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Spread.auto(docs, col(idCol))
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("col").as("term"), col("pos").cast("long").as("pos"))
+
+  /** Exact-phrase match over a positional index: documents containing
+    * `phrase`'s tokens CONSECUTIVELY, with the occurrence count
+    * (overlapping occurrences count — "order order order" has two
+    * "order order" hits, the Lucene PhraseQuery convention). Shape:
+    * one pruned read per phrase term, then (m−1) equi-joins on
+    * `(id, pos − i)` — all co-partitioned on the same key, so the
+    * chain re-uses one exchange per side and never widens beyond the
+    * rarest term's occurrence list. Returns `(id, hits)`.
+    */
+  def phraseMatches(pos: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.map(_.toLowerCase)
+    val first = pos.filter(col("term") === terms.head)
+      .select(col(idCol), col("pos").as("__p"))
+    terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(pos.filter(col("term") === t)
+          .select(col(idCol), (col("pos") - i).as("__p")),
+        Seq(idCol, "__p"))
+    }.groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
+  /** One-shot phrase search over raw documents (the q143 correctness
+    * surface); production probes a persisted [[positions]] index.
+    */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame =
+    phraseMatches(positions(docs, textCol, idCol), idCol, phrase)
 }

@@ -105,6 +105,23 @@ class Bm25Spec extends SparkSpec {
       single(Seq("banana")))
   }
 
+  test("phrase search: consecutive-only, overlap-counted, " +
+      "case-insensitive, 3-token chains") {
+    val d = Seq(
+      (1L, "order order order fast"),   // two overlapping "order order"
+      (2L, "order fast order"),         // non-consecutive: no hit
+      (3L, "ORDER Order"),              // case-folded hit
+      (4L, "sort merge join sort merge"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bg = Bm25.phraseSearch(d, "text", "doc_id", Seq("order", "order"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bg == Map(1L -> 2L, 3L -> 1L))
+    val tri = Bm25.phraseSearch(d, "text", "doc_id",
+        Seq("sort", "merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(4L -> 1L)) // the trailing "sort merge" doesn't chain
+  }
+
   test("empty/NULL docs count toward N and avgdl but never match") {
     // dropping docs 4/5 changes N (6→... here 5→3) and so every idf —
     // scores must differ even though the matching docs are identical
