@@ -389,6 +389,49 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25 search-index maintenance — the simplest member of
+    * the index family: postings `(id, term, tf, dl)` and doc lengths
+    * `(id, dl)` are both ADDITIVE over disjoint doc ids
+    * ([[graft.operators.Bm25]]'s contract), so each micro-batch
+    * appends its own rows and touches nothing else — no incremental
+    * join, no state rewrite. Queries probe the accumulated tables via
+    * [[graft.operators.Bm25.searchPostings]] (the lens table doubles
+    * as the N/avgdl meta source). Same exactly-once discipline:
+    * idempotent `__batch_id` partitions + `_committed` marker written
+    * last. Write order: lens BEFORE postings — a crash between the
+    * two leaves a doc that counts toward N/avgdl but can't match
+    * (indistinguishable from an empty doc, harmless until the replay
+    * heals it), while the opposite orphan would score the doc under a
+    * meta that excludes it.
+    */
+  def runIncrementalSearchIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          val b = batch.cache()
+          try {
+            Zone.appendBatch(
+              graft.operators.Bm25.docLens(b, textCol, idCol),
+              s"$indexDir/lens", bid)
+            Zone.appendBatch(
+              graft.operators.Bm25.postings(b, textCol, idCol),
+              s"$indexDir/postings", bid)
+            Zone.markBatchCommitted(spark, indexDir, bid)
+          } finally b.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming training-shard export — the continuous form of the
     * export family's tail: each micro-batch rides
     * [[graft.operators.Sharding.continueShards]], continuing the

@@ -137,6 +137,42 @@ class CorpusStreamSpec extends SparkSpec {
     assert(idx.columns.toSet == Set("id", "sim", "chunk", "chunk_val"))
   }
 
+  test("streaming BM25 index: probe == one-shot search; kill-and-replay " +
+      "value-identical") {
+    val base = tmpDir("bm25stream")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" % 3 === 0).write.parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 1).write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    def start() = CorpusStream.runIncrementalSearchIndex(spark,
+      spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      "text", "doc_id", s"$base/index", s"$base/ckpt")
+    start().awaitTermination()
+
+    val q = Seq("dup", "vector", "merge", "zzz")
+    def probe() = graft.operators.Bm25.searchPostings(
+        graft.sources.Zone.readBatched(spark, s"$base/index/postings").get,
+        graft.sources.Zone.readBatched(spark, s"$base/index/lens").get,
+        "doc_id", q, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val oneShot = graft.operators.Bm25
+      .search(corpus, "text", "doc_id", q, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(probe().sorted == oneShot.sorted)
+
+    // exactly-once: crash before the marker, replay, value-identical
+    val before = Seq(s"$base/index/postings", s"$base/index/lens").map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    start().awaitTermination()
+    val after = Seq(s"$base/index/postings", s"$base/index/lens").map(multiset)
+    assert(after == before, "kill-and-replay changed the search index")
+    assert(probe().sorted == oneShot.sorted)
+  }
+
   test("streaming spans: monotonic micro-batches == one-shot span set; replay idempotent") {
     val base = tmpDir("spanstream")
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
