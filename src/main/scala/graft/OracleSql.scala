@@ -4026,6 +4026,315 @@ object OracleSql {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Shared PQ derivation (q144–q146): the (m=8, k=16) product
+    * codebook from the 16 smallest-`h60('pq:'||id)` vectors (code =
+    * position in hash order, the `IvfIndex.centroids` pick), then per
+    * (vector, subspace) the argmin EXACT integer squared distance to
+    * the 16 sub-centroids, ties to the lower code — mirror of
+    * `graft.plans.PqEncode` (which minimizes `n2c − 2·dot`, equal to
+    * d2 minus the per-sub constant `n2v`, so the argmin and its ties
+    * coincide).
+    */
+  private val pqPrefix = s"""
+    WITH base AS (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    samp AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS code, qe
+      FROM (SELECT vec_id, qe,
+                   ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM base ORDER BY h LIMIT 16)),
+    cents AS (
+      SELECT s.sub, p.code,
+             list_transform(range(1, 9), i -> p.qe[s.sub * 8 + i]) AS cv
+      FROM samp p CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sub) s),
+    dists AS (
+      SELECT b.vec_id, c.sub, c.code,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (b.qe[c.sub * 8 + i] - c.cv[i]) * (b.qe[c.sub * 8 + i] - c.cv[i])))
+               AS BIGINT) AS d2
+      FROM base b CROSS JOIN cents c),
+    codes AS (
+      SELECT vec_id, sub, code, d2 FROM (
+        SELECT vec_id, sub, code, d2,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM dists)
+      WHERE rn = 1)"""
+
+  /** q144: PQ encoding — per vector the 8 sub-codes (hash-checked as a
+    * joined string) and the exact integer reconstruction error Σ d2.
+    */
+  private val q144 = s"""
+    $pqPrefix
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_codes,
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM codes GROUP BY vec_id ORDER BY vec_id"""
+
+  /** Shared ADC retrieval (q145/q146): per (query < 10, sub, code) the
+    * exact sub-distance table (`graft.plans.PqDistTable`), then each
+    * candidate's approximate distance is the sum of its 8 code lookups
+    * (`graft.plans.PqAdc`), ranked ascending with id tiebreak.
+    */
+  private val pqAdcRanked = s"""
+    qt AS (
+      SELECT q.vec_id AS query_id, c.sub, c.code,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (q.qe[c.sub * 8 + i] - c.cv[i]) * (q.qe[c.sub * 8 + i] - c.cv[i])))
+               AS BIGINT) AS d2
+      FROM (SELECT vec_id, qe FROM base WHERE vec_id < 10) q CROSS JOIN cents c),
+    adc AS (
+      SELECT t.query_id, x.vec_id AS id, CAST(sum(t.d2) AS BIGINT) AS d2
+      FROM codes x JOIN qt t ON t.sub = x.sub AND t.code = x.code
+      WHERE x.vec_id <> t.query_id
+      GROUP BY t.query_id, x.vec_id),
+    ranked AS (
+      SELECT query_id, id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, id ASC) AS INTEGER) AS rank
+      FROM adc)"""
+
+  /** q145: PQ ADC top-10 over the compressed codes. */
+  private val q145 = s"""
+    $pqPrefix,
+    $pqAdcRanked
+    SELECT query_id, id, d2, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
+  /** q146: PQ recall@10 vs the exact quantized brute force — q129's
+    * recall protocol over the ADC ranking.
+    */
+  private val q146 = s"""
+    $pqPrefix,
+    $pqAdcRanked,
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    qs AS (SELECT vec_id AS query_id, qe AS qq, n2v AS qn2 FROM n2 WHERE vec_id < 10),
+    approx AS (SELECT query_id, id FROM ranked WHERE rank <= 10),
+    bf AS (
+      SELECT query_id, id FROM (
+        SELECT q.query_id, n.vec_id AS id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(${qcos("qe", "qq", "n2v", "qn2")}, 6) DESC, n.vec_id ASC) AS rank
+        FROM n2 n CROSS JOIN qs q
+        WHERE n.vec_id <> q.query_id)
+      WHERE rank <= 10),
+    per AS (
+      SELECT b.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.id) AS BIGINT) AS n_hit
+      FROM bf b LEFT JOIN approx a ON a.query_id = b.query_id AND a.id = b.id
+      GROUP BY b.query_id)
+    SELECT query_id, n_exact, n_hit,
+           round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall,
+           round(CAST(sum(n_hit) OVER () AS DOUBLE)
+                 / CAST(sum(n_exact) OVER () AS DOUBLE), 6) AS micro_recall
+    FROM per
+    ORDER BY query_id"""
+
+  /** q147: the expectations report — each check re-derived as plain
+    * SQL (NULL-skip semantics spelled out per check; `unique`
+    * violations = rows in over-represented keys; `foreign_key` = the
+    * dangling-key anti-join count).
+    */
+  private val q147 = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL
+                  ELSE o_orderstatus END AS status_nullable
+      FROM orders),
+    rep AS (
+      SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+             CAST(count(*) AS BIGINT) AS checked,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS violations FROM o
+      UNION ALL
+      SELECT 'not_null', 'status_nullable', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(status_nullable) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderstatus',
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderpriority',
+             CAST(count(o_orderpriority) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+             CAST(count(o_totalprice) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND (CAST(o_totalprice AS DOUBLE) < 0.0
+                                 OR CAST(o_totalprice AS DOUBLE) > 300000.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'matches_regex', 'o_orderpriority',
+             CAST(count(o_orderpriority) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority,
+                                                   '^[0-9]-[A-Z ]+$')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'row_count_between', '*', CAST(count(*) AS BIGINT),
+             CAST(CASE WHEN count(*) < 1
+                        OR count(*) > 1000000000000 THEN 1 ELSE 0 END
+               AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', CAST(sum(n) AS BIGINT),
+             CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM o GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'unique', 'o_custkey', CAST(sum(n) AS BIGINT),
+             CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM o GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey',
+             CAST((SELECT count(*) FROM o WHERE o_custkey IS NOT NULL)
+               AS BIGINT),
+             CAST((SELECT count(*) FROM o
+                   WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS BIGINT)
+      UNION ALL
+      SELECT 'foreign_key', 'o_orderkey',
+             CAST((SELECT count(*) FROM o WHERE o_orderkey IS NOT NULL)
+               AS BIGINT),
+             CAST((SELECT count(*) FROM o
+                   WHERE o_orderkey IS NOT NULL
+                     AND o_orderkey NOT IN (SELECT c_custkey FROM customer
+                                            WHERE c_custkey % 2 = 0))
+               AS BIGINT))
+    SELECT "check", "column", checked, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    ORDER BY "check", "column" """
+
+  /** q148: PSI drift report — the add-one-smoothed fixed-point
+    * derivation (`psi_fp = Σ (cr·tc − cc·tr)·(log2fp(cr·tc) −
+    * log2fp(cc·tr))`) with the q113/q135 10-step recursive-CTE log2
+    * over the union of products; `psi_bits` divides by the smoothed
+    * total product and 2¹⁰ only at the end.
+    */
+  private val q148 = """
+    WITH RECURSIVE o AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CASE WHEN o_totalprice IS NULL THEN '__null__'
+                  ELSE '[' ||
+                       CAST(CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0)
+                                 * 50000.0 AS DECIMAL(20,2)) AS VARCHAR) ||
+                       ',' ||
+                       CAST(CAST((floor(CAST(o_totalprice AS DOUBLE) / 50000.0)
+                                  + 1) * 50000.0 AS DECIMAL(20,2)) AS VARCHAR) ||
+                       ')' END AS price_bin,
+             CAST(o_orderdate AS DATE) < DATE '1998-07-01' AS is_ref
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+         OR o_totalprice < 300000.0),
+    rows_u AS (
+      SELECT 'o_orderstatus' AS col_name,
+             coalesce(o_orderstatus, '__null__') AS category, is_ref FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', coalesce(o_orderpriority, '__null__'), is_ref
+      FROM o
+      UNION ALL
+      SELECT 'price_bin', price_bin, is_ref FROM o),
+    cnt AS (
+      SELECT col_name, category,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM rows_u GROUP BY col_name, category),
+    tot AS (
+      SELECT col_name,
+             CAST(sum(n_ref) AS BIGINT) AS tr0,
+             CAST(sum(n_cur) AS BIGINT) AS tc0,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(CASE WHEN n_ref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vanished
+      FROM cnt GROUP BY col_name),
+    sm AS (
+      SELECT c.col_name, c.category,
+             (c.n_ref + 1) * (t.tc0 + t.n_categories) AS a,
+             (c.n_cur + 1) * (t.tr0 + t.n_categories) AS b
+      FROM cnt c JOIN tot t ON t.col_name = c.col_name),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT a AS v FROM sm UNION ALL SELECT b FROM sm)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    terms AS (
+      SELECT s.col_name,
+             CAST(sum((s.a - s.b) * (la.r - lb.r)) AS BIGINT) AS psi_fp
+      FROM sm s JOIN lg la ON la.v = s.a JOIN lg lb ON lb.v = s.b
+      GROUP BY s.col_name)
+    SELECT t.col_name AS "column", t.n_categories, t.n_new, t.n_vanished,
+           tm.psi_fp,
+           round(CAST(tm.psi_fp AS DOUBLE)
+                 / CAST((t.tr0 + t.n_categories) * (t.tc0 + t.n_categories)
+                        AS DOUBLE) / 1024.0, 6) AS psi_bits
+    FROM tot t JOIN terms tm ON tm.col_name = t.col_name
+    ORDER BY "column" """
+
+  /** q149: leakage-safe split — q55's cluster walk, then the fold is
+    * the CLUSTER's h60 draw (doc-level draws are exactly the
+    * contamination hazard the operator exists to remove).
+    */
+  private val q149 = s"""
+    ${q48Chunks.replaceFirst("WITH canon", "WITH RECURSIVE canon")}
+    , cset AS (
+      SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+    sized AS (
+      SELECT doc_id, chunk_md5,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM cset),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(CAST(count(*) AS DOUBLE) / least(min(a.n_chunks), min(b.n_chunks)), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+    cc AS (
+      SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc c ON d.doc_id = c.id),
+    drawn AS (
+      SELECT doc_id, cluster_id,
+             CAST(${h60("'csplit:' || CAST(cluster_id AS VARCHAR)")} AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM lab)
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.1 THEN 'test'
+                WHEN u < 0.2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM drawn
+    ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4171,5 +4480,11 @@ object OracleSql {
     // derivation — the hash match is the incremental-equivalence proof
     "q142_incremental_fuzzy" -> q137,
     "q143_phrase_search" -> q143,
+    "q144_pq_encode" -> q144,
+    "q145_pq_search" -> q145,
+    "q146_pq_recall" -> q146,
+    "q147_expectations" -> q147,
+    "q148_drift" -> q148,
+    "q149_leak_safe_split" -> q149,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

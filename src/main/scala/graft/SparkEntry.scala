@@ -2701,6 +2701,117 @@ object SparkEntry {
         Seq("order", "order"))
       .orderBy(col("doc_id"))
 
+  /** Product-quantization encoding ([[graft.operators.Pq.encode]]):
+    * the 64-dim embeddings compressed to 8 sub-codes each (k = 16 per
+    * subspace, deterministic hash-sampled codebook) with the exact
+    * integer reconstruction error. The codes string makes the full
+    * code assignment — every subspace, every vector — hash-checkable.
+    */
+  def q144_pq_encode(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    Pq.encode(emb, "vec_id", "embedding", cb)
+      .select(col("id").as("vec_id"),
+        concat_ws("-", col("codes").cast("array<string>")).as("pq_codes"),
+        col("distortion"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ ADC top-10 search ([[graft.operators.Pq.searchAdc]]): the ten
+    * q26 query vectors ranked by exact-integer asymmetric distance
+    * over the compressed codes — the 32×-fewer-scan-bytes ANN path.
+    */
+  def q145_pq_search(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    Pq.searchAdc(Pq.encode(emb, "vec_id", "embedding", cb),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cb, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ compression-quality telemetry ([[graft.operators.Pq.recallAtK]]):
+    * ADC top-10 measured against the exact quantized brute force —
+    * q129's recall protocol applied to the codes, the dial for
+    * choosing (m, k) before committing a codebook shape.
+    */
+  def q146_pq_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    Pq.recallAtK(emb, emb.filter(col("vec_id") < 10), "embedding",
+        "vec_id", k = 10, cb)
+      .orderBy(col("query_id"))
+  }
+
+  /** Data-quality expectations ([[graft.operators.Expectations]]): the
+    * Deequ/dbt-tests gate over orders — row-local checks folded into
+    * one scan, uniqueness on two keys, and the unenforced-FK audit
+    * against customer (once passing, once against a half-filtered
+    * reference so the dangling-key path is exercised). The q130
+    * derived-null column exercises a real `not_null` failure.
+    */
+  def q147_expectations(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val o = Tables.orders(s, dir).withColumn("status_nullable",
+      when(col("o_custkey") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")))
+    val cust = Tables.customer(s, dir)
+    evaluate(o, Seq(
+      NotNull("o_custkey"),
+      NotNull("status_nullable"),
+      AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+      AcceptedValues("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+      InRange("o_totalprice", 0.0, 300000.0),
+      MatchesRegex("o_orderpriority", "^[0-9]-[A-Z ]+$"),
+      RowCountBetween(1L, 1000000000000L),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      ForeignKey("o_custkey", cust, "c_custkey"),
+      ForeignKey("o_orderkey", cust.filter(col("c_custkey") % 2 === 0),
+        "c_custkey")))
+      // two FK rows share (check, column) names only if columns differ;
+      // here they do (o_custkey vs o_orderkey), so ordering is total
+  }
+
+  /** Distribution drift ([[graft.operators.Drift.report]]): PSI between
+    * a date-sliced reference and current snapshot of orders over two
+    * categorical columns and one fixed-width price histogram. The
+    * harness data is deliberately time-uniform, so the current slice
+    * gets a PLANTED truncation defect (high-value orders dropped — the
+    * fuzzyCustomers planted-companion discipline): the report must
+    * show the price histogram shifted (vanished top bins, PSI orders
+    * of magnitude up) while status/priority stay near zero.
+    */
+  def q148_drift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def snap(pred: Column): DataFrame = o.filter(pred).select(
+      col("o_orderstatus"), col("o_orderpriority"),
+      Drift.binned("o_totalprice", 50000.0).as("price_bin"))
+    val cut = lit("1998-07-01").cast("date")
+    Drift.report(
+      snap(col("o_orderdate").cast("date") < cut),
+      snap(col("o_orderdate").cast("date") >= cut &&
+        col("o_totalprice") < 300000.0),
+      Seq("o_orderstatus", "o_orderpriority", "price_bin"))
+  }
+
+  /** Leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.leakSafeSplit]]): q55's chunk-overlap
+    * near-dup clusters as the grouping key, so no near-duplicate pair
+    * can straddle folds (the Lee et al. §6 contamination hazard a
+    * per-document hash split permits by construction — SamplingSpec
+    * pins the counterexample).
+    */
+  def q149_leak_safe_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.chunkOverlapPairs(docs, "text", "doc_id",
+        w = 8, avgSize = 64, minShared = 1)
+      .filter(col("containment") >= 0.5)
+    Sampling.leakSafeSplit(docs, pairs, "doc_id", "id_a", "id_b", "n_chars",
+        valFrac = 0.1, testFrac = 0.1)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2847,6 +2958,12 @@ object SparkEntry {
     "q141_hybrid_search" -> (q141_hybrid_search _),
     "q142_incremental_fuzzy" -> (q142_incremental_fuzzy _),
     "q143_phrase_search" -> (q143_phrase_search _),
+    "q144_pq_encode" -> (q144_pq_encode _),
+    "q145_pq_search" -> (q145_pq_search _),
+    "q146_pq_recall" -> (q146_pq_recall _),
+    "q147_expectations" -> (q147_expectations _),
+    "q148_drift" -> (q148_drift _),
+    "q149_leak_safe_split" -> (q149_leak_safe_split _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

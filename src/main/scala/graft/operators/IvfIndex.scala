@@ -263,6 +263,29 @@ object IvfIndex {
       V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
   }
 
+  /** The cell-choice half of [[probe]] on its own: per query, the
+    * `nProbe` centroids with the best quantized cosine (ties → lower
+    * centroid id — the probe/oracle contract) as
+    * `(query_id, centroid_id)` rows. Lets other scorers ride IVF's
+    * partition pruning — [[Pq.probeIvfAdc]] swaps the exact
+    * quantized-cosine candidate scoring for ADC over PQ codes while
+    * keeping this exact cell choice. Queries are few: the window
+    * partitions by query over queries×nCentroids rows, never corpus
+    * rows.
+    */
+  def probeCells(cents: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nProbe: Int): DataFrame =
+    withQuant(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "__q")
+      .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
+      .withColumn("__sim", V.cosineFromQuantized(
+        col("__qqv"), col("__cqv"), col("__qn2"), col("__cn2")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+
   /** Persist a built index in the layout [[probe]] wants: `centroids/`
     * plain parquet (tiny), `cells/` partitioned by `centroid_id` — so a
     * probe's `centroid_id ∈ probed-cells` predicate becomes a PARTITION

@@ -256,4 +256,23 @@ object Sampling {
         .when(u < lit(testFrac + valFrac), lit("val"))
         .otherwise(lit("train")))
   }
+
+  /** Near-dup-leakage-safe split: [[split]] keyed by the DEDUP CLUSTER,
+    * not the document — the Lee et al. ("Deduplicating Training Data
+    * Makes Language Models Better", §6) hazard is near-duplicate pairs
+    * straddling train/test, which a per-document hash split permits by
+    * construction (each member draws independently). Routing every
+    * document through `coalesce(cluster_id, id)` —
+    * [[DedupCluster.clusters]]' convention that singletons are their
+    * own cluster — makes straddling impossible: the whole component
+    * shares one draw. `pairs` is whatever near-dup edge set the corpus
+    * trusts (MinHash, SimHash, chunk overlap…); cost on top of the
+    * clustering it reuses is one narrow map.
+    */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      srcCol: String, dstCol: String, lengthCol: String,
+      valFrac: Double, testFrac: Double,
+      salt: String = "csplit"): DataFrame =
+    split(DedupCluster.clusters(docs, pairs, idCol, srcCol, dstCol, lengthCol),
+      "cluster_id", valFrac, testFrac, salt)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots → PSI exactly 0; PSI is never negative") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = Drift.report(o, o, Seq("o_orderstatus", "o_orderpriority"))
+      .collect()
+    assert(r.forall(_.getLong(4) == 0L), "identical snapshots must give 0")
+    // a drifted pair: every term must still be >= 0 (sign-aligned factors)
+    val detail = Drift.categorical(
+      o.filter($"o_orderkey" % 3 === 0), o.filter($"o_orderkey" % 3 =!= 0),
+      "o_orderpriority")
+    assert(detail.filter($"psi_term_fp" < 0).isEmpty)
+  }
+
+  test("new / vanished category accounting; smoothing keeps disjoint " +
+      "snapshots finite") {
+    val ref = Seq("a", "a", "b").toDF("c")
+    val cur = Seq("b", "x", "x", "y").toDF("c")
+    val r = Drift.report(ref, cur, Seq("c")).head()
+    assert(r.getLong(1) == 4L) // categories: a, b, x, y
+    assert(r.getLong(2) == 2L) // new: x, y
+    assert(r.getLong(3) == 1L) // vanished: a
+    assert(r.getLong(4) > 0L && !r.isNullAt(5))
+    // fully disjoint: every category one-sided, still finite and positive
+    val d = Drift.report(Seq("a").toDF("c"), Seq("z", "z").toDF("c"), Seq("c"))
+      .head()
+    assert(d.getLong(4) > 0L && !d.isNullAt(5))
+  }
+
+  test("binned labels are stable fixed-width intervals; NULL becomes " +
+      "its own category") {
+    val df = Seq[java.lang.Double](0.0, 49999.99, 50000.0, 123456.78, null)
+      .toDF("v").select(Drift.binned("v", 50000.0).as("b"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "[0.00,50000.00)", "[0.00,50000.00)", "[50000.00,100000.00)",
+      "[100000.00,150000.00)", "__null__"))
+  }
+
+  test("psi_fp is exact-integer deterministic across partitionings") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val ref = o.filter($"o_orderkey" % 2 === 0)
+    val cur = o.filter($"o_orderkey" % 2 =!= 0)
+    val a = Drift.report(ref, cur, Seq("o_orderstatus")).head().getLong(4)
+    val b = Drift.report(ref.repartition(13), cur.repartition(7),
+      Seq("o_orderstatus")).head().getLong(4)
+    assert(a == b && a >= 0L)
+  }
+}

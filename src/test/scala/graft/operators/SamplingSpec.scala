@@ -235,4 +235,33 @@ class SamplingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     } finally out.unpersist()
   }
+
+  test("leakSafeSplit: no near-dup cluster straddles folds — and the " +
+      "per-document split it replaces provably would") {
+    import spark.implicits._
+    // ids chosen so a DOC-keyed draw scatters the pair across folds
+    // (the Lee et al. contamination counterexample), while the
+    // CLUSTER-keyed draw cannot
+    val ids = (0L until 400L)
+    val docs = ids.map(i => (i, s"doc $i", 10L)).toList.toDF("doc_id", "text", "n_chars")
+    // chain pairs (0,1), (2,3), ... — 200 two-doc clusters
+    val pairs = ids.grouped(2).map(g => (g(0), g(1))).toList
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakSafeSplit(docs, pairs, "doc_id", "id_a", "id_b",
+      "n_chars", valFrac = 0.2, testFrac = 0.2)
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter($"n" > 1)
+    assert(straddling.isEmpty, "a cluster crossed folds")
+    assert(out.select(countDistinct("split")).head().getLong(0) == 3L,
+      "degenerate fixture: all clusters landed in one fold")
+    // counterexample: the doc-keyed split DOES break at least one pair
+    val naive = Sampling.split(
+      Sampling.leakSafeSplit(docs, pairs, "doc_id", "id_a", "id_b",
+        "n_chars", 0.2, 0.2).drop("split"),
+      "doc_id", 0.2, 0.2)
+    assert(naive.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter($"n" > 1).count() > 0,
+      "fixture too small to show the doc-level hazard")
+  }
 }
