@@ -217,6 +217,24 @@ object ScaleBench {
             Some(bl), Some(emb))
           .filter(col("kept") && length(col("text_final")) >= 0).count()
       },
+      // PQ compression family (q144/q145): encode is the pure narrow
+      // map that must track the scan; ADC search is the 10-query
+      // broadcast over the codes column — both should scale ~linearly
+      // in R (replicas are rotations, so the codebook sample and the
+      // per-query candidate sets stay decorrelated)
+      "pq_encode" -> { r =>
+        val e = corpusEmb(r)
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", 8, 16)
+        graft.operators.Pq.encode(e, "vec_id", "embedding", cb)
+          .filter(col("codes").isNotNull).count()
+      },
+      "pq_adc_search" -> { r =>
+        val e = corpusEmb(r)
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", 8, 16)
+        graft.operators.Pq.searchAdc(
+          graft.operators.Pq.encode(e, "vec_id", "embedding", cb),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", cb, 10).count()
+      },
     )
 
     // optional workload subset (comma-separated) — the 100× point runs
