@@ -432,6 +432,46 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming PQ-codes maintenance — the vector twin of
+    * [[runIncrementalSearchIndex]]: codes `(id, codes, distortion)`
+    * are a pure per-row function of (vector, codebook) and therefore
+    * ADDITIVE over disjoint ids, so each micro-batch encodes itself
+    * against the FROZEN codebook and appends — no incremental join,
+    * no state rewrite (the [[graft.operators.Pq.readIndex]]
+    * frozen-codebook discipline: a re-sampled codebook would silently
+    * re-define every already-written code). The codebook table writes
+    * ONCE, before the stream starts, so a crash can never leave codes
+    * that predate their codebook. Queries probe via
+    * [[graft.operators.Pq.searchAdc]] over the accumulated codes.
+    * Same exactly-once discipline: idempotent `__batch_id` partitions
+    * + `_committed` marker written last.
+    */
+  def runIncrementalPqCodes(
+      spark: SparkSession,
+      docs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: graft.operators.Pq.Codebook,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    graft.operators.Pq.codebookDf(spark, cb)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, indexDir).exists(_ >= bid)) ()
+        else {
+          Zone.appendBatch(
+            graft.operators.Pq.encode(batch, idCol, vecCol, cb),
+            s"$indexDir/codes", bid)
+          Zone.markBatchCommitted(spark, indexDir, bid)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming training-shard export — the continuous form of the
     * export family's tail: each micro-batch rides
     * [[graft.operators.Sharding.continueShards]], continuing the

@@ -173,6 +173,45 @@ class CorpusStreamSpec extends SparkSpec {
     assert(probe().sorted == oneShot.sorted)
   }
 
+  test("streaming PQ codes: probe == one-shot ADC; frozen codebook " +
+      "survives restart; kill-and-replay value-identical") {
+    val base = tmpDir("pqstream")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val cb = graft.operators.Pq.train(emb, "vec_id", "embedding", 8, 16)
+    val inDir = s"$base/in"
+    emb.filter($"vec_id" % 3 === 0).write.parquet(inDir)
+    emb.filter($"vec_id" % 3 === 1).write.mode("append").parquet(inDir)
+    emb.filter($"vec_id" % 3 === 2).write.mode("append").parquet(inDir)
+
+    def start() = CorpusStream.runIncrementalPqCodes(spark,
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      "embedding", "vec_id", cb, s"$base/index", s"$base/ckpt")
+    start().awaitTermination()
+
+    val (cbBack, codes) = (
+      graft.operators.Pq.codebookFromDf(
+        spark.read.parquet(s"$base/index/codebook")),
+      graft.sources.Zone.readBatched(spark, s"$base/index/codes").get)
+    assert(cbBack == cb, "codebook must round-trip the stream state")
+    val q = emb.filter($"vec_id" < 5)
+    def probe() = graft.operators.Pq.searchAdc(
+        codes.drop("__batch_id"), q, "vec_id", "embedding", cb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = graft.operators.Pq.searchAdc(
+        graft.operators.Pq.encode(emb, "vec_id", "embedding", cb),
+        q, "vec_id", "embedding", cb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probe().sorted == oneShot.sorted)
+
+    val before = multiset(s"$base/index/codes")
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/index")
+    start().awaitTermination()
+    assert(multiset(s"$base/index/codes") == before,
+      "kill-and-replay changed the codes table")
+  }
+
   test("streaming spans: monotonic micro-batches == one-shot span set; replay idempotent") {
     val base = tmpDir("spanstream")
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
