@@ -44,19 +44,37 @@ object Drift {
   private def log2fp(c: Column): Column =
     ColumnBridge.column(graft.plans.Log2Fp(ColumnBridge.expression(c)))
 
+  /** Category counts for one column — the sufficient statistic of one
+    * drift side: `(category, <out>)`. This is what [[writeReference]]
+    * persists; everything downstream is category-sized.
+    */
+  private def counts(df: DataFrame, column: String, out: String): DataFrame =
+    df.select(coalesce(col(column).cast("string"), lit("__null__"))
+        .as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as(out))
+
   /** Per-category drift detail for one categorical column:
     * `(category, n_ref, n_cur, psi_term_fp)` — the exact integer PSI
     * numerator per category (units: 2⁻¹⁰ log2, times tr·tc), plus the
     * raw counts. NULL categories count as the literal category
     * `"__null__"` so absence drifts visibly.
     */
-  def categorical(ref: DataFrame, cur: DataFrame, column: String): DataFrame = {
-    val catCol = coalesce(col(column).cast("string"), lit("__null__"))
-    def counts(df: DataFrame, out: String) =
-      df.select(catCol.as("category"))
-        .groupBy(col("category")).agg(count(lit(1)).as(out))
-    val joined = counts(ref, "n_ref")
-      .join(counts(cur, "n_cur"), Seq("category"), "full_outer")
+  def categorical(ref: DataFrame, cur: DataFrame, column: String): DataFrame =
+    categoricalFromCounts(
+      counts(ref, column, "n_ref"), counts(cur, column, "n_cur"))
+
+  /** [[categorical]] over pre-aggregated sides — the incremental form:
+    * the reference side is the PERSISTED counts table
+    * ([[writeReference]]), so a daily monitoring run aggregates only
+    * the current snapshot and joins two category-sized tables. By
+    * construction `fromCounts(persisted ref, cur) == categorical(ref,
+    * cur)` — DriftSpec pins it.
+    */
+  def categoricalFromCounts(refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val joined = refCounts.select(col("category"), col("n_ref"))
+      .join(curCounts.select(col("category"), col("n_cur")),
+        Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -99,20 +117,52 @@ object Drift {
     */
   def report(ref: DataFrame, cur: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "need at least one monitored column")
-    columns.map { c =>
-      val detail = categorical(ref, cur, c)
-      val totals = detail.agg(
+    columns.map(c => summarize(c, categorical(ref, cur, c)))
+      .reduce(_ unionByName _).orderBy(col("column"))
+  }
+
+  private def summarize(c: String, detail: DataFrame): DataFrame =
+    detail.agg(
         sum(col("n_ref")).as("__tr0"), sum(col("n_cur")).as("__tc0"),
         count(lit(1)).as("n_categories"),
         sum(when(col("n_ref") === 0L, 1L).otherwise(0L)).as("n_new"),
         sum(when(col("n_cur") === 0L, 1L).otherwise(0L)).as("n_vanished"),
         sum(col("psi_term_fp")).as("psi_fp"))
-      totals.select(lit(c).as("column"),
+      .select(lit(c).as("column"),
         col("n_categories"), col("n_new"), col("n_vanished"), col("psi_fp"),
         round(col("psi_fp").cast("double") /
             ((col("__tr0") + col("n_categories")) *
               (col("__tc0") + col("n_categories"))).cast("double") / 1024.0,
           6).as("psi_bits"))
+
+  /** Persist the reference side's sufficient statistic — one
+    * category-counts table `(column, category, n_ref)` for all
+    * monitored columns, ONE scan of the reference snapshot total.
+    * After this, the reference data never needs re-reading: daily
+    * monitoring is [[reportAgainstReference]], whose cost is one scan
+    * of the CURRENT snapshot plus category-sized joins — the
+    * incremental-state discipline every index family here follows.
+    */
+  def writeReference(ref: DataFrame, columns: Seq[String], dir: String): Unit = {
+    require(columns.nonEmpty, "need at least one monitored column")
+    columns.map(c => counts(ref, c, "n_ref")
+        .select(lit(c).as("column"), col("category"), col("n_ref")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[report]] against a persisted [[writeReference]] table —
+    * value-identical to `report(ref, cur, columns)` by construction
+    * (DriftSpec pins it), at increment cost: the reference snapshot is
+    * never re-scanned.
+    */
+  def reportAgainstReference(refCounts: DataFrame, cur: DataFrame,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one monitored column")
+    columns.map { c =>
+      summarize(c, categoricalFromCounts(
+        refCounts.filter(col("column") === c).drop("column"),
+        counts(cur, c, "n_cur")))
     }.reduce(_ unionByName _).orderBy(col("column"))
   }
 }

@@ -42,6 +42,26 @@ class DriftSpec extends SparkSpec {
       "[100000.00,150000.00)", "__null__"))
   }
 
+  test("persisted reference counts: reportAgainstReference == report " +
+      "(batch == frozen-state), including categories only one side has") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val ref = o.filter($"o_orderkey" % 2 === 0)
+      .withColumn("price_bin", Drift.binned("o_totalprice", 100000.0))
+    val cur = o.filter($"o_orderkey" % 2 =!= 0)
+      // planted truncation: top bins vanish from the current side
+      .filter($"o_totalprice" < 250000.0)
+      .withColumn("price_bin", Drift.binned("o_totalprice", 100000.0))
+    val cols = Seq("o_orderstatus", "price_bin")
+    val dir = tmpDir("driftref")
+    Drift.writeReference(ref, cols, dir)
+    val incr = Drift.reportAgainstReference(
+        spark.read.parquet(dir), cur, cols)
+      .collect().map(_.toString).toSeq
+    val batch = Drift.report(ref, cur, cols).collect().map(_.toString).toSeq
+    assert(incr == batch)
+    assert(batch.exists(_.contains("price_bin")))
+  }
+
   test("psi_fp is exact-integer deterministic across partitionings") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val ref = o.filter($"o_orderkey" % 2 === 0)
