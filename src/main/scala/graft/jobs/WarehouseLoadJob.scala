@@ -18,9 +18,17 @@ object WarehouseLoadJob {
   val Tracked: Seq[String] =
     Seq("salary", "location", "experience_required", "posted_time", "job_url")
 
+  /** @param expectations optional [[graft.operators.Expectations]]
+    *   gate evaluated on the collapsed incoming slice BEFORE the SCD2
+    *   merge: a failed check aborts inside the audit bracket (the run
+    *   records as failed, the warehouse is untouched) — the dbt-test /
+    *   Deequ "verify before publish" discipline. Empty = no gate, the
+    *   reference behavior.
+    */
   def run(spark: SparkSession, stagingDir: String, warehouseDir: String,
       audit: Audit, upstreamProcess: String, date: String,
-      legacyNullChange: Boolean = false): Long = {
+      legacyNullChange: Boolean = false,
+      expectations: Seq[graft.operators.Expectations.Check] = Nil): Long = {
     val day = java.sql.Date.valueOf(date)
     // J3: is_process_done gate (`create_config_loadtowh.sql:56-64`)
     require(audit.isProcessDone(upstreamProcess, day),
@@ -43,6 +51,8 @@ object WarehouseLoadJob {
         Keys,
         Seq(col("extracted_ts").desc, col("job_id").desc))
         .select((Keys ++ Tracked).map(col) :+ col("extracted_date"): _*)
+      if (expectations.nonEmpty)
+        graft.operators.Expectations.assertAll(incoming, expectations)
       val current = graft.sources.Zone.readIfExists(spark, warehouseDir)
         .getOrElse(incoming
           .withColumn("expired", to_date(lit(Scd2Merge.Sentinel)))

@@ -199,6 +199,43 @@ class PipelineSpec extends SparkSpec {
     assert(!audit.isProcessDone("boom", java.sql.Date.valueOf("2025-01-01")))
   }
 
+  test("expectations gate: a failing check aborts the warehouse load " +
+      "inside the audit bracket; the warehouse is untouched; a passing " +
+      "suite loads normally") {
+    import graft.operators.Expectations._
+    val base = tmpDir("gate")
+    val (rawDir, stagingDir, whDir) =
+      (s"$base/raw", s"$base/staging", s"$base/wh")
+    val audit = new Audit(spark, s"$base/audit",
+      () => Timestamp.valueOf("2025-11-24 08:00:00"))
+    val dateDim = DateDim.generate(spark)
+    ExtractJob.run(spark, fixtureDay1, rawDir, audit, "topcv_jobs", "2025-11-24")
+    StagingJob.run(spark, rawDir, stagingDir, dateDim, audit,
+      "topcv_jobs", "2025-11-24")
+
+    // a check the fixture genuinely violates: every job_url is http://
+    val e = intercept[IllegalArgumentException] {
+      WarehouseLoadJob.run(spark, stagingDir, whDir, audit,
+        "staging_topcv_jobs", "2025-11-24",
+        expectations = Seq(MatchesRegex("job_url", "^https://"),
+          parse("not_null:job_title"),
+          parse("unique:job_title|company_name")))
+    }
+    assert(e.getMessage.contains("matches_regex(job_url)"),
+      s"gate must name the failed check: ${e.getMessage}")
+    assert(!new java.io.File(whDir).exists, "failed gate must not publish")
+    assert(!audit.isProcessDone("load_to_wh",
+      java.sql.Date.valueOf("2025-11-24")), "audit must record the failure")
+
+    // green suite: load proceeds and publishes
+    val n = WarehouseLoadJob.run(spark, stagingDir, whDir, audit,
+      "staging_topcv_jobs", "2025-11-24",
+      expectations = Seq(parse("not_null:job_title"),
+        parse("unique:job_title|company_name"),
+        parse("row_count_between:1:1000000")))
+    assert(n == 2 && spark.read.parquet(whDir).count() == 2)
+  }
+
   test("date dim: reference-equivalent range and derived columns") {
     val dim = DateDim.generate(spark).cache()
     assert(dim.count() == 7670L) // matches date_dim_without_quarter.csv
