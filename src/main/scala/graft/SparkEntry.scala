@@ -2812,6 +2812,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fellegi–Sunter record linkage
+    * ([[graft.operators.RecordLinkage.link]]): customer against a
+    * perturbed copy (planted name typos for custkey % 7, an acctbal
+    * nudge for % 13, every 31st record dropped), blocked on the three
+    * STABLE attributes, with the two noisy fields scored by exact
+    * fixed-point log-likelihood weights. Typo'd true pairs must land
+    * `match` (name within 1 edit + exact balance), nudged-balance
+    * pairs `possible` (the clerical-review band), cross pairs drop.
+    */
+  def q150_record_linkage(s: SparkSession, dir: String): DataFrame = {
+    import RecordLinkage._
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("bal_bucket",
+      floor(col("c_acctbal") / 1000.0).cast("long"))
+    val a = bucketed(Tables.customer(s, dir))
+    val b = bucketed(Tables.customer(s, dir)
+      .filter(col("c_custkey") % 31 =!= 0)
+      .withColumn("c_name", when(col("c_custkey") % 7 === 0,
+        concat(substring(col("c_name"), 1, 11), lit("x"),
+          substring(col("c_name"), 13, 1000))).otherwise(col("c_name")))
+      .withColumn("c_acctbal", when(col("c_custkey") % 13 === 0,
+        col("c_acctbal") + 0.01).otherwise(col("c_acctbal"))))
+    RecordLinkage.link(a, b, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+        Seq(FieldSpec("c_name", 990000L, 1000L,
+            (x, y) => levenshtein(x, y) <= 1),
+          FieldSpec("c_acctbal", 995000L, 500L)),
+        matchFp = 15360L, possibleFp = 2000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2964,6 +2994,7 @@ object SparkEntry {
     "q147_expectations" -> (q147_expectations _),
     "q148_drift" -> (q148_drift _),
     "q149_leak_safe_split" -> (q149_leak_safe_split _),
+    "q150_record_linkage" -> (q150_record_linkage _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
