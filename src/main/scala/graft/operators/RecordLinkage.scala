@@ -103,6 +103,96 @@ object RecordLinkage {
         Seq(col("score_fp"), col("verdict")): _*)
   }
 
+  /** Unsupervised m/u/λ estimation by expectation–maximization over
+    * the blocked candidate pairs — the Fellegi–Sunter fit (Winkler
+    * 1988; the Splink default). The decisive scale trick is the
+    * AGREEMENT-PATTERN COLLAPSE: with F independent fields a pair
+    * contributes only its pattern ∈ {agree, disagree}^F, so ONE corpus
+    * pass aggregates candidates into ≤ 2^F `(pattern, count)` rows and
+    * every EM iteration is driver arithmetic over that tiny table —
+    * iterating never re-reads data (same shape as [[Dsir]]'s
+    * fixed-dimension count state).
+    *
+    *   E: p(pattern) = λ·Π mᵢ^aᵢ(1−mᵢ)^(1−aᵢ) /
+    *                   [that + (1−λ)·Π uᵢ^aᵢ(1−uᵢ)^(1−aᵢ)]
+    *   M: λ = Σ n·p / Σ n;  mᵢ = Σ n·p·aᵢ / Σ n·p;
+    *      uᵢ = Σ n·(1−p)·aᵢ / Σ n·(1−p)
+    *
+    * Driver doubles are fine here (fixed iteration order ⇒
+    * deterministic; only the ROUNDED ppm outputs feed scoring, and
+    * [[FieldSpec]] clamps keep weights finite). Caveats that are the
+    * model's, not the code's: candidates are a BLOCKED (biased) sample
+    * — blocked-equal fields can't be fitted, score them with priors;
+    * and EM finds a two-class structure, whichever it is — the
+    * m-init > u-init ordering pins the match class, and callers should
+    * sanity-check λ against the expected match rate.
+    *
+    * Returns `(lambdaPpm, fitted fields)`; `fields` supply the init.
+    */
+  def emFit(a: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[FieldSpec],
+      lambdaInitPpm: Long = 10000L, iters: Int = 25): (Long, Seq[FieldSpec]) = {
+    require(fields.nonEmpty && fields.size <= 16,
+      "1..16 fields (pattern table is 2^F rows)")
+    require(iters >= 1 && lambdaInitPpm > 0 && lambdaInitPpm < 1000000L,
+      "bad EM config")
+    val cand = candidates(a, b, idCol, blockCols)
+    val flagged = fields.foldLeft(cand) { (df, f) =>
+      df.withColumn(s"${f.column}_agree",
+        coalesce(f.agree(col(s"a_${f.column}"), col(s"b_${f.column}")),
+          lit(false)))
+    }
+    val patterns: Array[(Array[Boolean], Long)] = flagged
+      .groupBy(fields.map(f => col(s"${f.column}_agree")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (fields.indices.map(r.getBoolean).toArray,
+        r.getLong(fields.size)))
+    require(patterns.nonEmpty, "no candidate pairs — blocking too strict")
+
+    var lambda = lambdaInitPpm / 1e6
+    var m = fields.map(_.mPpm / 1e6).toArray
+    var u = fields.map(_.uPpm / 1e6).toArray
+    def clamp(x: Double) = math.min(0.999999, math.max(0.000001, x))
+    var it = 0
+    while (it < iters) {
+      var sumN = 0.0; var sumP = 0.0
+      val mNum = new Array[Double](fields.size)
+      val uNum = new Array[Double](fields.size)
+      var mDen = 0.0; var uDen = 0.0
+      patterns.foreach { case (ag, n) =>
+        var pm = lambda; var pu = 1.0 - lambda
+        var i = 0
+        while (i < fields.size) {
+          pm *= (if (ag(i)) m(i) else 1.0 - m(i))
+          pu *= (if (ag(i)) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val p = if (pm + pu == 0.0) 0.0 else pm / (pm + pu)
+        sumN += n; sumP += n * p
+        mDen += n * p; uDen += n * (1.0 - p)
+        i = 0
+        while (i < fields.size) {
+          if (ag(i)) { mNum(i) += n * p; uNum(i) += n * (1.0 - p) }
+          i += 1
+        }
+      }
+      lambda = clamp(sumP / sumN)
+      var i = 0
+      while (i < fields.size) {
+        if (mDen > 0) m(i) = clamp(mNum(i) / mDen)
+        if (uDen > 0) u(i) = clamp(uNum(i) / uDen)
+        i += 1
+      }
+      it += 1
+    }
+    def ppm(x: Double): Long =
+      math.min(999999L, math.max(1L, math.round(x * 1e6)))
+    (ppm(lambda), fields.zipWithIndex.map { case (f, i) =>
+      f.copy(mPpm = ppm(m(i)), uPpm = ppm(u(i)))
+    })
+  }
+
   /** Deterministic u-probability estimate for each field: the
     * agreement rate among DELIBERATELY NON-MATCHING pairs — record i
     * of a hash-shuffled A sample against record i+1 of a B sample

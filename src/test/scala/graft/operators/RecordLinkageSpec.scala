@@ -61,6 +61,50 @@ class RecordLinkageSpec extends SparkSpec {
     assert(cand.columns.count(_ == "c_nationkey") == 1)
   }
 
+  test("emFit recovers the planted match structure from vague priors; " +
+      "fitted params reproduce the hand-set verdicts") {
+    // sf0.01 + two-column blocking: ~12 rows per block side, so EM
+    // sees a healthy cross-pair majority next to the true pairs
+    // (sf0.001 blocks hold ~1 row — candidates degenerate to true
+    // pairs and the u's are unidentifiable)
+    val dir = "/root/testdata/sf0.01"
+    val a = Tables.customer(spark, dir)
+    val b = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 31 =!= 0)
+      .withColumn("c_name", when($"c_custkey" % 7 === 0,
+        concat(substring($"c_name", 1, 11), lit("x"),
+          substring($"c_name", 13, 1000))).otherwise($"c_name"))
+    val blockOn = Seq("c_nationkey", "c_mktsegment")
+    val init = Seq(
+      FieldSpec("c_name", 700000L, 300000L, (x, y) => levenshtein(x, y) <= 1),
+      FieldSpec("c_acctbal", 700000L, 300000L))
+    val (lam, fitted) = emFit(a, b, "c_custkey", blockOn, init)
+    val (lam2, fitted2) = emFit(a, b, "c_custkey", blockOn, init)
+    assert(lam == lam2 && fitted == fitted2, "EM must be deterministic")
+    // planted structure: true pairs agree on both fields, cross pairs
+    // on (almost) neither — EM must pull m up and u down for both
+    fitted.foreach { f =>
+      assert(f.mPpm > 900000L, s"${f.column} m=${f.mPpm}")
+      assert(f.uPpm < 100000L, s"${f.column} u=${f.uPpm}")
+    }
+    // λ ≈ true-pair fraction of candidates (every A row meets its own
+    // B copy; cross-pairs dominate the denominator)
+    assert(lam > 1000L && lam < 500000L, s"lambda=$lam")
+    // classification under fitted params matches the hand-set q150
+    // parametrization on this corpus
+    val hand = link(a, b, "c_custkey", blockOn,
+      Seq(FieldSpec("c_name", 990000L, 1000L, (x, y) => levenshtein(x, y) <= 1),
+        FieldSpec("c_acctbal", 995000L, 500L)),
+      matchFp = 15360L, possibleFp = 2000L)
+    val fit = link(a, b, "c_custkey", blockOn, fitted,
+      matchFp = fitted.map(_.agreeFp).sum, possibleFp = 2000L)
+    val handM = hand.filter($"verdict" === "match")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fitM = fit.filter($"verdict" === "match")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(handM == fitM, "fitted params must reproduce the match set")
+  }
+
   test("estimateU: deterministic, bounded away from 0 and 1e6, and " +
       "tracks the field's real collision rate among random pairs") {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
