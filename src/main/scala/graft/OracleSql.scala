@@ -4410,6 +4410,64 @@ object OracleSql {
     WHERE score_fp >= 2000
     ORDER BY id_a, id_b"""
 
+  /** q151: IVF-PQ — q36's coarse-cell derivation (hash-picked
+    * centroids, nProbe = 4) restricting q145's ADC scoring: a
+    * candidate scores only when its assigned cell is probed by the
+    * query.
+    */
+  private val q151 = s"""
+    $pqPrefix,
+    n2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    icents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT n2.vec_id, icents.centroid_id,
+               row_number() OVER (PARTITION BY n2.vec_id
+                 ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC,
+                          centroid_id ASC) AS rn
+        FROM n2 CROSS JOIN icents)
+      WHERE rn = 1),
+    qs2 AS (SELECT vec_id AS query_id, qe, n2v FROM n2 WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT qs2.query_id, icents.centroid_id,
+               row_number() OVER (PARTITION BY qs2.query_id
+                 ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC,
+                          centroid_id ASC) AS rn
+        FROM qs2 CROSS JOIN icents)
+      WHERE rn <= 4),
+    qt AS (
+      SELECT q.vec_id AS query_id, c.sub, c.code,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (q.qe[c.sub * 8 + i] - c.cv[i]) * (q.qe[c.sub * 8 + i] - c.cv[i])))
+               AS BIGINT) AS d2
+      FROM (SELECT vec_id, qe FROM base WHERE vec_id < 10) q CROSS JOIN cents c),
+    adc AS (
+      SELECT t.query_id, x.vec_id AS id, CAST(sum(t.d2) AS BIGINT) AS d2
+      FROM codes x
+      JOIN asg ON asg.vec_id = x.vec_id
+      JOIN probes p ON p.centroid_id = asg.centroid_id
+      JOIN qt t ON t.sub = x.sub AND t.code = x.code
+               AND t.query_id = p.query_id
+      WHERE x.vec_id <> t.query_id
+      GROUP BY t.query_id, x.vec_id),
+    ranked AS (
+      SELECT query_id, id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, id ASC) AS INTEGER) AS rank
+      FROM adc)
+    SELECT query_id, id, d2, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4562,5 +4620,6 @@ object OracleSql {
     "q148_drift" -> q148,
     "q149_leak_safe_split" -> q149,
     "q150_record_linkage" -> q150,
+    "q151_ivfpq_search" -> q151,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2842,6 +2842,24 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF-PQ ([[graft.operators.Pq.probeIvfAdc]]): the FAISS-lineage
+    * billion-scale composition hash-checked end-to-end — coarse IVF
+    * cell pruning (q36's centroids, nProbe = 4) picks candidates,
+    * exact-integer ADC over the PQ codes scores them. Work per query
+    * = nProbe/nCentroids of the corpus × m adds per survivor, on a
+    * 32×-narrower codes column.
+    */
+  def q151_ivfpq_search(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    val (cents, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    Pq.probeIvfAdc(Pq.encode(emb, "vec_id", "embedding", cb),
+        cells, cents, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, topK = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2995,6 +3013,7 @@ object SparkEntry {
     "q148_drift" -> (q148_drift _),
     "q149_leak_safe_split" -> (q149_leak_safe_split _),
     "q150_record_linkage" -> (q150_record_linkage _),
+    "q151_ivfpq_search" -> (q151_ivfpq_search _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -78,10 +78,42 @@ object RecordLinkage {
     */
   def link(a: DataFrame, b: DataFrame, idCol: String,
       blockCols: Seq[String], fields: Seq[FieldSpec],
+      matchFp: Long, possibleFp: Long): DataFrame =
+    scoreCandidates(candidates(a, b, idCol, blockCols), idCol, fields,
+      matchFp, possibleFp)
+
+  /** Persist the A side pre-blocked for incremental linkage:
+    * `a_`-prefixed columns partitioned by the block keys, so a daily
+    * B batch's [[linkIncrement]] equi-join physically prunes to the
+    * batch's blocks (the FuzzyJoin block-index discipline). Linkage
+    * is a pure per-pair function, so
+    * `link(A, B₁ ∪ B₂) == linkIncrement(idx, B₁) ∪ linkIncrement(idx,
+    * B₂)` exactly — no cap caveat, no state rewrite; takedown is an
+    * anti-join on `a_<id>` like every index family.
+    */
+  def writeIndex(a: DataFrame, idCol: String, blockCols: Seq[String],
+      dir: String): Unit =
+    a.select(blockCols.map(col) ++
+        a.columns.filterNot(blockCols.contains).map(c => col(c).as(s"a_$c")): _*)
+      .write.mode("overwrite").partitionBy(blockCols: _*).parquet(dir)
+
+  /** [[link]] of one B batch against the persisted A index —
+    * value-identical to the batch form over the same rows
+    * (RecordLinkageSpec pins it), at blocks-of-the-batch cost.
+    */
+  def linkIncrement(index: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[FieldSpec],
       matchFp: Long, possibleFp: Long): DataFrame = {
+    val bSide = b.select(blockCols.map(col) ++
+      b.columns.filterNot(blockCols.contains).map(c => col(c).as(s"b_$c")): _*)
+    val cand = index.join(bSide, blockCols)
+    scoreCandidates(cand, idCol, fields, matchFp, possibleFp)
+  }
+
+  private def scoreCandidates(cand: DataFrame, idCol: String,
+      fields: Seq[FieldSpec], matchFp: Long, possibleFp: Long): DataFrame = {
     require(fields.nonEmpty, "need at least one scored field")
     require(matchFp >= possibleFp, "match threshold below possible")
-    val cand = candidates(a, b, idCol, blockCols)
     val withFlags = fields.foldLeft(cand) { (df, f) =>
       df.withColumn(s"${f.column}_agree",
         coalesce(f.agree(col(s"a_${f.column}"), col(s"b_${f.column}")),

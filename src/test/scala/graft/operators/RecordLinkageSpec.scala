@@ -105,6 +105,36 @@ class RecordLinkageSpec extends SparkSpec {
     assert(handM == fitM, "fitted params must reproduce the match set")
   }
 
+  test("persisted A index: union of batch increments == one-shot link; " +
+      "the probe physically prunes to the batch's block partitions") {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, dir)
+    val fields = Seq(
+      FieldSpec("c_name", 990000L, 1000L, (x, y) => levenshtein(x, y) <= 1),
+      FieldSpec("c_acctbal", 995000L, 500L))
+    val blockOn = Seq("c_nationkey", "c_mktsegment")
+    val idxDir = tmpDir("linkidx") + "/idx"
+    writeIndex(cust, "c_custkey", blockOn, idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val slices = Seq(cust.filter($"c_custkey" % 2 === 0),
+      cust.filter($"c_custkey" % 2 =!= 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val incr = slices.map(s => linkIncrement(idx, s, "c_custkey", blockOn,
+      fields, matchFp = 15360L, possibleFp = 2000L))
+      .reduce(_ unionByName _)
+    val batch = link(cust, cust, "c_custkey", blockOn, fields,
+      15360L, 2000L)
+    assert(rows(incr) == rows(batch))
+    // partition pruning: a one-nation batch reads only that nation's
+    // index partitions
+    val one = linkIncrement(idx, cust.filter($"c_nationkey" === 3),
+      "c_custkey", blockOn, fields, 15360L, 2000L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("c_nationkey"), s"expected partition pruning:\n$plan")
+  }
+
   test("estimateU: deterministic, bounded away from 0 and 1e6, and " +
       "tracks the field's real collision rate among random pairs") {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
