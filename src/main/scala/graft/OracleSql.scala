@@ -4468,6 +4468,35 @@ object OracleSql {
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  /** q152: CUBE subtotal mart — grouping-set labels via GROUPING();
+    * NULLS FIRST ordering spelled out (DuckDB defaults NULLS LAST on
+    * ASC, Spark NULLS FIRST).
+    */
+  private val q152 = """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id, value
+      FROM events)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           CAST(GROUPING(event_type, day) AS INTEGER) AS gid
+    FROM e
+    GROUP BY CUBE(event_type, day)
+    ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
+
+  /** q153: pivot mart — conditional aggregation, dense zeros. */
+  private val q153 = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4621,5 +4650,7 @@ object OracleSql {
     "q149_leak_safe_split" -> q149,
     "q150_record_linkage" -> q150,
     "q151_ivfpq_search" -> q151,
+    "q152_cube" -> q152,
+    "q153_pivot" -> q153,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CleaningFunctions => C, TextFunctions => T, VectorFunctions => V}
-import graft.jobs.CorpusJob
+import graft.jobs.{CorpusJob, Dashboard}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2860,6 +2860,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** CUBE subtotal mart ([[graft.jobs.Dashboard.cubeDaily]]): all four
+    * grouping sets of (event_type, day) in ONE scan + Expand —
+    * detail cells, both one-dimension rollups, and the grand total,
+    * labeled by `grouping_id`. The exact-distinct `n_users` is why the
+    * cube materializes subtotals (distincts don't roll up).
+    */
+  def q152_cube(s: SparkSession, dir: String): DataFrame =
+    Dashboard.cubeDaily(Tables.events(s, dir))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
+  /** Pivot mart ([[graft.jobs.Dashboard.pivotDaily]]): one row per
+    * day, one dense count column per (explicitly listed) event type.
+    */
+  def q153_pivot(s: SparkSession, dir: String): DataFrame =
+    Dashboard.pivotDaily(Tables.events(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy(col("day"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3014,6 +3033,8 @@ object SparkEntry {
     "q149_leak_safe_split" -> (q149_leak_safe_split _),
     "q150_record_linkage" -> (q150_record_linkage _),
     "q151_ivfpq_search" -> (q151_ivfpq_search _),
+    "q152_cube" -> (q152_cube _),
+    "q153_pivot" -> (q153_pivot _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -30,4 +30,38 @@ object Dashboard {
         .orderBy(col(valueCol).desc, col(groupCol))
         .limit(topN)
     }.toMap
+
+  /** CUBE mart over the event stream: every (event_type × day)
+    * combination PLUS each dimension's subtotals and the grand total
+    * in one pass — Spark's `cube` plans a single scan + Expand
+    * (factor 4 = the grouping-set count), so subtotals cost one
+    * aggregate, not four queries. `grouping_id` labels which
+    * dimensions a row aggregates over (0 = detail cell, 3 = grand
+    * total), `n_users` is exact distinct per cell — NOT additive
+    * across cells, which is precisely why the cube materializes every
+    * subtotal instead of letting the dashboard roll detail rows up.
+    */
+  def cubeDaily(events: DataFrame): DataFrame =
+    events.withColumn("day", to_date(col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        // grouping_id only resolves INSIDE the cube's aggregate list
+        grouping_id().cast("int").as("gid"))
+
+  /** Pivot mart: one row per day, one count column per event type —
+    * the wide frame a chart consumes directly. `types` is EXPLICIT
+    * (the pivot values embed in the plan, no extra distinct-scan job,
+    * and the output schema is stable when a type is absent that day —
+    * its column is 0, not missing).
+    */
+  def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame =
+    events.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      // a type with no events that day pivots to NULL (its aggregate
+      // never ran); the mart contract is a dense 0
+      .na.fill(0L, types)
 }
