@@ -4497,6 +4497,55 @@ object OracleSql {
     GROUP BY CAST(ts AS DATE)
     ORDER BY day"""
 
+  /** Shared q154/q155 sparse-daily frame: exact-micros daily sums with
+    * the day-of-month % 7 = 3 days punched out.
+    */
+  private val sparseDaily = """
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+               AS BIGINT) AS v_fp
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+      HAVING dayofmonth(CAST(ts AS DATE)) % 7 <> 3)"""
+
+  /** q154: gap fill — per-group spine, forward fill IGNORE NULLS,
+    * repairs flagged.
+    */
+  private val q154 = s"""
+    WITH $sparseDaily,
+    b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+          FROM daily GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b),
+    j AS (
+      SELECT s.event_type, s.day, d.v_fp
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day)
+    SELECT event_type, day, v_fp,
+           last_value(v_fp IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fp_filled,
+           v_fp IS NULL AS was_gap
+    FROM j
+    ORDER BY event_type, day"""
+
+  /** q155: trailing 7-day rolling mean over the SPARSE frame — RANGE
+    * on the date, so punched days shrink the window. The mean of ≤ 7
+    * exact integers is order-free in doubles, then one 2dp round.
+    */
+  private val q155 = s"""
+    WITH $sparseDaily
+    SELECT event_type, day, v_fp,
+           round(avg(v_fp) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+             AS v_fp_roll
+    FROM daily
+    ORDER BY event_type, day"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4652,5 +4701,7 @@ object OracleSql {
     "q151_ivfpq_search" -> q151,
     "q152_cube" -> q152,
     "q153_pivot" -> q153,
+    "q154_gap_fill" -> q154,
+    "q155_rolling" -> q155,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2879,6 +2879,39 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("day"))
 
+  /** The q154/q155 input: daily per-type value totals in exact integer
+    * micros (the quantize discipline — a float daily sum would be
+    * engine-order noise under the rolling average), with synthetic
+    * gaps punched on a day-of-month cadence (the harness stream has no
+    * natural outages).
+    */
+  private def sparseDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000d).cast("long")).as("v_fp"))
+      .filter(dayofmonth(col("day")) % 7 =!= 3)
+
+  /** Gap fill ([[graft.operators.TimeSeries.gapFill]]): the punched
+    * days reappear from the per-group date spine with the last value
+    * carried forward and `was_gap` marking every repaired row.
+    */
+  def q154_gap_fill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapFill(sparseDaily(s, dir), "day",
+        Seq("event_type"), "v_fp")
+      .select(col("event_type"), col("day"), col("v_fp"),
+        col("v_fp_filled"), col("was_gap"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** Trailing 7-day rolling mean ([[graft.operators.TimeSeries
+    * .rolling]]) over the SPARSE frame — the RANGE window shrinks
+    * over the punched days instead of silently stretching the span.
+    */
+  def q155_rolling(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.rolling(sparseDaily(s, dir), "day",
+        Seq("event_type"), "v_fp", days = 7)
+      .select(col("event_type"), col("day"), col("v_fp"), col("v_fp_roll"))
+      .orderBy(col("event_type"), col("day"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3035,6 +3068,8 @@ object SparkEntry {
     "q151_ivfpq_search" -> (q151_ivfpq_search _),
     "q152_cube" -> (q152_cube _),
     "q153_pivot" -> (q153_pivot _),
+    "q154_gap_fill" -> (q154_gap_fill _),
+    "q155_rolling" -> (q155_rolling _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

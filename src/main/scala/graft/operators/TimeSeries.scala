@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair over PRE-AGGREGATED daily frames — the
+  * resample/fill toolkit every metrics mart needs (a feed that skips
+  * a day must not silently shorten averages or break charts).
+  *
+  * Scale contract: every operator here consumes a `(group…, day,
+  * value)` frame that is already one row per (group, day) — i.e. the
+  * OUTPUT of a daily aggregate, bounded by groups × days, never raw
+  * corpus rows. The windows partition by group and hold ≤ #days rows
+  * each (the q73 bounded-window carve-out); the spine explode adds at
+  * most groups × span rows. Aggregate first, repair second.
+  */
+object TimeSeries {
+
+  /** Dense per-group daily spine: one row per (group, day) for every
+    * day in the group's OWN [min, max] span (a group that started
+    * late is not back-filled with phantom days). One tiny aggregate +
+    * a `sequence` explode.
+    */
+  def dateSpine(df: DataFrame, dayCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+      .select(groupCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as(dayCol): _*)
+  }
+
+  /** Fill the gaps of a sparse daily frame against its [[dateSpine]]:
+    * every missing (group, day) gains a row with
+    *  - `<valueCol>_filled`: the last seen value carried forward
+    *    (NULL until the group's first observation — leading gaps are
+    *    unknowable, not zero), and
+    *  - `was_gap`: TRUE on spine-created rows — repairs stay visible
+    *    to downstream consumers instead of masquerading as data.
+    * Other columns survive with NULLs on gap rows.
+    */
+  def gapFill(df: DataFrame, dayCol: String, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val spine = dateSpine(df, dayCol, groupCols)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df.withColumn("__obs", lit(true)),
+        groupCols :+ dayCol, "left")
+      .withColumn(s"${valueCol}_filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("was_gap", coalesce(col("__obs"), lit(false)) === false)
+      .drop("__obs")
+  }
+
+  /** Trailing `days`-day rolling aggregate over a (possibly sparse)
+    * daily frame: a RANGE window on the day's epoch seconds, so
+    * missing days genuinely shrink the window instead of stretching
+    * it (ROWS BETWEEN over sparse data silently widens the time
+    * span — the classic resample bug). Returns the input plus
+    * `<valueCol>_roll` = the rolling mean rounded to 2dp (gap-fill
+    * first with zeros if absent days should count as 0).
+    */
+  def rolling(df: DataFrame, dayCol: String, groupCols: Seq[String],
+      valueCol: String, days: Int): DataFrame = {
+    require(days >= 1, "window must be at least one day")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(dayCol).cast("timestamp").cast("long"))
+      .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
+    df.withColumn(s"${valueCol}_roll",
+      round(avg(col(valueCol)).over(w), 2))
+  }
+}
