@@ -4546,6 +4546,76 @@ object OracleSql {
     FROM daily
     ORDER BY event_type, day"""
 
+  /** q156: q150's derivation with DuckDB's own
+    * `jaro_winkler_similarity` as the name comparator (no acctbal
+    * nudge in this fixture).
+    */
+  private val q156 = s"""
+    WITH RECURSIVE ca AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer),
+    cb AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN substring(c_name, 1, 11) || 'x' ||
+                       substring(c_name, 13, 1000)
+                  ELSE c_name END AS c_name,
+             c_nationkey, c_mktsegment, c_acctbal,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer WHERE c_custkey % 31 <> 0),
+    vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT 990000 AS v UNION ALL SELECT 1000 UNION ALL
+        SELECT 10000 UNION ALL SELECT 999000 UNION ALL
+        SELECT 995000 UNION ALL SELECT 500 UNION ALL
+        SELECT 5000 UNION ALL SELECT 999500)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    w AS (
+      SELECT
+        (SELECT r FROM lg WHERE v = 990000) -
+          (SELECT r FROM lg WHERE v = 1000) AS wna,
+        (SELECT r FROM lg WHERE v = 10000) -
+          (SELECT r FROM lg WHERE v = 999000) AS wnd,
+        (SELECT r FROM lg WHERE v = 995000) -
+          (SELECT r FROM lg WHERE v = 500) AS wba,
+        (SELECT r FROM lg WHERE v = 5000) -
+          (SELECT r FROM lg WHERE v = 999500) AS wbd),
+    flag AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             coalesce(jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94,
+               FALSE) AS c_name_agree,
+             coalesce(a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal, FALSE)
+               AS c_acctbal_agree
+      FROM ca a JOIN cb b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.bal_bucket = b.bal_bucket),
+    sc AS (
+      SELECT id_a, id_b, c_name_agree, c_acctbal_agree,
+             CAST((CASE WHEN c_name_agree THEN w.wna ELSE w.wnd END) +
+                  (CASE WHEN c_acctbal_agree THEN w.wba ELSE w.wbd END)
+               AS BIGINT) AS score_fp
+      FROM flag CROSS JOIN w)
+    SELECT id_a, id_b, c_name_agree, c_acctbal_agree, score_fp,
+           CASE WHEN score_fp >= 15360 THEN 'match'
+                WHEN score_fp >= 2000 THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM sc
+    WHERE score_fp >= 2000
+    ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4703,5 +4773,6 @@ object OracleSql {
     "q153_pivot" -> q153,
     "q154_gap_fill" -> q154,
     "q155_rolling" -> q155,
+    "q156_linkage_jw" -> q156,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

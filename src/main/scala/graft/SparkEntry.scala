@@ -2912,6 +2912,32 @@ object SparkEntry {
       .select(col("event_type"), col("day"), col("v_fp"), col("v_fp_roll"))
       .orderBy(col("event_type"), col("day"))
 
+  /** q150's linkage with the Jaro–Winkler name comparator
+    * ([[graft.functions.TextFunctions.jaroWinkler]] ≥ 0.94) instead
+    * of banded levenshtein — the record-linkage literature's standard
+    * name metric, and a sharper lesson on zero-padded keys: JW rates
+    * sequential ids as near-identical (prefix boost), so the
+    * possible band widens — visible, hash-checked reviewer load.
+    */
+  def q156_linkage_jw(s: SparkSession, dir: String): DataFrame = {
+    import RecordLinkage._
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("bal_bucket",
+      floor(col("c_acctbal") / 1000.0).cast("long"))
+    val a = bucketed(Tables.customer(s, dir))
+    val b = bucketed(Tables.customer(s, dir)
+      .filter(col("c_custkey") % 31 =!= 0)
+      .withColumn("c_name", when(col("c_custkey") % 7 === 0,
+        concat(substring(col("c_name"), 1, 11), lit("x"),
+          substring(col("c_name"), 13, 1000))).otherwise(col("c_name"))))
+    RecordLinkage.link(a, b, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+        Seq(FieldSpec("c_name", 990000L, 1000L,
+            (x, y) => T.jaroWinkler(x, y) >= 0.94),
+          FieldSpec("c_acctbal", 995000L, 500L)),
+        matchFp = 15360L, possibleFp = 2000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3070,6 +3096,7 @@ object SparkEntry {
     "q153_pivot" -> (q153_pivot _),
     "q154_gap_fill" -> (q154_gap_fill _),
     "q155_rolling" -> (q155_rolling _),
+    "q156_linkage_jw" -> (q156_linkage_jw _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -20,6 +20,15 @@ object TextFunctions {
     * pushed-down predicate (the q50 keep-policy filter measured 6× the
     * projection form before this).
     */
+  /** Jaro–Winkler similarity ∈ [0,1] ([[graft.plans.JaroWinkler]] —
+    * codegen; semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`): the record-linkage name comparator.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.JaroWinkler(
+      ColumnBridge.expression(a.cast("string")),
+      ColumnBridge.expression(b.cast("string"))))
+
   private def stats(c: Column): Column =
     ColumnBridge.column(graft.plans.TextStats(
       ColumnBridge.expression(c.cast("string")), withSubwords = false))
