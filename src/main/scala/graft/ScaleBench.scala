@@ -190,6 +190,28 @@ object ScaleBench {
             slice(col("embedding"), lit(1), col("__s"))))
         .drop("__r", "__s")
     }
+    def linkageCandidates(r: Int, scaledKey: Boolean): Long = {
+      val base = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      val cust =
+        if (r <= 1) base
+        else base.crossJoin(spark.range(r).select(col("id").as("__r")))
+          .withColumn("c_custkey", col("c_custkey") + col("__r") * lit(100000000L))
+          .withColumn("c_name", concat(lit("r"), col("__r"), col("c_name")))
+      val withKeys = cust
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0).cast("long"))
+        .withColumn("name_blk", substring(col("c_name"), 1, 3))
+        .drop(if (r <= 1) "__nope" else "__r")
+      val blockOn = Seq("c_nationkey", "c_mktsegment", "bal_bucket") ++
+        (if (scaledKey) Seq("name_blk") else Nil)
+      graft.operators.RecordLinkage.link(withKeys, withKeys, "c_custkey",
+        blockOn,
+        Seq(graft.operators.RecordLinkage.FieldSpec("c_name", 990000L, 1000L,
+          (x, y) => levenshtein(x, y) <= 1)),
+        matchFp = 0L, possibleFp = 0L).count()
+    }
+
     val semWorkloads: Seq[(String, Int => Long)] = Seq(
       "semdedup_k16" -> (r =>
         Dedup.semDedup(corpusEmb(r), "vec_id", "embedding",
@@ -235,7 +257,19 @@ object ScaleBench {
           graft.operators.Pq.encode(e, "vec_id", "embedding", cb),
           e.filter(col("vec_id") < 10), "vec_id", "embedding", cb, 10).count()
       },
+      // record-linkage blocking: replicas get DISTINCT names (rK
+      // prefix) so true-match structure stays linear. The _fixed row
+      // keeps q150's three block keys — FIXED key cardinality, so
+      // block occupancy ∝ R and candidates ∝ R² (the fixed-k SemDeDup
+      // hazard restated for linkage); the _scaled row adds a
+      // replica-varying fourth key (in production: a name prefix /
+      // geohash / zip), restoring ∝ R candidates. Report both — the
+      // RATIO between them is the lesson.
+      "linkage_fixed" -> (r => linkageCandidates(r, scaledKey = false)),
+      "linkage_scaled" -> (r => linkageCandidates(r, scaledKey = true)),
     )
+
+
 
     // optional workload subset (comma-separated) — the 100× point runs
     // the five heaviest families rather than the whole matrix
