@@ -4616,6 +4616,19 @@ object OracleSql {
     WHERE score_fp >= 2000
     ORDER BY id_a, id_b"""
 
+  /** q157: exact percentiles — `quantile_cont` over the same integer
+    * cents, identical linear-interpolation semantics.
+    */
+  private val q157 = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5) / 100.0, 4) AS p50,
+           round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.9) / 100.0, 4) AS p90,
+           round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.99) / 100.0, 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4774,5 +4787,6 @@ object OracleSql {
     "q154_gap_fill" -> q154,
     "q155_rolling" -> q155,
     "q156_linkage_jw" -> q156,
+    "q157_percentiles" -> q157,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

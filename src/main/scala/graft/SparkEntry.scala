@@ -2938,6 +2938,27 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact per-group percentiles (PERCENTILE_CONT): p50/p90/p99 of the
+    * order value per priority — the SLA/tail-latency query shape.
+    * Input is exact integer cents, so the linear interpolation (both
+    * engines: `lo + frac·(hi − lo)` at rank `p·(n−1)`) is
+    * order-free-deterministic; only the final 4dp round touches
+    * presentation. Spark's `percentile` is an exact sort-based
+    * aggregate — for sketch-budget sweeps the mergeable
+    * [[graft.operators.QuantileHistogram]] is the approximate path.
+    */
+  def q157_percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(percentile(cents(col("o_totalprice")), lit(0.5)) / 100.0, 4)
+          .as("p50"),
+        round(percentile(cents(col("o_totalprice")), lit(0.9)) / 100.0, 4)
+          .as("p90"),
+        round(percentile(cents(col("o_totalprice")), lit(0.99)) / 100.0, 4)
+          .as("p99"))
+      .orderBy(col("o_orderpriority"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3097,6 +3118,7 @@ object SparkEntry {
     "q154_gap_fill" -> (q154_gap_fill _),
     "q155_rolling" -> (q155_rolling _),
     "q156_linkage_jw" -> (q156_linkage_jw _),
+    "q157_percentiles" -> (q157_percentiles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
