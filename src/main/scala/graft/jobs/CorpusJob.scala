@@ -1216,6 +1216,31 @@ object CorpusJob {
       .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
+  /** Curation drift telemetry: PSI of one batch's annotated verdicts
+    * against the ACCUMULATED prior log — the monitoring leg that says
+    * when the frozen curation state has gone stale. Four lenses:
+    * `lid_pred` (input language mix), `source` (domain mix),
+    * `outcome` (= `drop_reason` with kept as its own category — a
+    * shifted outcome mix means a stage's frozen cutoff no longer fits
+    * the feed), and the token-count histogram. Cheap by construction
+    * ([[graft.operators.Drift]]'s category-sized aggregates); the
+    * response ladder is [[refitRates]] for mixture drift,
+    * [[fitCurationState]] for the rest. Pass the slice
+    * [[runCurationIncremental]] returned — it is already appended to
+    * the log, so the reference side anti-joins it back out.
+    */
+  def curationDrift(spark: SparkSession, stateDir: String,
+      batchAnnotated: DataFrame): DataFrame = {
+    val ref = spark.read.parquet(s"$stateDir/curation/annotated")
+      .join(batchAnnotated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    def lens(df: DataFrame): DataFrame = df.select(
+      col("lid_pred"), col("source"),
+      coalesce(col("drop_reason"), lit("kept")).as("outcome"),
+      graft.operators.Drift.binned("n_tokens", 64.0).as("tokens_bin"))
+    graft.operators.Drift.report(lens(ref), lens(batchAnnotated),
+      Seq("lid_pred", "outcome", "source", "tokens_bin"))
+  }
+
   /** The stage-9 rate fit, shared by [[curateCore]] and [[refitRates]]
     * so the two cannot drift: same arithmetic as
     * `Sampling.temperatureMixture` at alphaHalves = 1 —

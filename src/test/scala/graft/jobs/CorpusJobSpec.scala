@@ -891,4 +891,40 @@ class CorpusJobSpec extends SparkSpec {
     assert(annB.sorted == ref.sorted,
       s"post-takedown probe (${annB.size}) != live-only reference (${ref.size})")
   }
+
+  test("curationDrift: a faithful batch reads stable; a planted domain/" +
+      "length shift lights up exactly the shifted lenses") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("host",
+        concat(lit("h"), $"doc_id" % 7, lit(".example.com")))
+    val cfg = CorpusJob.CurationConfig(budgetTokens = 20000L)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("curdrift")
+    CorpusJob.fitCurationState(spark, docs.filter($"doc_id" <= n / 2),
+      state, cfg, None, None)
+
+    // faithful increment: same distributions → every lens near zero
+    val okBatch = CorpusJob.runCurationIncremental(spark,
+      docs.filter($"doc_id" > n / 2 && $"doc_id" % 3 === 0),
+      state, cfg, None, None)
+    val ok = CorpusJob.curationDrift(spark, state, okBatch)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(ok.keySet == Set("lid_pred", "outcome", "source", "tokens_bin"))
+    assert(ok.values.forall(_ < 0.5), s"faithful batch drifted: $ok")
+
+    // planted shift: one domain only, texts truncated → source and
+    // tokens_bin must light up well above the faithful baseline
+    val skew = docs.filter($"doc_id" > n / 2 && $"doc_id" % 3 === 1)
+      .withColumn("source", lit("src0"))
+      .withColumn("text", substring($"text", 1, 80))
+    val badBatch = CorpusJob.runCurationIncremental(spark, skew,
+      state, cfg, None, None)
+    val bad = CorpusJob.curationDrift(spark, state, badBatch)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(bad("source") > 10 * ok("source").max(0.001),
+      s"domain shift not detected: $bad vs $ok")
+    assert(bad("tokens_bin") > ok("tokens_bin"),
+      s"length shift not detected: $bad vs $ok")
+  }
 }
