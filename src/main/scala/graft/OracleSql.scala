@@ -4629,6 +4629,50 @@ object OracleSql {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  /** q158: 5 rounds of fixed-point integer PageRank over the
+    * customer→supplier purchase graph, unrolled as one CTE triple
+    * (contribution, dangling mass, next rank) per round — DuckDB's
+    * recursive CTEs disallow aggregating the recursive term, so the
+    * deterministic fixed iteration count becomes generated SQL
+    * instead. `//` on the always-nonnegative ranks is Spark's `DIV`.
+    */
+  private val q158: String = {
+    val scale = 1L << 20
+    val teleport = 15L * scale / 100L // = ((dampDen-dampNum)*scale) DIV dampDen
+    val iters = 5
+    val rounds = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+      SELECT r.node AS src, r.rank_fp // d.deg AS c
+      FROM $p r JOIN deg d ON d.src = r.node),
+    dm$k AS (
+      SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dm
+      FROM $p r LEFT JOIN deg d ON d.src = r.node
+      WHERE d.src IS NULL),
+    r$k AS (
+      SELECT nd.node,
+             CAST($teleport AS BIGINT) +
+               85 * (coalesce(i.inr, 0) +
+                     (SELECT dm FROM dm$k) // (SELECT n FROM nn)) // 100
+               AS rank_fp
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS node, CAST(sum(c.c) AS BIGINT) AS inr
+                 FROM e JOIN c$k c ON c.src = e.src
+                 GROUP BY e.dst) i ON i.node = nd.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
+    $rounds
+    SELECT node, rank_fp FROM r$iters ORDER BY node"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4788,5 +4832,6 @@ object OracleSql {
     "q155_rolling" -> q155,
     "q156_linkage_jw" -> q156,
     "q157_percentiles" -> q157,
+    "q158_pagerank" -> q158,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

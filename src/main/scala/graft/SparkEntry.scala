@@ -2959,6 +2959,29 @@ object SparkEntry {
           .as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Link-graph authority ([[graft.operators.LinkGraph.pageRank]]):
+    * fixed-point integer PageRank, 5 synchronous rounds, over the
+    * directed customer→supplier purchase graph (distinct pairs from
+    * orders⋈lineitem; supplier ids offset by 10M into a disjoint key
+    * space). Suppliers have no out-edges, so every round exercises
+    * the dangling-mass redistribution, and the output ranks suppliers
+    * by how broadly they are bought from — the CommonCrawl-style host
+    * authority signal on warehouse data. The oracle re-derives all
+    * five rounds as unrolled CTEs in the same integer arithmetic
+    * (`//` ≡ `DIV` on the nonnegative ranks), so the hash match pins
+    * the distributed iteration bit-for-bit.
+    */
+  def q158_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+    LinkGraph.pageRank(edges, "src", "dst", iters = 5)
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3119,6 +3142,7 @@ object SparkEntry {
     "q155_rolling" -> (q155_rolling _),
     "q156_linkage_jw" -> (q156_linkage_jw _),
     "q157_percentiles" -> (q157_percentiles _),
+    "q158_pagerank" -> (q158_pagerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
