@@ -4673,6 +4673,64 @@ object OracleSql {
     SELECT node, rank_fp FROM r$iters ORDER BY node"""
   }
 
+  /** q159: PMI collocations — bigrams via a 1-based list lambda
+    * (`w[i] || ' ' || w[i+1]`), corpus totals BEFORE the support
+    * filter, and the score as the identical sum of fixed-point log2
+    * floors over the distinct argument set (the q113/BM25 10-step
+    * recursive CTE).
+    */
+  private val q159 = """
+    WITH RECURSIVE toks AS (
+      SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    uni AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(w) AS u FROM toks) GROUP BY u),
+    tu AS (SELECT CAST(sum(cnt) AS BIGINT) AS tu FROM uni),
+    bi AS (SELECT b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS b FROM toks)
+           GROUP BY b),
+    tb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS tb FROM bi),
+    cand AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2, c_ab
+      FROM bi WHERE c_ab >= 5),
+    j AS (
+      SELECT c.w1, c.w2, c.c_ab, ua.cnt AS ca, ub.cnt AS cb, tu.tu, tb.tb
+      FROM cand c
+      JOIN uni ua ON ua.w = c.w1
+      JOIN uni ub ON ub.w = c.w2
+      CROSS JOIN tu CROSS JOIN tb),
+    vals AS (SELECT DISTINCT v FROM (
+      SELECT c_ab AS v FROM j
+      UNION ALL SELECT ca FROM j
+      UNION ALL SELECT cb FROM j
+      UNION ALL SELECT tu FROM j
+      UNION ALL SELECT tb FROM j)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS (SELECT v, r FROM lgi WHERE i = 10),
+    pmi AS (
+      SELECT j.w1, j.w2, j.c_ab,
+             lab.r + 2 * ltu.r - ltb.r - lca.r - lcb.r AS pmi_fp
+      FROM j
+      JOIN lg lab ON lab.v = j.c_ab
+      JOIN lg lca ON lca.v = j.ca
+      JOIN lg lcb ON lcb.v = j.cb
+      JOIN lg ltu ON ltu.v = j.tu
+      JOIN lg ltb ON ltb.v = j.tb)
+    SELECT w1, w2, c_ab, pmi_fp FROM pmi
+    ORDER BY pmi_fp DESC, w1, w2 LIMIT 100"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4833,5 +4891,6 @@ object OracleSql {
     "q156_linkage_jw" -> q156,
     "q157_percentiles" -> q157,
     "q158_pagerank" -> q158,
+    "q159_collocations" -> q159,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -2982,6 +2982,20 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** PMI collocation mining
+    * ([[graft.operators.TermStats.collocations]]): top-100 adjacent
+    * word pairs of the corpus by fixed-point pointwise mutual
+    * information, min support 5 — the multiword-expression lexicon a
+    * tokenizer/phrase-filter build starts from. Score is the exact
+    * integer sum of [[graft.plans.Log2Fp]] floors; the oracle
+    * re-derives bigrams with a list lambda and the same 10-step
+    * recursive-CTE log2, so the hash match pins tokenize, pair
+    * assembly, counts, and ranking end-to-end.
+    */
+  def q159_collocations(s: SparkSession, dir: String): DataFrame =
+    TermStats.collocations(Tables.documents(s, dir), "text", "doc_id",
+      minCount = 5L, k = 100)
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3143,6 +3157,7 @@ object SparkEntry {
     "q156_linkage_jw" -> (q156_linkage_jw _),
     "q157_percentiles" -> (q157_percentiles _),
     "q158_pagerank" -> (q158_pagerank _),
+    "q159_collocations" -> (q159_collocations _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

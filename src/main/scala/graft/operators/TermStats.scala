@@ -155,4 +155,62 @@ object TermStats {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  private def log2fp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Log2Fp(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** PMI collocation mining: the top-k adjacent word pairs by
+    * pointwise mutual information — the lexicon-induction /
+    * multiword-expression surface ("new york", "machine learning") a
+    * corpus analyst asks for before building tokenizers or phrase
+    * filters. `pmi = log2(p(ab) / (p(a)·p(b)))` with `p(ab) =
+    * c_ab/T_bi`, `p(w) = c_w/T_uni`, DEFINED in fixed point as the
+    * sum/difference of [[graft.plans.Log2Fp]] floors —
+    * `log2fp(c_ab) + 2·log2fp(T_uni) − log2fp(T_bi) − log2fp(c_a) −
+    * log2fp(c_b)` — so the score is exact integer arithmetic, order-free
+    * and oracle-reproducible (floors of factors, not floor of the
+    * ratio; both engines compute the identical expression). `minCount`
+    * is the standard PMI degeneracy guard: rare pairs otherwise
+    * dominate (a hapax bigram of two hapax words maxes the score).
+    *
+    * Scale shape: tokenize + adjacent-pair zip are narrow maps riding
+    * the corpus scan ([[Spread]]-parallelized); unigram and bigram
+    * counts are two vocabulary-keyed hash aggregates (map-side
+    * partials kill the per-document duplication); the two unigram
+    * joins key on words — vocabulary-sized, AQE broadcasts them; the
+    * corpus totals ride a broadcast 1-row cross join; top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    val toks = Spread.auto(docs, col(idCol)).select(
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => t =!= "").as("__w"))
+    val pairLen = greatest(size(col("__w")) - 1, lit(0))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val bi = toks.select(explode(zip_with(
+        slice(col("__w"), lit(1), pairLen), slice(col("__w"), lit(2), pairLen),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
+    // totals BEFORE the support filter — probabilities are over the
+    // whole corpus, not the surviving candidates
+    val totals = broadcast(
+      uni.agg(sum(col("cnt")).as("__tu"))
+        .crossJoin(broadcast(bi.agg(sum(col("c_ab")).as("__tb")))))
+    bi.filter(col("c_ab") >= minCount)
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"), col("c_ab"))
+      .join(uni.select(col("w").as("w1"), col("cnt").as("__ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("__cb")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (log2fp(col("c_ab")) + lit(2L) * log2fp(col("__tu")) -
+          log2fp(col("__tb")) - log2fp(col("__ca")) - log2fp(col("__cb")))
+          .as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -75,4 +75,26 @@ class TermStatsSpec extends SparkSpec {
       (1L, "spark", 1), (1L, "shuffle", 2),
       (2L, "quantile", 1), (2L, "join", 2)))
   }
+
+  test("collocations: a planted always-adjacent pair outranks frequent " +
+      "independent words; minCount drops rare pairs") {
+    import spark.implicits._
+    // "new york" always adjacent (8×); "the"/"data" frequent but in
+    // varied contexts; "rare gem" adjacent only twice (below support 3)
+    val docs = (1L to 8L).map(i =>
+        (i, s"the data new york of the data run$i the end")) ++
+      Seq((9L, "rare gem the data"), (10L, "rare gem data the"))
+    val got = TermStats.collocations(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minCount = 3L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.head._1 == "new" && got.head._2 == "york" && got.head._3 == 8L,
+      s"planted collocation not top: ${got.toSeq}")
+    assert(!got.exists(p => p._1 == "rare"), s"below-support pair kept: ${got.toSeq}")
+    // determinism under repartition
+    val again = TermStats.collocations(
+        docs.toDF("doc_id", "text").repartition(7), "text", "doc_id",
+        minCount = 3L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
 }
