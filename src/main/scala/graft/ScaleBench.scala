@@ -267,6 +267,25 @@ object ScaleBench {
       // RATIO between them is the lesson.
       "linkage_fixed" -> (r => linkageCandidates(r, scaledKey = false)),
       "linkage_scaled" -> (r => linkageCandidates(r, scaledKey = true)),
+      // link-graph authority (round 10, q158): the host space grows
+      // WITH the corpus (100·R hosts — the corpus-varying-key
+      // discipline again), so degree stays ~constant (4 out-edges per
+      // doc) and each of the 5 fixed PageRank rounds is one
+      // node-sized contribution join against stationary edge
+      // partitions + one edge-sized GROUP BY dst → wall must track R,
+      // never R². The dst space is disjoint from src (bipartite), so
+      // every round also pays the dangling-mass redistribution.
+      "pagerank5" -> { r =>
+        val nHosts = lit(100L * r)
+        val edges = corpus(r).select(col("doc_id"),
+            explode(array((0 to 3).map(k =>
+              pmod(xxhash64(col("doc_id") + lit(k * 7919L)), nHosts)): _*))
+              .as("dst0"))
+          .select(pmod(xxhash64(col("doc_id")), nHosts).as("src"),
+            (col("dst0") + lit(1000000000L)).as("dst"))
+        graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 5)
+          .count()
+      },
     )
 
 
