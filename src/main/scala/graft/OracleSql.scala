@@ -4731,6 +4731,62 @@ object OracleSql {
     SELECT w1, w2, c_ab, pmi_fp FROM pmi
     ORDER BY pmi_fp DESC, w1, w2 LIMIT 100"""
 
+  /** q160: 4 rounds of SEEDED fixed-point PageRank over the symmetric
+    * purchase graph — q158's unrolled-CTE recipe with the teleport and
+    * initial mass restricted to nation-0 customers via the seeded
+    * quotients `(scale·n)//m` and `(15·scale·n)//(100·m)`.
+    */
+  private val q160: String = {
+    val scale = 1L << 20
+    val iters = 4
+    val rounds = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+      SELECT r.node AS src, r.rank_fp // d.deg AS c
+      FROM $p r JOIN deg d ON d.src = r.node),
+    dm$k AS (
+      SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dm
+      FROM $p r LEFT JOIN deg d ON d.src = r.node
+      WHERE d.src IS NULL),
+    r$k AS (
+      SELECT nd.node,
+             CASE WHEN nd.seed THEN (SELECT tp FROM tpv) ELSE 0 END +
+               85 * (coalesce(i.inr, 0) +
+                     CASE WHEN nd.seed
+                          THEN (SELECT dm FROM dm$k) // (SELECT m FROM mm)
+                          ELSE 0 END) // 100
+               AS rank_fp
+      FROM nodesf nd
+      LEFT JOIN (SELECT e.dst AS node, CAST(sum(c.c) AS BIGINT) AS inr
+                 FROM e JOIN c$k c ON c.src = e.src
+                 GROUP BY e.dst) i ON i.node = nd.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT c AS src, p AS dst FROM e0 UNION SELECT p, c FROM e0),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer
+              WHERE c_nationkey = 0
+              INTERSECT SELECT node FROM nodes),
+    nodesf AS (SELECT n.node, s.node IS NOT NULL AS seed
+               FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM seeds),
+    tpv AS (SELECT (15 * $scale * (SELECT n FROM nn)) //
+                   (100 * (SELECT m FROM mm)) AS tp),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node,
+             CASE WHEN seed
+                  THEN ($scale * (SELECT n FROM nn)) // (SELECT m FROM mm)
+                  ELSE 0 END AS rank_fp
+           FROM nodesf),
+    $rounds
+    SELECT node, rank_fp FROM r$iters ORDER BY node"""
+  }
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4892,5 +4948,6 @@ object OracleSql {
     "q157_percentiles" -> q157,
     "q158_pagerank" -> q158,
     "q159_collocations" -> q159,
+    "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

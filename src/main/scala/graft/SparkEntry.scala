@@ -2996,6 +2996,33 @@ object SparkEntry {
     TermStats.collocations(Tables.documents(s, dir), "text", "doc_id",
       minCount = 5L, k = 100)
 
+  /** Seed-expansion authority
+    * ([[graft.operators.LinkGraph.personalizedPageRank]]): teleport
+    * restricted to customers of nation 0 over the SYMMETRIC purchase
+    * graph (both directions of every q158 edge, so relevance flows
+    * customer→supplier→customer and no node dangles) — ranks every
+    * node by link proximity to the seed cohort, the "grow a trusted
+    * domain list from an audited one" primitive. The oracle unrolls
+    * the same four rounds with the seeded teleport/init quotients
+    * (`(scale·n)//m`, `(15·scale·n)//(100·m)`).
+    */
+  def q160_seeded_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("p"))
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").cast("long").as("node"))
+    LinkGraph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+        iters = 4)
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3158,6 +3185,7 @@ object SparkEntry {
     "q157_percentiles" -> (q157_percentiles _),
     "q158_pagerank" -> (q158_pagerank _),
     "q159_collocations" -> (q159_collocations _),
+    "q160_seeded_pagerank" -> (q160_seeded_pagerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

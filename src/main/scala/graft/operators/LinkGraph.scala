@@ -57,7 +57,36 @@ object LinkGraph {
     */
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
-      scale: Long = 1L << 20): DataFrame = {
+      scale: Long = 1L << 20): DataFrame =
+    run(edgesIn, srcCol, dstCol, None, iters, dampNum, dampDen, scale)
+
+  /** Personalized PageRank: teleport (and dangling) mass flows ONLY to
+    * `seeds` — ranks become link proximity to a trusted set, the
+    * seed-expansion signal curation pipelines use to grow a quality
+    * domain list from a hand-audited one (and, symmetrically, to grow
+    * a spam list from known spam). Seeds outside the graph's node set
+    * are ignored; at least one must remain.
+    *
+    * The recurrence generalizes [[pageRank]] exactly: initial rank is
+    * `(scale·n) DIV m` on each of the `m` seeds (total mass `≈n·scale`,
+    * same as uniform), zero elsewhere; per round the teleport term
+    * `((dampDen−dampNum)·scale·n) DIV (dampDen·m)` and the dangling
+    * share `D DIV m` land on seeds only. With seeds = all nodes every
+    * quotient collapses to the uniform one (`⌊a·n/(b·n)⌋ = ⌊a/b⌋`), so
+    * [[pageRank]] IS this operator with a full seed set — one
+    * arithmetic, two query surfaces (q158 pins uniform, q160 pins
+    * seeded, both against unrolled-CTE oracles).
+    */
+  def personalizedPageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1L << 20): DataFrame =
+    run(edgesIn, srcCol, dstCol, Some(seeds.select(col(seedCol))),
+      iters, dampNum, dampDen, scale)
+
+  private def run(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      seedsIn: Option[DataFrame],
+      iters: Int, dampNum: Long, dampDen: Long, scale: Long): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen && scale >= 1,
       s"pageRank: bad parameters iters=$iters damp=$dampNum/$dampDen scale=$scale")
     val edges = edgesIn
@@ -65,15 +94,33 @@ object LinkGraph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"))
+    val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // seed flag rides the node frame (node-sized, persisted once);
+    // uniform PR is the all-seeds instance of the same loop
+    val nodes = (seedsIn match {
+      case Some(s) =>
+        val sd = s.select(s.columns.head).toDF("node")
+          .select(col("node").cast("long").as("node")).distinct()
+        allNodes.join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      case None => allNodes.withColumn("__seed", lit(true))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // materializes both persists
     require(n > 0, "pageRank: empty edge list")
+    val m = if (seedsIn.isEmpty) n else nodes.filter(col("__seed")).count()
+    require(m > 0, "personalizedPageRank: no seed is a node of the graph")
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val teleport = (dampDen - dampNum) * scale / dampDen // Long DIV, both sides nonneg
+    // ⌊(dampDen−dampNum)·scale·n / (dampDen·m)⌋ — overflows long only
+    // past ~10^11 nodes at the default scale; require keeps it honest
+    require(n <= Long.MaxValue / ((dampDen - dampNum).max(1L) * scale),
+      s"pageRank: n=$n too large for scale=$scale without overflow")
+    val teleport = (dampDen - dampNum) * scale * n / (dampDen * m)
+    val init = scale * n / m
 
-    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    var ranks = nodes
+      .select(col("node"),
+        when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank_fp"))
       .localCheckpoint(eager = false)
     var round = 0
     while (round < iters) {
@@ -93,8 +140,9 @@ object LinkGraph {
         .join(inbound, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit(teleport) +
-            expr(s"$dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + __d DIV $n)" +
+          (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr(s"$dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + " +
+              s"CASE WHEN __seed THEN __d DIV $m ELSE CAST(0 AS BIGINT) END)" +
               s" DIV $dampDen")
           ).as("rank_fp"))
       // eager: materialize THIS round, THEN release the previous one

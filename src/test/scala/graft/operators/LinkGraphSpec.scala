@@ -66,6 +66,66 @@ class LinkGraphSpec extends SparkSpec {
     assert(base == refRank(edges, 4))
   }
 
+  /** Driver-side seeded reference — same independence argument as
+    * [[refRank]].
+    */
+  private def refSeeded(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1L << 20): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val sd = seeds.filter(nodes.contains)
+    val n = nodes.size.toLong
+    val m = sd.size.toLong
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val teleport = (dampDen - dampNum) * scale * n / (dampDen * m)
+    val init = scale * n / m
+    var r = nodes.map(v => v -> (if (sd(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outdeg.contains).map(r).sum
+      val contrib = r.collect { case (u, ru) if outdeg.contains(u) => u -> ru / outdeg(u) }
+      val inbound = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(e => contrib(e._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((if (sd(v)) teleport else 0L) +
+          dampNum * (inbound.getOrElse(v, 0L) +
+            (if (sd(v)) dangling / m else 0L)) / dampDen)
+      ).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the seeded driver reference; " +
+      "all-seeds collapses to uniform pageRank exactly") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L),
+      (4L, 5L), (5L, 4L), (9L, 1L)) // 9 only points in; 4-5 a far cycle
+    val seedDf = Seq(1L, 77L).toDF("node") // 77 not in the graph: ignored
+    val got = LinkGraph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seedDf, "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refSeeded(edges, Set(1L, 77L), 4))
+    // proximity: 1's direct successors outrank the far cycle node 5
+    assert(got(2L) > got(5L) && got(3L) > got(5L))
+    // seed-in-only node 9 gets rank 0 (nothing links to it, not a seed)
+    assert(got(9L) == 0L)
+    // all-seeds == uniform, bit for bit
+    val allSeeds = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+    val seededAll = LinkGraph.personalizedPageRank(edges.toDF("s", "d"),
+        "s", "d", allSeeds, "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uniform = run(edges, 4)
+    assert(seededAll == uniform)
+  }
+
+  test("personalizedPageRank requires a seed inside the graph") {
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+        Seq(99L).toDF("node"), "node")
+    }
+  }
+
   test("pageRank rejects bad parameters and empty graphs") {
     intercept[IllegalArgumentException] {
       LinkGraph.pageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d", iters = 0)
