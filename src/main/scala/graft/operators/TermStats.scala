@@ -189,12 +189,19 @@ object TermStats {
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         t => t =!= "").as("__w"))
     val pairLen = greatest(size(col("__w")) - 1, lit(0))
+    // the two count tables are read three ways each (totals, the w1
+    // join, the w2 join) — lazily local-checkpointed so the corpus is
+    // tokenized exactly TWICE (once per n-gram order), not five times,
+    // and the reuses hit vocabulary-sized cached blocks (the
+    // DedupCluster.iterative precedent for query-path checkpoints)
     val uni = toks.select(explode(col("__w")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val bi = toks.select(explode(zip_with(
         slice(col("__w"), lit(1), pairLen), slice(col("__w"), lit(2), pairLen),
         (a, b) => concat(a, lit(" "), b))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = false)
     // totals BEFORE the support filter — probabilities are over the
     // whole corpus, not the surviving candidates
     val totals = broadcast(
