@@ -58,7 +58,7 @@ object LinkGraph {
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1L << 20): DataFrame =
-    run(edgesIn, srcCol, dstCol, None, iters, dampNum, dampDen, scale)
+    run(edgesIn, srcCol, dstCol, None, None, iters, dampNum, dampDen, scale)
 
   /** Personalized PageRank: teleport (and dangling) mass flows ONLY to
     * `seeds` — ranks become link proximity to a trusted set, the
@@ -81,11 +81,33 @@ object LinkGraph {
       seeds: DataFrame, seedCol: String,
       iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1L << 20): DataFrame =
-    run(edgesIn, srcCol, dstCol, Some(seeds.select(col(seedCol))),
+    run(edgesIn, srcCol, dstCol, Some(seeds.select(col(seedCol))), None,
+      iters, dampNum, dampDen, scale)
+
+  /** Warm-start PageRank: resume iteration from a previous run's
+    * `(node, rank_fp)` table instead of uniform mass — the incremental
+    * twin for an EVOLVING link graph. The damped iteration is a
+    * contraction toward a unique fixed point regardless of init, so
+    * yesterday's converged ranks are a valid (and near-converged)
+    * starting vector for today's slightly-changed graph: a daily
+    * re-rank pays 1-2 rounds instead of the full cold count. Nodes
+    * new to the graph (absent from `prevRanks`) start at the uniform
+    * `scale`; departed nodes' rows are simply ignored. The warm
+    * result is an APPROXIMATION of the cold fixed point that tightens
+    * with rounds — LinkGraphSpec pins the contract (one warm round
+    * from converged ranks moves ≈nothing; one cold round is far),
+    * which is why this surface is spec-covered rather than
+    * hash-oracle'd: equality with a cold run is not the claim.
+    */
+  def pageRankFrom(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      prevRanks: DataFrame,
+      iters: Int = 2, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1L << 20): DataFrame =
+    run(edgesIn, srcCol, dstCol, None, Some(prevRanks),
       iters, dampNum, dampDen, scale)
 
   private def run(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      seedsIn: Option[DataFrame],
+      seedsIn: Option[DataFrame], warmStart: Option[DataFrame],
       iters: Int, dampNum: Long, dampDen: Long, scale: Long): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen && scale >= 1,
       s"pageRank: bad parameters iters=$iters damp=$dampNum/$dampDen scale=$scale")
@@ -118,10 +140,18 @@ object LinkGraph {
     val teleport = (dampDen - dampNum) * scale * n / (dampDen * m)
     val init = scale * n / m
 
-    var ranks = nodes
-      .select(col("node"),
-        when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank_fp"))
-      .localCheckpoint(eager = false)
+    var ranks = (warmStart match {
+      case Some(w) =>
+        nodes.join(
+            w.select(col("node").cast("long").as("node"),
+              col("rank_fp").cast("long").as("__prev")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__prev"), lit(scale)).as("rank_fp"))
+      case None => nodes
+        .select(col("node"),
+          when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank_fp"))
+    }).localCheckpoint(eager = false)
     var round = 0
     while (round < iters) {
       val prev = ranks

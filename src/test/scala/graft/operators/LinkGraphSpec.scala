@@ -119,6 +119,35 @@ class LinkGraphSpec extends SparkSpec {
     assert(seededAll == uniform)
   }
 
+  test("pageRankFrom: one warm round from converged ranks moves ~nothing; " +
+      "one cold round is far; new nodes enter at uniform mass") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)) ++
+      Seq((100L, 1L), (101L, 2L), (102L, 3L))
+    val cold30 = LinkGraph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 30)
+      .persist()
+    val r30 = cold30.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def maxDelta(m: Map[Long, Long]) =
+      r30.keys.map(k => math.abs(m(k) - r30(k))).max
+    val warm1 = LinkGraph.pageRankFrom(edges.toDF("s", "d"), "s", "d",
+        cold30, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold1 = run(edges, 1)
+    assert(maxDelta(warm1) * 10 < maxDelta(cold1),
+      s"warm delta ${maxDelta(warm1)} not << cold delta ${maxDelta(cold1)}")
+    // rank ORDER is already the converged one after a single warm round
+    def order(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1).take(10)
+    assert(order(warm1) == order(r30))
+    // graph grows a node: the newcomer is absent from prevRanks and
+    // must enter at `scale`, flowing mass from its first warm round on
+    val grown = edges ++ Seq((999L, 100L), (1L, 999L))
+    val warmGrown = LinkGraph.pageRankFrom(grown.toDF("s", "d"), "s", "d",
+        cold30, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmGrown.contains(999L) && warmGrown(999L) > 0L)
+    cold30.unpersist()
+  }
+
   test("personalizedPageRank requires a seed inside the graph") {
     intercept[IllegalArgumentException] {
       LinkGraph.personalizedPageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
