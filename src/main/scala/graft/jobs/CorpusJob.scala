@@ -770,7 +770,11 @@ object CorpusJob {
       semClusters: Int = 16,
       semMinCosine: Double = 0.5,
       // temperature mixture (α = 0.5, the XLM-R rebalance) token budget
-      budgetTokens: Long = 20000L)
+      budgetTokens: Long = 20000L,
+      // host-authority floor (active only when a hostRanks table is
+      // passed): docs whose host ranks below this fixed-point PageRank
+      // value drop with reason `low_authority`
+      minHostRank: Long = 0L)
 
   /** The corpus-global quantities the pipeline FITS (one-shot) or
     * FREEZES (incremental): LID models, the perplexity model + tercile
@@ -812,7 +816,10 @@ object CorpusJob {
     *     `doc_id % 10 = 0` seed of the LID survivors, tercile cutoff
     *     from ranking ALL LID survivors, drop `lm_avg < cut` (reason
     *     `perplexity`) — fit population is stage-coupled by design
-    *  4. URL domain blocklist (q119): reason `blocked_url`
+    *  4. URL domain blocklist (q119): reason `blocked_url`; then the
+    *     optional host-authority floor (q158's PageRank table joined
+    *     on host): reason `low_authority` — hosts absent from the rank
+    *     table keep
     *  5. Gopher duplicate-line mass gate (q116): drop docs whose
     *     duplicate-line characters exceed half the line mass (reason
     *     `repetitive`) — BEFORE corpus-wide dedup, so a spammy doc
@@ -847,15 +854,17 @@ object CorpusJob {
     */
   def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
       blocked: Option[DataFrame] = None,
-      embeddings: Option[DataFrame] = None): DataFrame =
-    curateCore(docs, cfg, blocked, embeddings, None, None, None, None, None)
-      .annotated
+      embeddings: Option[DataFrame] = None,
+      hostRanks: Option[DataFrame] = None): DataFrame =
+    curateCore(docs, cfg, blocked, embeddings, None, None, None, None, None,
+      hostRanks).annotated
 
   private[graft] def curateCore(docs: DataFrame, cfg: CurationConfig,
       blocked: Option[DataFrame], embeddings: Option[DataFrame],
       state0: Option[CurationState],
       frozenCents: Option[DataFrame], priorParas: Option[DataFrame],
-      priorShingles: Option[DataFrame], priorCells: Option[DataFrame])
+      priorShingles: Option[DataFrame], priorCells: Option[DataFrame],
+      hostRanks: Option[DataFrame] = None)
       : CurationOutput = {
     val sep = cfg.paragraphSep
     val sepQ = java.util.regex.Pattern.quote(sep)
@@ -949,14 +958,32 @@ object CorpusJob {
     }
     val alive3 = alive2 && !col("blocked")
 
+    // -- stage 4b: host-authority floor (optional; q158's pageRank
+    // output `(host, rank_fp)` joined on host — the CommonCrawl-style
+    // link-evidence prior). Hosts ABSENT from the rank table keep:
+    // missing link evidence is not negative evidence, and a fresh
+    // domain must not die to an index lag. The rank table is
+    // host-cardinality (AQE broadcasts it until hosts outgrow the
+    // threshold, then it's an ordinary equi-join) --
+    val markedA = hostRanks match {
+      case Some(hr) => markedB.join(
+          hr.select(col("host"), col("rank_fp").cast("long").as("__hostrank")),
+          Seq("host"), "left")
+        .withColumn("__lowauth",
+          coalesce(col("__hostrank") < cfg.minHostRank, lit(false)))
+        .drop("__hostrank")
+      case None => markedB.withColumn("__lowauth", lit(false))
+    }
+    val alive3b = alive3 && !col("__lowauth")
+
     // -- stage 5: Gopher duplicate-line mass gate (narrow) --
-    val m2 = markedB
+    val m2 = markedA
       .withColumn("__dls", T.dupLineStats(col("clean"), "\n"))
       .withColumn("__rep", col("__dls").getField("dup_line_chars") * 2 >
         col("__dls").getField("line_chars"))
       .drop("__dls")
       .cache()
-    val alive4 = alive3 && !col("__rep")
+    val alive4 = alive3b && !col("__rep")
 
     // -- stage 6: corpus-wide paragraph dedup over the survivors --
     val pdIn = m2.filter(alive4).select(col("doc_id"), col("clean"))
@@ -1028,6 +1055,7 @@ object CorpusJob {
       when(!alive1, lit("lang"))
         .when(!pplOk, lit("perplexity"))
         .when(col("blocked"), lit("blocked_url"))
+        .when(col("__lowauth"), lit("low_authority"))
         .when(col("__rep"), lit("repetitive"))
         .when(trim(col("text_dedup")) === "", lit("empty"))
         .when(coalesce(col("sem_dup"), lit(false)), lit("sem_dup"))
@@ -1065,8 +1093,9 @@ object CorpusJob {
       blocked: Option[DataFrame] = None,
       embeddings: Option[DataFrame] = None,
       shardTokens: Long = 100000L,
-      packTokens: Option[Long] = None): Map[String, Long] = {
-    val ann = curate(docs, cfg, blocked, embeddings).cache()
+      packTokens: Option[Long] = None,
+      hostRanks: Option[DataFrame] = None): Map[String, Long] = {
+    val ann = curate(docs, cfg, blocked, embeddings, hostRanks).cache()
     try {
       ann.write.mode("overwrite").parquet(s"$outDir/annotated")
       ann.filter(col("kept"))
@@ -1114,9 +1143,10 @@ object CorpusJob {
   def fitCurationState(spark: SparkSession, corpus: DataFrame,
       stateDir: String, cfg: CurationConfig = CurationConfig(),
       blocked: Option[DataFrame] = None,
-      embeddings: Option[DataFrame] = None): DataFrame = {
+      embeddings: Option[DataFrame] = None,
+      hostRanks: Option[DataFrame] = None): DataFrame = {
     val out = curateCore(corpus, cfg, blocked, embeddings,
-      None, None, None, None, None)
+      None, None, None, None, None, hostRanks)
     val dir = s"$stateDir/curation"
     import spark.implicits._
     val modelRows =
@@ -1193,21 +1223,23 @@ object CorpusJob {
       cfg: CurationConfig = CurationConfig(),
       blocked: Option[DataFrame] = None,
       embeddings: Option[DataFrame] = None,
-      cents: Option[DataFrame] = None): DataFrame =
+      cents: Option[DataFrame] = None,
+      hostRanks: Option[DataFrame] = None): DataFrame =
     curateCore(docs, cfg, blocked, embeddings, Some(st),
-      cents, None, None, None).annotated
+      cents, None, None, None, hostRanks).annotated
 
   def runCurationIncremental(spark: SparkSession, batch: DataFrame,
       stateDir: String, cfg: CurationConfig = CurationConfig(),
       blocked: Option[DataFrame] = None,
-      embeddings: Option[DataFrame] = None): DataFrame = {
+      embeddings: Option[DataFrame] = None,
+      hostRanks: Option[DataFrame] = None): DataFrame = {
     val dir = s"$stateDir/curation"
     val st = loadCurationState(spark, stateDir, cfg)
     val out = curateCore(batch, cfg, blocked, embeddings, Some(st),
       Zone.readIfExists(spark, s"$dir/cents"),
       Some(spark.read.parquet(s"$dir/paras")),
       Some(spark.read.parquet(s"$dir/shingles")),
-      Zone.readIfExists(spark, s"$dir/cells"))
+      Zone.readIfExists(spark, s"$dir/cells"), hostRanks)
     out.annotated.write.mode("append").parquet(s"$dir/annotated")
     out.newParas.write.mode("append").parquet(s"$dir/paras")
     out.newShingles.write.mode("append").parquet(s"$dir/shingles")

@@ -671,6 +671,28 @@ class CorpusJobSpec extends SparkSpec {
     assert(out(6L) == null)
   }
 
+  test("curate: host-authority floor drops low-rank hosts, keeps unknown " +
+      "hosts, and is inert without a rank table") {
+    val docs = Seq(
+      (1L, "unique first paragraph words here entirely fresh", "en", "web", "strong.example"),
+      (2L, "another distinct body paragraph with more new words", "en", "web", "weak.example"),
+      (3L, "a third wholly different document body of words", "en", "web", "unranked.example"),
+    ).toDF("doc_id", "text", "lang", "source", "host")
+    val ranks = Seq(("strong.example", 5000000L), ("weak.example", 1000L))
+      .toDF("host", "rank_fp")
+    val cfg = CorpusJob.CurationConfig(pplGate = false,
+      budgetTokens = 100000L, minHostRank = 100000L)
+    val out = CorpusJob.curate(docs, cfg, None, None, Some(ranks))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(out(1L) == null, s"high-authority host must keep, got ${out(1L)}")
+    assert(out(2L) == "low_authority")
+    assert(out(3L) == null, "absent-from-ranks host must keep (no link evidence != negative)")
+    // same config, no rank table → the gate never fires
+    val off = CorpusJob.curate(docs, cfg, None, None)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(off.values.forall(_ == null), s"gate fired without ranks: $off")
+  }
+
   test("curate: perplexity gate drops the worst tercile under the seed LM") {
     // ids all % 10 == 0 so the whole corpus seeds the LM; six distinct
     // texts rank 6 ways, k = 2n/3 = 4 → ranks 5..6 fall below the cut
