@@ -4787,6 +4787,51 @@ object OracleSql {
     SELECT node, rank_fp FROM r$iters ORDER BY node"""
   }
 
+  /** q161: triangle census of the top-3 co-purchase backbone — the
+    * identical kNN selection (count desc, partner-id asc), canonical
+    * undirected edges, (degree, id) orientation via row comparison,
+    * ordered-wedge self-join closed by EXISTS, and the `//`
+    * fixed-point clustering coefficient.
+    */
+  private val q161 = """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    co AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
+            AND a.l_suppkey <> b.l_suppkey
+           GROUP BY 1, 2),
+    knn AS (SELECT s1, s2 FROM (
+             SELECT s1, s2,
+                    row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2) AS rn
+             FROM co) WHERE rn <= 3),
+    e AS (SELECT DISTINCT CAST(least(s1, s2) AS BIGINT) AS a,
+                 CAST(greatest(s1, s2) AS BIGINT) AS b
+          FROM knn WHERE s1 <> s2),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+    o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+                 CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+                 CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dd
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b),
+    tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM o e1 JOIN o e2 ON e2.src = e1.src
+             AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+            WHERE EXISTS (SELECT 1 FROM o e3
+                          WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri) GROUP BY node)
+    SELECT d.node, d.deg,
+           CAST(coalesce(p.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * coalesce(p.tri_cnt, 0) * 1000000) //
+                          (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_fp
+    FROM deg d LEFT JOIN pn p ON p.node = d.node
+    ORDER BY d.node"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4948,6 +4993,7 @@ object OracleSql {
     "q157_percentiles" -> q157,
     "q158_pagerank" -> q158,
     "q159_collocations" -> q159,
+    "q161_triangles" -> q161,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3023,6 +3023,30 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Triangle census ([[graft.operators.LinkGraph.triangles]]) of the
+    * supplier co-purchase BACKBONE: each supplier keeps its 3
+    * strongest co-order partners (shared-order count, ties by id),
+    * the kept arcs union into an undirected graph, and the
+    * degree-ordered orientation counts every triangle once — the
+    * community-structure signal (dense supplier cliques) that a raw
+    * co-occurrence graph at this SF is too complete to show. Output
+    * is per-node degree, triangle count, and fixed-point local
+    * clustering coefficient; the oracle re-derives backbone,
+    * orientation, wedge close, and the `//` coefficient identically.
+    */
+  def q161_triangles(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val co = os.as("x").join(os.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") =!= col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+      .agg(count(lit(1)).as("w"))
+    val knn = TopKPerGroup(co, Seq("s1"), "w", "s2", 3)
+    LinkGraph.triangles(knn, "s1", "s2")
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3186,6 +3210,7 @@ object SparkEntry {
     "q158_pagerank" -> (q158_pagerank _),
     "q159_collocations" -> (q159_collocations _),
     "q160_seeded_pagerank" -> (q160_seeded_pagerank _),
+    "q161_triangles" -> (q161_triangles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

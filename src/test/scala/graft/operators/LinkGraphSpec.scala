@@ -163,4 +163,66 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
     }
   }
+
+  /** Driver-side brute force: enumerate all C(n,3) node triples over
+    * the canonicalized edge set — independent of the orientation
+    * trick, so a match pins "each triangle counted exactly once". */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val triCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(u, v, w) <- nodes.combinations(3)
+      if adj(u, v) && adj(u, w) && adj(v, w)
+      x <- Seq(u, v, w)
+    } triCnt(x) += 1L
+    val deg = nodes.map(v => v -> es.count(e => e._1 == v || e._2 == v).toLong).toMap
+    nodes.map(v => v -> (deg(v), triCnt(v))).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    LinkGraph.triangles(edges.toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("triangles matches brute-force enumeration and canonicalizes " +
+      "directed / duplicated / self-loop input") {
+    // K4 minus one edge glued to a triangle, plus noise: reversed
+    // duplicates, a self-loop, and a pendant vertex
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (7L, 7L), (3L, 7L), (3L, 7L))
+    val got = runTri(edges)
+    val ref = refTriangles(edges)
+    assert(got.keySet == ref.keySet)
+    for ((v, (d, t)) <- ref) {
+      assert(got(v)._1 == d, s"deg($v)")
+      assert(got(v)._2 == t, s"tri($v)")
+      val expCc = if (d >= 2) 2L * t * 1000000L / (d * (d - 1L)) else 0L
+      assert(got(v)._3 == expCc, s"cc($v)")
+    }
+    // spot-check the hand-countable cells: node 1 sits in the two
+    // K4−e triangles {1,2,3},{1,2,4}; node 5 in {4,5,6} only
+    assert(got(1L) == ((3L, 2L, 666666L)))
+    assert(got(5L) == ((2L, 1L, 1000000L)))
+    assert(got(7L)._2 == 0L) // self-loop contributes nothing
+  }
+
+  test("triangles: a star has none (the hub never enumerates its pairs), " +
+      "a clique has C(n-1,2) per node, partitioning-invariant") {
+    val star = (2L to 40L).map(i => (1L, i))
+    val gotStar = runTri(star)
+    assert(gotStar.values.forall(_._2 == 0L))
+    assert(gotStar(1L)._1 == 39L)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1L) to 5L) yield (a, b)
+    val gotK5 = runTri(k5)
+    assert(gotK5.values.forall { case (d, t, cc) =>
+      d == 4L && t == 6L && cc == 1000000L })
+    val repart = LinkGraph.triangles(
+        k5.toDF("x", "y").repartition(7), "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repart == gotK5.map { case (k, v) => k -> v._2 })
+  }
 }
