@@ -4832,6 +4832,20 @@ object OracleSql {
     FROM deg d LEFT JOIN pn p ON p.node = d.node
     ORDER BY d.node"""
 
+  /** q162: heavy hitters — the brute-force HAVING form the two-pass
+    * engine path must equal exactly (strict `>` on the N/30 share).
+    */
+  private val q162 = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                   '\s+'), t -> t <> '')) AS token
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token
+    HAVING count(*) * 30 > (SELECT n FROM n)
+    ORDER BY cnt DESC, token"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -4994,6 +5008,7 @@ object OracleSql {
     "q158_pagerank" -> q158,
     "q159_collocations" -> q159,
     "q161_triangles" -> q161,
+    "q162_heavy_hitters" -> q162,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3047,6 +3047,24 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Guaranteed heavy-hitter tokens
+    * ([[graft.operators.HeavyHitters.exact]]): every token holding
+    * more than a 1/30 share of the corpus token stream, exact counts,
+    * found by per-partition Misra–Gries candidates + one verify pass
+    * — the bounded-shuffle alternative to a full-vocabulary GROUP BY.
+    * The oracle is the brute-force HAVING form; the hash match pins
+    * that the two-pass pruning loses nothing (the MG superset
+    * guarantee, exercised on real data).
+    */
+  def q162_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(
+      explode(filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+        t => t =!= lit(""))).as("token"))
+    HeavyHitters.exact(toks, "token", 30)
+      .select(col("value").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3211,6 +3229,7 @@ object SparkEntry {
     "q159_collocations" -> (q159_collocations _),
     "q160_seeded_pagerank" -> (q160_seeded_pagerank _),
     "q161_triangles" -> (q161_triangles _),
+    "q162_heavy_hitters" -> (q162_heavy_hitters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
