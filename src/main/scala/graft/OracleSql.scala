@@ -4846,6 +4846,34 @@ object OracleSql {
     HAVING count(*) * 30 > (SELECT n FROM n)
     ORDER BY cnt DESC, token"""
 
+  /** q163: association rules — identical incidence (distinct
+    * user-day/type), Apriori prune at 50 baskets, ordered pair counts,
+    * and the `//` confidence/lift quotients.
+    */
+  private val q163 = """
+    WITH inc AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+             event_type AS item
+      FROM events),
+    n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM inc),
+    s AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+          FROM inc GROUP BY item HAVING count(*) >= 50),
+    inc2 AS (SELECT i.basket, i.item FROM inc i
+             JOIN s ON s.item = i.item),
+    p AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS ps
+          FROM inc2 x JOIN inc2 y
+            ON x.basket = y.basket AND x.item < y.item
+          GROUP BY 1, 2 HAVING count(*) >= 50),
+    d AS (SELECT a AS antecedent, b AS consequent, ps FROM p
+          UNION ALL SELECT b, a, ps FROM p)
+    SELECT d.antecedent, d.consequent, d.ps AS pair_supp,
+           d.ps * 1000000 // sa.supp AS conf_fp,
+           d.ps * (SELECT n FROM n) * 1000000 // (sa.supp * sb.supp) AS lift_fp
+    FROM d JOIN s sa ON sa.item = d.antecedent
+           JOIN s sb ON sb.item = d.consequent
+    ORDER BY conf_fp DESC, antecedent, consequent"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -5009,6 +5037,7 @@ object OracleSql {
     "q159_collocations" -> q159,
     "q161_triangles" -> q161,
     "q162_heavy_hitters" -> q162,
+    "q163_assoc_rules" -> q163,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3065,6 +3065,22 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Association rules ([[graft.operators.AssocRules.rules]]) over
+    * user-day event baskets: which event types co-occur in the same
+    * user's day, as support / fixed-point confidence / lift — the
+    * market-basket rollup, Apriori-pruned before the within-basket
+    * pair join. The oracle re-derives incidence, prune, pair counts,
+    * and both `//` scores; lift ≈ 1·10⁶ on this near-independent
+    * synthetic stream, which is itself the correct answer.
+    */
+  def q163_assoc_rules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir).select(
+      concat_ws("|", col("user_id"),
+        to_date(col("ts")).cast("string")).as("basket"),
+      col("event_type"))
+    AssocRules.rules(baskets, "basket", "event_type", minSupport = 50L)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3230,6 +3246,7 @@ object SparkEntry {
     "q160_seeded_pagerank" -> (q160_seeded_pagerank _),
     "q161_triangles" -> (q161_triangles _),
     "q162_heavy_hitters" -> (q162_heavy_hitters _),
+    "q163_assoc_rules" -> (q163_assoc_rules _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
