@@ -4874,6 +4874,34 @@ object OracleSql {
            JOIN s sb ON sb.item = d.consequent
     ORDER BY conf_fp DESC, antecedent, consequent"""
 
+  /** q164: MAD outliers — same daily fixed-point sums, same planted
+    * 13th-of-month spikes, both medians via `quantile_cont` in the
+    * exact ×2/×4 integer units, same cross-multiplied flag.
+    */
+  private val q164 = """
+    WITH daily0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+               AS BIGINT) AS v_fp
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT event_type, day,
+             CASE WHEN dayofmonth(day) = 13 THEN v_fp * 9 ELSE v_fp END AS v_fp
+      FROM daily0),
+    m AS (SELECT event_type,
+                 CAST(quantile_cont(v_fp, 0.5) * 2 AS BIGINT) AS med_x2
+          FROM daily GROUP BY 1),
+    dv AS (SELECT d.event_type, d.day, d.v_fp, m.med_x2,
+                  abs(d.v_fp * 2 - m.med_x2) AS dev_x2
+           FROM daily d JOIN m USING (event_type)),
+    md AS (SELECT event_type,
+                  CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+           FROM dv GROUP BY 1)
+    SELECT dv.event_type, dv.day, dv.v_fp, dv.med_x2, md.mad_x4,
+           13490000 * dev_x2 > 10000 * 3500 * md.mad_x4 AS is_outlier
+    FROM dv JOIN md USING (event_type)
+    ORDER BY event_type, day"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -5038,6 +5066,7 @@ object OracleSql {
     "q161_triangles" -> q161,
     "q162_heavy_hitters" -> q162,
     "q163_assoc_rules" -> q163,
+    "q164_mad_outliers" -> q164,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3081,6 +3081,28 @@ object SparkEntry {
     AssocRules.rules(baskets, "basket", "event_type", minSupport = 50L)
   }
 
+  /** Robust anomaly detection
+    * ([[graft.operators.TimeSeries.madOutliers]]): median/MAD modified
+    * z-score over the daily event-value series, with deterministic
+    * 9× spikes injected on the 13th of each month (the smooth
+    * synthetic stream has no natural outliers — the injection is the
+    * planted ground truth, like q154's punched days). The flag is the
+    * division-free integer cross-multiplication; the oracle
+    * re-derives both interpolated medians in the same ×2/×4 units.
+    */
+  def q164_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000d).cast("long")).as("v_fp"))
+      .withColumn("v_fp",
+        when(dayofmonth(col("day")) === 13, col("v_fp") * 9)
+          .otherwise(col("v_fp")))
+    TimeSeries.madOutliers(daily, "day", Seq("event_type"), "v_fp")
+      .select(col("event_type"), col("day"), col("v_fp"),
+        col("med_x2"), col("mad_x4"), col("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3247,6 +3269,7 @@ object SparkEntry {
     "q161_triangles" -> (q161_triangles _),
     "q162_heavy_hitters" -> (q162_heavy_hitters _),
     "q163_assoc_rules" -> (q163_assoc_rules _),
+    "q164_mad_outliers" -> (q164_mad_outliers _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -55,6 +55,47 @@ object TimeSeries {
       .drop("__obs")
   }
 
+  /** Robust anomaly flagging by median / MAD (the modified z-score of
+    * Iglewicz & Hoaglin): a point is anomalous when
+    * `0.6745 · |x − median| > k · MAD`, with `MAD = median(|x −
+    * median|)` — the robust-statistics outlier rule that, unlike
+    * mean/stddev z-scores, is not itself dragged by the outliers it
+    * is hunting (breakdown point 50%).
+    *
+    * Exact integer arithmetic throughout: `valueCol` must be integer
+    * (fixed-point upstream, like every scored surface here). The two
+    * medians are linear-interpolation percentiles over integers, so
+    * `2·median` and `4·MAD` are exact integers — the output carries
+    * `med_x2` and `mad_x4` in those doubled units, and the flag is
+    * the division-free cross-multiplication
+    * `0.6745·dev > k·MAD ⟺ 13490000·dev_x2 > 10000·k_fp3·mad_x4`
+    * (dev = dev_x2/2, MAD = mad_x4/4, k = k_fp3/1000). `MAD = 0`
+    * (over half the group identical) flags any deviation — the
+    * documented degenerate case of the rule.
+    *
+    * Scale shape: two group-cardinality aggregates + two group-keyed
+    * joins back onto the daily frame — no per-group sort window, so
+    * the frame's own partitioning survives and a group with a million
+    * days never single-tasks a sort.
+    */
+  def madOutliers(df: DataFrame, dayCol: String, groupCols: Seq[String],
+      valueCol: String, kFp3: Long = 3500L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(kFp3 >= 0, s"threshold must be nonnegative, got $kFp3")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg((percentile(col(valueCol), lit(0.5)) * 2)
+        .cast("long").as("med_x2"))
+    val withMed = df.join(med, groupCols)
+      .withColumn("__dev_x2", abs(col(valueCol) * 2 - col("med_x2")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg((percentile(col("__dev_x2"), lit(0.5)) * 2)
+        .cast("long").as("mad_x4"))
+    withMed.join(mad, groupCols)
+      .withColumn("is_outlier",
+        lit(13490000L) * col("__dev_x2") > lit(10000L) * kFp3 * col("mad_x4"))
+      .drop("__dev_x2")
+  }
+
   /** Trailing `days`-day rolling aggregate over a (possibly sparse)
     * daily frame: a RANGE window on the day's epoch seconds, so
     * missing days genuinely shrink the window instead of stretching

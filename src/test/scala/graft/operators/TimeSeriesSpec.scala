@@ -69,4 +69,36 @@ class TimeSeriesSpec extends SparkSpec {
     // the naive ROWS-3 frame would have averaged {10,20,50} = 26.67 on
     // 01-05 — the bug the RANGE window exists to prevent
   }
+
+  test("madOutliers: a planted spike flags, the median ignores it, " +
+      "and the x2/x4 fixed-point units are exact on even counts") {
+    // group a: values 10,12,14,16,18,1000 (n=6, even)
+    // sorted: 10,12,14,16,18,1000 -> med = (14+16)/2 = 15, med_x2 = 30
+    // devs:    5, 3, 1,  1, 3, 985 -> sorted 1,1,3,3,5,985
+    //          mad = (3+3)/2 = 3, mad_x4 = 12
+    // flag: 0.6745*dev > 3.5*3 = 10.5 -> only dev=985
+    val rows = Seq(10L, 12L, 14L, 16L, 18L, 1000L).zipWithIndex
+      .map { case (v, i) => ("a", d(s"2020-01-0${i + 1}"), v) }
+      .toDF("g", "day", "v")
+    val out = TimeSeries.madOutliers(rows, "day", Seq("g"), "v")
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(out.forall(r => r._2 == 30L && r._3 == 12L))
+    assert(out.map(_._4).toSeq ==
+      Seq(false, false, false, false, false, true))
+  }
+
+  test("madOutliers: MAD = 0 flags any deviation and never the " +
+      "identical majority; groups are independent") {
+    // group c: 7 identical + one barely-different point
+    val rows = (1 to 7).map(i => ("c", d(s"2020-02-0$i"), 5L)) :+
+      (("c", d("2020-02-08"), 6L)) :+ (("solo", d("2020-02-01"), 99L))
+    val out = TimeSeries.madOutliers(rows.toDF("g", "day", "v"),
+        "day", Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(5)))
+    assert(out.count(_._3) == 1)
+    assert(out.find(_._3).get._2 == 6L) // only the deviant flags
+    assert(!out.find(_._1 == "solo").get._3) // single point: dev 0
+  }
 }
