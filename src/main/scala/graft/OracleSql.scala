@@ -4902,6 +4902,25 @@ object OracleSql {
     FROM dv JOIN md USING (event_type)
     ORDER BY event_type, day"""
 
+  /** q165: Markov transitions — identical lead() pairing on
+    * (ts, event_id) and the integer probability quotient.
+    */
+  private val q165 = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events),
+    p AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n_trans
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS tot
+          FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n_trans,
+           p.n_trans * 1000000 // t.tot AS p_fp
+    FROM p JOIN t USING (from_type)
+    ORDER BY from_type, to_type"""
+
   val all: Map[String, String] = Map(
     "q33_sql_correlated" -> q33,
     "q35_string_functions" -> q35,
@@ -5067,6 +5086,7 @@ object OracleSql {
     "q162_heavy_hitters" -> q162,
     "q163_assoc_rules" -> q163,
     "q164_mad_outliers" -> q164,
+    "q165_transitions" -> q165,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

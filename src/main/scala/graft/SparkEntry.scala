@@ -3103,6 +3103,16 @@ object SparkEntry {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Markov next-event transitions
+    * ([[graft.operators.Funnel.transitions]]): the 5×5 transition
+    * matrix of per-user event sequences (ties broken by event id),
+    * counts plus exact fixed-point row-normalized probabilities. The
+    * oracle re-derives the `lead()` pairing and the `//` quotient.
+    */
+  def q165_transitions(s: SparkSession, dir: String): DataFrame =
+    Funnel.transitions(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3270,6 +3280,7 @@ object SparkEntry {
     "q162_heavy_hitters" -> (q162_heavy_hitters _),
     "q163_assoc_rules" -> (q163_assoc_rules _),
     "q164_mad_outliers" -> (q164_mad_outliers _),
+    "q165_transitions" -> (q165_transitions _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

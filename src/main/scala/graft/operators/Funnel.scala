@@ -46,6 +46,46 @@ object Funnel {
     full.withColumn("depth", depth)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every ordered pair of event types, how often does
+    * `from` lead directly to `to` in some user's history, and with
+    * what probability — the "what do users do next" rollup behind
+    * path-analysis sankeys and next-action models.
+    *
+    * Sequences order by `(tsCol, tieCol)` per user; `tieCol` must
+    * make the order total (an event id), or same-timestamp pairs
+    * would be partitioning-dependent. A user's LAST event emits no
+    * transition (no synthetic terminal state — callers wanting one
+    * can union a sentinel row per user). Probabilities are exact
+    * fixed point: `p_fp = n · scale DIV Σ_to n`, rows ordered
+    * `(from_type, to_type)`.
+    *
+    * Scale shape: the one window partitions by USER — each partition
+    * is one user's history (the q39 sessionize carve-out: bounded by
+    * per-user activity, never corpus-sized) — and everything after is
+    * type-pair-cardinality: a count aggregate, a per-from total
+    * re-aggregated FROM the pair counts (not a second corpus pass),
+    * and one pair-sized join.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr(s"n_trans * CAST($scale AS BIGINT) DIV __tot").as("p_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Cohort retention: users are cohorted by their first-ever event
     * date; each (cohort_day, day_offset) cell counts the distinct
     * users of that cohort active `day_offset` days later. The classic

@@ -59,4 +59,37 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 1, 1L), // user 1 returns next day
       ("2024-01-02", 0, 1L))) // user 3's cohort
   }
+
+  test("transitions: counts, exact DIV probabilities, tie-break by " +
+      "event id, last events emit nothing, users never interleave") {
+    val ev = Seq(
+      // user 1: a -> b -> a; user 2: a -> b (same ts: id order decides)
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "a"),
+      (2L, 21L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 22L, ts("2024-01-01 09:00:00"), "b"),
+      // user 3: one event -> no transition at all
+      (3L, 31L, ts("2024-01-01 08:00:00"), "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    // a: 2 of 2 go to b -> 1e6; b: 1 of 1 to a; c emits nothing
+    assert(out == Seq(
+      ("a", "b", 2L, 1000000L),
+      ("b", "a", 1L, 1000000L)))
+    // uneven split: probabilities are floors that need not sum to 1e6
+    val ev2 = (1 to 3).flatMap { u =>
+      Seq((u.toLong, u * 10L, ts("2024-01-01 10:00:00"), "x"),
+        (u.toLong, u * 10L + 1,
+          ts("2024-01-01 10:01:00"), if (u == 1) "y" else "z"))
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val out2 = Funnel.transitions(ev2, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(out2 == Seq(
+      ("x", "y", 1L, 333333L),
+      ("x", "z", 2L, 666666L)))
+  }
 }
