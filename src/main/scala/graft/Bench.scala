@@ -139,19 +139,37 @@ object Bench {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     }.failed.foreach(t => System.err.println(s"bench: durable copy failed: $t"))
-    // LAST stdout line: a compact wall-only summary that fits inside a
-    // ~2 KB log-tail capture window even at 100+ queries (the full line
-    // above is ~5 KB with the cpu/materialized maps, and BENCH_r08's
-    // tail happened to capture the CPU map instead of the wall map —
-    // the authoritative per-query wall numbers must be what a tail
-    // always sees). Keys shorten to the qNN prefix (unique by
-    // construction; falls back to full names if ever not).
-    val shortKey = ok.map(k => k -> k.takeWhile(_ != '_')).toMap
-    val keyOf: String => String =
-      if (shortKey.values.toSet.size == ok.size) shortKey else (k: String) => k
-    val compactQs = ok.sorted.map(k => jstr(keyOf(k)) + ":" + jnum(wall(k)))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${ok.size},"n_err":${names.size - ok.size},"queries":$compactQs,"sf":"$sfDir"}""")
+    // LAST stdout line: the complete per-query wall map, sized to ALWAYS
+    // parse whole out of the driver's tail capture. The capture window is
+    // 2000 chars and sbt appends its own "[success] Total time: …" line
+    // (~75 chars) AFTER us, so the whole line must fit in ~1880 chars or
+    // its head gets cut mid-JSON (BENCH_r10 had "parsed": null for exactly
+    // this reason: the r10 compact line crossed 2000 chars at 165
+    // queries). Degrade gracefully: try qNN keys at full precision, then
+    // coarser value precision, then strip the 'q' key prefix (restored by
+    // the self-describing "key_prefix" field) — completeness of the map
+    // beats the fourth decimal of any one query.
+    val budget = 1880
+    val shortKey0 = ok.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val shortKey: Map[String, String] =
+      if (shortKey0.values.toSet.size == ok.size) shortKey0
+      else ok.map(k => k -> k).toMap
+    def fmt2(v: Double) = jnum2(v)
+    def fmtAd(v: Double) = // 3 significant-ish digits: 0.12 / 1.23 / 12.3 / 108
+      if (v < 10) jnum2(v)
+      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    def tailLine(strip: Boolean, f: Double => String): String = {
+      val key: String => String =
+        if (strip) k => shortKey(k).stripPrefix("q") else shortKey
+      val qs = ok.sorted.map(k => jstr(key(k)) + ":" + f(wall(k)))
+        .mkString("{", ",", "}")
+      val pfx = if (strip) """"key_prefix":"q",""" else ""
+      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","n":${ok.size},"n_err":${names.size - ok.size},$pfx"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    val candidates = Seq(
+      tailLine(strip = false, jnum), tailLine(strip = false, fmt2),
+      tailLine(strip = true, fmt2), tailLine(strip = true, fmtAd))
+    println(candidates.find(_.length <= budget).getOrElse(candidates.last))
     spark.stop()
   }
 }

@@ -4281,14 +4281,16 @@ object OracleSql {
     lg AS (SELECT v, r FROM lgi WHERE i = 10),
     terms AS (
       SELECT s.col_name,
-             CAST(sum((s.a - s.b) * (la.r - lb.r)) AS BIGINT) AS psi_fp
+             CAST(sum(CAST(s.a - s.b AS HUGEINT) * (la.r - lb.r))
+               AS DECIMAL(38,0)) AS psi_fp
       FROM sm s JOIN lg la ON la.v = s.a JOIN lg lb ON lb.v = s.b
       GROUP BY s.col_name)
     SELECT t.col_name AS "column", t.n_categories, t.n_new, t.n_vanished,
            tm.psi_fp,
            round(CAST(tm.psi_fp AS DOUBLE)
-                 / CAST((t.tr0 + t.n_categories) * (t.tc0 + t.n_categories)
-                        AS DOUBLE) / 1024.0, 6) AS psi_bits
+                 / (CAST(t.tr0 + t.n_categories AS DOUBLE)
+                    * CAST(t.tc0 + t.n_categories AS DOUBLE)) / 1024.0, 6)
+             AS psi_bits
     FROM tot t JOIN terms tm ON tm.col_name = t.col_name
     ORDER BY "column" """
 
@@ -4874,6 +4876,39 @@ object OracleSql {
            JOIN s sb ON sb.item = d.consequent
     ORDER BY conf_fp DESC, antecedent, consequent"""
 
+  /** q166: q163 with the hot-basket cap active — prune on PRE-drop
+    * supports (the deterministic gate), drop baskets with more than 3
+    * frequent items, then recompute supports and N over the KEPT
+    * incidence so every score divides counts from one population.
+    */
+  private val q166 = """
+    WITH inc AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+             event_type AS item
+      FROM events),
+    s0 AS (SELECT item FROM inc GROUP BY item HAVING count(*) >= 50),
+    inc2 AS (SELECT i.basket, i.item FROM inc i JOIN s0 ON s0.item = i.item),
+    oversized AS (SELECT basket FROM inc2 GROUP BY basket
+                  HAVING count(*) > 3),
+    kept AS (SELECT basket, item FROM inc2
+             WHERE basket NOT IN (SELECT basket FROM oversized)),
+    n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM kept),
+    s AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+          FROM kept GROUP BY item),
+    p AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS ps
+          FROM kept x JOIN kept y
+            ON x.basket = y.basket AND x.item < y.item
+          GROUP BY 1, 2 HAVING count(*) >= 50),
+    d AS (SELECT a AS antecedent, b AS consequent, ps FROM p
+          UNION ALL SELECT b, a, ps FROM p)
+    SELECT d.antecedent, d.consequent, d.ps AS pair_supp,
+           d.ps * 1000000 // sa.supp AS conf_fp,
+           d.ps * (SELECT n FROM n) * 1000000 // (sa.supp * sb.supp) AS lift_fp
+    FROM d JOIN s sa ON sa.item = d.antecedent
+           JOIN s sb ON sb.item = d.consequent
+    ORDER BY conf_fp DESC, antecedent, consequent"""
+
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
     * exact ×2/×4 integer units, same cross-multiplied flag.
@@ -5087,6 +5122,7 @@ object OracleSql {
     "q163_assoc_rules" -> q163,
     "q164_mad_outliers" -> q164,
     "q165_transitions" -> q165,
+    "q166_assoc_rules_capped" -> q166,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3113,6 +3113,22 @@ object SparkEntry {
     Funnel.transitions(Tables.events(s, dir), "user_id", "ts",
       "event_type", "event_id")
 
+  /** q163 with the hot-basket guard ACTIVE (`maxItemsPerBasket = 3`
+    * over the ≤5 event types, so full-activity user-days really are
+    * dropped): pins the capped semantics — item supports and the
+    * basket count N come from the POST-DROP incidence, one consistent
+    * population for confidence and lift (the pre-drop-denominator mix
+    * would underestimate confidence for items riding dropped baskets).
+    */
+  def q166_assoc_rules_capped(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir).select(
+      concat_ws("|", col("user_id"),
+        to_date(col("ts")).cast("string")).as("basket"),
+      col("event_type"))
+    AssocRules.rules(baskets, "basket", "event_type", minSupport = 50L,
+      maxItemsPerBasket = 3)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3281,6 +3297,7 @@ object SparkEntry {
     "q163_assoc_rules" -> (q163_assoc_rules _),
     "q164_mad_outliers" -> (q164_mad_outliers _),
     "q165_transitions" -> (q165_transitions _),
+    "q166_assoc_rules_capped" -> (q166_assoc_rules_capped _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    cap or drop such baskets explicitly. `maxItemsPerBasket` drops
   *    oversized baskets (measured AFTER the frequency prune, a
   *    deterministic rule the oracle can mirror) rather than letting
-  *    one pathological row own the job.
+  *    one pathological row own the job. When the cap is active, item
+  *    supports and the basket count N are recomputed over the
+  *    POST-DROP incidence, so confidence and lift divide counts from
+  *    one population (q166 pins the capped semantics).
   *  - Everything else is equi-join + aggregate keyed on basket or on
   *    the item pair: AQE-skew-splittable, no windows, no driver state.
   *
@@ -45,20 +48,19 @@ object AssocRules {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxItemsPerBasket >= 2,
       s"maxItemsPerBasket must be >= 2, got $maxItemsPerBasket")
+    val capActive = maxItemsPerBasket != Int.MaxValue
     val inc = df
       .select(col(basketCol).cast("string").as("basket"),
         col(itemCol).cast("string").as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .distinct()
       .localCheckpoint(eager = true) // feeds N, item supports, pairs
-    val nBaskets = inc.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
     val itemSupp = inc.groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val freq = itemSupp.filter(col("supp") >= minSupport)
     // prune, then guard: basket size is measured over FREQUENT items
     val pruned = inc.join(freq.select(col("item")), Seq("item"), "left_semi")
     val kept =
-      if (maxItemsPerBasket == Int.MaxValue) pruned
+      if (!capActive) pruned
       else {
         // aggregate + anti-join, not a window: the size check is a
         // map-side-combining count, and only the (rare) oversized
@@ -68,7 +70,22 @@ object AssocRules {
           .filter(col("__bn") > maxItemsPerBasket)
           .select(col("basket"))
         pruned.join(oversized, Seq("basket"), "left_anti")
+          .localCheckpoint(eager = true) // feeds supports, N, AND pairs
       }
+    // One consistent score population. Cap inactive: the raw incidence
+    // (classic Apriori — N counts every basket, supports are pre-prune
+    // counts; pruning only gates WHICH items pair). Cap ACTIVE: every
+    // score must come from the SAME post-drop incidence — dividing a
+    // post-drop pair_supp by pre-drop item supports / basket count
+    // mixes two populations (confidence systematically underestimated
+    // for items occurring in dropped baskets; lift's N inconsistent
+    // with its numerator).
+    val supports =
+      if (capActive) kept.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      else freq
+    val nBaskets = (if (capActive) kept else inc)
+      .select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("a"), col("y.item").as("b"))
@@ -81,9 +98,9 @@ object AssocRules {
       .unionByName(pairs
         .select(col("b").as("antecedent"), col("a").as("consequent"), col("pair_supp")))
     directed
-      .join(freq.select(col("item").as("antecedent"), col("supp").as("__sa")),
+      .join(supports.select(col("item").as("antecedent"), col("supp").as("__sa")),
         "antecedent")
-      .join(freq.select(col("item").as("consequent"), col("supp").as("__sb")),
+      .join(supports.select(col("item").as("consequent"), col("supp").as("__sb")),
         "consequent")
       .crossJoin(broadcast(nBaskets))
       .select(col("antecedent"), col("consequent"), col("pair_supp"),

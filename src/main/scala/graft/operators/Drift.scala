@@ -28,10 +28,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * the DuckDB oracle's recursive CTE), summed exactly and divided by
   * `tr·tc·2¹⁰` only at the very end. Both factors of a term always
   * share a sign, so terms are non-negative — PSI ≥ 0 exactly.
-  * (Magnitudes: counts·totals ≤ N², and N² · log2fp(N²) stays inside
-  * signed-64 up to N ≈ 3·10⁸ rows per snapshot per category-pair; at
-  * true 100 TB category counts, widen the accumulator to decimal —
-  * the per-term product still fits, only the Σ needs width.)
+  *
+  * Magnitudes: the LOG arguments `cr·tc`, `cc·tr` are ≤ ~N·(N+C) and
+  * stay inside signed-64 up to N ≈ 3·10⁹ rows per snapshot (a
+  * runtime `require` guards the bound loudly instead of letting ANSI
+  * mode throw mid-plan). The TERM, however, is (count-difference ~N²)
+  * × (log-difference ~2¹⁰·log₂N² ≈ 1.3·10⁵) ≈ 10²¹ under strong
+  * drift — past Long.MaxValue long before the log arguments are —
+  * so the term product and its Σ are computed in `decimal(38,0)`
+  * (the oracle mirrors with HUGEINT): exact, never wrapping, and the
+  * drift report cannot itself blow up at exactly the large-drift
+  * moment it exists to catch.
   *
   * Execution shape: one aggregate per snapshot (map-side combined,
   * category-sized output), a full-outer category join (category-sized),
@@ -87,10 +94,20 @@ object Drift {
       .withColumn("__cc", col("n_cur") + 1L)
       .withColumn("__tr", col("__tr0") + col("__cats"))
       .withColumn("__tc", col("__tc0") + col("__cats"))
+      // long→3e9-row guard for the log arguments; the term itself is
+      // decimal (see scaladoc — ~10²¹ under strong drift)
+      .withColumn("__ok", assert_true(
+        col("__tr") <= lit(3000000000L) && col("__tc") <= lit(3000000000L),
+        lit("Drift: snapshot exceeds ~3e9 rows — log2fp argument would " +
+          "overflow signed-64; shard the snapshot or pre-bucket")))
       .withColumn("psi_term_fp",
-        (col("__cr") * col("__tc") - col("__cc") * col("__tr")) *
-          (log2fp(col("__cr") * col("__tc")) - log2fp(col("__cc") * col("__tr"))))
-      .select(col("category"), col("n_ref"), col("n_cur"), col("psi_term_fp"))
+        ((col("__cr") * col("__tc")).cast("decimal(20,0)") -
+          (col("__cc") * col("__tr")).cast("decimal(20,0)")) *
+          (log2fp(col("__cr") * col("__tc")) -
+            log2fp(col("__cc") * col("__tr"))).cast("decimal(7,0)"))
+      .filter(col("__ok").isNull) // assert_true returns NULL; keeps the guard live
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        col("psi_term_fp").cast("decimal(38,0)").as("psi_term_fp"))
   }
 
   /** Fixed-width binning for numeric columns — the deterministic
@@ -127,12 +144,15 @@ object Drift {
         count(lit(1)).as("n_categories"),
         sum(when(col("n_ref") === 0L, 1L).otherwise(0L)).as("n_new"),
         sum(when(col("n_cur") === 0L, 1L).otherwise(0L)).as("n_vanished"),
-        sum(col("psi_term_fp")).as("psi_fp"))
+        sum(col("psi_term_fp")).cast("decimal(38,0)").as("psi_fp"))
       .select(lit(c).as("column"),
         col("n_categories"), col("n_new"), col("n_vanished"), col("psi_fp"),
+        // factors to double BEFORE multiplying: (tr·tc) as long would sit
+        // at the signed-64 edge exactly when both snapshots hit the 3e9
+        // guard; the quotient is presentation-only (6dp) anyway
         round(col("psi_fp").cast("double") /
-            ((col("__tr0") + col("n_categories")) *
-              (col("__tc0") + col("n_categories"))).cast("double") / 1024.0,
+            ((col("__tr0") + col("n_categories")).cast("double") *
+              (col("__tc0") + col("n_categories")).cast("double")) / 1024.0,
           6).as("psi_bits"))
 
   /** Persist the reference side's sufficient statistic — one

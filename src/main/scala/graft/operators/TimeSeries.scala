@@ -103,13 +103,20 @@ object TimeSeries {
     * span — the classic resample bug). Returns the input plus
     * `<valueCol>_roll` = the rolling mean rounded to 2dp (gap-fill
     * first with zeros if absent days should count as 0).
+    *
+    * The RANGE key is the CALENDAR day number (`datediff` from epoch),
+    * not epoch seconds: a seconds-based span assumes 86400 s/day,
+    * which a non-UTC DST session timezone breaks (fall-back days are
+    * 90000 s — a trailing k-day window silently drops its boundary
+    * day). Day arithmetic is timezone-free, so the operator is safe
+    * for library callers regardless of `spark.sql.session.timeZone`.
     */
   def rolling(df: DataFrame, dayCol: String, groupCols: Seq[String],
       valueCol: String, days: Int): DataFrame = {
     require(days >= 1, "window must be at least one day")
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(dayCol).cast("timestamp").cast("long"))
-      .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
+      .orderBy(datediff(col(dayCol), lit("1970-01-01")))
+      .rangeBetween(-(days.toLong - 1), 0L)
     df.withColumn(s"${valueCol}_roll",
       round(avg(col(valueCol)).over(w), 2))
   }

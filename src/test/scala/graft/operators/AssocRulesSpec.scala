@@ -48,19 +48,22 @@ class AssocRulesSpec extends SparkSpec {
   }
 
   test("hot-basket guard drops oversized baskets after the prune, " +
-      "deterministically") {
+      "deterministically — and scores over the POST-drop population") {
     // two "big" baskets hold 4 frequent items each, 8 small hold 2;
-    // N and item supports stay pre-guard (standard lift denominator),
-    // only pair generation skips the dropped baskets
+    // with the cap active, supports and N are recomputed over the kept
+    // incidence (one population: dividing post-drop pair counts by
+    // pre-drop supports would underestimate confidence for i1/i2,
+    // which ride the dropped baskets — the ADVICE r10 mix)
     val rows = (1 to 2).flatMap(b => (1 to 4).map(i => s"big$b" -> s"i$i")) ++
       (1 to 8).flatMap(b => Seq(s"b$b" -> "i1", s"b$b" -> "i2"))
     val unguarded = run(rows, minSup = 2L)
     assert(unguarded.exists(r => r._1 == "i3")) // big pairs present
     val guarded = run(rows, minSup = 2L, maxItems = 3)
-    // bigs dropped: only (i1,i2) survives, ps=8 of supp 10 in N=10
+    // bigs dropped: only (i1,i2) survives — ps=8, supp(i1)=supp(i2)=8
+    // and N=8 over the kept baskets, so conf = lift = exactly 1
     assert(guarded.toSet == Set(
-      ("i1", "i2", 8L, 800000L, 800000L),
-      ("i2", "i1", 8L, 800000L, 800000L)))
+      ("i1", "i2", 8L, 1000000L, 1000000L),
+      ("i2", "i1", 8L, 1000000L, 1000000L)))
     intercept[IllegalArgumentException] { run(rows, 2L, maxItems = 1) }
     intercept[IllegalArgumentException] { run(rows, 0L) }
   }

@@ -10,7 +10,7 @@ class DriftSpec extends SparkSpec {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val r = Drift.report(o, o, Seq("o_orderstatus", "o_orderpriority"))
       .collect()
-    assert(r.forall(_.getLong(4) == 0L), "identical snapshots must give 0")
+    assert(r.forall(_.getDecimal(4).signum == 0), "identical snapshots must give 0")
     // a drifted pair: every term must still be >= 0 (sign-aligned factors)
     val detail = Drift.categorical(
       o.filter($"o_orderkey" % 3 === 0), o.filter($"o_orderkey" % 3 =!= 0),
@@ -26,11 +26,11 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(1) == 4L) // categories: a, b, x, y
     assert(r.getLong(2) == 2L) // new: x, y
     assert(r.getLong(3) == 1L) // vanished: a
-    assert(r.getLong(4) > 0L && !r.isNullAt(5))
+    assert(r.getDecimal(4).signum > 0 && !r.isNullAt(5))
     // fully disjoint: every category one-sided, still finite and positive
     val d = Drift.report(Seq("a").toDF("c"), Seq("z", "z").toDF("c"), Seq("c"))
       .head()
-    assert(d.getLong(4) > 0L && !d.isNullAt(5))
+    assert(d.getDecimal(4).signum > 0 && !d.isNullAt(5))
   }
 
   test("binned labels are stable fixed-width intervals; NULL becomes " +
@@ -62,13 +62,36 @@ class DriftSpec extends SparkSpec {
     assert(batch.exists(_.contains("price_bin")))
   }
 
+  test("strong drift at billions of rows: the term product exceeds " +
+      "signed-64 and the decimal path carries it exactly") {
+    // counts injected via the incremental form — no need to materialize
+    // 2e9 rows to prove the arithmetic headroom. One category almost
+    // entirely in each snapshot: the worst case ADVICE r10 flagged,
+    // where (cr·tc − cc·tr)·Δlog ≈ 1.2e23 wrapped (or ANSI-threw) as long.
+    val refC = Seq(("a", 2000000000L), ("b", 1L)).toDF("category", "n_ref")
+    val curC = Seq(("a", 1L), ("b", 2000000000L)).toDF("category", "n_cur")
+    val terms = Drift.categoricalFromCounts(refC, curC)
+      .select($"psi_term_fp").as[java.math.BigDecimal].collect()
+    assert(terms.forall(_.signum > 0))
+    val maxLong = new java.math.BigDecimal(Long.MaxValue)
+    assert(terms.exists(_.compareTo(maxLong) > 0),
+      s"expected a term past Long.MaxValue, got ${terms.toSeq}")
+    // the guard trips loudly past the documented log-argument bound
+    val hugeRef = Seq(("a", 4000000000L)).toDF("category", "n_ref")
+    val hugeCur = Seq(("a", 1L)).toDF("category", "n_cur")
+    val e = intercept[Exception] {
+      Drift.categoricalFromCounts(hugeRef, hugeCur).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("psi_fp is exact-integer deterministic across partitionings") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val ref = o.filter($"o_orderkey" % 2 === 0)
     val cur = o.filter($"o_orderkey" % 2 =!= 0)
-    val a = Drift.report(ref, cur, Seq("o_orderstatus")).head().getLong(4)
+    val a = Drift.report(ref, cur, Seq("o_orderstatus")).head().getDecimal(4)
     val b = Drift.report(ref.repartition(13), cur.repartition(7),
-      Seq("o_orderstatus")).head().getLong(4)
-    assert(a == b && a >= 0L)
+      Seq("o_orderstatus")).head().getDecimal(4)
+    assert(a == b && a.signum >= 0)
   }
 }

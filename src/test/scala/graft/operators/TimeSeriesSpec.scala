@@ -70,6 +70,25 @@ class TimeSeriesSpec extends SparkSpec {
     // 01-05 — the bug the RANGE window exists to prevent
   }
 
+  test("rolling: timezone-proof — calendar-day RANGE keys give the same " +
+      "window across a DST fall-back under a non-UTC session timezone") {
+    // 2021-11-07 is the US fall-back (25-hour day in America/New_York);
+    // an epoch-seconds RANGE keyed at 86400 s/day silently drops the
+    // boundary day of a trailing window that spans it (ADVICE r10)
+    val rows = Seq(("g", d("2021-11-06"), 10L), ("g", d("2021-11-07"), 20L),
+      ("g", d("2021-11-08"), 30L)).toDF("g", "day", "v")
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val r = TimeSeries.rolling(rows, "day", Seq("g"), "v", days = 2)
+        .orderBy($"day")
+        .collect().map(x => (x.getDate(1).toString, x.getDouble(3)))
+      assert(r.toSeq == Seq(("2021-11-06", 10.0),
+        ("2021-11-07", 15.0),   // {10,20} — the 25-h day must not evict 11-06
+        ("2021-11-08", 25.0)))  // {20,30}
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("madOutliers: a planted spike flags, the median ignores it, " +
       "and the x2/x4 fixed-point units are exact on even counts") {
     // group a: values 10,12,14,16,18,1000 (n=6, even)
