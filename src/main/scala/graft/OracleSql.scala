@@ -4909,6 +4909,48 @@ object OracleSql {
            JOIN s sb ON sb.item = d.consequent
     ORDER BY conf_fp DESC, antecedent, consequent"""
 
+  /** q167: the deterministic level-sampling quantile sketch re-derived
+    * end-to-end: h60 per order key, leading-zero level, the minimal
+    * level whose suffix count is ≤ k = 1024, the retained sample's XOR
+    * digest, and the ceil(q%·m) order statistics — all exact integers
+    * (mirrors [[graft.operators.QuantileSketch]]).
+    */
+  private val q167 = """
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders),
+    lv AS (
+      SELECT grp, h, v,
+             60 - (CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END) AS lev
+      FROM r),
+    suf AS (
+      SELECT grp, lev,
+             sum(count(*)) OVER (PARTITION BY grp ORDER BY lev DESC) AS s
+      FROM lv GROUP BY grp, lev),
+    lsel AS (
+      SELECT grp,
+             CAST(coalesce(max(lev) FILTER (WHERE s > 1024) + 1, 0)
+               AS INTEGER) AS level
+      FROM suf GROUP BY grp),
+    samp AS (
+      SELECT l.grp, l.h, l.v,
+             row_number() OVER (PARTITION BY l.grp ORDER BY l.v, l.h) AS rk,
+             count(*) OVER (PARTITION BY l.grp) AS m
+      FROM lv l JOIN lsel t ON t.grp = l.grp AND l.lev >= t.level),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY grp)
+    SELECT n.grp AS o_orderpriority, n.n_rows, t.level,
+           CAST(max(s.m) AS INTEGER) AS m_samples,
+           bit_xor(s.h) AS sample_hash_xor,
+           max(CASE WHEN s.rk = (s.m * 50 + 99) // 100 THEN s.v END) AS p50_cents,
+           max(CASE WHEN s.rk = (s.m * 90 + 99) // 100 THEN s.v END) AS p90_cents,
+           max(CASE WHEN s.rk = (s.m * 99 + 99) // 100 THEN s.v END) AS p99_cents
+    FROM samp s JOIN lsel t ON t.grp = s.grp JOIN n ON n.grp = s.grp
+    GROUP BY n.grp, n.n_rows, t.level
+    ORDER BY o_orderpriority"""
+
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
     * exact ×2/×4 integer units, same cross-multiplied flag.
@@ -5123,6 +5165,7 @@ object OracleSql {
     "q164_mad_outliers" -> q164,
     "q165_transitions" -> q165,
     "q166_assoc_rules_capped" -> q166,
+    "q167_quantile_sketch" -> q167,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3129,6 +3129,38 @@ object SparkEntry {
       maxItemsPerBasket = 3)
   }
 
+  /** Mergeable quantile sketch ([[graft.operators.QuantileSketch]]):
+    * p50/p90/p99 of the order value per priority as a typed-Aggregator
+    * level sample — the rollup-able twin of q157's exact sort. The
+    * inclusion coin is h60(o_orderkey), so the retained sample, its
+    * final level, the XOR digest, and the three order statistics are
+    * all integers the oracle re-derives bit-for-bit (the q62
+    * register-table discipline). QuantileSketchSpec asserts the
+    * realized rank error of these estimates against q157's exact
+    * answers.
+    */
+  def q167_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+    val sk = udaf(new QuantileSketch.Agg(1024),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        graft.functions.AuditableHash.h60(col("o_orderkey")).as("h"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sk(col("h"), col("v")).as("sk"))
+      .select(col("o_orderpriority"),
+        col("sk.n").as("n_rows"),
+        col("sk.level").as("level"),
+        size(col("sk.values")).as("m_samples"),
+        QuantileSketch.sampleXor(col("sk")).as("sample_hash_xor"),
+        QuantileSketch.estimate(col("sk"), 50).as("p50_cents"),
+        QuantileSketch.estimate(col("sk"), 90).as("p90_cents"),
+        QuantileSketch.estimate(col("sk"), 99).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3298,6 +3330,7 @@ object SparkEntry {
     "q164_mad_outliers" -> (q164_mad_outliers _),
     "q165_transitions" -> (q165_transitions _),
     "q166_assoc_rules_capped" -> (q166_assoc_rules_capped _),
+    "q167_quantile_sketch" -> (q167_quantile_sketch _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

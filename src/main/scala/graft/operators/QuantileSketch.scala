@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Mergeable quantile sketch as a typed [[Aggregator]] — the rollup-able
+  * percentile path beside the exact sort (q157) and the fixed-width
+  * [[QuantileHistogram]]. Exact per-group percentiles need a full
+  * per-group shuffle+sort and cannot be combined across partitions or
+  * days; this sketch is a bounded-size state whose merge is associative
+  * and commutative, so daily sketches roll up into monthly percentiles
+  * without rescanning the fact — the same pre-aggregation contract as
+  * [[HllSketch]] (cardinality) and [[CountMin]] (frequency).
+  *
+  * **Construction: deterministic level sampling** — the bottom
+  * (sampler) layer of the KLL family (Karnin–Lang–Liberty, FOCS'16),
+  * with the coin flips derived from data instead of an RNG: a row with
+  * unique key `key` survives at sampling level ℓ iff its
+  * [[graft.functions.AuditableHash.h60]] has ≥ ℓ leading zero bits
+  * (within 60-bit width), i.e. with probability 2^−ℓ. The sketch keeps
+  * the smallest level `L` at which ≤ k rows survive, plus those rows'
+  * `(hash, value)` pairs. This buys the three properties the repo's
+  * sketch discipline demands and a classic KLL/t-digest blob cannot
+  * give:
+  *
+  *  - **Canonical**: the state is a pure function of the input
+  *    MULTISET — any insertion order, any partitioning, any merge tree
+  *    produces the identical `(L, sample)` (QuantileSketchProps pins
+  *    it). A stock KLL compactor or t-digest centroid set depends on
+  *    stream order, so two runs of the same query could hash
+  *    differently.
+  *  - **Auditable**: every stage (md5-derived hash, leading-zero
+  *    level, suffix counts, order statistics) is exact integer
+  *    arithmetic an ANSI SQL engine re-derives bit-for-bit — the q62
+  *    register-table pattern; q167 is the DuckDB-hash-matched proof.
+  *  - **Mergeable with no error growth on merge**: merged state =
+  *    state of the union multiset, exactly — unlike t-digest, whose
+  *    merges compound centroid error.
+  *
+  * The price is the error rate: a level sample of m ≈ k retained rows
+  * estimates every rank to ±ε·n with ε = O(√(ln(1/δ)/m)) (the DKW /
+  * Hoeffding sampling bound) — ~2.5%·n at k = 4096 — versus KLL's
+  * O(log²(1/ε)/ε) space for the same ε. For warehouse percentile
+  * rollups (p50/p90/p99 dashboards) the sampling bound is ample, and
+  * the determinism is what makes the result a number a regulator (or
+  * this repo's oracle gate) can re-derive. QuantileSketchSpec asserts
+  * the realized rank error against the exact q157 answers.
+  *
+  * Degenerate input note: the inclusion coin is the ROW KEY's hash, so
+  * rows sharing a key rise or fall together — keys must be (near-)
+  * unique per row (a primary key / doc_id), or duplicates correlate
+  * and widen ε.
+  *
+  * Scale shape: one partial+final typed aggregate — map-side state is
+  * ≤ k pairs per group per task, shuffle carries one buffer per
+  * (group, task), and the post-shuffle row count is bounded by groups,
+  * not data. No sort, no window.
+  */
+object QuantileSketch {
+
+  /** Retention cap: the finished sample holds ≤ k pairs. */
+  val DefaultK = 1024
+
+  /** Sampling level of a 60-bit hash: the number of leading zero bits
+    * within 60-bit width (h = 0 → 60). P(level ≥ ℓ) = 2^−ℓ for a
+    * uniform h.
+    */
+  def levelOf(h: Long): Int = 60 - (64 - java.lang.Long.numberOfLeadingZeros(h))
+
+  /** Aggregation buffer. `hashes`/`values` are pair-aligned with
+    * capacity k+1; only the first `size` slots are live (the encoder
+    * ships the full capacity at shuffle — 2·(k+1)·8 bytes, the bounded
+    * state the design promises).
+    */
+  final case class Buf(var n: Long, var level: Int, var size: Int,
+      hashes: Array[Long], values: Array[Long])
+
+  /** Finished sketch: exact row count, final sampling level, and the
+    * retained pairs sorted by (value, hash) — a canonical layout, so
+    * equal multisets give byte-equal sketches.
+    */
+  final case class QSketch(n: Long, level: Int,
+      hashes: Array[Long], values: Array[Long])
+
+  /** Drop retained pairs below the buffer's current level, in place. */
+  private def filterInPlace(b: Buf): Unit = {
+    var w = 0
+    var r = 0
+    while (r < b.size) {
+      if (levelOf(b.hashes(r)) >= b.level) {
+        b.hashes(w) = b.hashes(r); b.values(w) = b.values(r); w += 1
+      }
+      r += 1
+    }
+    b.size = w
+  }
+
+  /** Raise the buffer to `lvl`, evicting pairs below it — evict even
+    * when the buffer is not over capacity: a merge that adopts the
+    * higher side's level but keeps its own lower-level pairs would no
+    * longer be the canonical state of the union multiset (the
+    * QuantileSketchProps shrinker found exactly that).
+    */
+  private def raiseTo(b: Buf, lvl: Int): Unit =
+    if (lvl > b.level) { b.level = lvl; filterInPlace(b) }
+
+  /** Raise the buffer's level until ≤ k pairs remain. Terminates:
+    * every pair's level is < 61, so at most 61 raises empty the buffer.
+    */
+  private def compact(b: Buf, k: Int): Unit =
+    while (b.size > k) { b.level += 1; filterInPlace(b) }
+
+  private def append(b: Buf, k: Int, h: Long, v: Long): Unit =
+    if (levelOf(h) >= b.level) {
+      b.hashes(b.size) = h; b.values(b.size) = v; b.size += 1
+      if (b.size > k) compact(b, k)
+    }
+
+  private def finishBuf(b: Buf): QSketch = {
+    val idx = Array.range(0, b.size).sortBy(i => (b.values(i), b.hashes(i)))
+    QSketch(b.n, b.level, idx.map(b.hashes), idx.map(b.values))
+  }
+
+  private def emptyBuf(k: Int): Buf =
+    Buf(0L, 0, 0, new Array[Long](k + 1), new Array[Long](k + 1))
+
+  private def mergeBufs(k: Int, b1: Buf, b2: Buf): Buf = {
+    b1.n += b2.n
+    raiseTo(b1, b2.level)
+    var i = 0
+    while (i < b2.size) { append(b1, k, b2.hashes(i), b2.values(i)); i += 1 }
+    b1
+  }
+
+  /** The sketch-building aggregator over `(h60(rowKey), value)` rows.
+    * Use via `functions.udaf(new QuantileSketch.Agg(k), Encoders.tuple(
+    * Encoders.scalaLong, Encoders.scalaLong))`.
+    */
+  final class Agg(k: Int = DefaultK)
+      extends Aggregator[(Long, Long), Buf, QSketch] {
+    require(k >= 16, s"k must be >= 16, got $k")
+    override def zero: Buf = emptyBuf(k)
+    override def reduce(b: Buf, in: (Long, Long)): Buf = {
+      b.n += 1
+      append(b, k, in._1, in._2)
+      b
+    }
+    override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(k, b1, b2)
+    override def finish(b: Buf): QSketch = finishBuf(b)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+  }
+
+  /** Re-aggregation of STORED sketches (the rollup path: daily sketch
+    * tables → monthly percentiles with no fact rescan). Merging is the
+    * union-multiset state exactly, so
+    * `MergeAgg(day sketches) == Agg(whole period)` —
+    * QuantileSketchProps pins it.
+    *
+    * Column use: a case-class input encoder flattens into one argument
+    * per field, so invoke the udaf with the struct's fields —
+    * `f($"sk.n", $"sk.level", $"sk.hashes", $"sk.values")`.
+    */
+  final class MergeAgg(k: Int = DefaultK)
+      extends Aggregator[QSketch, Buf, QSketch] {
+    override def zero: Buf = emptyBuf(k)
+    override def reduce(b: Buf, sk: QSketch): Buf = {
+      b.n += sk.n
+      raiseTo(b, sk.level)
+      var i = 0
+      while (i < sk.hashes.length) {
+        append(b, k, sk.hashes(i), sk.values(i)); i += 1
+      }
+      b
+    }
+    override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(k, b1, b2)
+    override def finish(b: Buf): QSketch = finishBuf(b)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+  }
+
+  // ---- column-side readers of a finished sketch struct -------------------
+
+  /** The q-percent estimate from a sketch column: the sample's
+    * `ceil(q%·m)`-th order statistic (values are value-sorted in the
+    * struct) — with width-1 sampling (level 0) this degenerates to
+    * exact `percentile_disc`. Integer ranks only, the
+    * [[QuantileHistogram.quantiles]] convention. NULL when the sample
+    * is empty.
+    */
+  def estimate(sketch: Column, qPercent: Int): Column = {
+    require(qPercent >= 1 && qPercent <= 100,
+      s"q must be an integer percent in [1,100], got $qPercent")
+    val vs = sketch.getField("values")
+    val m = size(vs)
+    // ceil via integer floor((m·q + 99)/100); m ≤ k < 2^21 so the double
+    // division under floor() is exact
+    val rank = floor((m.cast("long") * qPercent + lit(99L)) / lit(100L))
+      .cast("int")
+    when(m > 0, element_at(vs, rank))
+  }
+
+  /** Order-free digest of the retained sample — XOR of the pair
+    * hashes. Two engines that retained the same sample agree on it
+    * regardless of layout; q167 hash-checks it against DuckDB.
+    */
+  def sampleXor(sketch: Column): Column =
+    aggregate(sketch.getField("hashes"), lit(0L), (acc, h) => acc.bitwiseXOR(h))
+}
