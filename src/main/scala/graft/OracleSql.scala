@@ -3917,6 +3917,52 @@ object OracleSql {
     FROM sz
     ORDER BY kind, blk"""
 
+  /** q168: the q137 pipeline at the AUTO-derived dial — blockLen =
+    * max(2, ceil(bitlen(N)/4)) (log₁₆ N) computed from the record
+    * count in SQL, blocking mirrored at that length via the 1-row
+    * dial cross join.
+    */
+  private val q168 = s"""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) + 1000000,
+             substr(c_name, 1, 12) || 'x' || substr(c_name, 14)
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) + 2000000,
+             substr(c_name, 1, 10) || 'x' || substr(c_name, 12, 1) || 'y' ||
+             substr(c_name, 14)
+      FROM customer WHERE c_custkey % 13 = 0),
+    dial AS (
+      SELECT greatest(2, CAST(ceil(length(bin(count(*))) / 4.0) AS INTEGER))
+        AS bl
+      FROM base WHERE name IS NOT NULL),
+    b AS (
+      SELECT id, name, length(name) AS len, 'p' AS kind,
+             substr(name, 1, d.bl) AS blk
+      FROM base, dial d WHERE name IS NOT NULL
+      UNION ALL
+      SELECT id, name, length(name), 's',
+             substr(name, greatest(length(name) - d.bl + 1, 1), d.bl)
+      FROM base, dial d WHERE name IS NOT NULL),
+    sz AS (SELECT kind, blk, count(*) AS n FROM b GROUP BY kind, blk),
+    kept AS (
+      SELECT b.* FROM b
+      JOIN sz ON sz.kind = b.kind AND sz.blk = b.blk AND sz.n <= 1000),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+             a.name AS key_a, c.name AS key_b
+      FROM kept a
+      JOIN kept c ON a.kind = c.kind AND a.blk = c.blk
+        AND a.id < c.id AND abs(a.len - c.len) <= 2)
+    SELECT id_a, id_b, key_a, key_b,
+           CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist,
+           (SELECT bl FROM dial) AS block_len
+    FROM cand
+    WHERE levenshtein(key_a, key_b) <= 2
+    ORDER BY id_a, id_b"""
+
   /** q139: fuzzy entity canonicalization — the q137 pair derivation
     * feeding the q55 walk-CTE connected components, then the
     * deterministic canonical election (len desc, id asc; names are
@@ -5166,6 +5212,7 @@ object OracleSql {
     "q165_transitions" -> q165,
     "q166_assoc_rules_capped" -> q166,
     "q167_quantile_sketch" -> q167,
+    "q168_fuzzy_auto_dial" -> q168,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

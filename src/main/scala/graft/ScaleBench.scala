@@ -339,7 +339,7 @@ object ScaleBench {
       if (keep("incr_para_probe"))
         graft.operators.Dedup.paraPostings(paraBody(d), "body", "doc_id")
           .write.mode("overwrite").parquet(s"$tmp/paraidx")
-      if (keep("incr_bm25_query")) {
+      if (keep("incr_bm25_query") || keep("incr_bm25_pruned")) {
         // postings PARTITIONED BY TERM — the Lucene access path: the
         // probe's term filter becomes partition pruning, so it reads
         // the query's postings lists, not the corpus
@@ -347,6 +347,10 @@ object ScaleBench {
           .write.mode("overwrite").partitionBy("term").parquet(s"$tmp/bm25post")
         graft.operators.Bm25.docLens(d, "text", "doc_id")
           .write.mode("overwrite").parquet(s"$tmp/bm25lens")
+        // WAND-style per-term impact stats, stored beside the postings
+        graft.operators.Bm25.impactMeta(
+            spark.read.parquet(s"$tmp/bm25post"))
+          .write.mode("overwrite").parquet(s"$tmp/bm25meta")
       }
       val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
       val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
@@ -373,6 +377,18 @@ object ScaleBench {
             spark.read.parquet(s"$tmp/bm25post"),
             spark.read.parquet(s"$tmp/bm25lens"), "doc_id",
             Seq("dup", "vector", "merge", "zzz"), 20).count()),
+        // the rank-safe pruned probe against the same persisted index:
+        // candidate postings never ride a per-doc exchange — per-term
+        // impact heads (bounded-buffer agg) + broadcast-semi-join
+        // rescore of <= |q|·b docs; results provably identical to
+        // incr_bm25_query (Bm25Spec), cost tracks the head budget, not
+        // the R×-grown postings lists
+        s"incr_bm25_pruned" -> (() =>
+          graft.operators.Bm25.searchPostingsPruned(
+            spark.read.parquet(s"$tmp/bm25post"),
+            spark.read.parquet(s"$tmp/bm25lens"), "doc_id",
+            Seq("dup", "vector", "merge", "zzz"), 20,
+            meta = Some(spark.read.parquet(s"$tmp/bm25meta"))).count()),
       ).filter(p => keep(p._1)).map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f()

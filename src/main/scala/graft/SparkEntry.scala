@@ -2551,7 +2551,9 @@ object SparkEntry {
     * log2.
     */
   def q135_bm25_topk(s: SparkSession, dir: String): DataFrame =
-    Bm25.search(Tables.documents(s, dir), "text", "doc_id",
+    // the PRUNED probe (WAND-style heads + exact rescore) against the
+    // full-scoring DuckDB oracle: rank-safety is hash-checked, not assumed
+    Bm25.searchPruned(Tables.documents(s, dir), "text", "doc_id",
       Seq("dup", "vector", "merge", "zzz"), k = 20)
 
   /** Incremental BM25 index ([[graft.operators.Bm25.mergePostings]] +
@@ -3161,6 +3163,24 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Fuzzy matching at the auto-derived `blockLen ∝ log N` dial
+    * ([[graft.operators.FuzzyJoin.fuzzyPairsAuto]]): the dial comes
+    * from the record COUNT (log₁₆ N, floor 2 — 3 at sf0.01's ~1.8k
+    * records, 4 at sf0.1's ~18k), so the same query self-tunes across
+    * scale factors instead of carrying a hand-set constant; the oracle
+    * re-derives the dial from the same count and mirrors the blocking
+    * at that length. `block_len` rides the output as provenance.
+    */
+  def q168_fuzzy_auto_dial(s: SparkSession, dir: String): DataFrame = {
+    val recs = fuzzyCustomers(s, dir)
+    val n = recs.filter(col("name").isNotNull).count()
+    val bl = FuzzyJoin.autoBlockLen(n)
+    FuzzyJoin.fuzzyPairs(recs, "name", "id",
+        maxDist = 2, blockLen = bl, maxBlock = 1000L)
+      .withColumn("block_len", lit(bl))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3331,6 +3351,7 @@ object SparkEntry {
     "q165_transitions" -> (q165_transitions _),
     "q166_assoc_rules_capped" -> (q166_assoc_rules_capped _),
     "q167_quantile_sketch" -> (q167_quantile_sketch _),
+    "q168_fuzzy_auto_dial" -> (q168_fuzzy_auto_dial _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

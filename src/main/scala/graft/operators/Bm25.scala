@@ -185,14 +185,141 @@ object Bm25 {
         col("score_fp").cast("long").as("score_fp"), col("rank"))
   }
 
-  /** One-shot form: build the index legs lazily and search — the
-    * correctness surface (q135); production probes a persisted index
-    * via [[searchPostings]].
+  /** One-shot form: build the index legs lazily and search; production
+    * probes a persisted index via [[searchPostings]].
     */
   def search(docs: DataFrame, textCol: String, idCol: String,
       query: Seq[String], k: Int): DataFrame =
     searchPostings(postings(docs, textCol, idCol),
       docLens(docs, textCol, idCol), idCol, query, k)
+
+  /** Per-term impact metadata `(term, df_ub, max_tf, min_dl)` — the
+    * WAND-style statistics stored beside a persisted [[postings]]
+    * index. `max_tf`/`min_dl` bound any posting's term weight from
+    * above (tfn is monotone ↑tf, ↓dl), and stay SOUND after
+    * [[deleteDocs]] without maintenance: deletes only shrink the true
+    * max-tf / grow the true min-dl, so a stale bound is still an upper
+    * bound (`df_ub` likewise only over-counts — safe for the
+    * exhausted-term shortcut below, never for scoring; scoring df is
+    * always derived fresh from the probed postings). Merge across
+    * index parts: [[mergeImpactMeta]] (sum/max/min — additive).
+    */
+  def impactMeta(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df_ub"),
+      max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  /** Additive merge of [[impactMeta]] parts (disjoint doc-id sets). */
+  def mergeImpactMeta(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "nothing to merge")
+    parts.reduce(_ unionByName _).groupBy(col("term"))
+      .agg(sum(col("df_ub")).as("df_ub"), max(col("max_tf")).as("max_tf"),
+        min(col("min_dl")).as("min_dl"))
+  }
+
+  /** RANK-SAFE pruned top-k probe — the MaxScore/WAND idea expressed
+    * relationally: most candidate postings cannot put their document
+    * into the top k, so they must not ride the per-doc score exchange.
+    *
+    * Phases (both scans are partition-pruned to the query's terms when
+    * the index is stored by term):
+    *
+    *  1. **Heads**: per query term, the top `b` postings by EXACT
+    *     current impact (idf·tfn with the live df/avgdl — never the
+    *     stored bounds), selected by [[TopKPerGroup]]'s bounded-buffer
+    *     aggregator: map-side state caps at b rows per term per task,
+    *     so the exchange carries O(b·|q|·tasks), never the postings
+    *     lists. The b-th impact per term is that term's `cutoff`.
+    *  2. **Exact rescore**: every document owning a head posting
+    *     (≤ b·|q| ids, broadcast) gets its FULL exact score via a
+    *     broadcast semi-join — no wide shuffle.
+    *
+    *  A document outside the head set has per-term impact ≤ cutoff(t)
+    *  for every t (heads order by (impact desc, id), so non-kept ≤
+    *  boundary), hence total ≤ Σ cutoffs over NON-exhausted terms (an
+    *  exhausted term — every posting kept — contributes nothing
+    *  outside). The pruned answer is provably the true top-k iff the
+    *  k-th rescored score STRICTLY exceeds that bound (strict, because
+    *  an outside tie could still win the id tie-break); otherwise this
+    *  probe FALLS BACK to [[searchPostings]] — identical results
+    *  either way (Bm25Spec pins pruned == full across b sweeps,
+    *  including forced fallbacks; q135 hash-checks the pruned path
+    *  against the DuckDB full-scoring oracle).
+    *
+    * The two driver-side `collect`s are bounded: |q| cutoff rows and k
+    * result rows — the Lucene-style interactive-probe contract.
+    * `materializeCandidates` localCheckpoints the weighted candidate
+    * rows so the two phases share one scan — right for the one-shot
+    * form (whose scan is a full tokenize); leave false against a
+    * persisted term-partitioned index, where re-reading the pruned
+    * postings lists beats spilling them.
+    *
+    * Ids must be integral (the [[TopKPerGroup]] contract); `meta`
+    * (from [[impactMeta]]) enables the exhausted-corpus shortcut —
+    * when every query term's df_ub ≤ b the pruned path would keep
+    * everything, so the plain probe is dispatched without the
+    * two-phase overhead.
+    */
+  def searchPostingsPruned(post: DataFrame, lens: DataFrame, idCol: String,
+      query: Seq[String], k: Int, b: Int = 0,
+      meta: Option[DataFrame] = None,
+      materializeCandidates: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.nonEmpty, "query must have at least one term")
+    val q = query.map(_.toLowerCase).distinct
+    val headB = if (b > 0) b else math.max(8 * k, 64)
+    val shortcut = meta.exists { m =>
+      val rows = m.filter(col("term").isin(q: _*))
+        .agg(coalesce(max(col("df_ub")), lit(0L))).head().getLong(0)
+      rows <= headB // every term exhausted: pruning would keep everything
+    }
+    if (shortcut) return searchPostings(post, lens, idCol, query, k)
+    val corpusMeta = metaFrame(lens)
+    val cand = post.filter(col("term").isin(q: _*))
+    val weighted0 = cand
+      .join(broadcast(idfFrame(cand, corpusMeta)), "term")
+      .crossJoin(broadcast(corpusMeta.select(col("__avg"))))
+      .withColumn("__w", termWeight)
+      .select(col("term"), col(idCol), col("__w"))
+    val weighted =
+      if (materializeCandidates) weighted0.localCheckpoint(eager = true)
+      else weighted0
+    // phase 1: per-term impact heads through the bounded-buffer top-k
+    val heads = TopKPerGroup(weighted, Seq("term"), "__w", idCol, headB)
+      .localCheckpoint(eager = true) // ≤ |q|·b rows, read three times
+    val stats = heads.groupBy(col("term"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__w")).as("__cut"))
+      .collect() // ≤ |q| rows
+    val ubOutside = stats.iterator
+      .filter(_.getLong(1) == headB) // exhausted terms have no outside tail
+      .map(_.getDouble(2).toLong).sum
+    val allExhausted = stats.forall(_.getLong(1) < headB)
+    // phase 2: exact full scores for the head documents only
+    val candDocs = heads.select(col(idCol)).distinct()
+    val exact = weighted
+      .join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint(eager = true) // ≤ k rows
+    val topRows = exact.collect()
+    val provablyExact = allExhausted ||
+      (topRows.length == k && topRows.last.getLong(1) > ubOutside)
+    if (provablyExact)
+      exact.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))))
+    else searchPostings(post, lens, idCol, query, k)
+  }
+
+  /** One-shot pruned form (the q135 correctness surface): build the
+    * index legs lazily, materialize the candidate rows once, probe
+    * pruned. Rank-safe, so it hash-matches the full-scoring oracle.
+    */
+  def searchPruned(docs: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k: Int): DataFrame =
+    searchPostingsPruned(postings(docs, textCol, idCol),
+      docLens(docs, textCol, idCol), idCol, query, k,
+      materializeCandidates = true)
 
   /** POSITIONAL postings `(id, term, pos)` — one row per token
     * occurrence (pos is the 0-based token index). The phrase-query

@@ -104,6 +104,77 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
   }
 
+  /** The `blockLen ∝ log N` dial, derived deterministically from the
+    * record count: `blockLen = max(minLen, ceil(bitlen(N)/4))` — i.e.
+    * log₁₆ N rounded up, so the block-key space (≥ 16^blockLen for
+    * text keys) grows at least as fast as the corpus and expected
+    * block occupancy stays O(1) for hash-like key material (`maxBlock`
+    * remains the backstop for skewed real keys). A FIXED blockLen at a
+    * growing corpus is the fixed-k SemDeDup hazard: occupancy ∝ N ⇒
+    * candidates ∝ N² (BASELINE.md r10). Derive once at index build,
+    * persist in [[blockMeta]]; the dial is the index's PHYSICAL key
+    * layout, so increments must keep it (blocks at a different length
+    * would never equi-join) — [[blockMetaAfterIncrement]] flags when a
+    * batch pushes N across a step so the pipeline re-blocks
+    * deliberately instead of drifting silently.
+    */
+  def autoBlockLen(n: Long, minLen: Int = 2): Int = {
+    require(n >= 0, s"record count must be >= 0, got $n")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    math.max(minLen, (bitlen + 3) / 4)
+  }
+
+  /** 1-row index meta `(n_records, block_len)` — persist beside
+    * [[blockRows]]; the stored dial every probe and increment reads.
+    */
+  def blockMeta(df: DataFrame, keyCol: String, minLen: Int = 2): DataFrame = {
+    val n = df.filter(col(keyCol).isNotNull).count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, autoBlockLen(n, minLen))).toDF("n_records", "block_len")
+  }
+
+  /** [[fuzzyPairs]] at the auto-derived dial (one count + the blocked
+    * join). The q168 correctness surface — the DuckDB oracle re-derives
+    * the dial from the same count.
+    */
+  def fuzzyPairsAuto(df: DataFrame, keyCol: String, idCol: String,
+      maxDist: Int, maxBlock: Long = 1000L, minLen: Int = 2): DataFrame = {
+    val n = df.filter(col(keyCol).isNotNull).count()
+    fuzzyPairs(df, keyCol, idCol, maxDist, autoBlockLen(n, minLen), maxBlock)
+  }
+
+  /** [[fuzzyPairsIncremental]] reading the dial from the PERSISTED
+    * [[blockMeta]] instead of a caller parameter — the increment
+    * cannot drift from the index's block layout.
+    */
+  def fuzzyPairsIncrementalMeta(oldBlocks: DataFrame, meta: DataFrame,
+      newDf: DataFrame, keyCol: String, idCol: String, maxDist: Int,
+      maxBlock: Long = 1000L): DataFrame = {
+    val bl = meta.select(col("block_len")).head().getInt(0)
+    fuzzyPairsIncremental(oldBlocks, newDf, keyCol, idCol, maxDist, bl, maxBlock)
+  }
+
+  /** Meta after absorbing a batch: `n_records` grows, `block_len`
+    * KEEPS the stored layout, and `reblock_due` flags that the new
+    * count recommends a longer dial — the cap-crossing surface. The
+    * `batch == old ∪ increment` contract (FuzzyJoinSpec) holds at the
+    * stored dial regardless of crossings; re-blocking is a rebuild the
+    * pipeline schedules when this flag trips.
+    */
+  def blockMetaAfterIncrement(meta: DataFrame, newDf: DataFrame,
+      keyCol: String, minLen: Int = 2): DataFrame = {
+    val old = meta.select(col("n_records"), col("block_len")).head()
+    val n = old.getLong(0) + newDf.filter(col(keyCol).isNotNull).count()
+    val stored = old.getInt(1)
+    val rec = autoBlockLen(n, minLen)
+    val spark = meta.sparkSession
+    import spark.implicits._
+    Seq((n, stored, rec, rec > stored))
+      .toDF("n_records", "block_len", "block_len_recommended", "reblock_due")
+  }
+
   /** The PERSISTABLE fuzzy index: each record's block rows
     * `(id, key, len, kind, blk)`. Additive over disjoint id sets
     * (each record owns its two rows — plain union, the postings-index

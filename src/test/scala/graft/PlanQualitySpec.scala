@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Scale-readiness assertions on the *physical plans* (the judge-facing
   * contract: filters push to the scan, dims broadcast, aggregates run
   * partial+final, scans prune columns). These lock in plan shape so a
@@ -431,5 +433,39 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(graft.sources.RawZone.readPartition(spark, tmp, "topcv_jobs", "2025-11-24"))
     assert(p.contains("PartitionFilters") &&
       (p.contains("isnotnull(source_id") || p.contains("source_id#")), p.take(2000))
+  }
+
+  test("q135 pruned BM25 probe: the returned top-k rides a checkpoint of " +
+      "<= k rescored rows — no corpus-wide exchange in the result plan") {
+    val p = plan(SparkEntry.q135_bm25_topk(spark, dir))
+    // accepted pruned path: result = scan of the k-row localCheckpoint +
+    // the bounded rank window; the corpus-sized work happened in the
+    // phases (heads via bounded-buffer ObjectHashAggregate, exact
+    // rescore behind a broadcast semi-join) and must NOT reappear here
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the checkpointed <=k-row leaf: ${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pruned result must not re-shuffle candidates: ${p.take(2000)}")
+  }
+
+  test("pruned BM25 phase shapes: heads are a bounded-buffer aggregate " +
+      "(no sort of the postings); rescore joins by broadcast") {
+    val docs = Tables.documents(spark, dir)
+    val post = graft.operators.Bm25.postings(docs, "text", "doc_id")
+    // phase-1 shape (same composition the probe runs): per-term top-b
+    // through the TopKAggregator — partial+final object aggregate, never
+    // a per-term sort window over the candidate postings
+    val heads = graft.operators.TopKPerGroup(
+      post.withColumn("__w", col("tf")), Seq("term"), "__w", "doc_id", 8)
+    val hp = plan(heads)
+    assert(hp.contains("ObjectHashAggregate") || hp.contains("SortAggregate"),
+      hp.take(2000))
+    assert(!hp.contains("WindowExec"), "heads must not sort-window")
+    // phase-2 shape: candidate-doc rescore joins via broadcast semi-join
+    import spark.implicits._
+    val candDocs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val ep = plan(post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("s")))
+    assert(ep.contains("BroadcastHashJoin"), ep.take(2000))
   }
 }

@@ -134,4 +134,70 @@ class Bm25Spec extends SparkSpec {
     assert(withEmpties != withoutEmpties)
     assert(!withEmpties.contains(4L) && !withEmpties.contains(5L))
   }
+
+  /** A corpus where impact pruning genuinely bites: one rare term and
+    * one flooded term (many low-impact postings), so small head
+    * budgets exercise both the accept path and the fallback path.
+    */
+  private def bigDocs = (
+    (1 to 60).map(i => (i.toLong, "common filler filler")) ++  // flood
+    Seq((100L, "rare common"), (101L, "rare rare common word"),
+      (102L, "word common"))
+  ).toDF("doc_id", "text")
+
+  test("pruned probe is rank-safe: == full scoring across head budgets, " +
+      "k values, and the forced-fallback regime") {
+    val post = Bm25.postings(bigDocs, "text", "doc_id")
+    val lens = Bm25.docLens(bigDocs, "text", "doc_id")
+    val q = Seq("rare", "common", "word")
+    def full(k: Int) = Bm25.searchPostings(post, lens, "doc_id", q, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    for (k <- Seq(1, 3, 10); b <- Seq(2, 4, 16, 1024)) {
+      // b=2 with k=3 cannot prove the bound → must fall back, silently
+      val pruned = Bm25.searchPostingsPruned(post, lens, "doc_id", q, k, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(pruned == full(k), s"k=$k b=$b diverged")
+    }
+    // one-shot form too (the q135 surface)
+    assert(Bm25.searchPruned(bigDocs, "text", "doc_id", q, 5)
+      .collect().map(_.toString).toSeq ==
+      Bm25.search(bigDocs, "text", "doc_id", q, 5)
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("impact meta: additive merge == batch; bounds stay sound after " +
+      "deletes; exhausted-corpus shortcut dispatches the plain probe") {
+    val a = bigDocs.filter($"doc_id" % 2 === 0)
+    val b = bigDocs.filter($"doc_id" % 2 === 1)
+    val merged = Bm25.mergeImpactMeta(
+        Bm25.impactMeta(Bm25.postings(a, "text", "doc_id")),
+        Bm25.impactMeta(Bm25.postings(b, "text", "doc_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val post = Bm25.postings(bigDocs, "text", "doc_id")
+    val batch = Bm25.impactMeta(post)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == batch)
+    // delete docs, keep STALE meta: df_ub/max_tf only over-bound, min_dl
+    // only under-bounds — the pruned probe with stale meta must still
+    // equal full scoring over the post-delete index
+    val deleted = Seq(101L).toDF("doc_id")
+    val post2 = Bm25.deleteDocs(post, deleted, "doc_id")
+    val lens2 = Bm25.deleteDocs(Bm25.docLens(bigDocs, "text", "doc_id"),
+      deleted, "doc_id")
+    val staleMeta = Bm25.impactMeta(post) // built BEFORE the delete
+    val q = Seq("rare", "common")
+    assert(Bm25.searchPostingsPruned(post2, lens2, "doc_id", q, 5,
+        meta = Some(staleMeta)).collect().map(_.toString).toSeq ==
+      Bm25.searchPostings(post2, lens2, "doc_id", q, 5)
+        .collect().map(_.toString).toSeq)
+    // tiny corpus + meta: every term exhausted at the default b → the
+    // shortcut answers identically (and trivially exactly)
+    val smallPost = Bm25.postings(docs, "text", "doc_id")
+    val smallLens = Bm25.docLens(docs, "text", "doc_id")
+    assert(Bm25.searchPostingsPruned(smallPost, smallLens, "doc_id",
+        Seq("apple", "banana"), 3,
+        meta = Some(Bm25.impactMeta(smallPost))).collect().map(_.toString).toSeq ==
+      Bm25.searchPostings(smallPost, smallLens, "doc_id",
+        Seq("apple", "banana"), 3).collect().map(_.toString).toSeq)
+  }
 }

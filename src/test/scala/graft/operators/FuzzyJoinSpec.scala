@@ -115,4 +115,59 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(pairs(rows, maxDist = 2).isEmpty)
     assert(pairs(rows, maxDist = 3) == Set((1L, 2L, 3)))
   }
+
+  test("autoBlockLen: log16 steps with the floor; fuzzyPairsAuto == " +
+      "fuzzyPairs at the derived dial") {
+    assert(FuzzyJoin.autoBlockLen(0) == 2 && FuzzyJoin.autoBlockLen(1) == 2)
+    assert(FuzzyJoin.autoBlockLen(255) == 2)   // bitlen 8 → 2
+    assert(FuzzyJoin.autoBlockLen(256) == 3)   // bitlen 9 → 3 (a step)
+    assert(FuzzyJoin.autoBlockLen(65535) == 4)
+    assert(FuzzyJoin.autoBlockLen(65536) == 5)
+    assert(FuzzyJoin.autoBlockLen(5, minLen = 4) == 4)
+    val rows = (0L to 40L).map(i => (i, f"key-$i%03d-abcdefgh"))
+    val auto = FuzzyJoin.fuzzyPairsAuto(rows.toDF("id", "name"),
+      "name", "id", maxDist = 2).collect().map(_.toString).toSet
+    val manual = FuzzyJoin.fuzzyPairs(rows.toDF("id", "name"),
+        "name", "id", maxDist = 2,
+        blockLen = FuzzyJoin.autoBlockLen(41)) // bitlen 6 → 2
+      .collect().map(_.toString).toSet
+    assert(auto == manual)
+  }
+
+  test("auto dial across a blockLen step: the increment keeps the STORED " +
+      "dial, batch == old ∪ increment still holds, and the meta flags " +
+      "the crossing for a deliberate re-block") {
+    // old N = 200 (blockLen 2), batch pushes N to 300 (recommended 3):
+    // the dial STEPS between builds — exactly the drift hazard
+    val old = (1L to 200L).map(i => (i, f"nm$i%04d-abcdefgh"))
+    val nw = (201L to 300L).map(i => (i, f"nm$i%04d-abcdefgh"))
+    val meta = FuzzyJoin.blockMeta(old.toDF("id", "name"), "name")
+    assert(meta.head().getLong(0) == 200L && meta.head().getInt(1) == 2)
+    val idx = FuzzyJoin.blockRows(old.toDF("id", "name"), "name", "id",
+      meta.head().getInt(1))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val oldPairs = toSet(FuzzyJoin.fuzzyPairs(old.toDF("id", "name"),
+      "name", "id", maxDist = 2, blockLen = 2))
+    val incr = toSet(FuzzyJoin.fuzzyPairsIncrementalMeta(idx, meta,
+      nw.toDF("id", "name"), "name", "id", maxDist = 2))
+    // the contract is against the STORED-dial rebuild — it holds even
+    // though N crossed a step mid-stream
+    val batchStored = toSet(FuzzyJoin.fuzzyPairs(
+      (old ++ nw).toDF("id", "name"), "name", "id", maxDist = 2,
+      blockLen = 2))
+    assert((oldPairs | incr) == batchStored)
+    assert((oldPairs & incr).isEmpty)
+    // the crossing is loud, not silent
+    val after = FuzzyJoin.blockMetaAfterIncrement(meta,
+      nw.toDF("id", "name"), "name").head()
+    assert(after.getLong(0) == 300L)
+    assert(after.getInt(1) == 2)      // stored layout unchanged
+    assert(after.getInt(2) == 3)      // recommendation stepped
+    assert(after.getBoolean(3))       // reblock_due
+    // after the deliberate re-block, the new index carries its own dial
+    // and the increment contract re-establishes at that dial
+    val meta2 = FuzzyJoin.blockMeta((old ++ nw).toDF("id", "name"), "name")
+    assert(meta2.head().getInt(1) == 3)
+  }
 }
