@@ -225,4 +225,26 @@ class LinkGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(repart == gotK5.map { case (k, v) => k -> v._2 })
   }
+
+  test("convergence telemetry: per-round L1 deltas decrease monotonically " +
+      "(damped contraction) and the final ranks are the plain pageRank") {
+    // a web-shaped graph with hubs, dangling nodes, and a cycle
+    val edges = (1L to 30L).flatMap(i => Seq(
+      (i, i % 7 + 100L),          // 7 hub targets (dangling)
+      (i, i % 30 + 1L)            // a cycle layer
+    )).filter(e => e._1 != e._2)
+    val (ranks, deltas) = LinkGraph.pageRankWithDeltas(
+      edges.toDF("s", "d"), "s", "d", iters = 6)
+    assert(deltas.length == 6)
+    // monotone non-increasing, and genuinely contracting overall
+    assert(deltas.sliding(2).forall(w => w(1) <= w(0)),
+      s"deltas not monotone: $deltas")
+    assert(deltas.last < deltas.head / 2,
+      s"no contraction visible: $deltas")
+    // same fixed-iteration result as the plain surface
+    val plain = LinkGraph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == plain)
+  }
 }
