@@ -2157,6 +2157,191 @@ object OracleSql {
     sb.toString
   }
 
+  /** Unigram-LM training chain (mirrors [[graft.operators.UnigramLm]]):
+    * admitted word types, substring seed (all singles + top-`topM`
+    * multis), then per EM round a Q10 log2 cost table (the q148
+    * recursive-CTE kernel mirror), the edge table (every vocab piece
+    * occurrence in every type), a position-unrolled Viterbi DP with
+    * the (cost, path) tie-break, and the integer recount with the
+    * singles coverage floor. Emits CTEs up to `v{rounds+1}` (the final
+    * vocabulary) and `lg{rounds+1}` (its cost logs).
+    */
+  private def unigramCtes(maxPieceLen: Int, topM: Int, rounds: Int,
+      maxWordLen: Int): String = {
+    val grid = s"""unnest(flatten(list_transform(
+        range(1, least(length(word), $maxPieceLen) + 1),
+        l -> list_transform(range(1, length(word) - l + 2),
+               i -> {'i': i, 'l': l}))))"""
+    def logChain(r: Int, vocab: String): String = s""",
+      vals$r AS (SELECT DISTINCT v FROM (
+        SELECT cnt AS v FROM $vocab
+        UNION ALL SELECT CAST(sum(cnt) AS BIGINT) FROM $vocab)),
+      lg${r}0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals$r),
+      lg${r}i(v, i, x, r) AS (
+        SELECT v, 0,
+               CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+               CAST(m AS BIGINT)
+        FROM lg${r}0
+        UNION ALL
+        SELECT v, i + 1,
+               CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+               CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+        FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lg${r}i WHERE i < 10)),
+      lg$r AS (SELECT v, r FROM lg${r}i WHERE i = 10)"""
+    val sb = new StringBuilder(s"""
+      WITH RECURSIVE tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
+      w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        WHERE regexp_matches(word, '^[a-z]+$$')
+          AND length(word) <= $maxWordLen
+        GROUP BY word),
+      subs AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+          SELECT cnt, substr(word, s.i, s.l) AS piece FROM (
+            SELECT cnt, word, $grid AS s FROM w))
+        GROUP BY piece),
+      v1 AS MATERIALIZED (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM subs WHERE length(piece) > 1)
+        WHERE rn <= $topM)""")
+    for (r <- 1 to rounds) {
+      sb.append(logChain(r, s"v$r"))
+      sb.append(s""",
+      c$r AS MATERIALIZED (
+        SELECT p.piece,
+               (SELECT l.r FROM lg$r l
+                WHERE l.v = (SELECT CAST(sum(cnt) AS BIGINT) FROM v$r))
+               - lp.r AS cost
+        FROM v$r p JOIN lg$r lp ON lp.v = p.cnt),
+      e${r}0 AS (
+        SELECT word, $grid AS s FROM (SELECT word FROM w)),
+      e$r AS MATERIALIZED (
+        SELECT g.word, g.s.i - 1 AS i0, g.s.i - 1 + g.s.l AS j,
+               substr(g.word, g.s.i, g.s.l) AS piece, c.cost
+        FROM e${r}0 g JOIN c$r c ON c.piece = substr(g.word, g.s.i, g.s.l)),
+      d${r}p0 AS (
+        SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost, '' AS path FROM w)""")
+      for (k <- 1 to maxWordLen) sb.append(s""",
+      d${r}p$k AS MATERIALIZED (
+        SELECT * FROM d${r}p${k - 1}
+        UNION ALL
+        SELECT word, j, cost, path FROM (
+          SELECT e.word, e.j, d.cost + e.cost AS cost,
+                 d.path || ' ' || e.piece AS path,
+                 row_number() OVER (PARTITION BY e.word
+                   ORDER BY d.cost + e.cost, d.path || ' ' || e.piece) AS rn
+          FROM d${r}p${k - 1} d
+          JOIN e$r e ON e.word = d.word AND e.i0 = d.j AND e.j = $k)
+        WHERE rn = 1)""")
+      sb.append(s""",
+      seg$r AS MATERIALIZED (
+        SELECT w.word, w.cnt, coalesce(dd.path, ' ' || w.word) AS path
+        FROM w LEFT JOIN (
+          SELECT word, path FROM d${r}p$maxWordLen WHERE j = length(word)) dd
+          ON dd.word = w.word),
+      rc${r + 1} AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+          SELECT cnt, unnest(string_split(trim(path), ' ')) AS piece
+          FROM seg$r)
+        GROUP BY piece),
+      v${r + 1} AS MATERIALIZED (
+        SELECT piece, cnt FROM rc${r + 1}
+        UNION ALL
+        SELECT piece, CAST(1 AS BIGINT) AS cnt FROM v1
+        WHERE length(piece) = 1
+          AND piece NOT IN (SELECT piece FROM rc${r + 1}))""")
+    }
+    sb.append(logChain(rounds + 1, s"v${rounds + 1}"))
+    sb.toString
+  }
+
+  /** q169: the final unigram vocabulary with exact Q10 costs. */
+  private val q169: String = {
+    val R = 3 // rounds + 1
+    unigramCtes(maxPieceLen = 4, topM = 128, rounds = 2, maxWordLen = 16) + s"""
+    SELECT v.piece, v.cnt,
+           (SELECT l.r FROM lg$R l
+            WHERE l.v = (SELECT CAST(sum(cnt) AS BIGINT) FROM v$R))
+           - lp.r AS cost_fp
+    FROM v$R v JOIN lg$R lp ON lp.v = v.cnt
+    ORDER BY v.cnt DESC, v.piece"""
+  }
+
+  /** q170: unigram segmentation end-to-end — the q169 chain, the final
+    * cost table, then the inference DP over ALL corpus word types
+    * (fallback to one unsplit piece when the DP never reaches the
+    * word's end: out-of-alphabet chars or length > 16), `</w>` marker
+    * per word, positional reassembly, md5 fingerprint per doc.
+    */
+  private val q170: String = {
+    val R = 3
+    val sb = new StringBuilder(
+      unigramCtes(maxPieceLen = 4, topM = 128, rounds = 2, maxWordLen = 16))
+    sb.append(s""",
+      cf AS MATERIALIZED (
+        SELECT p.piece,
+               (SELECT l.r FROM lg$R l
+                WHERE l.v = (SELECT CAST(sum(cnt) AS BIGINT) FROM v$R))
+               - lp.r AS cost
+        FROM v$R p JOIN lg$R lp ON lp.v = p.cnt),
+      tt AS (
+        SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END AS tk
+        FROM documents),
+      tokpos AS (
+        SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+               unnest(list_transform(range(1, len(tk) + 1), i -> lower(tk[i]))) AS word
+        FROM tt),
+      ityp AS (SELECT DISTINCT word FROM tokpos),
+      ie0 AS (
+        SELECT word, unnest(flatten(list_transform(
+            range(1, least(length(word), 4) + 1),
+            l -> list_transform(range(1, length(word) - l + 2),
+                   i -> {'i': i, 'l': l})))) AS s
+        FROM ityp WHERE length(word) <= 16),
+      ie AS MATERIALIZED (
+        SELECT g.word, g.s.i - 1 AS i0, g.s.i - 1 + g.s.l AS j,
+               substr(g.word, g.s.i, g.s.l) AS piece, c.cost
+        FROM ie0 g JOIN cf c ON c.piece = substr(g.word, g.s.i, g.s.l)),
+      idp0 AS (
+        SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost, '' AS path FROM ityp)""")
+    for (k <- 1 to 16) sb.append(s""",
+      idp$k AS MATERIALIZED (
+        SELECT * FROM idp${k - 1}
+        UNION ALL
+        SELECT word, j, cost, path FROM (
+          SELECT e.word, e.j, d.cost + e.cost AS cost,
+                 d.path || ' ' || e.piece AS path,
+                 row_number() OVER (PARTITION BY e.word
+                   ORDER BY d.cost + e.cost, d.path || ' ' || e.piece) AS rn
+          FROM idp${k - 1} d
+          JOIN ie e ON e.word = d.word AND e.i0 = d.j AND e.j = $k)
+        WHERE rn = 1)""")
+    sb.append(s""",
+      smap AS (
+        SELECT i.word,
+               string_split(trim(coalesce(dd.path, ' ' || i.word) || ' </w>'), ' ')
+                 AS sub
+        FROM ityp i LEFT JOIN (
+          SELECT word, path FROM idp16 WHERE j = length(word)) dd
+          ON dd.word = i.word),
+      perdoc AS (
+        SELECT doc_id, flatten(list(sub ORDER BY pos)) AS bt
+        FROM tokpos JOIN smap USING (word) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(len(bt), 0) AS BIGINT) AS n_unigram_tokens,
+           md5(coalesce(array_to_string(bt, ' '), '')) AS unigram_fp
+    FROM documents d LEFT JOIN perdoc USING (doc_id)
+    ORDER BY d.doc_id""")
+    sb.toString
+  }
+
   /** q102: q82's incremental SimHash pair set with the indexed
     * doc_id % 7 = 3 slice deleted — pairs touching a deleted index doc
     * drop; new×new pairs are unaffected.
@@ -5213,6 +5398,8 @@ object OracleSql {
     "q166_assoc_rules_capped" -> q166,
     "q167_quantile_sketch" -> q167,
     "q168_fuzzy_auto_dial" -> q168,
+    "q169_unigram_vocab" -> q169,
+    "q170_unigram_segment" -> q170,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

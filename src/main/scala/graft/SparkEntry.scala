@@ -3181,6 +3181,40 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Unigram-LM tokenizer training ([[graft.operators.UnigramLm]]):
+    * substring seed vocabulary (all singles + top-128 multis), two
+    * hard-EM rounds (Viterbi E-step over word types, integer recount
+    * M-step), final `(piece, cnt, cost_fp)` — the SentencePiece-family
+    * twin of q100's BPE. The oracle re-derives the whole chain as
+    * materialized CTEs: the seed cut, the Q10 log2 cost tables, and
+    * both rounds' position-unrolled Viterbi DP with the (cost, path)
+    * tie-break.
+    */
+  def q169_unigram_vocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    UnigramLm.train(s, docs, "text", maxPieceLen = 4, topM = 128, rounds = 2)
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Unigram-LM segmentation end-to-end
+    * ([[graft.operators.UnigramLm.segment]]): train q169's vocabulary,
+    * segment every document (word types through the Viterbi kernel,
+    * out-of-alphabet/over-length words unsplit, `</w>` markers for
+    * lossless boundaries), emit per-doc piece count + md5 fingerprint
+    * of the joined piece stream — the q101 differential shape.
+    */
+  def q170_unigram_segment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val vocab = UnigramLm.collectCosts(
+      UnigramLm.train(s, docs, "text", maxPieceLen = 4, topM = 128, rounds = 2))
+    UnigramLm.segment(docs, "text", "doc_id", vocab)
+      .select(col("doc_id"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        md5(concat_ws(" ", coalesce(col("unigram_tokens"),
+          array().cast("array<string>")))).as("unigram_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3352,6 +3386,8 @@ object SparkEntry {
     "q166_assoc_rules_capped" -> (q166_assoc_rules_capped _),
     "q167_quantile_sketch" -> (q167_quantile_sketch _),
     "q168_fuzzy_auto_dial" -> (q168_fuzzy_auto_dial _),
+    "q169_unigram_vocab" -> (q169_unigram_vocab _),
+    "q170_unigram_segment" -> (q170_unigram_segment _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
