@@ -267,6 +267,21 @@ object ScaleBench {
       // RATIO between them is the lesson.
       "linkage_fixed" -> (r => linkageCandidates(r, scaledKey = false)),
       "linkage_scaled" -> (r => linkageCandidates(r, scaledKey = true)),
+      // the ITERATIVE connected-components regime on its own curve
+      // (round 11): edges LINEAR in R (fixed 64-node chain components,
+      // R× more of them — no clique-pair blowup anywhere), and
+      // collectThreshold = 0 forces the iterative path at BOTH points,
+      // so the ratio measures pointer-jumping propagation itself —
+      // fixed O(log diameter) rounds of edge-sized joins — not a
+      // driver/iterative regime flip and not a synthetic R² workload
+      "cc_iterative" -> { r =>
+        val edges = spark.range(50000L * r)
+          .filter(col("id") % 64 =!= 63)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        DedupCluster.connectedComponents(edges, "id_a", "id_b",
+            collectThreshold = 0L)
+          .select(col("comp")).distinct().count()
+      },
       // link-graph authority (round 10, q158): the host space grows
       // WITH the corpus (100·R hosts — the corpus-varying-key
       // discipline again), so degree stays ~constant (4 out-edges per

@@ -21,6 +21,25 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   */
 object CorpusJob {
 
+  /** Auto staging root for store-materialized curation frames when the
+    * caller set no `stagingDir` (see [[CurationConfig]]): one temp dir
+    * per JVM, removed at exit. Each curate pass stages under its own
+    * subdirectory so concurrent/repeated passes never collide.
+    */
+  private lazy val autoStagingRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-curate-staging")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  private val stagingPass = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** How many folded batch ids `folded/meta` remembers. The fold-replay
     * gate checks membership in this set, so recovery stays exactly-once
     * even when OTHER folds (the next day's batch, a [[deleteDocs]])
@@ -774,7 +793,26 @@ object CorpusJob {
       // host-authority floor (active only when a hostRanks table is
       // passed): docs whose host ranks below this fixed-point PageRank
       // value drop with reason `low_authority`
-      minHostRank: Long = 0L)
+      minHostRank: Long = 0L,
+      // Stage-materialization regime. The composition truncates lineage
+      // at its three kernel-heavy full-text frames; as LOCAL checkpoints
+      // those live in executor block storage, whose DESERIALIZED heap
+      // residency is ~3 leaves × (UTF-16 strings + row object overhead)
+      // ≈ an order of magnitude over the optimizer's UTF-8 size
+      // estimate — measured round 11: a 492 MB input estimate (the 100×
+      // scale corpus) OOM-killed the default 8 GiB local heap in the
+      // local regime. When the INPUT's optimizer estimate exceeds
+      // `stagingBudgetBytes`, the frames materialize to the corpus
+      // STORE instead (parquet write + re-read: columnar, compressed,
+      // streamed — zero heap residency), under `stagingDir` or an auto
+      // temp dir removed at JVM exit. The 256 MiB default keeps local
+      // staging under ~1/3 of an 8 GiB heap at the measured blowup;
+      // 0 forces store staging, Long.MaxValue forces local.
+      // Row-identical either way (CorpusJobSpec pins it); the store
+      // regime is what a production run does anyway — runCuration
+      // persists the verdict log.
+      stagingBudgetBytes: Long = 256L << 20,
+      stagingDir: Option[String] = None)
 
   /** The corpus-global quantities the pipeline FITS (one-shot) or
     * FREEZES (incremental): LID models, the perplexity model + tercile
@@ -869,6 +907,29 @@ object CorpusJob {
     val sep = cfg.paragraphSep
     val sepQ = java.util.regex.Pattern.quote(sep)
 
+    // staging regime (CurationConfig.stagingBudgetBytes): lineage still
+    // truncates at the same three full-text frames, but ABOVE the
+    // budget they materialize to the store instead of executor block
+    // storage — the estimate is the optimizer's input-size statistic,
+    // decided once per pass
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val storeDir: Option[String] =
+      if (estBytes <= BigInt(cfg.stagingBudgetBytes)) None
+      else Some(cfg.stagingDir.getOrElse(
+        s"$autoStagingRoot/pass-${stagingPass.incrementAndGet()}"))
+    // one line of operational telemetry per pass: which regime ran and
+    // on what evidence — a silent regime flip would be undebuggable
+    System.err.println(s"[curate] staging=" +
+      s"${if (storeDir.isDefined) "store" else "local"} est_bytes=$estBytes " +
+      s"budget=${cfg.stagingBudgetBytes}")
+    def stageFrame(df: DataFrame, slot: String): DataFrame = storeDir match {
+      case None => df.localCheckpoint(true)
+      case Some(dir) =>
+        val p = s"$dir/$slot"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+    }
+
     // -- stage 1: hygiene (per-paragraph NFC + HTML strip) --
     val cleanParas = transform(split(col("text"), sepQ, -1),
       p => T.stripHtmlComposed(T.normalizeNfc(p)))
@@ -882,10 +943,9 @@ object CorpusJob {
     // run these frames materialize to the corpus store anyway
     // (runCuration persists the verdict log); executor block storage is
     // the in-session equivalent.
-    val base = docs.withColumn("clean",
+    val base = stageFrame(docs.withColumn("clean",
         when(col("text").isNull, lit(null).cast("string"))
-          .otherwise(array_join(cleanParas, sep)))
-      .localCheckpoint(true)
+          .otherwise(array_join(cleanParas, sep))), "base")
 
     // The stage verdicts ride ONE frame as cumulative `alive` masks —
     // narrow stages (LID / perplexity / blocklist / repetition /
@@ -927,11 +987,10 @@ object CorpusJob {
             base.filter(col("doc_id") % 10 === 0), "clean", lidModels)
           .filter(col("lid_pred").isin(cfg.keepLangs: _*)),
         "clean", cfg.pplDim, cfg.pplDim))
-    val m = CharLm.score(withLid, "clean", pplModel)
+    val m = stageFrame(CharLm.score(withLid, "clean", pplModel)
       .withColumn("lm_avg",
         when(col("n_tri") > 0, expr("lm_score div n_tri")).cast("long"))
-      .drop("lm_score")
-      .localCheckpoint(true)
+      .drop("lm_score"), "scored")
     val pplCut = state0.map(_.pplCut).getOrElse {
       if (!cfg.pplGate) Long.MinValue else {
         // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) over
@@ -977,12 +1036,17 @@ object CorpusJob {
     val alive3b = alive3 && !col("__lowauth")
 
     // -- stage 5: Gopher duplicate-line mass gate (narrow) --
-    val m2 = markedA
+    // local regime: a lazy cache (the frame re-filters per stage);
+    // store regime: stage it too — a deserialized full-text cache is
+    // exactly the storage-memory pressure the regime exists to remove
+    // (the 100x OOM stack showed the excision SMJ starving against it)
+    val m2pre = markedA
       .withColumn("__dls", T.dupLineStats(col("clean"), "\n"))
       .withColumn("__rep", col("__dls").getField("dup_line_chars") * 2 >
         col("__dls").getField("line_chars"))
       .drop("__dls")
-      .cache()
+    val m2 =
+      if (storeDir.isEmpty) m2pre.cache() else stageFrame(m2pre, "gated")
     val alive4 = alive3b && !col("__rep")
 
     // -- stage 6: corpus-wide paragraph dedup over the survivors --
@@ -1034,12 +1098,15 @@ object CorpusJob {
         SubstringDedup.excise(spanIn, "text_dedup", "doc_id", cfg.spanTokens)
     }
     val alive7 = alive6 && trim(col("text_final")) =!= ""
-    val m5 = m4
+    // `text`/`clean` are dead past this point (the verdict frame reads
+    // text_dedup/text_final only) — dropping them before staging cuts
+    // the final frame's text bytes by ~2/3
+    val m5 = stageFrame(m4
       .join(ex.select(col("doc_id"),
         col("text_deduped").as("text_final")), Seq("doc_id"), "left")
       .withColumn("n_tokens",
         when(alive7, T.tokenCount(col("text_final"))).cast("long"))
-      .localCheckpoint(true)
+      .drop("text", "clean"), "final")
 
     // -- stage 9: temperature mixture (α = 0.5) over FINAL token mass --
     val rates: Map[String, Double] = state0.map(_.rates).getOrElse(

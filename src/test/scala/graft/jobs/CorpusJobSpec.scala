@@ -671,6 +671,45 @@ class CorpusJobSpec extends SparkSpec {
     assert(out(6L) == null)
   }
 
+  test("curate: store-materialized staging == local-checkpoint staging, " +
+      "row for row; runCuration's export matches both") {
+    val pA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pB = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"unique first paragraph words here\n\n$pA\n\n$pB", "en", "web", "ok.example"),
+      (2L, null.asInstanceOf[String], "en", "web", "ok.example"),
+      (3L, s"a blocked document paragraph\n\n$pA extended further", "en", "web", "a.spam.example"),
+      (4L, s"$pB rep\n\n$pB rep\n\n$pB rep", "en", "web", "ok.example"),
+      (5L, s"unique first paragraph words here\n\n$pA\n\n$pB", "en", "web", "ok.example"),
+      (6L, "another distinct body paragraph entirely\n\nwith more fresh words beyond", "en", "web", "ok.example"),
+    ).toDF("doc_id", "text", "lang", "source", "host")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.99f, 0.1f)),
+      (6L, Array(0.0f, 1.0f))).toDF("doc_id", "embedding")
+    def run(budget: Long) = CorpusJob.curate(docs,
+        CorpusJob.CurationConfig(pplGate = false, budgetTokens = 100000L,
+          semClusters = 2, stagingBudgetBytes = budget),
+        Some(blockedDomains), Some(emb))
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    val local = run(Long.MaxValue) // never store-stages
+    val store = run(0L)            // always store-stages (auto temp dir)
+    assert(local == store)
+    // runCuration (the production export) under the store regime writes
+    // exactly the same verdict frame
+    val dir = tmpDir("curate_store")
+    CorpusJob.runCuration(spark, docs,
+      dir, CorpusJob.CurationConfig(pplGate = false, budgetTokens = 100000L,
+        semClusters = 2, stagingBudgetBytes = 0L),
+      Some(blockedDomains), Some(emb))
+    val annotated = spark.read.parquet(s"$dir/annotated")
+      .select(CorpusJob.curate(docs,
+        CorpusJob.CurationConfig(pplGate = false, budgetTokens = 100000L,
+          semClusters = 2, stagingBudgetBytes = Long.MaxValue),
+        Some(blockedDomains), Some(emb)).columns.map(col): _*)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(annotated == local)
+  }
+
   test("curate: host-authority floor drops low-rank hosts, keeps unknown " +
       "hosts, and is inert without a rank table") {
     val docs = Seq(
