@@ -2342,6 +2342,68 @@ object OracleSql {
     sb.toString
   }
 
+  /** q171: KMV bottom-k distinct estimate — bottom-k distinct h60 per
+    * priority via row_number, then `(k−1)·2^60 // h_k` in HUGEINT
+    * (mirrors [[graft.operators.ThetaSketch.estimate]]'s
+    * decimal(38,0) floor-quotient).
+    */
+  private val q171 = """
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL),
+    d AS (SELECT DISTINCT grp, h FROM h),
+    r AS (SELECT grp, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM d),
+    bk AS (SELECT grp, h FROM r WHERE rn <= 128),
+    agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_retained,
+                   max(h) AS kth
+            FROM bk GROUP BY grp)
+    SELECT grp AS o_orderpriority, n_retained,
+           CASE WHEN n_retained >= 128 THEN kth END AS kth_hash,
+           CASE WHEN n_retained < 128 THEN n_retained
+                ELSE CAST(CAST(127 AS HUGEINT) * 1152921504606846976 // kth
+                       AS BIGINT) END AS est_distinct
+    FROM agg
+    ORDER BY o_orderpriority"""
+
+  /** q172: theta-sketch set operations — per-side bottom-k, the
+    * union's bottom-k, membership counts, and the integer
+    * union/intersection/Jaccard estimators.
+    */
+  private val q172 = """
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    d AS (SELECT DISTINCT grp, h FROM h),
+    r AS (SELECT grp, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM d),
+    bk AS (SELECT grp, h FROM r WHERE rn <= 128),
+    uni AS (SELECT DISTINCT h FROM bk),
+    ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uni),
+    ubk AS (SELECT h FROM ur WHERE rn <= 128),
+    uagg AS (SELECT CAST(count(*) AS BIGINT) AS ku, max(h) AS kth FROM ubk),
+    est AS (SELECT ku,
+                   CASE WHEN ku < 128 THEN ku
+                        ELSE CAST(CAST(127 AS HUGEINT) * 1152921504606846976
+                               // kth AS BIGINT) END AS est_union
+            FROM uagg),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common FROM ubk u
+      WHERE EXISTS (SELECT 1 FROM bk WHERE grp = '1-URGENT' AND bk.h = u.h)
+        AND EXISTS (SELECT 1 FROM bk WHERE grp = '2-HIGH' AND bk.h = u.h))
+    SELECT 'urgent_vs_high' AS pair, c.n_common, e.est_union,
+           c.n_common * e.est_union // e.ku AS est_intersection,
+           c.n_common * CAST(1000000 AS BIGINT) // e.ku AS jaccard_fp
+    FROM common c, est e"""
+
   /** q102: q82's incremental SimHash pair set with the indexed
     * doc_id % 7 = 3 slice deleted — pairs touching a deleted index doc
     * drop; new×new pairs are unaffected.
@@ -5400,6 +5462,8 @@ object OracleSql {
     "q168_fuzzy_auto_dial" -> q168,
     "q169_unigram_vocab" -> q169,
     "q170_unigram_segment" -> q170,
+    "q171_theta_distinct" -> q171,
+    "q172_theta_intersect" -> q172,
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

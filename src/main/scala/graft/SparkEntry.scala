@@ -3215,6 +3215,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bottom-k (KMV/theta) distinct sketch
+    * ([[graft.operators.ThetaSketch]]): per-priority sketches of the
+    * customer key (k = 128 — engaged, not degenerate: every priority
+    * sees more than 128 distinct customers at sf0.01), with the exact
+    * integer `(k−1)·2^60 DIV h_k` estimate. The oracle re-derives the
+    * bottom-k hash sets and the HUGEINT quotient bit-for-bit.
+    */
+  def q171_theta_distinct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    ThetaSketch.estimate(
+      ThetaSketch.sketch(o, Seq("o_orderpriority"), "o_custkey", k = 128),
+      Seq("o_orderpriority"), k = 128)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Theta-sketch set operations ([[graft.operators.ThetaSketch
+    * .intersect]]): the distinct-customer overlap between URGENT and
+    * HIGH orders — union/intersection/Jaccard estimates from the two
+    * bottom-k sketches alone, the audience-overlap query HLL cannot
+    * answer. All quantities are exact integer facts of the retained
+    * hash sets, so the oracle hash-matches them.
+    */
+  def q172_theta_intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("pair", lit("urgent_vs_high"))
+    def side(p: String) = ThetaSketch.sketch(
+      o.filter(col("o_orderpriority") === p), Seq("pair"), "o_custkey", k = 128)
+    ThetaSketch.intersect(side("1-URGENT"), side("2-HIGH"),
+      Seq("pair"), k = 128)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3388,6 +3418,8 @@ object SparkEntry {
     "q168_fuzzy_auto_dial" -> (q168_fuzzy_auto_dial _),
     "q169_unigram_vocab" -> (q169_unigram_vocab _),
     "q170_unigram_segment" -> (q170_unigram_segment _),
+    "q171_theta_distinct" -> (q171_theta_distinct _),
+    "q172_theta_intersect" -> (q172_theta_intersect _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
