@@ -5431,6 +5431,9 @@ object OracleSql {
     "q138_fuzzy_blocks" -> q138,
     "q139_fuzzy_entities" -> q139,
     "q140_bm25_batch" -> q140,
+    // q173 runs q140's EXACT workload through the pruned batch path —
+    // same oracle text; the hash match is the per-query rank-safety proof
+    "q173_bm25_batch_pruned" -> q140,
     "q141_hybrid_search" -> q141,
     // incremental == batch rebuild: the oracle IS q137's batch
     // derivation — the hash match is the incremental-equivalence proof

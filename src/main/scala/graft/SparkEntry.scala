@@ -3245,6 +3245,23 @@ object SparkEntry {
       Seq("pair"), k = 128)
   }
 
+  /** q140's batch retrieval through the PRUNED multi-query path
+    * ([[graft.operators.Bm25.searchManyPostingsPruned]]): identical
+    * queries, identical oracle — the hash match proves per-query
+    * rank-safety of the shared-heads pruning + plan-side
+    * accept/fallback split end-to-end (q135's single-query twin).
+    */
+  def q173_bm25_batch_pruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
+      (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
+    Bm25.searchManyPostingsPruned(Bm25.postings(docs, "text", "doc_id"),
+        Bm25.docLens(docs, "text", "doc_id"), "doc_id",
+        queries, "query_id", "term", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3420,6 +3437,7 @@ object SparkEntry {
     "q170_unigram_segment" -> (q170_unigram_segment _),
     "q171_theta_distinct" -> (q171_theta_distinct _),
     "q172_theta_intersect" -> (q172_theta_intersect _),
+    "q173_bm25_batch_pruned" -> (q173_bm25_batch_pruned _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -321,6 +321,86 @@ object Bm25 {
       docLens(docs, textCol, idCol), idCol, query, k,
       materializeCandidates = true)
 
+  /** BATCH retrieval with [[searchPostingsPruned]]'s rank-safe pruning —
+    * the contamination-mining shape (thousands of benchmark questions)
+    * where pruning matters most: per-term impact heads are computed
+    * ONCE and shared by every query using the term, so the per-(query,
+    * doc) rescore exchange carries O(b · terms-per-query · queries)
+    * rows instead of every (query, matching-posting) pair.
+    *
+    * Per-query soundness, decided entirely in the plan (no per-query
+    * driver collects): a query accepts iff every one of its terms is
+    * exhausted (all postings kept → its candidates are complete), or
+    * its k-th rescored score STRICTLY exceeds Σ cutoffs of its
+    * non-exhausted terms. Queries that cannot be proven re-dispatch
+    * through the FULL [[searchManyPostings]] restricted to just those
+    * queries — results are identical to the full batch path for every
+    * query either way (Bm25Spec sweeps budgets incl. forced
+    * fallbacks). The only driver materialization is the ≤|terms|-row
+    * cutoff table; the candidate-pair table (≤ b·|terms| rows of
+    * (query, doc)) broadcasts — at 10k benchmark queries that is a
+    * few-MB broadcast, the batch-query contract this surface already
+    * assumes.
+    */
+  def searchManyPostingsPruned(post: DataFrame, lens: DataFrame,
+      idCol: String, queries: DataFrame, qidCol: String, termCol: String,
+      k: Int, b: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val headB = if (b > 0) b else math.max(8 * k, 64)
+    val q = queries.select(col(qidCol).as("__qid"),
+      lower(col(termCol)).as("term")).distinct()
+      .localCheckpoint(eager = true) // benchmark-sized, read four times
+    val meta = metaFrame(lens)
+    val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
+    val weighted = cand
+      .join(broadcast(idfFrame(cand, meta)), "term")
+      .crossJoin(broadcast(meta.select(col("__avg"))))
+      .withColumn("__w", termWeight)
+      .select(col("term"), col(idCol), col("__w"))
+    val heads = TopKPerGroup(weighted, Seq("term"), "__w", idCol, headB)
+      .localCheckpoint(eager = true) // ≤ |terms|·b rows
+    val termStats = heads.groupBy(col("term"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(col("__w")).cast("long").as("__cut"))
+      .localCheckpoint(eager = true) // ≤ |terms| rows
+    // per-query outside upper bound: Σ cutoffs over NON-exhausted terms
+    // (a term absent from the postings contributes nothing either way)
+    val ub = q.join(termStats, Seq("term"), "left")
+      .groupBy(col("__qid"))
+      .agg(coalesce(sum(when(col("__cnt") === headB, col("__cut"))
+        .otherwise(0L)), lit(0L)).as("__ub"))
+    // exact rescore of each query's head documents
+    val candPairs = q.join(heads.select(col("term"), col(idCol)), "term")
+      .select(col("__qid"), col(idCol)).distinct()
+    val scored = weighted
+      .join(broadcast(q), "term")
+      .join(broadcast(candPairs), Seq("__qid", idCol), "left_semi")
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+    val pruned = TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
+      .select(col("__qid"), col(idCol),
+        col("score_fp").cast("long").as("score_fp"), col("rank"))
+      .localCheckpoint(eager = true) // ≤ k·|queries| rows
+    // acceptance: all-exhausted (ub = 0), or k rows with kth > ub strictly
+    val kth = pruned.filter(col("rank") === k)
+      .select(col("__qid"), col("score_fp").as("__kth"))
+    val verdict = ub.join(kth, Seq("__qid"), "left")
+      .select(col("__qid"),
+        (col("__ub") === 0L ||
+          coalesce(col("__kth") > col("__ub"), lit(false))).as("__ok"))
+      .localCheckpoint(eager = true) // 1 row per query
+    val okQ = verdict.filter(col("__ok")).select(col("__qid"))
+    val failedQ = verdict.filter(!col("__ok")).select(col("__qid"))
+    val accepted = pruned.join(broadcast(okQ), Seq("__qid"), "left_semi")
+    val fallback = searchManyPostings(post, lens, idCol,
+      q.join(broadcast(failedQ), Seq("__qid"), "left_semi")
+        .select(col("__qid").as(qidCol), col("term").as(termCol)),
+      qidCol, termCol, k)
+    accepted
+      .select(col("__qid").as(qidCol), col(idCol), col("score_fp"), col("rank"))
+      .unionByName(fallback)
+  }
+
   /** POSITIONAL postings `(id, term, pos)` — one row per token
     * occurrence (pos is the 0-based token index). The phrase-query
     * index: additive over disjoint doc sets, takedown by

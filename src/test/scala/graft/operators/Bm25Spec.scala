@@ -165,6 +165,28 @@ class Bm25Spec extends SparkSpec {
         .collect().map(_.toString).toSeq)
   }
 
+  test("pruned BATCH retrieval is rank-safe per query: == the full batch " +
+      "path across head budgets, incl. mixed accept/fallback batches") {
+    val post = Bm25.postings(bigDocs, "text", "doc_id")
+    val lens = Bm25.docLens(bigDocs, "text", "doc_id")
+    // query 1 leans on the rare term (prunes well); query 2 is all
+    // flooded terms (small budgets force ITS fallback while query 1
+    // stays accepted — the mixed-batch split); query 3 matches nothing
+    val queries = Seq((1L, "rare"), (1L, "word"), (2L, "common"),
+      (2L, "filler"), (3L, "absent")).toDF("query_id", "term")
+    def full(k: Int) = Bm25.searchManyPostings(post, lens, "doc_id",
+        queries, "query_id", "term", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    for (k <- Seq(1, 3, 10); b <- Seq(2, 4, 16, 1024)) {
+      val pruned = Bm25.searchManyPostingsPruned(post, lens, "doc_id",
+          queries, "query_id", "term", k, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(pruned == full(k), s"k=$k b=$b diverged")
+    }
+  }
+
   test("impact meta: additive merge == batch; bounds stay sound after " +
       "deletes; exhausted-corpus shortcut dispatches the plain probe") {
     val a = bigDocs.filter($"doc_id" % 2 === 0)
