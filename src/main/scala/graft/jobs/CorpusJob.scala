@@ -913,10 +913,14 @@ object CorpusJob {
     // storage — the estimate is the optimizer's input-size statistic,
     // decided once per pass
     val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // per-pass subdirectory under EITHER root: two passes sharing a
+    // caller-set stagingDir (daily batches, fit-then-batch) must not
+    // overwrite each other's staged files while earlier passes' lazy
+    // frames still read them
     val storeDir: Option[String] =
       if (estBytes <= BigInt(cfg.stagingBudgetBytes)) None
-      else Some(cfg.stagingDir.getOrElse(
-        s"$autoStagingRoot/pass-${stagingPass.incrementAndGet()}"))
+      else Some(s"${cfg.stagingDir.getOrElse(autoStagingRoot)}" +
+        s"/pass-${stagingPass.incrementAndGet()}")
     // one line of operational telemetry per pass: which regime ran and
     // on what evidence — a silent regime flip would be undebuggable
     System.err.println(s"[curate] staging=" +
@@ -1162,7 +1166,15 @@ object CorpusJob {
       shardTokens: Long = 100000L,
       packTokens: Option[Long] = None,
       hostRanks: Option[DataFrame] = None): Map[String, Long] = {
-    val ann = curate(docs, cfg, blocked, embeddings, hostRanks).cache()
+    // staging under the job's own output tree unless the caller chose a
+    // dir: the pass's staged frames are DEAD once the exports below
+    // materialize, so this job owns (and removes) them — without this,
+    // a long-lived session of daily store-regime runs leaks ~4
+    // full-text copies of each pass on the staging disk until JVM exit
+    val ownStaging = cfg.stagingDir.isEmpty
+    val cfg2 = if (ownStaging)
+      cfg.copy(stagingDir = Some(s"$outDir/_staging")) else cfg
+    val ann = curate(docs, cfg2, blocked, embeddings, hostRanks).cache()
     try {
       ann.write.mode("overwrite").parquet(s"$outDir/annotated")
       ann.filter(col("kept"))
@@ -1184,7 +1196,17 @@ object CorpusJob {
         .agg(count(lit(1)).as("n"))
       funnel.write.mode("overwrite").parquet(s"$outDir/funnel")
       funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    } finally ann.unpersist()
+    } finally {
+      ann.unpersist()
+      // every export is materialized (ann is cached; corpus/shards/
+      // packed/funnel re-read their own parquet) — the staged frames
+      // have no remaining reader
+      if (ownStaging) scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/_staging")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
   }
 
   /** Bootstrap the INCREMENTAL curation pipeline: run the one-shot

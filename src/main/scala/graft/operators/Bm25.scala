@@ -121,6 +121,18 @@ object Bm25 {
   private def termWeight: Column = col("__idf") *
     expr("(22528L * tf * __avg) div (10L * tf * __avg + 3L * __avg + 2304L * dl)")
 
+  /** Exact current impact of every candidate posting row: the
+    * broadcast ≤|q|-row idf table (df derived from the candidates
+    * themselves), the broadcast 1-row corpus meta, and [[termWeight]]
+    * as `__w` — the ONE scoring definition all four probe paths share
+    * (the pruned == full rank-safety proofs require them to be the
+    * same code, not four copies kept in lockstep by hand).
+    */
+  private def weightedCandidates(cand: DataFrame, meta: DataFrame): DataFrame =
+    cand.join(broadcast(idfFrame(cand, meta)), "term")
+      .crossJoin(broadcast(meta.select(col("__avg"))))
+      .withColumn("__w", termWeight)
+
   /** Top-k documents for `query` against a postings index: filter the
     * postings to the query's terms (partition-pruned when the index is
     * stored by term), derive df per term from those rows, broadcast
@@ -139,10 +151,7 @@ object Bm25 {
     val q = query.map(_.toLowerCase).distinct
     val meta = metaFrame(lens)
     val cand = post.filter(col("term").isin(q: _*))
-    val top = cand
-      .join(broadcast(idfFrame(cand, meta)), "term")
-      .crossJoin(broadcast(meta.select(col("__avg"))))
-      .withColumn("__w", termWeight)
+    val top = weightedCandidates(cand, meta)
       .groupBy(col(idCol))
       .agg(sum(col("__w")).as("score_fp"))
       .orderBy(col("score_fp").desc, col(idCol))
@@ -173,11 +182,8 @@ object Bm25 {
       lower(col(termCol)).as("term")).distinct()
     val meta = metaFrame(lens)
     val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
-    val scored = cand
+    val scored = weightedCandidates(cand, meta)
       .join(broadcast(q), "term")
-      .join(broadcast(idfFrame(cand, meta)), "term")
-      .crossJoin(broadcast(meta.select(col("__avg"))))
-      .withColumn("__w", termWeight)
       .groupBy(col("__qid"), col(idCol))
       .agg(sum(col("__w")).as("score_fp"))
     TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
@@ -275,10 +281,7 @@ object Bm25 {
     if (shortcut) return searchPostings(post, lens, idCol, query, k)
     val corpusMeta = metaFrame(lens)
     val cand = post.filter(col("term").isin(q: _*))
-    val weighted0 = cand
-      .join(broadcast(idfFrame(cand, corpusMeta)), "term")
-      .crossJoin(broadcast(corpusMeta.select(col("__avg"))))
-      .withColumn("__w", termWeight)
+    val weighted0 = weightedCandidates(cand, corpusMeta)
       .select(col("term"), col(idCol), col("__w"))
     val weighted =
       if (materializeCandidates) weighted0.localCheckpoint(eager = true)
@@ -352,10 +355,7 @@ object Bm25 {
       .localCheckpoint(eager = true) // benchmark-sized, read four times
     val meta = metaFrame(lens)
     val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
-    val weighted = cand
-      .join(broadcast(idfFrame(cand, meta)), "term")
-      .crossJoin(broadcast(meta.select(col("__avg"))))
-      .withColumn("__w", termWeight)
+    val weighted = weightedCandidates(cand, meta)
       .select(col("term"), col(idCol), col("__w"))
     val heads = TopKPerGroup(weighted, Seq("term"), "__w", idCol, headB)
       .localCheckpoint(eager = true) // ≤ |terms|·b rows
@@ -364,11 +364,18 @@ object Bm25 {
         min(col("__w")).cast("long").as("__cut"))
       .localCheckpoint(eager = true) // ≤ |terms| rows
     // per-query outside upper bound: Σ cutoffs over NON-exhausted terms
-    // (a term absent from the postings contributes nothing either way)
+    // (a term absent from the postings contributes nothing either way),
+    // plus the COUNT-BASED exhaustion flag: `__ub = 0` is NOT the same
+    // as "all terms exhausted" — a saturated term whose postings all
+    // weigh 0 (idf_fp floors to 0 once df ≈ N) has cutoff 0 while its
+    // tail is very much alive, and accepting on the zero bound alone
+    // would return an incomplete candidate set
     val ub = q.join(termStats, Seq("term"), "left")
       .groupBy(col("__qid"))
       .agg(coalesce(sum(when(col("__cnt") === headB, col("__cut"))
-        .otherwise(0L)), lit(0L)).as("__ub"))
+        .otherwise(0L)), lit(0L)).as("__ub"),
+        coalesce(max(when(col("__cnt") === headB, 1).otherwise(0)), lit(0))
+          .as("__anyfull"))
     // exact rescore of each query's head documents
     val candPairs = q.join(heads.select(col("term"), col(idCol)), "term")
       .select(col("__qid"), col(idCol)).distinct()
@@ -381,12 +388,13 @@ object Bm25 {
       .select(col("__qid"), col(idCol),
         col("score_fp").cast("long").as("score_fp"), col("rank"))
       .localCheckpoint(eager = true) // ≤ k·|queries| rows
-    // acceptance: all-exhausted (ub = 0), or k rows with kth > ub strictly
+    // acceptance: all terms exhausted (count-based), or k rows with
+    // kth > ub STRICTLY (an outside tie could win the id tie-break)
     val kth = pruned.filter(col("rank") === k)
       .select(col("__qid"), col("score_fp").as("__kth"))
     val verdict = ub.join(kth, Seq("__qid"), "left")
       .select(col("__qid"),
-        (col("__ub") === 0L ||
+        (col("__anyfull") === 0 ||
           coalesce(col("__kth") > col("__ub"), lit(false))).as("__ok"))
       .localCheckpoint(eager = true) // 1 row per query
     val okQ = verdict.filter(col("__ok")).select(col("__qid"))

@@ -152,10 +152,17 @@ object ThetaSketch {
     */
   def intersect(skA: DataFrame, skB: DataFrame, groupCols: Seq[String],
       k: Int = 256): DataFrame = {
-    val u = merge(skA, skB)(groupCols, k)
+    // each side feeds the union build AND a membership join, and the
+    // union feeds the membership aggregate AND its own estimate —
+    // checkpoint all three (≤ k rows per group each) so a caller
+    // passing un-materialized sketch pipelines computes each ONCE
+    val cols = groupCols :+ "h"
+    val a = skA.select(cols.map(col): _*).localCheckpoint(eager = true)
+    val b = skB.select(cols.map(col): _*).localCheckpoint(eager = true)
+    val u = merge(a, b)(groupCols, k).localCheckpoint(eager = true)
     val both = u
-      .join(skA.withColumn("__ina", lit(1)), groupCols :+ "h", "left")
-      .join(skB.withColumn("__inb", lit(1)), groupCols :+ "h", "left")
+      .join(a.withColumn("__ina", lit(1)), cols, "left")
+      .join(b.withColumn("__inb", lit(1)), cols, "left")
     val est = estimate(u, groupCols, k)
       .select(groupCols.map(col) :+ col("est_distinct").as("est_union"): _*)
     both.groupBy(groupCols.map(col): _*)

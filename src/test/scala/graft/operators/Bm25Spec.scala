@@ -187,6 +187,31 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("pruned batch: a saturated zero-idf term cannot fake exhaustion — " +
+      "the zero cutoff sum routes to fallback and results == full") {
+    // N = 748: log2fp(2N+2) == log2fp(2N+1) in Q10, so idf_fp = 0 and
+    // every posting of the saturated term weighs 0. With b < N the
+    // term's head is FULL (not exhausted) yet all cutoffs are 0 —
+    // accepting on "ub == 0" would return an incomplete candidate set;
+    // the count-based exhaustion check must dispatch the fallback.
+    val docs = (1L to 748L).map(i => (i, "every doc has this word"))
+      .toDF("doc_id", "text")
+    val post = Bm25.postings(docs, "text", "doc_id")
+    val lens = Bm25.docLens(docs, "text", "doc_id")
+    val queries = Seq((1L, "every")).toDF("query_id", "term")
+    val full = Bm25.searchManyPostings(post, lens, "doc_id",
+        queries, "query_id", "term", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(full.size == 10 && full.forall(_._3 == 0L), // the premise holds
+      s"expected 10 zero-score rows, got $full")
+    val pruned = Bm25.searchManyPostingsPruned(post, lens, "doc_id",
+        queries, "query_id", "term", k = 10, b = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(pruned == full)
+  }
+
   test("impact meta: additive merge == batch; bounds stay sound after " +
       "deletes; exhausted-corpus shortcut dispatches the plain probe") {
     val a = bigDocs.filter($"doc_id" % 2 === 0)
