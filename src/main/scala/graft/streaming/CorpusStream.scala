@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.{Dedup, IvfIndex, SubstringDedup}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** Streaming incremental near-duplicate detection: documents arrive as
@@ -470,6 +471,101 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Streaming sketch-table maintenance — the metrics twin of
+    * [[runIncrementalSearchIndex]] for the mergeable sketch family:
+    * each micro-batch appends its own bounded sketch rows (a theta
+    * bottom-k of `keyCol` and a quantile-sketch struct of `valueCol`
+    * per group), and READERS merge: both states are canonical
+    * functions of the union multiset/set, so
+    * `merge(batch sketches) == sketch(whole stream)` exactly
+    * (CorpusStreamSpec) — the daily-distinct / daily-percentile
+    * dashboards ride the accumulated table with no corpus replay.
+    * Appends are per-batch-sized (≤ groups × (k + 1) rows each), so
+    * the state grows with BATCH COUNT, not data; fold it down any
+    * time with [[compactSketchState]] (merge-rewrite, value-identical
+    * by the canonical-merge property). Same exactly-once discipline:
+    * idempotent `__batch_id` partitions + `_committed` marker last.
+    */
+  def runIncrementalSketches(
+      spark: SparkSession,
+      docs: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      k: Int = 256): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, stateDir).exists(_ >= bid)) ()
+        else {
+          val b = batch.cache()
+          try {
+            Zone.appendBatch(
+              graft.operators.ThetaSketch.sketch(b, groupCols, keyCol, k),
+              s"$stateDir/theta", bid)
+            val agg = udaf(new graft.operators.QuantileSketch.Agg(k),
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong))
+            Zone.appendBatch(
+              b.filter(col(valueCol).isNotNull)
+                .groupBy(groupCols.map(col): _*)
+                .agg(agg(graft.functions.AuditableHash.h60(col(keyCol)),
+                  col(valueCol).cast("long")).as("sk"))
+                .select(groupCols.map(col) ++ Seq(col("sk.n").as("n"),
+                  col("sk.level").as("level"), col("sk.hashes").as("hashes"),
+                  col("sk.values").as("values")): _*),
+              s"$stateDir/quantile", bid)
+            Zone.markBatchCommitted(spark, stateDir, bid)
+          } finally b.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merged views of a [[runIncrementalSketches]] state: the theta
+    * rows re-trimmed and the quantile structs re-aggregated — each
+    * equal to the one-shot sketch of every committed batch's input
+    * (canonical merge). Returns (theta, quantile) frames.
+    */
+  def readMergedSketches(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int = 256): (DataFrame, DataFrame) = {
+    val theta = graft.operators.ThetaSketch.merge(
+      spark.read.parquet(s"$stateDir/theta"))(groupCols, k)
+    val mergeAgg = udaf(new graft.operators.QuantileSketch.MergeAgg(k),
+      org.apache.spark.sql.Encoders.product[
+        graft.operators.QuantileSketch.QSketch])
+    val quant = spark.read.parquet(s"$stateDir/quantile")
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeAgg(col("n"), col("level"), col("hashes"), col("values"))
+        .as("sk"))
+    (theta, quant)
+  }
+
+  /** Fold the accumulated per-batch sketch rows down to one merged
+    * state (value-identical — canonical merge), resetting growth to
+    * one batch's footprint. Uses the next batch id slot so replay
+    * markers stay monotonic.
+    */
+  def compactSketchState(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int = 256): Unit = {
+    val (theta, quant) = readMergedSketches(spark, stateDir, groupCols, k)
+    val flat = quant.select(groupCols.map(col) ++ Seq(col("sk.n").as("n"),
+      col("sk.level").as("level"), col("sk.hashes").as("hashes"),
+      col("sk.values").as("values")): _*)
+    Zone.overwriteInPlace(spark,
+      theta.withColumn("__batch_id",
+        lit(Zone.lastCommittedBatch(spark, stateDir).getOrElse(0L))),
+      s"$stateDir/theta")
+    Zone.overwriteInPlace(spark,
+      flat.withColumn("__batch_id",
+        lit(Zone.lastCommittedBatch(spark, stateDir).getOrElse(0L))),
+      s"$stateDir/quantile")
   }
 
   /** Streaming training-shard export — the continuous form of the

@@ -627,4 +627,70 @@ class CorpusStreamSpec extends SparkSpec {
     val after1 = shas(annDir).filter(_._1.startsWith("__batch_id=1"))
     assert(after1 == before1, "untouched batch partitions must stay byte-identical")
   }
+
+  test("streaming sketches: merged state == one-shot over the whole " +
+      "stream; kill-and-replay value-identical; compaction preserves " +
+      "the merged values") {
+    val base = tmpDir("sketchstream")
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val inDir = s"$base/in"
+    orders.filter($"o_custkey" % 3 === 0).write.parquet(inDir)
+    orders.filter($"o_custkey" % 3 === 1).write.mode("append").parquet(inDir)
+    orders.filter($"o_custkey" % 3 === 2).write.mode("append").parquet(inDir)
+
+    val k = 64
+    def start() = CorpusStream.runIncrementalSketches(spark,
+      spark.readStream.schema(orders.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      Seq("o_orderpriority"), "o_custkey", "cents",
+      s"$base/state", s"$base/ckpt", k)
+    start().awaitTermination()
+
+    def snapshot(): (Seq[String], Seq[String]) = {
+      val (theta, quant) = CorpusStream.readMergedSketches(spark,
+        s"$base/state", Seq("o_orderpriority"), k)
+      (graft.operators.ThetaSketch.estimate(theta, Seq("o_orderpriority"), k)
+        .orderBy($"o_orderpriority").collect().map(_.toString).toSeq,
+       quant.select($"o_orderpriority", $"sk.n", $"sk.level",
+          graft.operators.QuantileSketch.sampleXor($"sk").as("xh"),
+          graft.operators.QuantileSketch.estimate($"sk", 50).as("p50"))
+        .orderBy($"o_orderpriority").collect().map(_.toString).toSeq)
+    }
+    val streamed = snapshot()
+
+    // one-shot over the whole input — canonical merge makes them equal
+    val wholeTheta = graft.operators.ThetaSketch.estimate(
+      graft.operators.ThetaSketch.sketch(orders, Seq("o_orderpriority"),
+        "o_custkey", k), Seq("o_orderpriority"), k)
+      .orderBy($"o_orderpriority").collect().map(_.toString).toSeq
+    val qAgg = udaf(new graft.operators.QuantileSketch.Agg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val wholeQuant = orders
+      .groupBy($"o_orderpriority")
+      .agg(qAgg(graft.functions.AuditableHash.h60($"o_custkey"),
+        $"cents").as("sk"))
+      .select($"o_orderpriority", $"sk.n", $"sk.level",
+        graft.operators.QuantileSketch.sampleXor($"sk").as("xh"),
+        graft.operators.QuantileSketch.estimate($"sk", 50).as("p50"))
+      .orderBy($"o_orderpriority").collect().map(_.toString).toSeq
+    assert(streamed._1 == wholeTheta)
+    assert(streamed._2 == wholeQuant)
+
+    // exactly-once: crash before the marker, replay, value-identical
+    val before = Seq(s"$base/state/theta", s"$base/state/quantile").map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/state")
+    start().awaitTermination()
+    assert(Seq(s"$base/state/theta", s"$base/state/quantile").map(multiset)
+      == before, "kill-and-replay changed the sketch state")
+    assert(snapshot() == streamed)
+
+    // compaction folds the per-batch rows, values unchanged
+    CorpusStream.compactSketchState(spark, s"$base/state",
+      Seq("o_orderpriority"), k)
+    assert(snapshot() == streamed)
+  }
 }
