@@ -2395,12 +2395,25 @@ object OracleSql {
                         ELSE CAST(CAST(127 AS HUGEINT) * 1152921504606846976
                                // kth AS BIGINT) END AS est_union
             FROM uagg),
+    flags AS (
+      SELECT u.h,
+             EXISTS (SELECT 1 FROM bk
+                     WHERE grp = '1-URGENT' AND bk.h = u.h) AS ina,
+             EXISTS (SELECT 1 FROM bk
+                     WHERE grp = '2-HIGH' AND bk.h = u.h) AS inb
+      FROM ubk u),
     common AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_common FROM ubk u
-      WHERE EXISTS (SELECT 1 FROM bk WHERE grp = '1-URGENT' AND bk.h = u.h)
-        AND EXISTS (SELECT 1 FROM bk WHERE grp = '2-HIGH' AND bk.h = u.h))
+      SELECT CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common,
+             CAST(sum(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+               AS onlya,
+             CAST(sum(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT)
+               AS onlyb
+      FROM flags)
     SELECT 'urgent_vs_high' AS pair, c.n_common, e.est_union,
            c.n_common * e.est_union // e.ku AS est_intersection,
+           c.onlya * e.est_union // e.ku AS est_only_a,
+           c.onlyb * e.est_union // e.ku AS est_only_b,
            c.n_common * CAST(1000000 AS BIGINT) // e.ku AS jaccard_fp
     FROM common c, est e"""
 

@@ -142,13 +142,14 @@ object ThetaSketch {
 
   /** Set-operation estimates between the sketches of two key sets
     * (same k), per group: `(groupCols…, n_common, est_union,
-    * est_intersection, jaccard_fp)`. The union sketch is the bottom-k
-    * of the hash union; `n_common` counts retained union hashes
-    * present in BOTH sides (the standard theta intersection);
-    * `est_intersection = n_common·est_union DIV k'` and
-    * `jaccard_fp = n_common·10^6 DIV k'` with k' = the union's
+    * est_intersection, est_only_a, est_only_b, jaccard_fp)`. The union
+    * sketch is the bottom-k of the hash union; `n_common` counts
+    * retained union hashes present in BOTH sides (the standard theta
+    * intersection), and the difference legs count one-sided retained
+    * hashes the same way; each estimate is `count·est_union DIV k'`
+    * and `jaccard_fp = n_common·10^6 DIV k'` with k' = the union's
     * retained count (= min(k, |A∪B| distinct) — small sets stay
-    * exact).
+    * exact, and the three estimates always sum to ≈ est_union).
     */
   def intersect(skA: DataFrame, skB: DataFrame, groupCols: Seq[String],
       k: Int = 256): DataFrame = {
@@ -168,12 +169,18 @@ object ThetaSketch {
     both.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__ku"),
         sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
-          .as("n_common"))
+          .as("n_common"),
+        sum(when(col("__ina") === 1 && col("__inb").isNull, 1L).otherwise(0L))
+          .as("__onlya"),
+        sum(when(col("__ina").isNull && col("__inb") === 1, 1L).otherwise(0L))
+          .as("__onlyb"))
       .join(est, groupCols)
       .select(groupCols.map(col) ++ Seq(
         col("n_common"),
         col("est_union"),
         expr("n_common * est_union DIV __ku").as("est_intersection"),
+        expr("__onlya * est_union DIV __ku").as("est_only_a"),
+        expr("__onlyb * est_union DIV __ku").as("est_only_b"),
         expr("n_common * CAST(1000000 AS BIGINT) DIV __ku").as("jaccard_fp")): _*)
   }
 }

@@ -55,7 +55,9 @@ class ThetaSketchSpec extends SparkSpec {
     assert(r.getLong(1) == 40L)     // n_common exact
     assert(r.getLong(2) == 200L)    // est_union exact
     assert(r.getLong(3) == 40L)     // est_intersection exact
-    assert(r.getLong(4) == 200000L) // jaccard 0.2 exactly
+    assert(r.getLong(4) == 80L)     // est_only_a exact (1..80)
+    assert(r.getLong(5) == 80L)     // est_only_b exact (121..200)
+    assert(r.getLong(6) == 200000L) // jaccard 0.2 exactly
     // estimated regime: 10k ∪ 10k with 5k overlap (15k distinct)
     val bigA = (1 to 10000).map(i => ("p", s"u$i")).toDF("p", "v")
     val bigB = (5001 to 15000).map(i => ("p", s"u$i")).toDF("p", "v")
@@ -66,12 +68,17 @@ class ThetaSketchSpec extends SparkSpec {
       s"union est ${rb.getLong(2)}")
     assert(math.abs(rb.getLong(3) - 5000.0) / 5000.0 < 0.35,
       s"intersection est ${rb.getLong(3)}")
+    assert(math.abs(rb.getLong(4) - 5000.0) / 5000.0 < 0.35,
+      s"only-a est ${rb.getLong(4)}")
+    // the three legs tile the union (within integer-div truncation)
+    assert(math.abs(rb.getLong(3) + rb.getLong(4) + rb.getLong(5)
+      - rb.getLong(2)) <= 3)
     // disjoint
     val rd = ThetaSketch.intersect(
       ThetaSketch.sketch(bigA, Seq("p"), "v", K),
       ThetaSketch.sketch((20001 to 30000).map(i => ("p", s"u$i")).toDF("p", "v"),
         Seq("p"), "v", K), Seq("p"), K).head()
-    assert(rd.getLong(3) == 0L && rd.getLong(4) == 0L)
+    assert(rd.getLong(3) == 0L && rd.getLong(6) == 0L)
   }
 
   test("aggregator state is canonical: any split/merge tree equals the " +
