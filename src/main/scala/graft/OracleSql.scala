@@ -5480,6 +5480,22 @@ object OracleSql {
     "q170_unigram_segment" -> q170,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
+    // q174: the two hash-verified segmentation chains composed as
+    // self-contained subqueries, rolled up to corpus fertility per
+    // tokenizer (sum is HUGEINT in DuckDB — cast back; ‰ fixed point)
+    "q174_tokenizer_compare" -> s"""
+      SELECT tokenizer, n_docs, total_tokens, avg_tokens_fp FROM (
+        SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bpe_tokens) * 1000 // count(*) AS BIGINT)
+                 AS avg_tokens_fp
+        FROM ($q101)
+        UNION ALL
+        SELECT 'unigram', CAST(count(*) AS BIGINT),
+               CAST(sum(n_unigram_tokens) AS BIGINT),
+               CAST(sum(n_unigram_tokens) * 1000 // count(*) AS BIGINT)
+        FROM ($q170))
+      ORDER BY tokenizer""",
     "q160_seeded_pagerank" -> q160,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -3262,6 +3262,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Tokenizer evaluation: BPE (q101) vs unigram-LM (q170) corpus
+    * fertility side by side — docs covered, total pieces, and average
+    * pieces per document in ‰ fixed point. The one-table answer to
+    * "which tokenizer compresses this corpus better", computed from
+    * the two hash-verified segmentation chains (both counts include
+    * the `</w>` word markers — identical convention, so the
+    * comparison is apples-to-apples).
+    */
+  def q174_tokenizer_compare(s: SparkSession, dir: String): DataFrame = {
+    def roll(df: DataFrame, tokCol: String, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("total_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_docs"), col("total_tokens"),
+          expr("total_tokens * 1000L div n_docs").as("avg_tokens_fp"))
+    roll(q101_bpe_segment(s, dir), "n_bpe_tokens", "bpe")
+      .unionByName(roll(q170_unigram_segment(s, dir), "n_unigram_tokens",
+        "unigram"))
+      .orderBy(col("tokenizer"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3438,6 +3457,7 @@ object SparkEntry {
     "q171_theta_distinct" -> (q171_theta_distinct _),
     "q172_theta_intersect" -> (q172_theta_intersect _),
     "q173_bm25_batch_pruned" -> (q173_bm25_batch_pruned _),
+    "q174_tokenizer_compare" -> (q174_tokenizer_compare _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
