@@ -496,7 +496,10 @@ object CorpusStream {
       valueCol: String,
       stateDir: String,
       checkpointDir: String,
-      k: Int = 256): StreamingQuery =
+      k: Int = 256): StreamingQuery = {
+    // both aggregators must accept k, and the violation must surface
+    // HERE, not mid-batch after the theta append already landed
+    require(k >= 16, s"k must be >= 16 (the QuantileSketch floor), got $k")
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -511,11 +514,15 @@ object CorpusStream {
               org.apache.spark.sql.Encoders.tuple(
                 org.apache.spark.sql.Encoders.scalaLong,
                 org.apache.spark.sql.Encoders.scalaLong))
+            // NULL keys and failed value casts must drop BEFORE the
+            // non-nullable (Long, Long) input encoder, or one bad row
+            // kills the stream (the theta leg's sketch() filters too)
             Zone.appendBatch(
-              b.filter(col(valueCol).isNotNull)
+              b.withColumn("__h", graft.functions.AuditableHash.h60(col(keyCol)))
+                .withColumn("__v", col(valueCol).cast("long"))
+                .filter(col("__h").isNotNull && col("__v").isNotNull)
                 .groupBy(groupCols.map(col): _*)
-                .agg(agg(graft.functions.AuditableHash.h60(col(keyCol)),
-                  col(valueCol).cast("long")).as("sk"))
+                .agg(agg(col("__h"), col("__v")).as("sk"))
                 .select(groupCols.map(col) ++ Seq(col("sk.n").as("n"),
                   col("sk.level").as("level"), col("sk.hashes").as("hashes"),
                   col("sk.values").as("values")): _*),
@@ -527,45 +534,68 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Merged views of a [[runIncrementalSketches]] state: the theta
     * rows re-trimmed and the quantile structs re-aggregated — each
-    * equal to the one-shot sketch of every committed batch's input
-    * (canonical merge). Returns (theta, quantile) frames.
+    * equal to the one-shot sketch of every COMMITTED batch's input
+    * (canonical merge). Reads go through [[Zone.readBatchedBefore]]
+    * restricted to `marker + 1`, so a crash's orphan partition (appends
+    * landed, `_committed` not yet written) is invisible — the restart
+    * replays that batch idempotently, and a premature read here must
+    * not count it. Returns (theta, quantile) frames — empty frames
+    * before the first commit.
     */
   def readMergedSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int = 256): (DataFrame, DataFrame) = {
+    val upTo = Zone.lastCommittedBatch(spark, stateDir)
+      .map(_ + 1).getOrElse(0L)
+    def committed(sub: String, schema: String): DataFrame =
+      Zone.readBatchedBefore(spark, s"$stateDir/$sub", upTo)
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)))
+    val gddl = groupCols.map(g => s"$g STRING").mkString(", ")
     val theta = graft.operators.ThetaSketch.merge(
-      spark.read.parquet(s"$stateDir/theta"))(groupCols, k)
+      committed("theta", s"$gddl, h BIGINT"))(groupCols, k)
     val mergeAgg = udaf(new graft.operators.QuantileSketch.MergeAgg(k),
       org.apache.spark.sql.Encoders.product[
         graft.operators.QuantileSketch.QSketch])
-    val quant = spark.read.parquet(s"$stateDir/quantile")
+    val quant = committed("quantile",
+        s"$gddl, n BIGINT, level INT, hashes ARRAY<BIGINT>, values ARRAY<BIGINT>")
       .groupBy(groupCols.map(col): _*)
       .agg(mergeAgg(col("n"), col("level"), col("hashes"), col("values"))
         .as("sk"))
     (theta, quant)
   }
 
-  /** Fold the accumulated per-batch sketch rows down to one merged
-    * state (value-identical — canonical merge), resetting growth to
-    * one batch's footprint. Uses the next batch id slot so replay
-    * markers stay monotonic.
+  /** Fold the accumulated per-batch sketch rows into a FRESH state dir
+    * (value-identical — canonical merge over committed batches),
+    * resetting growth to one batch's footprint. Compaction writes a
+    * NEW directory rather than rewriting in place: an in-place swap
+    * racing a live stream can permanently drop a batch that commits
+    * between the merged read and the swap, and a mid-swap crash would
+    * need the overwrite-recovery dance on a dir other readers use.
+    * Protocol: STOP the stream, compact to `newStateDir`, restart the
+    * stream against `newStateDir` (same checkpoint — source offsets
+    * live there, and the carried-over committed marker keeps replay
+    * ids monotonic). The old dir stays untouched until the caller
+    * removes it.
     */
   def compactSketchState(spark: SparkSession, stateDir: String,
-      groupCols: Seq[String], k: Int = 256): Unit = {
+      newStateDir: String, groupCols: Seq[String], k: Int = 256): Unit = {
+    require(newStateDir != stateDir,
+      "compaction must target a fresh directory (see scaladoc)")
+    val marker = Zone.lastCommittedBatch(spark, stateDir).getOrElse {
+      return // nothing committed: nothing to compact
+    }
     val (theta, quant) = readMergedSketches(spark, stateDir, groupCols, k)
     val flat = quant.select(groupCols.map(col) ++ Seq(col("sk.n").as("n"),
       col("sk.level").as("level"), col("sk.hashes").as("hashes"),
       col("sk.values").as("values")): _*)
-    Zone.overwriteInPlace(spark,
-      theta.withColumn("__batch_id",
-        lit(Zone.lastCommittedBatch(spark, stateDir).getOrElse(0L))),
-      s"$stateDir/theta")
-    Zone.overwriteInPlace(spark,
-      flat.withColumn("__batch_id",
-        lit(Zone.lastCommittedBatch(spark, stateDir).getOrElse(0L))),
-      s"$stateDir/quantile")
+    Zone.appendBatch(theta, s"$newStateDir/theta", marker)
+    Zone.appendBatch(flat, s"$newStateDir/quantile", marker)
+    Zone.markBatchCommitted(spark, newStateDir, marker)
   }
 
   /** Streaming training-shard export — the continuous form of the

@@ -688,9 +688,32 @@ class CorpusStreamSpec extends SparkSpec {
       == before, "kill-and-replay changed the sketch state")
     assert(snapshot() == streamed)
 
-    // compaction folds the per-batch rows, values unchanged
+    // compaction folds the per-batch rows into a FRESH dir, values
+    // unchanged; the old dir is untouched
     CorpusStream.compactSketchState(spark, s"$base/state",
-      Seq("o_orderpriority"), k)
+      s"$base/state2", Seq("o_orderpriority"), k)
+    def snapshot2(): (Seq[String], Seq[String]) = {
+      val (theta, quant) = CorpusStream.readMergedSketches(spark,
+        s"$base/state2", Seq("o_orderpriority"), k)
+      (graft.operators.ThetaSketch.estimate(theta, Seq("o_orderpriority"), k)
+        .orderBy($"o_orderpriority").collect().map(_.toString).toSeq,
+       quant.select($"o_orderpriority", $"sk.n", $"sk.level",
+          graft.operators.QuantileSketch.sampleXor($"sk").as("xh"),
+          graft.operators.QuantileSketch.estimate($"sk", 50).as("p50"))
+        .orderBy($"o_orderpriority").collect().map(_.toString).toSeq)
+    }
+    assert(snapshot2() == streamed)
     assert(snapshot() == streamed)
+    // the compacted state is ONE batch partition per table
+    assert(multiset(s"$base/state2/theta").values.sum ==
+      graft.sources.Zone.readBatched(spark, s"$base/state2/theta").get.count())
+
+    // an ORPHAN partition (appends landed, marker not yet advanced) is
+    // invisible to readers until its batch commits
+    graft.sources.Zone.appendBatch(
+      spark.range(1).select(lit("9-FAKE").as("o_orderpriority"),
+        lit(123L).as("h")),
+      s"$base/state/theta", 99L)
+    assert(snapshot() == streamed, "uncommitted partition leaked into reads")
   }
 }
