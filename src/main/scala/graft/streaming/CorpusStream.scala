@@ -516,10 +516,13 @@ object CorpusStream {
                 org.apache.spark.sql.Encoders.scalaLong))
             // NULL keys and failed value casts must drop BEFORE the
             // non-nullable (Long, Long) input encoder, or one bad row
-            // kills the stream (the theta leg's sketch() filters too)
+            // kills the stream (the theta leg's sketch() filters too).
+            // try_cast, not cast: Spark 4 ANSI mode makes a plain cast
+            // THROW on malformed input — a poison-pill row would fail
+            // the batch on every replay forever
             Zone.appendBatch(
               b.withColumn("__h", graft.functions.AuditableHash.h60(col(keyCol)))
-                .withColumn("__v", col(valueCol).cast("long"))
+                .withColumn("__v", expr(s"try_cast(`$valueCol` AS BIGINT)"))
                 .filter(col("__h").isNotNull && col("__v").isNotNull)
                 .groupBy(groupCols.map(col): _*)
                 .agg(agg(col("__h"), col("__v")).as("sk"))
@@ -547,22 +550,27 @@ object CorpusStream {
     * before the first commit.
     */
   def readMergedSketches(spark: SparkSession, stateDir: String,
-      groupCols: Seq[String], k: Int = 256): (DataFrame, DataFrame) = {
-    val upTo = Zone.lastCommittedBatch(spark, stateDir)
-      .map(_ + 1).getOrElse(0L)
-    def committed(sub: String, schema: String): DataFrame =
+      groupCols: Seq[String], k: Int = 256): (DataFrame, DataFrame) =
+    readMergedUpTo(spark, stateDir,
+      Zone.lastCommittedBatch(spark, stateDir).map(_ + 1).getOrElse(0L),
+      groupCols, k)
+
+  private def readMergedUpTo(spark: SparkSession, stateDir: String,
+      upTo: Long, groupCols: Seq[String], k: Int): (DataFrame, DataFrame) = {
+    def committed(sub: String): DataFrame =
       Zone.readBatchedBefore(spark, s"$stateDir/$sub", upTo)
-        .getOrElse(spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(schema)))
-    val gddl = groupCols.map(g => s"$g STRING").mkString(", ")
+        // fail loudly rather than invent a wrongly-typed empty frame:
+        // group-column types are only knowable from written data, and a
+        // silently STRING-typed empty would flip schema on first commit
+        .getOrElse(throw new IllegalStateException(
+          s"no sketch state under $stateDir/$sub — the stream has not " +
+            "written yet (read after the first committed batch)"))
     val theta = graft.operators.ThetaSketch.merge(
-      committed("theta", s"$gddl, h BIGINT"))(groupCols, k)
+      committed("theta"))(groupCols, k)
     val mergeAgg = udaf(new graft.operators.QuantileSketch.MergeAgg(k),
       org.apache.spark.sql.Encoders.product[
         graft.operators.QuantileSketch.QSketch])
-    val quant = committed("quantile",
-        s"$gddl, n BIGINT, level INT, hashes ARRAY<BIGINT>, values ARRAY<BIGINT>")
+    val quant = committed("quantile")
       .groupBy(groupCols.map(col): _*)
       .agg(mergeAgg(col("n"), col("level"), col("hashes"), col("values"))
         .as("sk"))
@@ -584,12 +592,21 @@ object CorpusStream {
     */
   def compactSketchState(spark: SparkSession, stateDir: String,
       newStateDir: String, groupCols: Seq[String], k: Int = 256): Unit = {
-    require(newStateDir != stateDir,
-      "compaction must target a fresh directory (see scaladoc)")
+    // FRESH means fresh: an existing target (including the source dir
+    // under an aliased spelling, or a rerun against a live target)
+    // would mix stale partitions with the fold and could move the
+    // committed marker BACKWARD
+    require(!Zone.exists(spark, newStateDir),
+      s"compaction target $newStateDir already exists — " +
+        "compact to a fresh directory (see scaladoc)")
     val marker = Zone.lastCommittedBatch(spark, stateDir).getOrElse {
       return // nothing committed: nothing to compact
     }
-    val (theta, quant) = readMergedSketches(spark, stateDir, groupCols, k)
+    // the bound is read ONCE and used for both the fold and the new
+    // marker: a batch committing mid-compaction (protocol violation)
+    // must not be folded under an older marker and then replayed twice
+    val (theta, quant) = readMergedUpTo(spark, stateDir, marker + 1,
+      groupCols, k)
     val flat = quant.select(groupCols.map(col) ++ Seq(col("sk.n").as("n"),
       col("sk.level").as("level"), col("sk.hashes").as("hashes"),
       col("sk.values").as("values")): _*)

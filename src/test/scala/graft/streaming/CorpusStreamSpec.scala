@@ -704,9 +704,18 @@ class CorpusStreamSpec extends SparkSpec {
     }
     assert(snapshot2() == streamed)
     assert(snapshot() == streamed)
-    // the compacted state is ONE batch partition per table
-    assert(multiset(s"$base/state2/theta").values.sum ==
-      graft.sources.Zone.readBatched(spark, s"$base/state2/theta").get.count())
+    // the compacted state is ONE batch partition per table (count the
+    // actual __batch_id partition directories, not a row-count tautology)
+    def nPartitions(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("__batch_id="))
+    assert(nPartitions(s"$base/state2/theta") == 1)
+    assert(nPartitions(s"$base/state2/quantile") == 1)
+    assert(nPartitions(s"$base/state/theta") == 3) // originals untouched
+    // a reused compaction target is refused (fresh-dir contract)
+    intercept[IllegalArgumentException] {
+      CorpusStream.compactSketchState(spark, s"$base/state",
+        s"$base/state2", Seq("o_orderpriority"), k)
+    }
 
     // an ORPHAN partition (appends landed, marker not yet advanced) is
     // invisible to readers until its batch commits
