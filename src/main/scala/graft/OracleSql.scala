@@ -5478,6 +5478,9 @@ object OracleSql {
     "q168_fuzzy_auto_dial" -> q168,
     "q169_unigram_vocab" -> q169,
     "q170_unigram_segment" -> q170,
+    // q175 rolls per-month sketches up with MergeAgg; canonical merge
+    // makes the result the whole-data sketch, so the oracle IS q167's
+    "q175_quantile_rollup" -> q167,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

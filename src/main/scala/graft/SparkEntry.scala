@@ -3281,6 +3281,41 @@ object SparkEntry {
       .orderBy(col("tokenizer"))
   }
 
+  /** The quantile-sketch ROLLUP contract through the oracle gate:
+    * sketch per (priority, month), re-aggregate the stored sketches
+    * per priority with [[graft.operators.QuantileSketch.MergeAgg]],
+    * and emit q167's exact output columns. Canonical merge means the
+    * rolled-up state IS the whole-data sketch, so this hash-matches
+    * the SAME whole-data oracle as q167 — the daily→monthly rollup
+    * proven by the driver's gate, not just by specs.
+    */
+  def q175_quantile_rollup(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+    val sk = udaf(new QuantileSketch.Agg(1024),
+      enc.tuple(enc.scalaLong, enc.scalaLong))
+    val mergeSk = udaf(new QuantileSketch.MergeAgg(1024),
+      enc.product[QuantileSketch.QSketch])
+    val monthly = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        trunc(col("o_orderdate").cast("date"), "month").as("__mon"),
+        graft.functions.AuditableHash.h60(col("o_orderkey")).as("h"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_orderpriority"), col("__mon"))
+      .agg(sk(col("h"), col("v")).as("sk"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(mergeSk(col("sk.n"), col("sk.level"), col("sk.hashes"),
+        col("sk.values")).as("sk"))
+      .select(col("o_orderpriority"),
+        col("sk.n").as("n_rows"),
+        col("sk.level").as("level"),
+        size(col("sk.values")).as("m_samples"),
+        QuantileSketch.sampleXor(col("sk")).as("sample_hash_xor"),
+        QuantileSketch.estimate(col("sk"), 50).as("p50_cents"),
+        QuantileSketch.estimate(col("sk"), 90).as("p90_cents"),
+        QuantileSketch.estimate(col("sk"), 99).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3458,6 +3493,7 @@ object SparkEntry {
     "q172_theta_intersect" -> (q172_theta_intersect _),
     "q173_bm25_batch_pruned" -> (q173_bm25_batch_pruned _),
     "q174_tokenizer_compare" -> (q174_tokenizer_compare _),
+    "q175_quantile_rollup" -> (q175_quantile_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
