@@ -5481,6 +5481,9 @@ object OracleSql {
     // q175 rolls per-month sketches up with MergeAgg; canonical merge
     // makes the result the whole-data sketch, so the oracle IS q167's
     "q175_quantile_rollup" -> q167,
+    // q176 merges per-month theta sketches; union-set canonicality
+    // makes the result the whole-data sketch — the oracle IS q171's
+    "q176_theta_rollup" -> q171,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

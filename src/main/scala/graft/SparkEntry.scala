@@ -3316,6 +3316,23 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The theta-sketch rollup contract through the oracle gate (the
+    * q175 pattern for the set-operation sketch): per-(priority, month)
+    * bottom-k sketches merged per priority must hash-match q171's
+    * whole-data oracle — union-set canonicality verified by the
+    * driver's gate.
+    */
+  def q176_theta_rollup(s: SparkSession, dir: String): DataFrame = {
+    val monthly = ThetaSketch.sketch(
+      Tables.orders(s, dir)
+        .withColumn("__mon", trunc(col("o_orderdate").cast("date"), "month")),
+      Seq("o_orderpriority", "__mon"), "o_custkey", k = 128)
+    ThetaSketch.estimate(
+      ThetaSketch.merge(monthly.drop("__mon"))(Seq("o_orderpriority"), 128),
+      Seq("o_orderpriority"), k = 128)
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3494,6 +3511,7 @@ object SparkEntry {
     "q173_bm25_batch_pruned" -> (q173_bm25_batch_pruned _),
     "q174_tokenizer_compare" -> (q174_tokenizer_compare _),
     "q175_quantile_rollup" -> (q175_quantile_rollup _),
+    "q176_theta_rollup" -> (q176_theta_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
