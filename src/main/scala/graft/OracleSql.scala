@@ -4592,7 +4592,7 @@ object OracleSql {
       FROM sm s JOIN lg la ON la.v = s.a JOIN lg lb ON lb.v = s.b
       GROUP BY s.col_name)
     SELECT t.col_name AS "column", t.n_categories, t.n_new, t.n_vanished,
-           tm.psi_fp,
+           CAST(tm.psi_fp AS VARCHAR) AS psi_fp,
            round(CAST(tm.psi_fp AS DOUBLE)
                  / (CAST(t.tr0 + t.n_categories AS DOUBLE)
                     * CAST(t.tc0 + t.n_categories AS DOUBLE)) / 1024.0, 6)

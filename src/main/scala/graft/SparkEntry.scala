@@ -2794,6 +2794,14 @@ object SparkEntry {
       snap(col("o_orderdate").cast("date") >= cut &&
         col("o_totalprice") < 300000.0),
       Seq("o_orderstatus", "o_orderpriority", "price_bin"))
+      // gate boundary: psi_fp is decimal(38,0) inside the library (the
+      // exactness IS the operator — see Drift's scaladoc), but the
+      // driver's DuckDB side materializes DECIMAL(38,0) as float64
+      // while Spark round-trips the exact decimal, so wide decimals
+      // hash-desync on REPRESENTATION. Emit the digits as a string on
+      // both sides (oracle mirrors with CAST(... AS VARCHAR)); the
+      // EntryContractSpec schema guard enforces this for every query.
+      .withColumn("psi_fp", col("psi_fp").cast("string"))
   }
 
   /** Leakage-safe train/val/test split

@@ -43,4 +43,37 @@ class EntryContractSpec extends SparkSpec {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("gate-schema guard: no query emits a driver-hash-unstable output " +
+      "type (wide decimal, binary, struct, map)") {
+    // The driver gate hashes values after a parquet → DuckDB → pandas
+    // round-trip, and that path is only representation-stable for
+    // atomic types DuckDB and Spark render identically. Known unstable:
+    //  - DecimalType(precision > 18): DuckDB→pandas materializes wide
+    //    decimals as float64 ("105108306.0") while Spark round-trips
+    //    the exact Decimal ("105108306") — the r11 q148 regression.
+    //  - BinaryType: no canonical text form across engines.
+    //  - StructType / MapType: nested rendering differs per engine.
+    // Arrays of atomics are fine (several green queries emit them).
+    import org.apache.spark.sql.types._
+    def unstable(dt: DataType): Option[String] = dt match {
+      case d: DecimalType if d.precision > 18 =>
+        Some(s"decimal(${d.precision},${d.scale}) — driver renders wide " +
+          "decimals as float64; cast to string or split hi/lo bigints")
+      case _: BinaryType => Some("binary — hex/base64 it to string")
+      case _: StructType => Some("nested struct — flatten to columns")
+      case _: MapType => Some("map — explode to rows or json-encode")
+      case a: ArrayType => unstable(a.elementType)
+      case _ => None
+    }
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, dir).schema.fields.flatMap { f =>
+          unstable(f.dataType).map(why => s"$name.${f.name}: $why")
+        }
+    }
+    assert(offenders.isEmpty,
+      "driver-hash-unstable output columns:\n" + offenders.mkString("\n"))
+  }
 }

@@ -56,8 +56,22 @@ for name in sorted(os.listdir(out_dir)):
             except Exception:
                 s[c] = s[c].apply(lambda v: None if pd.isna(v) else str(v)[:10])
                 k[c] = k[c].apply(lambda v: None if pd.isna(v) else str(v)[:10])
+        elif s[c].dtype == object and pd.api.types.is_numeric_dtype(k[c]):
+            # Spark-side object column (e.g. Decimal(38,0)) vs DuckDB-side
+            # numeric (e.g. DECIMAL(38,0) -> float64): Python equality says
+            # Decimal("5") == 5.0, but the driver hash stringifies ("5" vs
+            # "5.0") and desyncs — the r11 q148 regression. Never mask it.
+            results[name] = (f"OBJECT_NUMERIC_DTYPE_MISMATCH (driver hash will "
+                             f"fail): {c} spark={s[c].dtype} duck={k[c].dtype}")
+            break
+        elif k[c].dtype == object and pd.api.types.is_numeric_dtype(s[c]):
+            results[name] = (f"OBJECT_NUMERIC_DTYPE_MISMATCH (driver hash will "
+                             f"fail): {c} spark={s[c].dtype} duck={k[c].dtype}")
+            break
         elif s[c].dtype == object and k[c].dtype != object:
             k[c] = k[c].astype(object)
+    if name in results:
+        continue
     # The driver's hash stringifies values, so an int64-vs-float64 column
     # (e.g. DuckDB HUGEINT sum -> pandas float64) hash-mismatches even when
     # numerically equal ("5" vs "5.0"). Flag it as a hard problem.
