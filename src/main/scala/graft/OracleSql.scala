@@ -2411,9 +2411,12 @@ object OracleSql {
                AS onlyb
       FROM flags)
     SELECT 'urgent_vs_high' AS pair, c.n_common, e.est_union,
-           c.n_common * e.est_union // e.ku AS est_intersection,
-           c.onlya * e.est_union // e.ku AS est_only_a,
-           c.onlyb * e.est_union // e.ku AS est_only_b,
+           CAST(CAST(c.n_common AS HUGEINT) * e.est_union // e.ku AS BIGINT)
+             AS est_intersection,
+           CAST(CAST(c.onlya AS HUGEINT) * e.est_union // e.ku AS BIGINT)
+             AS est_only_a,
+           CAST(CAST(c.onlyb AS HUGEINT) * e.est_union // e.ku AS BIGINT)
+             AS est_only_b,
            c.n_common * CAST(1000000 AS BIGINT) // e.ku AS jaccard_fp
     FROM common c, est e"""
 

@@ -40,6 +40,17 @@ object CorpusJob {
 
   private val stagingPass = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-JVM staging discriminator: the pass counter alone only
+    * disambiguates passes WITHIN one JVM — two concurrent drivers (or a
+    * restarted one) sharing a caller-set `stagingDir` would both write
+    * `pass-1` and silently corrupt each other's still-lazily-read staged
+    * parquet. A random per-JVM token in the subdirectory name makes
+    * cross-JVM collisions structurally impossible (same discipline as
+    * Spark's own app-id-scoped scratch dirs).
+    */
+  private lazy val stagingJvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** How many folded batch ids `folded/meta` remembers. The fold-replay
     * gate checks membership in this set, so recovery stays exactly-once
     * even when OTHER folds (the next day's batch, a [[deleteDocs]])
@@ -914,13 +925,15 @@ object CorpusJob {
     // decided once per pass
     val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     // per-pass subdirectory under EITHER root: two passes sharing a
-    // caller-set stagingDir (daily batches, fit-then-batch) must not
-    // overwrite each other's staged files while earlier passes' lazy
-    // frames still read them
+    // caller-set stagingDir (daily batches, fit-then-batch, concurrent
+    // or restarted drivers) must not overwrite each other's staged
+    // files while earlier passes' lazy frames still read them — the
+    // JVM token covers the cross-process case, the counter the
+    // within-process one
     val storeDir: Option[String] =
       if (estBytes <= BigInt(cfg.stagingBudgetBytes)) None
       else Some(s"${cfg.stagingDir.getOrElse(autoStagingRoot)}" +
-        s"/pass-${stagingPass.incrementAndGet()}")
+        s"/pass-$stagingJvmToken-${stagingPass.incrementAndGet()}")
     // one line of operational telemetry per pass: which regime ran and
     // on what evidence — a silent regime flip would be undebuggable
     System.err.println(s"[curate] staging=" +

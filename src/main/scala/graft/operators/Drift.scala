@@ -95,17 +95,22 @@ object Drift {
       .withColumn("__tr", col("__tr0") + col("__cats"))
       .withColumn("__tc", col("__tc0") + col("__cats"))
       // long→3e9-row guard for the log arguments; the term itself is
-      // decimal (see scaladoc — ~10²¹ under strong drift)
-      .withColumn("__ok", assert_true(
+      // decimal (see scaladoc — ~10²¹ under strong drift). The guard
+      // filter sits STRUCTURALLY BELOW the product projection (filter
+      // first, products in a later withColumn) so under ANSI mode the
+      // promised "shard the snapshot" message is the only failure path
+      // — were guard and products one projection, the long products
+      // could ARITHMETIC_OVERFLOW-throw before the diagnostic fires
+      .filter(assert_true(
         col("__tr") <= lit(3000000000L) && col("__tc") <= lit(3000000000L),
         lit("Drift: snapshot exceeds ~3e9 rows — log2fp argument would " +
-          "overflow signed-64; shard the snapshot or pre-bucket")))
+          "overflow signed-64; shard the snapshot or pre-bucket"))
+        .isNull) // assert_true returns NULL; keeps the guard live
       .withColumn("psi_term_fp",
         ((col("__cr") * col("__tc")).cast("decimal(20,0)") -
           (col("__cc") * col("__tr")).cast("decimal(20,0)")) *
           (log2fp(col("__cr") * col("__tc")) -
             log2fp(col("__cc") * col("__tr"))).cast("decimal(7,0)"))
-      .filter(col("__ok").isNull) // assert_true returns NULL; keeps the guard live
       .select(col("category"), col("n_ref"), col("n_cur"),
         col("psi_term_fp").cast("decimal(38,0)").as("psi_term_fp"))
   }

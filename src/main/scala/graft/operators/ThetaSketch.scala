@@ -178,9 +178,21 @@ object ThetaSketch {
       .select(groupCols.map(col) ++ Seq(
         col("n_common"),
         col("est_union"),
-        expr("n_common * est_union DIV __ku").as("est_intersection"),
-        expr("__onlya * est_union DIV __ku").as("est_only_a"),
-        expr("__onlyb * est_union DIV __ku").as("est_only_b"),
+        // count·est_union in decimal(38,0), NOT long: est_union can
+        // approach (k−1)·2^60/h_k, so the long product overflows
+        // signed-64 once the union cardinality nears 2^63/k (~10^16 at
+        // k=256) — the same headroom discipline as estimate()'s
+        // numerator (and the oracle's HUGEINT). floor of the positive
+        // decimal quotient == integer DIV on both engines.
+        scaledRatio("n_common", "est_union").as("est_intersection"),
+        scaledRatio("__onlya", "est_union").as("est_only_a"),
+        scaledRatio("__onlyb", "est_union").as("est_only_b"),
         expr("n_common * CAST(1000000 AS BIGINT) DIV __ku").as("jaccard_fp")): _*)
   }
+
+  /** `count·scale DIV __ku` with the product carried in decimal(38,0)
+    * (count ≤ k keeps the quotient's 32 integer digits ample). */
+  private def scaledRatio(cnt: String, scale: String): Column =
+    floor(col(cnt).cast("decimal(38,0)") * col(scale).cast("decimal(38,0)") /
+      col("__ku").cast("decimal(38,0)")).cast("long")
 }

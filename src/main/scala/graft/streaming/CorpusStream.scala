@@ -546,8 +546,12 @@ object CorpusStream {
     * restricted to `marker + 1`, so a crash's orphan partition (appends
     * landed, `_committed` not yet written) is invisible — the restart
     * replays that batch idempotently, and a premature read here must
-    * not count it. Returns (theta, quantile) frames — empty frames
-    * before the first commit.
+    * not count it. Returns (theta, quantile) frames. Before the stream
+    * has WRITTEN anything this throws `IllegalStateException`
+    * (deliberately fail-loud: group-column types are only knowable from
+    * written data, so an invented empty frame would flip schema on the
+    * first commit); once an append exists but no batch has committed
+    * yet, the frames are typed and empty.
     */
   def readMergedSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int = 256): (DataFrame, DataFrame) =
