@@ -5260,6 +5260,77 @@ object OracleSql {
     GROUP BY n.grp, n.n_rows, t.level
     ORDER BY o_orderpriority"""
 
+  /** q177: laddered quantile sketch — q167's level-sample derivation at
+    * buffer capacity 1024 (suffix counts → minimal level), then the
+    * deterministic compactor cascade unrolled as four CONDITIONAL
+    * rounds: each round re-ranks the survivors by (value, hash) and
+    * keeps every other row, the odd/even choice being the parity of
+    * `bit_count(bit_xor(h))` over that round's retained set — a pure
+    * function of the set, exactly the Scala cascade's hash-coin. A
+    * round is a no-op once ≤ 64 rows remain (`m <= 64 OR rk % 2 =
+    * coin`), so four rounds always suffice (⌈1024/2⁴⌉ = 64). `rounds`
+    * counts the rounds that actually fired.
+    */
+  private val q177 = {
+    def round(j: Int): String = s"""
+    c$j AS (
+      SELECT grp, h, v FROM (
+        SELECT grp, h, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rk,
+               count(*) OVER (PARTITION BY grp) AS m,
+               bit_count(bit_xor(h) OVER (PARTITION BY grp)) % 2 AS coin
+        FROM c${j - 1})
+      WHERE m <= 64 OR rk % 2 = coin),
+    m$j AS (SELECT grp, count(*) AS m FROM c$j GROUP BY grp)"""
+    s"""
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders),
+    lv AS (
+      SELECT grp, h, v,
+             60 - (CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END) AS lev
+      FROM r),
+    suf AS (
+      SELECT grp, lev,
+             sum(count(*)) OVER (PARTITION BY grp ORDER BY lev DESC) AS s
+      FROM lv GROUP BY grp, lev),
+    lsel AS (
+      SELECT grp,
+             CAST(coalesce(max(lev) FILTER (WHERE s > 1024) + 1, 0)
+               AS INTEGER) AS level
+      FROM suf GROUP BY grp),
+    c0 AS (
+      SELECT l.grp, l.h, l.v
+      FROM lv l JOIN lsel t ON t.grp = l.grp AND l.lev >= t.level),
+    m0 AS (SELECT grp, count(*) AS m FROM c0 GROUP BY grp),
+    ${(1 to 4).map(round).mkString(",")},
+    fin AS (
+      SELECT grp, h, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rk,
+             count(*) OVER (PARTITION BY grp) AS m
+      FROM c4),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY grp)
+    SELECT n.grp AS o_orderpriority, n.n_rows, t.level,
+           CAST((CASE WHEN m0.m > 64 THEN 1 ELSE 0 END)
+              + (CASE WHEN m1.m > 64 THEN 1 ELSE 0 END)
+              + (CASE WHEN m2.m > 64 THEN 1 ELSE 0 END)
+              + (CASE WHEN m3.m > 64 THEN 1 ELSE 0 END) AS INTEGER) AS rounds,
+           CAST(max(f.m) AS INTEGER) AS m_samples,
+           bit_xor(f.h) AS sample_hash_xor,
+           max(CASE WHEN f.rk = (f.m * 50 + 99) // 100 THEN f.v END) AS p50_cents,
+           max(CASE WHEN f.rk = (f.m * 90 + 99) // 100 THEN f.v END) AS p90_cents,
+           max(CASE WHEN f.rk = (f.m * 99 + 99) // 100 THEN f.v END) AS p99_cents
+    FROM fin f
+    JOIN lsel t ON t.grp = f.grp JOIN n ON n.grp = f.grp
+    JOIN m0 ON m0.grp = f.grp JOIN m1 ON m1.grp = f.grp
+    JOIN m2 ON m2.grp = f.grp JOIN m3 ON m3.grp = f.grp
+    GROUP BY n.grp, n.n_rows, t.level, m0.m, m1.m, m2.m, m3.m
+    ORDER BY o_orderpriority"""
+  }
+
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
     * exact ×2/×4 integer units, same cross-multiplied flag.
@@ -5487,6 +5558,7 @@ object OracleSql {
     // q176 merges per-month theta sketches; union-set canonicality
     // makes the result the whole-data sketch — the oracle IS q171's
     "q176_theta_rollup" -> q171,
+    "q177_quantile_ladder" -> q177,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

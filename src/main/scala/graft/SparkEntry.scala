@@ -3341,6 +3341,42 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Laddered quantile sketch through the oracle gate
+    * ([[graft.operators.QuantileSketch.LadderAgg]]): q167's sampler
+    * run at buffer capacity 64·2⁴ = 1024, then the deterministic
+    * hash-coin compactor cascade down to ≤ 64 pairs — the KLL trade at
+    * the repo's canonical-multiset discipline (no RNG: each round's
+    * odd/even survivor choice is the parity of the bit-count of the
+    * XOR of that round's retained hashes, a pure function of the
+    * retained set). The oracle re-derives the buffer sample exactly as
+    * q167 does and then unrolls the ≤ 4 cascade rounds as conditional
+    * CTEs, so the final sample, its XOR digest, the round count, and
+    * the three order statistics hash-match bit-for-bit.
+    * QuantileSketchSpec measures the realized rank error of this
+    * 64-pair ladder strictly below the 64-pair plain sampler's.
+    */
+  def q177_quantile_ladder(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+    val sk = udaf(new QuantileSketch.LadderAgg(64, 4),
+      enc.tuple(enc.scalaLong, enc.scalaLong))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        graft.functions.AuditableHash.h60(col("o_orderkey")).as("h"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sk(col("h"), col("v")).as("sk"))
+      .select(col("o_orderpriority"),
+        col("sk.n").as("n_rows"),
+        col("sk.level").as("level"),
+        col("sk.rounds").as("rounds"),
+        size(col("sk.values")).as("m_samples"),
+        QuantileSketch.sampleXor(col("sk")).as("sample_hash_xor"),
+        QuantileSketch.estimate(col("sk"), 50).as("p50_cents"),
+        QuantileSketch.estimate(col("sk"), 90).as("p90_cents"),
+        QuantileSketch.estimate(col("sk"), 99).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3520,6 +3556,7 @@ object SparkEntry {
     "q174_tokenizer_compare" -> (q174_tokenizer_compare _),
     "q175_quantile_rollup" -> (q175_quantile_rollup _),
     "q176_theta_rollup" -> (q176_theta_rollup _),
+    "q177_quantile_ladder" -> (q177_quantile_ladder _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -181,6 +181,93 @@ object QuantileSketch {
     override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
   }
 
+  /** Finished LADDERED sketch ([[LadderAgg]]): exact row count, the
+    * hash-sampling level of the buffer, the number of compactor rounds
+    * applied at finish, and the retained pairs sorted by (value, hash).
+    * A distinct type from [[QSketch]] ON PURPOSE: a laddered sketch is
+    * a terminal compression — feeding it back through [[MergeAgg]]
+    * (which re-filters by hash level) would silently treat
+    * compaction survivors as a hash sample and skew every estimate, so
+    * the field shape makes that misuse a type error. Roll up with
+    * [[Agg]]/[[MergeAgg]] states; compact with the ladder LAST.
+    */
+  final case class LSketch(n: Long, level: Int, rounds: Int,
+      hashes: Array[Long], values: Array[Long])
+
+  /** Deterministic compactor cascade — the KLL-style top layer over an
+    * already-canonical (value, hash)-sorted sample: while more than `k`
+    * pairs remain, keep every other pair in value order, the odd/even
+    * choice decided by a hash-coin that is a PURE FUNCTION of the
+    * round's retained set (parity of the bit-count of the XOR of its
+    * hashes). Each round halves the sample and costs at most one
+    * sample-unit of rank error per query point, so the cascade's total
+    * rank error is ≤ (2^rounds − 1) buffer-units — O(n/k) after the
+    * buffer's own sampling error — while a plain level sample of the
+    * same FINAL size pays the full O(n/√k) sampling bound. Determinism
+    * is the repo's sketch discipline: no RNG, so the identical input
+    * multiset cascades identically on any engine (the q177 oracle
+    * unrolls these rounds as SQL CTEs and hash-matches).
+    */
+  private def cascade(s: QSketch, k: Int): LSketch = {
+    var hs = s.hashes
+    var vs = s.values
+    var rounds = 0
+    while (hs.length > k) {
+      var x = 0L
+      var i = 0
+      while (i < hs.length) { x ^= hs(i); i += 1 }
+      // coin = 1 keeps odd 1-based positions (ceil half), 0 keeps even
+      val coin = java.lang.Long.bitCount(x) & 1
+      val m = (hs.length + coin) / 2
+      val nh = new Array[Long](m)
+      val nv = new Array[Long](m)
+      var w = 0
+      i = 1 - coin
+      while (i < hs.length) { nh(w) = hs(i); nv(w) = vs(i); w += 1; i += 2 }
+      hs = nh; vs = nv; rounds += 1
+    }
+    LSketch(s.n, s.level, rounds, hs, vs)
+  }
+
+  /** Laddered quantile sketch: the [[Agg]] hash-sampler run at buffer
+    * capacity `k·2^levels`, cascade-compacted down to ≤ k pairs at
+    * finish. The aggregation STATE is the plain canonical level sample
+    * (so Spark's partial-aggregation merge tree stays exactly the
+    * [[Agg]] merge — canonical, partitioning-proof), and `finish` is a
+    * pure function of that state, so the finished sketch is a pure
+    * function of the input multiset end to end.
+    *
+    * Why: at equal PERSISTED size k, the plain sampler's rank error is
+    * the sampling bound ε = O(1/√k), while the ladder pays the (much
+    * smaller) sampling error of its 2^levels-larger buffer plus a
+    * deterministic ≤ (2^levels − 1) buffer-units of compaction error —
+    * ε ≈ O(1/√(k·2^levels) + 1/k), the KLL trade (Karnin–Lang–Liberty
+    * FOCS'16) with hash-coins in place of RNG compaction choices.
+    * QuantileSketchSpec measures the realized error of both at equal
+    * final size against the exact sort. The price is the transient
+    * buffer (2·(k·2^levels + 1)·8 bytes per group per task) and that
+    * the OUTPUT is terminal (see [[LSketch]]): rollups merge [[Agg]]
+    * states or stored [[QSketch]]s via [[MergeAgg]], and apply the
+    * ladder only at the final read.
+    */
+  final class LadderAgg(k: Int = 256, levels: Int = 4)
+      extends Aggregator[(Long, Long), Buf, LSketch] {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(levels >= 1 && levels <= 12,
+      s"levels must be in [1,12], got $levels")
+    private val cap = k << levels
+    override def zero: Buf = emptyBuf(cap)
+    override def reduce(b: Buf, in: (Long, Long)): Buf = {
+      b.n += 1
+      append(b, cap, in._1, in._2)
+      b
+    }
+    override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(cap, b1, b2)
+    override def finish(b: Buf): LSketch = cascade(finishBuf(b), k)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[LSketch] = Encoders.product[LSketch]
+  }
+
   // ---- column-side readers of a finished sketch struct -------------------
 
   /** The q-percent estimate from a sketch column: the sample's

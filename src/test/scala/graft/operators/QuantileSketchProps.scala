@@ -72,6 +72,39 @@ object QuantileSketchProps extends Properties("QuantileSketch") {
       key(rolled) == key(sketch(rows))
     }
 
+  property("ladder canonical: split anywhere, merge any way == one pass, " +
+      "and the finished sample is <= k") =
+    forAll(rowsGen, Gen.choose(2, 7), Gen.long) { (rows, parts, seed) =>
+      val a = new QuantileSketch.LadderAgg(16, 3) // tiny so cascades fire
+      def one(rs: Seq[(Long, Long)]) =
+        a.finish(rs.foldLeft(a.zero)(a.reduce))
+      def k(s: QuantileSketch.LSketch) =
+        (s.n, s.level, s.rounds, s.hashes.toSeq, s.values.toSeq)
+      val rnd = new scala.util.Random(seed)
+      val chunks = rnd.shuffle(rows)
+        .grouped(math.max(1, rows.size / math.max(1, parts))).toList
+      // fresh buffers per fold: merge mutates its left argument in place
+      def bufs = chunks.map(c => c.foldLeft(a.zero)(a.reduce))
+      val left = a.finish(bufs.reduce(a.merge))
+      val right = a.finish(bufs.reduceRight(a.merge))
+      val whole = one(rows)
+      whole.hashes.length <= 16 &&
+        k(left) == k(whole) && k(right) == k(whole)
+    }
+
+  property("ladder sample stays value-sorted and a subset of the buffer " +
+      "sample (cascade only drops, never invents)") =
+    forAll(rowsGen) { rows =>
+      val lad = new QuantileSketch.LadderAgg(16, 3)
+      val buf = new QuantileSketch.Agg(16 << 3) // the ladder's buffer alone
+      val ls = lad.finish(rows.foldLeft(lad.zero)(lad.reduce))
+      val bs = buf.finish(rows.foldLeft(buf.zero)(buf.reduce))
+      val bufPairs = bs.hashes.zip(bs.values).toSet
+      ls.hashes.zip(ls.values).forall(bufPairs.contains) &&
+        ls.values.toSeq == ls.values.toSeq.sorted &&
+        ls.level == bs.level && ls.n == bs.n
+    }
+
   property("rank error within the sampling bound at every q") =
     forAll(rowsGen) { rows =>
       val sk = sketch(rows)

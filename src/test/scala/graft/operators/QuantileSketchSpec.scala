@@ -84,6 +84,69 @@ class QuantileSketchSpec extends SparkSpec {
     assert(monthly.count() > 5) // the rollup actually merged something
   }
 
+  test("ladder beats the plain sampler at equal persisted size: realized " +
+      "rank error of LadderAgg(64,4) strictly below Agg(64) against the " +
+      "exact sort, and inside its own combined bound") {
+    val exact = Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    // realized rank error of one estimate: distance (in ranks) from the
+    // target rank to the estimate's tie band in the exact data, as a
+    // fraction of n
+    def err(sorted: Array[Long], n: Int, q: Int, e: Long): Double = {
+      val lo = sorted.indexWhere(_ == e) + 1
+      val hi = sorted.lastIndexWhere(_ == e) + 1
+      assert(lo >= 1, s"estimate $e is not a data value")
+      val target = (n.toLong * q + 99) / 100
+      (math.max(0L, math.max(lo - target, target - hi))).toDouble / n
+    }
+
+    def errors(estRows: Array[(String, Seq[Long])]): Map[String, Double] =
+      estRows.map { case (prio, ests) =>
+        val sorted = exact(prio).toArray
+        prio -> Seq(50, 90, 99).zip(ests)
+          .map { case (q, e) => err(sorted, sorted.length, q, e) }.sum
+      }.toMap
+
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        AuditableHash.h60($"o_orderkey").as("h"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("v"))
+    def run(agg: org.apache.spark.sql.Column) = base
+      .groupBy($"o_orderpriority").agg(agg.as("sk"))
+      .select($"o_orderpriority", size($"sk.values").as("m"),
+        QuantileSketch.estimate($"sk", 50),
+        QuantileSketch.estimate($"sk", 90),
+        QuantileSketch.estimate($"sk", 99))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4))))
+
+    val plain = run(skUdaf(64)($"h", $"v"))
+    val ladUdaf = udaf(new QuantileSketch.LadderAgg(64, 4),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val ladder = run(ladUdaf($"h", $"v"))
+
+    // equal persisted size: both retain <= 64 pairs per group
+    assert(plain.forall(_._2 <= 64) && ladder.forall(_._2 <= 64))
+
+    val pe = errors(plain.map(t => (t._1, t._3)))
+    val le = errors(ladder.map(t => (t._1, t._3)))
+    val (pSum, lSum) = (pe.values.sum, le.values.sum)
+    assert(lSum < pSum,
+      s"ladder total rank error $lSum not below sampler's $pSum " +
+        s"(per-group ladder=$le sampler=$pe)")
+    // and the ladder sits inside its own combined bound: buffer
+    // sampling (2.5/sqrt(1024)) + cascade (<= 2^rounds buffer-units
+    // ~ 16/1024) per estimate
+    val bound = 2.5 / math.sqrt(1024.0) + 16.0 / 1024.0
+    for ((prio, e) <- le)
+      assert(e / 3 <= bound, s"$prio ladder mean error ${e / 3} > $bound")
+  }
+
   test("estimate degenerates to exact percentile_disc when nothing " +
       "compacts (n <= k, level 0)") {
     val rows = (1 to 100).map(i => (AuditableHash.h60(s"k$i"), i.toLong))
