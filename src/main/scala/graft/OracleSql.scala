@@ -5331,6 +5331,50 @@ object OracleSql {
     ORDER BY o_orderpriority"""
   }
 
+  /** q179: streamed quantile state — the q167 derivation with the
+    * STREAM's parameters: inclusion coin h60(o_custkey) (the stream
+    * keys both sketch legs on the key column; duplicate keys rise and
+    * fall together, mirrored here by hashing the same key), capacity
+    * 128. The oracle recomputes from the whole orders table; the Spark
+    * side folds committed per-batch streamed sketches — canonical
+    * merge makes the hashes coincide.
+    */
+  private val q179 = """
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders),
+    lv AS (
+      SELECT grp, h, v,
+             60 - (CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END) AS lev
+      FROM r),
+    suf AS (
+      SELECT grp, lev,
+             sum(count(*)) OVER (PARTITION BY grp ORDER BY lev DESC) AS s
+      FROM lv GROUP BY grp, lev),
+    lsel AS (
+      SELECT grp,
+             CAST(coalesce(max(lev) FILTER (WHERE s > 128) + 1, 0)
+               AS INTEGER) AS level
+      FROM suf GROUP BY grp),
+    samp AS (
+      SELECT l.grp, l.h, l.v,
+             row_number() OVER (PARTITION BY l.grp ORDER BY l.v, l.h) AS rk,
+             count(*) OVER (PARTITION BY l.grp) AS m
+      FROM lv l JOIN lsel t ON t.grp = l.grp AND l.lev >= t.level),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY grp)
+    SELECT n.grp AS o_orderpriority, n.n_rows, t.level,
+           CAST(max(s.m) AS INTEGER) AS m_samples,
+           bit_xor(s.h) AS sample_hash_xor,
+           max(CASE WHEN s.rk = (s.m * 50 + 99) // 100 THEN s.v END) AS p50_cents,
+           max(CASE WHEN s.rk = (s.m * 90 + 99) // 100 THEN s.v END) AS p90_cents,
+           max(CASE WHEN s.rk = (s.m * 99 + 99) // 100 THEN s.v END) AS p99_cents
+    FROM samp s JOIN lsel t ON t.grp = s.grp JOIN n ON n.grp = s.grp
+    GROUP BY n.grp, n.n_rows, t.level
+    ORDER BY o_orderpriority"""
+
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
     * exact ×2/×4 integer units, same cross-multiplied flag.
@@ -5559,6 +5603,8 @@ object OracleSql {
     // makes the result the whole-data sketch — the oracle IS q171's
     "q176_theta_rollup" -> q171,
     "q177_quantile_ladder" -> q177,
+    "q178_streamed_theta" -> q171,
+    "q179_streamed_quantile" -> q179,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

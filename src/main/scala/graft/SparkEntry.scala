@@ -3377,6 +3377,72 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
+    * split orders into three files, stream them through
+    * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
+    * per micro-batch (three `__batch_id` partitions + `_committed`
+    * markers in a temp state dir), then fold the committed per-batch
+    * state with the merge-on-read path. Canonical merge means the
+    * folded state IS the whole-corpus sketch, so the gate compares the
+    * STREAMED state against an oracle that recomputes from the whole
+    * corpus — exactly-once streamed maintenance proven by the driver's
+    * hash, not just by CorpusStreamSpec.
+    */
+  private def streamedSketchState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q178-stream").toString
+    val orders = Tables.orders(s, dir).select(col("o_orderpriority"),
+      col("o_custkey"), cents(col("o_totalprice")).as("cents"))
+    val inDir = s"$base/in"
+    orders.filter(col("o_custkey") % 3 === 0).write.parquet(inDir)
+    orders.filter(col("o_custkey") % 3 === 1).write.mode("append").parquet(inDir)
+    orders.filter(col("o_custkey") % 3 === 2).write.mode("append").parquet(inDir)
+    graft.streaming.CorpusStream.runIncrementalSketches(s,
+      s.readStream.schema(orders.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      Seq("o_orderpriority"), "o_custkey", "cents",
+      s"$base/state", s"$base/ckpt", k = 128)
+      .awaitTermination()
+    graft.streaming.CorpusStream.readMergedSketches(s, s"$base/state",
+      Seq("o_orderpriority"), k = 128)
+  }
+
+  /** Streamed THETA state through the oracle gate: fold the committed
+    * per-batch bottom-k rows and emit q171's exact columns at the same
+    * k — the oracle recomputes the distinct sketch from the whole
+    * orders table, so the hash matching proves the streamed
+    * exactly-once state (idempotent `__batch_id` appends + `_committed`
+    * markers) carries the canonical union-set sketch.
+    */
+  def q178_streamed_theta(s: SparkSession, dir: String): DataFrame = {
+    val (theta, _) = streamedSketchState(s, dir)
+    ThetaSketch.estimate(theta, Seq("o_orderpriority"), k = 128)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Streamed QUANTILE state through the oracle gate — the q178 twin
+    * for the mergeable quantile sketch: fold the committed per-batch
+    * `QSketch` structs with [[graft.operators.QuantileSketch.MergeAgg]]
+    * and emit q167's column shape. The inclusion coin here is
+    * h60(o_custkey) (the stream's key column; ~10 orders share a
+    * custkey, so ties rise and fall together — the documented
+    * duplicate-key widening, mirrored identically by the oracle), at
+    * the stream's k = 128.
+    */
+  def q179_streamed_quantile(s: SparkSession, dir: String): DataFrame = {
+    val (_, quant) = streamedSketchState(s, dir)
+    quant.select(col("o_orderpriority"),
+        col("sk.n").as("n_rows"),
+        col("sk.level").as("level"),
+        size(col("sk.values")).as("m_samples"),
+        QuantileSketch.sampleXor(col("sk")).as("sample_hash_xor"),
+        QuantileSketch.estimate(col("sk"), 50).as("p50_cents"),
+        QuantileSketch.estimate(col("sk"), 90).as("p90_cents"),
+        QuantileSketch.estimate(col("sk"), 99).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3557,6 +3623,8 @@ object SparkEntry {
     "q175_quantile_rollup" -> (q175_quantile_rollup _),
     "q176_theta_rollup" -> (q176_theta_rollup _),
     "q177_quantile_ladder" -> (q177_quantile_ladder _),
+    "q178_streamed_theta" -> (q178_streamed_theta _),
+    "q179_streamed_quantile" -> (q179_streamed_quantile _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
