@@ -28,6 +28,10 @@ object BpeScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-plan CACHED frames too: a persisted bounded frame
+      // otherwise pins its pre-AQE 32-partition layout and every
+      // downstream stage pays a full task wave over dozens of rows
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

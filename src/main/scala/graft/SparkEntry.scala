@@ -3266,7 +3266,8 @@ object SparkEntry {
       (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
     Bm25.searchManyPostingsPruned(Bm25.postings(docs, "text", "doc_id"),
         Bm25.docLens(docs, "text", "doc_id"), "doc_id",
-        queries, "query_id", "term", k = 10)
+        queries, "query_id", "term", k = 10,
+        materializeCandidates = true) // one-shot form: tokenize ONCE
       .orderBy(col("query_id"), col("rank"))
   }
 

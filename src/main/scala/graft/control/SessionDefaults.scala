@@ -37,6 +37,11 @@ object SessionDefaults {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // AQE may re-plan cached frames: a persisted bounded frame would
+      // otherwise pin its pre-AQE wide partitioning, and every
+      // downstream stage over it pays a full task wave for a handful
+      // of rows (measured on the pruned batch BM25 probe)
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       "spark.sql.files.maxPartitionBytes" -> "134217728",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
       "spark.sql.session.timeZone" -> "UTC")

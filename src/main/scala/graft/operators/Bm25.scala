@@ -336,18 +336,43 @@ object Bm25 {
     * exhausted (all postings kept → its candidates are complete), or
     * its k-th rescored score STRICTLY exceeds Σ cutoffs of its
     * non-exhausted terms. Queries that cannot be proven re-dispatch
-    * through the FULL [[searchManyPostings]] restricted to just those
-    * queries — results are identical to the full batch path for every
-    * query either way (Bm25Spec sweeps budgets incl. forced
-    * fallbacks). The only driver materialization is the ≤|terms|-row
-    * cutoff table; the candidate-pair table (≤ b·|terms| rows of
-    * (query, doc)) broadcasts — at 10k benchmark queries that is a
-    * few-MB broadcast, the batch-query contract this surface already
-    * assumes.
+    * through the full-scoring path over the SAME weighted candidate
+    * rows, restricted to just those queries — value-identical to
+    * [[searchManyPostings]] for every query (per-term df and the
+    * corpus meta don't depend on which queries ride the batch;
+    * Bm25Spec sweeps budgets incl. forced fallbacks). The candidate-
+    * pair table (≤ b·|terms| rows of (query, doc)) broadcasts — at 10k
+    * benchmark queries that is a few-MB broadcast, the batch-query
+    * contract this surface already assumes.
+    *
+    * Barrier discipline (the r11 latency finding — this used to pay
+    * four eager `localCheckpoint` jobs plus an eager verdict, ~3×
+    * q140's wall for the same answer): the verdict, the per-query
+    * bound, term stats, and the accept/fallback split are all LAZY, so
+    * the whole accept ∪ fallback union executes as one plan at action
+    * time; when no query fails, AQE's empty-relation propagation
+    * prunes the fallback leg off the plan at runtime. Frame sharing is
+    * regime-split:
+    *
+    *  - `materializeCandidates = true` (the one-shot form, where
+    *    `post` is a lazy tokenize): the weighted candidate rows, the
+    *    per-term heads, and the pruned top-k persist LAZILY (cache,
+    *    not checkpoint) — the first action populates them in passing,
+    *    every re-reader (heads feeds stats + rescore pairs; pruned
+    *    feeds verdict + output; weighted feeds heads + rescore +
+    *    fallback) hits memory, and the only eager job in the call is
+    *    the tiny query-table checkpoint. The corpus is tokenized
+    *    exactly once.
+    *  - `materializeCandidates = false` (a persisted term-partitioned
+    *    index, the production probe): re-reading the pruned postings
+    *    lists beats spilling them, so `weighted` stays a lazy scan and
+    *    the shared heads and pruned top-k take eager bounded
+    *    checkpoints (≤ b·|terms| and ≤ k·|queries| rows) to keep the
+    *    scan count at the documented two.
     */
   def searchManyPostingsPruned(post: DataFrame, lens: DataFrame,
       idCol: String, queries: DataFrame, qidCol: String, termCol: String,
-      k: Int, b: Int = 0): DataFrame = {
+      k: Int, b: Int = 0, materializeCandidates: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val headB = if (b > 0) b else math.max(8 * k, 64)
     val q = queries.select(col(qidCol).as("__qid"),
@@ -355,14 +380,23 @@ object Bm25 {
       .localCheckpoint(eager = true) // benchmark-sized, read four times
     val meta = metaFrame(lens)
     val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
-    val weighted = weightedCandidates(cand, meta)
+    val weighted0 = weightedCandidates(cand, meta)
       .select(col("term"), col(idCol), col("__w"))
-    val heads = TopKPerGroup(weighted, Seq("term"), "__w", idCol, headB)
-      .localCheckpoint(eager = true) // ≤ |terms|·b rows
+    val weighted =
+      if (materializeCandidates) weighted0.persist()
+      else weighted0
+    // bounded frames travel as ONE partition: ≤ |terms|·b rows spread
+    // over the parent's 32+ partitions would launch a full task wave in
+    // every downstream consumer — measured as the dominant cost of this
+    // probe at bench scale (a dozen 32-task stages over dozens of rows)
+    val heads0 = TopKPerGroup(weighted, Seq("term"), "__w", idCol, headB)
+      .coalesce(1)
+    val heads = // ≤ |terms|·b rows, read three times
+      if (materializeCandidates) heads0.persist()
+      else heads0.localCheckpoint(eager = true)
     val termStats = heads.groupBy(col("term"))
       .agg(count(lit(1)).as("__cnt"),
-        min(col("__w")).cast("long").as("__cut"))
-      .localCheckpoint(eager = true) // ≤ |terms| rows
+        min(col("__w")).cast("long").as("__cut")) // lazy: ≤ |terms| rows off the checkpoint
     // per-query outside upper bound: Σ cutoffs over NON-exhausted terms
     // (a term absent from the postings contributes nothing either way),
     // plus the COUNT-BASED exhaustion flag: `__ub = 0` is NOT the same
@@ -376,37 +410,52 @@ object Bm25 {
         .otherwise(0L)), lit(0L)).as("__ub"),
         coalesce(max(when(col("__cnt") === headB, 1).otherwise(0)), lit(0))
           .as("__anyfull"))
-    // exact rescore of each query's head documents
+    // exact rescore of each query's head documents — no distinct: the
+    // consumer is a broadcast LEFT SEMI probe, which dedups the build
+    // side by construction, and the duplicate factor is ≤ |q terms|
     val candPairs = q.join(heads.select(col("term"), col(idCol)), "term")
-      .select(col("__qid"), col(idCol)).distinct()
+      .select(col("__qid"), col(idCol))
     val scored = weighted
       .join(broadcast(q), "term")
       .join(broadcast(candPairs), Seq("__qid", idCol), "left_semi")
       .groupBy(col("__qid"), col(idCol))
       .agg(sum(col("__w")).as("score_fp"))
-    val pruned = TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
+    val pruned0 = TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
       .select(col("__qid"), col(idCol),
         col("score_fp").cast("long").as("score_fp"), col("rank"))
-      .localCheckpoint(eager = true) // ≤ k·|queries| rows
+      .coalesce(1) // ≤ k·|queries| rows — same single-partition rule
+    val pruned = // read twice (verdict + accepted output)
+      if (materializeCandidates) pruned0.persist()
+      else pruned0.localCheckpoint(eager = true)
     // acceptance: all terms exhausted (count-based), or k rows with
-    // kth > ub STRICTLY (an outside tie could win the id tie-break)
+    // kth > ub STRICTLY (an outside tie could win the id tie-break).
+    // Lazy — every input is a checkpoint, so the two consumers below
+    // re-derive it with tiny joins, no barrier
     val kth = pruned.filter(col("rank") === k)
       .select(col("__qid"), col("score_fp").as("__kth"))
     val verdict = ub.join(kth, Seq("__qid"), "left")
       .select(col("__qid"),
         (col("__anyfull") === 0 ||
           coalesce(col("__kth") > col("__ub"), lit(false))).as("__ok"))
-      .localCheckpoint(eager = true) // 1 row per query
+      .persist() // 1 row per query, read by BOTH union branches — lazy
     val okQ = verdict.filter(col("__ok")).select(col("__qid"))
     val failedQ = verdict.filter(!col("__ok")).select(col("__qid"))
     val accepted = pruned.join(broadcast(okQ), Seq("__qid"), "left_semi")
-    val fallback = searchManyPostings(post, lens, idCol,
-      q.join(broadcast(failedQ), Seq("__qid"), "left_semi")
-        .select(col("__qid").as(qidCol), col("term").as(termCol)),
-      qidCol, termCol, k)
-    accepted
+    // full-scoring fallback over the SAME weighted rows (per-term df and
+    // avgdl are query-set-independent, so this is value-identical to
+    // dispatching searchManyPostings on the failed queries — without
+    // rescanning/retokenizing the corpus)
+    val failedScored = weighted
+      .join(broadcast(q.join(broadcast(failedQ), Seq("__qid"), "left_semi")),
+        "term")
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+    val fallback = TopKPerGroup(failedScored, Seq("__qid"), "score_fp",
+        idCol, k)
+      .select(col("__qid"), col(idCol),
+        col("score_fp").cast("long").as("score_fp"), col("rank"))
+    accepted.unionByName(fallback)
       .select(col("__qid").as(qidCol), col(idCol), col("score_fp"), col("rank"))
-      .unionByName(fallback)
   }
 
   /** POSITIONAL postings `(id, term, pos)` — one row per token

@@ -35,11 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** `(value, cnt)` for every non-NULL `valueCol` (compared as string)
-    * with `cnt · k > N`, exact counts, ordered `cnt` desc then value.
-    * At most `k−1` rows by definition of the threshold.
+  /** Pass-1 Misra–Gries summaries: per-partition candidate keys plus
+    * `(NULL, n_p)` partition-size meta rows — the bounded-memory,
+    * shuffle-free half of [[exact]], exposed for consumers that persist
+    * the candidate SUPERSET as incremental state (the skew advisory in
+    * [[Salting]]): a value with global count > N/k holds > N_p/k of
+    * some partition (pigeonhole), and the same argument makes
+    * candidate-set UNION across daily batches a superset of the
+    * period's heavy hitters — additive state, like every sketch here.
     */
-  def exact(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+  private[operators] def mgSummaries(df: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k >= 2, s"heavy hitters need k >= 2, got $k")
@@ -47,10 +53,10 @@ object HeavyHitters {
       .select(col(valueCol).cast("string").as("value"))
       .filter(col("value").isNotNull)
       .as[String]
-    // pass 1: one MG summary per partition; meta rows (null, n_p)
+    // one MG summary per partition; meta rows (null, n_p)
     // carry the partition sizes so N needs no second scan
     val cap = k - 1
-    val summaries = vals.mapPartitions { it =>
+    vals.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
       while (it.hasNext) {
@@ -73,6 +79,20 @@ object HeavyHitters {
       Iterator.single((null: String, n)) ++
         counters.keysIterator.map(v => (v, 0L))
     }.toDF("value", "n_part")
+  }
+
+  /** `(value, cnt)` for every non-NULL `valueCol` (compared as string)
+    * with `cnt · k > N`, exact counts, ordered `cnt` desc then value.
+    * At most `k−1` rows by definition of the threshold.
+    */
+  def exact(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals: Dataset[String] = df
+      .select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull)
+      .as[String]
+    val summaries = mgSummaries(df, valueCol, k)
       .localCheckpoint(eager = true) // feeds both N and the candidates
     val nRow = summaries.filter(col("value").isNull)
       .agg(coalesce(sum(col("n_part")), lit(0L)).as("n_total"))

@@ -98,4 +98,120 @@ object Salting {
         round(col("max_key_rows") * col("n_keys").cast("double") / col("n_rows"), 2)
           .as("skew_ratio"))
   }
+
+  // ---- sketch-backed skew advisory (index read, not a corpus scan) -------
+
+  /** The composite key as one NULL-safe string (per-key `"__null__"`
+    * sentinel, 0x01 separator — the [[Drift]] category convention), so
+    * the three state sketches share one value column.
+    */
+  private def keyString(keys: Seq[String]): Column =
+    concat_ws("",
+      keys.map(k => coalesce(col(k).cast("string"), lit("__null__"))): _*)
+
+  private val CmDepth = 4
+  private val CmWidth = 4096
+
+  /** Persist the skew-advisory state for `df`'s key space under `dir`
+    * — three ADDITIVE tables, so daily increments [[appendSkewState]]
+    * in and the advisory never re-scans history (the incremental-index
+    * discipline every sketch family here follows):
+    *
+    *  - `theta/` — [[ThetaSketch]] rows of the key (distinct-count
+    *    estimate, merge = union-set state exactly),
+    *  - `cm/` — [[CountMin]] cells of the key (point-count upper
+    *    bounds, cell-wise additive; row 0's cell sum is the EXACT row
+    *    count),
+    *  - `cands/` — the Misra–Gries per-partition candidate SUPERSET of
+    *    keys holding > 1/`hhK` of any partition (pigeonhole: every key
+    *    with a > 1/`hhK` share of the TOTAL is in here; union across
+    *    batches preserves the guarantee).
+    *
+    * Build cost: one aggregate pass per table over the increment —
+    * increment-sized, never history-sized.
+    */
+  def writeSkewState(df: DataFrame, keys: Seq[String], dir: String,
+      thetaK: Int = 256, hhK: Int = 64, overwrite: Boolean = true): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val keyed = df.select(keyString(keys).as("__key"))
+    ThetaSketch.sketch(keyed, Seq.empty, "__key", thetaK)
+      .write.mode(mode).parquet(s"$dir/theta")
+    CountMin.sketch(keyed, Seq.empty, "__key", CmDepth, CmWidth)
+      .write.mode(mode).parquet(s"$dir/cm")
+    HeavyHitters.mgSummaries(keyed, "__key", hhK)
+      .filter(col("value").isNotNull).select(col("value")).distinct()
+      .write.mode(mode).parquet(s"$dir/cands")
+  }
+
+  /** Fold a daily increment into an existing state: plain appends —
+    * readers re-trim the theta rows, cell-sum the CountMin rows, and
+    * union-distinct the candidates, so append-then-report equals
+    * rebuild-from-everything within the documented envelopes
+    * (SaltingSpec pins it).
+    */
+  def appendSkewState(df: DataFrame, keys: Seq[String], dir: String,
+      thetaK: Int = 256, hhK: Int = 64): Unit =
+    writeSkewState(df, keys, dir, thetaK, hhK, overwrite = false)
+
+  /** [[skewReport]] from a persisted [[writeSkewState]] dir — the daily
+    * advisory at index-read cost (state is sketch-sized; the fact is
+    * never touched):
+    *
+    *  - `n_rows` — EXACT (CountMin row-0 cell sum counts every row
+    *    once),
+    *  - `n_keys` — theta estimate, ±≈1/√(thetaK−2) (exact below
+    *    thetaK distinct),
+    *  - `max_key_rows_ub` / `max_key_rows_lb` — the hottest candidate's
+    *    CountMin estimate, bracketed: CM point estimates are UPPER
+    *    bounds within +`cm_resolution` = ⌈e·N/width⌉ collision mass, so
+    *    `lb = max(0, ub − resolution)` is the count the key PROVABLY
+    *    has. Reporting only the ub would cry wolf on a uniform key
+    *    space the moment n_keys ≫ width (measured: a 30× uniform fact
+    *    read ratio 11.6 from collisions alone); the lb is what the
+    *    mitigation decision may act on,
+    *  - `top<k>_rows_ub` — Σ of the top-k candidate upper bounds,
+    *  - `skew_ratio_ub` / `skew_ratio_lb` — the [[skewReport]] ratio
+    *    over each bracket end. `lb ≫ 10` ⇒ provably hot, mitigate;
+    *    `ub` small ⇒ provably uniform; lb small with ub large ⇒
+    *    resolution-limited, and by construction harmless: a key
+    *    invisible at resolution e·N/width holds < e/width of the
+    *    table — with width ≳ 100× the shuffle partition count such a
+    *    key cannot dominate any partition, which is the only skew that
+    *    matters.
+    *
+    * The true hottest key is IN the candidate superset whenever it
+    * holds > 1/hhK of the rows; below that share no key can dominate
+    * a ≥ hhK-partition shuffle and the advisory's "no provable skew"
+    * IS the answer. An empty candidate set reports NULL max/top —
+    * same meaning.
+    */
+  def skewReportFromState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, topK: Int = 5, thetaK: Int = 256): DataFrame = {
+    val theta = ThetaSketch.merge(spark.read.parquet(s"$dir/theta"))(
+      Seq.empty, thetaK)
+    val nKeys = ThetaSketch.estimate(theta, Seq.empty, thetaK)
+      .select(col("est_distinct").as("n_keys"))
+    val cm = CountMin.merge(spark.read.parquet(s"$dir/cm"))(Seq.empty)
+      .localCheckpoint(eager = true) // depth·width cells, read twice
+    val nRows = cm.filter(col("row") === 0)
+      .agg(coalesce(sum(col("cell_count")), lit(0L)).as("n_rows"))
+    val cands = spark.read.parquet(s"$dir/cands").distinct()
+    val ests = CountMin.estimate(cm, cands, Seq.empty, "value",
+      CmDepth, CmWidth)
+    val top = ests.orderBy(col("est_count").desc).limit(topK)
+      .agg(max(col("est_count")).as("max_key_rows_ub"),
+        sum(col("est_count")).as(s"top${topK}_rows_ub"))
+    def ratio(c: Column): Column =
+      round(c * col("n_keys").cast("double") / col("n_rows"), 2)
+    nRows.crossJoin(broadcast(nKeys)).crossJoin(broadcast(top))
+      .withColumn("cm_resolution",
+        ceil(lit(math.E) * col("n_rows") / lit(CmWidth)).cast("long"))
+      .withColumn("max_key_rows_lb",
+        greatest(lit(0L), col("max_key_rows_ub") - col("cm_resolution")))
+      .select(col("n_rows"), col("n_keys"),
+        col("max_key_rows_ub"), col("max_key_rows_lb"),
+        col(s"top${topK}_rows_ub"), col("cm_resolution"),
+        ratio(col("max_key_rows_ub")).as("skew_ratio_ub"),
+        ratio(col("max_key_rows_lb")).as("skew_ratio_lb"))
+  }
 }

@@ -75,4 +75,59 @@ class SaltingSpec extends SparkSpec {
     val uni = (1 to 100).flatMap(k => Seq.fill(10)(s"k$k")).toDF("k")
     assert(Salting.skewReport(uni, Seq("k")).head.getAs[Double]("skew_ratio") == 1.0)
   }
+
+  test("sketch-backed advisory ≈ exact skewReport within the documented " +
+      "envelopes, at index-read cost; daily appends fold in additively") {
+    import spark.implicits._
+    // planted hot key over a key space big enough that the theta
+    // estimate actually estimates (n_keys > thetaK)
+    val hot = Seq.fill(5000)("hot")
+    val cold = (1 to 2000).flatMap(k => Seq.fill(5)(s"k$k"))
+    val df = (hot ++ cold).toDF("k")
+    val exact = Salting.skewReport(df, Seq("k")).head
+    val dir = tmpDir("skewstate")
+    Salting.writeSkewState(df, Seq("k"), dir)
+    val est = Salting.skewReportFromState(spark, dir).head
+
+    // n_rows: EXACT (CountMin row-0 cell sum)
+    assert(est.getAs[Long]("n_rows") == exact.getAs[Long]("n_rows"))
+    // n_keys: theta envelope ±3/sqrt(k-2) (~19% at k=256, generous 3σ)
+    val nk = est.getAs[Long]("n_keys").toDouble
+    val nkTrue = exact.getAs[Long]("n_keys").toDouble
+    assert(math.abs(nk - nkTrue) / nkTrue < 3.0 / math.sqrt(254.0),
+      s"n_keys est $nk vs true $nkTrue")
+    // hot-key bracket: ub is a CountMin upper bound within +resolution,
+    // lb = ub - resolution provably held by the key
+    val ub = est.getAs[Long]("max_key_rows_ub")
+    val lb = est.getAs[Long]("max_key_rows_lb")
+    val mxTrue = exact.getAs[Long]("max_key_rows")
+    val res = est.getAs[Long]("cm_resolution")
+    assert(ub >= mxTrue && ub <= mxTrue + res, s"max ub $ub vs true $mxTrue")
+    assert(lb <= mxTrue, s"lb $lb must never exceed the true max $mxTrue")
+    // the decision matches the exact report: provably severe skew
+    assert(est.getAs[Double]("skew_ratio_lb") > 40.0)
+
+    // incremental: two appended halves ≈ the one-shot state (theta/CM
+    // additive exactly; the MG candidate union stays a superset)
+    val dir2 = tmpDir("skewstate2")
+    Salting.writeSkewState(df.filter(xxhash64($"k") % 2 === 0), Seq("k"), dir2)
+    Salting.appendSkewState(df.filter(xxhash64($"k") % 2 =!= 0), Seq("k"), dir2)
+    val inc = Salting.skewReportFromState(spark, dir2).head
+    assert(inc.getAs[Long]("n_rows") == exact.getAs[Long]("n_rows"))
+    assert(inc.getAs[Long]("max_key_rows_ub") >= mxTrue &&
+      inc.getAs[Long]("max_key_rows_ub") <= mxTrue + res)
+    // theta state is canonical: merged appends give the SAME estimate
+    assert(inc.getAs[Long]("n_keys") == est.getAs[Long]("n_keys"))
+
+    // no hot key → no provable skew: lb ratio ≈ 0 (the false-alarm
+    // guard — the ub alone WOULD alias collision mass into "skew")
+    val uniDir = tmpDir("skewstate3")
+    val uni = (1 to 3000).map(k => s"u$k").toDF("k")
+    Salting.writeSkewState(uni, Seq("k"), uniDir)
+    val ur = Salting.skewReportFromState(spark, uniDir).head
+    assert(ur.getAs[Long]("n_rows") == 3000L)
+    if (!ur.isNullAt(ur.fieldIndex("max_key_rows_lb")))
+      assert(ur.getAs[Double]("skew_ratio_lb") < 10.0,
+        s"uniform key space must not report provable skew: $ur")
+  }
 }
