@@ -2122,8 +2122,7 @@ object OracleSql {
     * output: subword count + an md5 fingerprint of the joined
     * segmentation (compact, still hash-exact).
     */
-  private val q101: String = {
-    val k = 8
+  private def bpeSegmentSql(k: Int): String = {
     val sb = new StringBuilder(bpeTrainingCtes(k))
     sb.append(s""",
       t AS (
@@ -2156,6 +2155,8 @@ object OracleSql {
       ORDER BY d.doc_id""")
     sb.toString
   }
+
+  private val q101: String = bpeSegmentSql(8)
 
   /** Unigram-LM training chain (mirrors [[graft.operators.UnigramLm]]):
     * admitted word types, substring seed (all singles + top-`topM`
@@ -2279,10 +2280,10 @@ object OracleSql {
     * word's end: out-of-alphabet chars or length > 16), `</w>` marker
     * per word, positional reassembly, md5 fingerprint per doc.
     */
-  private val q170: String = {
+  private def unigramSegmentSql(topM: Int): String = {
     val R = 3
     val sb = new StringBuilder(
-      unigramCtes(maxPieceLen = 4, topM = 128, rounds = 2, maxWordLen = 16))
+      unigramCtes(maxPieceLen = 4, topM = topM, rounds = 2, maxWordLen = 16))
     sb.append(s""",
       cf AS MATERIALIZED (
         SELECT p.piece,
@@ -2340,6 +2341,30 @@ object OracleSql {
     FROM documents d LEFT JOIN perdoc USING (doc_id)
     ORDER BY d.doc_id""")
     sb.toString
+  }
+
+  private val q170: String = unigramSegmentSql(128)
+
+  /** q180: tokenizer fertility SWEEP — the q174 comparison across the
+    * vocab dial: three BPE merge counts and three unigram seed sizes,
+    * each leg the full hash-verified segmentation chain as a
+    * self-contained subquery, rolled up to (tokenizer, dial) fertility.
+    * The crossover this sweeps for BASELINE.md is the real decision a
+    * pipeline makes: which tokenizer compresses the corpus better AT a
+    * given vocabulary budget.
+    */
+  private val q180: String = {
+    def leg(tok: String, dial: Int, sql: String, cnt: String) = s"""
+      SELECT '$tok' AS tokenizer, CAST($dial AS BIGINT) AS dial,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum($cnt) AS BIGINT) AS total_tokens,
+             CAST(sum($cnt) * 1000 // count(*) AS BIGINT) AS avg_tokens_fp
+      FROM ($sql)"""
+    (Seq(2, 8, 16).map(k =>
+      leg("bpe", k, bpeSegmentSql(k), "n_bpe_tokens")) ++
+      Seq(32, 128, 256).map(m =>
+        leg("unigram", m, unigramSegmentSql(m), "n_unigram_tokens")))
+      .mkString(" UNION ALL ") + " ORDER BY tokenizer, dial"
   }
 
   /** q171: KMV bottom-k distinct estimate — bottom-k distinct h60 per
@@ -5605,6 +5630,7 @@ object OracleSql {
     "q177_quantile_ladder" -> q177,
     "q178_streamed_theta" -> q171,
     "q179_streamed_quantile" -> q179,
+    "q180_fertility_sweep" -> q180,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

@@ -3378,6 +3378,40 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Tokenizer fertility SWEEP ([[q174_tokenizer_compare]] across the
+    * vocab dial): three BPE merge counts and three unigram seed sizes,
+    * each trained and applied to the whole corpus, rolled up to
+    * (tokenizer, dial) fertility — the curve a pipeline actually
+    * consults ("which tokenizer compresses this corpus better AT a
+    * given vocabulary budget"), not one point of it. Every leg is the
+    * hash-verified q101/q170 chain at its dial; the oracle re-derives
+    * all six end-to-end.
+    */
+  def q180_fertility_sweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def fert(counts: DataFrame, tok: String, dial: Int): DataFrame =
+      counts.agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+        .select(lit(tok).as("tokenizer"), lit(dial.toLong).as("dial"),
+          col("n_docs"), col("total_tokens"),
+          expr("total_tokens * 1000L div n_docs").as("avg_tokens_fp"))
+    def bpeLeg(k: Int): DataFrame = {
+      val merges = BpeVocab.collectMerges(
+        BpeVocab.train(s, docs, "text", numMerges = k))
+      fert(BpeVocab.segment(docs, "text", "doc_id", merges)
+        .select(coalesce(col("n_bpe_tokens"), lit(0L)).as("n")), "bpe", k)
+    }
+    def uniLeg(m: Int): DataFrame = {
+      val vocab = UnigramLm.collectCosts(UnigramLm.train(s, docs, "text",
+        maxPieceLen = 4, topM = m, rounds = 2))
+      fert(UnigramLm.segment(docs, "text", "doc_id", vocab)
+        .select(coalesce(col("n_unigram_tokens"), lit(0L)).as("n")),
+        "unigram", m)
+    }
+    (Seq(2, 8, 16).map(bpeLeg) ++ Seq(32, 128, 256).map(uniLeg))
+      .reduce(_ unionByName _)
+      .orderBy(col("tokenizer"), col("dial"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -3626,6 +3660,7 @@ object SparkEntry {
     "q177_quantile_ladder" -> (q177_quantile_ladder _),
     "q178_streamed_theta" -> (q178_streamed_theta _),
     "q179_streamed_quantile" -> (q179_streamed_quantile _),
+    "q180_fertility_sweep" -> (q180_fertility_sweep _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
