@@ -5631,6 +5631,10 @@ object OracleSql {
     "q178_streamed_theta" -> q171,
     "q179_streamed_quantile" -> q179,
     "q180_fertility_sweep" -> q180,
+    // q181 runs q148's workload through the persisted-reference
+    // incremental path; value-identical by construction — the oracle
+    // IS q148's whole-data recompute
+    "q181_incremental_drift" -> q148,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

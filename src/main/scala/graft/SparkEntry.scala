@@ -2804,6 +2804,35 @@ object SparkEntry {
       .withColumn("psi_fp", col("psi_fp").cast("string"))
   }
 
+  /** q148 through the INCREMENTAL drift path
+    * ([[graft.operators.Drift.writeReference]] →
+    * [[graft.operators.Drift.reportAgainstReference]]): the reference
+    * side's category counts persist to a temp store and the report is
+    * computed against the FROZEN counts — the daily-monitoring regime,
+    * whose cost is one scan of the current snapshot plus
+    * category-sized joins. It shares q148's whole-data oracle: the
+    * incremental form is value-identical to the batch report by
+    * construction, and the gate hash proves it (the q114/q120
+    * state-folded == from-scratch pattern), not just DriftSpec.
+    */
+  def q181_incremental_drift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def snap(pred: Column): DataFrame = o.filter(pred).select(
+      col("o_orderstatus"), col("o_orderpriority"),
+      Drift.binned("o_totalprice", 50000.0).as("price_bin"))
+    val cut = lit("1998-07-01").cast("date")
+    val cols = Seq("o_orderstatus", "o_orderpriority", "price_bin")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-q181-driftref").toString
+    Drift.writeReference(snap(col("o_orderdate").cast("date") < cut),
+      cols, stateDir)
+    Drift.reportAgainstReference(s.read.parquet(stateDir),
+        snap(col("o_orderdate").cast("date") >= cut &&
+          col("o_totalprice") < 300000.0), cols)
+      // gate boundary: wide decimal → string, as q148 (see its comment)
+      .withColumn("psi_fp", col("psi_fp").cast("string"))
+  }
+
   /** Leakage-safe train/val/test split
     * ([[graft.operators.Sampling.leakSafeSplit]]): q55's chunk-overlap
     * near-dup clusters as the grouping key, so no near-duplicate pair
@@ -3661,6 +3690,7 @@ object SparkEntry {
     "q178_streamed_theta" -> (q178_streamed_theta _),
     "q179_streamed_quantile" -> (q179_streamed_quantile _),
     "q180_fertility_sweep" -> (q180_fertility_sweep _),
+    "q181_incremental_drift" -> (q181_incremental_drift _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
