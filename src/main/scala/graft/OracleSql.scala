@@ -5400,6 +5400,92 @@ object OracleSql {
     GROUP BY n.grp, n.n_rows, t.level
     ORDER BY o_orderpriority"""
 
+  /** Shared CTE chain for q182/q183: per-doc chars-per-token Q10 loss,
+    * per-domain mean, corpus mean, clamped η·excess, then the
+    * [[graft.functions.FixedPoint.pow2fp]] bit loop unrolled — the ten
+    * Q30 constants verbatim — and the Q20 normalization with ε = 1/10
+    * uniform smoothing. Ends at CTE `wt(domain, n_docs, mean_loss_fp,
+    * excess_fp, weight_fp)`.
+    */
+  private val doremiWeightCtes: String = {
+    val consts = Seq(1518500249L, 1276901416L, 1170923761L, 1121280435L,
+      1097253708L, 1085434105L, 1079572135L, 1076653033L, 1075196443L,
+      1074468887L)
+    val steps = consts.zipWithIndex.map { case (c, b) =>
+      val bit = 1L << (9 - b)
+      s"""
+      p${b + 1} AS (
+        SELECT * REPLACE (CASE WHEN frac & $bit = $bit
+                               THEN (r * $c) >> 30 ELSE r END AS r)
+        FROM p$b)"""
+    }.mkString(",")
+    s"""
+    WITH pd AS (
+      SELECT doc_id, lang, source, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN length(t) * 1024 // n_tokens ELSE 0 END AS loss_fp
+      FROM (
+        SELECT doc_id, lang, source, coalesce(text, '') AS t,
+               CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                         ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                     '\\s+')) END AS BIGINT)
+                 AS n_tokens
+        FROM documents)),
+    dm AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(loss_fp) // count(*) AS BIGINT) AS mean_loss_fp
+      FROM pd GROUP BY source),
+    cm AS (SELECT CAST(sum(loss_fp) // count(*) AS BIGINT) AS corpus_fp
+           FROM pd),
+    e AS (
+      SELECT domain, n_docs, mean_loss_fp,
+             greatest(0, mean_loss_fp - corpus_fp) AS excess_fp,
+             least(20480, greatest(0, mean_loss_fp - corpus_fp) * 32 // 1)
+               AS arg
+      FROM dm, cm),
+    p0 AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             arg >> 10 AS i, arg & 1023 AS frac,
+             CAST(1073741824 AS BIGINT) AS r
+      FROM e),$steps,
+    pw AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             CASE WHEN i <= 20 THEN r >> (20 - i)
+                  ELSE r << (i - 20) END AS u_fp
+      FROM p10),
+    z AS (SELECT CAST(sum(u_fp) AS BIGINT) AS z, count(*) AS d FROM pw),
+    wt AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             CAST((9 * (u_fp * 1048576 // z) + (1048576 // d)) // 10
+               AS BIGINT) AS weight_fp
+      FROM pw, z)"""
+  }
+
+  /** q182: the DoReMi-style learned weight table, hash-exact. */
+  private val q182 = doremiWeightCtes + """
+    SELECT domain, n_docs, mean_loss_fp, excess_fp, weight_fp
+    FROM wt ORDER BY domain"""
+
+  /** q183: q89's mixture machinery at q182's LEARNED weights — rate =
+    * `least(1, budget·(weight_fp/2^20)/domain_tokens)`, then the same
+    * deterministic h60 draw.
+    */
+  private val q183 = doremiWeightCtes + s""",
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS dt
+      FROM pd GROUP BY source),
+    rt AS (
+      SELECT t.source,
+             CASE WHEN t.dt > 0
+                  THEN least(1.0, 20000.0 * (w.weight_fp / 1048576.0) / t.dt)
+                  ELSE 0.0 END AS rate
+      FROM tot t JOIN wt w ON w.domain = t.source)
+    SELECT pd.doc_id, pd.lang, pd.source, pd.n_tokens
+    FROM pd JOIN rt ON pd.source = rt.source
+    WHERE CAST(${h60("'mixture:' || CAST(pd.doc_id AS VARCHAR)")} AS DOUBLE)
+          / 1152921504606846976.0 < rt.rate
+    ORDER BY pd.doc_id"""
+
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
     * exact ×2/×4 integer units, same cross-multiplied flag.
@@ -5635,6 +5721,8 @@ object OracleSql {
     // incremental path; value-identical by construction — the oracle
     // IS q148's whole-data recompute
     "q181_incremental_drift" -> q148,
+    "q182_domain_mixture" -> q182,
+    "q183_doremi_mixture" -> q183,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

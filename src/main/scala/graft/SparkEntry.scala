@@ -3441,6 +3441,57 @@ object SparkEntry {
       .orderBy(col("tokenizer"), col("dial"))
   }
 
+  /** Per-doc domain + integer Q10 hardness proxy for the DoReMi-style
+    * mixture rows (q182/q183): chars-per-token — longer average words
+    * mean rarer tokens, the cheapest oracle-exact stand-in for a proxy
+    * model's loss (the operator is loss-agnostic; DomainMixtureSpec
+    * drives it with a planted-loss fixture, production feeds CCNet
+    * perplexity from q124's [[graft.operators.CharLm]]).
+    */
+  private def domainLossFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("text"), lit("")).as("__t"))
+      .withColumn("n_tokens",
+        when(trim(col("__t")) === "", lit(0L))
+          .otherwise(size(split(trim(col("__t")), "\\s+")).cast("long")))
+      .withColumn("loss_fp", when(col("n_tokens") > 0,
+        expr("length(__t) * 1024L div n_tokens")).otherwise(lit(0L)))
+
+  /** DoReMi-style domain reweighting
+    * ([[graft.operators.DomainMixture.weights]]): per-source mean
+    * hardness, excess over the corpus mean, the exponentiated-gradient
+    * factor `2^(η·excess)` through the ten-literal
+    * [[graft.functions.FixedPoint.pow2fp]] kernel, ε-uniform smoothing
+    * — the learned mixture-weight table in Q20, every step exact
+    * integer arithmetic the oracle unrolls (including the ten Q30
+    * pow2 constants verbatim).
+    */
+  def q182_domain_mixture(s: SparkSession, dir: String): DataFrame =
+    DomainMixture.weights(domainLossFrame(s, dir), "source", "loss_fp",
+      etaNum = 32L, etaDen = 1L)
+      .orderBy(col("domain"))
+
+  /** The learned weights driving the mixture sampler (q89's
+    * [[graft.operators.Sampling.mixture]] machinery at q182's learned
+    * weights instead of hand-set ones): collect the #domains-row
+    * weight table (bounded, the dimension contract), derive each
+    * domain's acceptance rate from its token mass, keep rows by the
+    * deterministic h60 draw — the full DoReMi loop body (reweight →
+    * resample) as one gate-proven composition.
+    */
+  def q183_doremi_mixture(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = domainLossFrame(s, dir)
+    val w = DomainMixture.collectWeights(
+      DomainMixture.weights(perDoc, "source", "loss_fp",
+        etaNum = 32L, etaDen = 1L))
+    Sampling.mixture(
+      perDoc.select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens")),
+      "doc_id", "source", "n_tokens", w, budgetTokens = 20000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -3691,6 +3742,8 @@ object SparkEntry {
     "q179_streamed_quantile" -> (q179_streamed_quantile _),
     "q180_fertility_sweep" -> (q180_fertility_sweep _),
     "q181_incremental_drift" -> (q181_incremental_drift _),
+    "q182_domain_mixture" -> (q182_domain_mixture _),
+    "q183_doremi_mixture" -> (q183_doremi_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.FixedPoint
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Loss-driven domain reweighting — the DoReMi-family mixture step
+  * (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up Language
+  * Model Pretraining", 2023): upweight the domains a proxy model finds
+  * HARD (excess loss over the corpus mean) with an exponentiated-
+  * gradient update, smooth toward uniform, and hand the learned
+  * weights to the mixture sampler. Full DoReMi interleaves proxy
+  * RETRAINING between updates — a training-loop concern outside a
+  * query engine; this operator is the in-engine half: one
+  * reweighting step given frozen per-document losses (any integer
+  * fixed-point loss column — CCNet perplexity from
+  * [[CharLm]], chars-per-token, a model score), which the caller may
+  * iterate against fresh losses.
+  *
+  * The repo's sketch discipline, end to end in integers:
+  * per-domain mean loss and the corpus mean are exact `DIV`s, excess
+  * clamps at 0, the EG factor is `2^(η·excess)` through
+  * [[FixedPoint.pow2fp]] (ten Q30 literals both engines repeat —
+  * no libm `exp`), and the normalized weight is a Q20 integer
+  * `(1−ε)·u·2^20 DIV Σu + ε·2^20 DIV D` — so the whole weight table is
+  * DuckDB-hash-matchable (q182) and partitioning-proof.
+  *
+  * Scale shape: one map-side-combined aggregate over the domain key
+  * (rows = #domains), one 1-row corpus aggregate, one #domains-row
+  * normalization — broadcasts all the way; the corpus is scanned once
+  * however many domains ride the table.
+  */
+object DomainMixture {
+
+  /** Learned mixture weights per domain:
+    * `(domain, n_docs, mean_loss_fp, excess_fp, weight_fp)` — loss
+    * means in the caller's Q10 units, `weight_fp` in Q20
+    * (`Σ weight_fp ≈ 2^20`, short by at most one floor per domain).
+    *
+    * `etaNum/etaDen` is the EG step η (the softmax inverse
+    * temperature: weight ratio between two domains = `2^(η·Δexcess)`
+    * — η·excess is clamped to [[FixedPoint.pow2fp]]'s 2^40 cap, far
+    * beyond any sane step). `smoothNum/smoothDen` is DoReMi's ε-uniform
+    * smoothing (default 1/10): every domain keeps ≥ ε/D of the final
+    * mixture, so a domain the proxy hates never starves to zero.
+    */
+  def weights(perDoc: DataFrame, domainCol: String, lossCol: String,
+      etaNum: Long = 4L, etaDen: Long = 1L,
+      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame = {
+    require(etaNum > 0 && etaDen > 0, "eta must be positive")
+    require(smoothDen > 0 && smoothNum >= 0 && smoothNum <= smoothDen,
+      "smoothing must be a fraction in [0, 1]")
+    val rows = perDoc.select(col(domainCol).as("domain"),
+      col(lossCol).cast("long").as("__loss"))
+      .filter(col("domain").isNotNull && col("__loss").isNotNull)
+    val dom = rows.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("__sl"))
+      .withColumn("mean_loss_fp", expr("__sl div n_docs"))
+    val corpus = rows.agg(count(lit(1)).as("__n"), sum(col("__loss")).as("__s"))
+      .select(expr("__s div __n").as("__corpus_fp"))
+    val d = dom.crossJoin(broadcast(corpus))
+      .withColumn("excess_fp",
+        greatest(lit(0L), col("mean_loss_fp") - col("__corpus_fp")))
+      // cap η·excess at 2^20 in Q10 (u ≤ 2^30): keeps u·2^20 inside
+      // signed-64 at the normalization below
+      .withColumn("__u", FixedPoint.pow2fp(
+        least(lit(20480L), expr(s"excess_fp * ${etaNum}L div ${etaDen}L"))))
+    val z = d.agg(sum(col("__u")).as("__z"), count(lit(1)).as("__d"))
+    d.crossJoin(broadcast(z))
+      .withColumn("weight_fp",
+        expr(s"((${smoothDen - smoothNum}L * (__u * 1048576L div __z)) + " +
+          s"(${smoothNum}L * (1048576L div __d))) div ${smoothDen}L"))
+      .select(col("domain"), col("n_docs"), col("mean_loss_fp"),
+        col("excess_fp"), col("weight_fp"))
+  }
+
+  /** The learned weights as [[Sampling.mixture]] input — a bounded
+    * driver collect (rows = #domains, the dimension-sized contract):
+    * Q20 → exact binary double `weight_fp / 2^20`.
+    */
+  def collectWeights(w: DataFrame): Map[String, Double] =
+    w.select(col("domain"), col("weight_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 1048576.0)
+      .toMap
+}
