@@ -178,12 +178,16 @@ class Bm25Spec extends SparkSpec {
         queries, "query_id", "term", k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .toSet
-    for (k <- Seq(1, 3, 10); b <- Seq(2, 4, 16, 1024)) {
+    for (k <- Seq(1, 3, 10); b <- Seq(2, 4, 16, 1024);
+         mat <- Seq(false, true)) {
+      // both frame-sharing regimes: eager bounded checkpoints (persisted
+      // index) and lazy persists with the shared-weighted fallback
+      // (one-shot) must give the identical row set
       val pruned = Bm25.searchManyPostingsPruned(post, lens, "doc_id",
-          queries, "query_id", "term", k, b)
+          queries, "query_id", "term", k, b, materializeCandidates = mat)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .toSet
-      assert(pruned == full(k), s"k=$k b=$b diverged")
+      assert(pruned == full(k), s"k=$k b=$b mat=$mat diverged")
     }
   }
 
