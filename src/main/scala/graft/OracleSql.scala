@@ -5430,7 +5430,8 @@ object OracleSql {
                          ELSE len(string_split_regex(trim(coalesce(text, '')),
                                                      '\\s+')) END AS BIGINT)
                  AS n_tokens
-        FROM documents)),
+        FROM documents
+        WHERE source IS NOT NULL)),
     dm AS (
       SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(loss_fp) // count(*) AS BIGINT) AS mean_loss_fp

@@ -51,11 +51,14 @@ object FixedPoint {
           ColumnBridge.expression(r * lit(consts(b))),
           ColumnBridge.expression(lit(30))))).otherwise(r)
     }
-    // result Q10 = (r · 2^i) / 2^20, shift-safe on both branches
-    when(i <= 20,
-      ColumnBridge.column(ShiftRight(ColumnBridge.expression(r),
-        ColumnBridge.expression((lit(20) - i).cast("int")))))
-      .otherwise(ColumnBridge.column(ShiftLeft(ColumnBridge.expression(r),
-        ColumnBridge.expression((i - lit(20)).cast("int")))))
+    // result Q10 = (r · 2^i) / 2^20, shift-safe on both branches.
+    // NULL propagates (guarded explicitly: least/greatest SKIP nulls,
+    // so the clamp alone would silently turn NULL into the max output)
+    when(x.isNotNull,
+      when(i <= 20,
+        ColumnBridge.column(ShiftRight(ColumnBridge.expression(r),
+          ColumnBridge.expression((lit(20) - i).cast("int")))))
+        .otherwise(ColumnBridge.column(ShiftLeft(ColumnBridge.expression(r),
+          ColumnBridge.expression((i - lit(20)).cast("int"))))))
   }
 }

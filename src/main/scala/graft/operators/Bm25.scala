@@ -356,13 +356,14 @@ object Bm25 {
     *
     *  - `materializeCandidates = true` (the one-shot form, where
     *    `post` is a lazy tokenize): the weighted candidate rows, the
-    *    per-term heads, and the pruned top-k persist LAZILY (cache,
-    *    not checkpoint) — the first action populates them in passing,
-    *    every re-reader (heads feeds stats + rescore pairs; pruned
-    *    feeds verdict + output; weighted feeds heads + rescore +
-    *    fallback) hits memory, and the only eager job in the call is
-    *    the tiny query-table checkpoint. The corpus is tokenized
-    *    exactly once.
+    *    per-term heads, and the pruned top-k persist lazily, every
+    *    re-reader (heads feeds stats + rescore pairs; pruned feeds
+    *    verdict + output; weighted feeds heads + rescore + fallback)
+    *    hits the cache, the BOUNDED result (≤ k·|queries| rows)
+    *    materializes eagerly at the end, and all three cache entries
+    *    are unpersisted before returning — the call leaks nothing and
+    *    the returned frame is a self-contained checkpoint. The corpus
+    *    is tokenized exactly once.
     *  - `materializeCandidates = false` (a persisted term-partitioned
     *    index, the production probe): re-reading the pruned postings
     *    lists beats spilling them, so `weighted` stays a lazy scan and
@@ -382,6 +383,11 @@ object Bm25 {
     val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
     val weighted0 = weightedCandidates(cand, meta)
       .select(col("term"), col(idCol), col("__w"))
+    // persist(), not a lazy localCheckpoint: a lazy checkpoint compiles
+    // its subplan to an RDD up front, OUTSIDE adaptive execution, and
+    // the re-planned shuffles cost more than the sharing saves
+    // (measured +40% on this probe). The entries are explicitly
+    // unpersisted before returning — see the bounded eager result below
     val weighted =
       if (materializeCandidates) weighted0.persist()
       else weighted0
@@ -433,11 +439,16 @@ object Bm25 {
     // re-derive it with tiny joins, no barrier
     val kth = pruned.filter(col("rank") === k)
       .select(col("__qid"), col("score_fp").as("__kth"))
-    val verdict = ub.join(kth, Seq("__qid"), "left")
+    // both union branches read the verdict; in the index regime it is a
+    // plain lazy frame (each derivation is a handful of joins over the
+    // eager checkpoints), in the one-shot regime it rides the same
+    // persist-then-unpersist discipline as the other internal frames
+    val verdict0 = ub.join(kth, Seq("__qid"), "left")
       .select(col("__qid"),
         (col("__anyfull") === 0 ||
           coalesce(col("__kth") > col("__ub"), lit(false))).as("__ok"))
-      .persist() // 1 row per query, read by BOTH union branches — lazy
+    val verdict =
+      if (materializeCandidates) verdict0.persist() else verdict0
     val okQ = verdict.filter(col("__ok")).select(col("__qid"))
     val failedQ = verdict.filter(!col("__ok")).select(col("__qid"))
     val accepted = pruned.join(broadcast(okQ), Seq("__qid"), "left_semi")
@@ -454,8 +465,23 @@ object Bm25 {
         idCol, k)
       .select(col("__qid"), col(idCol),
         col("score_fp").cast("long").as("score_fp"), col("rank"))
-    accepted.unionByName(fallback)
+    val out = accepted.unionByName(fallback)
       .select(col("__qid").as(qidCol), col(idCol), col("score_fp"), col("rank"))
+    if (!materializeCandidates) out
+    else {
+      // the one-shot regime materializes the BOUNDED result eagerly
+      // (≤ k·|queries| rows — the batch-query contract) so the three
+      // internal caches can be released HERE instead of leaking a
+      // CacheManager entry per call (no caller handle could ever
+      // unpersist them); the returned frame is a self-contained
+      // checkpoint the ContextCleaner reclaims with the frame itself
+      val res = out.localCheckpoint(eager = true)
+      weighted.unpersist(blocking = false)
+      heads.unpersist(blocking = false)
+      pruned.unpersist(blocking = false)
+      verdict.unpersist(blocking = false)
+      res
+    }
   }
 
   /** POSITIONAL postings `(id, term, pos)` — one row per token

@@ -206,8 +206,12 @@ object Salting {
     nRows.crossJoin(broadcast(nKeys)).crossJoin(broadcast(top))
       .withColumn("cm_resolution",
         ceil(lit(math.E) * col("n_rows") / lit(CmWidth)).cast("long"))
+      // explicit NULL guard: greatest() SKIPS nulls, so an empty
+      // candidate set (ub NULL) would otherwise report lb = 0 — an
+      // inconsistent bracket; NULL/NULL means "no candidates", as doc'd
       .withColumn("max_key_rows_lb",
-        greatest(lit(0L), col("max_key_rows_ub") - col("cm_resolution")))
+        when(col("max_key_rows_ub").isNotNull,
+          greatest(lit(0L), col("max_key_rows_ub") - col("cm_resolution"))))
       .select(col("n_rows"), col("n_keys"),
         col("max_key_rows_ub"), col("max_key_rows_lb"),
         col(s"top${topK}_rows_ub"), col("cm_resolution"),

@@ -35,4 +35,11 @@ class FixedPointSpec extends SparkSpec {
     assert(p2(Seq(-5L, 0L)) == Seq(1024L, 1024L))
     assert(p2(Seq(40960L, 99999L)) == Seq(1024L << 40, 1024L << 40))
   }
+
+  test("pow2fp propagates NULL (least/greatest would silently clamp it " +
+      "to the max output)") {
+    val r = Seq[Option[Long]](Some(1024L), None).toDF("x")
+      .select(FixedPoint.pow2fp($"x").as("y")).collect()
+    assert(r(0).getLong(0) == 2048L && r(1).isNullAt(0))
+  }
 }
