@@ -5724,6 +5724,10 @@ object OracleSql {
     "q181_incremental_drift" -> q148,
     "q182_domain_mixture" -> q182,
     "q183_doremi_mixture" -> q183,
+    // q184 rolls monthly mergeable states up at the ladder's buffer
+    // capacity and compacts at read; canonical merge makes the result
+    // the whole-data laddered sketch — the oracle IS q177's
+    "q184_ladder_rollup" -> q177,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

@@ -3407,6 +3407,43 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The ladder's ROLLUP composition through the gate
+    * ([[graft.operators.QuantileSketch.LadderMergeAgg]]): per-month
+    * mergeable sketches at the ladder's BUFFER capacity (1024), rolled
+    * up per priority and cascade-compacted at read — canonical merge
+    * means the merged buffer IS the whole-data buffer, so the laddered
+    * output must equal q177's bit-for-bit and this row shares q177's
+    * oracle. This is the read path a mart actually runs: store
+    * mergeable states, compact only at the final read.
+    */
+  def q184_ladder_rollup(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+    val sk = udaf(new QuantileSketch.Agg(1024),
+      enc.tuple(enc.scalaLong, enc.scalaLong))
+    val ladderMerge = udaf(new QuantileSketch.LadderMergeAgg(64, 4),
+      enc.product[QuantileSketch.QSketch])
+    val monthly = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        trunc(col("o_orderdate").cast("date"), "month").as("__mon"),
+        graft.functions.AuditableHash.h60(col("o_orderkey")).as("h"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("o_orderpriority"), col("__mon"))
+      .agg(sk(col("h"), col("v")).as("sk"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(ladderMerge(col("sk.n"), col("sk.level"), col("sk.hashes"),
+        col("sk.values")).as("sk"))
+      .select(col("o_orderpriority"),
+        col("sk.n").as("n_rows"),
+        col("sk.level").as("level"),
+        col("sk.rounds").as("rounds"),
+        size(col("sk.values")).as("m_samples"),
+        QuantileSketch.sampleXor(col("sk")).as("sample_hash_xor"),
+        QuantileSketch.estimate(col("sk"), 50).as("p50_cents"),
+        QuantileSketch.estimate(col("sk"), 90).as("p90_cents"),
+        QuantileSketch.estimate(col("sk"), 99).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Tokenizer fertility SWEEP ([[q174_tokenizer_compare]] across the
     * vocab dial): three BPE merge counts and three unigram seed sizes,
     * each trained and applied to the whole corpus, rolled up to
@@ -3760,6 +3797,7 @@ object SparkEntry {
     "q181_incremental_drift" -> (q181_incremental_drift _),
     "q182_domain_mixture" -> (q182_domain_mixture _),
     "q183_doremi_mixture" -> (q183_doremi_mixture _),
+    "q184_ladder_rollup" -> (q184_ladder_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

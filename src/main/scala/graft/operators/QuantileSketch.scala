@@ -268,6 +268,39 @@ object QuantileSketch {
     override def outputEncoder: Encoder[LSketch] = Encoders.product[LSketch]
   }
 
+  /** Rollup + ladder in one read: re-aggregate STORED [[QSketch]]s
+    * (daily/monthly mergeable states, the [[MergeAgg]] mechanics at
+    * buffer capacity `k·2^levels`) and cascade-compact the merged
+    * state at finish. This is how the terminal [[LadderAgg]] composes
+    * with the rollup discipline: persist mergeable [[Agg]] states at
+    * the buffer capacity, roll them up canonically forever, and pay
+    * the compaction only at the final read — `LadderMergeAgg(part
+    * sketches of Agg(k·2^levels)) == LadderAgg(whole input)` exactly
+    * (canonical merge; QuantileSketchProps pins it, and q184 proves it
+    * through the driver gate against q177's oracle).
+    */
+  final class LadderMergeAgg(k: Int = 256, levels: Int = 4)
+      extends Aggregator[QSketch, Buf, LSketch] {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(levels >= 1 && levels <= 12,
+      s"levels must be in [1,12], got $levels")
+    private val cap = k << levels
+    override def zero: Buf = emptyBuf(cap)
+    override def reduce(b: Buf, sk: QSketch): Buf = {
+      b.n += sk.n
+      raiseTo(b, sk.level)
+      var i = 0
+      while (i < sk.hashes.length) {
+        append(b, cap, sk.hashes(i), sk.values(i)); i += 1
+      }
+      b
+    }
+    override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(cap, b1, b2)
+    override def finish(b: Buf): LSketch = cascade(finishBuf(b), k)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[LSketch] = Encoders.product[LSketch]
+  }
+
   // ---- column-side readers of a finished sketch struct -------------------
 
   /** The q-percent estimate from a sketch column: the sample's

@@ -92,6 +92,22 @@ object QuantileSketchProps extends Properties("QuantileSketch") {
         k(left) == k(whole) && k(right) == k(whole)
     }
 
+  property("ladder rollup: LadderMergeAgg over finished part-sketches at " +
+      "the buffer capacity == LadderAgg over the whole input") =
+    forAll(rowsGen, Gen.choose(2, 5)) { (rows, parts) =>
+      val buf = new QuantileSketch.Agg(16 << 3) // the ladder's buffer
+      def part(rs: Seq[(Long, Long)]) =
+        buf.finish(rs.foldLeft(buf.zero)(buf.reduce))
+      val lm = new QuantileSketch.LadderMergeAgg(16, 3)
+      val rolled = lm.finish(rows.grouped(math.max(1, rows.size / parts))
+        .map(part).foldLeft(lm.zero)(lm.reduce))
+      val lad = new QuantileSketch.LadderAgg(16, 3)
+      val whole = lad.finish(rows.foldLeft(lad.zero)(lad.reduce))
+      def k(s: QuantileSketch.LSketch) =
+        (s.n, s.level, s.rounds, s.hashes.toSeq, s.values.toSeq)
+      k(rolled) == k(whole)
+    }
+
   property("ladder sample stays value-sorted and a subset of the buffer " +
       "sample (cascade only drops, never invents)") =
     forAll(rowsGen) { rows =>
