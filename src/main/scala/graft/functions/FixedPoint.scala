@@ -43,13 +43,19 @@ object FixedPoint {
     val consts = Seq(1518500249L, 1276901416L, 1170923761L, 1121280435L,
       1097253708L, 1085434105L, 1079572135L, 1076653033L, 1075196443L,
       1074468887L)
+    // LINEAR expression tree: each step is `(r · factor) >> 30` with
+    // factor = C_b when the bit is set, else 2^30 (an exact identity —
+    // r·2^30 >> 30 == r). The obvious `when(bit, step(r)).otherwise(r)`
+    // embeds r TWICE per level, a 2^10-leaf tree that made the planner
+    // the hot path (a 30 s gate query); here r appears once per level.
     var r: Column = lit(1L << 30)
     for (b <- 0 to 9) {
       val bit = lit(1L << (9 - b))
-      r = when(f.bitwiseAND(bit) === bit,
-        ColumnBridge.column(ShiftRight(
-          ColumnBridge.expression(r * lit(consts(b))),
-          ColumnBridge.expression(lit(30))))).otherwise(r)
+      val factor = when(f.bitwiseAND(bit) === bit, lit(consts(b)))
+        .otherwise(lit(1L << 30))
+      r = ColumnBridge.column(ShiftRight(
+        ColumnBridge.expression(r * factor),
+        ColumnBridge.expression(lit(30))))
     }
     // result Q10 = (r · 2^i) / 2^20, shift-safe on both branches.
     // NULL propagates (guarded explicitly: least/greatest SKIP nulls,
