@@ -181,20 +181,20 @@ object Bench {
     // tier 6 (183+ queries pushed tier 5 past the budget): drop the
     // informational counts and the sub-second decimal of slow queries —
     // "12" not "12.3"; tier 7 (absolute last resort, parses whole to
-    // ~230 queries): integer DECISECONDS values, self-described by
-    // "q_unit":"ds" (the durable full-precision copy is unaffected)
+    // ~260 queries): integer SECONDS — coarse, but still seconds, so a
+    // parser that applies "unit" to the map can never misread by 10×
+    // (the durable full-precision copy is the backstop either way)
     def fmt1i(v: Double) =
       if (v < 10) fmt1(v)
       else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtDs(v: Double) =
-      BigDecimal(v * 10).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt0(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
     val candidates = Seq(
       tailLine(strip = false, jnum), tailLine(strip = false, fmt2),
       tailLine(strip = true, fmt2), tailLine(strip = true, fmtAd),
       tailLine(strip = true, fmt1),
       tailLine(strip = true, fmt1i, counts = false),
-      tailLine(strip = true, fmtDs, counts = false,
-        extra = """"q_unit":"ds","""))
+      tailLine(strip = true, fmt0, counts = false))
     println(candidates.find(_.length <= budget).getOrElse(candidates.last))
     spark.stop()
   }

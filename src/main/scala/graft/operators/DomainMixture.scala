@@ -48,6 +48,8 @@ object DomainMixture {
       etaNum: Long = 4L, etaDen: Long = 1L,
       smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame = {
     require(etaNum > 0 && etaDen > 0, "eta must be positive")
+    require(etaNum <= (1L << 20) && etaDen <= (1L << 20),
+      "eta numerator/denominator must be <= 2^20 (the overflow-safe dial range)")
     require(smoothDen > 0 && smoothNum >= 0 && smoothNum <= smoothDen,
       "smoothing must be a fraction in [0, 1]")
     val rows = perDoc.select(col(domainCol).as("domain"),
@@ -61,10 +63,17 @@ object DomainMixture {
     val d = dom.crossJoin(broadcast(corpus))
       .withColumn("excess_fp",
         greatest(lit(0L), col("mean_loss_fp") - col("__corpus_fp")))
-      // cap η·excess at 2^20 in Q10 (u ≤ 2^30): keeps u·2^20 inside
-      // signed-64 at the normalization below
+      // cap η·excess at 2^20 in Q10 (u ≤ 2^30: keeps u·2^20 inside
+      // signed-64 at the normalization below) — and decide the cap
+      // BEFORE multiplying: a caller-scale loss column can push
+      // excess·etaNum past signed-64, where the wrapped negative would
+      // clamp to u = 1 and hand the HARDEST domain the minimum weight.
+      // Under the cap test, excess ≤ 20480·etaDen/etaNum + 1 ≤ ~2^35,
+      // so the product stays ≤ ~2^55 with the required η dial range
       .withColumn("__u", FixedPoint.pow2fp(
-        least(lit(20480L), expr(s"excess_fp * ${etaNum}L div ${etaDen}L"))))
+        when(col("excess_fp") > lit(20480L * etaDen / etaNum), lit(20480L))
+          .otherwise(least(lit(20480L),
+            expr(s"excess_fp * ${etaNum}L div ${etaDen}L")))))
     val z = d.agg(sum(col("__u")).as("__z"), count(lit(1)).as("__d"))
     d.crossJoin(broadcast(z))
       .withColumn("weight_fp",

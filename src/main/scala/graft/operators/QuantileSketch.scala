@@ -126,6 +126,21 @@ object QuantileSketch {
   private def emptyBuf(k: Int): Buf =
     Buf(0L, 0, 0, new Array[Long](k + 1), new Array[Long](k + 1))
 
+  /** Fold a finished sketch into a buffer at capacity `cap` — the ONE
+    * reduce body [[MergeAgg]] and [[LadderMergeAgg]] share (a future
+    * merge-mechanics fix must not have to land in two places: the q184
+    * gate row depends on them staying identical).
+    */
+  private def reduceSketch(b: Buf, cap: Int, sk: QSketch): Buf = {
+    b.n += sk.n
+    raiseTo(b, sk.level)
+    var i = 0
+    while (i < sk.hashes.length) {
+      append(b, cap, sk.hashes(i), sk.values(i)); i += 1
+    }
+    b
+  }
+
   private def mergeBufs(k: Int, b1: Buf, b2: Buf): Buf = {
     b1.n += b2.n
     raiseTo(b1, b2.level)
@@ -166,15 +181,7 @@ object QuantileSketch {
   final class MergeAgg(k: Int = DefaultK)
       extends Aggregator[QSketch, Buf, QSketch] {
     override def zero: Buf = emptyBuf(k)
-    override def reduce(b: Buf, sk: QSketch): Buf = {
-      b.n += sk.n
-      raiseTo(b, sk.level)
-      var i = 0
-      while (i < sk.hashes.length) {
-        append(b, k, sk.hashes(i), sk.values(i)); i += 1
-      }
-      b
-    }
+    override def reduce(b: Buf, sk: QSketch): Buf = reduceSketch(b, k, sk)
     override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(k, b1, b2)
     override def finish(b: Buf): QSketch = finishBuf(b)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
@@ -286,15 +293,7 @@ object QuantileSketch {
       s"levels must be in [1,12], got $levels")
     private val cap = k << levels
     override def zero: Buf = emptyBuf(cap)
-    override def reduce(b: Buf, sk: QSketch): Buf = {
-      b.n += sk.n
-      raiseTo(b, sk.level)
-      var i = 0
-      while (i < sk.hashes.length) {
-        append(b, cap, sk.hashes(i), sk.values(i)); i += 1
-      }
-      b
-    }
+    override def reduce(b: Buf, sk: QSketch): Buf = reduceSketch(b, cap, sk)
     override def merge(b1: Buf, b2: Buf): Buf = mergeBufs(cap, b1, b2)
     override def finish(b: Buf): LSketch = cascade(finishBuf(b), k)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
