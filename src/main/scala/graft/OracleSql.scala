@@ -4341,6 +4341,67 @@ object OracleSql {
     SELECT doc_id, bm25_fp, cosine, rank FROM rr WHERE rank <= 10
     ORDER BY rank"""
 
+  /** q186: reciprocal-rank fusion — the q141 building blocks as two
+    * independent top-20 rank lists (full-scoring BM25; quantized cosine
+    * vs vec 0 over ALL embeddings, self excluded — the q26 contract),
+    * fused by the exact integer quotient `10^6 // (60 + rank)` summed
+    * over the lists each doc appears in, ties by id.
+    */
+  private val q186 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_fp FROM w GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS r
+        FROM sc)
+      WHERE r <= 20),
+    qv AS (
+      SELECT $quantize AS pq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS pn2
+      FROM embeddings WHERE vec_id = 0),
+    ev AS (
+      SELECT vec_id AS doc_id, $quantize AS dq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS dn2
+      FROM embeddings),
+    cosd AS (
+      SELECT e.doc_id,
+             round(CASE WHEN e.dn2 = 0 OR q.pn2 = 0 THEN 0.0
+                        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                               i -> e.dq[i] * q.pq[i])) AS BIGINT) AS DOUBLE)
+                             / (sqrt(CAST(e.dn2 AS DOUBLE)) *
+                                sqrt(CAST(q.pn2 AS DOUBLE))) END, 6) AS cosine
+      FROM ev e CROSS JOIN qv q
+      WHERE e.doc_id <> 0),
+    vec AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+        FROM cosd)
+      WHERE r <= 20),
+    u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM vec),
+    f AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+             CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_fp
+      FROM u GROUP BY doc_id)
+    SELECT doc_id, n_lists, rrf_fp, rank FROM (
+      SELECT doc_id, n_lists, rrf_fp,
+             CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+               AS INTEGER) AS rank
+      FROM f)
+    WHERE rank <= 10
+    ORDER BY rank"""
+
   /** q143: exact-phrase match — positional tokens (filtered like the
     * Spark side, so indexes align), consecutive-pair predicate,
     * overlap-counted per doc.
@@ -5728,6 +5789,11 @@ object OracleSql {
     // capacity and compacts at read; canonical merge makes the result
     // the whole-data laddered sketch — the oracle IS q177's
     "q184_ladder_rollup" -> q177,
+    // q185 re-derives the mixture weights from persisted per-domain
+    // loss sums; exact integer sums make it value-identical to the
+    // batch path — the oracle IS q182's whole-corpus recompute
+    "q185_incremental_mixture" -> q182,
+    "q186_rrf_fusion" -> q186,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

@@ -3538,6 +3538,55 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q182 through the INCREMENTAL loss-state path
+    * ([[graft.operators.DomainMixture.writeLossState]] →
+    * [[graft.operators.DomainMixture.weightsFromState]]): per-domain
+    * loss sufficient statistics persist per increment (two appended
+    * halves here) and the daily reweighting re-derives the weights
+    * from the summed state — exact integer sums make it value-identical
+    * to the batch path, so this row shares q182's whole-corpus oracle
+    * (the q181/q114/q120 state-folded == from-scratch pattern).
+    */
+  def q185_incremental_mixture(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = domainLossFrame(s, dir)
+    val stateDir = mixtureStateMemo.get(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-q185-lossstate").toString
+      DomainMixture.writeLossState(
+        perDoc.filter(col("doc_id") % 2 === 0), "source", "loss_fp", d)
+      DomainMixture.appendLossState(
+        perDoc.filter(col("doc_id") % 2 =!= 0), "source", "loss_fp", d)
+      d
+    }
+    DomainMixture.weightsFromState(s, stateDir, etaNum = 32L, etaDen = 1L)
+      .orderBy(col("domain"))
+  }
+
+  private val mixtureStateMemo = new StateMemo[String]()
+
+  /** Reciprocal-rank fusion ([[graft.operators.Similarity.rrfFuse]],
+    * Cormack–Clarke–Buettcher 2009): the STANDARD hybrid-retrieval
+    * combiner — fuse the BM25 lexical top-20 and the cosine vector
+    * top-20 by `Σ 10^6 DIV (60 + rank)` over the lists each document
+    * appears in, score-free (rank fusion needs no cross-retriever
+    * score calibration, which is exactly why production hybrid search
+    * defaults to it). Both input lists are the hash-proven q135/q26
+    * machineries; the fused score is exact integer arithmetic the
+    * oracle re-derives from both chains.
+    */
+  def q186_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lexical = Bm25.search(docs, "text", "doc_id",
+        Seq("dup", "vector", "merge", "zzz"), k = 20)
+      .select(col("doc_id"), col("rank"))
+    val vector = Similarity.bruteForceTopKQuantized(emb,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id", k = 20)
+      .select(col("id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lexical, vector), "doc_id", "rank", k = 10)
+      .orderBy(col("rank"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -3825,6 +3874,8 @@ object SparkEntry {
     "q182_domain_mixture" -> (q182_domain_mixture _),
     "q183_doremi_mixture" -> (q183_doremi_mixture _),
     "q184_ladder_rollup" -> (q184_ladder_rollup _),
+    "q185_incremental_mixture" -> (q185_incremental_mixture _),
+    "q186_rrf_fusion" -> (q186_rrf_fusion _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

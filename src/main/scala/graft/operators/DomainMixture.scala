@@ -46,19 +46,68 @@ object DomainMixture {
     */
   def weights(perDoc: DataFrame, domainCol: String, lossCol: String,
       etaNum: Long = 4L, etaDen: Long = 1L,
-      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame = {
+      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame =
+    weightsFromStats(
+      lossRows(perDoc, domainCol, lossCol).groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("sum_loss_fp")),
+      etaNum, etaDen, smoothNum, smoothDen)
+
+  private def lossRows(perDoc: DataFrame, domainCol: String,
+      lossCol: String): DataFrame =
+    perDoc.select(col(domainCol).as("domain"),
+      col(lossCol).cast("long").as("__loss"))
+      .filter(col("domain").isNotNull && col("__loss").isNotNull)
+
+  /** Persist the per-domain loss sufficient statistic — one
+    * domain-sized table `(domain, n_docs, sum_loss_fp)` per increment,
+    * ADDITIVE (exact integer sums), so the daily reweighting never
+    * re-scans history: [[appendLossState]] folds an increment in and
+    * [[weightsFromState]] re-derives the weights from the summed
+    * state, value-identical to [[weights]] over the union corpus by
+    * construction (DomainMixtureSpec pins it hash-equal; q185 proves
+    * it through the driver gate against q182's whole-corpus oracle) —
+    * the incremental-state discipline every family here follows.
+    */
+  def writeLossState(perDoc: DataFrame, domainCol: String, lossCol: String,
+      dir: String, overwrite: Boolean = true): Unit =
+    lossRows(perDoc, domainCol, lossCol).groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("sum_loss_fp"))
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+
+  /** Fold a daily increment into an existing state (plain append —
+    * readers re-sum).
+    */
+  def appendLossState(perDoc: DataFrame, domainCol: String,
+      lossCol: String, dir: String): Unit =
+    writeLossState(perDoc, domainCol, lossCol, dir, overwrite = false)
+
+  /** [[weights]] from a persisted [[writeLossState]] dir — the daily
+    * advisory at state-read cost (the corpus is never re-scanned).
+    */
+  def weightsFromState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, etaNum: Long = 4L, etaDen: Long = 1L,
+      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame =
+    weightsFromStats(
+      spark.read.parquet(dir).groupBy(col("domain"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_loss_fp")).as("sum_loss_fp")),
+      etaNum, etaDen, smoothNum, smoothDen)
+
+  /** The shared tail: per-domain `(domain, n_docs, sum_loss_fp)` →
+    * weight table. The corpus mean derives from the SAME stats
+    * (`Σ sums DIV Σ counts`), so the batch and state paths cannot
+    * disagree.
+    */
+  private def weightsFromStats(dom0: DataFrame, etaNum: Long, etaDen: Long,
+      smoothNum: Long, smoothDen: Long): DataFrame = {
     require(etaNum > 0 && etaDen > 0, "eta must be positive")
     require(etaNum <= (1L << 20) && etaDen <= (1L << 20),
       "eta numerator/denominator must be <= 2^20 (the overflow-safe dial range)")
     require(smoothDen > 0 && smoothNum >= 0 && smoothNum <= smoothDen,
       "smoothing must be a fraction in [0, 1]")
-    val rows = perDoc.select(col(domainCol).as("domain"),
-      col(lossCol).cast("long").as("__loss"))
-      .filter(col("domain").isNotNull && col("__loss").isNotNull)
-    val dom = rows.groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("__sl"))
-      .withColumn("mean_loss_fp", expr("__sl div n_docs"))
-    val corpus = rows.agg(count(lit(1)).as("__n"), sum(col("__loss")).as("__s"))
+    val dom = dom0.withColumn("mean_loss_fp", expr("sum_loss_fp div n_docs"))
+    val corpus = dom.agg(sum(col("n_docs")).as("__n"),
+        sum(col("sum_loss_fp")).as("__s"))
       .select(expr("__s div __n").as("__corpus_fp"))
     val d = dom.crossJoin(broadcast(corpus))
       .withColumn("excess_fp",

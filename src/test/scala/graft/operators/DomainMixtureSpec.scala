@@ -62,6 +62,22 @@ class DomainMixtureSpec extends SparkSpec {
       s"hard must survive the resample harder: $kept")
   }
 
+  test("persisted loss state: append-two-halves then weightsFromState " +
+      "== one-shot weights, value-identical (exact integer sums)") {
+    val docs = planted(40, 60).withColumn("doc_id",
+      monotonically_increasing_id())
+    val dir = tmpDir("lossstate")
+    DomainMixture.writeLossState(docs.filter($"doc_id" % 2 === 0),
+      "domain", "loss_fp", dir)
+    DomainMixture.appendLossState(docs.filter($"doc_id" % 2 =!= 0),
+      "domain", "loss_fp", dir)
+    val inc = DomainMixture.weightsFromState(spark, dir)
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    val batch = DomainMixture.weights(docs, "domain", "loss_fp")
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    assert(inc == batch)
+  }
+
   test("NULL domains and NULL losses drop before aggregation") {
     val df = Seq(("a", Some(1024L)), ("a", None), (null, Some(9999L)))
       .toDF("domain", "loss_fp")

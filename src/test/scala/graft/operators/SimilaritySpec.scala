@@ -200,4 +200,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._2 == r._1 * 10))
     assert(got.map(_._4).toSeq == (1 to 5))
   }
+
+  test("rrfFuse matches the hand-computed RRF sums; docs in one list " +
+      "only score from it; ties break by id; n_lists counts lists") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", k = 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_lists"),
+        r.getAs[Long]("rrf_fp"), r.getAs[Int]("rank")))
+    def s(rs: Int*) = rs.map(r => 1000000L / (60 + r)).sum
+    // 10: ranks 1+2 -> 16393+16129=32522; 20: 2+1 -> same sum (tie!)
+    // -> id tie-break puts 10 first; 30/40: single-list 15873 each,
+    // 30 before 40 by id
+    assert(out.toSeq == Seq(
+      (10L, 2, s(1, 2), 1), (20L, 2, s(2, 1), 2),
+      (30L, 1, s(3), 3), (40L, 1, s(3), 4)))
+    // k truncates after fusion
+    assert(Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", k = 2)
+      .count() == 2)
+    // partitioning-proof
+    val p = Similarity.rrfFuse(Seq(a.repartition(5), b.repartition(3)),
+      "doc_id", "rank", k = 10).orderBy($"rank")
+      .collect().map(_.toString).toSeq
+    assert(p == out.map(t => s"[${t._1},${t._2},${t._3},${t._4}]").toSeq)
+  }
 }
