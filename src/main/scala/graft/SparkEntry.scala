@@ -2829,8 +2829,7 @@ object SparkEntry {
     // scan + category-sized joins against the frozen counts), not the
     // reference construction the incremental path exists to avoid
     val stateDir = driftRefMemo.get(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-q181-driftref").toString
+      val d = tempStateDir("graft-q181-driftref")
       Drift.writeReference(snap(col("o_orderdate").cast("date") < cut),
         cols, d)
       d
@@ -3550,8 +3549,7 @@ object SparkEntry {
   def q185_incremental_mixture(s: SparkSession, dir: String): DataFrame = {
     val perDoc = domainLossFrame(s, dir)
     val stateDir = mixtureStateMemo.get(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-q185-lossstate").toString
+      val d = tempStateDir("graft-q185-lossstate")
       DomainMixture.writeLossState(
         perDoc.filter(col("doc_id") % 2 === 0), "source", "loss_fp", d)
       DomainMixture.appendLossState(
@@ -3606,6 +3604,23 @@ object SparkEntry {
     * the LRU bound (a handful of (session, sf) pairs ever exist in one
     * JVM) keeps it from pinning stopped sessions for the JVM's life.
     */
+  /** A memo-owned temp dir, removed recursively at JVM exit (the
+    * CorpusJob staging-root discipline): memo eviction drops only the
+    * in-memory reference, so without the hook a long-lived JVM would
+    * orphan one parquet state dir per evicted entry.
+    */
+  private def tempStateDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private final class StateMemo[V](cap: Int = 8) {
     private val m = new java.util.LinkedHashMap[(SparkSession, String), V](
       16, 0.75f, true) {
@@ -3634,8 +3649,7 @@ object SparkEntry {
 
   private def buildStreamedSketchState(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-q178-stream").toString
+    val base = tempStateDir("graft-q178-stream")
     val orders = Tables.orders(s, dir).select(col("o_orderpriority"),
       col("o_custkey"), cents(col("o_totalprice")).as("cents"))
     val inDir = s"$base/in"

@@ -201,38 +201,6 @@ object Similarity {
     * join — callers keep the lexical rank if they want them back).
     * Cosine rounds to 6 dp before ranking; ties break on id.
     */
-  /** Reciprocal-rank fusion of top-k lists (Cormack, Clarke &
-    * Buettcher, SIGIR 2009) — the standard hybrid-retrieval combiner:
-    * each list contributes `10^6 DIV (k0 + rank)` for the documents it
-    * retrieved, scores sum across lists, ties break by id. Rank
-    * fusion needs NO cross-retriever score calibration (BM25
-    * fixed-point vs cosine floats never meet), which is why production
-    * hybrid search defaults to it; with the repo's integer quotient it
-    * is also exactly oracle-re-derivable (q186). `k0 = 60` is the
-    * paper's constant.
-    *
-    * Inputs are TOP-K lists by contract, so everything here is
-    * bounded: the union carries ≤ Σ|list| rows, the fuse is one
-    * bounded aggregate, and the final rank is a window over ≤ k rows
-    * (the q73 carve-out). Output: `(idCol, n_lists, rrf_fp, rank)`.
-    */
-  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
-      k: Int, k0: Int = 60): DataFrame = {
-    require(lists.nonEmpty, "need at least one ranked list")
-    require(k >= 1 && k0 >= 0, s"bad k=$k / k0=$k0")
-    val fused = lists
-      .map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
-      .reduce(_ unionByName _)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_lists"),
-        sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_fp"))
-      .orderBy(col("rrf_fp").desc, col(idCol))
-      .limit(k)
-    fused.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("rrf_fp").desc, col(idCol))))
-  }
-
   def rerankByVector(cands: DataFrame, idCol: String, emb: DataFrame,
       embIdCol: String, vecCol: String, probe: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -252,4 +220,45 @@ object Similarity {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("cosine").desc, col(idCol))))
   }
+  /** Reciprocal-rank fusion of top-k lists (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) — the standard hybrid-retrieval combiner:
+    * each list contributes `10^6 DIV (k0 + rank)` for the documents it
+    * retrieved, scores sum across lists, ties break by id. Rank
+    * fusion needs NO cross-retriever score calibration (BM25
+    * fixed-point vs cosine floats never meet), which is why production
+    * hybrid search defaults to it; with the repo's integer quotient it
+    * is also exactly oracle-re-derivable (q186). `k0 = 60` is the
+    * paper's constant.
+    *
+    * Inputs are TOP-K lists by contract — 1-based ranks, one row per
+    * document per list (both enforced loudly where cheap: NULL/0 ranks
+    * throw; duplicate ids within one list are the caller's bug and
+    * would double-count). Everything here is
+    * bounded: the union carries ≤ Σ|list| rows, the fuse is one
+    * bounded aggregate, and the final rank is a window over ≤ k rows
+    * (the q73 carve-out). Output: `(idCol, n_lists, rrf_fp, rank)`.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1 && k0 >= 0, s"bad k=$k / k0=$k0")
+    val fused = lists
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+      // fail LOUDLY on a contract-violating list: a NULL or 0 rank
+      // would otherwise NULL its quotient, which sum() skips while
+      // count() still increments n_lists — a silently wrong fusion
+      .filter(assert_true(col("__r") >= 1,
+        lit("rrfFuse: ranks must be 1-based and non-null " +
+          "(feed top-k list outputs)")).isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col(idCol))
+      .limit(k)
+    fused.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_fp").desc, col(idCol))))
+  }
+
 }
