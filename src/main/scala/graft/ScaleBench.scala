@@ -371,6 +371,27 @@ object ScaleBench {
             spark.read.parquet(s"$tmp/bm25post"))
           .write.mode("overwrite").parquet(s"$tmp/bm25meta")
       }
+      // advisory/mixture state (round 12): the EXACT forms scan the R×
+      // corpus; the state probes read sketch-sized / domain-sized state
+      // regardless of R — the flat-vs-linear pair is the claim. The
+      // skew key is CONTENT-derived (first text token) so the exact
+      // report must read the fact — a dimension-column key would be
+      // column-pruned into a near-free scan and hide the asymmetry
+      lazy val dSrc = corpusKeep(r, Seq("source"))
+      lazy val dKeyed = dSrc.withColumn("k",
+        substring(col("text"), 1, 12))
+      def lossFrame(df: DataFrame): DataFrame = df
+        .withColumn("__t", coalesce(col("text"), lit("")))
+        .withColumn("__ntok", when(trim(col("__t")) === "", lit(0L))
+          .otherwise(size(split(trim(col("__t")), "\\s+")).cast("long")))
+        .withColumn("loss_fp", when(col("__ntok") > 0,
+          expr("length(__t) * 1024L div __ntok")).otherwise(lit(0L)))
+      if (keep("incr_skew_advisory"))
+        graft.operators.Salting.writeSkewState(dKeyed, Seq("k"),
+          s"$tmp/skewstate")
+      if (keep("incr_mixture_weights"))
+        graft.operators.DomainMixture.writeLossState(lossFrame(dSrc),
+          "source", "loss_fp", s"$tmp/lossstate")
       val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
       val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
       Seq[(String, () => Long)](
@@ -408,6 +429,17 @@ object ScaleBench {
             spark.read.parquet(s"$tmp/bm25lens"), "doc_id",
             Seq("dup", "vector", "merge", "zzz"), 20,
             meta = Some(spark.read.parquet(s"$tmp/bm25meta"))).count()),
+        s"skew_exact" -> (() =>
+          graft.operators.Salting.skewReport(dKeyed, Seq("k")).count()),
+        s"incr_skew_advisory" -> (() =>
+          graft.operators.Salting.skewReportFromState(spark,
+            s"$tmp/skewstate").count()),
+        s"mixture_batch" -> (() =>
+          graft.operators.DomainMixture.weights(lossFrame(dSrc),
+            "source", "loss_fp").count()),
+        s"incr_mixture_weights" -> (() =>
+          graft.operators.DomainMixture.weightsFromState(spark,
+            s"$tmp/lossstate").count()),
       ).filter(p => keep(p._1)).map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f()
