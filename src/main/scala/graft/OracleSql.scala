@@ -5794,6 +5794,11 @@ object OracleSql {
     // batch path — the oracle IS q182's whole-corpus recompute
     "q185_incremental_mixture" -> q182,
     "q186_rrf_fusion" -> q186,
+    // q187/q188 roll monthly HLL registers (register-wise MAX) and
+    // CountMin cells (cell-wise SUM) up — both merges are the
+    // whole-data sketch EXACTLY, so the oracles ARE q62's / q63's
+    "q187_hll_rollup" -> q62,
+    "q188_countmin_rollup" -> q63,
     "q171_theta_distinct" -> q171,
     "q172_theta_intersect" -> q172,
     // q174: the two hash-verified segmentation chains composed as

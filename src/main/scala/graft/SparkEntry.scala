@@ -3701,6 +3701,45 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The HLL rollup through the gate — completing the "every sketch
+    * family's rollup is driver-proven" set (quantile q175/q184, theta
+    * q176, streamed q178/q179): per-(flag, month) register tables
+    * merged per flag (register-wise MAX — max over months of per-month
+    * maxes IS the whole-data max, exactly) must hash-match q62's
+    * whole-data oracle.
+    */
+  def q187_hll_rollup(s: SparkSession, dir: String): DataFrame = {
+    val monthly = HllSketch.registers(
+      Tables.lineitem(s, dir).withColumn("__mon",
+        trunc(col("l_shipdate").cast("date"), "month")),
+      Seq("l_returnflag", "__mon"), "l_partkey", p = 8)
+    HllSketch.estimate(
+      HllSketch.merge(monthly.drop("__mon"))(Seq("l_returnflag")),
+      Seq("l_returnflag"), p = 8)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The CountMin rollup through the gate (the q187 pattern for the
+    * frequency sketch): per-month cell tables summed cell-wise — the
+    * merged sketch IS the whole-data sketch, exactly — then probed for
+    * every distinct supplier beside the exact counts, q63's output
+    * against q63's whole-data oracle.
+    */
+  def q188_countmin_rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_shipdate"))
+    val monthly = CountMin.sketch(
+      li.withColumn("__mon", trunc(col("l_shipdate").cast("date"), "month")),
+      Seq("__mon"), "l_suppkey")
+    val merged = CountMin.merge(monthly.drop("__mon"))(Seq.empty)
+    val keys = li.select(col("l_suppkey")).distinct()
+    val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_count"))
+    CountMin.estimate(merged, keys, Seq.empty, "l_suppkey")
+      .join(exact, "l_suppkey")
+      .select(col("l_suppkey"), col("est_count"), col("exact_count"))
+      .orderBy(col("l_suppkey"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3890,6 +3929,8 @@ object SparkEntry {
     "q184_ladder_rollup" -> (q184_ladder_rollup _),
     "q185_incremental_mixture" -> (q185_incremental_mixture _),
     "q186_rrf_fusion" -> (q186_rrf_fusion _),
+    "q187_hll_rollup" -> (q187_hll_rollup _),
+    "q188_countmin_rollup" -> (q188_countmin_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
