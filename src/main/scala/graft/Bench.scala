@@ -107,17 +107,12 @@ object Bench {
     }
     val (loadEnd, cpuEnd, wallSec) =
       (loadAvg(), procCpuSec(), (System.nanoTime() - wallStart) / 1e9)
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
-    // 0.1 ms resolution: full-precision doubles made the summary line
-    // ~4 KB and a log-tail capture truncated it (BENCH_r03 lost 16
-    // queries); rounded, the wall+cpu maps for 80+ queries fit in ~3 KB
-    def jnum(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // cpu at 10 ms resolution: it exists to flag contention (cpu ≪ wall),
-    // not to rank queries — and the coarser scale keeps the two per-query
-    // maps near the ~4 KB line length that survived every capture path so
-    // far (the durable SPARK_GRAFT_BENCH_OUT copy is the backstop if a
-    // log tail still truncates).
-    def jnum2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    import BenchFormat.{jstr, jnum, jnum2}
+    // full line: 0.1 ms resolution (full-precision doubles made the
+    // summary line ~4 KB and a log-tail capture truncated it — BENCH_r03
+    // lost 16 queries); cpu at 10 ms (it flags contention, cpu ≪ wall,
+    // not query ranking). The durable SPARK_GRAFT_BENCH_OUT copy is the
+    // backstop if a log tail still truncates.
     val ok = names.filter(wall.contains) // >= 1 successful round
     val qs = ok.map(k => jstr(k) + ":" + jnum(wall(k))).mkString("{", ",", "}")
     val cpuQs = ok.map(k => jstr(k) + ":" + jnum2(cpu(k))).mkString("{", ",", "}")
@@ -149,53 +144,11 @@ object Bench {
     // (~75 chars) AFTER us, so the whole line must fit in ~1880 chars or
     // its head gets cut mid-JSON (BENCH_r10 had "parsed": null for exactly
     // this reason: the r10 compact line crossed 2000 chars at 165
-    // queries). Degrade gracefully: try qNN keys at full precision, then
-    // coarser value precision, then strip the 'q' key prefix (restored by
-    // the self-describing "key_prefix" field) — completeness of the map
-    // beats the fourth decimal of any one query.
-    val budget = 1840
-    val shortKey0 = ok.map(k => k -> k.takeWhile(_ != '_')).toMap
-    val shortKey: Map[String, String] =
-      if (shortKey0.values.toSet.size == ok.size) shortKey0
-      else ok.map(k => k -> k).toMap
-    def fmt2(v: Double) = jnum2(v)
-    def fmtAd(v: Double) = // 3 significant-ish digits: 0.12 / 1.23 / 12.3 / 108
-      if (v < 10) jnum2(v)
-      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    // coarsest tier: 0.1 s everywhere — the tail line is the driver's
-    // parse-of-record, not the precision-of-record (the full line above
-    // and the durable copy keep 4dp)
-    def fmt1(v: Double) =
-      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    def tailLine(strip: Boolean, f: Double => String,
-        counts: Boolean = true, extra: String = ""): String = {
-      val key: String => String =
-        if (strip) k => shortKey(k).stripPrefix("q") else shortKey
-      val qs = ok.sorted.map(k => jstr(key(k)) + ":" + f(wall(k)))
-        .mkString("{", ",", "}")
-      val pfx = if (strip) """"key_prefix":"q",""" else ""
-      val cnt = if (counts) s""""n":${ok.size},"n_err":${names.size - ok.size},"""
-        else ""
-      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec",$cnt$pfx$extra"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
-    }
-    // tier 6 (183+ queries pushed tier 5 past the budget): drop the
-    // informational counts and the sub-second decimal of slow queries —
-    // "12" not "12.3"; tier 7 (absolute last resort, parses whole to
-    // ~260 queries): integer SECONDS — coarse, but still seconds, so a
-    // parser that applies "unit" to the map can never misread by 10×
-    // (the durable full-precision copy is the backstop either way)
-    def fmt1i(v: Double) =
-      if (v < 10) fmt1(v)
-      else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmt0(v: Double) =
-      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
-    val candidates = Seq(
-      tailLine(strip = false, jnum), tailLine(strip = false, fmt2),
-      tailLine(strip = true, fmt2), tailLine(strip = true, fmtAd),
-      tailLine(strip = true, fmt1),
-      tailLine(strip = true, fmt1i, counts = false),
-      tailLine(strip = true, fmt0, counts = false))
-    println(candidates.find(_.length <= budget).getOrElse(candidates.last))
+    // queries). The degradation ladder lives in [[BenchFormat]]
+    // (spec-pinned: ≤ budget at 260 queries, never coarser than
+    // deciseconds, n/n_err in every tier — the r12 verdict's task 1).
+    println(BenchFormat.tailLine(ok, wall.toMap, total, names.size,
+      new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

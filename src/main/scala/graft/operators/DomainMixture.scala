@@ -105,6 +105,13 @@ object DomainMixture {
       "eta numerator/denominator must be <= 2^20 (the overflow-safe dial range)")
     require(smoothDen > 0 && smoothNum >= 0 && smoothNum <= smoothDen,
       "smoothing must be a fraction in [0, 1]")
+    // same dial-range discipline as eta (ADVICE r12): the normalization
+    // multiplies (smoothDen − smoothNum) by a Q20 share ≤ 2^20 over ≤
+    // 2^20 domains — smoothDen ≤ 2^20 keeps every product ≤ 2^60,
+    // inside signed-64; beyond it the sum could wrap and hand out a
+    // silently NEGATIVE weight_fp
+    require(smoothDen <= (1L << 20),
+      "smoothing denominator must be <= 2^20 (the overflow-safe dial range)")
     val dom = dom0.withColumn("mean_loss_fp", expr("sum_loss_fp div n_docs"))
     val corpus = dom.agg(sum(col("n_docs")).as("__n"),
         sum(col("sum_loss_fp")).as("__s"))

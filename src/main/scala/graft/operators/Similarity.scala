@@ -232,18 +232,21 @@ object Similarity {
     *
     * Inputs are TOP-K lists by contract — 1-based ranks, one row per
     * document per list (both enforced loudly where cheap: NULL/0 ranks
-    * throw; duplicate ids within one list are the caller's bug and
-    * would double-count). Everything here is
+    * throw; duplicate ids within one list would double-count rrf_fp
+    * and inflate n_lists — `enforceDistinct = true` turns that caller
+    * bug into a loud failure via a per-id distinct-list check inside
+    * the fuse aggregate, ADVICE r12). Everything here is
     * bounded: the union carries ≤ Σ|list| rows, the fuse is one
     * bounded aggregate, and the final rank is a window over ≤ k rows
     * (the q73 carve-out). Output: `(idCol, n_lists, rrf_fp, rank)`.
     */
   def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
-      k: Int, k0: Int = 60): DataFrame = {
+      k: Int, k0: Int = 60, enforceDistinct: Boolean = false): DataFrame = {
     require(lists.nonEmpty, "need at least one ranked list")
     require(k >= 1 && k0 >= 0, s"bad k=$k / k0=$k0")
-    val fused = lists
-      .map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+    val union = lists.zipWithIndex
+      .map { case (l, i) => l.select(col(idCol),
+        col(rankCol).cast("long").as("__r"), lit(i).as("__list")) }
       .reduce(_ unionByName _)
       // fail LOUDLY on a contract-violating list: a NULL or 0 rank
       // would otherwise NULL its quotient, which sum() skips while
@@ -251,9 +254,23 @@ object Similarity {
       .filter(assert_true(col("__r") >= 1,
         lit("rrfFuse: ranks must be 1-based and non-null " +
           "(feed top-k list outputs)")).isNull)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_lists"),
-        sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_fp"))
+    // n_lists counts ROWS; with the flag, a distinct-list count rides
+    // the same aggregate and any per-list duplicate id fails loudly
+    // (the countDistinct costs one expand, paid only when asked for)
+    val aggs = Seq(count(lit(1)).cast("int").as("n_lists"),
+      sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_fp")) ++
+      (if (enforceDistinct)
+        Seq(countDistinct(col("__list")).cast("int").as("__nd"))
+      else Nil)
+    val grouped = union.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val checked =
+      if (enforceDistinct)
+        grouped.filter(assert_true(col("n_lists") === col("__nd"),
+          concat(lit("rrfFuse: duplicate id within one list at " +
+            s"$idCol = "), col(idCol).cast("string"))).isNull)
+          .drop("__nd")
+      else grouped
+    val fused = checked
       .orderBy(col("rrf_fp").desc, col(idCol))
       .limit(k)
     fused.withColumn("rank", row_number().over(

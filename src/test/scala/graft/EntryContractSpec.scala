@@ -17,7 +17,7 @@ class EntryContractSpec extends SparkSpec {
   }
 
   test("q34: HLL approx distinct within tolerance of the exact count (the rows-only gap is covered here)") {
-    val out = SparkEntry.q34_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    val out = SparkEntry.q34_approx_distinct(spark, sfDir()).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val exact = r.getAs[Long]("exact_parts")
@@ -66,14 +66,76 @@ class EntryContractSpec extends SparkSpec {
       case a: ArrayType => unstable(a.elementType)
       case _ => None
     }
-    val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        q(spark, dir).schema.fields.flatMap { f =>
+    val offenders = gateFrames.flatMap {
+      case (name, df) =>
+        df.schema.fields.flatMap { f =>
           unstable(f.dataType).map(why => s"$name.${f.name}: $why")
         }
     }
     assert(offenders.isEmpty,
       "driver-hash-unstable output columns:\n" + offenders.mkString("\n"))
+  }
+
+  /** Every gate query constructed ONCE at sf0.001 and shared by the
+    * schema guard and the planner-budget guard (several queries do
+    * eager index/memo work at construction — building them twice would
+    * double the suite's wall for no coverage).
+    */
+  private lazy val gateFrames: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> q(spark, sfDir())
+    }
+
+  /** Count every node of every expression tree in an analyzed plan
+    * (plan-node expressions only — subquery plans count through their
+    * own host expression, which is enough signal for the blowup class).
+    */
+  private def exprNodeCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.analyzed.collect { case p =>
+      p.expressions.map(_.collect { case _ => 1L }.sum).sum
+    }.sum
+
+  /** The q183 bug class (r12 verdict task 3): a
+    * `when(cond, f(r)).otherwise(r)` fold embeds the accumulator TWICE
+    * per level — ten levels made a 2^10-leaf expression tree and a
+    * 30-second PLANNER-bound query that only the bench caught. This
+    * guard makes the class fail `sbt test` instead: every gate query's
+    * analyzed plan must stay under the node cap.
+    */
+  test("planner budget: every gate query's expression-node count stays " +
+      "under the cap (the q183 exponential-fold guard)") {
+    // heaviest green today is ~5.6k (q87's composed near-dup delete);
+    // the reverted q183 fold measures 13.3k — the cap sits between with
+    // ~2x headroom on the green side
+    val cap = 12000L
+    val counts = gateFrames.map { case (name, df) =>
+      name -> exprNodeCount(df) }
+    val offenders = counts.filter(_._2 > cap)
+    assert(offenders.isEmpty,
+      s"analyzed plans over the $cap-node budget (exponential " +
+        "expression fold? see FixedPoint.pow2fp's linearization):\n" +
+        offenders.map { case (n, c) => s"  $n: $c nodes" }.mkString("\n") +
+        s"\nheaviest greens: ${counts.sortBy(-_._2).take(5)}")
+  }
+
+  test("the planner guard would have caught the reverted q183 fold") {
+    import org.apache.spark.sql.functions._
+    // the EXACT r12 bug shape: r appears in BOTH branches of each
+    // level's when(), so the tree doubles per level — 2^10 leaves
+    val arg = lit(1000L)
+    val frac = arg.bitwiseAND(lit(1023L))
+    val consts = Seq(1518500249L, 1276901416L, 1170923761L, 1121280435L,
+      1097253708L, 1085434105L, 1079572135L, 1076653033L, 1075196443L,
+      1074468887L)
+    val folded = consts.zipWithIndex.foldLeft(lit(1073741824L): org.apache.spark.sql.Column) {
+      case (r, (c, b)) =>
+        val bit = 1L << (9 - b)
+        when(frac.bitwiseAND(lit(bit)) === lit(bit),
+          shiftright(r * lit(c), 30)).otherwise(r) // r TWICE per level
+    }
+    val bad = spark.range(1).select(folded.as("r"))
+    assert(exprNodeCount(bad) > 12000L,
+      "fixture no longer exhibits the exponential fold — " +
+        s"got ${exprNodeCount(bad)} nodes; the guard's demonstration is stale")
   }
 }

@@ -23,4 +23,10 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.init()
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Harness testdata root at scale factor `sf`, env-overridable
+    * (SPARK_GRAFT_TESTDATA) so suites aren't silently
+    * environment-specific (ADVICE r12).
+    */
+  def sfDir(sf: String = "0.001"): String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + s"/sf$sf"
 }
