@@ -50,8 +50,12 @@ object Bench {
     // default instead of killing the bench before any results print.
     val runs = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_RUNS").trim.toInt)
       .getOrElse(3).max(1)
+    // optional subset (comma-separated names) for single-query
+    // iteration — the full suite stays the default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qmap = SparkEntry.queries
-    val names = qmap.keys.toSeq
+    val names = qmap.keys.toSeq.filter(n => only.forall(_.contains(n)))
     val wall = scala.collection.mutable.Map[String, Double]()
     val cpu = scala.collection.mutable.Map[String, Double]()
     val errs = scala.collection.mutable.Map[String, String]()
@@ -86,7 +90,7 @@ object Bench {
     // of every row without sink I/O; reported as a SEPARATE map so the
     // headline total stays comparable across rounds.
     val matNames = Seq("q91_excise_spans", "q94_decontaminate_excise",
-      "q101_bpe_segment").filter(qmap.contains)
+      "q101_bpe_segment").filter(names.contains)
     val mat = scala.collection.mutable.Map[String, Double]()
     val matErrs = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to runs; name <- matNames) {

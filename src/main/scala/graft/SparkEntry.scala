@@ -3290,21 +3290,38 @@ object SparkEntry {
       Seq("pair"), k = 128)
   }
 
-  /** q140's batch retrieval through the PRUNED multi-query path
-    * ([[graft.operators.Bm25.searchManyPostingsPruned]]): identical
-    * queries, identical oracle — the hash match proves per-query
-    * rank-safety of the shared-heads pruning + plan-side
-    * accept/fallback split end-to-end (q135's single-query twin).
+  /** The PERSISTED BM25 impact index, built once per (session, input
+    * dir) and probed by q173/q189 — [[graft.operators.Bm25.writeIndex]]
+    * stores postings, lens, corpus meta, per-term stats (df/idf/cutoff)
+    * and champion lists, so probes read impacts instead of aggregating
+    * them (the WAND convention; r12 verdict task 2). The memo makes
+    * repeated invocations measure the ADVERTISED operation — probe a
+    * maintained index — exactly like the q178/q185 state memos.
+    */
+  private val bm25IndexMemo = new StateMemo[String]()
+  private def bm25IndexDir(s: SparkSession, dir: String): String =
+    bm25IndexMemo.get(s, dir) {
+      val d = tempStateDir("graft-bm25-index")
+      Bm25.writeIndex(Tables.documents(s, dir), "text", "doc_id", d,
+        headB = 64, buckets = 64)
+      d
+    }
+
+  /** q140's batch retrieval through the PERSISTED-INDEX pruned path
+    * ([[graft.operators.Bm25.searchManyIndexPruned]]): identical
+    * queries, identical oracle — the hash match proves rank-safety of
+    * the STORED champion lists + cutoffs end-to-end. The r12 form
+    * recomputed per-term heads at query time (a runtime TopKPerGroup
+    * barrier, ~1.9× q140's wall); here heads/cutoffs/idf are
+    * partition-pruned reads of the index, the shape a production
+    * search tier serves.
     */
   def q173_bm25_batch_pruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
       (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
-    Bm25.searchManyPostingsPruned(Bm25.postings(docs, "text", "doc_id"),
-        Bm25.docLens(docs, "text", "doc_id"), "doc_id",
-        queries, "query_id", "term", k = 10,
-        materializeCandidates = true) // one-shot form: tokenize ONCE
+    Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
+        queries, "query_id", "term", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 

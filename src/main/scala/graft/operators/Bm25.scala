@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -482,6 +482,291 @@ object Bm25 {
       verdict.unpersist(blocking = false)
       res
     }
+  }
+
+  // ---- persisted impact index (champion lists — the WAND convention) ----
+
+  /** Bucket routing for the on-disk layout: terms hash into `buckets`
+    * partition directories via [[graft.functions.AuditableHash.h60]],
+    * which has a bit-identical DRIVER-side twin — so a probe can turn
+    * its literal query terms into literal partition values and the
+    * scan prunes to the query's buckets without any Spark job. (A raw
+    * vocabulary `partitionBy("term")` would create one directory per
+    * distinct term — millions at corpus scale; bucketing bounds the
+    * directory count while keeping the pruned read ≈ |q|/buckets of
+    * the index.)
+    */
+  private def termBucketCol(buckets: Int): Column =
+    graft.functions.AuditableHash.h60(
+      concat(lit("bm25bucket:"), col("term"))) % lit(buckets.toLong)
+
+  private def termBucketOf(term: String, buckets: Int): Long =
+    graft.functions.AuditableHash.h60(s"bm25bucket:$term") % buckets
+
+  /** Build and persist the COMPLETE BM25 index under `dir` — postings,
+    * lens, the 1-row corpus meta, and the WAND-style impact metadata
+    * the r12 probe recomputed at query time (the q173 latency carry):
+    *
+    *  - `postings/` — [[postings]] rows, partitioned by term bucket,
+    *  - `lens/` — [[docLens]] rows,
+    *  - `meta/` — 1 row `(n_docs, total_tokens, avgdl_fp, head_b,
+    *    buckets)`,
+    *  - `termstats/` — per term `(df, idf_fp, cut_fp, exhausted)`:
+    *    the live document frequency, its fixed-point idf, the head-B-th
+    *    exact impact (the term's pruning CUTOFF), and whether every
+    *    posting of the term fits inside the head budget,
+    *  - `champions/` — per term the top-`headB` postings by EXACT
+    *    impact as `(term, id, w_fp)` (Lucene/WAND champion lists),
+    *    partitioned by term bucket.
+    *
+    * With impacts persisted, [[searchManyIndexPruned]]'s critical path
+    * has NO runtime heads aggregate: heads, cutoffs, and idf are
+    * pruned READS. Consistency contract: impacts are exact for the
+    * index they were computed over — [[appendToIndex]] refreshes them
+    * after every postings append (one index-sized pass, no corpus
+    * re-tokenize), the same derived-statistics discipline as Lucene's
+    * merge-time norms.
+    */
+  def writeIndex(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, headB: Int = 64, buckets: Int = 64): Unit = {
+    require(headB >= 1, s"headB must be >= 1, got $headB")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    docLens(docs, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/lens")
+    postings(docs, textCol, idCol)
+      .withColumn("term_bucket", termBucketCol(buckets))
+      // one shuffle partition per bucket: without it every write task
+      // fans a file into every bucket dir (32 tasks x 64 buckets =
+      // 2048 tiny files) and the probe's pruned read drowns in footer
+      // fetches. `buckets` is therefore also the file-count dial — set
+      // it to the wanted write parallelism at corpus scale
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    refreshImpacts(spark, dir, idCol, headB, buckets)
+  }
+
+  /** Append an increment's postings/lens rows (disjoint doc ids — the
+    * [[mergePostings]] contract) and refresh the impact metadata.
+    * Cost: the append is increment-sized; the refresh is one pass over
+    * the INDEX (postings + lens — never a corpus re-tokenize), exactly
+    * the statistics rewrite a Lucene merge pays. Takedown is the same
+    * shape: rewrite postings/lens through [[deleteDocs]], then refresh.
+    */
+  def appendToIndex(docs: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val headB = m.getAs[Int]("head_b")
+    val buckets = m.getAs[Int]("buckets")
+    docLens(docs, textCol, idCol)
+      .write.mode("append").parquet(s"$dir/lens")
+    postings(docs, textCol, idCol)
+      .withColumn("term_bucket", termBucketCol(buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    refreshImpacts(spark, dir, idCol, headB, buckets)
+  }
+
+  /** Recompute `meta/`, `termstats/`, `champions/` from the persisted
+    * postings + lens — the derived-statistics half of [[writeIndex]],
+    * shared by build and append so the impact definition exists once.
+    * Champion impacts use the SAME [[termWeight]] integer kernel as
+    * every probe path, over the same persisted df/avgdl — so a
+    * champion's stored `w_fp` equals the probe's recomputed `__w`
+    * bit-for-bit, which is what makes the stored cutoffs rank-safe.
+    */
+  def refreshImpacts(spark: SparkSession, dir: String, idCol: String,
+      headB: Int, buckets: Int): Unit = {
+    val post = spark.read.parquet(s"$dir/postings")
+    val lens = spark.read.parquet(s"$dir/lens")
+    metaFrame(lens)
+      .select(col("__n").as("n_docs"), col("__tl").as("total_tokens"),
+        col("__avg").as("avgdl_fp"),
+        lit(headB).as("head_b"), lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val meta = spark.read.parquet(s"$dir/meta")
+    val dfStats = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(meta.select(col("n_docs"))))
+      .select(col("term"), col("df"),
+        (log2fp(lit(2L) * col("n_docs") + lit(2L)) -
+          log2fp(lit(2L) * col("df") + lit(1L))).as("idf_fp"))
+    // exact impacts: a term-keyed SHUFFLE join (vocab-sized idf table —
+    // too big to broadcast at corpus scale; this is build-time cost)
+    val weighted = post
+      .join(dfStats.select(col("term"), col("idf_fp").as("__idf")), "term")
+      .crossJoin(broadcast(meta.select(col("avgdl_fp").as("__avg"))))
+      .withColumn("__w", termWeight)
+    val champs = TopKPerGroup(
+        weighted.select(col("term"), col(idCol), col("__w")),
+        Seq("term"), "__w", idCol, headB)
+      .select(col("term"), col(idCol), col("__w").cast("long").as("w_fp"))
+    champs.withColumn("term_bucket", termBucketCol(buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/champions")
+    val cuts = spark.read.parquet(s"$dir/champions")
+      .groupBy(col("term")).agg(min(col("w_fp")).as("cut_fp"))
+    dfStats.join(cuts, Seq("term"))
+      .withColumn("exhausted", col("df") <= lit(headB.toLong))
+      .withColumn("term_bucket", termBucketCol(buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/termstats")
+  }
+
+  /** Batch rank-safe pruned retrieval against a PERSISTED
+    * [[writeIndex]] dir — [[searchManyPostingsPruned]]'s production
+    * twin with the runtime heads barrier REMOVED from the critical
+    * path (r12 verdict task 2): per-term heads, cutoffs, and idf are
+    * partition-pruned READS of the stored champion lists and term
+    * stats, so the plan goes straight to the exact rescore of the
+    * champion documents. Value-identical to [[searchManyPostings]]
+    * over the indexed corpus for every query:
+    *
+    *  - champions hold each term's top-headB postings by exact impact,
+    *    so a document outside them is bounded by Σ stored cutoffs over
+    *    non-exhausted terms (same proof as the runtime-heads form);
+    *  - acceptance per query is decided in the plan (all terms
+    *    exhausted, or k-th rescored score STRICTLY above the bound);
+    *    failed queries re-dispatch through full scoring over the same
+    *    pruned postings scan — identical results either way;
+    *  - the rescore recomputes impacts with the STORED df/avgdl
+    *    (identical integers to the champion build — see
+    *    [[refreshImpacts]]), so pruned == full == one-shot exactly.
+    *
+    * The query table collects its ≤|terms| distinct terms to drive
+    * PARTITION pruning with literal bucket values (bounded — the
+    * benchmark-query contract this batch surface already assumes).
+    * Scans: champions/termstats prune to the query's buckets (tiny);
+    * postings prune likewise and are read at most twice (rescore +
+    * fallback leg, which AQE's empty-relation propagation drops when
+    * every query accepts).
+    */
+  def searchManyIndexPruned(spark: SparkSession, dir: String,
+      queries: DataFrame, qidCol: String, termCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // ONE bounded collect of the distinct (qid, term) pairs serves
+    // everything driver-side (terms for partition pruning, the local
+    // relation the plan re-reads for free — no checkpoint job, the
+    // barrier audit that got the r12 one-shot form under budget)
+    val qd = queries.select(col(qidCol).as("__qid"),
+      lower(col(termCol)).as("term")).distinct()
+    val qRows = qd.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qd.schema)
+    val terms = qRows.map(_.getString(1)).distinct.toSeq
+    // corpus meta is 3 scalars — read once, embedded as literals (a
+    // broadcast of a 1-row frame would cost a build job per consumer)
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val buckets = m.getAs[Int]("buckets")
+    val avgdlFp = m.getAs[Long]("avgdl_fp")
+    val bucketLits = terms.map(termBucketOf(_, buckets)).distinct
+    def pruned(table: String): DataFrame =
+      spark.read.parquet(s"$dir/$table")
+        .filter(col("term_bucket").isin(bucketLits: _*) &&
+          col("term").isin(terms: _*))
+    val stats = pruned("termstats") // ≤ |terms| rows
+    val champs = pruned("champions") // ≤ |terms|·headB rows
+    val idCol = idColOf(champs)
+    // stored cutoffs/exhaustion flags come to the driver (≤ |terms|
+    // rows — the bounded interactive-probe contract searchPostingsPruned
+    // already set); the per-query verdict then needs NO plan-side joins
+    val statRows = stats.select(col("term"), col("cut_fp"),
+      col("exhausted")).collect()
+    val cutOf = statRows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val candPairs = q.join(champs.select(col("term"), col(idCol)), "term")
+      .select(col("__qid"), col(idCol))
+    val post = pruned("postings")
+    // exact rescore with the stored idf/avgdl — the one termWeight kernel
+    val weighted = post
+      .join(broadcast(stats.select(col("term"), col("idf_fp").as("__idf"))),
+        "term")
+      .withColumn("__avg", lit(avgdlFp))
+      .withColumn("__w", termWeight)
+      .select(col("term"), col(idCol), col("__w"))
+    val scored = weighted
+      .join(broadcast(q), "term")
+      .join(broadcast(candPairs), Seq("__qid", idCol), "left_semi")
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__w")).as("score_fp"))
+    val prunedTop = TopKPerGroup(scored, Seq("__qid"), "score_fp", idCol, k)
+      .select(col("__qid"), col(idCol),
+        col("score_fp").cast("long").as("score_fp"), col("rank"))
+    // the ONE main action of the probe: ≤ k·|queries| result rows come
+    // to the driver (bounded — the batch-query contract), acceptance is
+    // decided locally, and the accepted rows go back as a LOCAL
+    // relation — no checkpoint barrier, no verdict sub-plans, the DAG
+    // is exactly "pruned scans → rescore → top-k"
+    val topRows = prunedTop.collect()
+    val byQid = topRows.groupBy(_.get(0))
+    def accepts(qid: Any): Boolean = {
+      val qTerms = qRows.filter(_.get(0) == qid).map(_.getString(1))
+      val nonExhaustedCuts = qTerms.flatMap(cutOf.get).collect {
+        case (cut, false) => cut
+      }
+      // all terms exhausted (or absent) → candidates complete; else the
+      // k-th exact score must STRICTLY beat the stored outside bound
+      nonExhaustedCuts.isEmpty || {
+        val rows = byQid.getOrElse(qid, Array.empty[org.apache.spark.sql.Row])
+        rows.length == k &&
+          rows.map(_.getLong(2)).min > nonExhaustedCuts.sum
+      }
+    }
+    val qids = qRows.map(_.get(0)).distinct
+    val (okQids, failedQids) = qids.partition(accepts)
+    val okSet = okQids.toSet
+    val accepted = spark.createDataFrame(
+      java.util.Arrays.asList(topRows.filter(r => okSet(r.get(0))): _*),
+      prunedTop.schema)
+    // full-scoring fallback over the same pruned postings scan,
+    // restricted to the unprovable queries (value-identical to the
+    // plain probe for them — df/avgdl are stored, query-set-free)
+    val out =
+      if (failedQids.isEmpty) accepted
+      else {
+        val failedScored = weighted
+          .join(broadcast(q.filter(col("__qid").isin(failedQids: _*))),
+            "term")
+          .groupBy(col("__qid"), col(idCol))
+          .agg(sum(col("__w")).as("score_fp"))
+        accepted.unionByName(TopKPerGroup(failedScored, Seq("__qid"),
+            "score_fp", idCol, k)
+          .select(col("__qid"), col(idCol),
+            col("score_fp").cast("long").as("score_fp"), col("rank")))
+      }
+    out.select(col("__qid").as(qidCol), col(idCol), col("score_fp"),
+      col("rank"))
+  }
+
+  /** The doc-id column of an index table — everything that isn't a
+    * layout or statistics column (the index schema owns exactly one
+    * caller-named id column, preserved through [[writeIndex]]).
+    */
+  private def idColOf(df: DataFrame): String = {
+    val known = Set("term", "tf", "dl", "w_fp", "term_bucket", "df",
+      "idf_fp", "cut_fp", "exhausted")
+    val rest = df.columns.filterNot(known)
+    require(rest.length == 1,
+      s"cannot infer the id column from ${df.columns.mkString(",")}")
+    rest.head
+  }
+
+  /** Single-query top-k against a persisted [[writeIndex]] dir — the
+    * batch probe with one query row (one code path, the q135/q140
+    * equivalence transfers).
+    */
+  def searchIndexPruned(spark: SparkSession, dir: String,
+      query: Seq[String], k: Int): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    import spark.implicits._
+    searchManyIndexPruned(spark, dir,
+        query.map(t => (0L, t)).toDF("__q", "__t"), "__q", "__t", k)
+      .drop("__q")
   }
 
   /** POSITIONAL postings `(id, term, pos)` — one row per token

@@ -251,4 +251,62 @@ class Bm25Spec extends SparkSpec {
       Bm25.searchPostings(smallPost, smallLens, "doc_id",
         Seq("apple", "banana"), 3).collect().map(_.toString).toSeq)
   }
+
+  test("persisted impact index: probe == full batch scoring across head " +
+      "budgets incl. forced fallback; single-query twin == searchPostings") {
+    val queries = Seq((1L, "rare"), (1L, "word"), (2L, "common"),
+      (2L, "filler"), (3L, "absent")).toDF("query_id", "term")
+    val post = Bm25.postings(bigDocs, "text", "doc_id")
+    val lens = Bm25.docLens(bigDocs, "text", "doc_id")
+    def full(k: Int) = Bm25.searchManyPostings(post, lens, "doc_id",
+        queries, "query_id", "term", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // headB = 2 forces the flooded query's fallback (stored cutoffs
+    // can't prove its top-k) while the rare-term query stays accepted —
+    // both paths must equal the full scoring over the SAME stored index
+    for (headB <- Seq(2, 4, 1024)) {
+      val dir = tmpDir(s"bm25idx$headB")
+      Bm25.writeIndex(bigDocs, "text", "doc_id", dir,
+        headB = headB, buckets = 8)
+      for (k <- Seq(1, 3, 10)) {
+        val got = Bm25.searchManyIndexPruned(spark, dir, queries,
+            "query_id", "term", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .toSet
+        assert(got == full(k), s"headB=$headB k=$k diverged")
+      }
+      // single-query twin rides the same code path
+      assert(Bm25.searchIndexPruned(spark, dir, Seq("rare", "common"), 5)
+        .select("doc_id", "score_fp").collect().map(_.toString).toSet ==
+        Bm25.searchPostings(post, lens, "doc_id", Seq("rare", "common"), 5)
+          .select("doc_id", "score_fp").collect().map(_.toString).toSet)
+    }
+  }
+
+  test("persisted impact index: append + impact refresh == rebuild from " +
+      "everything (champion/cutoff consistency after growth)") {
+    val queries = Seq((1L, "rare"), (1L, "common"), (2L, "word"))
+      .toDF("query_id", "term")
+    val oldDocs = bigDocs.filter($"doc_id" % 3 =!= 2)
+    val newDocs = bigDocs.filter($"doc_id" % 3 === 2)
+    val incrDir = tmpDir("bm25incr")
+    Bm25.writeIndex(oldDocs, "text", "doc_id", incrDir,
+      headB = 4, buckets = 8)
+    Bm25.appendToIndex(newDocs, "text", "doc_id", incrDir)
+    val rebuiltDir = tmpDir("bm25rebuild")
+    Bm25.writeIndex(bigDocs, "text", "doc_id", rebuiltDir,
+      headB = 4, buckets = 8)
+    def probe(dir: String) = Bm25.searchManyIndexPruned(spark, dir,
+        queries, "query_id", "term", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(probe(incrDir) == probe(rebuiltDir))
+    // the refreshed stats themselves are value-identical (not just the
+    // probe results): df/idf/cutoffs match the rebuild's
+    def stats(dir: String) = spark.read.parquet(s"$dir/termstats")
+      .select("term", "df", "idf_fp", "cut_fp", "exhausted")
+      .collect().map(_.toString).toSet
+    assert(stats(incrDir) == stats(rebuiltDir))
+  }
 }
