@@ -5794,6 +5794,10 @@ object OracleSql {
     // batch path — the oracle IS q182's whole-corpus recompute
     "q185_incremental_mixture" -> q182,
     "q186_rrf_fusion" -> q186,
+    // q189 serves the SAME fusion from persisted indexes (rank-safe
+    // BM25 impact probe + exhaustive IVF cell sweep) — value-identical
+    // by construction, so the oracle IS q186's whole-corpus re-derive
+    "q189_hybrid_index_fusion" -> q186,
     // q187/q188 roll monthly HLL registers (register-wise MAX) and
     // CountMin cells (cell-wise SUM) up — both merges are the
     // whole-data sketch EXACTLY, so the oracles ARE q62's / q63's

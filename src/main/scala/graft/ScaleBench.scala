@@ -271,6 +271,22 @@ object ScaleBench {
       // RATIO between them is the lesson.
       "linkage_fixed" -> (r => linkageCandidates(r, scaledKey = false)),
       "linkage_scaled" -> (r => linkageCandidates(r, scaledKey = true)),
+      // hybrid retrieval ONE-SHOT (q186's shape): corpus tokenize for
+      // the BM25 leg + a brute-force N·1 cosine for the vector leg —
+      // linear in R by construction; the persisted-index twin below
+      // (incr_hybrid_fused) must stay ~FLAT against it (r13 task 4)
+      "hybrid_oneshot" -> { r =>
+        val d = corpus(r)
+        val e = corpusEmb(r)
+        val lex = graft.operators.Bm25.search(d, "text", "doc_id",
+            Seq("dup", "vector", "merge", "zzz"), 20)
+          .select(col("doc_id"), col("rank"))
+        val vec = graft.operators.Similarity.bruteForceTopKQuantized(
+            e, e.filter(col("vec_id") === 0), "embedding", "vec_id", 20)
+          .select(col("id").as("doc_id"), col("rank"))
+        graft.operators.Similarity.rrfFuse(Seq(lex, vec),
+          "doc_id", "rank", 10).count()
+      },
       // the ITERATIVE connected-components regime on its own curve
       // (round 11): edges LINEAR in R (fixed 64-node chain components,
       // R× more of them — no clique-pair blowup anywhere), and
@@ -389,6 +405,18 @@ object ScaleBench {
       if (keep("incr_skew_advisory"))
         graft.operators.Salting.writeSkewState(dKeyed, Seq("k"),
           s"$tmp/skewstate")
+      if (keep("incr_hybrid_fused")) {
+        // the two persisted indexes the production hybrid path serves
+        // from: BM25 impact index (champion lists + cutoffs) and the
+        // IVF index under the k ∝ N cell discipline (16r centroids, so
+        // a fixed nProbe reads a CONSTANT number of vectors at any R)
+        graft.operators.Bm25.writeIndex(corpus(r), "text", "doc_id",
+          s"$tmp/bm25idx", headB = 64, buckets = 64)
+        val e = corpusEmb(r)
+        val (cents, cells) = graft.operators.IvfIndex.buildIndex(
+          e, "vec_id", "embedding", nCentroids = 16 * r)
+        graft.operators.IvfIndex.writeIndex(cents, cells, s"$tmp/ivfidx")
+      }
       if (keep("incr_mixture_weights"))
         graft.operators.DomainMixture.writeLossState(lossFrame(dSrc),
           "source", "loss_fp", s"$tmp/lossstate")
@@ -429,6 +457,23 @@ object ScaleBench {
             spark.read.parquet(s"$tmp/bm25lens"), "doc_id",
             Seq("dup", "vector", "merge", "zzz"), 20,
             meta = Some(spark.read.parquet(s"$tmp/bm25meta"))).count()),
+        // the SERVED hybrid probe: rank-safe BM25 impact-index probe +
+        // IVF cell probe (fixed nProbe over k ∝ N cells) + RRF — both
+        // legs are pruned index reads, so the fused probe must stay
+        // ~FLAT while hybrid_oneshot grows linearly with R
+        s"incr_hybrid_fused" -> (() => {
+          val lex = graft.operators.Bm25.searchIndexPruned(spark,
+              s"$tmp/bm25idx", Seq("dup", "vector", "merge", "zzz"), 20)
+            .select(col("doc_id"), col("rank"))
+          val (cents, cells) =
+            graft.operators.IvfIndex.readIndex(spark, s"$tmp/ivfidx")
+          val vec = graft.operators.IvfIndex.probe(cells, cents,
+              Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0),
+              "embedding", "vec_id", 20, nProbe = 4)
+            .select(col("id").as("doc_id"), col("rank"))
+          graft.operators.Similarity.rrfFuse(Seq(lex, vec),
+            "doc_id", "rank", 10).count()
+        }),
         s"skew_exact" -> (() =>
           graft.operators.Salting.skewReport(dKeyed, Seq("k")).count()),
         s"incr_skew_advisory" -> (() =>

@@ -3602,6 +3602,50 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** The persisted IVF index for q189 (one build per (session, dir) —
+    * [[graft.operators.IvfIndex.buildIndex]] → `writeIndex`, the
+    * q81/q83 machinery behind a memo like the BM25 index).
+    */
+  private val ivfIndexMemo = new StateMemo[String]()
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexMemo.get(s, dir) {
+      val d = tempStateDir("graft-ivf-index")
+      val emb = Tables.embeddings(s, dir)
+      val (cents, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      IvfIndex.writeIndex(cents, cells, d)
+      d
+    }
+
+  /** q186's fusion served from PERSISTED indexes — the production
+    * hybrid-retrieval path (r12 verdict task 4): the lexical leg probes
+    * the q173 BM25 impact index ([[graft.operators.Bm25
+    * .searchIndexPruned]] — rank-safe, so its top-20 IS the one-shot
+    * top-20), the vector leg probes the persisted IVF index with
+    * `nProbe = nCentroids` (an exhaustive cell sweep over the SAME
+    * quantized-cosine kernel — exactly brute force by construction;
+    * production turns the nProbe dial down for the approximate trade,
+    * measured FLAT at scale in SCALE_r13), and
+    * [[graft.operators.Similarity.rrfFuse]] combines them with
+    * duplicate-id enforcement ON. Canonical indexes make the fusion
+    * value-identical to q186, so this row shares q186's whole-corpus
+    * oracle — the hash proves the served path end-to-end.
+    */
+  def q189_hybrid_index_fusion(s: SparkSession, dir: String): DataFrame = {
+    val lexical = Bm25.searchIndexPruned(s, bm25IndexDir(s, dir),
+        Seq("dup", "vector", "merge", "zzz"), k = 20)
+      .select(col("doc_id"), col("rank"))
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val vector = IvfIndex.probe(cells, cents,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id",
+        k = 20, nProbe = 16)
+      .select(col("id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lexical, vector), "doc_id", "rank", k = 10,
+        enforceDistinct = true)
+      .orderBy(col("rank"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -3948,6 +3992,7 @@ object SparkEntry {
     "q186_rrf_fusion" -> (q186_rrf_fusion _),
     "q187_hll_rollup" -> (q187_hll_rollup _),
     "q188_countmin_rollup" -> (q188_countmin_rollup _),
+    "q189_hybrid_index_fusion" -> (q189_hybrid_index_fusion _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
