@@ -5468,19 +5468,59 @@ object OracleSql {
     * uniform smoothing. Ends at CTE `wt(domain, n_docs, mean_loss_fp,
     * excess_fp, weight_fp)`.
     */
-  private val doremiWeightCtes: String = {
+  /** One EG reweighting round as a CTE chain over a per-doc source
+    * `src(doc_id, source, n_tokens, loss_fp)`, every name prefixed
+    * with `p` so the chain composes (q190 runs it twice — round 1 over
+    * the corpus, round 2 over the resampled survivors): per-domain
+    * mean, corpus mean, clamped η·excess, the pow2 bit loop, Q20
+    * normalization. Ends at `${p}wt(domain, n_docs, mean_loss_fp,
+    * excess_fp, weight_fp)`.
+    */
+  private def doremiRoundCtes(src: String, p: String): String = {
     val consts = Seq(1518500249L, 1276901416L, 1170923761L, 1121280435L,
       1097253708L, 1085434105L, 1079572135L, 1076653033L, 1075196443L,
       1074468887L)
     val steps = consts.zipWithIndex.map { case (c, b) =>
       val bit = 1L << (9 - b)
       s"""
-      p${b + 1} AS (
+      ${p}p${b + 1} AS (
         SELECT * REPLACE (CASE WHEN frac & $bit = $bit
                                THEN (r * $c) >> 30 ELSE r END AS r)
-        FROM p$b)"""
+        FROM ${p}p$b)"""
     }.mkString(",")
     s"""
+    ${p}dm AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(loss_fp) // count(*) AS BIGINT) AS mean_loss_fp
+      FROM $src GROUP BY source),
+    ${p}cm AS (SELECT CAST(sum(loss_fp) // count(*) AS BIGINT) AS corpus_fp
+           FROM $src),
+    ${p}e AS (
+      SELECT domain, n_docs, mean_loss_fp,
+             greatest(0, mean_loss_fp - corpus_fp) AS excess_fp,
+             least(20480, greatest(0, mean_loss_fp - corpus_fp) * 32 // 1)
+               AS arg
+      FROM ${p}dm, ${p}cm),
+    ${p}p0 AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             arg >> 10 AS i, arg & 1023 AS frac,
+             CAST(1073741824 AS BIGINT) AS r
+      FROM ${p}e),$steps,
+    ${p}pw AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             CASE WHEN i <= 20 THEN r >> (20 - i)
+                  ELSE r << (i - 20) END AS u_fp
+      FROM ${p}p10),
+    ${p}z AS (SELECT CAST(sum(u_fp) AS BIGINT) AS z, count(*) AS d
+              FROM ${p}pw),
+    ${p}wt AS (
+      SELECT domain, n_docs, mean_loss_fp, excess_fp,
+             CAST((9 * (u_fp * 1048576 // z) + (1048576 // d)) // 10
+               AS BIGINT) AS weight_fp
+      FROM ${p}pw, ${p}z)"""
+  }
+
+  private val doremiWeightCtes: String = s"""
     WITH pd AS (
       SELECT doc_id, lang, source, n_tokens,
              CASE WHEN n_tokens > 0
@@ -5493,35 +5533,7 @@ object OracleSql {
                  AS n_tokens
         FROM documents
         WHERE source IS NOT NULL)),
-    dm AS (
-      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(loss_fp) // count(*) AS BIGINT) AS mean_loss_fp
-      FROM pd GROUP BY source),
-    cm AS (SELECT CAST(sum(loss_fp) // count(*) AS BIGINT) AS corpus_fp
-           FROM pd),
-    e AS (
-      SELECT domain, n_docs, mean_loss_fp,
-             greatest(0, mean_loss_fp - corpus_fp) AS excess_fp,
-             least(20480, greatest(0, mean_loss_fp - corpus_fp) * 32 // 1)
-               AS arg
-      FROM dm, cm),
-    p0 AS (
-      SELECT domain, n_docs, mean_loss_fp, excess_fp,
-             arg >> 10 AS i, arg & 1023 AS frac,
-             CAST(1073741824 AS BIGINT) AS r
-      FROM e),$steps,
-    pw AS (
-      SELECT domain, n_docs, mean_loss_fp, excess_fp,
-             CASE WHEN i <= 20 THEN r >> (20 - i)
-                  ELSE r << (i - 20) END AS u_fp
-      FROM p10),
-    z AS (SELECT CAST(sum(u_fp) AS BIGINT) AS z, count(*) AS d FROM pw),
-    wt AS (
-      SELECT domain, n_docs, mean_loss_fp, excess_fp,
-             CAST((9 * (u_fp * 1048576 // z) + (1048576 // d)) // 10
-               AS BIGINT) AS weight_fp
-      FROM pw, z)"""
-  }
+    ${doremiRoundCtes("pd", "")}"""
 
   /** q182: the DoReMi-style learned weight table, hash-exact. */
   private val q182 = doremiWeightCtes + """
@@ -5547,6 +5559,36 @@ object OracleSql {
     WHERE CAST(${h60("'mixture:' || CAST(pd.doc_id AS VARCHAR)")} AS DOUBLE)
           / 1152921504606846976.0 < rt.rate
     ORDER BY pd.doc_id"""
+
+  /** q190: TWO DoReMi rounds end-to-end — round-1 weights (q182's
+    * chain), the q183 resample at those weights, losses refreshed over
+    * the survivors (the per-doc loss is a pure function of the doc, so
+    * the refresh is the restriction to pd2), round-2 weights over the
+    * resampled corpus via the SAME parameterized chain with `r2_`
+    * prefixes. Output: both rounds' weight tables under a `round`
+    * column.
+    */
+  private val q190 = doremiWeightCtes + s""",
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS dt
+      FROM pd GROUP BY source),
+    rt AS (
+      SELECT t.source,
+             CASE WHEN t.dt > 0
+                  THEN least(1.0, 20000.0 * (w.weight_fp / 1048576.0) / t.dt)
+                  ELSE 0.0 END AS rate
+      FROM tot t JOIN wt w ON w.domain = t.source),
+    pd2 AS (
+      SELECT pd.* FROM pd JOIN rt ON pd.source = rt.source
+      WHERE CAST(${h60("'mixture:' || CAST(pd.doc_id AS VARCHAR)")} AS DOUBLE)
+            / 1152921504606846976.0 < rt.rate),
+    ${doremiRoundCtes("pd2", "r2_")}
+    SELECT 1 AS round, domain, n_docs, mean_loss_fp, excess_fp, weight_fp
+    FROM wt
+    UNION ALL
+    SELECT 2 AS round, domain, n_docs, mean_loss_fp, excess_fp, weight_fp
+    FROM r2_wt
+    ORDER BY round, domain"""
 
   /** q164: MAD outliers — same daily fixed-point sums, same planted
     * 13th-of-month spikes, both medians via `quantile_cont` in the
@@ -5798,6 +5840,7 @@ object OracleSql {
     // BM25 impact probe + exhaustive IVF cell sweep) — value-identical
     // by construction, so the oracle IS q186's whole-corpus re-derive
     "q189_hybrid_index_fusion" -> q186,
+    "q190_doremi_two_round" -> q190,
     // q187/q188 roll monthly HLL registers (register-wise MAX) and
     // CountMin cells (cell-wise SUM) up — both merges are the
     // whole-data sketch EXACTLY, so the oracles ARE q62's / q63's

@@ -3646,6 +3646,38 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** TWO DoReMi rounds in-engine (r12 verdict task 5 — the paper's
+    * loop body iterated): round-1 weights over the corpus (q182),
+    * resample at those weights (q183's machinery), refresh the losses
+    * over the SURVIVORS (the loss proxy is a pure per-doc function, so
+    * the refresh is the semi-join restriction — a proxy-model refit
+    * would slot in here in production), round-2 weights over the
+    * resampled corpus. Output: both rounds' weight tables under a
+    * `round` column — the oracle re-derives the full chain (reweight →
+    * deterministic h60 resample → reweight), proving the iteration is
+    * stable and exactly reproducible end-to-end. DomainMixtureSpec
+    * pins the fixed-point/monotonicity properties on a planted-loss
+    * fixture.
+    */
+  def q190_doremi_two_round(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = domainLossFrame(s, dir)
+    def round(pd: DataFrame): DataFrame =
+      DomainMixture.weights(pd, "source", "loss_fp", etaNum = 32L, etaDen = 1L)
+    val w1 = round(perDoc)
+    val survivors = Sampling.mixture(
+      perDoc.select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens")),
+      "doc_id", "source", "n_tokens",
+      DomainMixture.collectWeights(w1), budgetTokens = 20000L)
+    val perDoc2 = perDoc.join(survivors.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    w1.withColumn("round", lit(1))
+      .unionByName(round(perDoc2).withColumn("round", lit(2)))
+      .select(col("round"), col("domain"), col("n_docs"),
+        col("mean_loss_fp"), col("excess_fp"), col("weight_fp"))
+      .orderBy(col("round"), col("domain"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -3993,6 +4025,7 @@ object SparkEntry {
     "q187_hll_rollup" -> (q187_hll_rollup _),
     "q188_countmin_rollup" -> (q188_countmin_rollup _),
     "q189_hybrid_index_fusion" -> (q189_hybrid_index_fusion _),
+    "q190_doremi_two_round" -> (q190_doremi_two_round _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

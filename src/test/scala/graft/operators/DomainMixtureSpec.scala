@@ -78,6 +78,102 @@ class DomainMixtureSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  // ---- two-round iteration (q190, r12 verdict task 5) ----------------
+
+  /** Scalar twin of [[graft.functions.FixedPoint.pow2fp]] (Q10 arg →
+    * Q20 result) — the ten Q30 constants verbatim.
+    */
+  private def pow2fpRef(arg: Long): Long = {
+    val consts = Seq(1518500249L, 1276901416L, 1170923761L, 1121280435L,
+      1097253708L, 1085434105L, 1079572135L, 1076653033L, 1075196443L,
+      1074468887L)
+    val i = arg >> 10
+    var r = 1073741824L
+    for ((c, b) <- consts.zipWithIndex)
+      if (((arg & 1023L) & (1L << (9 - b))) != 0) r = (r * c) >> 30
+    if (i <= 20) r >> (20 - i).toInt else r << (i - 20).toInt
+  }
+
+  /** Plain-Scala reference of one EG round over (domain, n, sumLoss)
+    * stats — mirrors weightsFromStats at eta, smoothing 1/10.
+    */
+  private def refRound(stats: Map[String, (Long, Long)],
+      etaNum: Long, etaDen: Long): Map[String, (Long, Long)] = {
+    val corpus = stats.values.map(_._2).sum / stats.values.map(_._1).sum
+    val u = stats.map { case (d, (n, s)) =>
+      val excess = math.max(0L, s / n - corpus)
+      val arg = if (excess > 20480L * etaDen / etaNum) 20480L
+        else math.min(20480L, excess * etaNum / etaDen)
+      d -> (excess, pow2fpRef(arg))
+    }
+    val z = u.values.map(_._2).sum
+    val dCount = stats.size
+    u.map { case (d, (excess, uf)) =>
+      d -> (excess,
+        (9L * (uf * 1048576L / z) + (1048576L / dCount)) / 10L)
+    }
+  }
+
+  test("two-round iteration == plain-Scala reference of the full " +
+      "reweight -> deterministic resample -> reweight chain") {
+    val docs = planted(40, 60).withColumn("n_tokens", lit(100L))
+    // --- engine chain (the q190 shape) ---
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"domain").agg(count(lit(1)).as("n"),
+        sum($"loss_fp").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val w1 = DomainMixture.weights(docs, "domain", "loss_fp",
+      etaNum = 1L, etaDen = 1L)
+    val survivors = Sampling.mixture(docs, "doc_id", "domain", "n_tokens",
+      DomainMixture.collectWeights(w1), budgetTokens = 5000L)
+    val w2 = DomainMixture.weights(survivors, "domain", "loss_fp",
+        etaNum = 1L, etaDen = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("excess_fp"), r.getAs[Long]("weight_fp"))).toMap
+    // --- reference chain (scalar longs + driver-side h60 draws) ---
+    val ref1 = refRound(stats(docs), 1L, 1L)
+    val tokens = Map("hard" -> 4000.0, "easy" -> 6000.0)
+    val refSurvivors = docs.select($"doc_id", $"domain", $"loss_fp")
+      .collect().filter { r =>
+        val rate = math.min(1.0,
+          5000.0 * (ref1(r.getString(1))._2.toDouble / 1048576.0) /
+            tokens(r.getString(1)))
+        graft.functions.AuditableHash.h60(
+          "mixture:" + r.getString(0)).toDouble / (1L << 60).toDouble < rate
+      }
+    val refStats2 = refSurvivors.groupBy(_.getString(1)).map {
+      case (d, rows) => d -> (rows.length.toLong, rows.map(_.getLong(2)).sum)
+    }
+    val ref2 = refRound(refStats2, 1L, 1L)
+    assert(survivors.count() == refSurvivors.length,
+      "resample survivor sets diverged")
+    assert(w2 == ref2, s"round-2 weights diverged: $w2 vs $ref2")
+  }
+
+  test("planted hard domain: resampling toward it CLEARS its excess — " +
+      "round-2 excess and weight are both below round 1's") {
+    val docs = planted(40, 60).withColumn("n_tokens", lit(100L))
+    def roundW(df: org.apache.spark.sql.DataFrame) =
+      DomainMixture.weights(df, "domain", "loss_fp", etaNum = 1L, etaDen = 1L)
+    val w1 = roundW(docs)
+    val r1 = w1.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("excess_fp"), r.getAs[Long]("weight_fp"))).toMap
+    val survivors = Sampling.mixture(docs, "doc_id", "domain", "n_tokens",
+      DomainMixture.collectWeights(w1), budgetTokens = 5000L)
+    val r2 = roundW(survivors).collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("excess_fp"), r.getAs[Long]("weight_fp"))).toMap
+    // the hard domain gains mixture share, so the corpus mean moves
+    // toward it: its excess strictly shrinks and its weight relaxes
+    // toward uniform — the DoReMi fixed-point direction
+    assert(r2("hard")._1 < r1("hard")._1,
+      s"excess must shrink: ${r2("hard")._1} vs ${r1("hard")._1}")
+    assert(r2("hard")._2 < r1("hard")._2,
+      s"weight must relax: ${r2("hard")._2} vs ${r1("hard")._2}")
+    // every domain keeps the smoothing floor in both rounds
+    assert((r1.values ++ r2.values).forall(_._2 >= 1048576L / 10 / 2 - 1))
+  }
+
   test("NULL domains and NULL losses drop before aggregation") {
     val df = Seq(("a", Some(1024L)), ("a", None), (null, Some(9999L)))
       .toDF("domain", "loss_fp")
