@@ -402,7 +402,7 @@ object ScaleBench {
           .otherwise(size(split(trim(col("__t")), "\\s+")).cast("long")))
         .withColumn("loss_fp", when(col("__ntok") > 0,
           expr("length(__t) * 1024L div __ntok")).otherwise(lit(0L)))
-      if (keep("incr_skew_advisory"))
+      if (keep("incr_skew_advisory") || keep("incr_autosalt_decision"))
         graft.operators.Salting.writeSkewState(dKeyed, Seq("k"),
           s"$tmp/skewstate")
       if (keep("incr_hybrid_fused")) {
@@ -479,6 +479,13 @@ object ScaleBench {
         s"incr_skew_advisory" -> (() =>
           graft.operators.Salting.skewReportFromState(spark,
             s"$tmp/skewstate").count()),
+        // closed-loop decision (r13 task 7): "rows" IS the chosen salt
+        // count — the content-derived key space is uniform, so the
+        // lb-based decision must stay 1 (never engage) at every R even
+        // though the collision-inflated ub reads as skew at 30x+
+        s"incr_autosalt_decision" -> (() =>
+          graft.operators.Salting.saltsFromState(spark,
+            s"$tmp/skewstate").toLong),
         s"mixture_batch" -> (() =>
           graft.operators.DomainMixture.weights(lossFrame(dSrc),
             "source", "loss_fp").count()),

@@ -132,7 +132,23 @@ object Salting {
     */
   def writeSkewState(df: DataFrame, keys: Seq[String], dir: String,
       thetaK: Int = 256, hhK: Int = 64, overwrite: Boolean = true): Unit = {
+    val spark = df.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
+    // sketch parameters PIN the state dir (ADVICE r12): a read (or an
+    // append) at a different thetaK would silently skew n_keys and
+    // every ratio, so the params persist in a 1-row meta table —
+    // written on build, validated on every append and read
+    readStateMeta(spark, dir) match {
+      case Some((t, h)) if !overwrite =>
+        require(t == thetaK && h == hhK,
+          s"skew state at $dir was written with thetaK=$t/hhK=$h; " +
+            s"appending with thetaK=$thetaK/hhK=$hhK would corrupt it")
+      case _ =>
+        import spark.implicits._
+        Seq((thetaK, hhK, CmDepth, CmWidth))
+          .toDF("theta_k", "hh_k", "cm_depth", "cm_width")
+          .write.mode("overwrite").parquet(s"$dir/meta")
+    }
     val keyed = df.select(keyString(keys).as("__key"))
     ThetaSketch.sketch(keyed, Seq.empty, "__key", thetaK)
       .write.mode(mode).parquet(s"$dir/theta")
@@ -142,6 +158,23 @@ object Salting {
       .filter(col("value").isNotNull).select(col("value")).distinct()
       .write.mode(mode).parquet(s"$dir/cands")
   }
+
+  /** `(thetaK, hhK)` recorded in the state dir, validating the CM
+    * geometry against this build's constants (a mismatched geometry
+    * cannot be reinterpreted — fail loudly). None for a dir without
+    * meta (pre-r13 state, or a fresh build).
+    */
+  private def readStateMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Int, Int)] =
+    graft.sources.Zone.readIfExists(spark, s"$dir/meta").map { m =>
+      val r = m.head()
+      require(r.getAs[Int]("cm_depth") == CmDepth &&
+        r.getAs[Int]("cm_width") == CmWidth,
+        s"skew state at $dir has CountMin geometry " +
+          s"${r.getAs[Int]("cm_depth")}x${r.getAs[Int]("cm_width")}; " +
+          s"this build reads ${CmDepth}x$CmWidth")
+      (r.getAs[Int]("theta_k"), r.getAs[Int]("hh_k"))
+    }
 
   /** Fold a daily increment into an existing state: plain appends —
     * readers re-trim the theta rows, cell-sum the CountMin rows, and
@@ -187,9 +220,13 @@ object Salting {
     */
   def skewReportFromState(spark: org.apache.spark.sql.SparkSession,
       dir: String, topK: Int = 5, thetaK: Int = 256): DataFrame = {
+    // the STORED thetaK wins (ADVICE r12 — a read at a mismatched k
+    // silently skews n_keys); the parameter is the fallback for state
+    // dirs written before the meta table existed
+    val effThetaK = readStateMeta(spark, dir).map(_._1).getOrElse(thetaK)
     val theta = ThetaSketch.merge(spark.read.parquet(s"$dir/theta"))(
-      Seq.empty, thetaK)
-    val nKeys = ThetaSketch.estimate(theta, Seq.empty, thetaK)
+      Seq.empty, effThetaK)
+    val nKeys = ThetaSketch.estimate(theta, Seq.empty, effThetaK)
       .select(col("est_distinct").as("n_keys"))
     val cm = CountMin.merge(spark.read.parquet(s"$dir/cm"))(Seq.empty)
       .localCheckpoint(eager = true) // depth·width cells, read twice
@@ -217,5 +254,64 @@ object Salting {
         col(s"top${topK}_rows_ub"), col("cm_resolution"),
         ratio(col("max_key_rows_ub")).as("skew_ratio_ub"),
         ratio(col("max_key_rows_lb")).as("skew_ratio_lb"))
+  }
+
+  // ---- closed-loop mitigation (r12 verdict task 7) -----------------------
+
+  /** The salt decision derived from the persisted state's PROVABLE
+    * bound: returns 1 (don't salt) unless `skew_ratio_lb >= threshold`
+    * — the lb is collision-mass-free, so a uniform key space can never
+    * trip the mitigation however large its COLLISION-inflated ub reads
+    * (the r12 measurement: 30× uniform keys showed ub 11.6 with lb
+    * 0.0). When lb-proven, the salt count is the ratio itself (the hot
+    * key provably holds ratio_lb × the mean key's rows, so ~⌈ratio⌉
+    * sub-keys bring its partition back to the mean), clamped to
+    * `maxSalts`. One sketch-sized state read; the fact is never
+    * touched.
+    */
+  def saltsFromState(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 10.0, maxSalts: Int = 64): Int = {
+    require(threshold > 0 && maxSalts >= 2, s"bad threshold/maxSalts")
+    val r = skewReportFromState(spark, dir).head()
+    val lb = Option(r.getAs[java.lang.Double]("skew_ratio_lb"))
+      .map(_.toDouble)
+    lb match {
+      case Some(ratio) if ratio >= threshold =>
+        math.min(maxSalts.toLong, math.ceil(ratio).toLong).toInt
+      case _ => 1 // no PROVABLE skew → the plain plan (or AQE) is right
+    }
+  }
+
+  /** [[saltedSumCount]] behind the state-derived decision: the daily
+    * pipeline self-tunes — salting engages only when the persisted
+    * advisory PROVES a hot key (lb-based, so never on a uniform key
+    * space), with the salt count sized by the proven ratio. Results
+    * are identical either way (SaltingSpec pins auto == plain on
+    * planted 30× hot-key data AND on uniform data).
+    */
+  def autoSaltedSumCount(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], stateDir: String,
+      threshold: Double = 10.0, maxSalts: Int = 64): DataFrame = {
+    val salts = saltsFromState(df.sparkSession, stateDir, threshold, maxSalts)
+    if (salts > 1) saltedSumCount(df, keys, sumCols, salts)
+    else {
+      // plain one-shuffle aggregate, same output contract
+      val aggs = count(lit(1)).as("n") +:
+        sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** [[saltedJoin]] behind the same state-derived decision (the skewed
+    * LEFT side's key state decides; an unproven skew keeps the plain
+    * join and lets AQE's size-based splitting handle the rest).
+    */
+  def autoSaltedJoin(skewed: DataFrame, other: DataFrame,
+      keys: Seq[String], stateDir: String,
+      threshold: Double = 10.0, maxSalts: Int = 64): DataFrame = {
+    val salts = saltsFromState(skewed.sparkSession, stateDir, threshold,
+      maxSalts)
+    if (salts > 1) saltedJoin(skewed, other, keys, salts)
+    else skewed.join(other, keys)
   }
 }

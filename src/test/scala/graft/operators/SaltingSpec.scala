@@ -130,4 +130,60 @@ class SaltingSpec extends SparkSpec {
       assert(ur.getAs[Double]("skew_ratio_lb") < 10.0,
         s"uniform key space must not report provable skew: $ur")
   }
+
+  test("closed-loop mitigation: auto-salt engages only on an lb-PROVEN " +
+      "hot key, sizes salts by the proven ratio, results == plain") {
+    import spark.implicits._
+    // planted 30x-ish hot key (the r11 advisory fixture shape)
+    val hot = (Seq.fill(5000)("hot") ++
+      (1 to 2000).flatMap(k => Seq.fill(5)(s"k$k")))
+      .zipWithIndex.map { case (k, i) => (k, (i % 7).toLong) }
+      .toDF("k", "v")
+    val hotDir = tmpDir("autosalt_hot")
+    Salting.writeSkewState(hot, Seq("k"), hotDir)
+    val salts = Salting.saltsFromState(spark, hotDir)
+    assert(salts > 1, s"proven hot key must engage salting, got $salts")
+    assert(salts <= 64, s"salt count must clamp, got $salts")
+    val auto = Salting.autoSaltedSumCount(hot, Seq("k"), Seq("v"), hotDir)
+      .orderBy($"k").collect().map(_.toString).toSeq
+    val plain = hot.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+      .orderBy($"k").collect().map(_.toString).toSeq
+    assert(auto == plain, "auto-salted results diverged from plain")
+
+    // uniform key space: the collision-inflated ub is large but the lb
+    // is ~0 — the mitigation must NOT engage (the false-alarm guard)
+    val uni = (1 to 3000).map(k => (s"u$k", 1L)).toDF("k", "v")
+    val uniDir = tmpDir("autosalt_uni")
+    Salting.writeSkewState(uni, Seq("k"), uniDir)
+    assert(Salting.saltsFromState(spark, uniDir) == 1,
+      "uniform keys must never trip the mitigation")
+    val autoUni = Salting.autoSaltedSumCount(uni, Seq("k"), Seq("v"), uniDir)
+    assert(autoUni.count() == 3000L &&
+      autoUni.columns.toSeq == Seq("k", "n", "sum_v"))
+    // auto join twin: engaged == plain row multiset
+    val dim = Seq(("hot", "d1"), ("k1", "d2")).toDF("k", "attr")
+    val aj = Salting.autoSaltedJoin(hot, dim, Seq("k"), hotDir)
+    val pj = hot.join(dim, Seq("k"))
+    assert(aj.exceptAll(pj).isEmpty && pj.exceptAll(aj).isEmpty)
+  }
+
+  test("skew-state meta pins the sketch parameters: mismatched appends " +
+      "fail loudly; reads use the STORED thetaK") {
+    import spark.implicits._
+    val df = (1 to 500).map(k => s"k$k").toDF("k")
+    val dir = tmpDir("skewmeta")
+    Salting.writeSkewState(df, Seq("k"), dir, thetaK = 512)
+    // an append at the default thetaK=256 must refuse, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      Salting.appendSkewState(df, Seq("k"), dir) // thetaK defaults to 256
+    }
+    assert(e.getMessage.contains("thetaK"))
+    // a read at the (wrong) default is CORRECTED by the stored meta:
+    // same report as an explicit thetaK=512 read
+    val viaDefault = Salting.skewReportFromState(spark, dir).head.toString
+    val viaExplicit = Salting.skewReportFromState(spark, dir,
+      thetaK = 512).head.toString
+    assert(viaDefault == viaExplicit)
+  }
 }
