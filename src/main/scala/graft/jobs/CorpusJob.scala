@@ -1,8 +1,9 @@
 package graft.jobs
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{CharLm, Dedup, DedupCluster, Dsir, IvfIndex, Sampling,
-  SnapshotDiff, SubstringDedup, TermStats, UrlBlocklist}
+import graft.operators.{CharLm, Dedup, DedupCluster, DomainMixture, Dsir,
+  IvfIndex, Salting, Sampling, SnapshotDiff, SubstringDedup, TermStats,
+  UrlBlocklist}
 import graft.sources.Zone
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -143,7 +144,24 @@ object CorpusJob {
       // flag. `paragraphSep` pins the split like shingleSize pins the
       // LSH index — it must not change over a stateDir's life.
       dedupParagraphs: Boolean = false,
-      paragraphSep: String = "\n\n")
+      paragraphSep: String = "\n\n",
+      // opt-in maintenance of the two advisory states (round 13 — the
+      // r12 verdict's stretch task): per-domain mixture loss
+      // sufficient statistics (`folded/mixloss` — lang_pred as the
+      // domain, chars-per-token Q10 as the loss proxy, readable by
+      // [[graft.operators.DomainMixture.weightsFromState]]) and the
+      // sketch-backed skew-advisory state over the canonical-dedup
+      // group key content_fp (`folded/skew/{theta,cm,cands,meta}` —
+      // readable by [[graft.operators.Salting.skewReportFromState]]
+      // and the auto-salt decision). Both fold inside the SAME atomic
+      // replay-gated root swap as vocab/meta, so ONE daily run
+      // maintains ALL state exactly-once; both follow the
+      // presence-OR-flag discipline (an existing table keeps folding).
+      // Takedowns do not subtract from advisory state (sketches are
+      // not subtractive; the advisory informs partitioning, not
+      // results) — a compaction rebuild refreshes it.
+      maintainMixtureState: Boolean = false,
+      maintainSkewState: Boolean = false)
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
@@ -413,12 +431,56 @@ object CorpusJob {
             selPrior.map(graft.operators.Dsir.mergeCounts(_, batchCounts))
               .getOrElse(batchCounts)
           }
+        // mixture-loss state (round 13): lang_pred as the domain,
+        // chars-per-token Q10 as the loss proxy — the annotated frame
+        // already carries both inputs, so the leg costs one
+        // domain-sized aggregate over the batch. Additive fold; rides
+        // the same atomic swap + replay gate as vocab, so one daily
+        // run maintains it exactly-once. Read it back with
+        // DomainMixture.weightsFromState(s"$stateDir/folded/mixloss").
+        val mixPrior = Zone.readIfExists(spark, s"$foldedRoot/mixloss")
+        val mixloss =
+          if (mixPrior.isEmpty && !cfg.maintainMixtureState) null
+          else {
+            val batchStats = DomainMixture.lossStats(
+              annotated.withColumn("__loss_fp",
+                when(col("n_tokens") > 0,
+                  expr("length(text) * 1024L div n_tokens"))
+                  .otherwise(lit(0L))),
+              "lang_pred", "__loss_fp")
+            mixPrior.map(DomainMixture.mergeLossStats(_, batchStats))
+              .getOrElse(batchStats)
+          }
+        // skew-advisory state (round 13): content_fp is this pipeline's
+        // hottest shuffle key (the canonical-dedup window partitions on
+        // it — a viral duplicate makes it provably hot), so its sketch
+        // state feeds Salting.saltsFromState without ever re-scanning
+        // the corpus. Canonical merges (theta re-trim / CM cell-sum /
+        // candidate union) keep fold-per-batch == rebuild; read back
+        // with skewReportFromState(s"$stateDir/folded/skew").
+        val skewPrior = Zone.readIfExists(spark, s"$foldedRoot/skew/theta")
+        val skewTables: Seq[(String, DataFrame)] =
+          if (skewPrior.isEmpty && !cfg.maintainSkewState) Nil
+          else {
+            val batchFrames = Salting.skewStateFrames(
+              withFp.select(col("content_fp")), Seq("content_fp"))
+            val (t, c, k) = skewPrior match {
+              case Some(pt) => Salting.mergeSkewState(
+                (pt, spark.read.parquet(s"$foldedRoot/skew/cm"),
+                  spark.read.parquet(s"$foldedRoot/skew/cands")),
+                batchFrames)
+              case None => batchFrames
+            }
+            Seq("skew/theta" -> t, "skew/cm" -> c, "skew/cands" -> k,
+              "skew/meta" -> Salting.skewMetaFrame(spark))
+          }
         import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
-            Option(selcounts).map("selcounts" -> _), foldedRoot)
+            Option(selcounts).map("selcounts" -> _) ++
+            Option(mixloss).map("mixloss" -> _) ++ skewTables, foldedRoot)
       }
 
       newSigs.unpersist(); newPairs.unpersist()

@@ -70,9 +70,27 @@ object DomainMixture {
     */
   def writeLossState(perDoc: DataFrame, domainCol: String, lossCol: String,
       dir: String, overwrite: Boolean = true): Unit =
+    lossStats(perDoc, domainCol, lossCol)
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+
+  /** The per-domain loss sufficient statistic as a FRAME
+    * `(domain, n_docs, sum_loss_fp)` — the unit [[writeLossState]]
+    * persists, exposed so composed jobs can fold it inside their own
+    * atomic state swap ([[graft.jobs.CorpusJob.runIncremental]]'s
+    * folded root) instead of the append-only dir layout.
+    */
+  def lossStats(perDoc: DataFrame, domainCol: String,
+      lossCol: String): DataFrame =
     lossRows(perDoc, domainCol, lossCol).groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("sum_loss_fp"))
-      .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+
+  /** Fold two loss-stat tables (exact integer sums — fold-per-batch ==
+    * rebuild-from-union, the additive-state contract).
+    */
+  def mergeLossStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_loss_fp")).as("sum_loss_fp"))
 
   /** Fold a daily increment into an existing state (plain append —
     * readers re-sum).

@@ -149,14 +149,10 @@ object Salting {
           .toDF("theta_k", "hh_k", "cm_depth", "cm_width")
           .write.mode("overwrite").parquet(s"$dir/meta")
     }
-    val keyed = df.select(keyString(keys).as("__key"))
-    ThetaSketch.sketch(keyed, Seq.empty, "__key", thetaK)
-      .write.mode(mode).parquet(s"$dir/theta")
-    CountMin.sketch(keyed, Seq.empty, "__key", CmDepth, CmWidth)
-      .write.mode(mode).parquet(s"$dir/cm")
-    HeavyHitters.mgSummaries(keyed, "__key", hhK)
-      .filter(col("value").isNotNull).select(col("value")).distinct()
-      .write.mode(mode).parquet(s"$dir/cands")
+    val (theta, cm, cands) = skewStateFrames(df, keys, thetaK, hhK)
+    theta.write.mode(mode).parquet(s"$dir/theta")
+    cm.write.mode(mode).parquet(s"$dir/cm")
+    cands.write.mode(mode).parquet(s"$dir/cands")
   }
 
   /** `(thetaK, hhK)` recorded in the state dir, validating the CM
@@ -254,6 +250,44 @@ object Salting {
         col(s"top${topK}_rows_ub"), col("cm_resolution"),
         ratio(col("max_key_rows_ub")).as("skew_ratio_ub"),
         ratio(col("max_key_rows_lb")).as("skew_ratio_lb"))
+  }
+
+  /** The batch's three skew-state tables as FRAMES `(theta, cm,
+    * cands)` — the unit [[writeSkewState]] persists, exposed so
+    * composed jobs can fold skew state inside their own atomic swap
+    * ([[graft.jobs.CorpusJob.runIncremental]]'s folded root) instead
+    * of the append-only dir layout.
+    */
+  def skewStateFrames(df: DataFrame, keys: Seq[String],
+      thetaK: Int = 256, hhK: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    val keyed = df.select(keyString(keys).as("__key"))
+    (ThetaSketch.sketch(keyed, Seq.empty, "__key", thetaK),
+      CountMin.sketch(keyed, Seq.empty, "__key", CmDepth, CmWidth),
+      HeavyHitters.mgSummaries(keyed, "__key", hhK)
+        .filter(col("value").isNotNull).select(col("value")).distinct())
+  }
+
+  /** Canonically fold prior state frames with a batch's: theta rows
+    * re-trim (KMV union-set state — exactly the union's sketch), CM
+    * cells sum, candidates union-distinct. Fold-per-batch == rebuild
+    * within the documented envelopes (the same merges
+    * [[skewReportFromState]] applies on read).
+    */
+  def mergeSkewState(prior: (DataFrame, DataFrame, DataFrame),
+      batch: (DataFrame, DataFrame, DataFrame),
+      thetaK: Int = 256): (DataFrame, DataFrame, DataFrame) =
+    (ThetaSketch.merge(prior._1.unionByName(batch._1))(Seq.empty, thetaK),
+      CountMin.merge(prior._2.unionByName(batch._2))(Seq.empty),
+      prior._3.unionByName(batch._3).distinct())
+
+  /** The 1-row parameter meta for a frame-folded state dir (same
+    * contract as [[writeSkewState]]'s).
+    */
+  def skewMetaFrame(spark: org.apache.spark.sql.SparkSession,
+      thetaK: Int = 256, hhK: Int = 64): DataFrame = {
+    import spark.implicits._
+    Seq((thetaK, hhK, CmDepth, CmWidth))
+      .toDF("theta_k", "hh_k", "cm_depth", "cm_width")
   }
 
   // ---- closed-loop mitigation (r12 verdict task 7) -----------------------

@@ -200,6 +200,69 @@ class CorpusJobSpec extends SparkSpec {
     assert(viaState.sameElements(scratch))
   }
 
+  test("advisory-state legs (r13): daily folds of mixture loss + skew " +
+      "state == one-shot state, replay-gated, readable by their consumers") {
+    val docs = Tables.documents(spark, sfDir()).select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (d1, d2) = (docs.filter($"doc_id" <= n / 2), docs.filter($"doc_id" > n / 2))
+    val state = tmpDir("corpusadv")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainMixtureState = true, maintainSkewState = true)
+    CorpusJob.runIncremental(spark, d1, state, cfg, batchId = Some("d1"))
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+
+    // mixture leg: the folded stats equal the one-shot stats over the
+    // whole corpus (per-doc lang/loss are pure functions of the text),
+    // and the state is directly consumable by weightsFromState
+    def lossFrame(d: org.apache.spark.sql.DataFrame) =
+      CorpusJob.annotate(d, cfg).withColumn("__loss_fp",
+        when($"n_tokens" > 0, expr("length(text) * 1024L div n_tokens"))
+          .otherwise(lit(0L)))
+    val oneShotStats = graft.operators.DomainMixture.lossStats(
+        lossFrame(docs), "lang_pred", "__loss_fp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val foldedStats = spark.read.parquet(s"$state/folded/mixloss")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(foldedStats == oneShotStats,
+      s"folded mixture stats diverged: $foldedStats vs $oneShotStats")
+    val viaState = graft.operators.DomainMixture.weightsFromState(
+        spark, s"$state/folded/mixloss")
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    val scratch = graft.operators.DomainMixture.weights(
+        lossFrame(docs), "lang_pred", "__loss_fp")
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    assert(viaState == scratch)
+
+    // skew leg: folded state reads like a one-shot writeSkewState over
+    // the union's content_fp key space — n_rows EXACT, n_keys exact
+    // (canonical theta merge), hot-key ub within one resolution (the
+    // MG candidate superset may differ by partitioning, the documented
+    // envelope)
+    val fps = docs.withColumn("content_fp",
+      graft.functions.TextFunctions.contentFingerprint($"text"))
+    val oneDir = tmpDir("advskew")
+    graft.operators.Salting.writeSkewState(
+      fps.select($"content_fp"), Seq("content_fp"), oneDir)
+    val folded = graft.operators.Salting.skewReportFromState(
+      spark, s"$state/folded/skew").head
+    val oneShot = graft.operators.Salting.skewReportFromState(
+      spark, oneDir).head
+    assert(folded.getAs[Long]("n_rows") == oneShot.getAs[Long]("n_rows"))
+    assert(folded.getAs[Long]("n_keys") == oneShot.getAs[Long]("n_keys"))
+    val res = oneShot.getAs[Long]("cm_resolution")
+    assert(math.abs(folded.getAs[Long]("max_key_rows_ub") -
+      oneShot.getAs[Long]("max_key_rows_ub")) <= res)
+
+    // replay gate: a same-batchId re-run must not double-count either
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+    val replayStats = spark.read.parquet(s"$state/folded/mixloss")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(replayStats == oneShotStats, "replayed fold double-counted mixloss")
+    assert(graft.operators.Salting.skewReportFromState(
+        spark, s"$state/folded/skew").head.getAs[Long]("n_rows") ==
+      oneShot.getAs[Long]("n_rows"), "replayed fold double-counted skew state")
+  }
+
   test("paragraph leg: daily rebuilds == one-shot; replay stable; takedown re-elects after compaction") {
     // multi-paragraph corpus: shared header + text slices (cross-doc
     // collisions from the corpus's seeded duplicate texts)

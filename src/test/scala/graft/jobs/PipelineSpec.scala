@@ -185,6 +185,30 @@ class PipelineSpec extends SparkSpec {
       .filter($"execution_date" < java.sql.Date.valueOf("2025-11-25")).isEmpty)
   }
 
+  test("audit retention GC (cleanup_old_logs.sh:11): the retained window " +
+      "is exact and a re-run is a no-op") {
+    val audit = new Audit(spark, tmpDir("auditgc"), () => new Timestamp(7000L))
+    for (d <- 1 to 5)
+      audit.bracket(s"proc$d", java.sql.Date.valueOf(s"2025-11-0$d")) { 1L }
+    // retention 2 days as of 11-05: survivors are EXACTLY the dates in
+    // [asOf - 2d, asOf] — 03, 04, 05 (the reference keeps `-mtime -30`
+    // files, i.e. newer-than-cutoff inclusive)
+    audit.expireOldLogs(retentionDays = 2,
+      asOf = java.sql.Date.valueOf("2025-11-05"))
+    val kept = audit.log().select($"execution_date").distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    assert(kept == Set("2025-11-03", "2025-11-04", "2025-11-05"),
+      s"retained window not exact: $kept")
+    // full rows survive intact (Running + Success per kept date)
+    assert(audit.log().count() == 6L)
+    // idempotent: a second GC at the same asOf changes nothing
+    val snapshot = audit.log().collect().map(_.toString).toSet
+    audit.expireOldLogs(retentionDays = 2,
+      asOf = java.sql.Date.valueOf("2025-11-05"))
+    assert(audit.log().collect().map(_.toString).toSet == snapshot,
+      "re-run must be a no-op")
+  }
+
   test("audit bracket records Failed with error snippet; recentFailures surfaces it") {
     val audit = new Audit(spark, tmpDir("audit"), () => new Timestamp(42000L))
     intercept[RuntimeException] {
