@@ -551,8 +551,15 @@ object Bm25 {
     * [[mergePostings]] contract) and refresh the impact metadata.
     * Cost: the append is increment-sized; the refresh is one pass over
     * the INDEX (postings + lens — never a corpus re-tokenize), exactly
-    * the statistics rewrite a Lucene merge pays. Takedown is the same
-    * shape: rewrite postings/lens through [[deleteDocs]], then refresh.
+    * the statistics rewrite a Lucene merge pays. Takedown goes through
+    * [[deleteFromIndex]]'s atomic swap instead — deletes RAISE true
+    * impacts above stored cutoffs, so stale stats there would break
+    * rank-safety, while growth only LOWERS them (stale-after-append is
+    * conservative). Crash contract: a crash between the append and
+    * the refresh leaves stats stale against the grown postings —
+    * re-run [[refreshImpacts]] (idempotent over the stored tables)
+    * before probing; production wraps index maintenance in the audit
+    * bracket like every other job here.
     */
   def appendToIndex(docs: DataFrame, textCol: String, idCol: String,
       dir: String): Unit = {
@@ -568,6 +575,39 @@ object Bm25 {
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$dir/postings")
     refreshImpacts(spark, dir, idCol, headB, buckets)
+  }
+
+  /** Takedown for a persisted index: stage the rewritten postings/lens
+    * (anti-joined against the deleted ids) plus FRESHLY refreshed
+    * impact metadata under a sibling root, then swap the whole index
+    * in one rename. The order matters for rank-safety: deletes SHRINK
+    * df, so true idf (and hence true impacts) can RISE above the old
+    * stored cutoffs — champions/stats must never be live against
+    * post-delete postings, which is why this is one atomic root swap
+    * and not a rewrite-then-refresh of the live dir. A crash before
+    * the rename leaves the live index untouched (stale staging is
+    * dropped on the next attempt); delete-then-probe == build-without
+    * (Bm25Spec).
+    */
+  def deleteFromIndex(spark: SparkSession, dir: String, deleted: DataFrame,
+      idCol: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val headB = m.getAs[Int]("head_b")
+    val buckets = m.getAs[Int]("buckets")
+    val tmp = s"${dir}__rewrite"
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed prior attempt
+    deleteDocs(spark.read.parquet(s"$dir/lens"), deleted, idCol)
+      .write.mode("overwrite").parquet(s"$tmp/lens")
+    deleteDocs(spark.read.parquet(s"$dir/postings"), deleted, idCol)
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$tmp/postings")
+    refreshImpacts(spark, tmp, idCol, headB, buckets)
+    fs.delete(hPath, true)
+    require(fs.rename(tmpPath, hPath), s"atomic swap failed: $tmp -> $dir")
   }
 
   /** Recompute `meta/`, `termstats/`, `champions/` from the persisted

@@ -309,4 +309,28 @@ class Bm25Spec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(stats(incrDir) == stats(rebuiltDir))
   }
+
+  test("persisted impact index: deleteFromIndex's atomic swap == rebuild " +
+      "without the deleted docs (stats refreshed, cutoffs rank-safe)") {
+    val queries = Seq((1L, "rare"), (1L, "common"), (2L, "word"))
+      .toDF("query_id", "term")
+    val dir = tmpDir("bm25del")
+    Bm25.writeIndex(bigDocs, "text", "doc_id", dir, headB = 4, buckets = 8)
+    val deleted = Seq(101L, 5L).toDF("doc_id")
+    Bm25.deleteFromIndex(spark, dir, deleted, "doc_id")
+    val cleanDir = tmpDir("bm25delclean")
+    Bm25.writeIndex(bigDocs.filter(!$"doc_id".isin(101L, 5L)),
+      "text", "doc_id", cleanDir, headB = 4, buckets = 8)
+    def probe(d: String) = Bm25.searchManyIndexPruned(spark, d,
+        queries, "query_id", "term", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(probe(dir) == probe(cleanDir))
+    // the refreshed stats equal the clean build's — deletes RAISED idf
+    // (df shrank), so live stale stats would have been rank-unsafe
+    def stats(d: String) = spark.read.parquet(s"$d/termstats")
+      .select("term", "df", "idf_fp", "cut_fp", "exhausted")
+      .collect().map(_.toString).toSet
+    assert(stats(dir) == stats(cleanDir))
+  }
 }
