@@ -5785,6 +5785,10 @@ object OracleSql {
     // derivation — the hash match is the incremental-equivalence proof
     "q142_incremental_fuzzy" -> q137,
     "q143_phrase_search" -> q143,
+    // q191 serves the SAME phrase query from the persisted positional
+    // index (pure additive facts — the round-trip is the claim), so
+    // the oracle IS q143's whole-corpus re-derive
+    "q191_phrase_indexed" -> q143,
     "q144_pq_encode" -> q144,
     "q145_pq_search" -> q145,
     "q146_pq_recall" -> q146,

@@ -3678,6 +3678,33 @@ object SparkEntry {
       .orderBy(col("round"), col("domain"))
   }
 
+  /** The persisted POSITIONAL index for q191 (one build per (session,
+    * dir) — [[graft.operators.Bm25.writePositions]], the phrase-query
+    * dial of the q173 index family).
+    */
+  private val positionsIndexMemo = new StateMemo[String]()
+  private def positionsIndexDir(s: SparkSession, dir: String): String =
+    positionsIndexMemo.get(s, dir) {
+      val d = tempStateDir("graft-positions-index")
+      Bm25.writePositions(Tables.documents(s, dir), "text", "doc_id", d,
+        buckets = 64)
+      d
+    }
+
+  /** q143's exact-phrase search served from the PERSISTED positional
+    * index ([[graft.operators.Bm25.phraseSearchIndexed]]): the scan
+    * prunes to the phrase terms' occurrence lists via literal bucket
+    * partition values, then the same co-partitioned `(id, pos − i)`
+    * join chain — identical oracle, the hash proving the stored
+    * positions round-trip. Positional postings are pure additive
+    * facts (no derived statistics), so this index needs no impact
+    * refresh — the Lucene positions-on dial persisted.
+    */
+  def q191_phrase_indexed(s: SparkSession, dir: String): DataFrame =
+    Bm25.phraseSearchIndexed(s, positionsIndexDir(s, dir),
+        Seq("order", "order"))
+      .orderBy(col("doc_id"))
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -4026,6 +4053,7 @@ object SparkEntry {
     "q188_countmin_rollup" -> (q188_countmin_rollup _),
     "q189_hybrid_index_fusion" -> (q189_hybrid_index_fusion _),
     "q190_doremi_two_round" -> (q190_doremi_two_round _),
+    "q191_phrase_indexed" -> (q191_phrase_indexed _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

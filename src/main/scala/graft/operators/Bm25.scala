@@ -789,7 +789,7 @@ object Bm25 {
     */
   private def idColOf(df: DataFrame): String = {
     val known = Set("term", "tf", "dl", "w_fp", "term_bucket", "df",
-      "idf_fp", "cut_fp", "exhausted")
+      "idf_fp", "cut_fp", "exhausted", "pos")
     val rest = df.columns.filterNot(known)
     require(rest.length == 1,
       s"cannot infer the id column from ${df.columns.mkString(",")}")
@@ -846,9 +846,68 @@ object Bm25 {
   }
 
   /** One-shot phrase search over raw documents (the q143 correctness
-    * surface); production probes a persisted [[positions]] index.
+    * surface); production probes a persisted [[positions]] index via
+    * [[phraseSearchIndexed]].
     */
   def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
       phrase: Seq[String]): DataFrame =
     phraseMatches(positions(docs, textCol, idCol), idCol, phrase)
+
+  /** Persist the positional index under `dir` — `positions/`
+    * partitioned by the same driver-computable term bucket as
+    * [[writeIndex]] (phrase probes prune to their terms' occurrence
+    * lists with literal values) plus a 1-row `meta/` recording the
+    * bucket count. Unlike the BM25 index there is NO derived
+    * statistics table — positional postings are pure additive facts,
+    * so increments are plain [[appendPositions]] appends and takedown
+    * is an anti-join rewrite ([[deleteDocs]] +
+    * [[graft.sources.Zone.overwriteInPlace]]-style swap), with nothing
+    * to refresh.
+    */
+  def writePositions(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    positions(docs, textCol, idCol)
+      .withColumn("term_bucket", termBucketCol(buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/positions")
+  }
+
+  /** Append an increment's occurrence rows (disjoint doc ids) — plain
+    * additive append, no derived state.
+    */
+  def appendPositions(docs: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    positions(docs, textCol, idCol)
+      .withColumn("term_bucket", termBucketCol(buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$dir/positions")
+  }
+
+  /** Exact-phrase search against a persisted [[writePositions]] dir:
+    * the scan prunes to the phrase's term buckets (literal partition
+    * values — the [[searchManyIndexPruned]] discipline), then
+    * [[phraseMatches]]' co-partitioned `(id, pos − i)` join chain runs
+    * over just those occurrence lists. Value-identical to the one-shot
+    * [[phraseSearch]] over the indexed corpus.
+    */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    val terms = phrase.map(_.toLowerCase).distinct
+    val bucketLits = terms.map(termBucketOf(_, buckets)).distinct
+    val pos = spark.read.parquet(s"$dir/positions")
+      .filter(col("term_bucket").isin(bucketLits: _*) &&
+        col("term").isin(terms: _*))
+    phraseMatches(pos, idColOf(pos), phrase)
+  }
 }

@@ -333,4 +333,28 @@ class Bm25Spec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(stats(dir) == stats(cleanDir))
   }
+
+  test("persisted positional index: indexed phrase probe == one-shot " +
+      "phraseSearch; appends are plain additive (append == rebuild)") {
+    val docs = (Seq((1L, "order order order placed"),
+      (2L, "the order order desk"), (3L, "order placed order")) ++
+      (10L to 40L).map(i => (i, s"filler text number $i order")))
+      .toDF("doc_id", "text")
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      Bm25.phraseSearch(d, "text", "doc_id", Seq("order", "order"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = tmpDir("posidx")
+    Bm25.writePositions(docs, "text", "doc_id", dir, buckets = 8)
+    def probe() = Bm25.phraseSearchIndexed(spark, dir, Seq("order", "order"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe() == oneShot(docs))
+    // overlap convention: doc 1's three consecutive "order"s hold TWO
+    // occurrences; doc 3's non-adjacent pair holds none (absent row)
+    assert(probe() == Set((1L, 2L), (2L, 1L)),
+      s"overlap convention drifted: ${probe()}")
+    // increment: append a doc that introduces new matches
+    val more = Seq((100L, "order order")).toDF("doc_id", "text")
+    Bm25.appendPositions(more, "text", "doc_id", dir)
+    assert(probe() == oneShot(docs.unionByName(more)))
+  }
 }
