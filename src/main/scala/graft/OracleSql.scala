@@ -4402,6 +4402,77 @@ object OracleSql {
     WHERE rank <= 10
     ORDER BY rank"""
 
+  /** q192: BATCH hybrid fusion — q140's per-query BM25 chain and a
+    * per-query quantized-cosine chain (probe vectors 1–3, self
+    * excluded), each ranked top-20 PER QUERY, fused by the exact RRF
+    * quotient per (query, doc), top-10 per query. Query 3's lexical
+    * leg is empty ("zzz") — the mixed-coverage case.
+    */
+  private val q192 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt(query_id, term) AS (
+      VALUES (1, 'dup'), (1, 'line'), (2, 'vector'), (2, 'merge'), (3, 'zzz')),
+    terms AS (SELECT DISTINCT term FROM qt),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN terms q ON q.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT q.query_id, c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN qt q ON q.term = c.term
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (
+      SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+      FROM w GROUP BY query_id, doc_id),
+    lex AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS r
+        FROM sc)
+      WHERE r <= 20),
+    qv AS (
+      SELECT vec_id AS query_id, $quantize AS pq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS pn2
+      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    ev AS (
+      SELECT vec_id AS doc_id, $quantize AS dq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS dn2
+      FROM embeddings),
+    cosd AS (
+      SELECT q.query_id, e.doc_id,
+             round(CASE WHEN e.dn2 = 0 OR q.pn2 = 0 THEN 0.0
+                        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                               i -> e.dq[i] * q.pq[i])) AS BIGINT) AS DOUBLE)
+                             / (sqrt(CAST(e.dn2 AS DOUBLE)) *
+                                sqrt(CAST(q.pn2 AS DOUBLE))) END, 6) AS cosine
+      FROM ev e CROSS JOIN qv q
+      WHERE e.doc_id <> q.query_id),
+    vec AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, doc_id) AS r
+        FROM cosd)
+      WHERE r <= 20),
+    u AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, r FROM lex
+          UNION ALL SELECT query_id, doc_id, r FROM vec),
+    f AS (
+      SELECT query_id, doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+             CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_fp
+      FROM u GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, n_lists, rrf_fp, rank FROM (
+      SELECT query_id, doc_id, n_lists, rrf_fp,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_fp DESC, doc_id) AS INTEGER) AS rank
+      FROM f)
+    WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   /** q143: exact-phrase match — positional tokens (filtered like the
     * Spark side, so indexes align), consecutive-pair predicate,
     * overlap-counted per doc.
@@ -5789,6 +5860,7 @@ object OracleSql {
     // index (pure additive facts — the round-trip is the claim), so
     // the oracle IS q143's whole-corpus re-derive
     "q191_phrase_indexed" -> q143,
+    "q192_hybrid_batch" -> q192,
     "q144_pq_encode" -> q144,
     "q145_pq_search" -> q145,
     "q146_pq_recall" -> q146,

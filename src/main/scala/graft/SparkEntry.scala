@@ -3705,6 +3705,37 @@ object SparkEntry {
         Seq("order", "order"))
       .orderBy(col("doc_id"))
 
+  /** BATCH hybrid retrieval from persisted indexes
+    * ([[graft.operators.Similarity.rrfFuseByKey]]): q140's three
+    * lexical queries probe the BM25 impact index (rank-safe ⇒ per-query
+    * top-20 identical to full batch scoring) while vectors 1–3 probe
+    * the persisted IVF index exhaustively (exact by construction, the
+    * q189 argument), and the fusion runs PER QUERY — the
+    * contamination-mining hybrid shape (thousands of benchmark
+    * questions, two retrievers each) as one gate row. Query 3's
+    * lexical leg matches nothing ("zzz"), so its fusion is
+    * vector-only — the mixed-coverage case a real batch always
+    * contains. The oracle re-derives both legs and the per-query
+    * fusion end-to-end.
+    */
+  def q192_hybrid_batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
+      (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
+    val lex = Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
+        queries, "query_id", "term", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val vec = IvfIndex.probe(cells, cents,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), "embedding", "vec_id",
+        k = 20, nProbe = 16)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+    Similarity.rrfFuseByKey(Seq(lex, vec), "query_id", "doc_id", "rank",
+        k = 10, enforceDistinct = true)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -4054,6 +4085,7 @@ object SparkEntry {
     "q189_hybrid_index_fusion" -> (q189_hybrid_index_fusion _),
     "q190_doremi_two_round" -> (q190_doremi_two_round _),
     "q191_phrase_indexed" -> (q191_phrase_indexed _),
+    "q192_hybrid_batch" -> (q192_hybrid_batch _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -295,7 +295,14 @@ object IvfIndex {
     */
   def writeIndex(cents: DataFrame, cells: DataFrame, dir: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/cells")
+    cells
+      // one shuffle partition per cell: without it every write task fans
+      // a file into every cell dir (tasks × nCentroids tiny files — at
+      // the 100× point that was ~51k files and probe wall was mostly
+      // footer fetches; the Bm25.writeIndex lesson). Each cell dir gets
+      // exactly one file; nCentroids is also the write-parallelism dial
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/cells")
   }
 
   /** Read back a persisted index: `(centroids, cells)`. */

@@ -278,4 +278,47 @@ object Similarity {
         .orderBy(col("rrf_fp").desc, col(idCol))))
   }
 
+  /** [[rrfFuse]] for BATCHES of queries — each input list carries a
+    * `keyCol` (query id) and the fusion runs per key: the
+    * contamination-mining hybrid shape (thousands of benchmark
+    * questions, each with a lexical and a vector top-k list). Same
+    * exact integer quotient, same loud 1-based-rank and (optional)
+    * duplicate-id enforcement, per (key, list). Everything stays
+    * bounded by the top-k input contract (≤ Σ|list| ≤ lists·k·|keys|
+    * rows), so the per-key rank window is the q73 carve-out — rows per
+    * key never exceed lists·k. Output: `(keyCol, idCol, n_lists,
+    * rrf_fp, rank ≤ k)`.
+    */
+  def rrfFuseByKey(lists: Seq[DataFrame], keyCol: String, idCol: String,
+      rankCol: String, k: Int, k0: Int = 60,
+      enforceDistinct: Boolean = false): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1 && k0 >= 0, s"bad k=$k / k0=$k0")
+    val union = lists.zipWithIndex
+      .map { case (l, i) => l.select(col(keyCol), col(idCol),
+        col(rankCol).cast("long").as("__r"), lit(i).as("__list")) }
+      .reduce(_ unionByName _)
+      .filter(assert_true(col("__r") >= 1,
+        lit("rrfFuseByKey: ranks must be 1-based and non-null " +
+          "(feed top-k list outputs)")).isNull)
+    val aggs = Seq(count(lit(1)).cast("int").as("n_lists"),
+      sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_fp")) ++
+      (if (enforceDistinct)
+        Seq(countDistinct(col("__list")).cast("int").as("__nd"))
+      else Nil)
+    val grouped = union.groupBy(col(keyCol), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val checked =
+      if (enforceDistinct)
+        grouped.filter(assert_true(col("n_lists") === col("__nd"),
+          concat(lit("rrfFuseByKey: duplicate id within one list at " +
+            s"$idCol = "), col(idCol).cast("string"))).isNull)
+          .drop("__nd")
+      else grouped
+    checked.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          .orderBy(col("rrf_fp").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
 }

@@ -225,4 +225,50 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p == out.map(t => s"[${t._1},${t._2},${t._3},${t._4}]").toSeq)
   }
+
+  test("rrfFuse enforceDistinct: a duplicate id within one list fails " +
+      "loudly; distinct lists pass unchanged") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val dup = Seq((10L, 1), (10L, 2)).toDF("doc_id", "rank")
+    // clean inputs: flag on == flag off, value-identical
+    assert(Similarity.rrfFuse(Seq(a), "doc_id", "rank", k = 10,
+        enforceDistinct = true).collect().map(_.toString).toSeq ==
+      Similarity.rrfFuse(Seq(a), "doc_id", "rank", k = 10)
+        .collect().map(_.toString).toSeq)
+    val e = intercept[Exception] {
+      Similarity.rrfFuse(Seq(dup), "doc_id", "rank", k = 10,
+        enforceDistinct = true).collect()
+    }
+    assert(e.getMessage.contains("duplicate id"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("rrfFuseByKey: per-key fusion == rrfFuse run per key; a key " +
+      "covered by one list only fuses that list (mixed coverage)") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1), (1L, 40L, 2), (3L, 50L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuseByKey(Seq(lex, vec), "query_id", "doc_id",
+        "rank", k = 10, enforceDistinct = true)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_lists"), r.getAs[Long]("rrf_fp"),
+        r.getAs[Int]("rank")))
+    // per-key reference: run the single-key fuser on each key's slices
+    val perKey = Seq(1L, 2L, 3L).flatMap { q =>
+      Similarity.rrfFuse(
+          Seq(lex.filter($"query_id" === q).drop("query_id"),
+            vec.filter($"query_id" === q).drop("query_id"))
+            .map(_.filter(lit(true))),
+          "doc_id", "rank", k = 10)
+        .orderBy($"rank").collect()
+        .map(r => (q, r.getAs[Long]("doc_id"), r.getAs[Int]("n_lists"),
+          r.getAs[Long]("rrf_fp"), r.getAs[Int]("rank")))
+    }
+    assert(out.toSeq == perKey)
+    // keys 2 and 3 each appear in ONE list only — still fused, n_lists 1
+    assert(out.filter(t => t._1 == 2L || t._1 == 3L)
+      .forall(_._3 == 1))
+  }
 }
