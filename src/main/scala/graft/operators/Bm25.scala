@@ -564,6 +564,7 @@ object Bm25 {
   def appendToIndex(docs: DataFrame, textCol: String, idCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
+    promoteCrashedRewrite(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     val headB = m.getAs[Int]("head_b")
     val buckets = m.getAs[Int]("buckets")
@@ -591,6 +592,7 @@ object Bm25 {
     */
   def deleteFromIndex(spark: SparkSession, dir: String, deleted: DataFrame,
       idCol: String): Unit = {
+    promoteCrashedRewrite(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     val headB = m.getAs[Int]("head_b")
     val buckets = m.getAs[Int]("buckets")
@@ -598,7 +600,7 @@ object Bm25 {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed prior attempt
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed mid-STAGE
     deleteDocs(spark.read.parquet(s"$dir/lens"), deleted, idCol)
       .write.mode("overwrite").parquet(s"$tmp/lens")
     deleteDocs(spark.read.parquet(s"$dir/postings"), deleted, idCol)
@@ -608,6 +610,23 @@ object Bm25 {
     refreshImpacts(spark, tmp, idCol, headB, buckets)
     fs.delete(hPath, true)
     require(fs.rename(tmpPath, hPath), s"atomic swap failed: $tmp -> $dir")
+  }
+
+  /** Heal [[deleteFromIndex]]'s delete→rename crash window (the
+    * [[graft.sources.Zone]] `recover` discipline): a MISSING index
+    * root beside a complete `__rewrite` staging root means the swap's
+    * delete fired but the rename didn't — the staging root IS the
+    * post-delete index (it is only ever deleted-then-renamed after
+    * [[refreshImpacts]] completes), so promote it. Called by every
+    * index entry point; a no-op when the root exists.
+    */
+  private def promoteCrashedRewrite(spark: SparkSession, dir: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(s"${dir}__rewrite")
+    if (!fs.exists(hPath) && fs.exists(tmpPath))
+      require(fs.rename(tmpPath, hPath),
+        s"crashed-rewrite promotion failed: $tmpPath -> $dir")
   }
 
   /** Recompute `meta/`, `termstats/`, `champions/` from the persisted
@@ -689,6 +708,7 @@ object Bm25 {
       queries: DataFrame, qidCol: String, termCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    promoteCrashedRewrite(spark, dir)
     // ONE bounded collect of the distinct (qid, term) pairs serves
     // everything driver-side (terms for partition pruning, the local
     // relation the plan re-reads for free — no checkpoint job, the

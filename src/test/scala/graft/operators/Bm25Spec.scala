@@ -334,6 +334,26 @@ class Bm25Spec extends SparkSpec {
     assert(stats(dir) == stats(cleanDir))
   }
 
+  test("crashed delete swap: a missing index root beside a complete " +
+      "__rewrite staging promotes on the next probe") {
+    val queries = Seq((1L, "rare"), (1L, "common")).toDF("query_id", "term")
+    val dir = tmpDir("bm25crash") + "/idx"
+    Bm25.writeIndex(bigDocs, "text", "doc_id", dir, headB = 4, buckets = 8)
+    val expected = Bm25.searchManyIndexPruned(spark, dir,
+      queries, "query_id", "term", 5).collect().map(_.toString).toSet
+    // simulate the delete→rename crash window: the live root vanished,
+    // the completed staging root is still under the __rewrite name
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"${dir}__rewrite")))
+    assert(!fs.exists(p))
+    val healed = Bm25.searchManyIndexPruned(spark, dir,
+      queries, "query_id", "term", 5).collect().map(_.toString).toSet
+    assert(healed == expected, "promotion must restore the staged index")
+    assert(fs.exists(p) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__rewrite")))
+  }
+
   test("persisted positional index: indexed phrase probe == one-shot " +
       "phraseSearch; appends are plain additive (append == rebuild)") {
     val docs = (Seq((1L, "order order order placed"),
