@@ -4473,6 +4473,38 @@ object OracleSql {
     WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  /** q193: semantic decontamination — per corpus vector the best
+    * benchmark match by exact quantized cosine (benchmark = every 50th
+    * vector verbatim under an offset id), ties to the lower benchmark
+    * id, flagged at 0.9. Mirrors `Decontaminate.semanticOverlap` =
+    * the bruteForceTopKQuantized arithmetic at k = 1.
+    */
+  private val q193 = s"""
+    WITH c AS (
+      SELECT vec_id AS doc_id, $quantize AS cq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS cn2
+      FROM embeddings),
+    b AS (
+      SELECT vec_id + 1000000 AS bench_id, $quantize AS bq,
+             CAST(list_sum(list_transform($quantize, x -> x * x)) AS BIGINT) AS bn2
+      FROM embeddings WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT c.doc_id, b.bench_id,
+             round(CASE WHEN c.cn2 = 0 OR b.bn2 = 0 THEN 0.0
+                        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                               i -> c.cq[i] * b.bq[i])) AS BIGINT) AS DOUBLE)
+                             / (sqrt(CAST(c.cn2 AS DOUBLE)) *
+                                sqrt(CAST(b.bn2 AS DOUBLE))) END, 6) AS cosine
+      FROM c CROSS JOIN b
+      WHERE b.bench_id <> c.doc_id)
+    SELECT doc_id, bench_id, cosine, cosine >= 0.9 AS contaminated FROM (
+      SELECT doc_id, bench_id, cosine,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY cosine DESC, bench_id) AS rn
+      FROM s)
+    WHERE rn = 1
+    ORDER BY doc_id"""
+
   /** q143: exact-phrase match — positional tokens (filtered like the
     * Spark side, so indexes align), consecutive-pair predicate,
     * overlap-counted per doc.
@@ -5861,6 +5893,7 @@ object OracleSql {
     // the oracle IS q143's whole-corpus re-derive
     "q191_phrase_indexed" -> q143,
     "q192_hybrid_batch" -> q192,
+    "q193_semantic_decontamination" -> q193,
     "q144_pq_encode" -> q144,
     "q145_pq_search" -> q145,
     "q146_pq_recall" -> q146,

@@ -3736,6 +3736,28 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SEMANTIC decontamination
+    * ([[graft.operators.Decontaminate.semanticOverlap]]): every 50th
+    * corpus embedding "leaks" into the benchmark verbatim under an
+    * offset id (the leaked-eval case; a production benchmark holds
+    * paraphrases, which the lexical q68/q93 checks structurally miss —
+    * this is the embedding-space complement). Each corpus vector keeps
+    * its best benchmark match by exact quantized cosine (benchmark
+    * broadcast, bounded-buffer top-1), flagged at cosine ≥ 0.9: the
+    * planted sources read exactly 1.0, everything else sits ≤ ~0.52
+    * on this corpus — a clean split the oracle re-derives end-to-end.
+    */
+  def q193_semantic_decontamination(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    Decontaminate.semanticOverlap(emb, bench, "embedding", "vec_id",
+        minCosine = 0.9)
+      .select(col("query_id").as("doc_id"), col("id").as("bench_id"),
+        col("cosine"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared harness for the STREAMED sketch-state gate rows (q178/q179):
     * split orders into three files, stream them through
     * [[graft.streaming.CorpusStream.runIncrementalSketches]] one file
@@ -4086,6 +4108,7 @@ object SparkEntry {
     "q190_doremi_two_round" -> (q190_doremi_two_round _),
     "q191_phrase_indexed" -> (q191_phrase_indexed _),
     "q192_hybrid_batch" -> (q192_hybrid_batch _),
+    "q193_semantic_decontamination" -> (q193_semantic_decontamination _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -58,4 +58,44 @@ object Decontaminate {
       .join(broadcast(bench), Seq("__h"), "left_semi")
     SubstringDedup.mergeSpans(marked, idCol, k)
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * lexical surfaces above: a paraphrased eval question shares no
+    * 8-token window with the corpus copy, but their embeddings sit at
+    * cosine ≈ 1 (the leakage the lexical checks structurally miss).
+    * Every corpus vector scores against every benchmark vector by the
+    * exact quantized cosine (the benchmark side broadcasts — eval
+    * suites are tiny against a 100 TB corpus, the q26 exact-baseline
+    * shape; when a benchmark outgrows a broadcast, generate candidates
+    * with the IVF/LSH machinery and rescore exactly, the SemDeDup
+    * discipline), keeps its single best match through the
+    * bounded-buffer top-1 aggregate (ties → lower benchmark id), and
+    * is flagged when that best cosine reaches `minCosine`.
+    *
+    * Corpus and benchmark id spaces must be disjoint (the caller
+    * separates the sets — a self-pair would trivially read 1.0).
+    * Output: `(query_id = corpus id, id = best benchmark id, cosine,
+    * contaminated)`, one row per scorable corpus vector (null/ragged
+    * embeddings cannot be scored and drop, the ANN-family contract).
+    */
+  def semanticOverlap(corpusEmb: DataFrame, benchEmb: DataFrame,
+      vecCol: String, idCol: String, minCosine: Double): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    import graft.functions.{VectorFunctions => V}
+    def pre(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), V.quantize(col(vecCol)).as(s"${outId}_qv"))
+        .withColumn(s"${outId}_n2", V.dotQ(col(s"${outId}_qv"), col(s"${outId}_qv")))
+    // the CORPUS is the scanned side (query_id of the per-doc top-1);
+    // the benchmark broadcasts — same arithmetic and tie-break as
+    // bruteForceTopKQuantized, asymmetry flipped for the corpus-sized
+    // input
+    val scored = pre(corpusEmb, "query_id")
+      .join(broadcast(pre(benchEmb, "id")), col("id") =!= col("query_id"))
+      .withColumn("cosine", round(V.cosineFromQuantized(
+        col("id_qv"), col("query_id_qv"), col("id_n2"), col("query_id_n2")), 6))
+    Similarity.rankTopK(scored, 1)
+      .withColumn("contaminated", col("cosine") >= lit(minCosine))
+      .drop("rank") // top-1: the rank column is constant
+  }
 }
