@@ -688,12 +688,26 @@ object CorpusJob {
           }.orNull
         val nDocs = meta0
           .map(_.agg(sum(col("n_docs"))).head().getLong(0)).getOrElse(0L) - nDeleted
+        // advisory state rides the swap UNCHANGED (the root swap drops
+        // any table not re-listed): sketches are not subtractive and
+        // the advisory informs partitioning, not results — takedowns
+        // don't adjust it, a compaction rebuild refreshes it (the
+        // Config scaladoc contract). Dropping it here instead would
+        // silently erase the maintained state on the first takedown.
+        val mixCarry = Zone.readIfExists(spark, s"$foldedRoot/mixloss")
+          .map("mixloss" -> _)
+        val skewCarry: Seq[(String, DataFrame)] =
+          if (Zone.exists(spark, s"$foldedRoot/skew/theta"))
+            Seq("skew/theta", "skew/cm", "skew/cands", "skew/meta").map(n =>
+              n -> spark.read.parquet(s"$foldedRoot/$n"))
+          else Nil
         import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
           (Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
-            Option(selcounts).map("selcounts" -> _))
+            Option(selcounts).map("selcounts" -> _) ++
+            mixCarry ++ skewCarry)
             .filter(_._2 != null), foldedRoot)
       }
       nDeleted

@@ -261,6 +261,22 @@ class CorpusJobSpec extends SparkSpec {
     assert(graft.operators.Salting.skewReportFromState(
         spark, s"$state/folded/skew").head.getAs[Long]("n_rows") ==
       oneShot.getAs[Long]("n_rows"), "replayed fold double-counted skew state")
+
+    // takedown: the folded-root swap in deleteDocs must CARRY the
+    // advisory tables (any table not re-listed is dropped by the swap —
+    // the state survives unchanged; sketches aren't subtractive and the
+    // advisory informs partitioning, the documented contract)
+    CorpusJob.deleteDocs(spark,
+      docs.filter($"doc_id" % 11 === 0).select($"doc_id"),
+      state, Some("del-1"), cfg)
+    val afterDelete = spark.read.parquet(s"$state/folded/mixloss")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(afterDelete == oneShotStats,
+      "takedown must not drop or alter the mixture-loss state")
+    assert(graft.operators.Salting.skewReportFromState(
+        spark, s"$state/folded/skew").head.getAs[Long]("n_rows") ==
+      oneShot.getAs[Long]("n_rows"),
+      "takedown must not drop or alter the skew state")
   }
 
   test("paragraph leg: daily rebuilds == one-shot; replay stable; takedown re-elects after compaction") {
