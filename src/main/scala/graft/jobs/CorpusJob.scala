@@ -282,10 +282,39 @@ object CorpusJob {
         spark.createDataFrame(java.util.Collections.emptyList[Row](),
           new StructType().add("content_fp", StringType).add("canonical_id", LongType)))
         .withColumnRenamed("canonical_id", "idx_canonical")
-      val withFp = batch
+      // the maintained skew state CLOSES THE LOOP on this job's own
+      // plan (round 13): the canonical election's window has no
+      // map-side combine, so a viral duplicate (one content_fp with a
+      // corpus-scale share) lands its every row in one task. When the
+      // persisted advisory PROVABLY flags a hot key
+      // ([[graft.operators.Salting.saltsFromState]] — lb-based, a
+      // uniform fingerprint space can never trip it), the election
+      // switches to the aggregate+join form, whose partial (map-side)
+      // min collapses the hot key per task before the exchange.
+      // Value-identical either way (min per group == min over the
+      // partition window; CorpusJobSpec pins it on a planted viral
+      // duplicate) — only the physical shape self-tunes.
+      val electionSkewed = cfg.maintainSkewState &&
+        Zone.exists(spark, s"$stateDir/folded/skew/theta") &&
+        scala.util.Try(
+          Salting.saltsFromState(spark, s"$stateDir/folded/skew") > 1)
+          .getOrElse(false)
+      val fped = batch
         .withColumn("content_fp", T.contentFingerprint(col("text")))
-        .withColumn("batch_canonical",
-          min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
+      val withFp =
+        if (!electionSkewed)
+          fped.withColumn("batch_canonical",
+            min(col("doc_id")).over(Window.partitionBy(col("content_fp"))))
+        else
+          fped.join(
+              fped.groupBy(col("content_fp"))
+                .agg(min(col("doc_id")).as("batch_canonical")),
+              "content_fp")
+            // normalize to the window form's column order — the
+            // annotated log appends across days, and a regime flip
+            // between days must not reorder the schema
+            .select(batch.columns.map(col) :+ col("content_fp") :+
+              col("batch_canonical"): _*)
       val canon = withFp.join(idxFps, Seq("content_fp"), "left")
         .withColumn("canonical_id",
           coalesce(col("idx_canonical"), col("batch_canonical")))

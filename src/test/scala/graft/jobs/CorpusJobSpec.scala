@@ -279,6 +279,47 @@ class CorpusJobSpec extends SparkSpec {
       "takedown must not drop or alter the skew state")
   }
 
+  test("closed-loop canonical election (r13): a state-PROVEN viral " +
+      "duplicate flips the election to the skew-safe aggregate form, " +
+      "value-identical to the windowed run") {
+    // planted viral duplicate: one text owns ~83% of the corpus — the
+    // content_fp window's one-task worst case and a provable lb alarm
+    val viral = ((1L to 500L).map(i => (i, "the viral boilerplate page " +
+      "that every mirror site serves unchanged")) ++
+      (501L to 600L).map(i => (i, s"unique document number $i about " +
+        s"topic ${i % 17} with its own words")))
+      .toDF("doc_id", "text")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainSkewState = true)
+    val state = tmpDir("corpusviral")
+    // day 1 builds the skew state (election still windowed — no state
+    // yet); day 2's election must flip (the state now PROVES the hot
+    // fingerprint) and still produce exactly what a windowed fresh run
+    // over the same batch produces
+    val d1 = viral.filter($"doc_id" % 2 === 1)
+    val d2 = viral.filter($"doc_id" % 2 === 0)
+    CorpusJob.runIncremental(spark, d1, state, cfg, batchId = Some("d1"))
+    assert(graft.operators.Salting.saltsFromState(
+        spark, s"$state/folded/skew") > 1,
+      "the planted viral duplicate must be lb-provable from day-1 state")
+    val day2 = CorpusJob.runIncremental(spark, d2, state, cfg,
+        batchId = Some("d2"))
+      .select($"doc_id", $"content_fp", $"canonical_id", $"is_duplicate")
+      .collect().map(_.toString).toSet
+    // reference: the same logical day 2 against a FRESH state copy
+    // built without skew maintenance (windowed election throughout)
+    val refState = tmpDir("corpusviralref")
+    val plainCfg = CorpusJob.Config(nearDupThreshold = 0.5)
+    CorpusJob.runIncremental(spark, d1, refState, plainCfg,
+      batchId = Some("d1"))
+    val ref = CorpusJob.runIncremental(spark, d2, refState, plainCfg,
+        batchId = Some("d2"))
+      .select($"doc_id", $"content_fp", $"canonical_id", $"is_duplicate")
+      .collect().map(_.toString).toSet
+    assert(day2 == ref,
+      "the aggregate-form election must be value-identical to the window")
+  }
+
   test("paragraph leg: daily rebuilds == one-shot; replay stable; takedown re-elects after compaction") {
     // multi-paragraph corpus: shared header + text slices (cross-doc
     // collisions from the corpus's seeded duplicate texts)
