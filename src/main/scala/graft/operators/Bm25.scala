@@ -612,6 +612,33 @@ object Bm25 {
     require(fs.rename(tmpPath, hPath), s"atomic swap failed: $tmp -> $dir")
   }
 
+  /** Operating diagnostics for a persisted [[writeIndex]] dir — the
+    * [[IvfIndex.cellStats]] analogue: one row of
+    * `(n_docs, total_tokens, avgdl_fp, head_b, buckets, vocab_size,
+    * max_df, exhausted_frac_fp)` from the 1-row meta + one aggregate
+    * over the (vocab-sized, never corpus-sized) termstats table.
+    * `exhausted_frac_fp` (‰ of terms whose every posting fits the head
+    * budget) is the "is head_b right" dial: near 1000‰ the pruning
+    * machinery is dead weight (every probe takes the exhausted
+    * shortcut — shrink the budget or enjoy the exactness); near 0‰
+    * with a tiny `max_df` the budget wastes champion storage.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    promoteCrashedRewrite(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta")
+    val ts = spark.read.parquet(s"$dir/termstats")
+      .agg(count(lit(1)).as("vocab_size"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"),
+        coalesce(sum(when(col("exhausted"), 1L).otherwise(0L)), lit(0L))
+          .as("__nex"))
+      .withColumn("exhausted_frac_fp",
+        expr("__nex * 1000L div greatest(vocab_size, 1L)"))
+    meta.crossJoin(broadcast(ts))
+      .select(col("n_docs"), col("total_tokens"), col("avgdl_fp"),
+        col("head_b"), col("buckets"), col("vocab_size"), col("max_df"),
+        col("exhausted_frac_fp"))
+  }
+
   /** Heal [[deleteFromIndex]]'s delete→rename crash window (the
     * [[graft.sources.Zone]] `recover` discipline): a MISSING index
     * root beside a complete `__rewrite` staging root means the swap's

@@ -334,6 +334,22 @@ class Bm25Spec extends SparkSpec {
     assert(stats(dir) == stats(cleanDir))
   }
 
+  test("indexStats: the head-budget dial reads vocab/df/exhaustion " +
+      "from the stored stats, never the postings") {
+    val dir = tmpDir("bm25stats")
+    Bm25.writeIndex(bigDocs, "text", "doc_id", dir, headB = 4, buckets = 8)
+    val r = Bm25.indexStats(spark, dir).head()
+    assert(r.getAs[Long]("n_docs") == 63L) // 60 flood + 3 tail docs
+    // vocab: common, filler, rare, word
+    assert(r.getAs[Long]("vocab_size") == 4L)
+    assert(r.getAs[Long]("max_df") == 63L) // "common" rides every doc
+    // at headB=4: rare (df 2) and word (df 2) are exhausted; common and
+    // filler are not → 2/4 = 500 per mille
+    assert(r.getAs[Long]("exhausted_frac_fp") == 500L,
+      s"exhaustion dial off: $r")
+    assert(r.getAs[Int]("head_b") == 4 && r.getAs[Int]("buckets") == 8)
+  }
+
   test("crashed delete swap: a missing index root beside a complete " +
       "__rewrite staging promotes on the next probe") {
     val queries = Seq((1L, "rare"), (1L, "common")).toDF("query_id", "term")
