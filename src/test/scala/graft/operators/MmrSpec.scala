@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Query sits on axis 0; cluster A = three near-identical vectors
+    * hugging the query; cluster B = one moderately relevant vector off
+    * on axis 1. Cosine top-k would return A, A', A'' first; MMR at
+    * λ=0.5 must interleave B ahead of the redundant A copies.
+    */
+  private def fixture = Seq(
+    (0L, Array(1.00f, 0.00f, 0f, 0f)), // the query
+    (1L, Array(0.99f, 0.10f, 0f, 0f)), // A
+    (2L, Array(0.98f, 0.12f, 0f, 0f)), // A'
+    (3L, Array(0.97f, 0.14f, 0f, 0f)), // A''
+    (4L, Array(0.90f, 0.00f, 0.436f, 0f)) // B: nearly as relevant, diverse axis
+  ).toDF("vec_id", "embedding")
+
+  test("pure relevance (lambda = 1e6) degenerates to cosine top-k order") {
+    val emb = fixture
+    val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        nCandidates = 4, k = 4, lambdaPpm = 1000000L)
+      .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
+    val topk = Similarity.bruteForceTopKQuantized(
+        emb, emb.filter($"vec_id" === 0), "embedding", "vec_id", 4)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got == topk)
+  }
+
+  test("diversity bites: the diverse cluster jumps the redundant copies") {
+    val emb = fixture
+    val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        nCandidates = 4, k = 3, lambdaPpm = 500000L)
+      .orderBy("mmr_rank").collect()
+    assert(got(0).getAs[Long]("id") == 1L)        // first pick: pure relevance
+    assert(got(0).getAs[Long]("msim_ppm") == 0L)  // by definition
+    assert(got(1).getAs[Long]("id") == 4L,        // B beats A'/A'' despite lower rel
+      got.map(_.toString).mkString(", "))
+    // msim recorded at pick time is the sim to the already-picked set
+    assert(got(1).getAs[Long]("msim_ppm") > 0L)
+    assert(got(2).getAs[Long]("id") == 2L)        // then back to the next A copy
+  }
+
+  test("exact-duplicate candidates tie-break to the lower id") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (5L, Array(0.9f, 0.1f)),
+      (7L, Array(0.9f, 0.1f)), (6L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        nCandidates = 3, k = 3, lambdaPpm = 700000L)
+      .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
+    assert(got == Seq(5L, 6L, 7L))
+  }
+
+  test("k exceeding the candidate pool returns the whole pool; dials are validated") {
+    val emb = fixture
+    val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+      nCandidates = 4, k = 4)
+    assert(got.count() == 4L)
+    intercept[IllegalArgumentException] {
+      Mmr.select(emb, emb, "embedding", "vec_id", nCandidates = 200, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Mmr.select(emb, emb, "embedding", "vec_id", nCandidates = 4, k = 5, lambdaPpm = 2000000L)
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PortableBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = (1 to 1500).map(i => s"key:$i").toDF("k")
+
+  test("no false negatives: every inserted key probes member on both paths") {
+    val df = keys
+    val sk = PortableBloom.sketch(df, Seq.empty, "k")
+    // join path
+    val joined = PortableBloom.mightContain(sk, df, Seq.empty, "k")
+    assert(joined.filter($"member" =!= 1).count() == 0L)
+    // embedded-array path
+    val words = PortableBloom.collectWords(sk)
+    assert(df.filter(!PortableBloom.probe(words)($"k")).count() == 0L)
+  }
+
+  test("measured FP rate stays within ~2.5x of the analytic bound") {
+    val sk = PortableBloom.sketch(keys, Seq.empty, "k")
+    val words = PortableBloom.collectWords(sk)
+    // 20k non-members (disjoint value space)
+    val nonMembers = (1 to 20000).map(i => s"other:$i").toDF("k")
+    val fp = nonMembers.filter(PortableBloom.probe(words)($"k")).count()
+    val kNum = PortableBloom.DefaultK.toDouble
+    val bound = math.pow(1.0 - math.exp(-kNum * 1500 / PortableBloom.DefaultM), kNum)
+    assert(fp.toDouble / 20000 <= bound * 2.5,
+      s"fp rate ${fp / 20000.0} vs analytic bound $bound")
+    // and it is not degenerate: some bits ARE set
+    assert(words.exists(_ != 0L))
+  }
+
+  test("merge of partition filters equals the whole-data filter exactly; re-OR is a no-op") {
+    val df = keys
+    val (a, b) = (df.filter(length($"k") <= 6), df.filter(length($"k") > 6))
+    val merged = PortableBloom.merge(
+      PortableBloom.sketch(a, Seq.empty, "k"),
+      PortableBloom.sketch(b, Seq.empty, "k"),
+      PortableBloom.sketch(b, Seq.empty, "k"))(Seq.empty) // b twice: OR idempotence
+    val whole = PortableBloom.sketch(df, Seq.empty, "k")
+    assert(merged.orderBy("word").collect().toSeq ==
+      whole.orderBy("word").collect().toSeq)
+  }
+
+  test("grouped filters keep groups apart") {
+    val df = Seq(("g1", "x"), ("g2", "y")).toDF("g", "k")
+    val sk = PortableBloom.sketch(df, Seq("g"), "k")
+    val probes = Seq(("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y")).toDF("g", "k")
+    val got = PortableBloom.mightContain(sk, probes, Seq("g"), "k")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got(("g1", "x")) == 1 && got(("g2", "y")) == 1)
+    // single-key filters at m=16384: a cross-group hit would need a
+    // 4-position collision (~1e-13) — treat as exact
+    assert(got(("g1", "y")) == 0 && got(("g2", "x")) == 0)
+  }
+
+  test("state: append-then-read equals one-shot rebuild; geometry mismatch fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomstate").toString
+    val (d1, d2) = (keys.filter(length($"k") <= 6), keys.filter(length($"k") > 6))
+    PortableBloom.writeState(d1, "k", dir)
+    PortableBloom.appendState(d2, "k", dir)
+    val (merged, m, k) = PortableBloom.readMergedState(spark, dir)
+    assert((m, k) == (PortableBloom.DefaultM, PortableBloom.DefaultK))
+    val whole = PortableBloom.sketch(keys, Seq.empty, "k")
+    assert(merged.orderBy("word").collect().toSeq ==
+      whole.orderBy("word").collect().toSeq)
+    val e = intercept[IllegalArgumentException] {
+      PortableBloom.appendState(d1, "k", dir, m = 8192)
+    }
+    assert(e.getMessage.contains("would corrupt"))
+  }
+
+  test("contaminationByBloom bounds the exact overlap from above (no false negatives)") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps high"), // shares shingles
+      (11L, "entirely different words here today")).toDF("doc_id", "text")
+    val benchShingles = Dedup.shingleRows(bench, "text", "doc_id", Nil, 3)
+      .select($"shingle").distinct()
+    val words = PortableBloom.collectWords(
+      PortableBloom.sketch(benchShingles, Seq.empty, "shingle"))
+    val byBloom = PortableBloom.contaminationByBloom(corpus, words, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Decontaminate.overlap(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byBloom.foreach { case (id, (nSh, hits)) =>
+      assert(hits >= exact(id), s"doc $id: bloom hits $hits below exact ${exact(id)}")
+      assert(hits <= nSh)
+    }
+    assert(byBloom(10L)._2 >= 2L) // the genuinely shared shingles hit
+  }
+
+  test("probe of NULL is NULL (no membership claim); sketch skips NULLs") {
+    val sk = PortableBloom.sketch(Seq(Some("x"), None).toDF("k"), Seq.empty, "k")
+    val words = PortableBloom.collectWords(sk)
+    val r = Seq(Some("x"), None).toDF("k")
+      .select(PortableBloom.probe(words)($"k").as("p")).collect()
+    assert(r.exists(row => !row.isNullAt(0) && row.getBoolean(0)))
+    assert(r.exists(_.isNullAt(0)))
+  }
+}
