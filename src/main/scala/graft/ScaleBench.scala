@@ -420,6 +420,11 @@ object ScaleBench {
       if (keep("incr_mixture_weights"))
         graft.operators.DomainMixture.writeLossState(lossFrame(dSrc),
           "source", "loss_fp", s"$tmp/lossstate")
+      if (keep("incr_bloom_probe"))
+        // the R× corpus's seen-shingle Bloom: state is ⌈m/32⌉ word rows
+        // at ANY R (the membership analogue of the skew/mixture states)
+        graft.operators.PortableBloom.writeShingleState(d, "text", "doc_id",
+          s"$tmp/bloomstate")
       val bSigs = graft.operators.Dedup.signatures(batch, "text", "doc_id", 3, 64)
       val bBands = graft.operators.Dedup.signatureBands(bSigs, 64, 16)
       Seq[(String, () => Long)](
@@ -492,6 +497,28 @@ object ScaleBench {
         s"incr_mixture_weights" -> (() =>
           graft.operators.DomainMixture.weightsFromState(spark,
             s"$tmp/lossstate").count()),
+        // membership pair (round 13): the exact overlap broadcasts the
+        // R×-corpus shingle set against the fixed batch (the cost the
+        // Bloom replaces — grows ~R in build+broadcast), while the
+        // Bloom probe reads ⌈m/32⌉ state rows and scans only the batch
+        // — must stay ~FLAT at any R
+        // both legs force the CONTAMINATION VALUES (sum, not count):
+        // count() after groupBy(id) lets the optimizer prune the
+        // benchmark join / probe expression away and both legs would
+        // measure only the batch shingling (observed: the 100× exact
+        // leg timed FASTER than 1× before this was caught)
+        s"bloom_exact_overlap" -> (() =>
+          graft.operators.Decontaminate.overlap(batch, d,
+            "text", "doc_id").agg(sum(col("n_contaminated"))).head().getLong(0)),
+        s"incr_bloom_probe" -> (() => {
+          val (merged, m, k) =
+            graft.operators.PortableBloom.readMergedState(spark,
+              s"$tmp/bloomstate")
+          val words = graft.operators.PortableBloom.collectWords(merged, m)
+          graft.operators.PortableBloom.contaminationByBloom(batch, words,
+            "text", "doc_id", m = m, k = k)
+            .agg(sum(col("n_bloom_hits"))).head().getLong(0)
+        }),
       ).filter(p => keep(p._1)).map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f()

@@ -161,7 +161,19 @@ object CorpusJob {
       // not subtractive; the advisory informs partitioning, not
       // results) — a compaction rebuild refreshes it.
       maintainMixtureState: Boolean = false,
-      maintainSkewState: Boolean = false)
+      maintainSkewState: Boolean = false,
+      // opt-in maintenance of the corpus seen-shingle Bloom filter
+      // (`folded/bloom` — [[graft.operators.PortableBloom]] word rows
+      // at the default geometry, which pins the table like shingleSize
+      // pins the LSH index): membership state for novelty scoring and
+      // cheap decontamination pre-filters of any FUTURE batch without
+      // a corpus re-read (`PortableBloom.collectWords(read(folded/
+      // bloom))` → `contaminationByBloom`). The fold is word-wise OR —
+      // additive AND idempotent, so even a replayed batch folds as a
+      // bit-level no-op; ≤ m/32 rows forever. Same presence-OR-flag
+      // and takedown contract as the advisory states (membership is
+      // not subtractive; a compaction rebuild refreshes it).
+      maintainBloomState: Boolean = false)
 
   /** Annotate every document with dedup + quality + language columns
     * (no filtering — callers decide policy).
@@ -480,6 +492,22 @@ object CorpusJob {
             mixPrior.map(DomainMixture.mergeLossStats(_, batchStats))
               .getOrElse(batchStats)
           }
+        // seen-shingle Bloom state (round 13): the batch's shingle
+        // filter ORs into the corpus filter — one shingling pass over
+        // the BATCH (the same kernel the LSH leg rides), ≤ m/32 word
+        // rows of state at any corpus size. OR idempotence makes this
+        // the one leg that is replay-safe even WITHOUT the batchId
+        // gate; the gate still applies (uniform discipline).
+        val bloomPrior = Zone.readIfExists(spark, s"$foldedRoot/bloom")
+        val bloom =
+          if (bloomPrior.isEmpty && !cfg.maintainBloomState) null
+          else {
+            val batchSketch = graft.operators.PortableBloom.shingleSketch(
+              batch, "text", "doc_id", cfg.shingleSize)
+            bloomPrior.map(p =>
+                graft.operators.PortableBloom.merge(p, batchSketch)(Nil))
+              .getOrElse(batchSketch)
+          }
         // skew-advisory state (round 13): content_fp is this pipeline's
         // hottest shuffle key (the canonical-dedup window partitions on
         // it — a viral duplicate makes it provably hot), so its sketch
@@ -509,7 +537,8 @@ object CorpusJob {
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
             Option(selcounts).map("selcounts" -> _) ++
-            Option(mixloss).map("mixloss" -> _) ++ skewTables, foldedRoot)
+            Option(mixloss).map("mixloss" -> _) ++
+            Option(bloom).map("bloom" -> _) ++ skewTables, foldedRoot)
       }
 
       newSigs.unpersist(); newPairs.unpersist()
@@ -725,6 +754,11 @@ object CorpusJob {
         // silently erase the maintained state on the first takedown.
         val mixCarry = Zone.readIfExists(spark, s"$foldedRoot/mixloss")
           .map("mixloss" -> _)
+        // the Bloom carries for the same reason (membership state is
+        // not subtractive — a filter cannot un-set a bit; the Config
+        // scaladoc contract says a compaction rebuild refreshes it)
+        val bloomCarry = Zone.readIfExists(spark, s"$foldedRoot/bloom")
+          .map("bloom" -> _)
         val skewCarry: Seq[(String, DataFrame)] =
           if (Zone.exists(spark, s"$foldedRoot/skew/theta"))
             Seq("skew/theta", "skew/cm", "skew/cands", "skew/meta").map(n =>
@@ -736,7 +770,7 @@ object CorpusJob {
         Zone.overwriteAllInPlace(spark,
           (Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
             Option(selcounts).map("selcounts" -> _) ++
-            mixCarry ++ skewCarry)
+            mixCarry ++ bloomCarry ++ skewCarry)
             .filter(_._2 != null), foldedRoot)
       }
       nDeleted

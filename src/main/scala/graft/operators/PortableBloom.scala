@@ -261,16 +261,21 @@ object PortableBloom {
 
   // ---- the decontamination composition ------------------------------------
 
+  /** A document table's word-shingle filter as sketch rows — the
+    * frame-level form state maintainers fold (`bit_or` is idempotent,
+    * so no distinct pass is needed before the sketch).
+    */
+  def shingleSketch(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, m: Int = DefaultM, k: Int = DefaultK): DataFrame =
+    sketch(Dedup.shingleRows(docs, textCol, idCol, Nil, n),
+      Nil, "shingle", m, k)
+
   /** A benchmark's shingle set as a driver-held word array — the
     * "do not train on this" filter [[contaminationByBloom]] probes.
-    * (`bit_or` is idempotent, so no distinct pass is needed before
-    * the sketch.)
     */
   def benchmarkFilter(benchmark: DataFrame, textCol: String, idCol: String,
       n: Int = 3, m: Int = DefaultM, k: Int = DefaultK): Array[Long] =
-    collectWords(
-      sketch(Dedup.shingleRows(benchmark, textCol, idCol, Nil, n),
-        Nil, "shingle", m, k), m)
+    collectWords(shingleSketch(benchmark, textCol, idCol, n, m, k), m)
 
   /** [[Decontaminate.overlap]]'s scale path: per corpus document, how
     * many of its distinct shingles hit a benchmark Bloom — `(idCol,

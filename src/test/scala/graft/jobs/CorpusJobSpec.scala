@@ -279,6 +279,42 @@ class CorpusJobSpec extends SparkSpec {
       "takedown must not drop or alter the skew state")
   }
 
+  test("bloom leg (r13): daily folds == one-shot filter bit-for-bit; " +
+      "replay and takedown leave the bits; novelty served from state") {
+    import graft.operators.PortableBloom
+    val docs = Tables.documents(spark, sfDir()).select($"doc_id", $"text")
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val (d1, d2) = (docs.filter($"doc_id" <= n / 2), docs.filter($"doc_id" > n / 2))
+    val state = tmpDir("corpusbloom")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5, maintainBloomState = true)
+    CorpusJob.runIncremental(spark, d1, state, cfg, batchId = Some("d1"))
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      PortableBloom.collectWords(df).toSeq
+    val oneShot = words(
+      PortableBloom.shingleSketch(docs, "text", "doc_id", cfg.shingleSize))
+    assert(words(spark.read.parquet(s"$state/folded/bloom")) == oneShot,
+      "two daily folds must equal the one-shot corpus filter bit-for-bit")
+    // replay: the batchId gate makes it a no-op — and OR idempotence
+    // would make even an ungated replay a bit-level no-op
+    CorpusJob.runIncremental(spark, d2, state, cfg, batchId = Some("d2"))
+    assert(words(spark.read.parquet(s"$state/folded/bloom")) == oneShot)
+    // takedown: membership state is not subtractive — the swap carries
+    // the bits unchanged (the advisory-state contract)
+    CorpusJob.deleteDocs(spark,
+      docs.filter($"doc_id" % 11 === 0).select($"doc_id"),
+      state, Some("del-1"), cfg)
+    assert(words(spark.read.parquet(s"$state/folded/bloom")) == oneShot,
+      "takedown must not drop or alter the bloom state")
+    // the maintained state answers novelty with NO corpus re-read:
+    // already-folded docs probe fully contained (no false negatives)
+    val replayProbe = PortableBloom.contaminationByBloom(d1.limit(20),
+      PortableBloom.collectWords(spark.read.parquet(s"$state/folded/bloom")),
+      "text", "doc_id", n = cfg.shingleSize)
+    assert(replayProbe.filter($"n_bloom_hits" =!= $"n_shingles").count() == 0L,
+      "seen documents must probe fully contained in the corpus filter")
+  }
+
   test("closed-loop canonical election (r13): a state-PROVEN viral " +
       "duplicate flips the election to the skew-safe aggregate form, " +
       "value-identical to the windowed run") {
