@@ -4734,6 +4734,168 @@ object OracleSql {
     ORDER BY mmr_rank"""
   }
 
+  /** q199: BATCH MMR — q198's greedy unrolled PER QUERY: candidate cut
+    * and pairwise sims carry query_id, each round's argmax is a
+    * `row_number() PARTITION BY query_id` pick, and the exclusion of
+    * already-picked candidates is a correlated NOT EXISTS against the
+    * accumulated set.
+    */
+  private val q199 = {
+    val lam = 700000L
+    val oneMinus = 1000000L - lam
+    val steps = (2 to 5).map { r =>
+      s"""
+    sc$r AS (
+      SELECT c.query_id, c.id, c.rel_ppm, max(p.sim_ppm) AS msim
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.ia = c.id
+      JOIN acc${r - 1} s ON s.query_id = p.query_id AND s.id = p.ib
+      WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} x
+                        WHERE x.query_id = c.query_id AND x.id = c.id)
+      GROUP BY c.query_id, c.id, c.rel_ppm),
+    sel$r AS (
+      SELECT query_id, id, rel_ppm, msim AS msim_ppm, score_fp,
+             CAST($r AS INTEGER) AS mmr_rank
+      FROM (
+        SELECT query_id, id, rel_ppm, msim,
+               $lam * rel_ppm - $oneMinus * msim AS score_fp,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ($lam * rel_ppm - $oneMinus * msim) DESC, id) AS rn
+        FROM sc$r)
+      WHERE rn = 1),
+    acc$r AS MATERIALIZED (
+      SELECT * FROM acc${r - 1}
+      UNION ALL
+      SELECT query_id, id, rel_ppm, msim_ppm, score_fp, mmr_rank FROM sel$r)"""
+    }.mkString(",")
+    s"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS qq FROM base WHERE vec_id IN (3, 5, 9)),
+    sc AS (
+      SELECT q.query_id, c.vec_id AS id,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * q.qq[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * c.qe[i])) AS BIGINT) AS n2c,
+             CAST(list_sum(list_transform(range(1, 65), i -> q.qq[i] * q.qq[i])) AS BIGINT) AS n2q
+      FROM base c JOIN q ON c.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, id,
+             round(CASE WHEN n2c = 0 OR n2q = 0 THEN 0.0
+                        ELSE CAST(dot AS DOUBLE) /
+                             (sqrt(CAST(n2c AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) END, 6) AS cosine
+      FROM sc),
+    cand0 AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rn
+      FROM scored),
+    cand AS MATERIALIZED (
+      SELECT query_id, id, CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+      FROM cand0 WHERE rn <= 16),
+    cq AS (
+      SELECT b.vec_id AS id, b.qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS BIGINT) AS n2
+      FROM base b JOIN (SELECT DISTINCT id FROM cand) ci ON b.vec_id = ci.id),
+    pair AS MATERIALIZED (
+      SELECT x.query_id, x.id AS ia, y.id AS ib,
+             CAST(floor(round(CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0
+               ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END, 6)
+               * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+      FROM cand x
+      JOIN cand y ON x.query_id = y.query_id AND x.id <> y.id
+      JOIN cq a ON a.id = x.id
+      JOIN cq b ON b.id = y.id),
+    sel1 AS (
+      SELECT query_id, id, rel_ppm, CAST(0 AS BIGINT) AS msim_ppm,
+             $lam * rel_ppm AS score_fp, CAST(1 AS INTEGER) AS mmr_rank
+      FROM (
+        SELECT query_id, id, rel_ppm,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_ppm DESC, id) AS rn
+        FROM cand)
+      WHERE rn = 1),
+    acc1 AS MATERIALIZED (SELECT * FROM sel1),${steps}
+    SELECT query_id, mmr_rank, id, rel_ppm, msim_ppm, score_fp
+    FROM acc5
+    ORDER BY query_id, mmr_rank"""
+  }
+
+  /** Shared JL-projection CTE fragment (q200/q201): the ±1 sign matrix
+    * from `h60("rp:j:d")` parity (no plane literals — every sign is
+    * re-derived), projected coordinates as exact integer sums over the
+    * shared quantized vectors.
+    */
+  private def rpProjected(outDim: Int) = s"""
+    base AS MATERIALIZED (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    sgn AS MATERIALIZED (
+      SELECT j, d,
+             CASE WHEN ${h60("'rp:' || j || ':' || d")} % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range($outDim) a(j) CROSS JOIN range(64) b(d)),
+    yv AS MATERIALIZED (
+      SELECT e.vec_id, g.j,
+             CAST(sum(g.s * e.qe[CAST(g.d AS INTEGER) + 1]) AS BIGINT) AS yj
+      FROM base e CROSS JOIN sgn g
+      GROUP BY e.vec_id, g.j)"""
+
+  /** q200: per-vector projection fingerprints — sum / L1 / min / max
+    * of the 16 projected integer coordinates.
+    */
+  private val q200 = s"""
+    WITH ${rpProjected(16)}
+    SELECT vec_id,
+           CAST(sum(yj) AS BIGINT) AS rp_sum,
+           CAST(sum(abs(yj)) AS BIGINT) AS rp_l1,
+           CAST(min(yj) AS BIGINT) AS rp_min,
+           CAST(max(yj) AS BIGINT) AS rp_max
+    FROM yv
+    GROUP BY vec_id
+    ORDER BY vec_id"""
+
+  /** q201: project-then-rescore ANN — the div-64 projected
+    * squared-distance shortlist (80/query, ties to the lower id), then
+    * the exact full-dimension quantized-cosine top-10 over ONLY the
+    * shortlist (q26's arithmetic and tie-break).
+    */
+  private val q201 = s"""
+    WITH ${rpProjected(32)},
+    yq AS (SELECT vec_id AS query_id, j, yj FROM yv WHERE vec_id < 5),
+    dist AS (
+      SELECT q.query_id, c.vec_id AS id,
+             CAST(sum((q.yj - c.yj) * (q.yj - c.yj)) AS BIGINT) // 64 AS d64
+      FROM yq q JOIN yv c ON c.vec_id <> q.query_id AND q.j = c.j
+      GROUP BY q.query_id, c.vec_id),
+    short AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d64 ASC, id ASC) AS rn
+        FROM dist)
+      WHERE rn <= 80),
+    bn AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2
+      FROM base),
+    resc AS (
+      SELECT s.query_id, s.id,
+             round(CASE WHEN c.n2 = 0 OR q2.n2 = 0 THEN 0.0
+                   ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                          i -> c.qe[i] * q2.qe[i])) AS BIGINT) AS DOUBLE)
+                        / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q2.n2 AS DOUBLE))) END, 6) AS cosine
+      FROM short s
+      JOIN bn c ON c.vec_id = s.id
+      JOIN bn q2 ON q2.vec_id = s.query_id)
+    SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM resc)
+    WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   /** q143: exact-phrase match — positional tokens (filtered like the
     * Spark side, so indexes align), consecutive-pair predicate,
     * overlap-counted per doc.
@@ -6128,6 +6290,9 @@ object OracleSql {
     "q196_bloom_decontaminate" -> q196,
     "q197_bloom_novelty" -> q197,
     "q198_mmr_diverse_topk" -> q198,
+    "q199_mmr_batch" -> q199,
+    "q200_jl_project" -> q200,
+    "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,
     "q145_pq_search" -> q145,
     "q146_pq_recall" -> q146,

@@ -4043,6 +4043,61 @@ object SparkEntry {
       .orderBy(col("mmr_rank"))
   }
 
+  /** BATCH MMR ([[graft.operators.Mmr.selectBatch]]): three query
+    * vectors diversified at once with the greedy running IN-PLAN — k
+    * fixed rounds of bounded joins + per-query rank windows, no driver
+    * loop (the q198 driver greedy is the single-query serving form;
+    * this is the contamination-review throughput form). The oracle
+    * unrolls the same five rounds PER QUERY (PARTITION BY query_id
+    * argmax, correlated NOT EXISTS exclusion), so every pick of every
+    * query is hash-proven.
+    */
+  def q199_mmr_batch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Mmr.selectBatch(emb, emb.filter(col("vec_id").isin(3L, 5L, 9L)),
+        "embedding", "vec_id", nCandidates = 16, k = 5, lambdaPpm = 700000L)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** JL random projection ([[graft.operators.RandomProjection]]):
+    * every embedding projected 64 → 16 dims by the ±1 auditable-hash
+    * sign matrix, emitted as per-vector integer fingerprints (sum /
+    * L1 / min / max of the projected coordinates) — the oracle
+    * re-derives every sign from `h60("rp:j:d")` parity and every
+    * coordinate from the same quantized integers, so the projection
+    * itself is hash-proven, with no plane literals shipped anywhere.
+    */
+  def q200_jl_project(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RandomProjection
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        RandomProjection.project(col("embedding"), 16, 64).as("rp"))
+      .filter(col("rp").isNotNull)
+      .select(col("vec_id"),
+        aggregate(col("rp"), lit(0L), (a, y) => a + y).as("rp_sum"),
+        aggregate(col("rp"), lit(0L), (a, y) => a + abs(y)).as("rp_l1"),
+        array_min(col("rp")).as("rp_min"),
+        array_max(col("rp")).as("rp_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Project-then-rescore ANN
+    * ([[graft.operators.RandomProjection.topKProjected]]): shortlist
+    * 40 candidates per query by PROJECTED integer squared distance
+    * (16-long dots instead of 64-dim doubles — the JL shortlist), then
+    * exact full-dimension rescore of only the shortlist. The oracle
+    * re-runs the whole pipeline (signs → projections → div-64
+    * shortlist with the family tie-break → exact cosine top-10), so
+    * shortlist membership AND final ranks are hash-proven.
+    */
+  def q201_jl_rescore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RandomProjection
+    val emb = Tables.embeddings(s, dir)
+    RandomProjection.topKProjected(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, outDim = 32, dim = 64, shortlist = 80)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4244,6 +4299,9 @@ object SparkEntry {
     "q196_bloom_decontaminate" -> (q196_bloom_decontaminate _),
     "q197_bloom_novelty" -> (q197_bloom_novelty _),
     "q198_mmr_diverse_topk" -> (q198_mmr_diverse_topk _),
+    "q199_mmr_batch" -> (q199_mmr_batch _),
+    "q200_jl_project" -> (q200_jl_project _),
+    "q201_jl_rescore" -> (q201_jl_rescore _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Maximal Marginal Relevance: diversity-aware top-k selection
@@ -102,5 +102,97 @@ object Mmr {
     }
     import spark.implicits._
     selected.toSeq.toDF("mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+  }
+
+  /** BATCH MMR — the throughput form: many query vectors, each
+    * diversified over its own candidate set, with the greedy running
+    * IN-PLAN (k fixed synchronous rounds of bounded joins — the
+    * PageRank discipline) instead of on the driver. Use this for the
+    * contamination-review / few-shot-mining shape (thousands of
+    * queries); [[select]] remains the serving-path microlatency form
+    * (one query, driver greedy over the collected matrix) — MmrSpec
+    * pins them equal per query.
+    *
+    * Scale shape: stage 1 is the batch candidate cut (corpus-sized,
+    * one pass); the pairwise-sim table is Q × N(N−1) rows built by ONE
+    * hash self-join on query_id and persisted across rounds; each of
+    * the k−1 greedy rounds is candidate-table-sized joins + a per-query
+    * rank window over ≤ N rows (the bounded-window carve-out). Nothing
+    * anywhere is corpus × corpus. Per-round frames localCheckpoint so
+    * lineage stays one round deep (selected feeds three places per
+    * round; an unbroken plan would grow ~3^k, the LinkGraph lesson).
+    *
+    * Queries with fewer than k candidates simply exhaust early and
+    * emit what they have. Output: `(query_id, mmr_rank, id, rel_ppm,
+    * msim_ppm, score_fp)`.
+    */
+  def selectBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, nCandidates: Int, k: Int,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(nCandidates >= 1 && nCandidates <= 128,
+      s"nCandidates must be in [1, 128], got $nCandidates")
+    require(k >= 1 && k <= nCandidates, s"k must be in [1, $nCandidates], got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    import org.apache.spark.sql.expressions.Window
+
+    val cands = Similarity.bruteForceTopKQuantized(
+        corpus, queries, vecCol, idCol, nCandidates)
+      .select(col("query_id"), col("id"), ppm(col("cosine")).as("rel_ppm"))
+      .localCheckpoint(true)
+    // candidate vectors fetched once (the candidate id list broadcasts
+    // against the corpus scan), then ONE query-keyed self-join builds
+    // every within-query pair — reused by all k−1 rounds
+    val cvecs = corpus
+      .select(col(idCol).as("id"), V.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", V.dotQ(col("qv"), col("qv")))
+      .join(broadcast(cands.select(col("id")).distinct()), "id")
+    val a = cands.select(col("query_id"), col("id").as("ia"))
+      .join(cvecs.select(col("id").as("ia"), col("qv").as("qa"), col("n2").as("na")), "ia")
+    val b = cands.select(col("query_id"), col("id").as("ib"))
+      .join(cvecs.select(col("id").as("ib"), col("qv").as("qb"), col("n2").as("nb")), "ib")
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"),
+        ppm(round(V.cosineFromQuantized(col("qa"), col("qb"), col("na"), col("nb")), 6))
+          .as("sim_ppm"))
+      .localCheckpoint(true)
+
+    // the bounded-window carve-out: every window below partitions by
+    // query_id over ≤ nCandidates rows (the top-N input contract)
+    val w = Window.partitionBy(col("query_id"))
+    def rank1(df: DataFrame, order: Seq[Column]): DataFrame =
+      df.withColumn("__rn", row_number().over(w.orderBy(order: _*)))
+        .filter(col("__rn") === 1).drop("__rn")
+
+    var selected = rank1(cands, Seq(col("rel_ppm").desc, col("id")))
+      .select(col("query_id"), col("id"), col("rel_ppm"),
+        lit(0L).as("msim_ppm"),
+        (lit(lambdaPpm) * col("rel_ppm")).as("score_fp"),
+        lit(1).as("mmr_rank"))
+      .localCheckpoint(true)
+    var remaining = cands.join(selected.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val msims = pairs
+        .join(selected.select(col("query_id"), col("id").as("ib")),
+          Seq("query_id", "ib"))
+        .groupBy(col("query_id"), col("ia").as("id"))
+        .agg(max(col("sim_ppm")).as("msim_ppm"))
+      val scored = remaining.join(msims, Seq("query_id", "id"))
+        .withColumn("score_fp",
+          lit(lambdaPpm) * col("rel_ppm") -
+            lit(1000000L - lambdaPpm) * col("msim_ppm"))
+      val pick = rank1(scored, Seq(col("score_fp").desc, col("id")))
+        .withColumn("mmr_rank", lit(r))
+        .select(col("query_id"), col("id"), col("rel_ppm"),
+          col("msim_ppm"), col("score_fp"), col("mmr_rank"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      remaining = remaining.join(pick.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    selected
   }
 }

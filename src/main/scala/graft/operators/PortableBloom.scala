@@ -74,11 +74,20 @@ object PortableBloom {
   /** Offset of hash row i: `h60("bloom:b:i") mod P`. */
   def bloomB(i: Int): Long = AuditableHash.h60(s"bloom:b:$i") % AuditableHash.P
 
-  /** Bit position of hash row i for a value column (long, in [0, m)).
-    * a·h < 2^60, +b < 2^60+2^31 — no signed-64 wrap under ANSI mode.
+  /** Bit position of hash row i from a PRE-REDUCED 30-bit hash column —
+    * the form every plan below feeds (the md5 runs ONCE per row in a
+    * projection; the k probe positions are integer multiply-adds over
+    * the shared hash, not k md5 calls). a·h < 2^60, +b < 2^60+2^31 —
+    * no signed-64 wrap under ANSI mode.
+    */
+  def posFromHash(i: Int, h: Column, m: Int): Column =
+    ((lit(bloomA(i)) * h + lit(bloomB(i))) % lit(AuditableHash.P)) % lit(m.toLong)
+
+  /** [[posFromHash]] over a raw value column (hashes inline — the
+    * one-off form; hot paths pre-project [[AuditableHash.base30]]).
     */
   def bitPos(i: Int, v: Column, m: Int): Column =
-    ((lit(bloomA(i)) * AuditableHash.base30(v) + lit(bloomB(i))) % lit(AuditableHash.P)) % lit(m.toLong)
+    posFromHash(i, AuditableHash.base30(v), m)
 
   /** `1L << (pos mod 32)` with a column shift amount (the Scala
     * `shiftleft` wrapper only takes a literal Int; the catalyst
@@ -103,10 +112,12 @@ object PortableBloom {
     require(m % BitsPerWord == 0 && m > 0, s"m must be a positive multiple of $BitsPerWord, got $m")
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val probes = (0 until k).map { i =>
-      val pos = bitPos(i, col(valueCol), m)
+      val pos = posFromHash(i, col("__h"), m)
       struct(shiftright(pos, 5).cast("int").as("word"), maskOf(pos).as("mask"))
     }
     df.filter(col(valueCol).isNotNull)
+      // ONE md5 per row here; the k positions above are multiply-adds
+      .select(groupCols.map(col) :+ AuditableHash.base30(col(valueCol)).as("__h"): _*)
       .select(groupCols.map(col) :+ explode(array(probes: _*)).as("wm"): _*)
       .groupBy(groupCols.map(col) :+ col("wm.word").as("word"): _*)
       .agg(expr("bit_or(wm.mask)").as("bits"))
@@ -140,11 +151,13 @@ object PortableBloom {
     */
   def mightContain(sketchDf: DataFrame, keys: DataFrame, groupCols: Seq[String],
       valueCol: String, m: Int = DefaultM, k: Int = DefaultK): DataFrame = {
-    val probes = keys.select(keys.columns.map(col) :+
-      explode(array((0 until k).map { i =>
-        val pos = bitPos(i, col(valueCol), m)
-        struct(shiftright(pos, 5).cast("int").as("word"), maskOf(pos).as("mask"))
-      }: _*)).as("wm"): _*)
+    val probes = keys
+      .select(keys.columns.map(col) :+ AuditableHash.base30(col(valueCol)).as("__h"): _*)
+      .select(keys.columns.map(col) :+
+        explode(array((0 until k).map { i =>
+          val pos = posFromHash(i, col("__h"), m)
+          struct(shiftright(pos, 5).cast("int").as("word"), maskOf(pos).as("mask"))
+        }: _*)).as("wm"): _*)
       .select(keys.columns.map(col) :+ col("wm.word").as("word") :+ col("wm.mask").as("mask"): _*)
     probes.join(broadcast(sketchDf), groupCols :+ "word", "left")
       .withColumn("__hit",
@@ -178,12 +191,20 @@ object PortableBloom {
     * membership claim), the three-valued convention filters compose
     * with.
     */
-  def probe(words: Array[Long], m: Int = DefaultM, k: Int = DefaultK)(v: Column): Column = {
+  def probe(words: Array[Long], m: Int = DefaultM, k: Int = DefaultK)(v: Column): Column =
+    probeFromHash(words, m, k)(AuditableHash.base30(v))
+
+  /** [[probe]] over a pre-projected [[AuditableHash.base30]] hash
+    * column — the hot-path form: the md5 runs once per row in the
+    * caller's projection; this Column is k element_at+mask tests of
+    * integer multiply-adds over the shared hash.
+    */
+  def probeFromHash(words: Array[Long], m: Int = DefaultM, k: Int = DefaultK)(h: Column): Column = {
     require(words.length == m / BitsPerWord,
       s"word array has ${words.length} words; m=$m needs ${m / BitsPerWord}")
     val arr = typedlit(words.toSeq)
     (0 until k).map { i =>
-      val pos = bitPos(i, v, m)
+      val pos = posFromHash(i, h, m)
       (element_at(arr, shiftright(pos, 5).cast("int") + 1)
         .bitwiseAND(maskOf(pos)) =!= 0L)
     }.reduce(_ && _)
@@ -292,9 +313,11 @@ object PortableBloom {
       textCol: String, idCol: String, n: Int = 3,
       m: Int = DefaultM, k: Int = DefaultK): DataFrame =
     Dedup.shingleRows(corpus, textCol, idCol, Nil, n)
+      // md5 once per shingle; the aggregate probes the shared hash
+      .select(col("id"), AuditableHash.base30(col("shingle")).as("__h"))
       .groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
-        sum(when(probe(words, m, k)(col("shingle")), 1L).otherwise(0L))
+        sum(when(probeFromHash(words, m, k)(col("__h")), 1L).otherwise(0L))
           .as("n_bloom_hits"))
 }

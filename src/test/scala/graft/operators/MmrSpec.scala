@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class MmrSpec extends SparkSpec {
   import spark.implicits._
@@ -51,6 +52,37 @@ class MmrSpec extends SparkSpec {
         nCandidates = 3, k = 3, lambdaPpm = 700000L)
       .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
     assert(got == Seq(5L, 6L, 7L))
+  }
+
+  test("batch form == driver form per query (the two-surface contract)") {
+    // 12 vectors in general position + two query vectors
+    val emb = ((0 until 12).map { i =>
+      (100L + i, Array(1f + i * 0.1f, (i % 5) * 0.3f, (i % 3) * 0.7f, 0.2f * i))
+    } ++ Seq((1L, Array(1f, 0.1f, 0.5f, 0f)), (2L, Array(0.2f, 1f, 0f, 0.3f))))
+      .toDF("vec_id", "embedding")
+    val batch = Mmr.selectBatch(emb, emb.filter($"vec_id" <= 2),
+        "embedding", "vec_id", nCandidates = 8, k = 4, lambdaPpm = 600000L)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+      .collect().map(_.toString).toSeq
+    val perQuery = Seq(1L, 2L).flatMap { q =>
+      Mmr.select(emb, emb.filter($"vec_id" === q), "embedding", "vec_id",
+          nCandidates = 8, k = 4, lambdaPpm = 600000L)
+        .withColumn("query_id", lit(q))
+        .orderBy("mmr_rank")
+        .select("query_id", "mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+        .collect().map(_.toString).toSeq
+    }
+    assert(batch == perQuery)
+  }
+
+  test("batch form: a query exhausting its candidates emits what it has") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (10L, Array(0.9f, 0.1f)), (11L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Mmr.selectBatch(emb, emb.filter($"vec_id" === 1),
+      "embedding", "vec_id", nCandidates = 4, k = 4)
+    assert(got.count() == 2L) // only two non-query vectors exist
   }
 
   test("k exceeding the candidate pool returns the whole pool; dials are validated") {
