@@ -171,10 +171,14 @@ object Mmr {
         (lit(lambdaPpm) * col("rel_ppm")).as("score_fp"),
         lit(1).as("mmr_rank"))
       .localCheckpoint(true)
-    var remaining = cands.join(selected.select(col("query_id"), col("id")),
-        Seq("query_id", "id"), "left_anti")
-      .localCheckpoint(true)
     for (r <- 2 to k) {
+      // ONE materialization per round — selected (the only frame
+      // referenced more than once across rounds) checkpoints; remaining
+      // re-derives from the checkpointed frames at depth 1, so there is
+      // no lineage to break (the first cut checkpointed it too: k extra
+      // tiny Spark jobs of pure latency, the q173 DAG-depth lesson)
+      val remaining = cands.join(selected.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
       val msims = pairs
         .join(selected.select(col("query_id"), col("id").as("ib")),
           Seq("query_id", "ib"))
@@ -189,9 +193,6 @@ object Mmr {
         .select(col("query_id"), col("id"), col("rel_ppm"),
           col("msim_ppm"), col("score_fp"), col("mmr_rank"))
       selected = selected.unionByName(pick).localCheckpoint(true)
-      remaining = remaining.join(pick.select(col("query_id"), col("id")),
-          Seq("query_id", "id"), "left_anti")
-        .localCheckpoint(true)
     }
     selected
   }

@@ -76,6 +76,17 @@ class MmrSpec extends SparkSpec {
     assert(batch == perQuery)
   }
 
+  test("batch form is partitioning-invariant (exact integer objective, no order dependence)") {
+    val emb = ((0 until 20).map { i =>
+      (50L + i, Array(0.5f + i * 0.02f, (i % 7) * 0.1f, (i % 4) * 0.25f, 0.05f * i))
+    } :+ ((1L, Array(1f, 0.2f, 0.3f, 0.1f)))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Mmr.selectBatch(df, df.filter($"vec_id" === 1), "embedding", "vec_id",
+          nCandidates = 10, k = 5)
+        .orderBy("query_id", "mmr_rank").collect().map(_.toString).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
+
   test("batch form: a query exhausting its candidates emits what it has") {
     val emb = Seq(
       (1L, Array(1f, 0f)), (10L, Array(0.9f, 0.1f)), (11L, Array(0.5f, 0.5f)))
