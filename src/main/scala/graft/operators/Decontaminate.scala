@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * ([[Dedup.shingleRows]], `Spread`-parallelized); the probe is a
   * broadcast left join + per-doc aggregate keyed on doc id — no
   * corpus-side shuffle beyond the aggregation itself.
+  *
+  * When the "do not train on this" set outgrows a broadcast (10⁹+
+  * shingles — takedown corpora, whole prior crawls), switch to
+  * [[PortableBloom.contaminationByBloom]]: the set compresses to m
+  * bits riding the plan as constants (no false negatives, bounded FP
+  * tax — q196), and [[PortableBloom.writeShingleState]] maintains it
+  * daily without re-scanning history (measured: the broadcast form
+  * grows 13.4× at 100× corpus while the Bloom probe stays flat,
+  * SCALE_r13_bloom100).
   */
 object Decontaminate {
 
