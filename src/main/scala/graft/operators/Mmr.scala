@@ -65,9 +65,14 @@ object Mmr {
     val spark = corpus.sparkSession
 
     // stage 1 (distributed): exact quantized-cosine top-N candidates
+    // checkpointed: the corpus-sized top-N subtree is referenced by BOTH
+    // driver collects below (rel map directly, the pairs frame through
+    // the broadcast candidate-id join) — without the break the most
+    // expensive stage would run twice per query on the serving path
     val cands = Similarity.bruteForceTopKQuantized(
         corpus, query, vecCol, idCol, nCandidates)
       .select(col("id"), ppm(col("cosine")).as("rel_ppm"))
+      .localCheckpoint(true)
 
     // candidate pairwise sims in-plan: ≤ N(N−1) rows, broadcast both
     // sides (the candidate id set is tiny against the corpus scan)
@@ -95,7 +100,13 @@ object Mmr {
         val score = lambdaPpm * rel(d) - (1000000L - lambdaPpm) * msim
         (d, rel(d), msim, score)
       }
-      val pick = scoredStep.minBy { case (d, _, _, score) => (-score, d) }
+      // the FIRST pick is pure relevance BY DEFINITION (empty S), not
+      // the λ-weighted objective: at λ=0 every round-1 score is 0 and
+      // the objective alone would degenerate to lowest-id — selectBatch
+      // ranks round 1 by rel_ppm explicitly, this must match it
+      val pick =
+        if (selected.isEmpty) scoredStep.minBy { case (d, r0, _, _) => (-r0, d) }
+        else scoredStep.minBy { case (d, _, _, score) => (-score, d) }
       selected += ((rank, pick._1, pick._2, pick._3, pick._4))
       remaining -= pick._1
       rank += 1

@@ -163,7 +163,13 @@ object PortableBloom {
       .withColumn("__hit",
         when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L, 1).otherwise(0))
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(col("__hit")).as("member"))
+      .agg(min(col("__hit")).as("__m"))
+      // three-valued like [[probe]]: a NULL key makes no membership
+      // claim — member=0 here would read as a definite "not in set"
+      // and a dedup gate would admit NULL-keyed rows unconditionally
+      .withColumn("member",
+        when(col(valueCol).isNull, lit(null).cast("int")).otherwise(col("__m")))
+      .drop("__m")
   }
 
   /** An UNGROUPED filter pulled to the driver as a dense word array —

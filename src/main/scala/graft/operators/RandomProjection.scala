@@ -82,8 +82,16 @@ object RandomProjection {
     */
   def topKProjected(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, outDim: Int, dim: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, maxAbs: Double = 1.0): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // signed-64 envelope of the shortlist arithmetic: projDistSq's
+    // dot(a,a) − 2·dot(a,b) + dot(b,b) is at worst 4·outDim·y_max²
+    // with y_max = dim·maxAbs·10⁶ — enforce it HERE rather than let a
+    // big-dim corpus die mid-join on an ANSI overflow (the caller
+    // asserts |x| ≤ maxAbs; violating that still fails loudly via ANSI)
+    require(4.0 * outDim * math.pow(dim * maxAbs * 1e6, 2) < math.pow(2.0, 63),
+      s"projected-distance arithmetic overflows signed-64 at outDim=$outDim, " +
+        s"dim=$dim, maxAbs=$maxAbs — reduce outDim/dim or pre-scale the vectors")
     def pre(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
           V.quantize(col(vecCol)).as(s"${id}_qv"),

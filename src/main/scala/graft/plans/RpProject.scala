@@ -29,8 +29,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * [[graft.operators.RandomProjection.signs]] so the hot loop is a
   * multiply-accumulate with no hashing per row.
   *
-  * Bounds: |x_d| ≲ 8 ⇒ |q_d| < 2^23; dim ≤ 4096 ⇒ |y_j| < 2^35; the
-  * squared-distance estimates downstream stay < 2^63 for outDim ≤ 2^8.
+  * Bounds: |x_d| ≤ X ⇒ |q_d| ≤ X·10⁶ and |y_j| ≤ dim·X·10⁶ — the
+  * PROJECTION itself is overflow-safe far beyond any real dial
+  * (|y_j| < 2^38 even at X=8, dim=4096). The hazard is DOWNSTREAM
+  * squaring: `projDistSq`/`dotQ` over projected coordinates computes
+  * Σ_j y_j² ≤ outDim·(dim·X·10⁶)², which overflows signed-64 already
+  * at X=1, dim≈1500 — [[graft.operators.RandomProjection.topKProjected]]
+  * enforces the exact envelope with a `require` on (outDim, dim,
+  * maxAbs), and ANSI mode is the loud backstop for callers squaring
+  * projections on their own.
   *
   * Contract (the ANN-family drop rule): wrong length or a NULL element
   * → NULL output (an unscorable vector cannot fake a projection;

@@ -76,6 +76,24 @@ class MmrSpec extends SparkSpec {
     assert(batch == perQuery)
   }
 
+  test("lambda = 0 (pure diversity): first pick is still pure relevance; batch == driver") {
+    val emb = fixture
+    val driver = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        nCandidates = 4, k = 3, lambdaPpm = 0L)
+      .orderBy("mmr_rank").collect()
+    // round 1 must be the relevance argmax (id 1), NOT the lowest id —
+    // at λ=0 every round-1 objective is 0 and a naive argmax degenerates
+    assert(driver(0).getAs[Long]("id") == 1L)
+    val batch = Mmr.selectBatch(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        nCandidates = 4, k = 3, lambdaPpm = 0L)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+      .collect().map(_.toString).toSeq
+    assert(batch == driver.map(r => org.apache.spark.sql.Row(
+      r.getAs[Int]("mmr_rank"), r.getAs[Long]("id"), r.getAs[Long]("rel_ppm"),
+      r.getAs[Long]("msim_ppm"), r.getAs[Long]("score_fp")).toString).toSeq)
+  }
+
   test("batch form is partitioning-invariant (exact integer objective, no order dependence)") {
     val emb = ((0 until 20).map { i =>
       (50L + i, Array(0.5f + i * 0.02f, (i % 7) * 0.1f, (i % 4) * 0.25f, 0.05f * i))

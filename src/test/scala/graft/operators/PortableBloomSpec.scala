@@ -93,6 +93,17 @@ class PortableBloomSpec extends SparkSpec {
     assert(byBloom(10L)._2 >= 2L) // the genuinely shared shingles hit
   }
 
+  test("mightContain of a NULL key is NULL, not a definite miss") {
+    val sk = PortableBloom.sketch(Seq("x").toDF("k"), Seq.empty, "k")
+    val probes = Seq(Some("x"), Some("y"), None).toDF("k")
+    val got = PortableBloom.mightContain(sk, probes, Seq.empty, "k").collect()
+      .map(r => Option(r.get(0)).map(_.toString) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(Some("x")) == Some(1))
+    assert(got(Some("y")) == Some(0))
+    assert(got(None).isEmpty, "NULL key must make no membership claim")
+  }
+
   test("probe of NULL is NULL (no membership claim); sketch skips NULLs") {
     val sk = PortableBloom.sketch(Seq(Some("x"), None).toDF("k"), Seq.empty, "k")
     val words = PortableBloom.collectWords(sk)
