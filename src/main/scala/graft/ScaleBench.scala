@@ -243,6 +243,32 @@ object ScaleBench {
             Some(bl), Some(emb))
           .filter(col("kept") && length(col("text_final")) >= 0).count()
       },
+      // JL throughput pair (round 13): both legs are one linear pass
+      // over the R× corpus for the same 50 queries — the RATIO isolates
+      // the per-pair cost (a 32-long integer dot + div-64 shortlist vs
+      // a 64-dim quantized cosine per pair); the rescore leg touches
+      // only 80 rows/query at any R
+      "ann_brute50" -> { r =>
+        val e = corpusEmb(r)
+        graft.operators.Similarity.bruteForceTopKQuantized(
+          e, e.filter(col("vec_id") < 50), "embedding", "vec_id", 10).count()
+      },
+      "ann_jl50" -> { r =>
+        val e = corpusEmb(r)
+        graft.operators.RandomProjection.topKProjected(
+          e, e.filter(col("vec_id") < 50), "embedding", "vec_id",
+          k = 10, outDim = 32, dim = 64, shortlist = 80).count()
+      },
+      // batch MMR (q199's shape): the candidate cut is the corpus-sized
+      // part (pluggable — swap in the IVF probe to make it index-sized);
+      // the k−1 greedy rounds run over Q×N candidate frames, constant
+      // in R, so total wall must track the ONE scan, never k scans
+      "mmr_batch3" -> { r =>
+        val e = corpusEmb(r)
+        graft.operators.Mmr.selectBatch(
+          e, e.filter(col("vec_id").isin(3L, 5L, 9L)), "embedding", "vec_id",
+          nCandidates = 16, k = 5).count()
+      },
       // PQ compression family (q144/q145): encode is the pure narrow
       // map that must track the scan; ADC search is the 10-query
       // broadcast over the codes column — both should scale ~linearly

@@ -54,10 +54,21 @@ object RandomProjection {
 
   /** Exact integer squared distance between two projected vectors:
     * `Σ_j (a_j − b_j)²` = dot(a,a) − 2·dot(a,b) + dot(b,b) — three
-    * [[V.dotQ]] codegen kernels, no per-pair lambda.
+    * [[V.dotQ]] codegen kernels, no per-pair lambda. For PAIR JOINS use
+    * [[projDistSqFromNorms]]: the self-dots depend on one side each, so
+    * recomputing them per pair triples the hot-loop multiplies (the
+    * first cut of the 100× scale point measured the JL shortlist
+    * SLOWER than brute force for exactly this reason).
     */
   def projDistSq(a: Column, b: Column): Column =
     V.dotQ(a, a) - lit(2L) * V.dotQ(a, b) + V.dotQ(b, b)
+
+  /** [[projDistSq]] with the per-ROW squared norms precomputed: one
+    * outDim-long dot per pair — half of brute force's dim-long dot at
+    * outDim = dim/2, which is where the JL speedup actually lives.
+    */
+  def projDistSqFromNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    n2a - lit(2L) * V.dotQ(a, b) + n2b
 
   /** Project-then-rescore top-k: shortlist `shortlist` candidates per
     * query by PROJECTED squared distance (outDim-long integer math per
@@ -98,9 +109,11 @@ object RandomProjection {
           project(col(vecCol), outDim, dim).as(s"${id}_rp"))
         .filter(col(s"${id}_rp").isNotNull)
         .withColumn(s"${id}_n2", V.dotQ(col(s"${id}_qv"), col(s"${id}_qv")))
+        .withColumn(s"${id}_rpn2", V.dotQ(col(s"${id}_rp"), col(s"${id}_rp")))
     val c = pre(corpus, "id")
     val q = pre(queries, "query_id")
-    // shortlist on NEGATED projected distance (TopKPerGroup keeps max).
+    // shortlist on NEGATED projected distance (TopKPerGroup keeps max),
+    // per-row norms precomputed so each pair costs ONE outDim-long dot.
     // The aggregator's score rides as a double: dist² can reach ~2^58
     // (> 2^53 exact-double range), so shed the low 6 bits FIRST with an
     // exact integer div — the shed bits are far below JL noise, and the
@@ -108,7 +121,8 @@ object RandomProjection {
     // (collisions introduced by the div break by id, same both sides)
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("__negd",
-        -shiftright(projDistSq(col("id_rp"), col("query_id_rp")), 6)
+        -shiftright(projDistSqFromNorms(col("id_rp"), col("query_id_rp"),
+          col("id_rpn2"), col("query_id_rpn2")), 6)
           .cast("double"))
     val short = TopKPerGroup(
         scored.select(col("query_id"), col("__negd"), col("id")),
