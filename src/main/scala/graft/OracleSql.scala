@@ -4402,6 +4402,113 @@ object OracleSql {
     WHERE rank <= 10
     ORDER BY rank"""
 
+  /** q204: the hybrid at the approximate dial — q186's exact fusion
+    * (brute vector leg) as ground truth, the q36 IVF derivation probed
+    * at nProbe ∈ {1, 2, 4} feeding the same RRF, then the q129 recall
+    * protocol over the two top-10 lists per setting. Every output is
+    * an exact integer. Multiply-referenced CTEs materialize (the
+    * DuckDB inlining rule).
+    */
+  private val q204 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt AS (SELECT unnest(['dup', 'vector', 'merge', 'zzz']) AS term),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qt ON qt.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_fp FROM w GROUP BY doc_id),
+    lex AS MATERIALIZED (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS r
+        FROM sc)
+      WHERE r <= 20),
+    base AS (SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qcell AS MATERIALIZED (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2 WHERE vec_id = 0) q CROSS JOIN cents),
+    settings(n_probe) AS (VALUES (1), (2), (4)),
+    probes AS (
+      SELECT s.n_probe, qc.query_id, qc.qq, qc.qn2, qc.centroid_id
+      FROM qcell qc CROSS JOIN settings s WHERE qc.rn <= s.n_probe),
+    ivfcand AS (
+      SELECT p.n_probe, a.id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ivfvec AS (
+      SELECT n_probe, id AS doc_id, r FROM (
+        SELECT n_probe, id,
+               row_number() OVER (PARTITION BY n_probe
+                 ORDER BY cosine DESC, id) AS r
+        FROM ivfcand)
+      WHERE r <= 20),
+    u AS (
+      SELECT s.n_probe, l.doc_id, l.r FROM lex l CROSS JOIN settings s
+      UNION ALL SELECT n_probe, doc_id, r FROM ivfvec),
+    fused AS MATERIALIZED (
+      SELECT n_probe, doc_id FROM (
+        SELECT n_probe, doc_id,
+               row_number() OVER (PARTITION BY n_probe
+                 ORDER BY rrf_fp DESC, doc_id) AS rank
+        FROM (SELECT n_probe, doc_id,
+                     CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_fp
+              FROM u GROUP BY n_probe, doc_id))
+      WHERE rank <= 10),
+    qrow AS (SELECT qe AS pq, n2v AS pn2 FROM n2 WHERE vec_id = 0),
+    cosb AS (
+      SELECT c.vec_id AS doc_id,
+             round(${qcos("qe", "pq", "n2v", "pn2")}, 6) AS cosine
+      FROM n2 c CROSS JOIN qrow WHERE c.vec_id <> 0),
+    vecb AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+        FROM cosb)
+      WHERE r <= 20),
+    ub AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM vecb),
+    exact AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS rank
+        FROM (SELECT doc_id, CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_fp
+              FROM ub GROUP BY doc_id))
+      WHERE rank <= 10)
+    SELECT CAST(s.n_probe AS INTEGER) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS recall_ppm
+    FROM exact e
+    CROSS JOIN settings s
+    LEFT JOIN fused f ON f.n_probe = s.n_probe AND f.doc_id = e.doc_id
+    GROUP BY s.n_probe
+    ORDER BY n_probe"""
+
   /** q192: BATCH hybrid fusion — q140's per-query BM25 chain and a
     * per-query quantized-cosine chain (probe vectors 1–3, self
     * excluded), each ranked top-20 PER QUERY, fused by the exact RRF
@@ -6291,6 +6398,11 @@ object OracleSql {
     "q197_bloom_novelty" -> q197,
     "q198_mmr_diverse_topk" -> q198,
     "q199_mmr_batch" -> q199,
+    // q202 runs q199's selection through the candidate seam with the
+    // persisted-IVF probe as the cut (exhaustive nProbe ⇒ the per-query
+    // top-16 IS the brute cut) — value-identical, the oracle IS q199's
+    "q202_mmr_ivf_rerank" -> q199,
+    "q204_hybrid_recall" -> q204,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,
@@ -6349,6 +6461,10 @@ object OracleSql {
     // by construction, so the oracle IS q186's whole-corpus re-derive
     "q189_hybrid_index_fusion" -> q186,
     "q190_doremi_two_round" -> q190,
+    // q203 feeds BOTH rounds of the same loop from persisted loss-stat
+    // state (weightsFromState over appended increments; exact integer
+    // sums ⇒ state-fed == batch-lazy) — the oracle IS q190's
+    "q203_doremi_state_fed" -> q190,
     // q187/q188 roll monthly HLL registers (register-wise MAX) and
     // CountMin cells (cell-wise SUM) up — both merges are the
     // whole-data sketch EXACTLY, so the oracles ARE q62's / q63's

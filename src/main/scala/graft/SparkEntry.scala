@@ -4098,6 +4098,112 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q199's batch MMR served through the CANDIDATE SEAM from the
+    * persisted IVF index (r13 verdict task 1 — the production rerank
+    * shape: index probe → diversify): the candidate cut is
+    * [[graft.operators.IvfIndex.probe]] over the q189 index at
+    * `nProbe = nCentroids` (an exhaustive cell sweep over the same
+    * quantized-cosine kernel — the per-query top-16 is identical to
+    * the brute cut by construction, the q189 argument), converted to
+    * `(query_id, id, rel_ppm)` by [[graft.operators.Mmr.relPpm]] and
+    * fed to [[graft.operators.Mmr.selectBatchFromCandidates]].
+    * Value-identical to q199, so the row shares q199's fully-unrolled
+    * greedy oracle — the hash proves the composed path end-to-end;
+    * MmrSpec pins seam == built-in cut structurally.
+    */
+  def q202_mmr_ivf_rerank(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val cands = IvfIndex.probe(cells, cents,
+        emb.filter(col("vec_id").isin(3L, 5L, 9L)), "embedding", "vec_id",
+        k = 16, nProbe = 16)
+      .select(col("query_id"), col("id"), Mmr.relPpm(col("cosine")).as("rel_ppm"))
+    Mmr.selectBatchFromCandidates(emb, cands, "embedding", "vec_id",
+        k = 5, lambdaPpm = 700000L)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** q190's two-round DoReMi loop FED FROM PERSISTED LOSS STATE (r13
+    * verdict task 6 — production's shape: the loop reads q185-style
+    * `folded/mixloss` state, never re-deriving per-doc losses): each
+    * round's weights come from [[graft.operators.DomainMixture
+    * .weightsFromState]] over that round's appended loss-stat
+    * increments (two halves per round — the daily-fold discipline),
+    * the resample keeps q190's deterministic h60 draw, and round 2's
+    * state holds exactly the SURVIVORS' stats. Exact integer sums make
+    * state-fed == batch-lazy end-to-end, so the row shares q190's
+    * fully-unrolled oracle; DomainMixtureSpec pins the equality
+    * structurally.
+    */
+  def q203_doremi_state_fed(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = domainLossFrame(s, dir)
+    def stateWeights(pd: DataFrame, prefix: String): DataFrame = {
+      val d = tempStateDir(prefix)
+      DomainMixture.writeLossState(
+        pd.filter(col("doc_id") % 2 === 0), "source", "loss_fp", d)
+      DomainMixture.appendLossState(
+        pd.filter(col("doc_id") % 2 =!= 0), "source", "loss_fp", d)
+      DomainMixture.weightsFromState(s, d, etaNum = 32L, etaDen = 1L)
+        .localCheckpoint(true) // the state dir is temp; pin the values
+    }
+    val (w1, w2) = doremiStateMemo.get(s, dir) {
+      val r1 = stateWeights(perDoc, "graft-q203-round1")
+      val survivors = Sampling.mixture(
+        perDoc.select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens")),
+        "doc_id", "source", "n_tokens",
+        DomainMixture.collectWeights(r1), budgetTokens = 20000L)
+      val perDoc2 = perDoc.join(survivors.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      (r1, stateWeights(perDoc2, "graft-q203-round2"))
+    }
+    w1.withColumn("round", lit(1))
+      .unionByName(w2.withColumn("round", lit(2)))
+      .select(col("round"), col("domain"), col("n_docs"),
+        col("mean_loss_fp"), col("excess_fp"), col("weight_fp"))
+      .orderBy(col("round"), col("domain"))
+  }
+
+  private val doremiStateMemo = new StateMemo[(DataFrame, DataFrame)]()
+
+  /** The hybrid at the APPROXIMATE dial, with recall telemetry (r13
+    * verdict task 5): q189's fusion re-run at production nProbe ∈
+    * {1, 2, 4} (cells pruned to the probed centroids — the latency
+    * trade production actually serves), each measured against the
+    * EXACT hybrid (nProbe = nCentroids, value-identical to q186) by
+    * the q129 recall protocol: one row per setting, `(n_probe,
+    * n_exact, n_hit, recall_ppm)` — all exact integers, so the
+    * telemetry itself is hash-proven (the oracle re-derives the IVF
+    * probe per setting, both fusions, and the intersection counts).
+    * The lexical leg is shared (the dial only moves the vector leg).
+    */
+  def q204_hybrid_recall(s: SparkSession, dir: String): DataFrame = {
+    val lexical = Bm25.searchIndexPruned(s, bm25IndexDir(s, dir),
+        Seq("dup", "vector", "merge", "zzz"), k = 20)
+      .select(col("doc_id"), col("rank"))
+      .localCheckpoint(true) // ≤20 rows, shared by all four fusions
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val q0 = emb.filter(col("vec_id") === 0)
+    def fusedAt(nProbe: Int): DataFrame =
+      Similarity.rrfFuse(Seq(lexical,
+          IvfIndex.probe(cells, cents, q0, "embedding", "vec_id",
+              k = 20, nProbe = nProbe)
+            .select(col("id").as("doc_id"), col("rank"))),
+          "doc_id", "rank", k = 10, enforceDistinct = true)
+        .select(col("doc_id"))
+    val exact = fusedAt(16).localCheckpoint(true) // ≤10 rows, read 3×
+    Seq(1, 2, 4).map { p =>
+      exact.join(fusedAt(p).withColumn("__hit", lit(1L)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("n_probe", lit(p))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_exact"))
+      .select(col("n_probe"), col("n_exact"), col("n_hit"), col("recall_ppm"))
+      .orderBy(col("n_probe"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4302,6 +4408,9 @@ object SparkEntry {
     "q199_mmr_batch" -> (q199_mmr_batch _),
     "q200_jl_project" -> (q200_jl_project _),
     "q201_jl_rescore" -> (q201_jl_rescore _),
+    "q202_mmr_ivf_rerank" -> (q202_mmr_ivf_rerank _),
+    "q203_doremi_state_fed" -> (q203_doremi_state_fed _),
+    "q204_hybrid_recall" -> (q204_hybrid_recall _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -502,6 +502,24 @@ object CorpusJob {
         val bloom =
           if (bloomPrior.isEmpty && !cfg.maintainBloomState) null
           else {
+            // geometry + shingle-n pin (ADVICE r13): this leg folds at
+            // the build's defaults, so a DefaultM/DefaultK/shingleSize
+            // change across runs must fail loudly, never OR mismatched
+            // bits into old state. A prior without meta is r13-written
+            // state — the meta backfills in this swap. (m, k) also ride
+            // the word rows' column metadata ([[PortableBloom.sketch]]);
+            // the table is the canonical cross-run record.
+            Zone.readIfExists(spark, s"$foldedRoot/bloommeta").foreach { mdf =>
+              val r = mdf.head()
+              require(r.getAs[Int]("m") == graft.operators.PortableBloom.DefaultM &&
+                r.getAs[Int]("k") == graft.operators.PortableBloom.DefaultK &&
+                r.getAs[Int]("shingle_n") == cfg.shingleSize,
+                s"folded bloom state was written with m=${r.getAs[Int]("m")}/" +
+                  s"k=${r.getAs[Int]("k")}/n=${r.getAs[Int]("shingle_n")}; this run's " +
+                  s"m=${graft.operators.PortableBloom.DefaultM}/" +
+                  s"k=${graft.operators.PortableBloom.DefaultK}/n=${cfg.shingleSize} " +
+                  "would OR mismatched bits into it")
+            }
             val batchSketch = graft.operators.PortableBloom.shingleSketch(
               batch, "text", "doc_id", cfg.shingleSize)
             bloomPrior.map(p =>
@@ -534,11 +552,16 @@ object CorpusJob {
         import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
+        val bloomMeta = Option(bloom).map { _ =>
+          "bloommeta" -> Seq((graft.operators.PortableBloom.DefaultM,
+              graft.operators.PortableBloom.DefaultK, cfg.shingleSize))
+            .toDF("m", "k", "shingle_n")
+        }
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
             Option(selcounts).map("selcounts" -> _) ++
             Option(mixloss).map("mixloss" -> _) ++
-            Option(bloom).map("bloom" -> _) ++ skewTables, foldedRoot)
+            Option(bloom).map("bloom" -> _) ++ bloomMeta ++ skewTables, foldedRoot)
       }
 
       newSigs.unpersist(); newPairs.unpersist()
@@ -756,9 +779,12 @@ object CorpusJob {
           .map("mixloss" -> _)
         // the Bloom carries for the same reason (membership state is
         // not subtractive — a filter cannot un-set a bit; the Config
-        // scaladoc contract says a compaction rebuild refreshes it)
+        // scaladoc contract says a compaction rebuild refreshes it);
+        // its geometry meta rides along or the swap would drop it
         val bloomCarry = Zone.readIfExists(spark, s"$foldedRoot/bloom")
-          .map("bloom" -> _)
+          .map("bloom" -> _).toSeq ++
+          Zone.readIfExists(spark, s"$foldedRoot/bloommeta")
+            .map("bloommeta" -> _)
         val skewCarry: Seq[(String, DataFrame)] =
           if (Zone.exists(spark, s"$foldedRoot/skew/theta"))
             Seq("skew/theta", "skew/cm", "skew/cands", "skew/meta").map(n =>

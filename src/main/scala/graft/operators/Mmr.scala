@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions._
   * contamination review queues.
   *
   * Scale shape — the standard two-stage rerank: stage 1 (distributed,
-  * corpus-sized) generates `nCandidates` by exact quantized-cosine
-  * top-N ([[Similarity.bruteForceTopKQuantized]]; swap in the
-  * IVF/LSH probe when the corpus outgrows brute force — candidates
-  * are candidates); stage 2 is greedy MMR over the candidate set,
-  * which is O(N²) integer arithmetic on ≤ a few hundred pairs — it
-  * runs on the driver over the COLLECTED candidate matrix (bounded by
-  * the top-N contract, `nCandidates ≤ 128` enforced — the BM25
-  * verdict-path discipline: collect the bounded head, decide, return
-  * a local relation). Per-query cost is independent of corpus size.
+  * corpus-sized) generates the candidates; stage 2 runs the greedy
+  * over the bounded candidate set. The candidate stage is a SEAM
+  * (r13 verdict task 1): [[selectFromCandidates]] /
+  * [[selectBatchFromCandidates]] take any `(… id, rel_ppm)` frame —
+  * the exact brute-force cut ([[select]]/[[selectBatch]] default to
+  * [[Similarity.bruteForceTopKQuantized]]), a persisted-IVF probe
+  * ([[IvfIndex.probe]] — q202 gates that composition), or a JL
+  * shortlist all produce it; candidates are candidates. Stage 2 is
+  * O(N²) integer arithmetic on ≤ a few hundred pairs — the driver
+  * form collects the bounded matrix (the BM25 verdict-path
+  * discipline: collect the bounded head, decide, return a local
+  * relation); the batch form runs it in-plan. Per-query cost is
+  * independent of corpus size either way.
   *
   * All arithmetic on the greedy path is exact integer ppm: relevance
   * and pairwise similarity enter as `⌊cosine·10⁶ + ½⌋` of the
@@ -39,39 +43,66 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
+  /** The driver-collected candidate-matrix bound both surfaces
+    * enforce: N² pairwise sims at 128 is 16k rows — greedy-stage
+    * work that never grows with the corpus.
+    */
+  val MaxCandidates: Int = 128
+
   /** Micros of a round-6 cosine column (exact: the rounded value is a
     * 6-decimal quantity, so ·10⁶ + ½ floors to its integer micros).
     */
-  private def ppm(cosine: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def relPpm(cosine: Column): Column =
     floor(cosine * lit(1000000.0) + lit(0.5)).cast("long")
 
-  /** Diversified top-k for ONE query vector: returns `(mmr_rank, id,
-    * rel_ppm, msim_ppm, score_fp)` — `msim_ppm` is the pick's max
-    * similarity to the previously selected set at pick time (0 for
-    * the first, pure-relevance pick), `score_fp` the exact objective
-    * it won with. Batch queries loop this per query id (stage 1 is
-    * the batch-capable part; stage 2 is per-query by nature).
+  /** Diversified top-k for ONE query vector: the brute-force exact
+    * candidate cut ([[Similarity.bruteForceTopKQuantized]] top
+    * `nCandidates`) fed through [[selectFromCandidates]]. Returns
+    * `(mmr_rank, id, rel_ppm, msim_ppm, score_fp)`.
     *
     * `lambdaPpm` ∈ [0, 10⁶]: 10⁶ = pure relevance (degenerates to
     * cosine top-k order), 0 = pure diversity after the first pick.
     */
   def select(corpus: DataFrame, query: DataFrame, vecCol: String, idCol: String,
       nCandidates: Int, k: Int, lambdaPpm: Long = 700000L): DataFrame = {
-    require(nCandidates >= 1 && nCandidates <= 128,
-      s"nCandidates must be in [1, 128] (driver-collected candidate matrix), got $nCandidates")
+    require(nCandidates >= 1 && nCandidates <= MaxCandidates,
+      s"nCandidates must be in [1, $MaxCandidates] (driver-collected candidate matrix), got $nCandidates")
     require(k >= 1 && k <= nCandidates, s"k must be in [1, $nCandidates], got $k")
+    // single-query contract enforced up front (ADVICE r13): a
+    // multi-row query frame would silently merge every query's
+    // candidates into ONE rel map (query_id drops below) — a
+    // meaningless selection, not an error. limit(2) bounds the probe.
+    val nq = query.select(col(idCol)).limit(2).count()
+    require(nq <= 1L,
+      s"select takes exactly one query row, got >1 — use selectBatch for multi-query MMR")
+    val cands = Similarity.bruteForceTopKQuantized(
+        corpus, query, vecCol, idCol, nCandidates)
+      .select(col("id"), relPpm(col("cosine")).as("rel_ppm"))
+    selectFromCandidates(corpus, cands, vecCol, idCol, k, lambdaPpm)
+  }
+
+  /** The single-query greedy over a CALLER-SUPPLIED candidate frame
+    * `(id, rel_ppm)` — the candidate seam: brute force, a persisted
+    * IVF probe, a JL shortlist all produce this shape ([[relPpm]]
+    * converts their round-6 cosine). `corpus` supplies the vectors
+    * for the pairwise-redundancy term; every candidate id must
+    * resolve in it. ≤ [[MaxCandidates]] rows and unique ids enforced
+    * on the collected matrix.
+    */
+  def selectFromCandidates(corpus: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && k <= MaxCandidates, s"k must be in [1, $MaxCandidates], got $k")
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
     val spark = corpus.sparkSession
 
-    // stage 1 (distributed): exact quantized-cosine top-N candidates
-    // checkpointed: the corpus-sized top-N subtree is referenced by BOTH
-    // driver collects below (rel map directly, the pairs frame through
-    // the broadcast candidate-id join) — without the break the most
-    // expensive stage would run twice per query on the serving path
-    val cands = Similarity.bruteForceTopKQuantized(
-        corpus, query, vecCol, idCol, nCandidates)
-      .select(col("id"), ppm(col("cosine")).as("rel_ppm"))
+    // checkpointed: the candidate frame is referenced by BOTH driver
+    // collects below (rel map directly, the pairs frame through the
+    // broadcast candidate-id join) — without the break a corpus-sized
+    // candidate subtree would run twice per query on the serving path
+    val cands = candidates
+      .select(col("id").cast("long").as("id"), col("rel_ppm").cast("long").as("rel_ppm"))
       .localCheckpoint(true)
 
     // candidate pairwise sims in-plan: ≤ N(N−1) rows, broadcast both
@@ -83,11 +114,17 @@ object Mmr {
     val b = cvecs.select(col("id").as("ib"), col("qv").as("qb"), col("n2").as("nb"))
     val pairs = a.join(broadcast(b), col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"),
-        ppm(round(V.cosineFromQuantized(col("qa"), col("qb"), col("na"), col("nb")), 6))
+        relPpm(round(V.cosineFromQuantized(col("qa"), col("qb"), col("na"), col("nb")), 6))
           .as("sim_ppm"))
 
     // stage 2 (driver, bounded): greedy over the collected matrix
-    val rel = cands.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relRows = cands.collect()
+    require(relRows.length <= MaxCandidates,
+      s"candidate frame has ${relRows.length} rows; the driver greedy takes ≤ $MaxCandidates — " +
+        "cut the candidate stage tighter (top-N per query)")
+    val rel = relRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rel.size == relRows.length,
+      s"candidate frame has duplicate ids (${relRows.length} rows, ${rel.size} distinct)")
     val sim = pairs.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
@@ -116,41 +153,72 @@ object Mmr {
   }
 
   /** BATCH MMR — the throughput form: many query vectors, each
-    * diversified over its own candidate set, with the greedy running
-    * IN-PLAN (k fixed synchronous rounds of bounded joins — the
-    * PageRank discipline) instead of on the driver. Use this for the
-    * contamination-review / few-shot-mining shape (thousands of
+    * diversified over its own brute-force candidate cut, the greedy
+    * running IN-PLAN via [[selectBatchFromCandidates]]. Use this for
+    * the contamination-review / few-shot-mining shape (thousands of
     * queries); [[select]] remains the serving-path microlatency form
     * (one query, driver greedy over the collected matrix) — MmrSpec
     * pins them equal per query.
+    */
+  def selectBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, nCandidates: Int, k: Int,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(nCandidates >= 1 && nCandidates <= MaxCandidates,
+      s"nCandidates must be in [1, $MaxCandidates], got $nCandidates")
+    require(k >= 1 && k <= nCandidates, s"k must be in [1, $nCandidates], got $k")
+    val cands = Similarity.bruteForceTopKQuantized(
+        corpus, queries, vecCol, idCol, nCandidates)
+      .select(col("query_id"), col("id"), relPpm(col("cosine")).as("rel_ppm"))
+    selectBatchFromCandidates(corpus, cands, vecCol, idCol, k, lambdaPpm)
+  }
+
+  /** The batch greedy over a CALLER-SUPPLIED candidate frame
+    * `(query_id, id, rel_ppm)` — the batch half of the candidate
+    * seam (a persisted-IVF probe slots in here: q202 gates
+    * `IvfIndex.probe → selectBatchFromCandidates` hash-identical to
+    * the brute-cut q199 at an exhaustive nProbe). The per-query
+    * candidate bound (≤ [[MaxCandidates]], unique ids) is enforced
+    * with ONE state-sized aggregate over the checkpointed candidate
+    * frame — it is what bounds every greedy-round window below.
     *
-    * Scale shape: stage 1 is the batch candidate cut (corpus-sized,
-    * one pass); the pairwise-sim table is Q × N(N−1) rows built by ONE
-    * hash self-join on query_id and persisted across rounds; each of
-    * the k−1 greedy rounds is candidate-table-sized joins + a per-query
-    * rank window over ≤ N rows (the bounded-window carve-out). Nothing
-    * anywhere is corpus × corpus. Per-round frames localCheckpoint so
-    * lineage stays one round deep (selected feeds three places per
-    * round; an unbroken plan would grow ~3^k, the LinkGraph lesson).
+    * Scale shape: the pairwise-sim table is Q × N(N−1) rows built by
+    * ONE hash self-join on query_id and persisted across rounds; each
+    * of the k−1 greedy rounds is candidate-table-sized joins + a
+    * per-query rank window over ≤ N rows (the bounded-window
+    * carve-out). Nothing anywhere is corpus × corpus. Per-round
+    * frames localCheckpoint so lineage stays one round deep (selected
+    * feeds three places per round; an unbroken plan would grow ~3^k,
+    * the LinkGraph lesson).
     *
     * Queries with fewer than k candidates simply exhaust early and
     * emit what they have. Output: `(query_id, mmr_rank, id, rel_ppm,
     * msim_ppm, score_fp)`.
     */
-  def selectBatch(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, nCandidates: Int, k: Int,
+  def selectBatchFromCandidates(corpus: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int,
       lambdaPpm: Long = 700000L): DataFrame = {
-    require(nCandidates >= 1 && nCandidates <= 128,
-      s"nCandidates must be in [1, 128], got $nCandidates")
-    require(k >= 1 && k <= nCandidates, s"k must be in [1, $nCandidates], got $k")
+    require(k >= 1 && k <= MaxCandidates, s"k must be in [1, $MaxCandidates], got $k")
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
     import org.apache.spark.sql.expressions.Window
 
-    val cands = Similarity.bruteForceTopKQuantized(
-        corpus, queries, vecCol, idCol, nCandidates)
-      .select(col("query_id"), col("id"), ppm(col("cosine")).as("rel_ppm"))
+    val cands = candidates
+      .select(col("query_id"), col("id").cast("long").as("id"),
+        col("rel_ppm").cast("long").as("rel_ppm"))
       .localCheckpoint(true)
+    // the contract check: every greedy-round window below is bounded
+    // BY the per-query candidate count — a caller-supplied frame must
+    // prove it (candidate-table-sized aggregate, never corpus-sized)
+    val bound = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"))
+      .agg(max(col("n")).as("mx"), sum(col("n") - col("nd")).as("dups"))
+      .head()
+    if (!bound.isNullAt(0)) {
+      require(bound.getLong(0) <= MaxCandidates,
+        s"a query has ${bound.getLong(0)} candidates; the greedy takes ≤ $MaxCandidates per query")
+      require(bound.getLong(1) == 0L,
+        "candidate frame has duplicate (query_id, id) rows")
+    }
     // candidate vectors fetched once (the candidate id list broadcasts
     // against the corpus scan), then ONE query-keyed self-join builds
     // every within-query pair — reused by all k−1 rounds
@@ -165,12 +233,12 @@ object Mmr {
     val pairs = a.join(b, Seq("query_id"))
       .filter(col("ia") =!= col("ib"))
       .select(col("query_id"), col("ia"), col("ib"),
-        ppm(round(V.cosineFromQuantized(col("qa"), col("qb"), col("na"), col("nb")), 6))
+        relPpm(round(V.cosineFromQuantized(col("qa"), col("qb"), col("na"), col("nb")), 6))
           .as("sim_ppm"))
       .localCheckpoint(true)
 
     // the bounded-window carve-out: every window below partitions by
-    // query_id over ≤ nCandidates rows (the top-N input contract)
+    // query_id over ≤ MaxCandidates rows (the enforced input contract)
     val w = Window.partitionBy(col("query_id"))
     def rank1(df: DataFrame, order: Seq[Column]): DataFrame =
       df.withColumn("__rn", row_number().over(w.orderBy(order: _*)))

@@ -89,6 +89,38 @@ object PortableBloom {
   def bitPos(i: Int, v: Column, m: Int): Column =
     posFromHash(i, AuditableHash.base30(v), m)
 
+  /** The geometry tag [[sketch]] stamps on the `bits` column — (m, k)
+    * as column METADATA, so it rides the frame through select/filter
+    * and parquet round-trips without changing the data (the gate
+    * hashes are untouched). Geometry-free helpers like [[stats]]
+    * ignore it; every PROBE surface validates it: bits set under one
+    * geometry probed under another produce silent FALSE NEGATIVES —
+    * the one failure mode that breaks decontamination soundness
+    * (ADVICE r13). Mirrors [[writeState]]'s meta-table discipline at
+    * the frame level.
+    */
+  private def geomMetadata(m: Int, k: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("bloom_m", m.toLong).putLong("bloom_k", k.toLong).build()
+
+  /** The (m, k) a sketch frame's `bits` column carries (attached by
+    * [[sketch]], propagated by [[merge]], preserved by parquet); None
+    * for frames that predate the tagging or lost it to a re-aggregate.
+    */
+  def frameGeometry(df: DataFrame): Option[(Int, Int)] =
+    df.schema.fields.find(_.name == "bits").flatMap { f =>
+      if (f.metadata.contains("bloom_m") && f.metadata.contains("bloom_k"))
+        Some((f.metadata.getLong("bloom_m").toInt, f.metadata.getLong("bloom_k").toInt))
+      else None
+    }
+
+  private def requireGeometry(df: DataFrame, m: Int, k: Int, what: String): Unit =
+    frameGeometry(df).foreach { case (sm, sk) =>
+      require(sm == m && sk == k,
+        s"$what: sketch carries geometry m=$sm/k=$sk but is being probed " +
+          s"with m=$m/k=$k — mismatched positions would produce silent false negatives")
+    }
+
   /** `1L << (pos mod 32)` with a column shift amount (the Scala
     * `shiftleft` wrapper only takes a literal Int; the catalyst
     * expression takes any child — same codegen either way).
@@ -120,17 +152,28 @@ object PortableBloom {
       .select(groupCols.map(col) :+ AuditableHash.base30(col(valueCol)).as("__h"): _*)
       .select(groupCols.map(col) :+ explode(array(probes: _*)).as("wm"): _*)
       .groupBy(groupCols.map(col) :+ col("wm.word").as("word"): _*)
-      .agg(expr("bit_or(wm.mask)").as("bits"))
+      .agg(expr("bit_or(wm.mask)").as("bits", geomMetadata(m, k)))
   }
 
   /** Merge filters built with the same (m, k): word-wise OR.
     * Associative, commutative, idempotent — daily partitions roll up
-    * exactly, and replaying a day is a no-op.
+    * exactly, and replaying a day is a no-op. Inputs carrying a
+    * geometry tag must agree (ORing words from two geometries is
+    * noise, not a filter); the common tag propagates to the output.
     */
-  def merge(sketches: DataFrame*)(groupCols: Seq[String]): DataFrame =
-    sketches.reduce(_ unionByName _)
+  def merge(sketches: DataFrame*)(groupCols: Seq[String]): DataFrame = {
+    val geoms = sketches.flatMap(frameGeometry).distinct
+    require(geoms.size <= 1,
+      s"merging sketches with mismatched geometries ${geoms.mkString(", ")} — " +
+        "bits set under different (m, k) OR into noise")
+    val merged = sketches.reduce(_ unionByName _)
       .groupBy((groupCols :+ "word").map(col): _*)
-      .agg(expr("bit_or(bits)").as("bits"))
+    geoms.headOption match {
+      case Some((m, k)) =>
+        merged.agg(expr("bit_or(bits)").as("bits", geomMetadata(m, k)))
+      case None => merged.agg(expr("bit_or(bits)").as("bits"))
+    }
+  }
 
   /** Occupancy summary per group: rows (words with ≥1 set bit) and
     * total set bits — the load-factor dial (FP rate rises with
@@ -151,6 +194,7 @@ object PortableBloom {
     */
   def mightContain(sketchDf: DataFrame, keys: DataFrame, groupCols: Seq[String],
       valueCol: String, m: Int = DefaultM, k: Int = DefaultK): DataFrame = {
+    requireGeometry(sketchDf, m, k, "mightContain")
     val probes = keys
       .select(keys.columns.map(col) :+ AuditableHash.base30(col(valueCol)).as("__h"): _*)
       .select(keys.columns.map(col) :+
@@ -177,6 +221,15 @@ object PortableBloom {
     * default), the form [[probe]] embeds in-plan.
     */
   def collectWords(sketchDf: DataFrame, m: Int = DefaultM): Array[Long] = {
+    // a tagged frame validates m directly (k is the probe's business);
+    // the bounds check below remains the untagged frames' backstop —
+    // it catches a SMALLER true m only when a high word happens to be
+    // set, which is exactly the silent-false-negative gap the tag closes
+    frameGeometry(sketchDf).foreach { case (sm, _) =>
+      require(sm == m,
+        s"collectWords: sketch carries geometry m=$sm but was read with m=$m — " +
+          "probes at the wrong positions would produce silent false negatives")
+    }
     val words = new Array[Long](m / BitsPerWord)
     sketchDf.select(col("word"), col("bits")).collect().foreach { r =>
       val w = r.getInt(0)
@@ -222,26 +275,30 @@ object PortableBloom {
     * (m, k) pins the dir via a 1-row meta table — written on build,
     * validated on every append and read, because bits set under one
     * geometry are noise under another (the [[Salting.writeSkewState]]
-    * discipline). Appends are plain parquet appends of the
-    * increment's word rows; readers OR on read, so append-then-read
-    * equals rebuild-from-everything EXACTLY (OR associativity +
-    * idempotence — PortableBloomSpec pins it).
+    * discipline). A (re)build swaps words AND meta through ONE atomic
+    * [[graft.sources.Zone.overwriteAllInPlace]] rename (ADVICE r13:
+    * sequential writes left a crash window where meta claimed the new
+    * geometry over old-geometry words — corrupt state readers would
+    * trust). Appends are plain parquet appends of the increment's
+    * word rows; readers OR on read, so append-then-read equals
+    * rebuild-from-everything EXACTLY (OR associativity + idempotence
+    * — PortableBloomSpec pins it).
     */
   def writeState(df: DataFrame, valueCol: String, dir: String,
       m: Int = DefaultM, k: Int = DefaultK, overwrite: Boolean = true): Unit = {
     val spark = df.sparkSession
+    val words = sketch(df, Nil, valueCol, m, k)
     readStateMeta(spark, dir) match {
       case Some((sm, sk)) if !overwrite =>
         require(sm == m && sk == k,
           s"bloom state at $dir was written with m=$sm/k=$sk; " +
             s"appending with m=$m/k=$k would corrupt it")
+        words.write.mode("append").parquet(s"$dir/words")
       case _ =>
         import spark.implicits._
-        Seq((m, k)).toDF("m", "k")
-          .write.mode("overwrite").parquet(s"$dir/meta")
+        graft.sources.Zone.overwriteAllInPlace(spark,
+          Seq("words" -> words, "meta" -> Seq((m, k)).toDF("m", "k")), dir)
     }
-    sketch(df, Nil, valueCol, m, k)
-      .write.mode(if (overwrite) "overwrite" else "append").parquet(s"$dir/words")
   }
 
   /** Fold a daily increment into existing state (validated append). */
@@ -253,11 +310,15 @@ object PortableBloom {
     * without their geometry is meaningless, so a dir without meta
     * fails loudly rather than guessing defaults.
     */
-  def readStateMeta(spark: SparkSession, dir: String): Option[(Int, Int)] =
+  def readStateMeta(spark: SparkSession, dir: String): Option[(Int, Int)] = {
+    // probe the ROOT first: promotes a crashed writeState swap
+    // (delete-then-rename window) before any sub-table read
+    graft.sources.Zone.exists(spark, dir)
     graft.sources.Zone.readIfExists(spark, s"$dir/meta").map { mdf =>
       val r = mdf.head()
       (r.getAs[Int]("m"), r.getAs[Int]("k"))
     }
+  }
 
   /** Read a state dir back as ONE merged filter table (word-wise OR
     * over however many appends landed) plus its geometry. State-sized

@@ -619,6 +619,135 @@ object CorpusStream {
     Zone.markBatchCommitted(spark, newStateDir, marker)
   }
 
+  /** Streaming maintenance of the round-13 advisory state legs — the
+    * foreachBatch twin of [[graft.jobs.CorpusJob.runIncremental]]'s
+    * mixloss/skew/bloom fold (r13 verdict task 2; every other state
+    * family already had one): per micro-batch,
+    *
+    *  - `mixloss/` — per-`lang_pred` loss sufficient statistics
+    *    ([[graft.operators.DomainMixture.lossStats]] over the same
+    *    narrow text-stats map the batch job's annotate runs; the
+    *    chars-per-token Q10 proxy, `length(text)·1024 div n_tokens`),
+    *  - `skew/{theta,cm,cands}` — the content_fp skew-sketch frames
+    *    ([[graft.operators.Salting.skewStateFrames]]),
+    *  - `bloom/` — the batch's shingle filter words
+    *    ([[graft.operators.PortableBloom.shingleSketch]]).
+    *
+    * All three are batch-sized aggregates over the increment (domain
+    * rows / sketch cells / ≤ m/32 words — never corpus-sized), landing
+    * as `__batch_id` partitions with the `_committed` marker LAST.
+    * Replay semantics differ BY LEG and the discipline covers the
+    * strictest: mixloss sums and CM cells are additive — a replayed
+    * append double-counts, so they NEED the idempotent
+    * partition-overwrite + marker gate; the bloom leg's word-wise OR
+    * is IDEMPOTENT, so it would be replay-safe even without the gate
+    * (the weaker requirement — CorpusStreamSpec proves it by folding a
+    * batch's words twice and getting the same filter). Parameters pin
+    * the state via a 1-row `advmeta` table written with batch 0 and
+    * validated every batch (the bloommeta/skew-meta discipline).
+    *
+    * Read back with [[readMergedAdvisories]]; canonical merges make
+    * the folded state equal the batch job's one-shot fold over the
+    * same documents (value-identical — CorpusStreamSpec pins all three
+    * legs against [[graft.jobs.CorpusJob.runIncremental]]'s folded
+    * tables).
+    */
+  def runIncrementalAdvisories(
+      spark: SparkSession,
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      shingleSize: Int = 3,
+      bloomM: Int = graft.operators.PortableBloom.DefaultM,
+      bloomK: Int = graft.operators.PortableBloom.DefaultK,
+      thetaK: Int = 256,
+      hhK: Int = 64): StreamingQuery = {
+    import graft.functions.{TextFunctions => T}
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (Zone.lastCommittedBatch(spark, stateDir).exists(_ >= bid)) ()
+        else {
+          import spark.implicits._
+          Zone.readIfExists(spark, s"$stateDir/advmeta") match {
+            case Some(mdf) =>
+              val r = mdf.head()
+              require(r.getAs[Int]("shingle_n") == shingleSize &&
+                r.getAs[Int]("m") == bloomM && r.getAs[Int]("k") == bloomK &&
+                r.getAs[Int]("theta_k") == thetaK && r.getAs[Int]("hh_k") == hhK,
+                s"advisory state at $stateDir was written with other parameters " +
+                  "— mismatched sketch bits/cells would merge into noise")
+            case None =>
+              Seq((shingleSize, bloomM, bloomK, thetaK, hhK))
+                .toDF("shingle_n", "m", "k", "theta_k", "hh_k")
+                .write.mode("overwrite").parquet(s"$stateDir/advmeta")
+          }
+          val b = batch.select(col("doc_id"), col("text")).cache()
+          try {
+            // mixloss: the SAME narrow per-row map the batch job's
+            // annotate derives lang_pred / n_tokens from — no LSH or
+            // canonical state needed, so the streamed leg stays pure
+            val perDoc = b
+              .withColumn("__tstats", T.textStats(col("text")))
+              .withColumn("n_tokens", T.tokenCountFrom(col("__tstats")).cast("long"))
+              .withColumn("lang_pred", T.langIdFrom(col("__tstats")))
+              .withColumn("__loss_fp",
+                when(col("n_tokens") > 0,
+                  expr("length(text) * 1024L div n_tokens"))
+                  .otherwise(lit(0L)))
+            Zone.appendBatch(graft.operators.DomainMixture.lossStats(
+              perDoc, "lang_pred", "__loss_fp"), s"$stateDir/mixloss", bid)
+            val (t, c, k2) = graft.operators.Salting.skewStateFrames(
+              b.withColumn("content_fp", T.contentFingerprint(col("text")))
+                .select(col("content_fp")),
+              Seq("content_fp"), thetaK, hhK)
+            Zone.appendBatch(t, s"$stateDir/skew/theta", bid)
+            Zone.appendBatch(c, s"$stateDir/skew/cm", bid)
+            Zone.appendBatch(k2, s"$stateDir/skew/cands", bid)
+            Zone.appendBatch(graft.operators.PortableBloom.shingleSketch(
+              b, "text", "doc_id", shingleSize, bloomM, bloomK),
+              s"$stateDir/bloom", bid)
+            Zone.markBatchCommitted(spark, stateDir, bid)
+          } finally b.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Merged views of a [[runIncrementalAdvisories]] state — each leg
+    * folded by its canonical merge (loss stats re-sum, theta rows
+    * re-trim, CM cells re-sum, candidates union-distinct, bloom words
+    * re-OR), each equal to the batch job's one-shot fold of every
+    * COMMITTED batch's input. Reads restrict to `marker + 1`
+    * ([[Zone.readBatchedBefore]]), so a crash's orphan partition is
+    * invisible until its replay commits. Returns
+    * `(mixloss, bloomWords, (theta, cm, cands))`. Throws
+    * `IllegalStateException` before the stream has written anything
+    * (the readMergedSketches fail-loud contract).
+    */
+  def readMergedAdvisories(spark: SparkSession, stateDir: String):
+      (DataFrame, DataFrame, (DataFrame, DataFrame, DataFrame)) = {
+    val upTo = Zone.lastCommittedBatch(spark, stateDir).map(_ + 1).getOrElse(0L)
+    def committed(sub: String): DataFrame =
+      Zone.readBatchedBefore(spark, s"$stateDir/$sub", upTo)
+        .getOrElse(throw new IllegalStateException(
+          s"no advisory state under $stateDir/$sub — the stream has not " +
+            "written yet (read after the first committed batch)"))
+    val thetaK = Zone.readIfExists(spark, s"$stateDir/advmeta")
+      .map(_.head().getAs[Int]("theta_k")).getOrElse(256)
+    val mixloss = committed("mixloss").groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_loss_fp")).as("sum_loss_fp"))
+    val bloom = graft.operators.PortableBloom.merge(committed("bloom"))(Nil)
+    val skew = (
+      graft.operators.ThetaSketch.merge(committed("skew/theta"))(Seq.empty, thetaK),
+      graft.operators.CountMin.merge(committed("skew/cm"))(Seq.empty),
+      committed("skew/cands").distinct())
+    (mixloss, bloom, skew)
+  }
+
   /** Streaming training-shard export — the continuous form of the
     * export family's tail: each micro-batch rides
     * [[graft.operators.Sharding.continueShards]], continuing the

@@ -313,6 +313,17 @@ class CorpusJobSpec extends SparkSpec {
       "text", "doc_id", n = cfg.shingleSize)
     assert(replayProbe.filter($"n_bloom_hits" =!= $"n_shingles").count() == 0L,
       "seen documents must probe fully contained in the corpus filter")
+    // geometry pin (ADVICE r13): the fold records (m, k, shingle n)
+    // beside the words, and a run at a different shingle size must fail
+    // loudly instead of ORing mismatched bits into the old state
+    val meta = spark.read.parquet(s"$state/folded/bloommeta").head()
+    assert((meta.getAs[Int]("m"), meta.getAs[Int]("k"), meta.getAs[Int]("shingle_n")) ==
+      ((PortableBloom.DefaultM, PortableBloom.DefaultK, cfg.shingleSize)))
+    val e = intercept[IllegalArgumentException] {
+      CorpusJob.runIncremental(spark, d1.limit(5), state,
+        cfg.copy(shingleSize = cfg.shingleSize + 2), batchId = Some("d3"))
+    }
+    assert(e.getMessage.contains("mismatched bits"))
   }
 
   test("closed-loop canonical election (r13): a state-PROVEN viral " +

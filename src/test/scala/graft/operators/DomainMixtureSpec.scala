@@ -151,6 +151,32 @@ class DomainMixtureSpec extends SparkSpec {
     assert(w2 == ref2, s"round-2 weights diverged: $w2 vs $ref2")
   }
 
+  test("two-round loop fed from persisted loss state == the batch-lazy " +
+      "chain (q203 twin: weightsFromState over appended survivor stats)") {
+    val docs = planted(40, 60)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("n_tokens", lit(100L))
+    def lazyRound(pd: org.apache.spark.sql.DataFrame) =
+      DomainMixture.weights(pd, "domain", "loss_fp", etaNum = 1L, etaDen = 1L)
+    def stateRound(pd: org.apache.spark.sql.DataFrame, dir: String) = {
+      DomainMixture.writeLossState(pd.filter($"doc_id" % 2 === 0),
+        "domain", "loss_fp", dir)
+      DomainMixture.appendLossState(pd.filter($"doc_id" % 2 =!= 0),
+        "domain", "loss_fp", dir)
+      DomainMixture.weightsFromState(spark, dir, etaNum = 1L, etaDen = 1L)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"domain").collect().map(_.toString).toSeq
+    val w1state = stateRound(docs, tmpDir("q203r1"))
+    assert(rows(w1state) == rows(lazyRound(docs)),
+      "round-1 state-fed weights diverged from the lazy recompute")
+    val survivors = Sampling.mixture(docs, "doc_id", "domain", "n_tokens",
+      DomainMixture.collectWeights(w1state), budgetTokens = 5000L)
+    val pd2 = docs.join(survivors.select($"doc_id"), Seq("doc_id"), "left_semi")
+    assert(rows(stateRound(pd2, tmpDir("q203r2"))) == rows(lazyRound(pd2)),
+      "round-2 state-fed weights (survivors' appended stats) diverged")
+  }
+
   test("planted hard domain: resampling toward it CLEARS its excess — " +
       "round-2 excess and weight are both below round 1's") {
     val docs = planted(40, 60).withColumn("n_tokens", lit(100L))

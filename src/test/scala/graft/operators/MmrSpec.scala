@@ -114,6 +114,61 @@ class MmrSpec extends SparkSpec {
     assert(got.count() == 2L) // only two non-query vectors exist
   }
 
+  test("select rejects a multi-row query frame (the single-query contract, ADVICE r13)") {
+    val emb = fixture
+    val e = intercept[IllegalArgumentException] {
+      Mmr.select(emb, emb.filter($"vec_id" <= 1), "embedding", "vec_id",
+        nCandidates = 4, k = 2)
+    }
+    assert(e.getMessage.contains("one query row"))
+  }
+
+  test("candidate seam: caller-supplied candidates == the built-in cut on both surfaces") {
+    val emb = ((0 until 12).map { i =>
+      (100L + i, Array(1f + i * 0.1f, (i % 5) * 0.3f, (i % 3) * 0.7f, 0.2f * i))
+    } ++ Seq((1L, Array(1f, 0.1f, 0.5f, 0f)), (2L, Array(0.2f, 1f, 0f, 0.3f))))
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.bruteForceTopKQuantized(
+        emb, emb.filter($"vec_id" <= 2), "embedding", "vec_id", 8)
+      .select($"query_id", $"id", Mmr.relPpm($"cosine").as("rel_ppm"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "mmr_rank")
+        .select("query_id", "mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+        .collect().map(_.toString).toSeq
+    assert(rows(Mmr.selectBatchFromCandidates(emb, cands, "embedding", "vec_id",
+        k = 4, lambdaPpm = 600000L)) ==
+      rows(Mmr.selectBatch(emb, emb.filter($"vec_id" <= 2), "embedding", "vec_id",
+        nCandidates = 8, k = 4, lambdaPpm = 600000L)))
+    // driver surface through the same seam
+    val c1 = cands.filter($"query_id" === 1L).select($"id", $"rel_ppm")
+    assert(Mmr.selectFromCandidates(emb, c1, "embedding", "vec_id",
+        k = 4, lambdaPpm = 600000L).orderBy("mmr_rank").collect().map(_.toString).toSeq ==
+      Mmr.select(emb, emb.filter($"vec_id" === 1L), "embedding", "vec_id",
+        nCandidates = 8, k = 4, lambdaPpm = 600000L)
+        .orderBy("mmr_rank").collect().map(_.toString).toSeq)
+  }
+
+  test("candidate seam enforces the bounds: duplicates and oversized sets fail loudly") {
+    val emb = fixture
+    val dup = Seq((9L, 1L, 900000L), (9L, 1L, 900000L), (9L, 2L, 800000L))
+      .toDF("query_id", "id", "rel_ppm")
+    val e1 = intercept[IllegalArgumentException] {
+      Mmr.selectBatchFromCandidates(emb, dup, "embedding", "vec_id", k = 2)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val big = (1L to 200L).map(i => (9L, i, 1000000L - i))
+      .toDF("query_id", "id", "rel_ppm")
+    val e2 = intercept[IllegalArgumentException] {
+      Mmr.selectBatchFromCandidates(emb, big, "embedding", "vec_id", k = 2)
+    }
+    assert(e2.getMessage.contains("candidates"))
+    val e3 = intercept[IllegalArgumentException] {
+      Mmr.selectFromCandidates(emb,
+        big.select($"id", $"rel_ppm"), "embedding", "vec_id", k = 2)
+    }
+    assert(e3.getMessage.contains("candidate"))
+  }
+
   test("k exceeding the candidate pool returns the whole pool; dials are validated") {
     val emb = fixture
     val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",

@@ -73,6 +73,34 @@ class PortableBloomSpec extends SparkSpec {
     assert(e.getMessage.contains("would corrupt"))
   }
 
+  test("frame geometry tag: mismatched probes fail loudly instead of silently missing") {
+    val sk = PortableBloom.sketch(keys, Seq.empty, "k", m = 8192, k = 3)
+    assert(PortableBloom.frameGeometry(sk).contains((8192, 3)))
+    // collectWords at a LARGER m: every word index fits the bigger
+    // array, so the old bounds check passed and probes silently missed
+    // (the ADVICE r13 gap) — the tag turns it into a loud failure
+    val e1 = intercept[IllegalArgumentException] {
+      PortableBloom.collectWords(sk, m = 16384)
+    }
+    assert(e1.getMessage.contains("false negatives"))
+    val e2 = intercept[IllegalArgumentException] {
+      PortableBloom.mightContain(sk, keys, Seq.empty, "k", m = 8192, k = 4)
+    }
+    assert(e2.getMessage.contains("false negatives"))
+    val e3 = intercept[IllegalArgumentException] {
+      PortableBloom.merge(sk, PortableBloom.sketch(keys, Seq.empty, "k"))(Seq.empty)
+    }
+    assert(e3.getMessage.contains("mismatched geometries"))
+    // the tag survives merge and a parquet round-trip (the state path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomtag").toString
+    PortableBloom.merge(sk, sk)(Seq.empty).write.parquet(s"$dir/words")
+    assert(PortableBloom.frameGeometry(spark.read.parquet(s"$dir/words"))
+      .contains((8192, 3)))
+    // matched geometry still probes clean end-to-end
+    val words = PortableBloom.collectWords(sk, m = 8192)
+    assert(keys.filter(!PortableBloom.probe(words, m = 8192, k = 3)($"k")).count() == 0L)
+  }
+
   test("contaminationByBloom bounds the exact overlap from above (no false negatives)") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(

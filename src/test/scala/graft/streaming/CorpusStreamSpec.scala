@@ -725,4 +725,95 @@ class CorpusStreamSpec extends SparkSpec {
       s"$base/state/theta", 99L)
     assert(snapshot() == streamed, "uncommitted partition leaked into reads")
   }
+
+  test("streaming advisories (r13 legs): merged mixloss/skew/bloom == the " +
+      "batch job's folded state; kill-and-replay value-identical; bloom " +
+      "OR survives an UNGATED re-fold; parameter mismatch refuses") {
+    import graft.operators.PortableBloom
+    val base = tmpDir("corpusadv")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val inDir = s"$base/in"
+    corpus.filter($"doc_id" % 3 === 0).write.parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 1).write.mode("append").parquet(inDir)
+    corpus.filter($"doc_id" % 3 === 2).write.mode("append").parquet(inDir)
+    def start() = CorpusStream.runIncrementalAdvisories(spark,
+      spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      s"$base/state", s"$base/ckpt")
+    start().awaitTermination()
+
+    // the batch twin: CorpusJob folds the same three slices daily
+    val jobState = s"$base/job"
+    val cfg = graft.jobs.CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainMixtureState = true, maintainSkewState = true,
+      maintainBloomState = true)
+    (0 to 2).foreach { i =>
+      graft.jobs.CorpusJob.runIncremental(spark,
+        corpus.filter($"doc_id" % 3 === i), jobState, cfg, Some(s"d$i"))
+    }
+    def snapshot(): (Map[String, (Long, Long)], Seq[Long], Seq[String],
+        Set[String], Set[String]) = {
+      val (mix, bloom, (theta, cm, cands)) =
+        CorpusStream.readMergedAdvisories(spark, s"$base/state")
+      (mix.collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap,
+        PortableBloom.collectWords(bloom).toSeq,
+        theta.orderBy(theta.columns.map(col): _*).collect()
+          .map(_.toString).toSeq,
+        cm.collect().map(_.toString).toSet,
+        cands.collect().map(_.toString).toSet)
+    }
+    val streamed = snapshot()
+    assert(streamed._1 == spark.read.parquet(s"$jobState/folded/mixloss")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap,
+      "streamed mixloss diverged from the batch fold")
+    assert(streamed._2 == PortableBloom.collectWords(
+      spark.read.parquet(s"$jobState/folded/bloom")).toSeq,
+      "streamed bloom filter diverged from the batch fold (bit-for-bit)")
+    val foldedTheta = spark.read.parquet(s"$jobState/folded/skew/theta")
+    assert(streamed._3 == foldedTheta.orderBy(foldedTheta.columns.map(col): _*)
+      .collect().map(_.toString).toSeq,
+      "streamed theta rows diverged from the batch fold")
+    assert(streamed._4 == spark.read.parquet(s"$jobState/folded/skew/cm")
+      .collect().map(_.toString).toSet,
+      "streamed CountMin cells diverged from the batch fold")
+    assert(streamed._5 == spark.read.parquet(s"$jobState/folded/skew/cands")
+      .collect().map(_.toString).toSet,
+      "streamed candidate set diverged from the batch fold")
+
+    // exactly-once for the legs that NEED it (mixloss sums, CM cells):
+    // crash before the marker, replay, every table value-identical
+    val tables = Seq("mixloss", "skew/theta", "skew/cm", "skew/cands", "bloom")
+      .map(t => s"$base/state/$t")
+    val before = tables.map(multiset)
+    simulateCrashBeforeCommit(s"$base/ckpt", s"$base/state")
+    start().awaitTermination()
+    assert(tables.map(multiset) == before,
+      "kill-and-replay changed the advisory state")
+    assert(snapshot() == streamed)
+
+    // the bloom leg's WEAKER requirement, demonstrated directly:
+    // word-wise OR is idempotent, so re-folding a batch's words WITHOUT
+    // any gate is a bit-level no-op (the property the additive legs lack)
+    val doubled = PortableBloom.merge(
+      graft.sources.Zone.readBatched(spark, s"$base/state/bloom").get,
+      PortableBloom.shingleSketch(
+        corpus.filter($"doc_id" % 3 === 0), "text", "doc_id", 3))(Nil)
+    assert(PortableBloom.collectWords(doubled).toSeq == streamed._2,
+      "an ungated bloom re-fold must be a bit-level no-op")
+
+    // parameter pin: a restart at different sketch parameters refuses
+    // the moment it sees a NEW batch (committed batches no-op on the
+    // marker gate first — that path never touches the state)
+    corpus.filter($"doc_id" % 3 === 0).limit(5)
+      .write.mode("append").parquet(inDir)
+    val bad = CorpusStream.runIncrementalAdvisories(spark,
+      spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      s"$base/state", s"$base/ckpt", shingleSize = 5)
+    val e = intercept[Exception] { bad.awaitTermination() }
+    assert(e.getMessage.contains("other parameters") ||
+      Option(e.getCause).exists(_.getMessage.contains("other parameters")))
+  }
 }
