@@ -553,9 +553,17 @@ object CorpusJob {
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         val bloomMeta = Option(bloom).map { _ =>
+          // takedown_docs counts retractions since the last rebuild —
+          // the lifecycle dial [[compactState]] reads; daily folds
+          // carry it, [[deleteDocs]] raises it, a rebuild resets it
+          val priorTd = Zone.readIfExists(spark, s"$foldedRoot/bloommeta")
+            .map(_.head())
+            .flatMap(r => if (r.schema.fieldNames.contains("takedown_docs"))
+              Some(r.getAs[Long]("takedown_docs")) else None)
+            .getOrElse(0L)
           "bloommeta" -> Seq((graft.operators.PortableBloom.DefaultM,
-              graft.operators.PortableBloom.DefaultK, cfg.shingleSize))
-            .toDF("m", "k", "shingle_n")
+              graft.operators.PortableBloom.DefaultK, cfg.shingleSize, priorTd))
+            .toDF("m", "k", "shingle_n", "takedown_docs")
         }
         Zone.overwriteAllInPlace(spark,
           Seq("labels" -> labels, "vocab" -> vocab, "meta" -> meta) ++
@@ -780,17 +788,25 @@ object CorpusJob {
         // the Bloom carries for the same reason (membership state is
         // not subtractive — a filter cannot un-set a bit; the Config
         // scaladoc contract says a compaction rebuild refreshes it);
-        // its geometry meta rides along or the swap would drop it
+        // its geometry meta rides along (or the swap would drop it)
+        // with takedown_docs RAISED by this retraction — the lifecycle
+        // dial that makes [[compactState]]'s rebuild decision fire
+        import spark.implicits._
         val bloomCarry = Zone.readIfExists(spark, s"$foldedRoot/bloom")
           .map("bloom" -> _).toSeq ++
-          Zone.readIfExists(spark, s"$foldedRoot/bloommeta")
-            .map("bloommeta" -> _)
+          Zone.readIfExists(spark, s"$foldedRoot/bloommeta").map { mdf =>
+            val r = mdf.head()
+            val priorTd = if (r.schema.fieldNames.contains("takedown_docs"))
+              r.getAs[Long]("takedown_docs") else 0L
+            "bloommeta" -> Seq((r.getAs[Int]("m"), r.getAs[Int]("k"),
+                r.getAs[Int]("shingle_n"), priorTd + nDeleted))
+              .toDF("m", "k", "shingle_n", "takedown_docs")
+          }
         val skewCarry: Seq[(String, DataFrame)] =
           if (Zone.exists(spark, s"$foldedRoot/skew/theta"))
             Seq("skew/theta", "skew/cm", "skew/cands", "skew/meta").map(n =>
               n -> spark.read.parquet(s"$foldedRoot/$n"))
           else Nil
-        import spark.implicits._
         val meta = Seq((nDocs, batchId.orNull, nextFoldedIds(priorFolded, batchId)))
           .toDF("n_docs", "last_batch", "folded_batches")
         Zone.overwriteAllInPlace(spark,
@@ -906,7 +922,9 @@ object CorpusJob {
     * is exactly the exclusion joins' contract.
     */
   def compactState(spark: SparkSession, stateDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      bloomLoadFactor: Double = 0.5,
+      bloomTakedownLimit: Long = 1L): Map[String, Int] = {
     Zone.readIfExists(spark, s"$stateDir/tombstones").foreach { t =>
       val tomb = t.select(col("doc_id")).distinct().cache()
       try {
@@ -928,11 +946,148 @@ object CorpusJob {
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    // --- bloom lifecycle (r13 verdict task 4): the one state leg no
+    // fold or takedown can shrink closes its loop HERE, the physical-
+    // delete pass. Rebuild `folded/bloom` from the (just-purged) live
+    // annotated docs when the persisted dials trip — occupancy past
+    // `bloomLoadFactor`, or any takedown volume since the last build
+    // (`bloomTakedownLimit`, metered in bloommeta.takedown_docs by
+    // [[deleteDocs]]) — so the filter stops claiming deleted
+    // membership and the FP tax resets. A fresh lightly-loaded state
+    // trips neither dial (CorpusJobSpec pins both directions). Bloom
+    // rewrites FIRST, meta (takedown reset) second: a crash between
+    // leaves the dial stale-HIGH, whose worst case is one extra
+    // rebuild next compaction — the safe direction. States without
+    // bloommeta (pre-r14) skip: the shingle n is unknowable, and their
+    // first r14 fold writes the meta.
+    for {
+      mdf <- Zone.readIfExists(spark, s"$stateDir/folded/bloommeta")
+      bloom <- Zone.readIfExists(spark, s"$stateDir/folded/bloom")
+      live <- Zone.readIfExists(spark, s"$stateDir/annotated")
+    } {
+      val r = mdf.head()
+      val (m, k, n) = (r.getAs[Int]("m"), r.getAs[Int]("k"),
+        r.getAs[Int]("shingle_n"))
+      val td = if (r.schema.fieldNames.contains("takedown_docs"))
+        r.getAs[Long]("takedown_docs") else 0L
+      if (graft.operators.PortableBloom.needsRebuild(bloom, m, td,
+          bloomLoadFactor, bloomTakedownLimit)) {
+        Zone.overwriteInPlace(spark,
+          graft.operators.PortableBloom.shingleSketch(
+            live.select(col("doc_id"), col("text")).distinct(),
+            "text", "doc_id", n, m, k),
+          s"$stateDir/folded/bloom")
+        import spark.implicits._
+        Zone.overwriteInPlace(spark,
+          Seq((m, k, n, 0L)).toDF("m", "k", "shingle_n", "takedown_docs"),
+          s"$stateDir/folded/bloommeta")
+      }
+    }
     Seq("index/sigs", "index/bands", "index/shingles", "index/paras",
         "fps", "pairs", "annotated", "spans", "paradedup")
       .filter(t => Zone.exists(spark, s"$stateDir/$t"))
       .map(t => t -> Zone.compact(spark, s"$stateDir/$t", targetBytes))
       .toMap
+  }
+
+  /** ONE operating report over every maintained state family's health
+    * dial (r13 verdict task 8 — the daily-ops surface a 100 TB
+    * deployment actually watches, instead of four ad-hoc reads):
+    * normalized rows `(family, size_rows, staleness, saturation_ppm,
+    * verdict)` unioning
+    *
+    *  - `bloom` — [[graft.operators.PortableBloom.stats]] over
+    *    `folded/bloom`: words set, takedowns since build (staleness),
+    *    bits_set/m load factor, and the [[graft.operators.PortableBloom
+    *    .needsRebuild]] decision as the verdict,
+    *  - `mixloss` — domain count, total docs metered,
+    *  - `skew` — [[graft.operators.Salting.skewReportFromState]]:
+    *    distinct keys, rows metered, the PROVABLE lb ratio, and the
+    *    [[graft.operators.Salting.saltsFromState]] decision,
+    *  - `bm25_index` — [[graft.operators.Bm25.indexStats]]: vocab,
+    *    docs indexed, exhausted-champion fraction,
+    *  - `ivf_index` — [[graft.operators.IvfIndex.cellStats]]: cells,
+    *    vectors, max/mean imbalance with a rebalance verdict,
+    *  - `fuzzy_blocks` — [[graft.operators.FuzzyJoin.blockStats]]:
+    *    blocks, rows, capped-row fraction.
+    *
+    * Every input is OPTIONAL (report what you maintain); every read is
+    * STATE-sized — sketch rows, term stats, cell counts — the corpus
+    * is never touched, so the report is a dashboard query, not a job.
+    * Verdict strings echo the deciding operators (`rebuild`,
+    * `salt(n)`, `rebalance`, `capped`), so the daily run can alert on
+    * `verdict <> 'ok' AND verdict <> 'uniform'`.
+    */
+  def stateReport(spark: SparkSession,
+      corpusStateDir: Option[String] = None,
+      bm25Dir: Option[String] = None,
+      ivfDir: Option[String] = None,
+      fuzzyBlocks: Option[DataFrame] = None,
+      skewThreshold: Double = 10.0,
+      ivfImbalanceLimit: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, String)]
+    corpusStateDir.foreach { sd =>
+      for {
+        mdf <- Zone.readIfExists(spark, s"$sd/folded/bloommeta")
+        bloom <- Zone.readIfExists(spark, s"$sd/folded/bloom")
+      } {
+        val r = mdf.head()
+        val m = r.getAs[Int]("m")
+        val td = if (r.schema.fieldNames.contains("takedown_docs"))
+          r.getAs[Long]("takedown_docs") else 0L
+        val s = graft.operators.PortableBloom.stats(bloom, Nil).collect()
+        val (nw, bits) = s.headOption
+          .map(x => (x.getAs[Long]("n_words_set"), x.getAs[Long]("bits_set")))
+          .getOrElse((0L, 0L))
+        rows += (("bloom", nw, td, bits * 1000000L / m,
+          if (graft.operators.PortableBloom.needsRebuild(bloom, m, td))
+            "rebuild" else "ok"))
+      }
+      Zone.readIfExists(spark, s"$sd/folded/mixloss").foreach { ml =>
+        val a = ml.agg(count(lit(1)),
+          coalesce(sum(col("n_docs")), lit(0L))).head()
+        rows += (("mixloss", a.getLong(0), a.getLong(1), 0L, "ok"))
+      }
+      if (Zone.exists(spark, s"$sd/folded/skew/theta")) {
+        val rep = Salting.skewReportFromState(spark, s"$sd/folded/skew").head()
+        val lb = Option(rep.getAs[java.lang.Double]("skew_ratio_lb"))
+          .map(_.toDouble).getOrElse(0.0)
+        val salts = Salting.saltsFromState(spark, s"$sd/folded/skew",
+          skewThreshold)
+        rows += (("skew", rep.getAs[Long]("n_keys"), rep.getAs[Long]("n_rows"),
+          math.round(lb * 1000000.0),
+          if (salts > 1) s"salt($salts)" else "uniform"))
+      }
+    }
+    bm25Dir.foreach { d =>
+      val st = graft.operators.Bm25.indexStats(spark, d).head()
+      rows += (("bm25_index", st.getAs[Long]("vocab_size"),
+        st.getAs[Long]("n_docs"),
+        st.getAs[Long]("exhausted_frac_fp") * 1000L, "ok"))
+    }
+    ivfDir.foreach { d =>
+      val (_, cells) = graft.operators.IvfIndex.readIndex(spark, d)
+      val a = graft.operators.IvfIndex.cellStats(cells)
+        .agg(count(lit(1)), coalesce(sum(col("n_vectors")), lit(0L)),
+          coalesce(max(col("imbalance")), lit(0.0))).head()
+      val imb = a.getDouble(2)
+      rows += (("ivf_index", a.getLong(0), a.getLong(1),
+        math.round(imb * 1000000.0),
+        if (imb >= ivfImbalanceLimit) "rebalance" else "ok"))
+    }
+    fuzzyBlocks.foreach { bs =>
+      val a = bs.agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L)),
+        coalesce(sum(when(!col("kept"), col("n_rows")).otherwise(0L)),
+          lit(0L))).head()
+      val (total, dropped) = (a.getLong(1), a.getLong(2))
+      rows += (("fuzzy_blocks", a.getLong(0), total,
+        if (total == 0L) 0L else dropped * 1000000L / total,
+        if (dropped > 0L) "capped" else "ok"))
+    }
+    rows.toSeq
+      .toDF("family", "size_rows", "staleness", "saturation_ppm", "verdict")
   }
 
   // ========================================================================

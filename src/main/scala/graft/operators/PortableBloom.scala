@@ -184,6 +184,32 @@ object PortableBloom {
       .agg(count(lit(1)).as("n_words_set"),
         sum(bit_count(col("bits")).cast("long")).as("bits_set"))
 
+  /** The lifecycle decision for a MAINTAINED filter (r13 verdict task
+    * 4 — the auto-salt discipline applied to membership state):
+    * membership bits are not subtractive, so adds only RAISE occupancy
+    * (FP rate tracks the load factor: past ~half full, the (1−e^(−kn/m))^k
+    * curve climbs fast) and takedowns leave bits claiming membership
+    * for deleted keys (sound — FPs never leak — but an accumulating
+    * recall tax). Rebuild when either dial trips: occupancy at/past
+    * `loadFactor` of m, or takedown volume since the last build
+    * at/past `takedownLimit` (any physical-delete pass is the natural
+    * moment to stop claiming deleted membership). An empty filter
+    * never needs a rebuild; a fresh lightly-loaded one with no
+    * takedowns never trips either dial.
+    */
+  def needsRebuild(sketchDf: DataFrame, m: Int = DefaultM,
+      takedownsSinceBuild: Long = 0L, loadFactor: Double = 0.5,
+      takedownLimit: Long = 1L): Boolean = {
+    require(loadFactor > 0.0 && loadFactor <= 1.0,
+      s"loadFactor must be in (0, 1], got $loadFactor")
+    require(takedownLimit >= 1L, s"takedownLimit must be >= 1, got $takedownLimit")
+    if (takedownsSinceBuild >= takedownLimit) true
+    else {
+      val s = stats(sketchDf, Nil).collect()
+      s.nonEmpty && s.head.getAs[Long]("bits_set").toDouble / m >= loadFactor
+    }
+  }
+
   /** Join-side membership probe for GROUPED filters: appends `member`
     * (1/0) to `keys` — 1 iff all k bits are set in that group's
     * filter. The sketch side is ≤ groups × m/32 rows → broadcasts;

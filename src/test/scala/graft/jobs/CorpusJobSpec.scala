@@ -326,6 +326,119 @@ class CorpusJobSpec extends SparkSpec {
     assert(e.getMessage.contains("mismatched bits"))
   }
 
+  test("bloom lifecycle (r14): a fresh state never rebuilds; a takedown " +
+      "trips the dial and compaction rebuilds from live docs BIT-FOR-BIT, " +
+      "resetting the meter") {
+    import graft.operators.PortableBloom
+    // unsaturated slice: the WHOLE sf corpus pushes bits_set past m/2,
+    // which (correctly) trips the saturation dial on its own — this
+    // test needs the no-takedown compaction to genuinely NOT rebuild,
+    // so the takedown flip below is proven to come from the meter
+    val docs = Tables.documents(spark, sfDir())
+      .select($"doc_id", $"text").filter($"doc_id" <= 30)
+    val n = docs.agg(max($"doc_id")).head().getLong(0)
+    val state = tmpDir("bloomlife")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5, maintainBloomState = true)
+    CorpusJob.runIncremental(spark, docs.filter($"doc_id" <= n / 2),
+      state, cfg, batchId = Some("d1"))
+    CorpusJob.runIncremental(spark, docs.filter($"doc_id" > n / 2),
+      state, cfg, batchId = Some("d2"))
+    def words(): Seq[Long] = PortableBloom.collectWords(
+      spark.read.parquet(s"$state/folded/bloom")).toSeq
+    def takedowns(): Long = spark.read.parquet(s"$state/folded/bloommeta")
+      .head().getAs[Long]("takedown_docs")
+    val oneShot = words()
+    assert(takedowns() == 0L)
+    // fresh state: neither dial trips (PROVEN on the decision itself —
+    // a same-docs rebuild would be bit-identical, so words-unchanged
+    // alone could not distinguish rebuild from no-rebuild)
+    assert(!PortableBloom.needsRebuild(
+      spark.read.parquet(s"$state/folded/bloom")),
+      "an unsaturated no-takedown filter must not trip the decision")
+    CorpusJob.compactState(spark, state)
+    assert(words() == oneShot, "a fresh filter must not rebuild")
+    assert(takedowns() == 0L)
+    // takedown: the logical delete carries bits but meters the dial
+    val deleted = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val nDel = CorpusJob.deleteDocs(spark, deleted, state, Some("del-1"), cfg)
+    assert(nDel > 0L)
+    assert(takedowns() == nDel, "deleteDocs must meter takedown_docs")
+    assert(words() == oneShot, "logical delete must carry the bits")
+    // compaction: the dial trips, the filter rebuilds from live docs —
+    // equal to build-without-deleted bit-for-bit — and the meter resets
+    CorpusJob.compactState(spark, state)
+    val live = docs.join(deleted, Seq("doc_id"), "left_anti")
+    assert(words() == PortableBloom.collectWords(
+      PortableBloom.shingleSketch(live, "text", "doc_id", cfg.shingleSize)).toSeq,
+      "rebuild must equal build-without-deleted bit-for-bit")
+    assert(takedowns() == 0L, "rebuild must reset the takedown meter")
+    // deleted docs' unique shingles no longer claim membership
+    val gone = PortableBloom.contaminationByBloom(
+      docs.filter($"doc_id" % 7 === 0), PortableBloom.collectWords(
+        spark.read.parquet(s"$state/folded/bloom")),
+      "text", "doc_id", n = cfg.shingleSize)
+    val still = PortableBloom.contaminationByBloom(live.limit(20),
+      PortableBloom.collectWords(spark.read.parquet(s"$state/folded/bloom")),
+      "text", "doc_id", n = cfg.shingleSize)
+    assert(still.filter($"n_bloom_hits" =!= $"n_shingles").count() == 0L,
+      "live documents must still probe fully contained")
+    assert(gone.filter($"n_bloom_hits" < $"n_shingles").count() > 0L,
+      "at least one deleted doc must have dropped a shingle claim")
+  }
+
+  test("stateReport (r14): one normalized health row per maintained " +
+      "family; verdicts echo the deciding operators") {
+    import graft.operators.{Bm25, FuzzyJoin, IvfIndex}
+    // a small slice: the WHOLE sf corpus genuinely saturates the
+    // default-m filter (verdict "rebuild" — correct, but this test
+    // wants the fresh-"ok" path first; the takedown flip covers the
+    // alarm direction)
+    val docs = Tables.documents(spark, sfDir())
+      .select($"doc_id", $"text").filter($"doc_id" <= 30)
+    val state = tmpDir("statereport")
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainBloomState = true, maintainMixtureState = true,
+      maintainSkewState = true)
+    CorpusJob.runIncremental(spark, docs, state, cfg, batchId = Some("d1"))
+    val bm25Dir = tmpDir("srbm25")
+    Bm25.writeIndex(docs, "text", "doc_id", bm25Dir)
+    val emb = Tables.embeddings(spark, sfDir())
+    val ivfDir = tmpDir("srivf")
+    val (cents, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding",
+      nCentroids = 8)
+    IvfIndex.writeIndex(cents, cells, ivfDir)
+    val blocks = FuzzyJoin.blockStats(
+      docs.select($"doc_id", substring($"text", 1, 12).as("k")),
+      "k", "doc_id", blockLen = 3, maxBlock = 4)
+    val rep = CorpusJob.stateReport(spark, Some(state), Some(bm25Dir),
+      Some(ivfDir), Some(blocks), ivfImbalanceLimit = 1000.0)
+    val byFam = rep.collect().map(r => r.getString(0) -> r).toMap
+    assert(byFam.keySet == Set("bloom", "mixloss", "skew", "bm25_index",
+      "ivf_index", "fuzzy_blocks"))
+    assert(byFam("bloom").getAs[String]("verdict") == "ok")
+    assert(byFam("bloom").getAs[Long]("size_rows") > 0L)
+    assert(byFam("bloom").getAs[Long]("saturation_ppm") > 0L)
+    assert(byFam("skew").getAs[String]("verdict") == "uniform",
+      "unique fingerprints must read uniform (lb-based decision)")
+    assert(byFam("mixloss").getAs[Long]("staleness") == docs.count())
+    assert(byFam("bm25_index").getAs[Long]("size_rows") > 0L)
+    assert(byFam("bm25_index").getAs[Long]("staleness") == docs.count())
+    assert(byFam("ivf_index").getAs[String]("verdict") == "ok")
+    assert(byFam("ivf_index").getAs[Long]("staleness") == emb.count())
+    // every report read is state-sized; a subset of inputs reports a
+    // subset of rows (report what you maintain)
+    assert(CorpusJob.stateReport(spark, bm25Dir = Some(bm25Dir)).count() == 1L)
+    // a takedown flips the bloom verdict to rebuild (the lifecycle dial)
+    CorpusJob.deleteDocs(spark,
+      docs.filter($"doc_id" % 9 === 0).select($"doc_id"), state,
+      Some("del-1"), cfg)
+    val rep2 = CorpusJob.stateReport(spark, Some(state))
+    assert(rep2.filter($"family" === "bloom").head()
+      .getAs[String]("verdict") == "rebuild")
+    assert(rep2.filter($"family" === "bloom").head()
+      .getAs[Long]("staleness") > 0L)
+  }
+
   test("closed-loop canonical election (r13): a state-PROVEN viral " +
       "duplicate flips the election to the skew-safe aggregate form, " +
       "value-identical to the windowed run") {

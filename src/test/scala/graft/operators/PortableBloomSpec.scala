@@ -101,6 +101,25 @@ class PortableBloomSpec extends SparkSpec {
     assert(keys.filter(!PortableBloom.probe(words, m = 8192, k = 3)($"k")).count() == 0L)
   }
 
+  test("needsRebuild: fires on saturation or takedown volume, never on a fresh filter") {
+    // fresh, lightly loaded, no takedowns: neither dial trips
+    val fresh = PortableBloom.sketch(Seq("a", "b", "c").toDF("k"), Seq.empty, "k")
+    assert(!PortableBloom.needsRebuild(fresh))
+    // an empty filter never needs a rebuild
+    assert(!PortableBloom.needsRebuild(fresh.filter(lit(false))))
+    // saturation: a tiny geometry (m = 64, k = 2) packed with keys
+    // pushes bits_set past half of m
+    val sat = PortableBloom.sketch(keys, Seq.empty, "k", m = 64, k = 2)
+    assert(PortableBloom.needsRebuild(sat, m = 64))
+    // takedown volume trips regardless of load
+    assert(PortableBloom.needsRebuild(fresh, takedownsSinceBuild = 1L))
+    assert(!PortableBloom.needsRebuild(fresh, takedownsSinceBuild = 2L,
+      takedownLimit = 5L))
+    intercept[IllegalArgumentException] {
+      PortableBloom.needsRebuild(fresh, loadFactor = 0.0)
+    }
+  }
+
   test("contaminationByBloom bounds the exact overlap from above (no false negatives)") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
