@@ -194,6 +194,26 @@ object ScaleBench {
             slice(col("embedding"), lit(1), col("__s"))))
         .drop("__r", "__s")
     }
+    // PRODUCTION-width synthetic embeddings (r13 verdict task 3): the
+    // harness's 64-dim vectors bound JL's advantage at dim/outDim = 2,
+    // where the operator's motivation is 768–4096-dim production
+    // embeddings. 12 deterministic rotations of the 64-dim base
+    // concatenate to 768 dims (same quantizable float values, distinct
+    // per replica via corpusEmb's rotation) — the brute leg pays a
+    // 768-dim quantized cosine per pair, the JL leg a 64-long integer
+    // dot (dim/outDim = 12) + full-width rescore of only the shortlist.
+    // Scaled by 1/8 (cosine is scale-invariant): the projected-distance
+    // signed-64 envelope is 4·outDim·(dim·maxAbs·10⁶)² — at dim=768 it
+    // needs |x| ≤ 0.125 for outDim=64 (base values are ≤ 0.578)
+    def wideEmb(r: Int): DataFrame =
+      corpusEmb(r).withColumn("embedding",
+        transform(
+          concat((0 until 12).map { jj =>
+            val s = (jj * 17) % 64
+            concat(slice(col("embedding"), s + 1, 64 - s),
+              slice(col("embedding"), 1, s))
+          }: _*),
+          x => x / lit(8.0d)))
     def linkageCandidates(r: Int, scaledKey: Boolean): Long = {
       val base = Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -258,6 +278,29 @@ object ScaleBench {
         graft.operators.RandomProjection.topKProjected(
           e, e.filter(col("vec_id") < 50), "embedding", "vec_id",
           k = 10, outDim = 32, dim = 64, shortlist = 80).count()
+      },
+      // the JL pair at PRODUCTION width (768 dims — r13 task 3): same
+      // 200 queries, same corpus rows, 12× wider vectors. The brute
+      // leg pays N·Q 768-dim cosines; the JL leg projects once per row
+      // (narrow codegen map, dim·outDim ops), shortlists by 64-long
+      // integer dots, and rescores 80 rows/query at full width. The
+      // regime is explicit: one-shot JL pays off iff Q ≫ outDim
+      // (per-row cost Q·dim brute vs dim·outDim + Q·outDim·3 JL) — at
+      // Q = 50 the projection alone outweighs brute, measured; at
+      // Q = 200 the 768-dim advantage is real, and the serving path
+      // (projection persisted as an index, the q202 discipline)
+      // amortizes the projection to zero
+      "ann_brute200_wide768" -> { r =>
+        val e = wideEmb(r)
+        graft.operators.Similarity.bruteForceTopKQuantized(
+          e, e.filter(col("vec_id") < 200), "embedding", "vec_id", 10).count()
+      },
+      "ann_jl200_wide768" -> { r =>
+        val e = wideEmb(r)
+        graft.operators.RandomProjection.topKProjected(
+          e, e.filter(col("vec_id") < 200), "embedding", "vec_id",
+          k = 10, outDim = 64, dim = 768, shortlist = 80,
+          maxAbs = 0.125).count()
       },
       // batch MMR (q199's shape): the candidate cut is the corpus-sized
       // part (pluggable — swap in the IVF probe to make it index-sized);

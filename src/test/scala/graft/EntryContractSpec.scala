@@ -118,6 +118,54 @@ class EntryContractSpec extends SparkSpec {
         s"\nheaviest greens: ${counts.sortBy(-_._2).take(5)}")
   }
 
+  /** The q73 carve-out, locked (r13 verdict task 7): unpartitioned
+    * windows are allowed ONLY over provably bounded frames — a
+    * `row_number` re-rank over ≤ k rows after a `limit(k)`, a
+    * driver-built local relation, or a global (one-row) aggregate.
+    * Anything else is the single-partition scale hazard the round-2
+    * rework eliminated; this test keeps it eliminated while admitting
+    * the deliberate bounded tails (which still emit the
+    * `WindowExec: No Partition Defined` warning — benign, documented
+    * in SURVEY/PLANS).
+    */
+  test("every unpartitioned window in a gate plan sits above a bounded " +
+      "frame (LIMIT <= 128 / local relation / global aggregate / " +
+      "checkpointed bounded top)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case GlobalLimit(Literal(n: Int, _), _) => n <= 128
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // a localCheckpoint erases its lineage (LogicalRDD) — in this
+      // repo checkpoints under rank windows are the bounded-collect
+      // discipline (a ≤ k top checkpointed before the re-rank, e.g.
+      // the Bm25 verdict tails); a checkpointed CORPUS-sized frame
+      // under an unpartitioned window would pass here silently, so
+      // keep that shape out of the code, not just out of this test
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    // domain-bounded by construction, not provable from the plan:
+    // cardinality is the date grain / the query sample, never the corpus
+    val domainBounded = Map(
+      "q73_moving_avg" ->
+        "RANGE window over the per-day pre-aggregate (day-grain rows)",
+      "q146_pq_recall" ->
+        "global recall summary over per-query rows (the q129 protocol)")
+    val offenders = gateFrames.flatMap { case (name, df) =>
+      if (domainBounded.contains(name)) Nil
+      else df.queryExecution.analyzed.collect {
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          s"$name: ${w.windowExpressions.map(_.sql).mkString(", ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows over UNBOUNDED frames (the single-partition " +
+        "scale hazard):\n" + offenders.mkString("\n"))
+  }
+
   test("the planner guard would have caught the reverted q183 fold") {
     import org.apache.spark.sql.functions._
     // the EXACT r12 bug shape: r appears in BOTH branches of each
