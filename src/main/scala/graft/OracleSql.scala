@@ -4402,6 +4402,66 @@ object OracleSql {
     WHERE rank <= 10
     ORDER BY rank"""
 
+  /** q205/q206 shared chain: q192's whole batch-hybrid derivation as a
+    * subquery (DuckDB supports WITH inside a derived table), planted
+    * graded qrels, the 10-step Q10 log2 CTE over the needed arguments
+    * (ranks/positions + 1 ∈ [2, 11] — Log2Fp's oracle twin), then the
+    * trec-style metric arithmetic in exact integers.
+    */
+  private def retrievalMetricsCtes(q192Sql: String) = s"""
+    results AS MATERIALIZED (
+      SELECT query_id, doc_id, rank FROM ($q192Sql) __r),
+    qrels AS MATERIALIZED (
+      SELECT q.query_id, d.doc_id, CAST(d.doc_id % 3 + 1 AS BIGINT) AS grade
+      FROM (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                           CAST(3 AS BIGINT)]) AS query_id) q
+      JOIN documents d ON (d.doc_id + q.query_id) % 7 = 0),
+    lv AS (SELECT unnest(range(2, 12)) AS v),
+    lg0 AS (SELECT v, length(bin(CAST(v AS BIGINT))) - 1 AS m FROM lv),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN CAST(v AS BIGINT) << (30 - m)
+                  ELSE CAST(v AS BIGINT) >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS MATERIALIZED (SELECT v, r FROM lgi WHERE i = 10),
+    hits AS (
+      SELECT r.query_id, min(r.rank) AS first_rel_rank,
+             CAST(sum(q.grade * 1073741824 // l.r) AS BIGINT) AS dcg_fp
+      FROM results r
+      JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+      JOIN lg l ON l.v = r.rank + 1
+      WHERE r.rank <= 10
+      GROUP BY r.query_id),
+    ideal AS (
+      SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_judged,
+             CAST(sum(CASE WHEN p.pos <= 10
+                           THEN p.grade * 1073741824 // l.r
+                           ELSE 0 END) AS BIGINT) AS idcg_fp
+      FROM (SELECT query_id, doc_id, grade,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY grade DESC, doc_id) AS pos
+            FROM qrels) p
+      LEFT JOIN lg l ON l.v = p.pos + 1
+      GROUP BY p.query_id),
+    perq AS (
+      SELECT i.query_id, i.n_judged,
+             CAST(h.first_rel_rank AS INTEGER) AS first_rel_rank,
+             CAST(coalesce(1000000 // h.first_rel_rank, 0) AS BIGINT) AS rr_ppm,
+             CAST(CASE WHEN h.first_rel_rank IS NOT NULL THEN 1 ELSE 0 END
+               AS INTEGER) AS hit_k,
+             CAST(coalesce(h.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+             i.idcg_fp,
+             CAST(CASE WHEN i.idcg_fp > 0
+                       THEN coalesce(h.dcg_fp, 0) * 1000000 // i.idcg_fp
+                       ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM ideal i LEFT JOIN hits h ON h.query_id = i.query_id)"""
+
   /** q204: the hybrid at the approximate dial — q186's exact fusion
     * (brute vector leg) as ground truth, the q36 IVF derivation probed
     * at nProbe ∈ {1, 2, 4} feeding the same RRF, then the q129 recall
@@ -4579,6 +4639,22 @@ object OracleSql {
       FROM f)
     WHERE rank <= 10
     ORDER BY query_id, rank"""
+
+  private val q205 = s"""
+    WITH RECURSIVE ${retrievalMetricsCtes(q192)}
+    SELECT query_id, n_judged, first_rel_rank, rr_ppm, hit_k,
+           dcg_fp, idcg_fp, ndcg_ppm
+    FROM perq ORDER BY query_id"""
+
+  private val q206 = s"""
+    WITH RECURSIVE ${retrievalMetricsCtes(q192)}
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(CAST(sum(rr_ppm) AS BIGINT) // count(*) AS BIGINT) AS mrr_ppm,
+           CAST(CAST(sum(ndcg_ppm) AS BIGINT) // count(*) AS BIGINT)
+             AS mean_ndcg_ppm,
+           CAST(CAST(sum(hit_k) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+             AS hit_rate_ppm
+    FROM perq"""
 
   /** q193: semantic decontamination — per corpus vector the best
     * benchmark match by exact quantized cosine (benchmark = every 50th
@@ -6403,6 +6479,8 @@ object OracleSql {
     // top-16 IS the brute cut) — value-identical, the oracle IS q199's
     "q202_mmr_ivf_rerank" -> q199,
     "q204_hybrid_recall" -> q204,
+    "q205_retrieval_metrics" -> q205,
+    "q206_retrieval_summary" -> q206,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

@@ -4204,6 +4204,37 @@ object SparkEntry {
       .orderBy(col("n_probe"))
   }
 
+  /** Ranked-retrieval quality metrics
+    * ([[graft.operators.RetrievalMetrics.perQuery]]): q192's batch
+    * hybrid top-10s evaluated against deterministic graded qrels
+    * (every 7th doc per query, grade = doc_id mod 3 + 1 — the planted
+    * pooled-judgment set) — per query, first relevant rank, RR,
+    * Hit@10, and nDCG@10 with the DCG discount on the SAME Q10
+    * fixed-point log2 as the BM25 idf. The oracle re-derives the full
+    * chain: both retrieval legs, the per-query fusion, the qrels, the
+    * 10-step log2 CTE, and every metric — ranking quality itself is
+    * hash-proven, not just the ranking.
+    */
+  def q205_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val results = q192_hybrid_batch(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qrels = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(Seq(1L, 2L, 3L).toDF("query_id"))
+      .filter((col("doc_id") + col("query_id")) % 7 === 0)
+      .withColumn("grade", (col("doc_id") % 3 + 1).cast("long"))
+    RetrievalMetrics.perQuery(results, qrels, k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** The corpus-level summary ([[graft.operators.RetrievalMetrics
+    * .summary]]) of q205: MRR / mean nDCG@10 / hit rate as exact
+    * integer means (sum then ONE division — order-free, the q129
+    * micro-recall discipline), one row.
+    */
+  def q206_retrieval_summary(s: SparkSession, dir: String): DataFrame =
+    RetrievalMetrics.summary(q205_retrieval_metrics(s, dir))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4411,6 +4442,8 @@ object SparkEntry {
     "q202_mmr_ivf_rerank" -> (q202_mmr_ivf_rerank _),
     "q203_doremi_state_fed" -> (q203_doremi_state_fed _),
     "q204_hybrid_recall" -> (q204_hybrid_recall _),
+    "q205_retrieval_metrics" -> (q205_retrieval_metrics _),
+    "q206_retrieval_summary" -> (q206_retrieval_summary _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
