@@ -4656,6 +4656,39 @@ object OracleSql {
              AS hit_rate_ppm
     FROM perq"""
 
+  /** q207: hard-negative mining — the q26 scoring chain for anchors 3
+    * and 7 with the planted-positive exclusion and the exact-ppm
+    * near-positive band applied BEFORE the top-k cut.
+    */
+  private val q207 = s"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS qq FROM base WHERE vec_id IN (3, 7)),
+    sc AS (
+      SELECT q.query_id, c.vec_id AS id,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * q.qq[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i] * c.qe[i])) AS BIGINT) AS n2c,
+             CAST(list_sum(list_transform(range(1, 65), i -> q.qq[i] * q.qq[i])) AS BIGINT) AS n2q
+      FROM base c JOIN q ON c.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, id,
+             round(CASE WHEN n2c = 0 OR n2q = 0 THEN 0.0
+                        ELSE CAST(dot AS DOUBLE) /
+                             (sqrt(CAST(n2c AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) END, 6) AS cosine
+      FROM sc),
+    banded AS (
+      SELECT query_id, id, cosine FROM scored
+      WHERE CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) <= 450000
+        AND (id + query_id) % 19 <> 0),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+      FROM banded)
+    SELECT query_id, id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   /** q193: semantic decontamination — per corpus vector the best
     * benchmark match by exact quantized cosine (benchmark = every 50th
     * vector verbatim under an offset id), ties to the lower benchmark
@@ -6481,6 +6514,7 @@ object OracleSql {
     "q204_hybrid_recall" -> q204,
     "q205_retrieval_metrics" -> q205,
     "q206_retrieval_summary" -> q206,
+    "q207_hard_negatives" -> q207,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

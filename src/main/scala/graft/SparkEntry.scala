@@ -4235,6 +4235,27 @@ object SparkEntry {
   def q206_retrieval_summary(s: SparkSession, dir: String): DataFrame =
     RetrievalMetrics.summary(q205_retrieval_metrics(s, dir))
 
+  /** Hard-negative mining ([[graft.operators.Similarity
+    * .hardNegatives]]): per anchor (vectors 3 and 7), the top-10
+    * most-similar corpus vectors that are not the anchor, not a
+    * KNOWN positive (every 19th id per anchor — the planted label
+    * set), and not above the 0.45 ppm near-positive band (the
+    * unlabeled-positive guard). The contrastive-training data shape
+    * (DPR/ANCE recipe) with the mined set hash-proven: the oracle
+    * re-derives scoring, band, exclusions, and ranks.
+    */
+  def q207_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id").isin(3L, 7L))
+    val positives = emb.select(col("vec_id").as("id"))
+      .crossJoin(Seq(3L, 7L).toDF("query_id"))
+      .filter((col("id") + col("query_id")) % 19 === 0)
+    Similarity.hardNegatives(emb, anchors, positives, "embedding", "vec_id",
+        k = 10, maxCosinePpm = 450000L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4444,6 +4465,7 @@ object SparkEntry {
     "q204_hybrid_recall" -> (q204_hybrid_recall _),
     "q205_retrieval_metrics" -> (q205_retrieval_metrics _),
     "q206_retrieval_summary" -> (q206_retrieval_summary _),
+    "q207_hard_negatives" -> (q207_hard_negatives _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -74,6 +74,56 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the SBERT /
+    * DPR-style recipe: Karpukhin et al. 2020; Xiong et al., ANCE
+    * 2021): per ANCHOR vector, the top-k most-similar corpus vectors
+    * that are (a) not the anchor, (b) not a KNOWN positive, and
+    * (c) not suspiciously close — cosine (in exact ppm) above
+    * `maxCosinePpm` is excluded as a probable UNLABELED positive /
+    * near-duplicate, the "false negative" that poisons a contrastive
+    * loss (the semi-hard band: hardest negatives that are still
+    * plausibly negative). Output `(query_id, id, cosine, rank)` —
+    * rank 1 is the hardest admissible negative.
+    *
+    * Scale shape: the anchors broadcast into the corpus scan (the q26
+    * contract — anchors are a training batch, the corpus is the 100 TB
+    * side); positives anti-join BEFORE the top-k cut (a positive must
+    * free its slot, not mask a negative below it), and the band filter
+    * is exact integer ppm of the round-6 cosine, so the mined set is
+    * oracle-re-derivable to the hash (q207). Swap the brute scorer for
+    * the IVF probe when the corpus outgrows one pass — candidates are
+    * candidates (the MMR seam argument); mine from the probe's top-N
+    * with N ≫ k so the exclusions can't exhaust the pool.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      positives: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      maxCosinePpm: Long = 950000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxCosinePpm >= -1000000L && maxCosinePpm <= 1000000L,
+      s"maxCosinePpm must be a cosine in ppm, got $maxCosinePpm")
+    def pre(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), V.quantize(col(vecCol)).as(s"${id}_qv"))
+        .withColumn(s"${id}_n2", V.dotQ(col(s"${id}_qv"), col(s"${id}_qv")))
+    val scored = pre(corpus, "id")
+      .join(broadcast(pre(anchors, "query_id")), col("id") =!= col("query_id"))
+      .withColumn("cosine", round(V.cosineFromQuantized(
+        col("id_qv"), col("query_id_qv"), col("id_n2"), col("query_id_n2")), 6))
+      // the near-positive guard: exact integer micros of the round-6
+      // cosine (the gate convention — no float threshold an engine
+      // could tie-break differently)
+      .filter(floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long")
+        <= maxCosinePpm)
+    val negs = scored.join(
+      positives.select(col("query_id"), col("id")).distinct(),
+      Seq("query_id", "id"), "left_anti")
+    rankTopK(negs, k)
+  }
+
   /** Hyperplane-LSH bucket assignment as a pure narrow map: one native
     * codegen'd expression ([[graft.plans.LshBuckets]]) computes all
     * `tables` buckets per vector in a single triple loop over the plane

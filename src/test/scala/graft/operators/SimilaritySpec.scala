@@ -271,4 +271,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(t => t._1 == 2L || t._1 == 3L)
       .forall(_._3 == 1))
   }
+
+  test("hardNegatives: labeled positives and the near-positive band " +
+      "excluded BEFORE the cut; hardest admissible negative first") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),        // the anchor
+      (10L, Array(0.8f, 0.6f, 0f)),   // labeled positive (cos 0.8)
+      (11L, Array(0.98f, 0.17f, 0f)), // UNLABELED near-copy (cos ≈ .985)
+      (12L, Array(0.7f, 0.7f, 0f)),   // hard negative (cos ≈ .707)
+      (13L, Array(0f, 1f, 0f)),       // easy negative (cos 0)
+      (14L, Array(0.6f, 0.8f, 0f))    // medium negative (cos 0.6)
+    ).toDF("vec_id", "embedding")
+    val anchors = emb.filter($"vec_id" === 1)
+    val positives = Seq((1L, 10L)).toDF("query_id", "id")
+    val got = Similarity.hardNegatives(emb, anchors, positives,
+        "embedding", "vec_id", k = 3, maxCosinePpm = 950000L)
+      .orderBy("rank").collect()
+    // 10 excluded by label (its cos 0.8 < the band — the label did it);
+    // 11 excluded by the band (unlabeled near-positive); anchor by id;
+    // the k=3 slots then go to 12, 14, 13 hardest-first
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(12L, 14L, 13L),
+      got.mkString(", "))
+    assert(got.head.getAs[Double]("cosine") > 0.70 &&
+      got.head.getAs[Double]("cosine") < 0.72)
+    // positives free their slot rather than masking a negative below:
+    // with k covering the whole pool, neither excluded id ever appears
+    val all = Similarity.hardNegatives(emb, anchors, positives,
+      "embedding", "vec_id", k = 5, maxCosinePpm = 950000L)
+    assert(all.count() == 3L)
+    assert(all.filter($"id".isin(10L, 11L, 1L)).count() == 0L)
+    // dial hygiene
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, anchors, positives, "embedding",
+        "vec_id", k = 0)
+    }
+  }
 }
