@@ -4689,6 +4689,106 @@ object OracleSql {
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  /** q208: embedding-space drift — the q36 codebook + assignment
+    * derivation run for BOTH snapshots (reference, and the rotated
+    * "new crawl"), cell masses full-outer joined, then q148's exact
+    * smoothed-PSI term arithmetic per cell. Rotation commutes with the
+    * elementwise quantization, so the rotated snapshot derives from
+    * the already-quantized lists.
+    */
+  private val q208 = s"""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT vec_id, $quantize AS qe FROM embeddings),
+    refn AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM refn ORDER BY h LIMIT 16)),
+    curn AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN list_concat(qe[9:64], qe[1:8])
+                  ELSE qe END AS qe
+      FROM base),
+    curn2 AS (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM curn),
+    asgr AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM refn CROSS JOIN cents),
+    refc AS (
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_ref
+      FROM asgr WHERE rn = 1 GROUP BY centroid_id),
+    asgc AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM curn2 CROSS JOIN cents),
+    curc AS (
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_cur
+      FROM asgc WHERE rn = 1 GROUP BY centroid_id),
+    cnt AS MATERIALIZED (
+      SELECT CAST(coalesce(r.centroid_id, c.centroid_id) AS VARCHAR) AS category,
+             coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+      FROM refc r FULL OUTER JOIN curc c ON c.centroid_id = r.centroid_id),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tr0, CAST(sum(n_cur) AS BIGINT) AS tc0,
+             CAST(count(*) AS BIGINT) AS cats
+      FROM cnt),
+    sm AS MATERIALIZED (
+      SELECT c.category, c.n_ref, c.n_cur,
+             (c.n_ref + 1) * (t.tc0 + t.cats) AS a,
+             (c.n_cur + 1) * (t.tr0 + t.cats) AS b
+      FROM cnt c CROSS JOIN tot t),
+    vals AS (SELECT DISTINCT v FROM (
+      SELECT a AS v FROM sm UNION ALL SELECT b FROM sm)),
+    lg0 AS (SELECT v, length(bin(v)) - 1 AS m FROM vals),
+    lgi(v, i, x, r) AS (
+      SELECT v, 0,
+             CASE WHEN m <= 30 THEN v << (30 - m) ELSE v >> (m - 30) END,
+             CAST(m AS BIGINT)
+      FROM lg0
+      UNION ALL
+      SELECT v, i + 1,
+             CASE WHEN y >= 2147483648 THEN y >> 1 ELSE y END,
+             CASE WHEN y >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END
+      FROM (SELECT v, i, (x * x) >> 30 AS y, r FROM lgi WHERE i < 10)),
+    lg AS MATERIALIZED (SELECT v, r FROM lgi WHERE i = 10)
+    SELECT s.category, s.n_ref, s.n_cur,
+           CAST(CAST(CAST(s.a - s.b AS HUGEINT) * (la.r - lb.r)
+                AS DECIMAL(38,0)) AS VARCHAR) AS psi_term_fp
+    FROM sm s JOIN lg la ON la.v = s.a JOIN lg lb ON lb.v = s.b
+    ORDER BY s.category"""
+
+  /** q209: n-gram diversity — the family tokenizer, every n-gram
+    * occurrence (repeats included) for n ∈ {1, 2, 3}, exact counts and
+    * ppm ratios.
+    */
+  private val q209 = s"""
+    WITH toks AS (${lowerToksFrom("documents")}),
+    g AS (
+      SELECT ns.n,
+             unnest(CASE WHEN len(tk) < ns.n THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(tk) - ns.n + 2),
+                           i -> array_to_string(tk[i:i+ns.n-1], ' ')) END) AS ngram
+      FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns),
+    c AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+             CAST(count(DISTINCT ngram) AS BIGINT) AS distinct_ngrams
+      FROM g GROUP BY n)
+    SELECT CAST(n AS INTEGER) AS n, total_ngrams, distinct_ngrams,
+           CAST(CASE WHEN total_ngrams > 0
+                     THEN distinct_ngrams * 1000000 // total_ngrams
+                     ELSE 0 END AS BIGINT) AS distinct_ppm
+    FROM c ORDER BY n"""
+
   /** q193: semantic decontamination — per corpus vector the best
     * benchmark match by exact quantized cosine (benchmark = every 50th
     * vector verbatim under an offset id), ties to the lower benchmark
@@ -6515,6 +6615,8 @@ object OracleSql {
     "q205_retrieval_metrics" -> q205,
     "q206_retrieval_summary" -> q206,
     "q207_hard_negatives" -> q207,
+    "q208_embedding_drift" -> q208,
+    "q209_ngram_diversity" -> q209,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

@@ -4256,6 +4256,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-space drift ([[graft.operators.Drift.embedding]]): the
+    * "new crawl" arrives with half its vectors rotated by 8 dims — a
+    * deterministic semantic-space shift no metadata column would see —
+    * and both snapshots assign to the REFERENCE snapshot's h60-picked
+    * IVF cells, whose mass distributions run through q148's exact PSI
+    * machinery. Per-cell detail rows; the oracle re-derives the
+    * codebook, both assignments, and every smoothed decimal PSI term.
+    */
+  def q208_embedding_drift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cur = emb.withColumn("embedding",
+      when(col("vec_id") % 2 === 0,
+        concat(slice(col("embedding"), 9, 56), slice(col("embedding"), 1, 8)))
+        .otherwise(col("embedding")))
+    Drift.embedding(emb, cur, "vec_id", "embedding", nCells = 16)
+      .withColumn("psi_term_fp", col("psi_term_fp").cast("string"))
+      .orderBy(col("category"))
+  }
+
+  /** Corpus n-gram diversity ([[graft.operators.TermStats
+    * .ngramDiversity]]): distinct-1/2/3 with totals and exact ppm
+    * ratios — the synthetic-data mode-collapse / boilerplate-growth
+    * dial as one report. The oracle re-tokenizes and re-derives every
+    * n-gram multiset.
+    */
+  def q209_ngram_diversity(s: SparkSession, dir: String): DataFrame =
+    TermStats.ngramDiversity(Tables.documents(s, dir), "text", Seq(1, 2, 3))
+      .orderBy(col("n"))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4466,6 +4495,8 @@ object SparkEntry {
     "q205_retrieval_metrics" -> (q205_retrieval_metrics _),
     "q206_retrieval_summary" -> (q206_retrieval_summary _),
     "q207_hard_negatives" -> (q207_hard_negatives _),
+    "q208_embedding_drift" -> (q208_embedding_drift _),
+    "q209_ngram_diversity" -> (q209_ngram_diversity _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -115,6 +115,32 @@ object Drift {
         col("psi_term_fp").cast("decimal(38,0)").as("psi_term_fp"))
   }
 
+  /** EMBEDDING-SPACE drift (round 14): did the new crawl move in
+    * semantic space — the question categorical/binned columns cannot
+    * see (two text distributions can share every metadata histogram
+    * and still be about different things). The lens is the IVF cell:
+    * both snapshots assign to the REFERENCE snapshot's centroids
+    * ([[IvfIndex.centroids]] — the h60-deterministic pick, so the
+    * oracle re-derives the codebook; holding the codebook FIXED is
+    * what makes the comparison apples-to-apples, the
+    * [[graft.operators.Dedup]] frozen-codebook discipline), and the
+    * cell-mass distributions run through the exact PSI machinery
+    * ([[categoricalFromCounts]] — same smoothing, same Q10 log2, same
+    * decimal terms as every drift column). `nCells` is the binning
+    * resolution dial; the category table is ≤ nCells rows, so the
+    * monitoring cost after the two assignment scans is nil.
+    */
+  def embedding(ref: DataFrame, cur: DataFrame, idCol: String,
+      vecCol: String, nCells: Int = 16): DataFrame = {
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    val cents = graft.operators.IvfIndex.centroids(ref, idCol, vecCol, nCells)
+    def cellCounts(df: DataFrame, out: String): DataFrame =
+      graft.operators.IvfIndex.assign(df, idCol, vecCol, cents)
+        .select(col("centroid_id").cast("string").as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as(out))
+    categoricalFromCounts(cellCounts(ref, "n_ref"), cellCounts(cur, "n_cur"))
+  }
+
   /** Fixed-width binning for numeric columns — the deterministic
     * histogram lens that turns a continuous column into categories
     * [[categorical]] can monitor: bin = `floor(value / width)` as a

@@ -220,4 +220,40 @@ object TermStats {
       .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Corpus n-gram DIVERSITY report — distinct-n (Li et al., NAACL
+    * 2016) per n: total n-gram occurrences (repeats included — the
+    * repetition signal), distinct n-grams, and their exact-integer
+    * ratio in ppm. The dial synthetic/generated training data is
+    * audited with: mode-collapsed generations repeat n-grams, so
+    * distinct-2/distinct-3 crater long before any metadata column
+    * notices; rising totals with flat distincts on a crawl mean
+    * boilerplate growth (the dedup families remove it — this measures
+    * it). Tokenizer is the family convention (lowercase, whitespace,
+    * empty docs contribute nothing).
+    *
+    * Scale shape: one scan + explode + partial/final aggregate per n
+    * (the `countDistinct` expands once; no joins, nothing driver-side)
+    * — keep `ns` small, each entry is a corpus pass.
+    */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ns must be non-empty with every n in [1, 8], got $ns")
+    ns.map { n =>
+      docs.select(T.tokens(lower(col(textCol))).as("tk"))
+        .select(explode(expr(
+          s"CASE WHEN size(tk) < $n THEN array() " +
+            s"ELSE transform(sequence(0, size(tk) - $n), " +
+            s"i -> array_join(slice(tk, i + 1, $n), ' ')) END")).as("ngram"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("ngram")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"))
+    }.reduce(_ unionByName _)
+      .withColumn("distinct_ppm",
+        when(col("total_ngrams") > 0,
+          expr("distinct_ngrams * 1000000 DIV total_ngrams"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -94,4 +94,32 @@ class DriftSpec extends SparkSpec {
       Seq("o_orderstatus")).head().getDecimal(4)
     assert(a == b && a.signum >= 0)
   }
+
+  test("embedding drift: identical snapshots read zero per cell; a " +
+      "semantic shift moves mass and the PSI terms say so") {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sfDir()).select($"vec_id", $"embedding")
+    // identical snapshots: every cell's smoothed products are equal →
+    // every per-cell term is exactly 0
+    val same = Drift.embedding(emb, emb, "vec_id", "embedding", nCells = 8)
+      .collect()
+    assert(same.nonEmpty)
+    assert(same.forall(_.getDecimal(3).signum == 0),
+      "identical snapshots must read PSI 0 in every cell")
+    // the new crawl arrives rotated: vectors land in other cells, so
+    // at least one cell's mass moves and its term is non-zero; totals
+    // are conserved (assignment is total on both sides)
+    val cur = emb.withColumn("embedding",
+      concat(slice($"embedding", 9, 56), slice($"embedding", 1, 8)))
+    val drifted = Drift.embedding(emb, cur, "vec_id", "embedding", nCells = 8)
+      .collect()
+    assert(drifted.map(_.getAs[Long]("n_ref")).sum ==
+      drifted.map(_.getAs[Long]("n_cur")).sum)
+    assert(drifted.exists(_.getDecimal(3).signum != 0),
+      "a rotated snapshot must register drift in at least one cell")
+    // the frozen-codebook contract: the categories come from the
+    // REFERENCE snapshot's cells, so both runs share the cell universe
+    assert(drifted.map(_.getString(0)).toSet
+      .subsetOf((0 until 8).map(_.toString).toSet))
+  }
 }

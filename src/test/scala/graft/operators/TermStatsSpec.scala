@@ -97,4 +97,36 @@ class TermStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("ngramDiversity: hand-computed distinct-n; repeats counted in " +
+      "totals; empty/NULL docs contribute nothing; dial hygiene") {
+    val docs = Seq(
+      (1L, "the cat sat"),        // unigrams: the, cat, sat
+      (2L, "the cat ran"),        // repeats 'the cat' bigram
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TermStats.ngramDiversity(docs, "text", Seq(1, 2, 3))
+      .orderBy("n").collect()
+    // n=1: 6 tokens, 4 distinct (the×2, cat×2, sat, ran)
+    assert((got(0).getAs[Long]("total_ngrams"),
+      got(0).getAs[Long]("distinct_ngrams")) == ((6L, 4L)))
+    assert(got(0).getAs[Long]("distinct_ppm") == 4L * 1000000L / 6L)
+    // n=2: 4 bigrams, 3 distinct ('the cat'×2, 'cat sat', 'cat ran')
+    assert((got(1).getAs[Long]("total_ngrams"),
+      got(1).getAs[Long]("distinct_ngrams")) == ((4L, 3L)))
+    // n=3: 2 trigrams, both distinct
+    assert((got(2).getAs[Long]("total_ngrams"),
+      got(2).getAs[Long]("distinct_ngrams")) == ((2L, 2L)))
+    // a fully-repetitive corpus craters distinct-2 (the mode-collapse dial)
+    val collapsed = Seq.fill(20)((1L, "same same same")).toDF("doc_id", "text")
+    val d2 = TermStats.ngramDiversity(collapsed, "text", Seq(2)).head()
+    assert(d2.getAs[Long]("distinct_ngrams") == 1L &&
+      d2.getAs[Long]("total_ngrams") == 40L)
+    intercept[IllegalArgumentException] {
+      TermStats.ngramDiversity(docs, "text", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      TermStats.ngramDiversity(docs, "text", Seq(9))
+    }
+  }
 }
