@@ -54,6 +54,14 @@ object RetrievalMetrics {
     * `(queryCol, n_judged, first_rel_rank, rr_ppm, hit_k, dcg_fp,
     * idcg_fp, ndcg_ppm)`. Grades must be positive integers (≤ 10⁶ —
     * the Q20 envelope); ranks start at 1.
+    *
+    * Input contracts (the trec file-format invariants, stated because
+    * a frame can violate what a file format cannot): `results` is a
+    * ranked LIST — one row per (query, doc); `qrels` is a judgment
+    * SET — one grade per (query, doc). Duplicate keys on either side
+    * would double-count gains/judgments rather than fail loudly (both
+    * joins are bounded, so callers with doubtful upstreams can afford
+    * a dropDuplicates first).
     */
   def perQuery(results: DataFrame, qrels: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
