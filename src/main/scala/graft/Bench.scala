@@ -151,8 +151,16 @@ object Bench {
     // queries). The degradation ladder lives in [[BenchFormat]]
     // (spec-pinned: ≤ budget at 260 queries, never coarser than
     // deciseconds, n/n_err in every tier — the r12 verdict's task 1).
+    // Since r15 the tail also carries the per-query CPU map and the
+    // load block (r14 verdict task 1: the artifact self-adjudicates
+    // host contention — cpu ≪ wall on a row settles it at read time,
+    // no builder-session archaeology or judge re-runs needed). The
+    // compact load block reuses the full line's field names at 2 dp.
+    val loadTail = s"""{"avg_start":${jnum2(loadStart)},"avg_end":${jnum2(loadEnd)},""" +
+      s""""wall_sec":${jnum2(wallSec)},"proc_cpu_sec":${jnum2(cpuEnd - cpuStart)},""" +
+      s""""cpus":$cpus,"runs":$runs}"""
     println(BenchFormat.tailLine(ok, wall.toMap, total, names.size,
-      new java.io.File(sfDir).getName))
+      new java.io.File(sfDir).getName, cpu.toMap, loadTail))
     spark.stop()
   }
 }

@@ -72,49 +72,124 @@ object BenchFormat {
   /** Build the tail line for `ok` (queries with ≥1 successful round),
     * walls in seconds. `nAll` is the total query count (so
     * `n_err = nAll - ok.size` — present in every tier).
+    *
+    * r14 verdict task 1 — the tail must SELF-ADJUDICATE contention:
+    * `cpu` (per-query process-CPU seconds of the winning round) and
+    * `load` (the run-wide load block JSON) ride every tier that fits,
+    * cpu in the same encoding as the walls (`"cpu":{…}` object form,
+    * `"c_ds"` packed deciseconds). The box swings 1.4–1.7× wall on
+    * constant CPU, so a wall map without a cpu map cannot distinguish
+    * a regression from a co-tenant burst — two rounds of judge
+    * re-runs existed only because this line didn't carry it. When
+    * even the packed cpu map cannot fit (≫250 queries), cpu drops
+    * LAST, before any wall resolution is lost — the wall ladder below
+    * is unchanged from r12.
     */
   def tailLine(ok: Seq[String], wall: Map[String, Double], total: Double,
-      nAll: Int, sfName: String): String = {
+      nAll: Int, sfName: String,
+      cpu: Map[String, Double] = Map.empty,
+      load: String = ""): String = {
     val sorted = ok.sorted
+    val haveCpu = sorted.forall(cpu.contains)
+    val loadField = if (load.isEmpty) "" else s""""load":$load,"""
     // short key = the qNNN prefix, unless that collides
     val shortKey0 = ok.map(k => k -> k.takeWhile(_ != '_')).toMap
     val shortKey: Map[String, String] =
       if (shortKey0.values.toSet.size == ok.size) shortKey0
       else ok.map(k => k -> k).toMap
-    def line(strip: Boolean, f: Double => String, extra: String = ""): String = {
+    def line(strip: Boolean, f: Double => String, extra: String = "",
+        cpuF: Option[Double => String] = None): String = {
       val key: String => String =
         if (strip) k => shortKey(k).stripPrefix("q") else shortKey
       val qs = sorted.map(k => jstr(key(k)) + ":" + f(wall(k)))
         .mkString("{", ",", "}")
+      val cs = cpuF.filter(_ => haveCpu).map { cf =>
+        sorted.map(k => jstr(key(k)) + ":" + cf(cpu(k)))
+          .mkString(""""cpu":{""", ",", "},")
+      }.getOrElse("")
       val pfx = if (strip) """"key_prefix":"q",""" else ""
       s"""{"metric":"total","value":${jnum2(total)},"unit":"sec",""" +
         s""""n":${ok.size},"n_err":${nAll - ok.size},$pfx$extra""" +
-        s""""queries":$qs,"sf":"$sfName"}"""
+        s"""$cs$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // packed tier: only when every stripped key is a distinct integer
     // (all current names are qNNN_…; a non-numeric residue falls back
-    // to tier 6, which is still decisecond-floored)
+    // to the object ds tier, which is still decisecond-floored)
     val numericIds = sorted.flatMap { k =>
       val s = shortKey(k).stripPrefix("q")
       if (s.nonEmpty && s.forall(_.isDigit)) Some(k -> s.toLong) else None
     }
-    val packed: Option[String] =
+    def packed(withCpu: Boolean): Option[String] =
       if (numericIds.size == sorted.size &&
           numericIds.map(_._2).distinct.size == sorted.size) {
         val byId = numericIds.sortBy(_._2)
         val vals = byId.map { case (k, _) => ds(wall(k)).toString }.mkString(",")
+        val cs = if (withCpu && haveCpu)
+          byId.map { case (k, _) => ds(cpu(k)).toString }
+            .mkString(""""c_ds":"""", ",", "\",")
+        else ""
         Some(s"""{"metric":"total","value":${jnum2(total)},"unit":"sec",""" +
           s""""n":${ok.size},"n_err":${nAll - ok.size},"key_prefix":"q",""" +
           s""""q_unit":"ds","q_ids":"${packRanges(byId.map(_._2))}",""" +
-          s""""q_ds":"$vals","sf":"$sfName"}""")
+          s"""$cs$loadField"q_ds":"$vals","sf":"$sfName"}""")
       } else None
-    val candidates = Seq(
+    // cpu resolution degrades ahead of wall resolution at every step
+    // (cpu flags contention, cpu ≪ wall or cpu ≈ const across rounds —
+    // it never ranks queries); cpu drops entirely only after the
+    // densest packed-with-cpu tier fails to fit
+    val withCpu = Seq(
+      line(strip = false, jnum, cpuF = Some(jnum2)),
+      line(strip = false, jnum2, cpuF = Some(jnum2)),
+      line(strip = true, jnum2, cpuF = Some(fmt1)),
+      line(strip = true, fmtAd, cpuF = Some(fmt1)),
+      line(strip = true, fmt1, cpuF = Some(v => ds(v).toString),
+        extra = """"c_unit":"ds","""),
+      line(strip = true, v => ds(v).toString,
+        extra = """"q_unit":"ds","c_unit":"ds",""",
+        cpuF = Some(v => ds(v).toString))) ++ packed(withCpu = true)
+    val wallOnly = Seq(
       line(strip = false, jnum), line(strip = false, jnum2),
       line(strip = true, jnum2), line(strip = true, fmtAd),
       line(strip = true, fmt1),
       line(strip = true, v => ds(v).toString, extra = """"q_unit":"ds",""")) ++
-      packed
+      packed(withCpu = false)
+    val candidates = (if (haveCpu) withCpu else Seq.empty) ++ wallOnly
     candidates.find(_.length <= Budget).getOrElse(candidates.last)
+  }
+
+  /** The cpu half of a [[tailLine]]: `name → process-CPU seconds`, from
+    * either the `"cpu":{…}` object form or the packed `"c_ds"` string
+    * (ids from `q_ids`, same order). Empty map when the line carries no
+    * cpu (a pre-r15 artifact, or the ≫250-query drop tier).
+    */
+  def decodeTailCpu(line: String): Map[String, Double] = {
+    def field(name: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + name + "\":(\"([^\"]*)\"|([0-9.\\-]+))")
+        .matcher(line)
+      if (m.find()) Option(m.group(2)).orElse(Option(m.group(3))) else None
+    }
+    val prefix = field("key_prefix").getOrElse("")
+    (field("q_ids"), field("c_ds")) match {
+      case (Some(ids), Some(vals)) =>
+        val idSeq = unpackRanges(ids)
+        val vs = if (vals.isEmpty) Seq.empty[String]
+          else vals.split(",").toIndexedSeq
+        require(idSeq.size == vs.size,
+          s"packed id/cpu count mismatch: ${idSeq.size} vs ${vs.size}")
+        idSeq.zip(vs).map { case (id, v) =>
+          s"$prefix$id" -> v.toDouble / 10.0 }.toMap
+      case _ =>
+        val unit = field("c_unit").getOrElse("sec")
+        def toSec(v: Double) = if (unit == "ds") v / 10.0 else v
+        val m = java.util.regex.Pattern
+          .compile("\"cpu\":\\{([^}]*)\\}").matcher(line)
+        if (!m.find()) Map.empty
+        else m.group(1).split(",").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          prefix + k.stripPrefix("\"").stripSuffix("\"") -> toSec(v.toDouble)
+        }.toMap
+    }
   }
 
   /** Round-trip a [[tailLine]] back to `(n, n_err, name → seconds)` —

@@ -4569,6 +4569,109 @@ object OracleSql {
     GROUP BY s.n_probe
     ORDER BY n_probe"""
 
+  /** q212: POPULATION recall telemetry — q204's protocol over q192's
+    * whole query set: the per-query lexical legs (q192's BM25 chain),
+    * the q36 IVF derivation probed PER QUERY at every setting
+    * INCLUDING the exhaustive dial (nProbe = 16 — all cells, so that
+    * row IS the exact hybrid, no separate brute leg needed), per-
+    * (setting, query) RRF fusion top-10, then the micro recall over
+    * the population (integer sums, one division). Multiply-referenced
+    * CTEs materialize (the DuckDB inlining rule).
+    */
+  private val q212 = s"""
+    WITH RECURSIVE ${bm25Base("TRUE")},
+    qt(query_id, term) AS (
+      VALUES (1, 'dup'), (1, 'line'), (2, 'vector'), (2, 'merge'), (3, 'zzz')),
+    terms AS (SELECT DISTINCT term FROM qt),
+    cand AS (SELECT t.doc_id, t.term, t.tf FROM tf t JOIN terms q ON q.term = t.term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY term),
+    $bm25Idf,
+    w AS (
+      SELECT q.query_id, c.doc_id,
+             idf.idf * ((22528 * c.tf * av.af) //
+               (10 * c.tf * av.af + 3 * av.af + 2304 * l.dl)) AS w
+      FROM cand c
+      JOIN qt q ON q.term = c.term
+      JOIN idf ON idf.term = c.term
+      JOIN lens l ON l.doc_id = c.doc_id
+      CROSS JOIN av),
+    sc AS (
+      SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+      FROM w GROUP BY query_id, doc_id),
+    lex AS MATERIALIZED (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS r
+        FROM sc)
+      WHERE r <= 20),
+    base AS (SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qcell AS MATERIALIZED (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2 WHERE vec_id IN (1, 2, 3)) q
+      CROSS JOIN cents),
+    settings(n_probe) AS (VALUES (1), (2), (4), (16)),
+    probes AS (
+      SELECT s.n_probe, qc.query_id, qc.qq, qc.qn2, qc.centroid_id
+      FROM qcell qc CROSS JOIN settings s WHERE qc.rn <= s.n_probe),
+    ivfcand AS (
+      SELECT p.n_probe, p.query_id, a.id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ivfvec AS (
+      SELECT n_probe, query_id, id AS doc_id, r FROM (
+        SELECT n_probe, query_id, id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                 ORDER BY cosine DESC, id) AS r
+        FROM ivfcand)
+      WHERE r <= 20),
+    u AS (
+      SELECT s.n_probe, l.query_id, l.doc_id, l.r FROM lex l CROSS JOIN settings s
+      UNION ALL SELECT n_probe, query_id, doc_id, r FROM ivfvec),
+    fused AS MATERIALIZED (
+      SELECT n_probe, query_id, doc_id FROM (
+        SELECT n_probe, query_id, doc_id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                 ORDER BY rrf_fp DESC, doc_id) AS rank
+        FROM (SELECT n_probe, query_id, doc_id,
+                     CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_fp
+              FROM u GROUP BY n_probe, query_id, doc_id))
+      WHERE rank <= 10),
+    exact AS MATERIALIZED (
+      SELECT query_id, doc_id FROM fused WHERE n_probe = 16)
+    SELECT CAST(s.n_probe AS INTEGER) AS n_probe,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS recall_ppm
+    FROM exact e
+    CROSS JOIN (VALUES (1), (2), (4)) s(n_probe)
+    LEFT JOIN fused f ON f.n_probe = s.n_probe
+      AND f.query_id = e.query_id AND f.doc_id = e.doc_id
+    GROUP BY s.n_probe
+    ORDER BY n_probe"""
+
   /** q192: BATCH hybrid fusion — q140's per-query BM25 chain and a
     * per-query quantized-cosine chain (probe vectors 1–3, self
     * excluded), each ranked top-20 PER QUERY, fused by the exact RRF
@@ -6617,6 +6720,15 @@ object OracleSql {
     "q207_hard_negatives" -> q207,
     "q208_embedding_drift" -> q208,
     "q209_ngram_diversity" -> q209,
+    // q210 runs q207's mining through the candidate seam with the
+    // persisted-IVF probe as the candidate stage at an exhaustive
+    // nProbe and k = corpus size — every scored pair, identically to
+    // the brute scorer by construction, so it shares q207's oracle
+    "q210_hard_negatives_ivf" -> q207,
+    // q211 is q208 fed from the persisted reference (frozen codebook +
+    // reference cell masses) — value-identical by construction
+    "q211_embedding_drift_state" -> q208,
+    "q212_hybrid_recall_population" -> q212,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

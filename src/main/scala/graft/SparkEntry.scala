@@ -4285,6 +4285,114 @@ object SparkEntry {
     TermStats.ngramDiversity(Tables.documents(s, dir), "text", Seq(1, 2, 3))
       .orderBy(col("n"))
 
+  /** q207's hard-negative mining served through the CANDIDATE SEAM
+    * from the persisted IVF index (r14 verdict task 2 — the q202
+    * argument applied to mining): the scored candidates come from
+    * [[graft.operators.IvfIndex.probe]] over the q189 index at
+    * `nProbe = nCentroids` with k = corpus size (an exhaustive sweep
+    * over the same round-6 quantized-cosine kernel — every scored
+    * pair, identically to the brute scorer, by construction), and
+    * [[graft.operators.Similarity.hardNegativesFromCandidates]] runs
+    * the band / positive-anti-join / top-k half. Value-identical to
+    * q207, so the row shares q207's oracle — the hash proves the
+    * composed production path (probe → mine) end-to-end; SimilaritySpec
+    * pins seam == brute structurally.
+    */
+  def q210_hard_negatives_ivf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id").isin(3L, 7L))
+    val positives = emb.select(col("vec_id").as("id"))
+      .crossJoin(Seq(3L, 7L).toDF("query_id"))
+      .filter((col("id") + col("query_id")) % 19 === 0)
+    val cands = IvfIndex.probe(cells, cents, anchors, "embedding", "vec_id",
+        k = 512, nProbe = 16)
+      .select(col("query_id"), col("id"), col("cosine"))
+    Similarity.hardNegativesFromCandidates(cands, positives,
+        k = 10, maxCosinePpm = 450000L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The persisted embedding-drift reference for q211 (one write per
+    * (session, dir) — frozen codebook + reference cell masses, the
+    * [[graft.operators.Drift.writeEmbeddingReference]] state).
+    */
+  private val embDriftRefMemo = new StateMemo[String]()
+  private def embDriftRefDir(s: SparkSession, dir: String): String =
+    embDriftRefMemo.get(s, dir) {
+      val d = tempStateDir("graft-drift-ref")
+      Drift.writeEmbeddingReference(Tables.embeddings(s, dir),
+        "vec_id", "embedding", d, nCells = 16)
+      d
+    }
+
+  /** q208's embedding drift FED FROM PERSISTED REFERENCE STATE (r14
+    * verdict task 3 — production's daily shape: the frozen codebook
+    * and the reference snapshot's cell masses are state, so the
+    * monitoring run pays only the CURRENT snapshot's assignment
+    * scan). Value-identical to q208 by construction (exact integer
+    * cell counts through the same PSI machinery), so the row shares
+    * q208's oracle; DriftSpec pins state-fed == from-scratch
+    * structurally.
+    */
+  def q211_embedding_drift_state(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cur = emb.withColumn("embedding",
+      when(col("vec_id") % 2 === 0,
+        concat(slice(col("embedding"), 9, 56), slice(col("embedding"), 1, 8)))
+        .otherwise(col("embedding")))
+    Drift.embeddingAgainstReference(s, embDriftRefDir(s, dir), cur,
+        "vec_id", "embedding")
+      .withColumn("psi_term_fp", col("psi_term_fp").cast("string"))
+      .orderBy(col("category"))
+  }
+
+  /** POPULATION-level hybrid recall telemetry (r14 verdict task 7 —
+    * q204 measured ONE query; production reads the nProbe dial off a
+    * query population): q192's full batch-hybrid query set fused at
+    * nProbe ∈ {1, 2, 4} via [[graft.operators.Similarity.rrfFuseByKey]]
+    * and measured against the exact hybrid (nProbe = nCentroids —
+    * exhaustive, the q189 argument), one row per setting with
+    * `(n_probe, n_queries, n_exact, n_hit, recall_ppm)` — the micro
+    * recall over the population (integer sums and ONE division, the
+    * q129 discipline), all exact integers, so the population telemetry
+    * itself is hash-proven. The lexical legs are shared across all
+    * four fusions (the dial only moves the vector legs).
+    */
+  def q212_hybrid_recall_population(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
+      (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
+    val lex = Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
+        queries, "query_id", "term", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .localCheckpoint(true) // ≤60 rows, shared by all four fusions
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+    def fusedAt(nProbe: Int): DataFrame =
+      Similarity.rrfFuseByKey(Seq(lex,
+          IvfIndex.probe(cells, cents, qs, "embedding", "vec_id",
+              k = 20, nProbe = nProbe)
+            .select(col("query_id"), col("id").as("doc_id"), col("rank"))),
+          "query_id", "doc_id", "rank", k = 10, enforceDistinct = true)
+        .select(col("query_id"), col("doc_id"))
+    val exact = fusedAt(16).localCheckpoint(true) // ≤30 rows, read 3×
+    Seq(1, 2, 4).map { p =>
+      exact.join(fusedAt(p).withColumn("__hit", lit(1L)),
+          Seq("query_id", "doc_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("n_probe", lit(p))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_exact"))
+      .select(col("n_probe"), col("n_queries"), col("n_exact"),
+        col("n_hit"), col("recall_ppm"))
+      .orderBy(col("n_probe"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4497,6 +4605,9 @@ object SparkEntry {
     "q207_hard_negatives" -> (q207_hard_negatives _),
     "q208_embedding_drift" -> (q208_embedding_drift _),
     "q209_ngram_diversity" -> (q209_ngram_diversity _),
+    "q210_hard_negatives_ivf" -> (q210_hard_negatives_ivf _),
+    "q211_embedding_drift_state" -> (q211_embedding_drift_state _),
+    "q212_hybrid_recall_population" -> (q212_hybrid_recall_population _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

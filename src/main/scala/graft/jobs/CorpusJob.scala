@@ -1009,7 +1009,11 @@ object CorpusJob {
     *  - `ivf_index` — [[graft.operators.IvfIndex.cellStats]]: cells,
     *    vectors, max/mean imbalance with a rebalance verdict,
     *  - `fuzzy_blocks` — [[graft.operators.FuzzyJoin.blockStats]]:
-    *    blocks, rows, capped-row fraction.
+    *    blocks, rows, capped-row fraction,
+    *  - the SAME bloom/mixloss/skew rows from a STREAM-maintained
+    *    state (`advisoryStateDir` — a [[graft.streaming.CorpusStream
+    *    .runIncrementalAdvisories]] layout, folded through its
+    *    committed-batch reads; r14 verdict task 6).
     *
     * Every input is OPTIONAL (report what you maintain); every read is
     * STATE-sized — sketch rows, term stats, cell counts — the corpus
@@ -1024,41 +1028,77 @@ object CorpusJob {
       ivfDir: Option[String] = None,
       fuzzyBlocks: Option[DataFrame] = None,
       skewThreshold: Double = 10.0,
-      ivfImbalanceLimit: Double = 4.0): DataFrame = {
+      ivfImbalanceLimit: Double = 4.0,
+      // the SAME dials (and defaults) [[compactState]] rebuilds on —
+      // plumbed through so the reported verdict IS the compaction
+      // decision; an operator running non-default dials passes them
+      // here too (ADVICE r14)
+      bloomLoadFactor: Double = 0.5,
+      bloomTakedownLimit: Long = 1L,
+      // a [[graft.streaming.CorpusStream.runIncrementalAdvisories]]
+      // state dir (r14 verdict task 6): stream-maintained deployments
+      // get the SAME one-query ops surface — the bloom/mixloss/skew
+      // rows fold through [[graft.streaming.CorpusStream
+      // .readMergedAdvisories]]'s committed-batch reads (an orphan
+      // partition from a crashed batch is invisible, the family
+      // discipline). A dir the stream has not committed to yet
+      // contributes nothing, like every other absent input.
+      advisoryStateDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long, String)]
+    def bloomRow(bloom: DataFrame, m: Int, td: Long): Unit = {
+      val s = graft.operators.PortableBloom.stats(bloom, Nil).collect()
+      val (nw, bits) = s.headOption
+        .map(x => (x.getAs[Long]("n_words_set"), x.getAs[Long]("bits_set")))
+        .getOrElse((0L, 0L))
+      rows += (("bloom", nw, td, bits * 1000000L / m,
+        if (graft.operators.PortableBloom.needsRebuild(bloom, m, td,
+            bloomLoadFactor, bloomTakedownLimit))
+          "rebuild" else "ok"))
+    }
+    def mixlossRow(ml: DataFrame): Unit = {
+      val a = ml.agg(count(lit(1)),
+        coalesce(sum(col("n_docs")), lit(0L))).head()
+      rows += (("mixloss", a.getLong(0), a.getLong(1), 0L, "ok"))
+    }
+    def skewRow(rep: org.apache.spark.sql.Row): Unit = {
+      val lb = Option(rep.getAs[java.lang.Double]("skew_ratio_lb"))
+        .map(_.toDouble).getOrElse(0.0)
+      val salts = Salting.saltsFromReportRow(rep, skewThreshold)
+      rows += (("skew", rep.getAs[Long]("n_keys"), rep.getAs[Long]("n_rows"),
+        math.round(lb * 1000000.0),
+        if (salts > 1) s"salt($salts)" else "uniform"))
+    }
     corpusStateDir.foreach { sd =>
       for {
         mdf <- Zone.readIfExists(spark, s"$sd/folded/bloommeta")
         bloom <- Zone.readIfExists(spark, s"$sd/folded/bloom")
       } {
         val r = mdf.head()
-        val m = r.getAs[Int]("m")
         val td = if (r.schema.fieldNames.contains("takedown_docs"))
           r.getAs[Long]("takedown_docs") else 0L
-        val s = graft.operators.PortableBloom.stats(bloom, Nil).collect()
-        val (nw, bits) = s.headOption
-          .map(x => (x.getAs[Long]("n_words_set"), x.getAs[Long]("bits_set")))
-          .getOrElse((0L, 0L))
-        rows += (("bloom", nw, td, bits * 1000000L / m,
-          if (graft.operators.PortableBloom.needsRebuild(bloom, m, td))
-            "rebuild" else "ok"))
+        bloomRow(bloom, r.getAs[Int]("m"), td)
       }
-      Zone.readIfExists(spark, s"$sd/folded/mixloss").foreach { ml =>
-        val a = ml.agg(count(lit(1)),
-          coalesce(sum(col("n_docs")), lit(0L))).head()
-        rows += (("mixloss", a.getLong(0), a.getLong(1), 0L, "ok"))
-      }
-      if (Zone.exists(spark, s"$sd/folded/skew/theta")) {
-        val rep = Salting.skewReportFromState(spark, s"$sd/folded/skew").head()
-        val lb = Option(rep.getAs[java.lang.Double]("skew_ratio_lb"))
-          .map(_.toDouble).getOrElse(0.0)
-        val salts = Salting.saltsFromState(spark, s"$sd/folded/skew",
-          skewThreshold)
-        rows += (("skew", rep.getAs[Long]("n_keys"), rep.getAs[Long]("n_rows"),
-          math.round(lb * 1000000.0),
-          if (salts > 1) s"salt($salts)" else "uniform"))
+      Zone.readIfExists(spark, s"$sd/folded/mixloss").foreach(mixlossRow)
+      if (Zone.exists(spark, s"$sd/folded/skew/theta"))
+        skewRow(Salting.skewReportFromState(spark, s"$sd/folded/skew").head())
+    }
+    advisoryStateDir.foreach { sd =>
+      // only a COMMITTED stream state reports (the marker gate); the
+      // advmeta params pin the read the same way the folded layout's
+      // meta tables do — streams never take down, so staleness is 0
+      if (Zone.lastCommittedBatch(spark, sd).isDefined) {
+        val (mixloss, bloom, (theta, cm, cands)) =
+          graft.streaming.CorpusStream.readMergedAdvisories(spark, sd)
+        val meta = Zone.readIfExists(spark, s"$sd/advmeta").map(_.head())
+        val m = meta.map(_.getAs[Int]("m"))
+          .getOrElse(graft.operators.PortableBloom.DefaultM)
+        val thetaK = meta.map(_.getAs[Int]("theta_k")).getOrElse(256)
+        bloomRow(bloom, m, 0L)
+        mixlossRow(mixloss)
+        skewRow(Salting.skewReportFromFrames(theta, cm, cands,
+          thetaK = thetaK).head())
       }
     }
     bm25Dir.foreach { d =>
@@ -1088,6 +1128,57 @@ object CorpusJob {
     }
     rows.toSeq
       .toDF("family", "size_rows", "staleness", "saturation_ppm", "verdict")
+  }
+
+  /** Eval-in-the-loop (r14 verdict task 8): ranking-quality DRIFT as
+    * an ops-surface row family beside [[stateReport]]. The daily run
+    * feeds the day's stored retrieval RESULTS (`(query_id, doc_id,
+    * rank)` — a q192-shaped run log; production pays only the bounded
+    * metric joins, the [[graft.operators.RetrievalMetrics]] contract)
+    * and the frozen qrels table; this computes the day's
+    * [[graft.operators.RetrievalMetrics.summary]], diffs it against
+    * the PERSISTED prior fold's summary, and swaps the stored summary
+    * to today's (temp-and-rename, the state-family crash contract —
+    * a crashed run leaves the prior summary intact).
+    *
+    * Output: one row per metric — `(metric, current_ppm, prior_ppm,
+    * delta_ppm)` over `n_queries` / `mrr_ppm` / `mean_ndcg_ppm` /
+    * `hit_rate_ppm`, all exact integers (delta = current − prior).
+    * First run has no prior: prior/delta NULL (alert plumbing treats
+    * "no baseline yet" differently from "moved by 0"). `n_queries`
+    * rides as a metric row because a shrinking eval set EXPLAINS
+    * metric moves — a dashboard alerting on mrr delta alone would
+    * misread a qrels truncation as a ranking regression. The stored
+    * summary pins `k`; a read at another k refuses (an MRR@5 vs
+    * MRR@10 delta is meaningless — the bloommeta/advmeta discipline).
+    * Every read here is ONE-ROW-sized; the corpus is never touched.
+    */
+  def retrievalQualityReport(spark: SparkSession, results: DataFrame,
+      qrels: DataFrame, stateDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cur = graft.operators.RetrievalMetrics.summary(
+        graft.operators.RetrievalMetrics.perQuery(results, qrels, k))
+      .withColumn("k", lit(k))
+      .localCheckpoint(true) // one row; read for the diff AND the swap
+    val curRow = cur.head()
+    val prior = Zone.readIfExists(spark, s"$stateDir/retrieval_quality")
+      .map(_.head())
+    prior.foreach { p =>
+      require(p.getAs[Int]("k") == k,
+        s"retrieval-quality state at $stateDir was written at k=" +
+          s"${p.getAs[Int]("k")}, read at k=$k — cross-k deltas are " +
+          "meaningless; rebuild the baseline or match the dial")
+    }
+    val rows: Seq[(String, Long, java.lang.Long, java.lang.Long)] =
+      Seq("n_queries", "mrr_ppm", "mean_ndcg_ppm", "hit_rate_ppm").map { m =>
+        val c = curRow.getAs[Long](m)
+        val p = prior.map(_.getAs[Long](m))
+        (m, c,
+          p.map(java.lang.Long.valueOf).orNull,
+          p.map(pv => java.lang.Long.valueOf(c - pv)).orNull)
+      }
+    Zone.overwriteInPlace(spark, cur, s"$stateDir/retrieval_quality")
+    rows.toDF("metric", "current_ppm", "prior_ppm", "delta_ppm")
   }
 
   // ========================================================================

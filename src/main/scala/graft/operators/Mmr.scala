@@ -85,9 +85,11 @@ object Mmr {
     * `(id, rel_ppm)` — the candidate seam: brute force, a persisted
     * IVF probe, a JL shortlist all produce this shape ([[relPpm]]
     * converts their round-6 cosine). `corpus` supplies the vectors
-    * for the pairwise-redundancy term; every candidate id must
-    * resolve in it. ≤ [[MaxCandidates]] rows and unique ids enforced
-    * on the collected matrix.
+    * for the pairwise-redundancy term; every candidate id SHOULD
+    * resolve in it — an unresolvable id degrades to msim = 0
+    * (maximally diverse) identically on both seam surfaces (ADVICE
+    * r14; MmrSpec pins the planted case). ≤ [[MaxCandidates]] rows
+    * and unique ids enforced on the collected matrix.
     */
   def selectFromCandidates(corpus: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int,
@@ -263,7 +265,15 @@ object Mmr {
           Seq("query_id", "ib"))
         .groupBy(col("query_id"), col("ia").as("id"))
         .agg(max(col("sim_ppm")).as("msim_ppm"))
-      val scored = remaining.join(msims, Seq("query_id", "id"))
+      // LEFT join + coalesce(0): a candidate id that does not resolve
+      // in `corpus` has no pairs rows, so an inner join here would
+      // silently DROP it from rounds ≥ 2 while the driver form scores
+      // the same input with sim.getOrElse(0) — the two seam surfaces
+      // must agree on contract-violating input (ADVICE r14; MmrSpec
+      // plants an unresolvable id and pins driver == batch: it scores
+      // msim = 0, i.e. maximally diverse, on BOTH)
+      val scored = remaining.join(msims, Seq("query_id", "id"), "left")
+        .withColumn("msim_ppm", coalesce(col("msim_ppm"), lit(0L)))
         .withColumn("score_fp",
           lit(lambdaPpm) * col("rel_ppm") -
             lit(1000000L - lambdaPpm) * col("msim_ppm"))

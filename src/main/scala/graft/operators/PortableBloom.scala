@@ -159,19 +159,27 @@ object PortableBloom {
     * Associative, commutative, idempotent — daily partitions roll up
     * exactly, and replaying a day is a no-op. Inputs carrying a
     * geometry tag must agree (ORing words from two geometries is
-    * noise, not a filter); the common tag propagates to the output.
+    * noise, not a filter); the common tag propagates to the output
+    * only when EVERY input carries it — an untagged input (pre-r14
+    * state, or a frame that lost the tag to a re-aggregate) makes no
+    * geometry claim, so stamping the mix with the tagged inputs'
+    * (m, k) would launder unvalidated bits into state downstream
+    * probes then treat as validated (ADVICE r14). A mixed merge
+    * yields an untagged output, which keeps the probes' bounds-check
+    * backstop live instead of a false validation.
     */
   def merge(sketches: DataFrame*)(groupCols: Seq[String]): DataFrame = {
     val geoms = sketches.flatMap(frameGeometry).distinct
     require(geoms.size <= 1,
       s"merging sketches with mismatched geometries ${geoms.mkString(", ")} — " +
         "bits set under different (m, k) OR into noise")
+    val allTagged = sketches.forall(frameGeometry(_).isDefined)
     val merged = sketches.reduce(_ unionByName _)
       .groupBy((groupCols :+ "word").map(col): _*)
     geoms.headOption match {
-      case Some((m, k)) =>
+      case Some((m, k)) if allTagged =>
         merged.agg(expr("bit_or(bits)").as("bits", geomMetadata(m, k)))
-      case None => merged.agg(expr("bit_or(bits)").as("bits"))
+      case _ => merged.agg(expr("bit_or(bits)").as("bits"))
     }
   }
 

@@ -220,15 +220,32 @@ object Salting {
     // silently skews n_keys); the parameter is the fallback for state
     // dirs written before the meta table existed
     val effThetaK = readStateMeta(spark, dir).map(_._1).getOrElse(thetaK)
-    val theta = ThetaSketch.merge(spark.read.parquet(s"$dir/theta"))(
-      Seq.empty, effThetaK)
-    val nKeys = ThetaSketch.estimate(theta, Seq.empty, effThetaK)
+    skewReportFromFrames(spark.read.parquet(s"$dir/theta"),
+      spark.read.parquet(s"$dir/cm"), spark.read.parquet(s"$dir/cands"),
+      topK, effThetaK)
+  }
+
+  /** [[skewReportFromState]] over CALLER-HELD state frames — the
+    * report for deployments whose skew state lives inside another
+    * family's layout (the streamed advisory legs,
+    * [[graft.streaming.CorpusStream.readMergedAdvisories]], or a
+    * composed job's folded root) rather than a [[writeSkewState]]
+    * dir. The canonical merges re-apply on read and are idempotent
+    * on already-merged frames, so raw appended rows and a folded
+    * state report identically. Pass the thetaK the state was BUILT
+    * with (the advmeta/skew-meta pin — a mismatched k silently skews
+    * `n_keys`).
+    */
+  def skewReportFromFrames(thetaRows: DataFrame, cmRows: DataFrame,
+      candRows: DataFrame, topK: Int = 5, thetaK: Int = 256): DataFrame = {
+    val theta = ThetaSketch.merge(thetaRows)(Seq.empty, thetaK)
+    val nKeys = ThetaSketch.estimate(theta, Seq.empty, thetaK)
       .select(col("est_distinct").as("n_keys"))
-    val cm = CountMin.merge(spark.read.parquet(s"$dir/cm"))(Seq.empty)
+    val cm = CountMin.merge(cmRows)(Seq.empty)
       .localCheckpoint(eager = true) // depth·width cells, read twice
     val nRows = cm.filter(col("row") === 0)
       .agg(coalesce(sum(col("cell_count")), lit(0L)).as("n_rows"))
-    val cands = spark.read.parquet(s"$dir/cands").distinct()
+    val cands = candRows.distinct()
     val ests = CountMin.estimate(cm, cands, Seq.empty, "value",
       CmDepth, CmWidth)
     val top = ests.orderBy(col("est_count").desc).limit(topK)
@@ -306,10 +323,19 @@ object Salting {
   def saltsFromState(spark: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double = 10.0, maxSalts: Int = 64): Int = {
     require(threshold > 0 && maxSalts >= 2, s"bad threshold/maxSalts")
-    val r = skewReportFromState(spark, dir).head()
-    val lb = Option(r.getAs[java.lang.Double]("skew_ratio_lb"))
-      .map(_.toDouble)
-    lb match {
+    saltsFromReportRow(skewReportFromState(spark, dir).head(),
+      threshold, maxSalts)
+  }
+
+  /** The same salt decision off an already-computed
+    * [[skewReportFromState]]/[[skewReportFromFrames]] row — so a
+    * caller that reports AND decides (the ops dashboard) pays one
+    * sketch read, not two.
+    */
+  def saltsFromReportRow(r: org.apache.spark.sql.Row,
+      threshold: Double = 10.0, maxSalts: Int = 64): Int = {
+    require(threshold > 0 && maxSalts >= 2, s"bad threshold/maxSalts")
+    Option(r.getAs[java.lang.Double]("skew_ratio_lb")).map(_.toDouble) match {
       case Some(ratio) if ratio >= threshold =>
         math.min(maxSalts.toLong, math.ceil(ratio).toLong).toInt
       case _ => 1 // no PROVABLE skew → the plain plan (or AQE) is right

@@ -92,8 +92,10 @@ object Similarity {
     * is exact integer ppm of the round-6 cosine, so the mined set is
     * oracle-re-derivable to the hash (q207). Swap the brute scorer for
     * the IVF probe when the corpus outgrows one pass — candidates are
-    * candidates (the MMR seam argument); mine from the probe's top-N
-    * with N ≫ k so the exclusions can't exhaust the pool.
+    * candidates (the MMR seam argument): feed the probe's output to
+    * [[hardNegativesFromCandidates]] with top-N ≫ k so the exclusions
+    * can't exhaust the pool (q210 gates that composition at an
+    * exhaustive probe, hash-identical to this brute form).
     */
   def hardNegatives(
       corpus: DataFrame,
@@ -103,9 +105,6 @@ object Similarity {
       idCol: String,
       k: Int,
       maxCosinePpm: Long = 950000L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxCosinePpm >= -1000000L && maxCosinePpm <= 1000000L,
-      s"maxCosinePpm must be a cosine in ppm, got $maxCosinePpm")
     def pre(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), V.quantize(col(vecCol)).as(s"${id}_qv"))
         .withColumn(s"${id}_n2", V.dotQ(col(s"${id}_qv"), col(s"${id}_qv")))
@@ -113,12 +112,44 @@ object Similarity {
       .join(broadcast(pre(anchors, "query_id")), col("id") =!= col("query_id"))
       .withColumn("cosine", round(V.cosineFromQuantized(
         col("id_qv"), col("query_id_qv"), col("id_n2"), col("query_id_n2")), 6))
-      // the near-positive guard: exact integer micros of the round-6
-      // cosine (the gate convention — no float threshold an engine
-      // could tie-break differently)
+      .select(col("query_id"), col("id"), col("cosine"))
+    hardNegativesFromCandidates(scored, positives, k, maxCosinePpm)
+  }
+
+  /** The CANDIDATE SEAM of [[hardNegatives]] (r14 verdict task 2 —
+    * the MMR-seam argument applied here): takes any scored
+    * `(query_id, id, cosine)` frame — the brute scorer above, an
+    * [[IvfIndex.probe]] top-N, a JL shortlist — and runs the mining
+    * half: self-exclusion, the near-positive band in exact integer
+    * micros of the round-6 cosine (the gate convention — no float
+    * threshold an engine could tie-break differently), the positive
+    * anti-join BEFORE the top-k cut (a positive must free its slot,
+    * not mask a negative below it), then the bounded-heap per-query
+    * top-k. [[hardNegatives]] delegates here, so brute == seam is
+    * structural (SimilaritySpec pins it); q210 gates the
+    * persisted-IVF composition against q207's brute oracle.
+    *
+    * Candidate contract: `cosine` must be the family's round-6
+    * quantized cosine (every producer above emits it), and the frame
+    * should carry top-N per query with N ≫ k — the band and the
+    * positives only ever REMOVE rows, so an approximate producer's
+    * misses can only lose negatives, never invent them. NULL cosines
+    * (unscorable pairs) drop, as in every ranking here.
+    */
+  def hardNegativesFromCandidates(
+      candidates: DataFrame,
+      positives: DataFrame,
+      k: Int,
+      maxCosinePpm: Long = 950000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxCosinePpm >= -1000000L && maxCosinePpm <= 1000000L,
+      s"maxCosinePpm must be a cosine in ppm, got $maxCosinePpm")
+    val banded = candidates
+      .select(col("query_id"), col("id"), col("cosine"))
+      .filter(col("id") =!= col("query_id"))
       .filter(floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long")
         <= maxCosinePpm)
-    val negs = scored.join(
+    val negs = banded.join(
       positives.select(col("query_id"), col("id")).distinct(),
       Seq("query_id", "id"), "left_anti")
     rankTopK(negs, k)

@@ -678,9 +678,14 @@ object CorpusStream {
                 s"advisory state at $stateDir was written with other parameters " +
                   "— mismatched sketch bits/cells would merge into noise")
             case None =>
-              Seq((shingleSize, bloomM, bloomK, thetaK, hhK))
-                .toDF("shingle_n", "m", "k", "theta_k", "hh_k")
-                .write.mode("overwrite").parquet(s"$stateDir/advmeta")
+              // through the temp-and-rename swap (ADVICE r14): a plain
+              // overwrite crashing mid-write leaves a partial dir the
+              // replay's readIfExists then reads (or dies on) with no
+              // self-healing path; the swap is all-or-nothing
+              Zone.overwriteInPlace(spark,
+                Seq((shingleSize, bloomM, bloomK, thetaK, hhK))
+                  .toDF("shingle_n", "m", "k", "theta_k", "hh_k"),
+                s"$stateDir/advmeta")
           }
           val b = batch.select(col("doc_id"), col("text")).cache()
           try {

@@ -83,6 +83,68 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(decoded.values.forall(v => math.abs(v - 0.4) < 1e-9))
   }
 
+  private val loadBlock =
+    """{"avg_start":4.75,"avg_end":2.76,"wall_sec":2904.08,""" +
+      """"proc_cpu_sec":8800.16,"cpus":32,"runs":3}"""
+
+  test("the 209-query reality: per-query CPU map + load block ride the " +
+      "tail inside budget and decode at <= 0.1 s (r14 verdict task 1)") {
+    val (names, wall) = synthetic(209)
+    val cpu = names.map(n => n -> wall(n) * 7.3).toMap
+    val line = BenchFormat.tailLine(names, wall, wall.values.sum,
+      nAll = 209, sfName = "sf0.1", cpu = cpu, load = loadBlock)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    assert(line.contains(""""load":{"""), "load block must survive to the tail")
+    assert(line.contains("proc_cpu_sec"), "run-wide CPU must survive")
+    val (n, _, decodedWall) = BenchFormat.decodeTail(line)
+    val decodedCpu = BenchFormat.decodeTailCpu(line)
+    assert(n == 209 && decodedWall.size == 209)
+    assert(decodedCpu.size == 209, "per-query cpu map lost")
+    for (name <- names) {
+      val k = name.takeWhile(_ != '_')
+      assert(math.abs(decodedWall(k) - wall(name)) <= 0.05 + 1e-9)
+      assert(math.abs(decodedCpu(k) - cpu(name)) <= 0.05 + 1e-9,
+        s"$name: cpu ${decodedCpu(k)} vs ${cpu(name)} — coarser than ds")
+    }
+  }
+
+  test("small suites carry full-precision walls AND an object cpu map") {
+    val (names, wall) = synthetic(20)
+    val cpu = names.map(n => n -> wall(n) * 3.7).toMap
+    val line = BenchFormat.tailLine(names, wall, wall.values.sum, 20,
+      "sf0.1", cpu, loadBlock)
+    assert(line.contains(""""cpu":{"""), "tier 1 carries the cpu object")
+    val decodedCpu = BenchFormat.decodeTailCpu(line)
+    for (name <- names)
+      assert(math.abs(decodedCpu(name.takeWhile(_ != '_')) - cpu(name))
+        <= 0.005 + 1e-9)
+  }
+
+  test("cpu drops LAST: an oversized suite sacrifices the cpu map before " +
+      "any wall resolution, and the wall map stays whole") {
+    val (names, wall) = synthetic(350)
+    val cpu = names.map(n => n -> wall(n) * 31.0).toMap
+    val line = BenchFormat.tailLine(names, wall, wall.values.sum, 350,
+      "sf0.1", cpu, loadBlock)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val (n, _, decodedWall) = BenchFormat.decodeTail(line)
+    assert(n == 350 && decodedWall.size == 350, "wall map must never shrink")
+    for (name <- names)
+      assert(math.abs(decodedWall(name.takeWhile(_ != '_')) - wall(name))
+        <= 0.05 + 1e-9)
+    // whether cpu fit is size-dependent; what is PINNED is that walls
+    // survive whole and the load block still rides when cpu drops
+    assert(line.contains(""""load":{"""))
+  }
+
+  test("a tail WITHOUT cpu/load (pre-r15 artifact) still decodes; " +
+      "decodeTailCpu reads empty, not an error") {
+    val (names, wall) = synthetic(100)
+    val line = BenchFormat.tailLine(names, wall, wall.values.sum, 100, "sf0.1")
+    assert(BenchFormat.decodeTailCpu(line).isEmpty)
+    assert(BenchFormat.decodeTail(line)._3.size == 100)
+  }
+
   test("non-numeric key residue falls back to the object ds tier, " +
       "never integer seconds") {
     // duplicate qNNN prefixes force full keys; the coarsest object tier

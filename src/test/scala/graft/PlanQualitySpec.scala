@@ -494,6 +494,21 @@ class PlanQualitySpec extends SparkSpec {
       s"index scan must prune partitions: ${sp.take(2000)}")
   }
 
+  test("q209: ngramDiversity reads the corpus ONCE for all ns (r14 verdict " +
+      "task 5 — the per-n form paid one full pass per entry)") {
+    val p = plan(SparkEntry.q209_ngram_diversity(spark, dir))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n${p.take(3000)}")
+    // and the scan prunes to the text column — n-gram stats never need
+    // the rest of the documents row
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("doc_id"),
+      s"unpruned scan: $readSchema")
+    // no join against the corpus: the ns re-seat join is against a
+    // 3-row local relation
+    assert(!p.contains("SortMergeJoin"), "ns re-seat must not shuffle the corpus")
+  }
+
   /** A tiny persisted BM25 index for the plan assertions (plan shape
     * only — values don't matter here).
     */

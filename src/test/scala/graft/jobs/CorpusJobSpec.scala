@@ -439,6 +439,81 @@ class CorpusJobSpec extends SparkSpec {
       .getAs[Long]("staleness") > 0L)
   }
 
+  test("stateReport over a STREAM-maintained advisory state == the " +
+      "batch-folded rows over the same documents (r14 verdict task 6)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" <= 30)
+    val base = tmpDir("srstream")
+    val inDir = s"$base/in"
+    docs.filter($"doc_id" % 2 === 0).write.parquet(inDir)
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(inDir)
+    graft.streaming.CorpusStream.runIncrementalAdvisories(spark,
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      s"$base/state", s"$base/ckpt").awaitTermination()
+    val jobState = s"$base/job"
+    val cfg = CorpusJob.Config(nearDupThreshold = 0.5,
+      maintainBloomState = true, maintainMixtureState = true,
+      maintainSkewState = true)
+    (0 to 1).foreach { i =>
+      CorpusJob.runIncremental(spark, docs.filter($"doc_id" % 2 === i),
+        jobState, cfg, Some(s"d$i"))
+    }
+    def rows(rep: org.apache.spark.sql.DataFrame) =
+      rep.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val batch = rows(CorpusJob.stateReport(spark, Some(jobState)))
+      .view.filterKeys(Set("bloom", "mixloss", "skew")).toMap
+    val streamed = rows(CorpusJob.stateReport(spark,
+      advisoryStateDir = Some(s"$base/state")))
+    assert(streamed.keySet == Set("bloom", "mixloss", "skew"))
+    assert(streamed == batch,
+      "stream-maintained state must report identically to the batch fold")
+    // a dir the stream never committed to contributes nothing (the
+    // optional-input contract — no fail, no rows)
+    assert(CorpusJob.stateReport(spark,
+      advisoryStateDir = Some(s"$base/nothere")).count() == 0L)
+  }
+
+  test("retrievalQualityReport (r14 task 8): day-over-day ranking-quality " +
+      "drift — first run has NULL prior, the second diffs exactly against " +
+      "the persisted fold, a k mismatch refuses") {
+    val state = tmpDir("rqr")
+    val qrels = Seq((1L, 11L, 2L), (1L, 99L, 1L), (2L, 20L, 3L))
+      .toDF("query_id", "doc_id", "grade")
+    val day1 = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val r1 = CorpusJob.retrievalQualityReport(spark, day1, qrels, state)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r1.keySet ==
+      Set("n_queries", "mrr_ppm", "mean_ndcg_ppm", "hit_rate_ppm"))
+    assert(r1.values.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "first run must report NO baseline, not a zero delta")
+    // q1 first hit at rank 2, q2 at rank 1 → MRR = (500000+1000000) DIV 2
+    assert(r1("mrr_ppm").getLong(1) == 750000L)
+    assert(r1("hit_rate_ppm").getLong(1) == 1000000L)
+    // day 2: query 1 loses its judged hit — the regression the ops
+    // surface exists to catch
+    val day2 = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val r2 = CorpusJob.retrievalQualityReport(spark, day2, qrels, state)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (m <- r2.keySet) {
+      assert(r2(m).getLong(2) == r1(m).getLong(1),
+        s"$m: prior must be day 1's persisted current")
+      assert(r2(m).getLong(3) == r2(m).getLong(1) - r2(m).getLong(2),
+        s"$m: delta must be exact current − prior")
+    }
+    assert(r2("mrr_ppm").getLong(1) == 500000L)
+    assert(r2("mrr_ppm").getLong(3) == -250000L)
+    assert(r2("hit_rate_ppm").getLong(3) == -500000L)
+    assert(r2("n_queries").getLong(3) == 0L)
+    // the dial pin: a delta across k values is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusJob.retrievalQualityReport(spark, day2, qrels, state, k = 5)
+    }
+    assert(e.getMessage.contains("k="))
+  }
+
   test("closed-loop canonical election (r13): a state-PROVEN viral " +
       "duplicate flips the election to the skew-safe aggregate form, " +
       "value-identical to the windowed run") {

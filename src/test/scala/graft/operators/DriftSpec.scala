@@ -122,4 +122,25 @@ class DriftSpec extends SparkSpec {
     assert(drifted.map(_.getString(0)).toSet
       .subsetOf((0 until 8).map(_.toString).toSet))
   }
+
+  test("embedding drift state: embeddingAgainstReference over a persisted " +
+      "reference == embedding from scratch (r14 verdict task 3)") {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sfDir()).select($"vec_id", $"embedding")
+    val cur = emb.withColumn("embedding",
+      concat(slice($"embedding", 9, 56), slice($"embedding", 1, 8)))
+    val dir = java.nio.file.Files.createTempDirectory("drift-embref").toString
+    Drift.writeEmbeddingReference(emb, "vec_id", "embedding", dir, nCells = 8)
+    val fromScratch = Drift.embedding(emb, cur, "vec_id", "embedding", nCells = 8)
+    val stateFed = Drift.embeddingAgainstReference(spark, dir, cur,
+      "vec_id", "embedding")
+    assert(stateFed.count() == fromScratch.count())
+    assert(stateFed.except(fromScratch).isEmpty &&
+      fromScratch.except(stateFed).isEmpty,
+      "state-fed drift diverges from the from-scratch derivation")
+    // and the state really is increment-shaped: the persisted side is
+    // cell-sized (≤ nCells rows per table), not a snapshot copy
+    assert(spark.read.parquet(s"$dir/refcounts").count() <= 8L)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8L)
+  }
 }

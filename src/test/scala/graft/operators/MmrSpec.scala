@@ -169,6 +169,34 @@ class MmrSpec extends SparkSpec {
     assert(e3.getMessage.contains("candidate"))
   }
 
+  test("candidate seam: an unresolvable candidate id scores msim = 0 on BOTH " +
+      "surfaces — never silently dropped (ADVICE r14)") {
+    val emb = fixture // corpus ids 0–4; 99 does NOT resolve
+    val cands = Seq((1L, 990000L), (2L, 985000L), (99L, 880000L), (4L, 900000L))
+      .toDF("id", "rel_ppm")
+    val driver = Mmr.selectFromCandidates(emb, cands, "embedding", "vec_id",
+        k = 4, lambdaPpm = 500000L)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+      .collect().map(_.toString).toSeq
+    val batch = Mmr.selectBatchFromCandidates(emb,
+        cands.select(lit(7L).as("query_id"), $"id", $"rel_ppm"),
+        "embedding", "vec_id", k = 4, lambdaPpm = 500000L)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "id", "rel_ppm", "msim_ppm", "score_fp")
+      .collect().map(_.toString).toSeq
+    assert(driver == batch, s"surfaces diverge:\n$driver\n$batch")
+    // the planted id is PRESENT (all 4 candidates selected at k = 4)
+    // and scored maximally diverse — msim exactly 0 past round 1
+    val planted = Mmr.selectBatchFromCandidates(emb,
+        cands.select(lit(7L).as("query_id"), $"id", $"rel_ppm"),
+        "embedding", "vec_id", k = 4, lambdaPpm = 500000L)
+      .filter($"id" === 99L).collect()
+    assert(planted.length == 1, "unresolvable candidate vanished from the batch greedy")
+    assert(planted.head.getAs[Long]("msim_ppm") == 0L)
+    assert(planted.head.getAs[Int]("mmr_rank") > 1)
+  }
+
   test("k exceeding the candidate pool returns the whole pool; dials are validated") {
     val emb = fixture
     val got = Mmr.select(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",

@@ -101,6 +101,27 @@ class PortableBloomSpec extends SparkSpec {
     assert(keys.filter(!PortableBloom.probe(words, m = 8192, k = 3)($"k")).count() == 0L)
   }
 
+  test("merge with an UNTAGGED input yields an untagged output — the tagged " +
+      "side's geometry is not laundered onto unvalidated bits (ADVICE r14)") {
+    val tagged = PortableBloom.sketch(keys, Seq.empty, "k", m = 8192, k = 3)
+    // a pre-tagging frame built under a DIFFERENT geometry: strip the
+    // tag the way a re-aggregate or an old writer would
+    val untagged = PortableBloom.sketch(keys, Seq.empty, "k", m = 16384, k = 3)
+      .select(col("word"),
+        col("bits").as("bits", org.apache.spark.sql.types.Metadata.empty))
+    assert(PortableBloom.frameGeometry(untagged).isEmpty)
+    // the mixed merge must NOT pass the tagged (m, k) through: the
+    // untagged side makes no geometry claim, so the output makes none
+    // either — downstream probes keep their bounds-check backstop
+    // instead of a false validation
+    val mixed = PortableBloom.merge(tagged, untagged)(Seq.empty)
+    assert(PortableBloom.frameGeometry(mixed).isEmpty,
+      "tagged geometry laundered onto a mixed merge")
+    // all-tagged merges still propagate the tag (the state fold path)
+    assert(PortableBloom.frameGeometry(
+      PortableBloom.merge(tagged, tagged)(Seq.empty)).contains((8192, 3)))
+  }
+
   test("needsRebuild: fires on saturation or takedown volume, never on a fresh filter") {
     // fresh, lightly loaded, no takedowns: neither dial trips
     val fresh = PortableBloom.sketch(Seq("a", "b", "c").toDF("k"), Seq.empty, "k")

@@ -306,4 +306,38 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", k = 0)
     }
   }
+
+  test("hardNegatives candidate seam: the IVF-probe composition == the brute " +
+      "form at an exhaustive probe (r14 verdict task 2)") {
+    import graft.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter($"vec_id".isin(3L, 7L))
+    val positives = emb.select($"vec_id".as("id"))
+      .crossJoin(Seq(3L, 7L).toDF("query_id"))
+      .filter(($"id" + $"query_id") % 19 === 0)
+    val brute = Similarity.hardNegatives(emb, anchors, positives,
+      "embedding", "vec_id", k = 10, maxCosinePpm = 450000L)
+    // the production composition: persisted-index probe → seam. At
+    // nProbe = nCentroids with k = corpus size the probe scores every
+    // pair with the same round-6 quantized kernel, so the mined set is
+    // identical to the brute scorer's by construction (the q202/q210
+    // argument)
+    val (cents, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding", 8)
+    val cands = IvfIndex.probe(cells, cents, anchors, "embedding", "vec_id",
+        k = 600, nProbe = 8)
+      .select($"query_id", $"id", $"cosine")
+    val seam = Similarity.hardNegativesFromCandidates(cands, positives,
+      k = 10, maxCosinePpm = 450000L)
+    assert(seam.count() == brute.count())
+    assert(seam.except(brute).isEmpty && brute.except(seam).isEmpty,
+      "seam over the exhaustive probe diverges from the brute form")
+    // and the seam is self-excluding even when a candidate frame
+    // carries the anchor row itself
+    val withSelf = cands.unionByName(
+      Seq((3L, 3L, 1.0)).toDF("query_id", "id", "cosine"))
+    assert(Similarity.hardNegativesFromCandidates(withSelf, positives,
+        k = 10, maxCosinePpm = 1000000L) // band wide open: only the id filter can drop self
+      .filter($"id" === $"query_id").count() == 0L)
+  }
 }

@@ -128,5 +128,13 @@ class TermStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TermStats.ngramDiversity(docs, "text", Seq(9))
     }
+    // the one-scan form still reports one row per n even when every
+    // doc is shorter than n (no (n, ngram) rows exist to group)
+    val zeros = TermStats.ngramDiversity(docs, "text", Seq(1, 8))
+      .orderBy("n").collect()
+    assert(zeros.length == 2)
+    assert(zeros(1).getAs[Long]("total_ngrams") == 0L &&
+      zeros(1).getAs[Long]("distinct_ngrams") == 0L &&
+      zeros(1).getAs[Long]("distinct_ppm") == 0L)
   }
 }
