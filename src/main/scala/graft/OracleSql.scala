@@ -4749,6 +4749,55 @@ object OracleSql {
            dcg_fp, idcg_fp, ndcg_ppm
     FROM perq ORDER BY query_id"""
 
+  /** q213: eval-in-the-loop drift — the q205 chain evaluated TWICE
+    * (day 1 = the same hybrid cut to rank ≤ 5, day 2 = the full
+    * top-10; the ideal side is shared — judgments don't change), each
+    * summarized by the exact q206 means, then the per-metric
+    * current/prior/delta rows the ops report emits.
+    */
+  private val q213 = s"""
+    WITH RECURSIVE ${retrievalMetricsCtes(q192)},
+    hits5 AS (
+      SELECT r.query_id, min(r.rank) AS first_rel_rank,
+             CAST(sum(q.grade * 1073741824 // l.r) AS BIGINT) AS dcg_fp
+      FROM results r
+      JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+      JOIN lg l ON l.v = r.rank + 1
+      WHERE r.rank <= 5
+      GROUP BY r.query_id),
+    perq5 AS (
+      SELECT i.query_id,
+             CAST(coalesce(1000000 // h.first_rel_rank, 0) AS BIGINT) AS rr_ppm,
+             CAST(CASE WHEN h.first_rel_rank IS NOT NULL THEN 1 ELSE 0 END
+               AS INTEGER) AS hit_k,
+             CAST(CASE WHEN i.idcg_fp > 0
+                       THEN coalesce(h.dcg_fp, 0) * 1000000 // i.idcg_fp
+                       ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM ideal i LEFT JOIN hits5 h ON h.query_id = i.query_id),
+    s10 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(CAST(sum(rr_ppm) AS BIGINT) // count(*) AS BIGINT) AS mrr_ppm,
+             CAST(CAST(sum(ndcg_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_ndcg_ppm,
+             CAST(CAST(sum(hit_k) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS hit_rate_ppm
+      FROM perq),
+    s5 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(CAST(sum(rr_ppm) AS BIGINT) // count(*) AS BIGINT) AS mrr_ppm,
+             CAST(CAST(sum(ndcg_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_ndcg_ppm,
+             CAST(CAST(sum(hit_k) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS hit_rate_ppm
+      FROM perq5)
+    SELECT metric, current_ppm, prior_ppm,
+           current_ppm - prior_ppm AS delta_ppm
+    FROM (
+      SELECT 'n_queries' AS metric, s10.n_queries AS current_ppm,
+             s5.n_queries AS prior_ppm FROM s10, s5
+      UNION ALL SELECT 'mrr_ppm', s10.mrr_ppm, s5.mrr_ppm FROM s10, s5
+      UNION ALL SELECT 'mean_ndcg_ppm', s10.mean_ndcg_ppm, s5.mean_ndcg_ppm
+        FROM s10, s5
+      UNION ALL SELECT 'hit_rate_ppm', s10.hit_rate_ppm, s5.hit_rate_ppm
+        FROM s10, s5)
+    ORDER BY metric"""
+
   private val q206 = s"""
     WITH RECURSIVE ${retrievalMetricsCtes(q192)}
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -6729,6 +6778,7 @@ object OracleSql {
     // reference cell masses) — value-identical by construction
     "q211_embedding_drift_state" -> q208,
     "q212_hybrid_recall_population" -> q212,
+    "q213_retrieval_quality_drift" -> q213,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

