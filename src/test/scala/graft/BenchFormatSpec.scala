@@ -137,6 +137,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""load":{"""))
   }
 
+  test("non-numeric keys with cpu: whichever object tier fits, both maps " +
+      "round-trip at their unit (the c_unit path)") {
+    // duplicate qNNN prefixes force full keys — the packed tier is
+    // unavailable, so cpu must ride an object form or drop cleanly
+    val names = (1 to 70).map(i => s"qx${i}_alpha") :+ "qx1_beta"
+    val wall = names.map(n => n -> 7.77).toMap
+    val cpu = names.map(n => n -> 24.6).toMap
+    val line = BenchFormat.tailLine(names, wall, 0.0, names.size, "sf0.1",
+      cpu, loadBlock)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val (_, _, decodedWall) = BenchFormat.decodeTail(line)
+    assert(decodedWall.size == names.size)
+    assert(decodedWall.values.forall(v => math.abs(v - 7.77) <= 0.05 + 1e-9))
+    val decodedCpu = BenchFormat.decodeTailCpu(line)
+    if (decodedCpu.nonEmpty) // fits at this size; walls never depend on it
+      assert(decodedCpu.values.forall(v => math.abs(v - 24.6) <= 0.1 + 1e-9),
+        s"cpu decoded ${decodedCpu.values.head}")
+  }
+
   test("a tail WITHOUT cpu/load (pre-r15 artifact) still decodes; " +
       "decodeTailCpu reads empty, not an error") {
     val (names, wall) = synthetic(100)

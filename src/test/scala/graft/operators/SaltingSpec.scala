@@ -185,5 +185,14 @@ class SaltingSpec extends SparkSpec {
     val viaExplicit = Salting.skewReportFromState(spark, dir,
       thetaK = 512).head.toString
     assert(viaDefault == viaExplicit)
+    // the frames seam (r15): the report over caller-held state frames
+    // == the dir read (skewReportFromState delegates), and the salt
+    // decision off an already-computed row == the dir-read decision
+    val viaFrames = Salting.skewReportFromFrames(
+      spark.read.parquet(s"$dir/theta"), spark.read.parquet(s"$dir/cm"),
+      spark.read.parquet(s"$dir/cands"), thetaK = 512).head
+    assert(viaFrames.toString == viaExplicit)
+    assert(Salting.saltsFromReportRow(viaFrames) ==
+      Salting.saltsFromState(spark, dir))
   }
 }
