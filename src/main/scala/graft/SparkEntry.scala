@@ -4185,10 +4185,16 @@ object SparkEntry {
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
     val emb = Tables.embeddings(s, dir)
     val q0 = emb.filter(col("vec_id") === 0)
+    // ONE scored pass for all four dials (r15: [[graft.operators
+    // .IvfIndex.probeDials]] — each dial's slice is row-identical to
+    // an independent probe by construction, so the hash oracle is
+    // unchanged; |dials|−1 index scans removed from the telemetry run)
+    val dialed = IvfIndex.probeDials(cells, cents, q0, "embedding", "vec_id",
+        k = 20, dials = Seq(1, 2, 4, 16))
+      .localCheckpoint(true) // ≤ 4×20 rows; every fusion slices it
     def fusedAt(nProbe: Int): DataFrame =
       Similarity.rrfFuse(Seq(lexical,
-          IvfIndex.probe(cells, cents, q0, "embedding", "vec_id",
-              k = 20, nProbe = nProbe)
+          dialed.filter(col("n_probe") === nProbe)
             .select(col("id").as("doc_id"), col("rank"))),
           "doc_id", "rank", k = 10, enforceDistinct = true)
         .select(col("doc_id"))
@@ -4371,10 +4377,16 @@ object SparkEntry {
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
     val emb = Tables.embeddings(s, dir)
     val qs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+    // ONE scored pass for all four dials over the whole query
+    // population ([[graft.operators.IvfIndex.probeDials]] — per-dial
+    // slices row-identical to independent probes, hash oracle
+    // unchanged; the telemetry run reads the index once, not 4×)
+    val dialed = IvfIndex.probeDials(cells, cents, qs, "embedding", "vec_id",
+        k = 20, dials = Seq(1, 2, 4, 16))
+      .localCheckpoint(true) // ≤ 4×3×20 rows; every fusion slices it
     def fusedAt(nProbe: Int): DataFrame =
       Similarity.rrfFuseByKey(Seq(lex,
-          IvfIndex.probe(cells, cents, qs, "embedding", "vec_id",
-              k = 20, nProbe = nProbe)
+          dialed.filter(col("n_probe") === nProbe)
             .select(col("query_id"), col("id").as("doc_id"), col("rank"))),
           "query_id", "doc_id", "rank", k = 10, enforceDistinct = true)
         .select(col("query_id"), col("doc_id"))

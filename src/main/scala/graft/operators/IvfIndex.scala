@@ -263,6 +263,61 @@ object IvfIndex {
       V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6)), k)
   }
 
+  /** [[probe]] at MANY nProbe dials in ONE scored pass — the recall-
+    * telemetry shape (q204/q212: the same queries probed at nProbe ∈
+    * {1, 2, 4, …, exhaustive} to read the latency/recall trade):
+    * cells are chosen once at `max(dials)`, every candidate in the
+    * top-maxDial cells is scored ONCE with the same round-6 quantized
+    * cosine, and each row then fans out to the dials that include its
+    * cell rank (`cell_rank ≤ dial` — a candidate in the top-p cells
+    * is EXACTLY what `probe(nProbe = p)` scores, so each dial's slice
+    * is row-identical to an independent probe by construction;
+    * SimilaritySpec pins it). One cells scan + one bounded-heap
+    * aggregate replace |dials| full probe pipelines — at a daily
+    * telemetry run over a 100 TB index that is |dials|−1 index scans
+    * removed. The fan-out amplifies candidate rows ≤ |dials|× (cheap
+    * integer rows, pre-aggregation), and the per-(dial, query) top-k
+    * keeps map-side state at k — nothing corpus-sized survives the
+    * exchange. Output: `(n_probe, query_id, id, cosine, rank ≤ k)`.
+    */
+  def probeDials(
+      cells: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      dials: Seq[Int]): DataFrame = {
+    require(dials.nonEmpty && dials.forall(_ >= 1),
+      s"dials must be non-empty positive nProbe values, got $dials")
+    val ds = dials.distinct.sorted
+    val qCells = withQuant(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "__q")
+      .join(broadcast(withQuant(cents, "centroid_vec", "__c")))
+      .withColumn("__sim", V.cosineFromQuantized(
+        col("__qqv"), col("__cqv"), col("__qn2"), col("__cn2")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .filter(col("cell_rank") <= ds.max)
+      .select(col("query_id"), col("__qqv").as("qqv"), col("__qn2").as("qn2"),
+        col("centroid_id"), col("cell_rank"))
+    val scored = cells.join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        V.cosineFromQuantized(col("cqv"), col("qqv"), col("cn2"), col("qn2")), 6))
+      // fan out AFTER scoring: each candidate pays one cosine, then
+      // one tiny int row per dial that would have scored it
+      .select(col("query_id"), col("id"), col("cosine"),
+        explode(org.apache.spark.sql.functions.filter(
+          typedlit(ds), d => d >= col("cell_rank"))).as("n_probe"))
+    TopKPerGroup(scored.filter(col("cosine").isNotNull)
+        .select(col("n_probe"), col("query_id"), col("cosine"), col("id")),
+        Seq("n_probe", "query_id"), "cosine", "id", k)
+      .select(col("n_probe"), col("query_id"), col("id"), col("cosine"),
+        col("rank"))
+  }
+
   /** The cell-choice half of [[probe]] on its own: per query, the
     * `nProbe` centroids with the best quantized cosine (ties → lower
     * centroid id — the probe/oracle contract) as

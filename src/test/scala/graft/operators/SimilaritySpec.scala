@@ -307,6 +307,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probeDials: one scored pass == an independent probe at every dial " +
+      "(the telemetry shape, r15)") {
+    import graft.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val (cents, cells) = IvfIndex.buildIndex(emb, "vec_id", "embedding", 8)
+    val queries = emb.filter($"vec_id" < 5)
+    val dialed = IvfIndex.probeDials(cells, cents, queries,
+      "embedding", "vec_id", k = 10, dials = Seq(1, 3, 8))
+    for (p <- Seq(1, 3, 8)) {
+      val one = IvfIndex.probe(cells, cents, queries, "embedding", "vec_id",
+          k = 10, nProbe = p)
+        .select("query_id", "id", "cosine", "rank")
+      val slice = dialed.filter($"n_probe" === p)
+        .select("query_id", "id", "cosine", "rank")
+      assert(slice.count() == one.count(), s"dial $p count")
+      assert(slice.except(one).isEmpty && one.except(slice).isEmpty,
+        s"dial $p: the slice diverges from the independent probe")
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.probeDials(cells, cents, queries, "embedding", "vec_id",
+        k = 10, dials = Seq.empty)
+    }
+  }
+
   test("hardNegatives candidate seam: the IVF-probe composition == the brute " +
       "form at an exhaustive probe (r14 verdict task 2)") {
     import graft.Tables
