@@ -4672,6 +4672,67 @@ object OracleSql {
     GROUP BY s.n_probe
     ORDER BY n_probe"""
 
+  /** q214: pure-ANN recall at the dial over the query population —
+    * q212's IVF machinery without the lexical/RRF legs: the q36
+    * codebook, per-(dial, query) top-10s (the exhaustive dial 16 IS
+    * the exact sweep), and the population intersection counts.
+    */
+  private val q214 = s"""
+    WITH base AS (SELECT vec_id, $quantize AS qe FROM embeddings),
+    n2 AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2v
+      FROM base),
+    cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) - 1 AS centroid_id,
+             qe AS cq, n2v AS cn2
+      FROM (SELECT vec_id, qe, n2v,
+                   ${h60("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM n2 ORDER BY h LIMIT 16)),
+    asg AS (
+      SELECT vec_id, qe, n2v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM n2 CROSS JOIN cents),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS id, centroid_id, qe AS aq, n2v AS an2 FROM asg WHERE rn = 1),
+    qcell AS MATERIALIZED (
+      SELECT vec_id AS query_id, qe AS qq, n2v AS qn2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (${qcos("qe", "cq", "n2v", "cn2")}) DESC, centroid_id ASC) AS rn
+      FROM (SELECT vec_id, qe, n2v FROM n2 WHERE vec_id IN (1, 2, 3)) q
+      CROSS JOIN cents),
+    settings(n_probe) AS (VALUES (1), (2), (4), (16)),
+    probes AS (
+      SELECT s.n_probe, qc.query_id, qc.qq, qc.qn2, qc.centroid_id
+      FROM qcell qc CROSS JOIN settings s WHERE qc.rn <= s.n_probe),
+    ivfcand AS (
+      SELECT p.n_probe, p.query_id, a.id,
+             round(${qcos("aq", "qq", "an2", "qn2")}, 6) AS cosine
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.id <> p.query_id),
+    ivfvec AS MATERIALIZED (
+      SELECT n_probe, query_id, id, r FROM (
+        SELECT n_probe, query_id, id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                 ORDER BY cosine DESC, id) AS r
+        FROM ivfcand)
+      WHERE r <= 10),
+    exact AS MATERIALIZED (
+      SELECT query_id, id FROM ivfvec WHERE n_probe = 16)
+    SELECT CAST(s.n_probe AS INTEGER) AS n_probe,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS recall_ppm
+    FROM exact e
+    CROSS JOIN (VALUES (1), (2), (4)) s(n_probe)
+    LEFT JOIN ivfvec f ON f.n_probe = s.n_probe
+      AND f.query_id = e.query_id AND f.id = e.id
+    GROUP BY s.n_probe
+    ORDER BY n_probe"""
+
   /** q192: BATCH hybrid fusion — q140's per-query BM25 chain and a
     * per-query quantized-cosine chain (probe vectors 1–3, self
     * excluded), each ranked top-20 PER QUERY, fused by the exact RRF
@@ -6779,6 +6840,7 @@ object OracleSql {
     "q211_embedding_drift_state" -> q208,
     "q212_hybrid_recall_population" -> q212,
     "q213_retrieval_quality_drift" -> q213,
+    "q214_ann_recall_dials" -> q214,
     "q200_jl_project" -> q200,
     "q201_jl_rescore" -> q201,
     "q144_pq_encode" -> q144,

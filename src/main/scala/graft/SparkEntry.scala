@@ -4438,6 +4438,25 @@ object SparkEntry {
 
   private val rqDriftMemo = new StateMemo[DataFrame]()
 
+  /** Pure-ANN recall at the dial, population-wide, as ONE operator
+    * ([[graft.operators.IvfIndex.recallAtDials]], late r15): the
+    * q212 protocol without the fusion — vectors 1–3 probed over the
+    * persisted q189 index at nProbe ∈ {1, 2, 4} and measured against
+    * the exhaustive sweep (dial 16 = nCentroids), ALL dials served
+    * from one [[graft.operators.IvfIndex.probeDials]] scored pass.
+    * Micro recall (integer sums, one division — q129), exact
+    * integers; the oracle re-derives the codebook, the per-dial
+    * per-query top-10s and the population intersection counts.
+    */
+  def q214_ann_recall_dials(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.recallAtDials(cells, cents,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+        "embedding", "vec_id", k = 10, dials = Seq(1, 2, 4, 16))
+      .orderBy(col("n_probe"))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4654,6 +4673,7 @@ object SparkEntry {
     "q211_embedding_drift_state" -> (q211_embedding_drift_state _),
     "q212_hybrid_recall_population" -> (q212_hybrid_recall_population _),
     "q213_retrieval_quality_drift" -> (q213_retrieval_quality_drift _),
+    "q214_ann_recall_dials" -> (q214_ann_recall_dials _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

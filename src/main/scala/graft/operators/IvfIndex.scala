@@ -318,6 +318,46 @@ object IvfIndex {
         col("rank"))
   }
 
+  /** Recall-vs-dial telemetry as ONE operator over the single
+    * [[probeDials]] pass: each dial's per-query top-k measured
+    * against the LARGEST dial's (pass `nCentroids` last to make that
+    * the exact sweep — the q189 argument), reported as the micro
+    * recall over the query population (integer sums, ONE division —
+    * the q129 discipline; all exact integers, so the dial report is
+    * oracle-provable, q214). This is the dial-tuning loop a serving
+    * deployment runs daily: one index scan, one bounded aggregate
+    * per dial over ≤ queries×k rows. Output per non-max dial:
+    * `(n_probe, n_queries, n_exact, n_hit, recall_ppm)`.
+    */
+  def recallAtDials(
+      cells: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      dials: Seq[Int]): DataFrame = {
+    val ds = dials.distinct.sorted
+    require(ds.size >= 2,
+      s"need at least two dials (the largest is the reference sweep), got $dials")
+    val dialed = probeDials(cells, cents, queries, vecCol, idCol, k, ds)
+      .localCheckpoint(true) // ≤ |dials|·|queries|·k rows; read per dial
+    val exact = dialed.filter(col("n_probe") === ds.max)
+      .select(col("query_id"), col("id"))
+    ds.init.map { p =>
+      exact.join(dialed.filter(col("n_probe") === p)
+          .select(col("query_id"), col("id"), lit(1L).as("__hit")),
+          Seq("query_id", "id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("n_probe", lit(p))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_exact"))
+      .select(col("n_probe"), col("n_queries"), col("n_exact"),
+        col("n_hit"), col("recall_ppm"))
+  }
+
   /** The cell-choice half of [[probe]] on its own: per query, the
     * `nProbe` centroids with the best quantized cosine (ties → lower
     * centroid id — the probe/oracle contract) as

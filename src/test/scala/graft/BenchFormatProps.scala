@@ -46,4 +46,31 @@ object BenchFormatProps extends Properties("BenchFormat") {
       val ids = ids0.distinct.sorted
       BenchFormat.unpackRanges(BenchFormat.packRanges(ids)) == ids
     }
+
+  /** The r15 cpu/load contract: with ANY cpu map + a load block riding
+    * along, the line stays under budget, walls STILL decode complete
+    * at ≤0.1 s (cpu must never displace wall fidelity), and whenever
+    * the chosen tier kept cpu, it decodes at ≤0.1 s too.
+    */
+  property("any suite with cpu + load: under budget, walls whole, " +
+      "cpu exact-at-ds whenever present") =
+    forAll(suiteGen, Gen.choose(1.0, 32.0)) { (wall, cpuFactor) =>
+      val names = wall.keys.toSeq
+      val cpu = wall.map { case (k, v) => k -> v * cpuFactor }
+      val load = """{"avg_start":2.15,"avg_end":6.80,"wall_sec":97.30,""" +
+        """"proc_cpu_sec":532.67,"cpus":32,"runs":3}"""
+      val line = BenchFormat.tailLine(names, wall, wall.values.sum,
+        nAll = names.size + 1, sfName = "sf0.1", cpu = cpu, load = load)
+      val (n, nErr, decoded) = BenchFormat.decodeTail(line)
+      val decodedCpu = BenchFormat.decodeTailCpu(line)
+      def key(name: String): String =
+        if (decoded.contains(name)) name else name.takeWhile(_ != '_')
+      line.length <= BenchFormat.Budget &&
+        n == names.size && nErr == 1 && decoded.size == names.size &&
+        names.forall(nm =>
+          math.abs(decoded(key(nm)) - wall(nm)) <= 0.05 + 1e-9) &&
+        (decodedCpu.isEmpty ||
+          (decodedCpu.size == names.size && names.forall(nm =>
+            math.abs(decodedCpu(key(nm)) - cpu(nm)) <= 0.05 + 1e-9)))
+    }
 }
