@@ -5,15 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Regenerates the plan dumps in PLANS.md: prints the executed plan of
   * each named query (all of `SparkEntry.queries` if no names given) on
   * sf0.001. Usage:
-  * `sbt "runMain graft.PlanDump [sfDir] [--execute] [q01_... q22_...]"`;
+  * `sbt "runMain graft.PlanDump [sfDir] [--execute] [--formatted] [q01_... q22_...]"`;
   * `--execute` collects each query first so the printed plan is the
-  * AQE-finalized one (with runtime stage sizes), plus wall time.
+  * AQE-finalized one (with runtime stage sizes), plus wall time;
+  * `--formatted` prints `explain("formatted")` (numbered operators +
+  * details: PushedFilters/ReadSchema/join build sides) instead of the
+  * compact tree — the plans/r15 before/after artifact format.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val execute = args.contains("--execute")
-    val rest = args.drop(1).filterNot(_ == "--execute").toSeq
+    val formatted = args.contains("--formatted")
+    val rest = args.drop(1).filterNot(a => a == "--execute" || a == "--formatted").toSeq
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -38,7 +42,10 @@ object PlanDump {
         println(f"(executed in ${(System.nanoTime() - t0) / 1e9}%.2f s)%n")
       }
       println("```")
-      println(df.queryExecution.executedPlan.toString.trim)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+      else println(df.queryExecution.executedPlan.toString.trim)
       println("```")
     }
     spark.stop()

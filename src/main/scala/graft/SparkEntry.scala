@@ -3485,20 +3485,36 @@ object SparkEntry {
         .select(lit(tok).as("tokenizer"), lit(dial.toLong).as("dial"),
           col("n_docs"), col("total_tokens"),
           expr("total_tokens * 1000L div n_docs").as("avg_tokens_fp"))
-    def bpeLeg(k: Int): DataFrame = {
-      val merges = BpeVocab.collectMerges(
-        BpeVocab.train(s, docs, "text", numMerges = k))
-      fert(BpeVocab.segment(docs, "text", "doc_id", merges)
+    // ONE sequential BPE training at the largest dial; the smaller
+    // dials are exact PREFIXES of its merge sequence (batchSize = 1
+    // picks the global argmax one merge at a time, so merge i never
+    // depends on numMerges — BpeVocabSpec pins prefix == retrain).
+    // r15: was three independent trainings = 26 driver-blocking
+    // aggregate rounds + 3 type-table builds; now 16 rounds + 1 build.
+    val bpeDials = Seq(2, 8, 16)
+    val merges = BpeVocab.collectMerges(
+      BpeVocab.train(s, docs, "text", numMerges = bpeDials.max))
+    def bpeLeg(k: Int): DataFrame =
+      fert(BpeVocab.segment(docs, "text", "doc_id", merges.take(k))
         .select(coalesce(col("n_bpe_tokens"), lit(0L)).as("n")), "bpe", k)
-    }
-    def uniLeg(m: Int): DataFrame = {
-      val vocab = UnigramLm.collectCosts(UnigramLm.train(s, docs, "text",
-        maxPieceLen = 4, topM = m, rounds = 2))
-      fert(UnigramLm.segment(docs, "text", "doc_id", vocab)
-        .select(coalesce(col("n_unigram_tokens"), lit(0L)).as("n")),
-        "unigram", m)
-    }
-    (Seq(2, 8, 16).map(bpeLeg) ++ Seq(32, 128, 256).map(uniLeg))
+    // Shared type table + substring-count aggregate across the unigram
+    // dials (identical for every topM; only the seed CUT differs) —
+    // one corpus scan and one substring aggregate instead of three of
+    // each. Trainings are eager (bounded collects), so the caches
+    // release before the returned plan runs; the segment legs re-read
+    // the corpus lazily as before.
+    val uniDials = Seq(32, 128, 256)
+    val types = UnigramLm.wordTypes(docs, "text").cache()
+    val subs = UnigramLm.substringCounts(types, maxPieceLen = 4).cache()
+    val uniLegs =
+      try uniDials.map { m =>
+        val vocab = UnigramLm.collectCosts(
+          UnigramLm.trainFromCounts(s, types, subs, topM = m, rounds = 2))
+        fert(UnigramLm.segment(docs, "text", "doc_id", vocab)
+          .select(coalesce(col("n_unigram_tokens"), lit(0L)).as("n")),
+          "unigram", m)
+      } finally { subs.unpersist(); types.unpersist() }
+    (bpeDials.map(bpeLeg) ++ uniLegs)
       .reduce(_ unionByName _)
       .orderBy(col("tokenizer"), col("dial"))
   }

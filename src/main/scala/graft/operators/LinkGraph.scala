@@ -21,10 +21,13 @@ import org.apache.spark.storage.StorageLevel
   * float power iteration to drift in the last ulp.
   *
   * Scale shape (the reason this is an operator and not a loop in a
-  * notebook): edges are deduped, hash-partitioned on `src` ONCE and
-  * persisted — each of the `iters` rounds then joins the node-sized
-  * contribution table onto the stationary edge partitions (the rank
-  * side shuffles, the 100 TB edge side does not) and pays exactly one
+  * notebook): edges are deduped, hash-partitioned on `src` ONCE,
+  * stamped with their source's out-degree, and persisted (out-degree
+  * persists separately for the dangling anti-join) — each of the
+  * `iters` rounds then joins the node-sized rank table onto the
+  * stationary deg-stamped edge partitions (the rank side shuffles, the
+  * 100 TB edge side does not — and is never re-aggregated: before r15
+  * every round re-derived outdeg twice) and pays exactly one
   * edge-sized shuffle, the `GROUP BY dst`. Ranks are
   * locally-checkpointed per round so lineage stays one round deep
   * (the rank frame feeds three places per round — contribs, the
@@ -160,9 +163,14 @@ object LinkGraph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(eager = true) // feeds deg AND the orientation join
+    // deg feeds THREE consumers (both orientation joins and the final
+    // output join) — materialized once; as lazy lineage each consumer
+    // re-ran the union+aggregate over the edge table (r15: two
+    // edge-sized scans removed at any graph size)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
     // total order (deg, node): the orientation rank. Edge points from
     // the lower-ranked endpoint to the higher-ranked one.
     val ranked = und
@@ -206,28 +214,54 @@ object LinkGraph {
       : DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen && scale >= 1,
       s"pageRank: bad parameters iters=$iters damp=$dampNum/$dampDen scale=$scale")
-    val edges = edgesIn
+    val edges0 = edgesIn
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val allNodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    // seed flag rides the node frame (node-sized, persisted once);
-    // uniform PR is the all-seeds instance of the same loop
-    val nodes = (seedsIn match {
+    // out-degree is STATIONARY: compute it once, persist it, and stamp
+    // `deg` onto the persisted edge partitions — before r15 each round
+    // re-derived outdeg from the edge table TWICE (the contrib join and
+    // the dangling anti-join both hung a fresh edge-sized aggregate
+    // under the round's job), i.e. 2·iters edge scans that a 100 TB
+    // edge list pays for nothing. Both persists stay src-partitioned,
+    // so no per-round exchange is added and the contrib join drops to
+    // ONE join (ranks → edges) from two (ranks → outdeg → edges).
+    // `rank_fp DIV deg` now evaluates per edge instead of per node —
+    // value-identical (same quotient fanned out), integer DIVs are
+    // cheap, and the shuffle still carries only the quotient.
+    val outdeg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = edges0.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allNodes = edges0.select(col("src").as("node"))
+      .union(edges0.select(col("dst").as("node"))).distinct()
+    // seed AND dangling flags ride the node frame (both stationary,
+    // node-sized, derived once) and from there the RANK frame itself —
+    // so the per-round loop needs neither a nodes join nor an outdeg
+    // anti-join (before r15 each round paid both: a node-sized SMJ
+    // against the persisted nodes AND a node-sized anti-join against
+    // outdeg just to find the dangling mass). Uniform PR is the
+    // all-seeds instance of the same loop.
+    val seeded = seedsIn match {
       case Some(s) =>
         val sd = s.select(s.columns.head).toDF("node")
           .select(col("node").cast("long").as("node")).distinct()
         allNodes.join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
           .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
       case None => allNodes.withColumn("__seed", lit(true))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // materializes both persists
+    }
+    val nodes = seeded
+      .join(outdeg.select(col("src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__seed"),
+        coalesce(col("__out"), lit(false)).as("__dang_src"))
+      .withColumn("__dang", !col("__dang_src")).drop("__dang_src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // materializes the edge and node persists
     require(n > 0, "pageRank: empty edge list")
     val m = if (seedsIn.isEmpty) n else nodes.filter(col("__seed")).count()
     require(m > 0, "personalizedPageRank: no seed is a node of the graph")
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // ⌊(dampDen−dampNum)·scale·n / (dampDen·m)⌋ — overflows long only
     // past ~10^11 nodes at the default scale; require keeps it honest
     require(n <= Long.MaxValue / ((dampDen - dampNum).max(1L) * scale),
@@ -235,36 +269,41 @@ object LinkGraph {
     val teleport = (dampDen - dampNum) * scale * n / (dampDen * m)
     val init = scale * n / m
 
+    // the rank frame carries (node, __seed, __dang, rank_fp): one row
+    // per node every round, so IT is the node universe — each round
+    // left-joins inbound mass back onto it and reads the dangling sum
+    // off a flag filter, touching nothing but itself and the edges
     var ranks = (warmStart match {
       case Some(w) =>
         nodes.join(
             w.select(col("node").cast("long").as("node"),
               col("rank_fp").cast("long").as("__prev")),
             Seq("node"), "left")
-          .select(col("node"),
+          .select(col("node"), col("__seed"), col("__dang"),
             coalesce(col("__prev"), lit(scale)).as("rank_fp"))
       case None => nodes
-        .select(col("node"),
+        .select(col("node"), col("__seed"), col("__dang"),
           when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank_fp"))
     }).localCheckpoint(eager = false)
     var round = 0
     while (round < iters) {
       val prev = ranks
-      // per-SOURCE contribution (one DIV per node, not per edge), then
-      // fan out along the stationary edge partitions
-      val contrib = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank_fp DIV deg").as("__c"))
-      val inbound = edges.join(contrib, "src")
+      // per-edge contribution off the deg-stamped stationary edge
+      // partitions: the rank side shuffles (node-sized), the edge side
+      // reads its persisted src partitions in place
+      val inbound = ranks.join(edges, ranks("node") === edges("src"))
+        .select(col("dst"), expr("rank_fp DIV deg").as("__c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
-      // dangling mass: ranks of nodes with no out-edges, as a broadcast
-      // 1-row scalar (left anti beats a null-producing outer join here)
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+      // dangling mass: a flag-filtered scan of the checkpointed rank
+      // frame — no join at all (was a node-sized anti-join vs outdeg)
+      val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__d"))
-      val next = nodes
+      val next = ranks
+        .select(col("node"), col("__seed"), col("__dang"))
         .join(inbound, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("__seed"), col("__dang"),
           (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
             expr(s"$dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + " +
               s"CASE WHEN __seed THEN __d DIV $m ELSE CAST(0 AS BIGINT) END)" +
@@ -284,7 +323,9 @@ object LinkGraph {
       round += 1
     }
     edges.unpersist()
+    outdeg.unpersist()
+    edges0.unpersist()
     nodes.unpersist()
-    ranks
+    ranks.select(col("node"), col("rank_fp"))
   }
 }

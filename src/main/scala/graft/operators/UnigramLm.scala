@@ -65,26 +65,43 @@ object UnigramLm {
     BpeVocab.wordCounts(docs, textCol)
       .filter(length(col("word")) <= MaxWordLen)
 
+  /** The seed's substring-count aggregate on its own: every substring
+    * of every admitted word type up to `maxPieceLen` chars, weighted by
+    * type count — `(piece, cnt)`, one aggregate over the type table.
+    * Split out of [[seedVocab]] so a multi-dial sweep (q180) computes
+    * it ONCE and cuts each dial's seed from the same cached frame: the
+    * aggregate is identical for every `topM`, only the cut differs.
+    */
+  def substringCounts(types: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    types
+      .select(col("cnt"), explode(expr(
+        s"flatten(transform(sequence(1, least(length(word), $maxPieceLen)), " +
+          "l -> transform(sequence(1, length(word) - l + 1), " +
+          "i -> substring(word, i, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The deterministic seed cut over a [[substringCounts]] frame: ALL
+    * single characters (coverage floor) plus the `topM` highest-count
+    * multi-character pieces (ties on the piece string ascending).
+    */
+  def seedFromCounts(subs: DataFrame, topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(topM)
+    singles.unionByName(multis)
+  }
+
   /** Seed vocabulary `(piece, cnt)`: every substring of every admitted
     * word type up to `maxPieceLen` chars, weighted by type count —
     * ALL single characters (coverage floor) plus the `topM`
     * highest-count multi-character pieces (ties on the piece string
     * ascending, the deterministic cut).
     */
-  def seedVocab(types: DataFrame, maxPieceLen: Int, topM: Int): DataFrame = {
-    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    require(topM >= 1, s"topM must be >= 1, got $topM")
-    val subs = types
-      .select(col("cnt"), explode(expr(
-        s"flatten(transform(sequence(1, least(length(word), $maxPieceLen)), " +
-          "l -> transform(sequence(1, length(word) - l + 1), " +
-          "i -> substring(word, i, l))))")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
-    val singles = subs.filter(length(col("piece")) === 1)
-    val multis = subs.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece")).limit(topM)
-    singles.unionByName(multis)
-  }
+  def seedVocab(types: DataFrame, maxPieceLen: Int, topM: Int): DataFrame =
+    seedFromCounts(substringCounts(types, maxPieceLen), topM)
 
   /** Fixed-point piece costs from a collected vocabulary:
     * `cost_fp = log2fp(T) − log2fp(cnt)` with `T = Σ cnt` — the
@@ -128,10 +145,25 @@ object UnigramLm {
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, topM: Int = 512, rounds: Int = 2): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val types = wordTypes(docs, textCol).cache()
+    try trainFromCounts(spark, types, substringCounts(types, maxPieceLen),
+      topM, rounds)
+    finally types.unpersist()
+  }
+
+  /** [[train]] from a PREBUILT (typically cached) type table and its
+    * [[substringCounts]] frame — the shared-scan form for multi-dial
+    * sweeps (q180: three `topM` dials re-aggregated the same corpus
+    * six times through [[train]]; this form pays one type-table scan
+    * and one substring aggregate for ANY dial count). Value-identical
+    * to [[train]] by construction — the seed cut, the EM rounds, and
+    * the cost table are the same code (UnigramLmSpec pins equality).
+    */
+  def trainFromCounts(spark: SparkSession, types: DataFrame,
+      subs: DataFrame, topM: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val seed = seedFromCounts(subs, topM).cache()
     try {
-      val seed = seedVocab(types, maxPieceLen, topM).cache()
       var vocab = collectVocab(seed)
       val singles = seed.filter(length(col("piece")) === 1).select(col("piece"))
       var r = 0
@@ -139,13 +171,12 @@ object UnigramLm {
         vocab = collectVocab(emRound(types, costs(vocab), singles))
         r += 1
       }
-      seed.unpersist()
       val withCosts = costs(vocab)
       val cnts = vocab.toMap
       import spark.implicits._
       withCosts.map { case (p, cf) => (p, cnts(p), cf) }
         .toDF("piece", "cnt", "cost_fp")
-    } finally types.unpersist()
+    } finally seed.unpersist()
   }
 
   /** Final trained vocabulary as the cost list [[segment]] embeds. */

@@ -72,6 +72,19 @@ class BpeVocabSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("sequential training is prefix-stable: train(k) == train(K).take(k)") {
+    // the q180 fertility-sweep contract: one training at the largest
+    // dial serves every smaller dial by slicing the merge sequence —
+    // exact because batchSize = 1 picks the global argmax one merge at
+    // a time, so merge i is a function of merges 1..i-1 only, never of
+    // numMerges
+    val full = BpeVocab.collectMerges(BpeVocab.train(spark, docs, "text", 16))
+    for (k <- Seq(2, 8)) {
+      val small = BpeVocab.collectMerges(BpeVocab.train(spark, docs, "text", k))
+      assert(small == full.take(k), s"prefix property broke at k=$k")
+    }
+  }
+
   /** Engine vs reference at `numMerges`, reporting the first diverging
     * rank instead of a full-trace dump.
     */

@@ -116,6 +116,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(out(4L).isEmpty && out(5L).isEmpty)
   }
 
+  test("trainFromCounts over a shared type table == train, at every " +
+      "sweep dial (the q180 shared-scan form)") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text")
+    val types = UnigramLm.wordTypes(df, "text").cache()
+    val subs = UnigramLm.substringCounts(types, 4).cache()
+    try for (m <- Seq(8, 32, 64)) {
+      val shared = UnigramLm.trainFromCounts(spark, types, subs, m, 2)
+        .orderBy(col("cnt").desc, col("piece")).collect().map(_.toString).toSeq
+      val plain = UnigramLm.train(spark, df, "text",
+          maxPieceLen = 4, topM = m, rounds = 2)
+        .orderBy(col("cnt").desc, col("piece")).collect().map(_.toString).toSeq
+      assert(shared == plain, s"shared-counts training diverged at topM=$m")
+    } finally { subs.unpersist(); types.unpersist(): Unit }
+  }
+
   test("partitioning-invariant: 1 vs 13 partitions train the identical " +
       "vocabulary and segment identically") {
     val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text")
