@@ -99,19 +99,29 @@ object Mmr {
       s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
     val spark = corpus.sparkSession
 
-    // checkpointed: the candidate frame is referenced by BOTH driver
-    // collects below (rel map directly, the pairs frame through the
-    // broadcast candidate-id join) — without the break a corpus-sized
-    // candidate subtree would run twice per query on the serving path
-    val cands = candidates
+    // ONE action on the caller's candidate subtree: the collected rows
+    // serve the rel map directly AND go back as a LOCAL relation for
+    // the pairwise join's broadcast side (r15 — the first cut
+    // checkpointed the frame and then read it twice: one extra eager
+    // job of pure latency per serving-path call, the q173 DAG-depth
+    // lesson; a corpus-sized candidate subtree still runs exactly once)
+    val relRows = candidates
       .select(col("id").cast("long").as("id"), col("rel_ppm").cast("long").as("rel_ppm"))
-      .localCheckpoint(true)
+      .collect()
+    require(relRows.length <= MaxCandidates,
+      s"candidate frame has ${relRows.length} rows; the driver greedy takes ≤ $MaxCandidates — " +
+        "cut the candidate stage tighter (top-N per query)")
+    val rel = relRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rel.size == relRows.length,
+      s"candidate frame has duplicate ids (${relRows.length} rows, ${rel.size} distinct)")
+    import spark.implicits._
+    val candIds = rel.keys.toSeq.sorted.toDF("id")
 
     // candidate pairwise sims in-plan: ≤ N(N−1) rows, broadcast both
     // sides (the candidate id set is tiny against the corpus scan)
     val cvecs = corpus.select(col(idCol).as("id"), V.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", V.dotQ(col("qv"), col("qv")))
-      .join(broadcast(cands.select(col("id"))), "id")
+      .join(broadcast(candIds), "id")
     val a = cvecs.select(col("id").as("ia"), col("qv").as("qa"), col("n2").as("na"))
     val b = cvecs.select(col("id").as("ib"), col("qv").as("qb"), col("n2").as("nb"))
     val pairs = a.join(broadcast(b), col("ia") =!= col("ib"))
@@ -120,13 +130,6 @@ object Mmr {
           .as("sim_ppm"))
 
     // stage 2 (driver, bounded): greedy over the collected matrix
-    val relRows = cands.collect()
-    require(relRows.length <= MaxCandidates,
-      s"candidate frame has ${relRows.length} rows; the driver greedy takes ≤ $MaxCandidates — " +
-        "cut the candidate stage tighter (top-N per query)")
-    val rel = relRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    require(rel.size == relRows.length,
-      s"candidate frame has duplicate ids (${relRows.length} rows, ${rel.size} distinct)")
     val sim = pairs.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
@@ -204,10 +207,18 @@ object Mmr {
       s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
     import org.apache.spark.sql.expressions.Window
 
+    // The candidate checkpoint is LAZY: the contract check's head()
+    // below materializes it immediately anyway, so the eager form's
+    // separate construction job was pure latency (r15). The per-round
+    // frames STAY eager — a lazy checkpoint read by the next round's
+    // three consumers inside one job can be computed concurrently by
+    // sibling stages before the persisted copy lands (measured on
+    // q202: lazy rounds +16% wall, +43% cpu — duplicated probe work),
+    // while eager materialization guarantees compute-once.
     val cands = candidates
       .select(col("query_id"), col("id").cast("long").as("id"),
         col("rel_ppm").cast("long").as("rel_ppm"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     // the contract check: every greedy-round window below is bounded
     // BY the per-query candidate count — a caller-supplied frame must
     // prove it (candidate-table-sized aggregate, never corpus-sized)
