@@ -1209,8 +1209,18 @@ object SparkEntry {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // each slice's signature table materializes ONCE (r15): the bands
+    // derivation and the per-pair signature fetch are separate plan
+    // subtrees that do NOT share an exchange (different shapes above
+    // the aggregate), so the lazy form re-ran the shingle+64-minhash
+    // pipeline 2-3x per slice in one plan. localCheckpoint (RDD-scoped,
+    // invocation-local — never a cross-run cache) is exactly what the
+    // production index persist does; in production these ARE stored
+    // tables ([[graft.jobs.CorpusJob]]'s lsh state).
     val oldSigs = Dedup.signatures(old, "text", "doc_id", 3, 64)
+      .localCheckpoint(true)
     val freshSigs = Dedup.signatures(fresh, "text", "doc_id", 3, 64)
+      .localCheckpoint(true)
     Dedup.minHashLshIncremental(
         Dedup.signatureBands(oldSigs, 64, 16), oldSigs,
         Dedup.signatureBands(freshSigs, 64, 16), freshSigs,
@@ -1254,6 +1264,12 @@ object SparkEntry {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // NOT checkpointed (unlike q80/q87): the one-table SimHash index
+    // rides its signature on the chunk rows, so the a-side and b-side
+    // subtrees are identical up to the groupBy(id) exchange and AQE
+    // stage reuse already computes the pipeline once — measured r15:
+    // forcing a checkpoint here DOUBLED cpu (6.6 -> 14 s) by breaking
+    // that reuse
     Dedup.simHashIncremental(
         Dedup.simHashChunks(Dedup.simHashDf(old, "text", "doc_id")),
         Dedup.simHashChunks(Dedup.simHashDf(fresh, "text", "doc_id")),
@@ -1385,8 +1401,10 @@ object SparkEntry {
     val tomb = old.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id").as("id"))
     val live = (df: DataFrame) => df.join(tomb, Seq("id"), "left_anti")
-    val idxSigs = Dedup.signatures(old, "text", "doc_id")
-    val newSigs = Dedup.signatures(fresh, "text", "doc_id")
+    // signature tables materialize once per slice (q80's r15 note):
+    // bands and the pair fetch are non-shared subtrees in the lazy form
+    val idxSigs = Dedup.signatures(old, "text", "doc_id").localCheckpoint(true)
+    val newSigs = Dedup.signatures(fresh, "text", "doc_id").localCheckpoint(true)
     Dedup.minHashLshIncremental(
         live(Dedup.signatureBands(idxSigs, 64, 16)), live(idxSigs),
         Dedup.signatureBands(newSigs, 64, 16), newSigs,
