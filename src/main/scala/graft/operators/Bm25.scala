@@ -181,7 +181,19 @@ object Bm25 {
     val q = queries.select(col(qidCol).as("__qid"),
       lower(col(termCol)).as("term")).distinct()
     val meta = metaFrame(lens)
-    val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
+    // the candidate restriction is a LITERAL isin, not a broadcast join
+    // (r15): a join against the query terms cannot push below `post`'s
+    // (id, term) aggregate, so the one-shot form shuffled the FULL
+    // corpus postings to then keep a handful of terms — the literal
+    // predicate pushes through the aggregate to the exploded tokens
+    // (and partition-prunes a stored term-bucketed index). The collect
+    // is the bounded batch-query contract this surface already assumes
+    // (benchmark-sized table, broadcast below). Same rows: per-term
+    // tf/dl/df are functions of that term's own rows only.
+    val terms = q.select(col("term")).distinct().collect().map(_.getString(0))
+    val cand =
+      if (terms.isEmpty) post.filter(lit(false))
+      else post.filter(col("term").isin(terms.toSeq: _*))
     val scored = weightedCandidates(cand, meta)
       .join(broadcast(q), "term")
       .groupBy(col("__qid"), col(idCol))
@@ -380,7 +392,14 @@ object Bm25 {
       lower(col(termCol)).as("term")).distinct()
       .localCheckpoint(eager = true) // benchmark-sized, read four times
     val meta = metaFrame(lens)
-    val cand = post.join(broadcast(q.select(col("term")).distinct()), "term")
+    // literal isin off the checkpointed query table (the
+    // searchManyPostings r15 note): a term join cannot push below a
+    // lazy `post` aggregate, a literal predicate can — and it
+    // partition-prunes a stored term-bucketed index identically
+    val terms = q.select(col("term")).distinct().collect().map(_.getString(0))
+    val cand =
+      if (terms.isEmpty) post.filter(lit(false))
+      else post.filter(col("term").isin(terms.toSeq: _*))
     val weighted0 = weightedCandidates(cand, meta)
       .select(col("term"), col(idCol), col("__w"))
     // persist(), not a lazy localCheckpoint: a lazy checkpoint compiles
