@@ -41,6 +41,25 @@ object CorpusJob {
 
   private val stagingPass = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One stderr line per EAGER curation stage (wall + process CPU) —
+    * the composition's operational telemetry beside the `[curate]
+    * staging=` regime line: a daily run that suddenly spends its time
+    * in one stage should say so itself, and r15's waste hunt needed
+    * exactly this breakdown (the lazy q126 components sum to a quarter
+    * of the composed run's CPU).
+    */
+  private def timedStage[T](label: String)(f: => T): T = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpu: Double = os match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val (c0, t0) = (cpu, System.nanoTime())
+    val r = f
+    System.err.println(f"[curate] stage=$label%-10s wall=${(System.nanoTime() - t0) / 1e9}%.2f cpu=${cpu - c0}%.2f")
+    r
+  }
+
   /** Per-JVM staging discriminator: the pass counter alone only
     * disambiguates passes WITHIN one JVM — two concurrent drivers (or a
     * restarted one) sharing a caller-set `stagingDir` would both write
@@ -1350,12 +1369,14 @@ object CorpusJob {
     System.err.println(s"[curate] staging=" +
       s"${if (storeDir.isDefined) "store" else "local"} est_bytes=$estBytes " +
       s"budget=${cfg.stagingBudgetBytes}")
-    def stageFrame(df: DataFrame, slot: String): DataFrame = storeDir match {
-      case None => df.localCheckpoint(true)
-      case Some(dir) =>
-        val p = s"$dir/$slot"
-        df.write.mode("overwrite").parquet(p)
-        df.sparkSession.read.parquet(p)
+    def stageFrame(df: DataFrame, slot: String): DataFrame = timedStage(slot) {
+      storeDir match {
+        case None => df.localCheckpoint(true)
+        case Some(dir) =>
+          val p = s"$dir/$slot"
+          df.write.mode("overwrite").parquet(p)
+          df.sparkSession.read.parquet(p)
+      }
     }
 
     // -- stage 1: hygiene (per-paragraph NFC + HTML strip) --
@@ -1386,7 +1407,7 @@ object CorpusJob {
     // form plans once per materialization and runs ~15 jobs.
 
     // -- stage 2: char-LM language ID --
-    val lidModels = state0.map(_.lidModels).getOrElse {
+    val lidModels = state0.map(_.lidModels).getOrElse(timedStage("lidfit") {
       val seed = Sampling.capPerGroup(
         base.filter(col("doc_id") % 2 === 0 && col("clean").isNotNull),
         "lang", "doc_id", cfg.lidSeedCap)
@@ -1395,7 +1416,7 @@ object CorpusJob {
         "clean", "lang", cfg.lidDim, cfg.lidDim)
       lazy val empty = CharLm.fit(base.limit(0), "clean", cfg.lidDim, cfg.lidDim)
       cfg.lidLangs.map(l => l -> fitted.getOrElse(l, empty))
-    }
+    })
     val withLid = CharLm.classifyLanguage(base, "clean", lidModels)
       .drop("n_tri", "lid_avg")
     val alive1 = col("lid_pred").isin(cfg.keepLangs: _*)
@@ -1409,17 +1430,17 @@ object CorpusJob {
     // stages 2+3 pay ONE full-corpus pass and ONE checkpoint where the
     // round-9 form paid two of each (the corpus-pass count is the
     // composition's whole cost at scale) --
-    val pplModel = state0.map(_.pplModel).getOrElse(
+    val pplModel = state0.map(_.pplModel).getOrElse(timedStage("pplfit")(
       CharLm.fit(
         CharLm.classifyLanguage(
             base.filter(col("doc_id") % 10 === 0), "clean", lidModels)
           .filter(col("lid_pred").isin(cfg.keepLangs: _*)),
-        "clean", cfg.pplDim, cfg.pplDim))
+        "clean", cfg.pplDim, cfg.pplDim)))
     val m = stageFrame(CharLm.score(withLid, "clean", pplModel)
       .withColumn("lm_avg",
         when(col("n_tri") > 0, expr("lm_score div n_tri")).cast("long"))
       .drop("lm_score"), "scored")
-    val pplCut = state0.map(_.pplCut).getOrElse {
+    val pplCut = state0.map(_.pplCut).getOrElse(timedStage("pplcut") {
       if (!cfg.pplGate) Long.MinValue else {
         // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) over
         // the LID survivors — the worst "middle" doc's score;
@@ -1431,7 +1452,7 @@ object CorpusJob {
         if (k <= 0) Long.MinValue
         else ranked.filter(col("__r") === k).select(col("lm_avg")).head().getLong(0)
       }
-    }
+    })
     val pplOk = col("n_tri") > 0 && col("lm_avg") >= pplCut
     val alive2 = alive1 && pplOk
 
@@ -1479,11 +1500,17 @@ object CorpusJob {
 
     // -- stage 6: corpus-wide paragraph dedup over the survivors --
     val pdIn = m2.filter(alive4).select(col("doc_id"), col("clean"))
-    val pd = priorParas match {
+    // staged (r15): pd feeds m3, which the final frame references TWICE
+    // (the verdict joins and the excision input) and the SemDeDup index
+    // build materializes a third time at construction — as lazy lineage
+    // the whole paragraph-dedup aggregate chain re-ran per reference
+    // (the `final` stage alone measured 26-81 CPU-seconds at sf0.1,
+    // ~4x the composition's component sum)
+    val pd = stageFrame(priorParas match {
       case Some(idx) =>
         Dedup.paragraphDedupIncremental(idx, pdIn, "clean", "doc_id", sep)
       case None => Dedup.paragraphDedup(pdIn, "clean", "doc_id", sep)
-    }
+    }, "paras")
     val m3 = m2.join(pd.select(col("doc_id"), col("text_dedup"),
       col("n_kept")), Seq("doc_id"), "left")
     // text_dedup is NULL for docs that never reached the stage, so the
@@ -1505,10 +1532,14 @@ object CorpusJob {
               cfg.semClusters)
             (c0, cells0.limit(0), cells0)
         }
+        // verdict-sized (doc_id, sem_dup) checkpoint: the cell
+        // self-join behind it must run once, not once per m4 reference
+        // (the pd staging note above)
         val verdict = Dedup.semDedupOnCells(prior, fresh, "doc_id",
-          cfg.semMinCosine)
-        (m3.join(verdict.select(col("doc_id"), col("sem_dup")),
-          Seq("doc_id"), "left"), Some(c), Some(fresh))
+            cfg.semMinCosine)
+          .select(col("doc_id"), col("sem_dup"))
+          .localCheckpoint(true)
+        (m3.join(verdict, Seq("doc_id"), "left"), Some(c), Some(fresh))
       case None =>
         (m3.withColumn("sem_dup", lit(null).cast("boolean")), None, None)
     }
@@ -1538,7 +1569,7 @@ object CorpusJob {
 
     // -- stage 9: temperature mixture (α = 0.5) over FINAL token mass --
     val rates: Map[String, Double] = state0.map(_.rates).getOrElse(
-      fitMixtureRates(m5.filter(alive7), cfg.budgetTokens))
+      timedStage("rates")(fitMixtureRates(m5.filter(alive7), cfg.budgetTokens)))
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (d, rt)) =>
       when(col("source") === lit(d), lit(rt)).otherwise(acc)
     }
