@@ -168,9 +168,21 @@ object QualityModel {
     val f = lit(TrainScale.toDouble)
     var w = IndexedSeq.fill(dim)(0L)
     for (_ <- 1 to iters) {
-      val g = labeled
+      // the margin comes from the CHECKPOINTED feature-count table, not
+      // a re-hash of the text (r15): Σ weights[h60(tok) mod dim] over
+      // tokens ≡ Σ_b w(b)·cnt(b) exactly (integer sum, same h60 bucket
+      // map — the gradient below already depends on that identity), so
+      // each iteration pays a bounded aggregate over (id, bucket, cnt)
+      // instead of a full md5 pass over the corpus text. NULL/empty
+      // docs have no cnt rows; the left join's coalesce(0) matches the
+      // kernel's NULL→0 contract.
+      val wArr = typedlit(w)
+      val x = cnt.groupBy(col("__id"))
+        .agg(sum(element_at(wArr, col("__b") + 1) * col("__c")).as("__xfp"))
+      val g = labeled.select(col("__id"), col("__y"))
+        .join(x, Seq("__id"), "left")
         .withColumn("__x",
-          coalesce(bowScore(col(textCol), w), lit(0L)).cast("double") / f)
+          coalesce(col("__xfp"), lit(0L)).cast("double") / f)
         .withColumn("__g",
           floor((col("__y").cast("double") -
             (lit(0.5) + col("__x") / (lit(2.0) * (lit(1.0) + abs(col("__x"))))))
