@@ -58,13 +58,42 @@ object CharLm {
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
   }
 
+  /** BOTH n-gram orders' bucket tags off one row — the one-scan fit
+    * column (r15): each row explodes its 3- and 2-char window hashes
+    * tagged by order, so ONE aggregate pass serves both count tables.
+    * The per-(k, bucket) counts are identical to [[ngramCounts]] run
+    * per order (the struct tagging does not change either window
+    * multiset); what the fusion removes is the SECOND scan of the
+    * input — which for the perplexity fit includes re-running the
+    * upstream LID-restriction kernel over the sample.
+    */
+  private def taggedNgrams(textCol: String, dim3: Int, dim2: Int): Column = {
+    val t = lower(col(textCol))
+    explode(concat(
+      transform(charNgrams(t, 3),
+        h => struct((h % dim3).as("bucket"), lit(3).as("k"))),
+      transform(charNgrams(t, 2),
+        h => struct((h % dim2).as("bucket"), lit(2).as("k")))))
+  }
+
   /** Fit the trigram model on a curated slice. `dim2`/`dim3` size the
     * two hash tables (collision rate vs plan-embedded weight size).
+    * One scan + one aggregate for both orders ([[taggedNgrams]]); the
+    * collect stays the documented ≤ dim3 + dim2 driver budget.
     */
   def fit(curated: DataFrame, textCol: String,
       dim3: Int = 4096, dim2: Int = 4096): Model = {
-    val c3 = Dsir.toDense(ngramCounts(curated, textCol, 3, dim3), dim3)
-    val c2 = Dsir.toDense(ngramCounts(curated, textCol, 2, dim2), dim2)
+    require(dim3 >= 1 && dim2 >= 1, "dims must be >= 1")
+    val rows = curated.select(taggedNgrams(textCol, dim3, dim2).as("kb"))
+      .groupBy(col("kb.k").as("k"), col("kb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("ct"))
+      .collect()
+    val c3 = new Array[Long](dim3)
+    val c2 = new Array[Long](dim2)
+    rows.foreach { r =>
+      val arr = if (r.getInt(0) == 3) c3 else c2
+      arr(r.getLong(1).toInt) = r.getLong(2)
+    }
     Model(IndexedSeq.tabulate(dim3)(b => Dsir.log2Fp(c3(b) + 1)),
       IndexedSeq.tabulate(dim2)(b => Dsir.log2Fp(c2(b) + dim3)))
   }
@@ -84,37 +113,41 @@ object CharLm {
       maxCells: Int = 4 << 20): Map[String, Model] = {
     require(dim3 >= 1 && dim2 >= 1, "dims must be >= 1")
     require(maxCells >= 1, "maxCells must be >= 1")
-    def countsBy(k: Int, dim: Int): Map[String, Array[Long]] = {
-      // DRIVER BUDGET (the Dsir "documented 2×dim collect" discipline):
-      // the collect is ≤ groups·dim (group, bucket, count) rows per
-      // n-gram order. Nothing upstream caps the group count, so a
-      // caller fitting per-domain models over thousands of domains
-      // would otherwise discover the limit as a driver OOM — the
-      // limit+require fails LOUDLY at `maxCells` rows (default 4M ≈
-      // 1k groups at dim 4096) without materializing past the budget.
-      // Fit in group chunks (union the returned maps) or raise
-      // maxCells deliberately if the budget is really wanted.
-      val rows = curated
-        .filter(col(groupCol).isNotNull)
-        .select(col(groupCol).cast("string").as("__g"),
-          explode(charNgrams(lower(col(textCol)), k)).as("__h"))
-        .select(col("__g"), (col("__h") % dim).as("bucket"))
-        .groupBy(col("__g"), col("bucket")).agg(count(lit(1)).as("ct"))
-        .limit(maxCells + 1)
-        .collect()
-      require(rows.length <= maxCells,
+    // DRIVER BUDGET (the Dsir "documented 2×dim collect" discipline):
+    // the collect is ≤ groups·dim (group, bucket, count) rows per
+    // n-gram order. Nothing upstream caps the group count, so a
+    // caller fitting per-domain models over thousands of domains
+    // would otherwise discover the limit as a driver OOM — the
+    // limit+require fails LOUDLY at `maxCells` rows PER ORDER (default
+    // 4M ≈ 1k groups at dim 4096) without materializing meaningfully
+    // past the budget. Fit in group chunks (union the returned maps)
+    // or raise maxCells deliberately if the budget is really wanted.
+    // Both orders ride ONE scan + ONE aggregate ([[taggedNgrams]],
+    // r15 — was one scan per order), so the transient collect holds
+    // both orders' cells (≤ 2·maxCells + 2 rows).
+    val rows = curated
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        taggedNgrams(textCol, dim3, dim2).as("kb"))
+      .select(col("__g"), col("kb.k").as("k"), col("kb.bucket").as("bucket"))
+      .groupBy(col("__g"), col("k"), col("bucket")).agg(count(lit(1)).as("ct"))
+      .limit(2 * maxCells + 2)
+      .collect()
+    def countsOf(k: Int, dim: Int): Map[String, Array[Long]] = {
+      val ofK = rows.filter(_.getInt(1) == k)
+      require(ofK.length <= maxCells,
         s"CharLm.fitMany driver budget exceeded: more than maxCells=" +
           s"$maxCells (group, bucket) cells at dim $dim — fit in group " +
           "chunks and merge the maps, or raise maxCells deliberately " +
           "(the collect is driver-resident)")
-      rows.groupBy(_.getString(0)).map { case (g, rs) =>
+      ofK.groupBy(_.getString(0)).map { case (g, rs) =>
         val dense = new Array[Long](dim)
-        rs.foreach(r => dense(r.getLong(1).toInt) = r.getLong(2))
+        rs.foreach(r => dense(r.getLong(2).toInt) = r.getLong(3))
         g -> dense
       }
     }
-    val c3 = countsBy(3, dim3)
-    val c2 = countsBy(2, dim2)
+    val c3 = countsOf(3, dim3)
+    val c2 = countsOf(2, dim2)
     (c3.keySet ++ c2.keySet).map { g =>
       val d3 = c3.getOrElse(g, new Array[Long](dim3))
       val d2 = c2.getOrElse(g, new Array[Long](dim2))
