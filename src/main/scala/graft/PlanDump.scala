@@ -14,10 +14,17 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val execute = args.contains("--execute")
-    val formatted = args.contains("--formatted")
-    val rest = args.drop(1).filterNot(a => a == "--execute" || a == "--formatted").toSeq
+    // sfDir is the first NON-FLAG, NON-QUERY-NAME argument: with no
+    // sfDir given, `runMain graft.PlanDump --formatted q01` must treat
+    // neither the flag nor the query name as a data directory (r15
+    // advice)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val known = SparkEntry.queries.keySet
+    val sfDir = positional.headOption.filterNot(known)
+      .getOrElse("/root/testdata/sf0.001")
+    val execute = flags.contains("--execute")
+    val formatted = flags.contains("--formatted")
+    val rest = positional.filterNot(_ == sfDir).toSeq
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")

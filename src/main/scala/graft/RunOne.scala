@@ -26,6 +26,29 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
+    // SPARK_GRAFT_JOB_TRACE=1: one stderr line per Spark job (wall,
+    // stage/task counts) — the guide §1 "where does the time go" probe
+    // for operators whose cost is a chain of driver-blocking jobs
+    // (iterative loops, collected seams), where the SQL-plan dump
+    // can't see the job boundaries
+    if (sys.env.get("SPARK_GRAFT_JOB_TRACE").contains("1")) {
+      import org.apache.spark.scheduler._
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val st = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Int)]()
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          t0.put(j.jobId, System.nanoTime())
+          st.put(j.jobId,
+            (j.stageInfos.size, j.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          val w = (System.nanoTime() - t0.getOrDefault(j.jobId, 0L)) / 1e9
+          val (ns, nt) = st.getOrDefault(j.jobId, (0, 0))
+          System.err.println(
+            f"[jobtrace] job=${j.jobId}%-4d wall=$w%7.3fs stages=$ns tasks=$nt")
+        }
+      })
+    }
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     // time construction + count per run, as Bench does — operators with

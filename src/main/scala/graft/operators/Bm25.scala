@@ -95,6 +95,24 @@ object Bm25 {
   def deleteDocs(index: DataFrame, deleted: DataFrame, idCol: String): DataFrame =
     index.join(deleted.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Hard cap on the DISTINCT query terms a batch probe may collect to
+    * the driver (r15 verdict hardening — the [[Mmr.MaxCandidates]]
+    * discipline): the batch surfaces embed the collected terms as one
+    * literal `isin`, so an unbounded query table would mean an
+    * unbounded driver collect AND a plan-embedded In-list of that size
+    * (analysis/codegen blowup) instead of a loud failure. 4096 terms
+    * is far above any benchmark batch while keeping the literal list
+    * plan-sized; split a larger query table into term chunks and union
+    * the results if a bigger batch is ever really wanted.
+    */
+  val MaxQueryTerms: Int = 4096
+
+  private def requireTermBudget(terms: Seq[String]): Unit =
+    require(terms.length <= MaxQueryTerms,
+      s"query batch has ${terms.length} distinct terms; the batch probe " +
+        s"collects them to the driver and embeds a literal In-list, so it " +
+        s"takes <= $MaxQueryTerms — chunk the query table and union the results")
+
   /** 1-row corpus meta: N, total token count, and avgdl in Q8 fixed
     * point (exact integer div — floor(long/double) misrounds above
     * 2^53, the Sharding boundary lesson).
@@ -188,9 +206,11 @@ object Bm25 {
     // predicate pushes through the aggregate to the exploded tokens
     // (and partition-prunes a stored term-bucketed index). The collect
     // is the bounded batch-query contract this surface already assumes
-    // (benchmark-sized table, broadcast below). Same rows: per-term
-    // tf/dl/df are functions of that term's own rows only.
+    // (benchmark-sized table, broadcast below; enforced LOUDLY by
+    // [[MaxQueryTerms]]). Same rows: per-term tf/dl/df are functions of
+    // that term's own rows only.
     val terms = q.select(col("term")).distinct().collect().map(_.getString(0))
+    requireTermBudget(terms.toSeq)
     val cand =
       if (terms.isEmpty) post.filter(lit(false))
       else post.filter(col("term").isin(terms.toSeq: _*))
@@ -395,8 +415,10 @@ object Bm25 {
     // literal isin off the checkpointed query table (the
     // searchManyPostings r15 note): a term join cannot push below a
     // lazy `post` aggregate, a literal predicate can — and it
-    // partition-prunes a stored term-bucketed index identically
+    // partition-prunes a stored term-bucketed index identically.
+    // Bounded loudly by [[MaxQueryTerms]].
     val terms = q.select(col("term")).distinct().collect().map(_.getString(0))
+    requireTermBudget(terms.toSeq)
     val cand =
       if (terms.isEmpty) post.filter(lit(false))
       else post.filter(col("term").isin(terms.toSeq: _*))
@@ -765,6 +787,7 @@ object Bm25 {
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qd.schema)
     val terms = qRows.map(_.getString(1)).distinct.toSeq
+    requireTermBudget(terms) // the same loud MaxQueryTerms bound
     // corpus meta is 3 scalars — read once, embedded as literals (a
     // broadcast of a 1-row frame would cost a build job per consumer)
     val m = spark.read.parquet(s"$dir/meta").head()

@@ -296,7 +296,13 @@ object LinkGraph {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
       // dangling mass: a flag-filtered scan of the checkpointed rank
-      // frame — no join at all (was a node-sized anti-join vs outdeg)
+      // frame — no join at all (was a node-sized anti-join vs outdeg).
+      // It stays a BROADCAST SUBQUERY, not a collected driver literal:
+      // the literal variant (r16, measured and reverted) changes the
+      // generated code every round, so whole-stage codegen recompiles
+      // per round instead of hitting the cache — ABBA A/B read it
+      // ~25-30% SLOWER (q158 3.0/3.6 → 4.2/5.1 s) with identical job
+      // structure; round plans must stay structurally identical.
       val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__d"))
       val next = ranks
@@ -309,7 +315,14 @@ object LinkGraph {
               s"CASE WHEN __seed THEN __d DIV $m ELSE CAST(0 AS BIGINT) END)" +
               s" DIV $dampDen")
           ).as("rank_fp"))
-      // eager: materialize THIS round, THEN release the previous one
+      // eager: materialize THIS round, THEN release the previous one.
+      // Checkpointing every SECOND round instead (r16 verdict item,
+      // measured and rejected): the un-checkpointed round feeds the
+      // next round's THREE consumers, which recompute its edge-join
+      // subtree concurrently — ABBA A/B read ~2× wall and ~3× cpu
+      // (q158 3.0-4.9 → 6.3-6.8 s, cpu 9-17 → 24-27; q160 cpu 17-24
+      // → 43-48). One eager checkpoint per round is the measured floor
+      // for the DataFrame loop.
       ranks = next.localCheckpoint(eager = true)
       // convergence telemetry BEFORE releasing prev: one node-sized
       // join of two already-materialized tables + a scalar aggregate
@@ -320,6 +333,12 @@ object LinkGraph {
           .head().getLong(0)
       }
       prev.unpersist()
+      // edges0 is only the SETUP's input (outdeg/allNodes/the deg-stamp
+      // join): once round 0's job has materialized the deg-stamped
+      // `edges` persist, keeping the raw edge table pinned as well
+      // would double-pin the edge bytes for the rest of the loop at
+      // the operator's design scale (r15 advice)
+      if (round == 0) edges0.unpersist()
       round += 1
     }
     edges.unpersist()

@@ -221,7 +221,14 @@ object Mmr {
       .localCheckpoint(eager = false)
     // the contract check: every greedy-round window below is bounded
     // BY the per-query candidate count — a caller-supplied frame must
-    // prove it (candidate-table-sized aggregate, never corpus-sized)
+    // prove it (candidate-table-sized aggregate, never corpus-sized).
+    // INVARIANT (the lazy-checkpoint coupling, r15 advice): this
+    // head() is a GLOBAL aggregate over `cands` and therefore the
+    // action that lands the lazy checkpoint above — it must stay the
+    // FIRST consumer and must not be sampled, moved below cvecs/a/b,
+    // or short-circuited, or the three downstream consumers would
+    // silently recompute the candidate subtree concurrently (the
+    // measured q202 trap: +16% wall, +43% cpu).
     val bound = cands.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"))
       .agg(max(col("n")).as("mx"), sum(col("n") - col("nd")).as("dups"))

@@ -105,6 +105,25 @@ class Bm25Spec extends SparkSpec {
       single(Seq("banana")))
   }
 
+  test("batch search: an oversized query batch fails LOUDLY at " +
+      "MaxQueryTerms instead of collecting unbounded terms") {
+    val big = (0 to Bm25.MaxQueryTerms) // one past the cap
+      .map(i => (1L, s"term$i")).toDF("query_id", "term")
+    val post = Bm25.postings(docs, "text", "doc_id")
+    val lens = Bm25.docLens(docs, "text", "doc_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25.searchManyPostings(post, lens, "doc_id",
+        big, "query_id", "term", k = 10).collect()
+    }
+    assert(e1.getMessage.contains("MaxQueryTerms") ||
+      e1.getMessage.contains("distinct terms"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.searchManyPostingsPruned(post, lens, "doc_id",
+        big, "query_id", "term", k = 10).collect()
+    }
+    assert(e2.getMessage.contains("distinct terms"))
+  }
+
   test("phrase search: consecutive-only, overlap-counted, " +
       "case-insensitive, 3-token chains") {
     val d = Seq(
