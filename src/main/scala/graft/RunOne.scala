@@ -47,8 +47,25 @@ object RunOne {
           System.err.println(
             f"[jobtrace] job=${j.jobId}%-4d wall=$w%7.3fs stages=$ns tasks=$nt")
         }
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          System.err.println(
+            f"[stagetrace] stage=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
+              f"run=${m.executorRunTime / 1e3}%7.3fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.3fs " +
+              f"deser=${m.executorDeserializeTime / 1e3}%6.3fs " +
+              f"gc=${m.jvmGCTime / 1e3}%6.3fs " +
+              f"in=${m.inputMetrics.recordsRead}%-7d " +
+              f"sr=${m.shuffleReadMetrics.recordsRead}%-7d " +
+              f"sw=${m.shuffleWriteMetrics.recordsWritten}%-7d " +
+              f"${i.name.take(50)}")
+        }
       })
     }
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     // time construction + count per run, as Bench does — operators with

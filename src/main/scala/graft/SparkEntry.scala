@@ -3325,6 +3325,21 @@ object SparkEntry {
       d
     }
 
+  /** The index's 1-row stored meta as a session-scoped handle (r16 —
+    * the verdict's "shared hybrid probe session"): the meta is frozen
+    * with the memoized index above (nothing in this entry refreshes
+    * it), so reading it once per (session, dir) and passing it as
+    * [[graft.operators.Bm25.searchManyIndexPruned]]'s `metaHint`
+    * removes one blocking head() job from EVERY probe-serving query
+    * (q141/q192/q204/q212 and the q205/q206/q213 chains) while the
+    * probe itself still reads champions/termstats/postings from
+    * parquet every invocation.
+    */
+  private val bm25MetaMemo = new StateMemo[(Int, Long)]()
+  private def bm25Meta(s: SparkSession, dir: String): Option[(Int, Long)] =
+    Some(bm25MetaMemo.get(s, dir)(
+      Bm25.readIndexMeta(s, bm25IndexDir(s, dir))))
+
   /** q140's batch retrieval through the PERSISTED-INDEX pruned path
     * ([[graft.operators.Bm25.searchManyIndexPruned]]): identical
     * queries, identical oracle — the hash match proves rank-safety of
@@ -3339,7 +3354,7 @@ object SparkEntry {
     val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
       (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
     Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
-        queries, "query_id", "term", k = 10)
+        queries, "query_id", "term", k = 10, metaHint = bm25Meta(s, dir))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -3667,7 +3682,8 @@ object SparkEntry {
     */
   def q189_hybrid_index_fusion(s: SparkSession, dir: String): DataFrame = {
     val lexical = Bm25.searchIndexPruned(s, bm25IndexDir(s, dir),
-        Seq("dup", "vector", "merge", "zzz"), k = 20)
+        Seq("dup", "vector", "merge", "zzz"), k = 20,
+        metaHint = bm25Meta(s, dir))
       .select(col("doc_id"), col("rank"))
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
     val emb = Tables.embeddings(s, dir)
@@ -3757,7 +3773,7 @@ object SparkEntry {
     val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
       (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
     val lex = Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
-        queries, "query_id", "term", k = 20)
+        queries, "query_id", "term", k = 20, metaHint = bm25Meta(s, dir))
       .select(col("query_id"), col("doc_id"), col("rank"))
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
     val emb = Tables.embeddings(s, dir)
@@ -4213,7 +4229,8 @@ object SparkEntry {
     */
   def q204_hybrid_recall(s: SparkSession, dir: String): DataFrame = {
     val lexical = Bm25.searchIndexPruned(s, bm25IndexDir(s, dir),
-        Seq("dup", "vector", "merge", "zzz"), k = 20)
+        Seq("dup", "vector", "merge", "zzz"), k = 20,
+        metaHint = bm25Meta(s, dir))
       .select(col("doc_id"), col("rank"))
       .localCheckpoint(true) // ≤20 rows, shared by all four fusions
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))
@@ -4405,7 +4422,7 @@ object SparkEntry {
     val queries = Seq((1L, "dup"), (1L, "line"), (2L, "vector"),
       (2L, "merge"), (2L, "MERGE"), (3L, "zzz")).toDF("query_id", "term")
     val lex = Bm25.searchManyIndexPruned(s, bm25IndexDir(s, dir),
-        queries, "query_id", "term", k = 20)
+        queries, "query_id", "term", k = 20, metaHint = bm25Meta(s, dir))
       .select(col("query_id"), col("doc_id"), col("rank"))
       .localCheckpoint(true) // ≤60 rows, shared by all four fusions
     val (cents, cells) = IvfIndex.readIndex(s, ivfIndexDir(s, dir))

@@ -772,9 +772,23 @@ object Bm25 {
     * fallback leg, which AQE's empty-relation propagation drops when
     * every query accepts).
     */
+  /** The 1-row stored corpus meta as driver scalars `(buckets,
+    * avgdl_fp)` — the values every probe of a [[writeIndex]] dir embeds
+    * as literals. A serving session probing one index many times can
+    * read this ONCE and pass it back via `metaHint` (the r15-verdict
+    * "shared probe session" item): the meta is frozen WITH the index —
+    * [[writeIndex]]/[[refreshImpacts]]/[[deleteFromIndex]] rewrite it —
+    * so the hint's lifetime is the caller's index handle, exactly the
+    * SparkEntry StateMemo discipline.
+    */
+  def readIndexMeta(spark: SparkSession, dir: String): (Int, Long) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("buckets"), m.getAs[Long]("avgdl_fp"))
+  }
+
   def searchManyIndexPruned(spark: SparkSession, dir: String,
       queries: DataFrame, qidCol: String, termCol: String,
-      k: Int): DataFrame = {
+      k: Int, metaHint: Option[(Int, Long)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     promoteCrashedRewrite(spark, dir)
     // ONE bounded collect of the distinct (qid, term) pairs serves
@@ -789,10 +803,11 @@ object Bm25 {
     val terms = qRows.map(_.getString(1)).distinct.toSeq
     requireTermBudget(terms) // the same loud MaxQueryTerms bound
     // corpus meta is 3 scalars — read once, embedded as literals (a
-    // broadcast of a 1-row frame would cost a build job per consumer)
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val buckets = m.getAs[Int]("buckets")
-    val avgdlFp = m.getAs[Long]("avgdl_fp")
+    // broadcast of a 1-row frame would cost a build job per consumer);
+    // metaHint skips even that one head() job when the caller holds a
+    // session-scoped index handle (r16 — one blocking job fewer per
+    // probe on every hybrid/batch serving path)
+    val (buckets, avgdlFp) = metaHint.getOrElse(readIndexMeta(spark, dir))
     val bucketLits = terms.map(termBucketOf(_, buckets)).distinct
     def pruned(table: String): DataFrame =
       spark.read.parquet(s"$dir/$table")
@@ -890,11 +905,12 @@ object Bm25 {
     * equivalence transfers).
     */
   def searchIndexPruned(spark: SparkSession, dir: String,
-      query: Seq[String], k: Int): DataFrame = {
+      query: Seq[String], k: Int,
+      metaHint: Option[(Int, Long)] = None): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     import spark.implicits._
     searchManyIndexPruned(spark, dir,
-        query.map(t => (0L, t)).toDF("__q", "__t"), "__q", "__t", k)
+        query.map(t => (0L, t)).toDF("__q", "__t"), "__q", "__t", k, metaHint)
       .drop("__q")
   }
 

@@ -159,41 +159,83 @@ object QualityModel {
     val labeled = df.select(col(idCol).as("__id"),
         col(labelCol).cast("long").as("__y"), col(textCol))
       .localCheckpoint(true)
+    // the label rides the feature table (r16): only documents WITH
+    // feature rows ever contribute to a gradient (grad joins cnt), so
+    // stamping __y onto the checkpointed counts once removes the
+    // per-iteration labeled-join — one join + one exchange fewer in
+    // every GD round's plan. Value-identical: __y is constant per id,
+    // and NULL/empty docs (no cnt rows) contributed nothing before.
     val cnt = labeled
-      .select(col("__id"), explode(hashes).as("__h"))
+      .select(col("__id"), col("__y"), explode(hashes).as("__h"))
       .withColumn("__b", (col("__h") % dim).cast("int"))
-      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__y")).as("__y"))
       .localCheckpoint(true)
     val den = if (etaDen > 0) etaDen else math.max(1L, 4L * labeled.count())
     val f = lit(TrainScale.toDouble)
+    // (__id, __g) margins/residuals for one GD step, given per-doc
+    // fixed-point margins __xfp — the quasi-logistic link quantized to
+    // TrainScale BEFORE any cross-row sum (exact integer grads)
+    def residuals(x: DataFrame): DataFrame = x
+      .withColumn("__x", col("__xfp").cast("double") / f)
+      .withColumn("__g",
+        floor((col("__y").cast("double") -
+          (lit(0.5) + col("__x") / (lit(2.0) * (lit(1.0) + abs(col("__x"))))))
+          * f + lit(0.5)).cast("long"))
+      .select(col("__id"), col("__g"))
+    def step(w: IndexedSeq[Long], grad: Map[Int, Long]): IndexedSeq[Long] =
+      IndexedSeq.tabulate(dim)(b => w(b) + etaNum * grad.getOrElse(b, 0L) / den)
     var w = IndexedSeq.fill(dim)(0L)
-    for (_ <- 1 to iters) {
+    var it = 0
+    while (it < iters) {
       // the margin comes from the CHECKPOINTED feature-count table, not
       // a re-hash of the text (r15): Σ weights[h60(tok) mod dim] over
       // tokens ≡ Σ_b w(b)·cnt(b) exactly (integer sum, same h60 bucket
       // map — the gradient below already depends on that identity), so
       // each iteration pays a bounded aggregate over (id, bucket, cnt)
-      // instead of a full md5 pass over the corpus text. NULL/empty
-      // docs have no cnt rows; the left join's coalesce(0) matches the
-      // kernel's NULL→0 contract.
+      // instead of a full md5 pass over the corpus text. A doc with
+      // cnt rows always has a margin (the aggregate never yields NULL
+      // over its own rows), matching the r15 left-join + coalesce(0).
       val wArr = typedlit(w)
-      val x = cnt.groupBy(col("__id"))
-        .agg(sum(element_at(wArr, col("__b") + 1) * col("__c")).as("__xfp"))
-      val g = labeled.select(col("__id"), col("__y"))
-        .join(x, Seq("__id"), "left")
-        .withColumn("__x",
-          coalesce(col("__xfp"), lit(0L)).cast("double") / f)
-        .withColumn("__g",
-          floor((col("__y").cast("double") -
-            (lit(0.5) + col("__x") / (lit(2.0) * (lit(1.0) + abs(col("__x"))))))
-            * f + lit(0.5)).cast("long"))
-        .select(col("__id"), col("__g"))
-      val grad = cnt.join(g, Seq("__id"))
+      val x1 = cnt.groupBy(col("__id"))
+        .agg(sum(element_at(wArr, col("__b") + 1) * col("__c")).as("__xfp"),
+          max(col("__y")).as("__y"))
+      val grad1 = cnt.join(residuals(x1), Seq("__id"))
         .groupBy(col("__b"))
         .agg(sum(col("__g") * col("__c")).as("__G"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      w = IndexedSeq.tabulate(dim)(b =>
-        w(b) + etaNum * grad.getOrElse(b, 0L) / den)
+      if (it + 1 >= iters) {
+        val g1 = grad1.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        w = step(w, g1)
+        it += 1
+      } else {
+        // TWO GD steps per blocking job (r16, the r15-verdict item):
+        // step 2's weights re-derive IN-PLAN from step 1's gradient —
+        // w2(b) = w1(b) + (etaNum·G1(b)) div den, the SAME all-long
+        // truncating division the driver update uses (Scala /, Spark
+        // div, DuckDB // agree, negatives included — the r15 pin), so
+        // the margins are bit-identical to running the steps
+        // sequentially. One collect returns both dim-sized gradients;
+        // the iteration-latency half of training (per-job planning +
+        // AQE barriers) halves with the job count.
+        val d1 = grad1.select(col("__b"),
+          expr(s"($etaNum * __G) div $den").as("__d"))
+        val x2 = cnt.join(broadcast(d1), Seq("__b"), "left")
+          .groupBy(col("__id"))
+          .agg(sum((element_at(wArr, col("__b") + 1) +
+            coalesce(col("__d"), lit(0L))) * col("__c")).as("__xfp"),
+            max(col("__y")).as("__y"))
+        val grad2 = cnt.join(residuals(x2), Seq("__id"))
+          .groupBy(col("__b"))
+          .agg(sum(col("__g") * col("__c")).as("__G"))
+        val rows = grad1.withColumn("__s", lit(1))
+          .unionByName(grad2.withColumn("__s", lit(2)))
+          .collect()
+        val byStep = rows.groupBy(_.getInt(2))
+        def asMap(s: Int): Map[Int, Long] = byStep.getOrElse(s, Array.empty)
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        w = step(step(w, asMap(1)), asMap(2))
+        it += 2
+      }
     }
     Model(TrainScale, bigrams = false, weights = w)
   }
