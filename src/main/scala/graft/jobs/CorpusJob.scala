@@ -1408,11 +1408,22 @@ object CorpusJob {
 
     // -- stage 2: char-LM language ID --
     val lidModels = state0.map(_.lidModels).getOrElse(timedStage("lidfit") {
-      val seed = Sampling.capPerGroup(
-        base.filter(col("doc_id") % 2 === 0 && col("clean").isNotNull),
-        "lang", "doc_id", cfg.lidSeedCap)
-      val fitted = CharLm.fitMany(
-        seed.filter(col("lang").isin(cfg.lidLangs: _*)),
+      val pool = base.filter(col("doc_id") % 2 === 0 && col("clean").isNotNull &&
+        col("lang").isin(cfg.lidLangs: _*))
+      // seed MEMBERSHIP is decided on a (doc_id, lang) proxy and the
+      // members come back via a bounded semi-join (r16, guide §8
+      // "shuffle keys, not payloads"): capPerGroup's rank window would
+      // otherwise move the half-corpus slice's FULL TEXT through the
+      // lang exchange to pick ≤ cap ids per language. Restricting to
+      // lidLangs before the cap is identical to after (the per-group
+      // rank is independent across groups); the id set is ≤
+      // |lidLangs|·lidSeedCap rows — broadcast-sized by construction.
+      val seedIds = Sampling.capPerGroup(
+          pool.select(col("doc_id"), col("lang")),
+          "lang", "doc_id", cfg.lidSeedCap)
+        .select(col("doc_id"))
+      val seed = pool.join(broadcast(seedIds), Seq("doc_id"), "left_semi")
+      val fitted = CharLm.fitMany(seed,
         "clean", "lang", cfg.lidDim, cfg.lidDim)
       lazy val empty = CharLm.fit(base.limit(0), "clean", cfg.lidDim, cfg.lidDim)
       cfg.lidLangs.map(l => l -> fitted.getOrElse(l, empty))
@@ -1444,8 +1455,12 @@ object CorpusJob {
       if (!cfg.pplGate) Long.MinValue else {
         // the cutoff VALUE at the 2n/3 rank (lm_avg desc, doc_id) over
         // the LID survivors — the worst "middle" doc's score;
-        // `lm_avg >= cut` keeps head + middle (boundary ties keep)
+        // `lm_avg >= cut` keeps head + middle (boundary ties keep).
+        // Rank a PROXY of just (lm_avg, doc_id): the cut is one scalar,
+        // and without the projection the rank's range exchange and
+        // checkpoint carry the staged frame's full text (r16, §2.3)
         val rankable = m.filter(alive1 && col("n_tri") > 0)
+          .select(col("lm_avg"), col("doc_id"))
         val (ranked, n) = Dsir.globalRank(rankable,
           Seq(col("lm_avg").desc, col("doc_id")), "__r")
         val k = 2 * n / 3
